@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is forced end-to-end with the JVM-side ``noop`` sink so
+timing includes the full physical plan but no Python row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+# Headline subset: one representative per operator family (scan-agg,
+# multiway join, window, set-op, text, time-series, dedup, similarity).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_topk_per_group",
+    "q_running_total",
+    "q_wordcount",
+    "q_sessionize",
+    "q_asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from sql_based_etl_spark.queries import all_queries
+    from sql_based_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="sql_based_etl_bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    extra = os.environ.get("SQL_ETL_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in registry]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = registry[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

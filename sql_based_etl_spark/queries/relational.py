@@ -1,0 +1,612 @@
+"""Relational operator coverage (SURVEY.md §2b/§2c + implied extensions).
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` built with the
+DataFrame API (Catalyst plans it; no hand scheduling), paired with a
+DuckDB oracle in ``ORACLES``. Reference-surface citations:
+
+- projection/alias/literal/cast:   scd2-job.ipynb:143-145, 275-277, 309
+- filter =/<>/, AND conjunction:   scd2-job.ipynb:313-314, 346, 444
+- inner equi-join w/ aliases:      scd2-job.ipynb:310-312
+- UNION (distinct):                scd2-job.ipynb:316-319
+- md5/concat (null-propagating):   scd2-job.ipynb:144, 276
+- wordcount (native job, implied): native-spark-job-scheduler.yaml:4,12
+- expired-count agg (implied):     scd2-job.ipynb:390-392
+
+Everything else (windows, rollup, pivot, semi/anti joins, sessionize,
+as-of join) is the extension checklist: free via Spark SQL built-ins,
+designed so the same plan survives 100 TB (broadcast dims, partial
+aggregation, no driver-side loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.queries._util import MICROS, load, micros, xsum
+
+
+# --- TPC-H-ish core -------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+
+    Partial (map-side) aggregation on 6 grouped columns; the filter and
+    the 8-column projection push into the parquet scan. Sums are exact
+    decimals so results are reproducible at any parallelism.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            xsum(F.col("l_quantity")).alias("sum_qty"),
+            xsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            xsum(disc_price).alias("sum_disc_price"),
+            xsum(charge).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10.
+
+    customer is the small side → Catalyst broadcasts it; lineitem⋈orders
+    shuffles on the order key only once.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(xsum(disc_price).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS → left-semi join with a non-equi residual
+    condition (shipped more than 60 days after order date)."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style snowflake join: two broadcastable dims (nation,
+    region) + supplier; co-located customer/supplier nation condition."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(xsum(disc_price).alias("revenue"))
+    )
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-aggregate; all three predicates
+    push down to the parquet reader."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(xsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# --- reference SQL surface (R1-R8, F1-F3) ---------------------------------
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R5/R6: projection + aliasing + <>/AND filters
+    (scd2-job.ipynb:143-145,313-314)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") != "F") & (F.col("o_totalprice") > 1000.0)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.when(F.col("o_totalprice") > 200000.0, "big").otherwise("small").alias("size_class"),
+    )
+
+
+def q_literal_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/R3/R4: star + literal + NULL-cast projection, the SCD2 staging
+    shape `SELECT NULL AS mergeKey, new.*` (scd2-job.ipynb:309,143-144)."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        F.lit(None).cast("string").alias("merge_key"),
+        F.lit(1).alias("iscurrent"),
+        "*",
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: SQL UNION deduplicates (scd2-job.ipynb:316-319) — DataFrame
+    union() is UNION ALL, so .distinct() is required for parity."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def q_md5_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: md5(concat(...)) row checksum with *null-propagating*
+    concat — any NULL input nulls the checksum (scd2-job.ipynb:144,276).
+    nullif() manufactures NULLs to prove the semantic."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.concat(F.col("c_name"), F.expr("nullif(c_mktsegment, 'MACHINERY')"))).alias(
+            "checksum"
+        ),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi: customers having at least one P order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti: customers with no orders at all."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_outer_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving empty groups (count(col) skips nulls)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --- windows / grouping extensions ----------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment: window row_number with a unique
+    tiebreaker (deterministic under any partitioning)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier: ordered window sum over exact
+    decimals with a total ordering (shipdate, orderkey, linenumber)."""
+    l = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(micros(F.col("l_extendedprice"))).over(w) / F.lit(MICROS)).alias("running_rev"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: subtotals + grand total."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(xsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (oracle: FILTERed counts)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) alongside plain count (expand-based plan)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction + grouped exact-decimal totals."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), xsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function suite: upper/substring/length/replace."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_us"),
+    )
+
+
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's native-job wordcount
+    (native-spark-job-scheduler.yaml:4,12): explode(split) + count."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --- time-series extensions ------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session; cumulative
+    sum of the start flags numbers sessions per user. Single shuffle on
+    user_id serves both windows."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregate over the event stream (batch
+    form; the streaming form is queries/streaming.py)."""
+    e = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("long") / 300) * 300).alias("bucket_epoch")
+    return (
+        e.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            xsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase event,
+    the latest click by the same user at or before it.
+
+    Scalable pattern: union both sides tagged, one window partitioned by
+    user ordered by (ts, kind, event_id), last(click, ignorenulls) —
+    one shuffle total, no pairwise join blow-up. Clicks sort before
+    purchases at equal ts so ties are included, and later event_id wins
+    among equal click timestamps (matches the oracle's max(ts,id))."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        F.col("last_click_id").alias("click_id"),
+    )
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_order_priority": q04_order_priority,
+    "q05_region_revenue": q05_region_revenue,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q_filter_project": q_filter_project,
+    "q_literal_cast": q_literal_cast,
+    "q_union_distinct": q_union_distinct,
+    "q_md5_checksum": q_md5_checksum,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_outer_join_count": q_outer_join_count,
+    "q_topk_per_group": q_topk_per_group,
+    "q_running_total": q_running_total,
+    "q_rollup": q_rollup,
+    "q_pivot": q_pivot,
+    "q_distinct_agg": q_distinct_agg,
+    "q_date_functions": q_date_functions,
+    "q_string_functions": q_string_functions,
+    "q_wordcount": q_wordcount,
+    "q_sessionize": q_sessionize,
+    "q_event_window_agg": q_event_window_agg,
+    "q_asof_join": q_asof_join,
+}
+
+
+ORACLES = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_qty,
+               sum(CAST(round((l_extendedprice) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_base_price,
+               sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_disc_price,
+               sum(CAST(round((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q03_shipping_priority": """
+        SELECT l_orderkey,
+               sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) / 1000000.0 AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q04_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+    """,
+    "q05_region_revenue": """
+        SELECT n_name,
+               sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) / 1000000.0 AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "q06_forecast_revenue": """
+        SELECT sum(CAST(round((l_extendedprice * l_discount) * 1000000.0) AS BIGINT)) / 1000000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.04 AND l_discount <= 0.06
+          AND l_quantity < 24
+    """,
+    "q_filter_project": """
+        SELECT o_orderkey, o_totalprice,
+               upper(o_orderpriority) AS priority_uc,
+               CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
+        FROM orders
+        WHERE o_orderstatus <> 'F' AND o_totalprice > 1000.0
+    """,
+    "q_literal_cast": """
+        SELECT CAST(NULL AS VARCHAR) AS merge_key, 1 AS iscurrent, *
+        FROM nation
+    """,
+    "q_union_distinct": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_md5_checksum": """
+        SELECT c_custkey,
+               md5(c_name || nullif(c_mktsegment, 'MACHINERY')) AS checksum
+        FROM customer
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    "q_anti_join": """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_outer_join_count": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "q_topk_per_group": """
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rk <= 3
+    """,
+    "q_running_total": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT))
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    / 1000000.0 AS running_rev
+        FROM lineitem
+    """,
+    "q_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_pivot": """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q_distinct_agg": """
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_date_functions": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               count(*) AS n,
+               sum(CAST(round((o_totalprice) * 1000000.0) AS BIGINT)) / 1000000.0 AS total
+        FROM orders GROUP BY 1, 2
+    """,
+    "q_string_functions": """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_uc,
+               substr(p_name, 1, 10) AS name10,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               replace(p_type, ' ', '_') AS type_us
+        FROM part
+    """,
+    "q_wordcount": """
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> ''
+        GROUP BY word
+    """,
+    "q_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        FROM numbered GROUP BY user_id, session_id
+    """,
+    "q_event_window_agg": """
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_epoch,
+               event_type, count(*) AS n,
+               sum(CAST(round((value) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_asof_join": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             best_ts AS (
+                 SELECT p.event_id AS purchase_id, max(c.ts) AS best_click_ts
+                 FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+                 GROUP BY p.event_id
+             ),
+             best AS (
+                 SELECT b.purchase_id, max(c.event_id) AS click_id
+                 FROM best_ts b
+                 JOIN p ON p.event_id = b.purchase_id
+                 JOIN c ON c.user_id = p.user_id AND c.ts = b.best_click_ts
+                 GROUP BY b.purchase_id
+             )
+        SELECT p.event_id AS purchase_id, p.user_id, best.click_id
+        FROM p LEFT JOIN best ON best.purchase_id = p.event_id
+    """,
+}

@@ -1,0 +1,83 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` single-JVM; the conf set below is chosen
+so the same logical plans survive a 1000-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join selection)
+- broadcast threshold high enough that dimension tables (region, nation,
+  supplier, part at bench SF) broadcast instead of shuffling
+- shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by AQE coalescing from a higher initial number
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+- Arrow enabled for the Pandas-UDF slow path
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sql_based_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. On a real cluster, pass master=None with
+    ``spark.master`` preset and these confs still apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver's parquet tables as temp views named after
+    the files (TESTDATA.md): region nation customer supplier part orders
+    lineitem events documents embeddings.
+    """
+    from sql_based_etl_spark.queries._util import load
+
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
