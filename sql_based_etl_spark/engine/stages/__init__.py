@@ -1,0 +1,36 @@
+"""Stage registry: maps config ``type`` strings to implementations.
+
+The reference's stage types (SURVEY.md §2a) are registered under both
+their Arc names (DeltaLake*) and engine-native names (VersionedTable*),
+so a pipeline written against the reference runs unchanged.
+"""
+
+from sql_based_etl_spark.engine.stages.extract import (
+    delimited_extract,
+    parquet_extract,
+    versioned_table_extract,
+)
+from sql_based_etl_spark.engine.stages.load import (
+    jdbc_execute,
+    sql_execute,
+    versioned_table_load,
+    versioned_table_merge_load,
+)
+from sql_based_etl_spark.engine.stages.transform import sql_transform, typing_transform
+
+STAGE_TYPES = {
+    # reference surface (Arc names, scd2-job.ipynb:39,88,163,208,338,373,419,462)
+    "DelimitedExtract": delimited_extract,
+    "TypingTransform": typing_transform,
+    "SQLTransform": sql_transform,
+    "DeltaLakeLoad": versioned_table_load,
+    "DeltaLakeMergeLoad": versioned_table_merge_load,
+    "DeltaLakeExtract": versioned_table_extract,
+    "JDBCExecute": jdbc_execute,
+    # engine-native names + extensions
+    "ParquetExtract": parquet_extract,
+    "VersionedTableLoad": versioned_table_load,
+    "VersionedTableMergeLoad": versioned_table_merge_load,
+    "VersionedTableExtract": versioned_table_extract,
+    "SQLExecute": sql_execute,
+}

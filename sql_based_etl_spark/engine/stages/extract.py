@@ -1,0 +1,49 @@
+"""Extract stages (SURVEY.md §2a S1/S2 + parquet extension)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sql_based_etl_spark.engine.pipeline import PipelineContext
+from sql_based_etl_spark.tables.versioned import VersionedTable
+
+_DELIMITERS = {"Comma": ",", "Tab": "\t", "Pipe": "|", "Semicolon": ";"}
+
+
+def delimited_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """S1 ``DelimitedExtract`` (scd2-job.ipynb:38-49): read delimited
+    text into a view; header=false + quote=None ⇒ untyped all-string
+    columns (_c0, _c1, …) for a later TypingTransform.
+
+    ``authentication`` (scd2-job.ipynb:47-49) is accepted and ignored
+    locally — on a cluster it maps to Hadoop S3A credential-provider
+    conf, not engine code.
+    """
+    reader = (
+        ctx.spark.read.option("header", bool(conf.get("header", False)))
+        .option("sep", _DELIMITERS.get(conf.get("delimiter", "Comma"), conf.get("delimiter", ",")))
+        .option("inferSchema", False)
+    )
+    quote = conf.get("quote", "DoubleQuote")
+    reader = reader.option("quote", "" if quote in (None, "None") else '"')
+    return reader.csv(conf["inputURI"])
+
+
+def parquet_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """Extension: columnar extract (the driver's tables; pushdown and
+    pruning reach the scan via Catalyst)."""
+    return ctx.spark.read.parquet(conf["inputURI"])
+
+
+def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """S2 ``DeltaLakeExtract`` incl. time travel (scd2-job.ipynb:418-427,
+    461-472): ``options.relativeVersion`` (0 = latest, -1 = previous) or
+    ``options.versionAsOf`` (absolute)."""
+    opts = conf.get("options", {}) or {}
+    t = VersionedTable(ctx.spark, conf["inputURI"])
+    version = opts.get("versionAsOf")
+    rel = opts.get("relativeVersion")
+    return t.read(
+        version=int(version) if version is not None else None,
+        relative_version=int(rel) if rel is not None else None,
+    )

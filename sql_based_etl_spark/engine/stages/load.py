@@ -1,0 +1,89 @@
+"""Load / execute stages (SURVEY.md §2a S3/S4/S5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sql_based_etl_spark.engine.config import substitute_sql_params
+from sql_based_etl_spark.engine.pipeline import PipelineContext, StageError
+from sql_based_etl_spark.tables.versioned import VersionedTable
+
+
+def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """S3 ``DeltaLakeLoad`` (scd2-job.ipynb:162-172): write a view to a
+    versioned table; ``numPartitions`` (:168) controls output file
+    count / write parallelism, ``saveMode`` (:169) Overwrite/Append."""
+    df = ctx.view(conf["inputView"])
+    t = VersionedTable(ctx.spark, conf["outputURI"])
+    t.write(
+        df,
+        mode=str(conf.get("saveMode", "Overwrite")).lower(),
+        num_partitions=conf.get("numPartitions"),
+        operation="LOAD",
+    )
+    return None
+
+
+def versioned_table_merge_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """S4 ``DeltaLakeMergeLoad`` (scd2-job.ipynb:337-354): MERGE a source
+    view into the target table. Config shape mirrors the reference:
+    ``condition`` (:344), ``whenMatchedUpdate.condition/values``
+    (:345-350), ``whenNotMatchedByTargetInsert`` (:353)."""
+    df = ctx.view(conf["inputView"])
+    t = VersionedTable(ctx.spark, conf["outputURI"])
+    if not t.exists():
+        raise StageError(f"merge target does not exist: {conf['outputURI']}")
+    wmu = conf.get("whenMatchedUpdate") or {}
+    t.merge(
+        source=df,
+        condition=conf["condition"],
+        when_matched_update=wmu.get("values"),
+        matched_condition=wmu.get("condition"),
+        insert_not_matched="whenNotMatchedByTargetInsert" in conf,
+        num_partitions=conf.get("numPartitions"),
+        validate_unique_match=bool(conf.get("validateUniqueMatch", False)),
+    )
+    return None
+
+
+def sql_execute(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """S5 local form: execute side-effect SQL (catalog DDL) against the
+    Spark session — the rebuild's stand-in for the reference's Athena
+    DDL (scd2-job.ipynb:372-384). Returns no view."""
+    if "sql" in conf:
+        sql = conf["sql"]
+    else:
+        with open(conf["inputURI"]) as f:
+            sql = f.read()
+    for stmt in filter(None, (s.strip() for s in substitute_sql_params(sql, conf.get("sqlParams")).split(";"))):
+        ctx.spark.sql(stmt)
+    return None
+
+
+def jdbc_execute(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """S5 ``JDBCExecute`` (scd2-job.ipynb:372-384): execute a SQL script
+    against an external JDBC endpoint via the JVM's DriverManager.
+    Requires the driver jar on the Spark classpath; without a
+    ``jdbcURL`` it degrades to local :func:`sql_execute`."""
+    url = conf.get("jdbcURL")
+    if not url:
+        return sql_execute(ctx, conf)
+    if "sql" in conf:
+        sql = conf["sql"]
+    else:
+        with open(conf["inputURI"]) as f:
+            sql = f.read()
+    sql = substitute_sql_params(sql, conf.get("sqlParams"))
+    jvm = ctx.spark.sparkContext._jvm  # noqa: SLF001
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    except Exception as e:  # noqa: BLE001
+        raise StageError(f"JDBCExecute: cannot connect to {url!r} "
+                         f"(driver jar on classpath?): {e}") from e
+    try:
+        stmt = conn.createStatement()
+        stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+    return None

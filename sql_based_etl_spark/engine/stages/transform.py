@@ -1,0 +1,87 @@
+"""Transform stages: TypingTransform + SQLTransform (SURVEY.md §1, §2d M4)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.engine.config import substitute_sql_params
+from sql_based_etl_spark.engine.pipeline import PipelineContext, StageError
+
+_TYPE_ALIASES = {
+    "integer": "int",
+    "long": "bigint",
+    "string": "string",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "decimal": "decimal(38,18)",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def typing_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """Arc-style TypingTransform (scd2-job.ipynb:88-96): apply an
+    external schema-as-data file to an untyped (all-string) view.
+
+    Semantics (SURVEY.md §1): columns are mapped *positionally* onto the
+    schema entries; values that fail to convert become NULL and the
+    failure is recorded per-row in an ``_errors`` array column — the job
+    never fails on bad data. Plain ``when()`` expressions; no UDFs.
+    """
+    df = ctx.view(conf["inputView"])
+    if "schema" in conf:
+        entries = conf["schema"]
+    else:
+        with open(conf["schemaURI"]) as f:
+            entries = json.load(f)
+    if len(df.columns) < len(entries):
+        raise StageError(
+            f"TypingTransform: view has {len(df.columns)} columns, schema needs {len(entries)}"
+        )
+
+    cols = []
+    err_entries = []
+    for raw_name, entry in zip(df.columns, entries):
+        name = entry["name"]
+        typ = _TYPE_ALIASES.get(entry.get("type", "string"), entry.get("type", "string"))
+        raw = F.col(raw_name)
+        # try_cast, not cast: ANSI mode (Spark 4 default) makes cast THROW
+        # on malformed input; Arc's contract is NULL + an _errors entry.
+        typed = raw.try_cast(typ)
+        cols.append(typed.alias(name))
+        if typ != "string":
+            err_entries.append(
+                F.when(
+                    raw.isNotNull() & typed.isNull(),
+                    F.concat(F.lit(f"{name}: unable to convert '"), raw, F.lit(f"' to {typ}")),
+                )
+            )
+        if not entry.get("nullable", True):
+            err_entries.append(
+                F.when(raw.isNull(), F.lit(f"{name}: null value for non-nullable field"))
+            )
+    errors = (
+        F.filter(F.array(*err_entries), lambda x: x.isNotNull())
+        if err_entries
+        else F.array().cast("array<string>")
+    )
+    return df.select(*cols, errors.alias("_errors"))
+
+
+def sql_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """M4 ``%sql`` / SQLTransform (scd2-job.ipynb:141-145): substitute
+    ``sqlParams`` then pipeline/%env variables into the SQL body
+    (scd2-job.ipynb:143 uses ``${ETL_CONF_CURRENT_TIMESTAMP}`` from
+    %env), run it against the session catalog, return the result."""
+    if "sql" in conf:
+        sql = conf["sql"]
+    else:
+        with open(conf["inputURI"]) as f:
+            sql = f.read()
+    sql = substitute_sql_params(sql, conf.get("sqlParams"))
+    sql = substitute_sql_params(sql, ctx.variables)
+    return ctx.spark.sql(sql)

@@ -1,4 +1,160 @@
-"""Placeholder — populated in a later phase."""
+"""SCD2 merge as an oracle-checked query — the reference's core
+pipeline (scd2-job.ipynb, SURVEY.md §0) exercised end-to-end through
+the engine: stage runner → SQLTransform staging (NULL-mergeKey idiom,
+:298,309) → versioned-table MERGE (:337-354) → final state.
 
-QUERIES = {}
-ORACLES = {}
+Deterministic CDC derivation over the driver's ``customer`` table so a
+plain-SQL oracle can reproduce the merged state:
+
+- custkey % 7 == 0            → segment changes to 'UPDATED' (expire+insert)
+- custkey % 11 == 0 (and not % 7) → byte-identical row (unchanged path)
+- custkey % 13 == 0           → brand-new id custkey+1000000 (pure insert)
+
+Effective timestamps are fixed literals so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.queries._util import load
+
+TS1 = "TIMESTAMP '2024-01-01 00:00:00'"
+TS2 = "TIMESTAMP '2024-02-01 00:00:00'"
+
+_CALC_SQL = """
+SELECT id, name, segment,
+       ${effective_ts} AS valid_from,
+       CAST(null AS timestamp) AS valid_to,
+       1 AS iscurrent,
+       md5(concat(name, segment)) AS checksum
+FROM ${table_name}
+"""
+
+# the reference's staging SQL shape (scd2-job.ipynb:307-319)
+_STAGE_SQL = """
+SELECT NULL AS mergeKey, new.*
+FROM scd2_current old
+INNER JOIN scd2_cdc_calc new ON old.id = new.id
+WHERE old.iscurrent = 1 AND old.checksum <> new.checksum
+UNION
+SELECT id AS mergeKey, * FROM scd2_cdc_calc
+"""
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("scd2_customer_src")
+    table_dir = tempfile.mkdtemp(prefix="scd2_table_")
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    stages = [
+        {"type": "SQLTransform", "name": "initial dim", "outputView": "scd2_initial_raw",
+         "sql": """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+                    FROM scd2_customer_src"""},
+        {"type": "SQLTransform", "name": "calc initial", "outputView": "scd2_initial",
+         "sql": _CALC_SQL,
+         "sqlParams": {"table_name": "scd2_initial_raw", "effective_ts": TS1}},
+        {"type": "VersionedTableLoad", "name": "initial load",
+         "inputView": "scd2_initial", "outputURI": table_dir, "numPartitions": 4},
+        {"type": "SQLTransform", "name": "cdc rows", "outputView": "scd2_cdc_raw",
+         "sql": """
+            SELECT c_custkey AS id, c_name AS name, 'UPDATED' AS segment
+            FROM scd2_customer_src WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+            FROM scd2_customer_src WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS id, c_name AS name, 'NEWSEG' AS segment
+            FROM scd2_customer_src WHERE c_custkey % 13 = 0"""},
+        {"type": "SQLTransform", "name": "calc cdc", "outputView": "scd2_cdc_calc",
+         "sql": _CALC_SQL,
+         "sqlParams": {"table_name": "scd2_cdc_raw", "effective_ts": TS2}},
+        {"type": "VersionedTableExtract", "name": "read current",
+         "inputURI": table_dir, "outputView": "scd2_current"},
+        {"type": "SQLTransform", "name": "stage updates",
+         "outputView": "scd2_staged", "sql": _STAGE_SQL},
+        {"type": "VersionedTableMergeLoad", "name": "scd2 merge",
+         "inputView": "scd2_staged", "outputURI": table_dir, "numPartitions": 4,
+         "condition": "source.mergeKey = target.id",
+         "whenMatchedUpdate": {
+             "condition": "target.iscurrent = 1 AND source.checksum <> target.checksum",
+             "values": {"valid_to": TS2, "iscurrent": "false"},
+         },
+         "whenNotMatchedByTargetInsert": {}},
+        {"type": "VersionedTableExtract", "name": "read merged",
+         "inputURI": table_dir, "outputView": "scd2_contact"},
+    ]
+    ctx = Pipeline(spark, environment="dev").run(stages)
+    result = ctx.views["scd2_contact"].select(
+        "id",
+        "name",
+        "segment",
+        "checksum",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "iscurrent",
+    )
+    # NB: the temp table dir must outlive the returned (lazy) DataFrame,
+    # so it is intentionally not cleaned up here (it lives under /tmp).
+    return result
+
+
+def q_scd2_expired_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The notebook's challenge question: "How many records are
+    expired?" (scd2-job.ipynb:11,390-392)."""
+    merged = q_scd2_merge(spark, sf_dir)
+    return merged.filter(F.col("iscurrent") == 0).agg(F.count(F.lit(1)).alias("n_expired"))
+
+
+QUERIES = {
+    "q_scd2_merge": q_scd2_merge,
+    "q_scd2_expired_count": q_scd2_expired_count,
+}
+
+_ORACLE_STATE = """
+WITH initial AS (
+    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+           md5(c_name || c_mktsegment) AS checksum
+    FROM customer
+), cdc AS (
+    SELECT c_custkey AS id, c_name AS name, 'UPDATED' AS segment,
+           md5(c_name || 'UPDATED') AS checksum
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, md5(c_name || c_mktsegment)
+    FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, 'NEWSEG', md5(c_name || 'NEWSEG')
+    FROM customer WHERE c_custkey % 13 = 0
+), expired AS (
+    SELECT i.id, i.name, i.segment, i.checksum,
+           '2024-01-01 00:00:00' AS valid_from,
+           '2024-02-01 00:00:00' AS valid_to, 0 AS iscurrent
+    FROM initial i JOIN cdc c ON i.id = c.id AND i.checksum <> c.checksum
+), kept AS (
+    SELECT i.id, i.name, i.segment, i.checksum,
+           '2024-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to, 1 AS iscurrent
+    FROM initial i
+    WHERE NOT EXISTS (SELECT 1 FROM cdc c WHERE c.id = i.id AND c.checksum <> i.checksum)
+), inserted AS (
+    SELECT c.id, c.name, c.segment, c.checksum,
+           '2024-02-01 00:00:00' AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to, 1 AS iscurrent
+    FROM cdc c
+    WHERE NOT EXISTS (SELECT 1 FROM initial i WHERE i.id = c.id)
+       OR EXISTS (SELECT 1 FROM initial i WHERE i.id = c.id AND i.checksum <> c.checksum)
+)
+SELECT * FROM expired UNION ALL SELECT * FROM kept UNION ALL SELECT * FROM inserted
+"""
+
+ORACLES = {
+    "q_scd2_merge": _ORACLE_STATE,
+    "q_scd2_expired_count": f"SELECT count(*) AS n_expired FROM ({_ORACLE_STATE}) WHERE iscurrent = 0",
+}

@@ -1,0 +1,66 @@
+"""Unit tests for the config layer (P1-P3) — no Spark needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_based_etl_spark.engine.config import (
+    ConfigError,
+    parse_magic_line,
+    parse_stage_config,
+    resolve_vars,
+    substitute_sql_params,
+)
+
+V = {"LOC": "/data", "TS": "TIMESTAMP '2024-01-01 00:00:00'"}
+
+
+def test_hocon_splice_reference_syntax():
+    # the reference's exact splice shape (scd2-job.ipynb:42)
+    cfg = parse_stage_config('{"inputURI": "s3a://"${LOC}"/initial_contacts.csv"}', V)
+    assert cfg["inputURI"] == "s3a:///data/initial_contacts.csv"
+
+
+def test_var_inside_quoted_string():
+    cfg = parse_stage_config('{"outputURI": "${LOC}/table", "ts": "${TS}"}', V)
+    assert cfg["outputURI"] == "/data/table"
+    assert cfg["ts"] == "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+def test_standalone_unquoted_var():
+    assert parse_stage_config('{"a": ${LOC}}', V)["a"] == "/data"
+
+
+def test_unresolved_var_raises():
+    with pytest.raises(ConfigError):
+        resolve_vars("${NOPE_NOT_SET_ANYWHERE}", {})
+
+
+def test_env_fallback(monkeypatch):
+    monkeypatch.setenv("ETL_CONF_X", "42")
+    assert resolve_vars("v=${ETL_CONF_X}", {}) == "v=42"
+
+
+def test_sql_params():
+    sql = substitute_sql_params("SELECT * FROM ${table_name} WHERE x=${v}",
+                                {"table_name": "t", "v": "1"})
+    assert sql == "SELECT * FROM t WHERE x=1"
+    # unknown params left alone (resolved later against pipeline vars)
+    assert substitute_sql_params("${later}", {"x": "1"}) == "${later}"
+
+
+def test_magic_line():
+    magic, opts, args = parse_magic_line(
+        '%sql outputView=v name="calc fields" environments=dev,test sqlParams=a=1,b=2')
+    assert magic == "sql"
+    assert opts == {"outputView": "v", "name": "calc fields",
+                    "environments": "dev,test", "sqlParams": "a=1,b=2"}
+    magic, opts, args = parse_magic_line("%printschema myview")
+    assert magic == "printschema" and args == ["myview"]
+
+
+def test_json_quotes_not_mispaired():
+    # regression: `": "` must not be treated as a string followed by a splice
+    cfg = parse_stage_config(
+        '{"outputURI": "${LOC}", "values": {"valid_to": "${TS}", "flag": "false"}}', V)
+    assert cfg["values"]["valid_to"] == "TIMESTAMP '2024-01-01 00:00:00'"

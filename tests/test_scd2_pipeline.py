@@ -1,0 +1,254 @@
+"""SCD2 pipeline golden tests — the reference's own correctness
+contract (SURVEY.md §5, FIXTURES.md §1-§4):
+
+1. schema correctness after typing
+2. id=12 has exactly two versions after the CDC merge (one expired,
+   one current with the new state)            (scd2-job.ipynb:198,443-444)
+3. expired-record count == 1                  (scd2-job.ipynb:390-392)
+4. time travel relativeVersion=-1 shows the pre-merge single version
+                                              (scd2-job.ipynb:461-483)
+5. NULL-mergeKey routing + checksum gating semantics
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.engine.notebook import run_notebook
+from sql_based_etl_spark.engine.pipeline import Pipeline
+
+TS1 = "TIMESTAMP '2024-01-01 00:00:00'"
+TS2 = "TIMESTAMP '2024-02-01 00:00:00'"
+
+CALC_SQL = """
+SELECT id, name, email, state,
+       ${current_ts} AS valid_from,
+       CAST(null AS timestamp) AS valid_to,
+       1 AS iscurrent,
+       md5(concat(name, email, state)) AS checksum
+FROM ${table_name}
+"""
+
+STAGE_SQL = """
+SELECT NULL AS mergeKey, new.*
+FROM current_snapshot old
+INNER JOIN cdc_calc new ON old.id = new.id
+WHERE old.iscurrent = 1 AND old.checksum <> new.checksum
+UNION
+SELECT id AS mergeKey, * FROM cdc_calc
+"""
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("contacts")
+    initial = [f"{i},Person {i},p{i}@example.com,{st}" for i, st in
+               zip(range(1, 13), ["CA", "NY", "TX", "WA", "OR", "FL", "GA", "IL", "MI", "OH", "PA", "WA"])]
+    (d / "initial_contacts.csv").write_text("\n".join(initial) + "\n")
+    updates = [
+        "12,Person 12,p12@example.com,NY",   # changed state (the golden row)
+        "5,Person 5,p5@example.com,OR",      # byte-identical → unchanged path
+        "13,Person 13,p13@example.com,NM",   # brand-new id
+        "14,Person 14,p14@example.com,AZ",   # brand-new id
+    ]
+    (d / "update_contacts.csv").write_text("\n".join(updates) + "\n")
+    (d / "contact_meta_0.json").write_text(json.dumps([
+        {"name": "id", "type": "integer", "nullable": False},
+        {"name": "name", "type": "string", "nullable": True},
+        {"name": "email", "type": "string", "nullable": True},
+        {"name": "state", "type": "string", "nullable": True},
+    ]))
+    return d
+
+
+def scd2_stages(fixture_dir, table_dir):
+    return [
+        {"type": "DelimitedExtract", "name": "extract initial", "environments": ["dev", "test"],
+         "inputURI": str(fixture_dir / "initial_contacts.csv"), "outputView": "initial_raw",
+         "delimiter": "Comma", "header": False, "quote": "None"},
+        {"type": "TypingTransform", "name": "type initial", "environments": ["dev", "test"],
+         "schemaURI": str(fixture_dir / "contact_meta_0.json"),
+         "inputView": "initial_raw", "outputView": "initial_typed"},
+        {"type": "SQLTransform", "name": "calc initial", "environments": ["dev", "test"],
+         "sql": CALC_SQL, "outputView": "initial_load",
+         "sqlParams": {"table_name": "initial_typed", "current_ts": TS1}},
+        {"type": "DeltaLakeLoad", "name": "initial load", "environments": ["dev", "test"],
+         "inputView": "initial_load", "outputURI": str(table_dir), "numPartitions": 2},
+        # stage that must be SKIPPED (uat sentinel, scd2-job.ipynb:409)
+        {"type": "SQLTransform", "name": "validation-only", "environments": ["uat"],
+         "sql": "SELECT * FROM nonexistent_view_would_fail", "outputView": "never_created"},
+        {"type": "DelimitedExtract", "name": "extract cdc", "environments": ["dev", "test"],
+         "inputURI": str(fixture_dir / "update_contacts.csv"), "outputView": "update_raw",
+         "delimiter": "Comma", "header": False, "quote": "None"},
+        {"type": "TypingTransform", "name": "type cdc", "environments": ["dev", "test"],
+         "schemaURI": str(fixture_dir / "contact_meta_0.json"),
+         "inputView": "update_raw", "outputView": "cdc_typed"},
+        {"type": "SQLTransform", "name": "calc cdc", "environments": ["dev", "test"],
+         "sql": CALC_SQL, "outputView": "cdc_calc",
+         "sqlParams": {"table_name": "cdc_typed", "current_ts": TS2}},
+        {"type": "DeltaLakeExtract", "name": "read current", "environments": ["dev", "test"],
+         "inputURI": str(table_dir), "outputView": "current_snapshot"},
+        {"type": "SQLTransform", "name": "stage updates", "environments": ["dev", "test"],
+         "sql": STAGE_SQL, "outputView": "staged_update"},
+        {"type": "DeltaLakeMergeLoad", "name": "scd2 merge", "environments": ["dev", "test"],
+         "inputView": "staged_update", "outputURI": str(table_dir), "numPartitions": 2,
+         "condition": "source.mergeKey = target.id",
+         "validateUniqueMatch": True,
+         "whenMatchedUpdate": {
+             "condition": "target.iscurrent = 1 AND source.checksum <> target.checksum",
+             "values": {"valid_to": TS2, "iscurrent": "false"},
+         },
+         "whenNotMatchedByTargetInsert": {}},
+        {"type": "DeltaLakeExtract", "name": "read merged", "environments": ["dev", "test"],
+         "inputURI": str(table_dir), "outputView": "contact"},
+    ]
+
+
+def assert_goldens(spark, table_dir):
+    contact = spark.table("contact")
+    # golden 2: id=12 → exactly one expired + one current row
+    rows = {(r.state, r.iscurrent, r.valid_to is not None)
+            for r in contact.filter(F.col("id") == 12).collect()}
+    assert rows == {("WA", 0, True), ("NY", 1, False)}
+    # golden 3: the challenge question — expired count == 1
+    assert contact.filter(F.col("iscurrent") == 0).count() == 1
+    # total rows: 12 initial + 1 new version + 2 new ids
+    assert contact.count() == 15
+    # unchanged row kept original valid_from
+    r5 = contact.filter(F.col("id") == 5).collect()
+    assert len(r5) == 1 and str(r5[0].valid_from) == "2024-01-01 00:00:00"
+    # golden 4: time travel to pre-merge version
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(table_dir))
+    pre = t.read(relative_version=-1)
+    assert pre.filter(F.col("id") == 12).count() == 1
+    assert pre.count() == 12
+    assert t.latest_version() == 1
+
+
+def test_scd2_stage_list(spark, fixture_dir, tmp_path):
+    table_dir = tmp_path / "contact_table"
+    ctx = Pipeline(spark, environment="dev").run(scd2_stages(fixture_dir, table_dir))
+    # golden 1: typing produced the declared schema (+ _errors)
+    typed = ctx.views["initial_typed"]
+    assert [f.name for f in typed.schema] == ["id", "name", "email", "state", "_errors"]
+    assert dict(typed.dtypes)["id"] == "int"
+    # environments filter: uat-only stage skipped
+    assert "never_created" not in ctx.views
+    assert_goldens(spark, table_dir)
+
+
+def test_scd2_notebook(spark, fixture_dir, tmp_path):
+    """Same pipeline via the .ipynb front-end with %env/%sql magics and
+    HOCON ${VAR} splicing (entry-point 1/2 parity, SURVEY.md §3)."""
+    table_dir = tmp_path / "contact_table_nb"
+    cells = [
+        {"cell_type": "markdown", "source": "# SCD2 demo"},
+        {"cell_type": "code", "source": "%conf numRows=0"},
+        {"cell_type": "code", "source": f'%env ETL_CONF_DATALAKE_LOC={fixture_dir} ETL_CONF_TABLE_LOC={table_dir} "ETL_CONF_CURRENT_TIMESTAMP={TS1}"'},
+        {"cell_type": "code", "source": json.dumps({
+            "type": "DelimitedExtract", "name": "extract initial",
+            "inputURI": "${ETL_CONF_DATALAKE_LOC}/initial_contacts.csv",
+            "outputView": "initial_raw", "header": False, "quote": "None"})},
+        {"cell_type": "code", "source": json.dumps({
+            "type": "TypingTransform", "name": "type initial",
+            "schemaURI": "${ETL_CONF_DATALAKE_LOC}/contact_meta_0.json",
+            "inputView": "initial_raw", "outputView": "initial_typed"})},
+        {"cell_type": "code", "source": "%printschema initial_typed"},
+        {"cell_type": "code",
+         "source": "%sql outputView=initial_load name=calc sqlParams=table_name=initial_typed\n"
+                   + CALC_SQL.replace("${current_ts}", "${ETL_CONF_CURRENT_TIMESTAMP}")},
+        {"cell_type": "code", "source": json.dumps({
+            "type": "DeltaLakeLoad", "name": "initial load", "inputView": "initial_load",
+            "outputURI": "${ETL_CONF_TABLE_LOC}", "numPartitions": 2})},
+        {"cell_type": "code", "source": f'%env "ETL_CONF_CURRENT_TIMESTAMP={TS2}"'},
+        {"cell_type": "code", "source": json.dumps({
+            "type": "DelimitedExtract", "name": "extract cdc",
+            "inputURI": "${ETL_CONF_DATALAKE_LOC}/update_contacts.csv",
+            "outputView": "update_raw", "header": False, "quote": "None"})},
+        {"cell_type": "code", "source": json.dumps({
+            "type": "TypingTransform", "name": "type cdc",
+            "schemaURI": "${ETL_CONF_DATALAKE_LOC}/contact_meta_0.json",
+            "inputView": "update_raw", "outputView": "cdc_typed"})},
+        {"cell_type": "code",
+         "source": "%sql outputView=cdc_calc name=calc-cdc sqlParams=table_name=cdc_typed\n"
+                   + CALC_SQL.replace("${current_ts}", "${ETL_CONF_CURRENT_TIMESTAMP}")},
+        {"cell_type": "code", "source": json.dumps({
+            "type": "DeltaLakeExtract", "name": "read current",
+            "inputURI": "${ETL_CONF_TABLE_LOC}", "outputView": "current_snapshot"})},
+        {"cell_type": "code", "source": "%sql outputView=staged_update name=stage\n" + STAGE_SQL},
+        {"cell_type": "code", "source": json.dumps({
+            "type": "DeltaLakeMergeLoad", "name": "merge", "inputView": "staged_update",
+            "outputURI": "${ETL_CONF_TABLE_LOC}", "numPartitions": 2,
+            "condition": "source.mergeKey = target.id",
+            "whenMatchedUpdate": {
+                "condition": "target.iscurrent = 1 AND source.checksum <> target.checksum",
+                "values": {"valid_to": "${ETL_CONF_CURRENT_TIMESTAMP}", "iscurrent": "false"}},
+            "whenNotMatchedByTargetInsert": {}})},
+        {"cell_type": "code", "source": json.dumps({
+            "type": "DeltaLakeExtract", "name": "read merged",
+            "inputURI": "${ETL_CONF_TABLE_LOC}", "outputView": "contact"})},
+        # uat-only validation cell must be skipped (scd2-job.ipynb:409)
+        {"cell_type": "code",
+         "source": "%sql outputView=never name=val environments=uat\nSELECT * FROM no_such_view"},
+    ]
+    nb_path = tmp_path / "scd2_job.ipynb"
+    nb_path.write_text(json.dumps({"cells": cells, "nbformat": 4, "nbformat_minor": 5, "metadata": {}}))
+    ctx = run_notebook(spark, str(nb_path), environment="dev")
+    assert "never" not in ctx.views
+    assert_goldens(spark, table_dir)
+
+
+def test_typing_transform_error_rows(spark, fixture_dir, tmp_path):
+    """Arc semantics: untypable cells → NULL + _errors entry, job does
+    not fail (SURVEY.md §1 'collect per-row conversion failures')."""
+    bad = tmp_path / "bad.csv"
+    bad.write_text(
+        "abc,Person X,px@example.com,CA\n"
+        "7,Person 7,p7@example.com,TX\n"
+        ",Person Y,py@example.com,OR\n"
+    )
+    stages = [
+        {"type": "DelimitedExtract", "inputURI": str(bad), "outputView": "bad_raw",
+         "header": False, "quote": "None"},
+        {"type": "TypingTransform", "schemaURI": str(fixture_dir / "contact_meta_0.json"),
+         "inputView": "bad_raw", "outputView": "bad_typed"},
+    ]
+    ctx = Pipeline(spark).run(stages)
+    rows = {r.name: (r.id, list(r._errors)) for r in ctx.views["bad_typed"].collect()}
+    assert rows["Person 7"] == (7, [])
+    bad_id, errs = rows["Person X"]
+    assert bad_id is None and len(errs) == 1 and "unable to convert" in errs[0]
+    null_id, errs_y = rows["Person Y"]
+    assert null_id is None and errs_y == ["id: null value for non-nullable field"]
+
+
+def test_merge_null_key_routing(spark, tmp_path):
+    """R9: NULL merge keys never match → always insert (the core SCD2
+    idiom, scd2-job.ipynb:298,309)."""
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "nullkey"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    src = spark.createDataFrame([(None, "a2"), (None, "b2")], "mergeKey int, v string")
+    src = src.withColumn("id", F.lit(99))
+    t.merge(src, condition="source.mergeKey = target.id",
+            when_matched_update={"v": "source.v"}, insert_not_matched=True)
+    assert t.read().count() == 4  # both NULL-key rows inserted, none matched
+
+
+def test_versioned_table_history_and_append(spark, tmp_path):
+    from sql_based_etl_spark.tables.versioned import VersionedTable, VersionedTableError
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.write(spark.createDataFrame([(1,)], "a int"))
+    t.write(spark.createDataFrame([(2,)], "a int"), mode="append")
+    assert t.read().count() == 2
+    assert t.read(version=0).count() == 1
+    assert [h["version"] for h in t.history()] == [1, 0]
+    with pytest.raises(VersionedTableError):
+        t.read(relative_version=-5)
