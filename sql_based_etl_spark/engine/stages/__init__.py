@@ -16,6 +16,12 @@ from sql_based_etl_spark.engine.stages.load import (
     versioned_table_load,
     versioned_table_merge_load,
 )
+from sql_based_etl_spark.engine.stages.extensions import (
+    dedup_transform,
+    multimodal_transform,
+    similarity_search_transform,
+    text_analysis_transform,
+)
 from sql_based_etl_spark.engine.stages.transform import sql_transform, typing_transform
 
 STAGE_TYPES = {
@@ -33,4 +39,9 @@ STAGE_TYPES = {
     "VersionedTableMergeLoad": versioned_table_merge_load,
     "VersionedTableExtract": versioned_table_extract,
     "SQLExecute": sql_execute,
+    # LLM-data-pipeline extension stages
+    "DedupTransform": dedup_transform,
+    "SimilaritySearchTransform": similarity_search_transform,
+    "TextAnalysisTransform": text_analysis_transform,
+    "MultimodalTransform": multimodal_transform,
 }

@@ -1,0 +1,102 @@
+"""Extension stages: the LLM-data-pipeline operators exposed through
+the same declarative stage surface as the reference's stages, so a
+pipeline config can mix SCD2 stages with dedup/similarity/text/
+multimodal transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sql_based_etl_spark.engine.pipeline import PipelineContext, StageError
+
+
+def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``DedupTransform``: method ∈ exact | minhash_lsh | simhash |
+    ngram_jaccard | embedding_cosine."""
+    from sql_based_etl_spark.operators import dedup, similarity
+
+    df = ctx.view(conf["inputView"])
+    method = conf.get("method", "exact")
+    id_col = conf.get("idColumn", "doc_id")
+    text_col = conf.get("textColumn", "text")
+    if method == "exact":
+        return dedup.exact_dedup(df, id_col, text_col)
+    if method == "minhash_lsh":
+        return dedup.minhash_lsh_pairs(
+            df, id_col, text_col,
+            threshold=float(conf.get("threshold", 0.5)),
+            max_bucket=int(conf.get("maxBucket", 1000)),
+        )
+    if method == "simhash":
+        return dedup.simhash_pairs(
+            df, id_col, text_col, max_hamming=int(conf.get("maxHamming", 3))
+        )
+    if method == "ngram_jaccard":
+        return dedup.ngram_jaccard_pairs(
+            df, id_col, text_col,
+            n=int(conf.get("n", 3)), threshold=float(conf.get("threshold", 0.5)),
+        )
+    if method == "embedding_cosine":
+        return similarity.cosine_dup_pairs(
+            df,
+            threshold=float(conf.get("threshold", 0.9)),
+            id_col=conf.get("idColumn", "vec_id"),
+            vec_col=conf.get("vectorColumn", "embedding"),
+            dim=int(conf.get("dim", 64)),
+        )
+    raise StageError(f"DedupTransform: unknown method {method!r}")
+
+
+def similarity_search_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``SimilaritySearchTransform``: method ∈ brute_force | lsh_ann."""
+    from sql_based_etl_spark.operators import similarity
+
+    corpus = ctx.view(conf["inputView"])
+    queries = ctx.view(conf.get("queriesView", conf["inputView"]))
+    kwargs = dict(
+        k=int(conf.get("k", 5)),
+        id_col=conf.get("idColumn", "vec_id"),
+        vec_col=conf.get("vectorColumn", "embedding"),
+        dim=int(conf.get("dim", 64)),
+    )
+    method = conf.get("method", "brute_force")
+    if method == "brute_force":
+        return similarity.cosine_topk(queries, corpus, **kwargs)
+    if method == "lsh_ann":
+        return similarity.ann_topk(queries, corpus, **kwargs)
+    raise StageError(f"SimilaritySearchTransform: unknown method {method!r}")
+
+
+def text_analysis_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``TextAnalysisTransform``: analysis ∈ language_id | quality |
+    token_count | fingerprint."""
+    from sql_based_etl_spark.operators import textops
+
+    df = ctx.view(conf["inputView"])
+    text_col = conf.get("textColumn", "text")
+    analysis = conf.get("analysis", "quality")
+    if analysis == "language_id":
+        return textops.language_id(df, text_col)
+    if analysis == "quality":
+        return textops.quality_features(df, text_col)
+    if analysis == "token_count":
+        return textops.token_counts(df, text_col)
+    if analysis == "fingerprint":
+        return textops.fingerprint(df, text_col)
+    raise StageError(f"TextAnalysisTransform: unknown analysis {analysis!r}")
+
+
+def multimodal_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``MultimodalTransform``: operation ∈ attach_binary | decode_features."""
+    from sql_based_etl_spark.operators import multimodal
+
+    df = ctx.view(conf["inputView"])
+    op = conf.get("operation", "attach_binary")
+    if op == "attach_binary":
+        return multimodal.attach_binary(df, conf.get("textColumn", "text"))
+    if op == "decode_features":
+        return multimodal.decode_features(
+            df, conf.get("idColumn", "doc_id"), conf.get("payloadColumn", "payload")
+        )
+    raise StageError(f"MultimodalTransform: unknown operation {op!r}")

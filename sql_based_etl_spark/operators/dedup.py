@@ -1,0 +1,270 @@
+"""Deduplication operators over a document table.
+
+Five strategies, each a composition of built-in DataFrame ops (no
+UDFs — everything stays in whole-stage codegen):
+
+- exact:          hash-groupBy on the raw text
+- MinHash + LSH:  shingle → portable 60-bit hash → K permutations →
+                  band buckets → candidate join → exact-Jaccard verify
+- SimHash:        per-token hash bit votes → 48-bit signature →
+                  block join (pigeonhole) → Hamming filter
+- n-gram Jaccard: inverted-index token join (exact, no hashing)
+- embedding cosine: see operators/similarity.py
+
+Portability: hashes derive from md5 hex (identical in any engine), so
+the DuckDB oracles reproduce results bit-for-bit. At 100 TB:
+- the shingle/signature maps are narrow projections (map-side only);
+- LSH candidate generation shuffles on (band, key) — hot buckets are
+  the skew risk, so ``max_bucket`` caps them (boilerplate/empty docs
+  collapse into mega-buckets otherwise);
+- the verify join shuffles pairs once on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P = 2_147_483_647  # 2^31 - 1 (Mersenne prime) — keeps a*h + b inside int64
+
+# Deterministic permutation parameters (LCG from a fixed seed; the same
+# literals are embedded in the DuckDB oracle SQL).
+def _lcg_params(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    a_list, b_list = [], []
+    x = seed
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a_list.append(1 + x % (P - 1))
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b_list.append(x % P)
+    return a_list, b_list
+
+
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+MINHASH_A, MINHASH_B = _lcg_params(NUM_HASHES)
+
+SIMHASH_BITS = 48
+SIMHASH_BLOCKS = 4  # Hamming ≤ 3 ⇒ some block of 4 is identical
+
+
+def words_col(text: str | Column = "text") -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+
+
+def shingles_col(words: Column, n: int = 3) -> Column:
+    """Distinct word n-grams. Documents shorter than n words collapse
+    to a single shingle of what's there."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def portable_hash(s: Column) -> Column:
+    """60-bit hash from md5 hex — reproducible in any engine with md5
+    (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """K-permutation MinHash signatures: ``(id, sh, sig)``.
+
+    Formulated as explode(shingles) → K plain ``min()`` aggregates
+    rather than nested array lambdas: each permutation is simple int
+    arithmetic inside whole-stage codegen with map-side partial
+    aggregation, so the only shuffle is the per-doc combine. (The
+    lambda formulation re-evaluates the md5 subtree K× per row after
+    projection collapse and runs interpreted — ~50× slower.)
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(words_col(text_col), n).alias("sh")
+    )
+    ex = docs.select("id", F.explode("sh").alias("s")).select(
+        "id", (portable_hash(F.col("s")) % P).alias("h")
+    )
+    mins = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
+        for j in range(NUM_HASHES)
+    ]
+    sigs = ex.groupBy("id").agg(*mins).select(
+        "id", F.array(*[f"m{j}" for j in range(NUM_HASHES)]).alias("sig")
+    )
+    return docs.join(sigs, "id")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest id per identical text. One shuffle
+    on a 60-bit text hash (group on the hash, not the full text, so
+    long documents don't inflate the shuffle); the text is only carried
+    to break hash collisions."""
+    return (
+        df.select(id_col, text_col, portable_hash(F.col(text_col)).alias("__h"))
+        .groupBy("__h", text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    candidates: docs sharing any (band, band-key) bucket; buckets larger
+    than ``max_bucket`` are dropped (skew guard — at 100 TB a hot bucket
+    of boilerplate text would otherwise produce a quadratic join).
+    Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    """
+    docs = minhash_signatures(df, id_col, text_col)
+
+    bands = docs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.concat_ws(
+                    ",", F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    from pyspark.sql import Window
+
+    bucket_sizes = Window.partitionBy("band", "key")
+    bands = bands.withColumn("__n", F.count(F.lit(1)).over(bucket_sizes)).filter(
+        F.col("__n") <= max_bucket
+    ).drop("__n")
+
+    b2 = bands.select(F.col("id").alias("id_b"), F.col("band"), F.col("key"))
+    cand = (
+        bands.join(b2, ["band", "key"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .distinct()
+    )
+
+    sh_a = docs.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """48-bit SimHash signatures ``(id, sig)``: bit i is the sign of
+    the vote sum of token-hash bit i over distinct tokens.
+
+    Same scalable shape as MinHash: explode tokens → 48 conditional
+    ``sum()`` aggregates (map-side combinable) → one bit-packing
+    projection."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words_col(text_col))).alias("t"),
+    ).select("id", portable_hash(F.col("t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    packed = sum(
+        (F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+        for i in range(SIMHASH_BITS)
+    )
+    return ex.groupBy("id").agg(*votes).select("id", packed.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: block join (any of 4 12-bit blocks equal
+    — pigeonhole guarantees recall for Hamming ≤ 3) + exact Hamming
+    filter via bit_count(xor)."""
+    block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    docs = simhash_signatures(df, id_col, text_col)
+    mask = (1 << block_bits) - 1
+    blocks = docs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BLOCKS - 1}),"
+                f" b -> shiftright(sig, b * {block_bits}) & {mask})"
+            )
+        ).alias("block", "bkey"),
+    )
+    b2 = blocks.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "block", "bkey"
+    )
+    hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("sig_b")))
+    return (
+        blocks.join(b2, ["block", "bkey"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via an inverted index:
+    explode shingles, self-join on shingle, count shared per pair.
+    Pairs sharing no shingle can't clear any positive threshold, so the
+    index join is lossless. The shuffle key is the shingle — document
+    frequency skew is the 100 TB hazard (drop ultra-common shingles
+    upstream if needed)."""
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(words_col(text_col), n).alias("sh")
+    )
+    sizes = docs.select("id", F.size("sh").alias("sz"))
+    inv = docs.select("id", F.explode("sh").alias("s"))
+    inv2 = inv.select(F.col("id").alias("id_b"), F.col("s"))
+    shared = (
+        inv.join(inv2, "s")
+        .filter(F.col("id") < F.col("id_b"))
+        .groupBy("id", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz_a = sizes.select(F.col("id"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    return (
+        shared.join(sz_a, "id")
+        .join(sz_b, "id_b")
+        .select(
+            F.col("id").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- brute-force cosine top-k: the exactness baseline — query×corpus join
+  with a JVM-side fold dot product, window top-k per query.
+- random-hyperplane LSH ANN: the scale path — sign-bit signatures from
+  deterministic (md5-derived) ±1 hyperplanes, bucket join on the
+  signature, exact re-rank within buckets.
+- embedding-cosine near-dup pairs: all pairs above a cosine threshold.
+
+Determinism contract: dot products fold left-to-right over doubles
+(``aggregate(sequence(...))``) so any engine reproducing the same fold
+produces bit-identical scores — which is what the DuckDB oracles do.
+
+Scale posture: brute force is O(|Q|·|C|·d) — fine for a query batch
+against a broadcast corpus shard, wrong for corpus×corpus. The LSH
+variant buckets the corpus (one shuffle on the signature) and only
+re-ranks within buckets; recall is tunable via signature bits. For
+corpus×corpus near-dup at 100 TB, block first (LSH buckets), never
+cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ANN_BITS = 4    # bits per hash table (2^bits buckets per table)
+ANN_TABLES = 4  # hash tables; candidates = union of same-bucket sets
+# Recall/selectivity: P(same bucket in one table) = (1 - θ/π)^bits for
+# angle θ; L tables union to 1-(1-p)^L. Raise bits as corpus grows
+# (keeps bucket size ~constant), raise tables to claw recall back.
+
+
+def _dot_expr(a: str, b: str, dim: int) -> F.Column:
+    """Deterministic left-to-right fold of sum(a[i]*b[i]) in doubles."""
+    return F.expr(
+        f"aggregate(sequence(0, {dim - 1}), cast(0.0 as double),"
+        f" (acc, i) -> acc + cast({a}[i] as double) * cast({b}[i] as double))"
+    )
+
+
+def _norm_expr(a: str, dim: int) -> F.Column:
+    return F.sqrt(_dot_expr(a, a, dim))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+    Output: (query_id, neighbor_id, score, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm_expr(vec_col, dim).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm_expr(vec_col, dim).alias("cn"),
+    )
+    cos = _dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def hyperplane_signs(table: int, dim: int = 64, bits: int = ANN_BITS) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes for one hash table: parity of the
+    first md5 byte of ``"{table}_{bit}_{i}"``, computed at
+    plan-build time (they're constants — embedding them as literals
+    keeps both engines and the oracle on the exact same planes with
+    zero runtime hashing)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{table}_{b}_{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def ann_signature(vec_col: str, table: int, dim: int = 64, bits: int = ANN_BITS,
+                  one_based: bool = False) -> F.Column | str:
+    """LSH bucket id for one hash table: sign bits of dot(plane_b, v),
+    packed to an int. With ``one_based=True`` returns the SQL string
+    for engines with 1-based array indexing (DuckDB oracle)."""
+    signs = hyperplane_signs(table, dim, bits)
+    off = 1 if one_based else 0
+    parts = []
+    for b in range(bits):
+        dot = " + ".join(
+            f"({signs[b][i]}) * cast({vec_col}[{i + off}] as double)" for i in range(dim)
+        )
+        parts.append(f"(case when ({dot}) >= 0 then {1 << b} else 0 end)")
+    sql = "(" + " + ".join(parts) + ")"
+    if one_based:
+        return sql
+    return F.expr(sql).cast("int")
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
+) -> DataFrame:
+    """Approximate top-k: candidates share any of L hash-table buckets
+    with the query (posexplode of the table signatures → one shuffle on
+    (table, bucket)); exact cosine re-rank over the distinct candidate
+    union."""
+    def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        sigs = F.array(*[ann_signature(vec_col, t, dim, bits) for t in range(tables)])
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(f"{id_alias}_v"),
+            F.posexplode(sigs).alias("table", "bucket"),
+        )
+
+    q_b = with_buckets(queries, "query_id")
+    c_b = with_buckets(corpus, "neighbor_id")
+    cand = (
+        q_b.join(c_b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm_expr(vec_col, dim).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm_expr(vec_col, dim).alias("cn"),
+    )
+    cos = _dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold). Exact all-pairs — the oracle-checkable baseline; at
+    scale, swap the cross join for an LSH bucket join (ann_signature)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm_expr(vec_col, dim).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm_expr(vec_col, dim).alias("nb"),
+    )
+    cos = _dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

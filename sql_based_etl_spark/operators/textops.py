@@ -1,0 +1,98 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. Pure built-in expressions — these
+run per-row inside whole-stage codegen with no shuffle at all, the
+cheapest possible shape at 100 TB (they pipeline straight out of the
+parquet scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.operators.dedup import words_col
+
+# Minimal function-word sets for the n-gram/stopword-voting heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "que"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "de", "del", "que"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie precedence
+
+# BPE-ish tokenization: alnum runs OR single non-alnum-non-space marks
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stopword_hits(words: Column, lang: str) -> Column:
+    sw = F.lit(STOPWORDS[lang])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: argmax of function-word hits, ties
+    broken by fixed language precedence, no hits → 'und' (undetermined).
+    """
+    words = words_col(text_col)
+    scored = df.withColumn("__w", words)
+    for lang in _LANG_ORDER:
+        scored = scored.withColumn(f"__s_{lang}", _stopword_hits(F.col("__w"), lang))
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in _LANG_ORDER:  # first max in precedence order wins
+        pred = pred.when(F.col(f"__s_{lang}") == best, F.lit(lang))
+    return scored.withColumn("pred_lang", pred).drop(
+        "__w", *[f"__s_{lang}" for lang in _LANG_ORDER]
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features + composite score: length, word count, mean
+    word length, punctuation ratio, stopword ratio."""
+    words = words_col(text_col)
+    n_chars = F.length(text_col)
+    n_words = F.size(words)
+    mean_wlen = F.round(
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    n_punct = F.size(F.filter(F.split(text_col, ""), lambda c: c.rlike(r"[^A-Za-z0-9\s]")))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    sw_all = F.lit(sorted({w for ws in STOPWORDS.values() for w in ws}))
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw_all, w)))
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    score = F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + stop_ratio * 0.3,
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    ws = F.size(words_col(text_col))
+    # Spark SQL string literals process backslash escapes ('\s' → 's'),
+    # so the regex needs double-escaping here (DuckDB does not).
+    spark_regex = TOKEN_REGEX.replace("\\", "\\\\")
+    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{spark_regex}', 0)"))
+    return df.select("doc_id", ws.alias("ws_tokens"), bpe.alias("regex_tokens"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Key-collapsing fingerprint: sorted distinct lowercase tokens,
+    md5-hashed — the classic normalization for clustering variant
+    duplicates (whitespace/order/case-insensitive)."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words_col(text_col)))))
+    return df.select("doc_id", fp.alias("fingerprint"))

@@ -1,4 +1,153 @@
-"""Placeholder — populated in a later phase."""
+"""Dedup operators as oracle-checked queries over ``documents``.
 
-QUERIES = {}
-ORACLES = {}
+The DuckDB oracles reproduce the Spark pipelines expression-for-
+expression (same md5-derived hashes, same permutation constants), so
+the match is exact, including the LSH candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_based_etl_spark.operators.dedup import (
+    BANDS,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_HASHES,
+    P,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    SIMHASH_BLOCKS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from sql_based_etl_spark.queries._util import load
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+# --- oracle SQL -------------------------------------------------------------
+
+_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_B = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
+_DOCS_SHINGLED = """
+    SELECT doc_id AS id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(words) - 2, 1)),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')
+           )) AS sh
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words
+        FROM documents
+    )
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH docs AS ({_DOCS_SHINGLED}),
+        sigs AS (
+            SELECT id, sh,
+                   list_transform(generate_series(0, {NUM_HASHES - 1}), j ->
+                       list_aggregate(
+                           list_transform(hashes, h -> ({_A}[j + 1] * h + {_B}[j + 1]) % {P}),
+                           'min')
+                   ) AS sig
+            FROM (
+                SELECT id, sh,
+                       list_transform(sh, s ->
+                           CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {P}) AS hashes
+                FROM docs
+            )
+        ),
+        bands AS (
+            SELECT id, b.band,
+                   array_to_string(list_slice(sig, b.band * {ROWS_PER_BAND} + 1,
+                                              b.band * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ',') AS key
+            FROM sigs, (SELECT unnest(generate_series(0, {BANDS - 1})) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+                         6) AS jaccard
+            FROM cand JOIN sigs a ON a.id = cand.doc_a JOIN sigs b ON b.id = cand.doc_b
+        ) WHERE jaccard >= 0.5
+    """,
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   list_transform(
+                       list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')),
+                       t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hashes
+            FROM documents
+        ),
+        sigs AS (
+            SELECT id,
+                   list_aggregate(list_transform(generate_series(0, {SIMHASH_BITS - 1}), i ->
+                       CASE WHEN list_aggregate(
+                                list_transform(hashes, h -> CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END),
+                                'sum') > 0
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum') AS sig
+            FROM toks
+        ),
+        blocks AS (
+            SELECT id, sig, b.block,
+                   (sig >> (b.block * {SIMHASH_BITS // SIMHASH_BLOCKS}))
+                       & {(1 << (SIMHASH_BITS // SIMHASH_BLOCKS)) - 1} AS bkey
+            FROM sigs, (SELECT unnest(generate_series(0, {SIMHASH_BLOCKS - 1})) AS block) b
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT x.id AS doc_a, y.id AS doc_b,
+                   bit_count(xor(x.sig, y.sig)) AS hamming
+            FROM blocks x JOIN blocks y
+              ON x.block = y.block AND x.bkey = y.bkey AND x.id < y.id
+        ) WHERE hamming <= 3
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH docs AS ({_DOCS_SHINGLED}),
+        inv AS (SELECT id, unnest(sh) AS s FROM docs),
+        shared AS (
+            SELECT x.id AS doc_a, y.id AS doc_b, count(*) AS shared
+            FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+            GROUP BY x.id, y.id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(shared / (len(a.sh) + len(b.sh) - shared), 6) AS jaccard
+            FROM shared JOIN docs a ON a.id = doc_a JOIN docs b ON b.id = doc_b
+        ) WHERE jaccard >= 0.5
+    """,
+}

@@ -1,4 +1,48 @@
-"""Placeholder — populated in a later phase."""
+"""Multimodal plumbing as queries over ``documents``.
 
-QUERIES = {}
-ORACLES = {}
+``mm_metadata`` is fully oracle-checked (byte lengths + md5 digests
+agree across engines). ``mm_decode_features`` exercises the
+Arrow-batched stub decoder — deterministic, but blob byte-walking is
+not expressible in DuckDB SQL, so it's a rows-only check (driver's
+weaker path) with exactness asserted in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.operators.multimodal import attach_binary, decode_features
+from sql_based_etl_spark.queries._util import load
+
+
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary(load(spark, sf_dir, "documents"))
+    return decode_features(d)
+
+
+QUERIES = {
+    "mm_metadata": mm_metadata,
+    "mm_decode_features": mm_decode_features,
+}
+
+ORACLES = {
+    "mm_metadata": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               'text/plain' AS mime,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    # mm_decode_features: rows-only (see module docstring)
+}

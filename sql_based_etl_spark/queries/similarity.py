@@ -1,4 +1,127 @@
-"""Placeholder — populated in a later phase."""
+"""Similarity-search operators as oracle-checked queries over
+``embeddings``. Query set: ``vec_id % 50 == 0``.
 
-QUERIES = {}
-ORACLES = {}
+The DuckDB oracles rebuild the same left-to-right double folds and the
+same literal hyperplanes, so scores (and therefore rankings and bucket
+assignments) match bit-for-bit. DuckDB lists are 1-based — oracles
+index ``embedding[i]`` over ``generate_series(1, dim)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.operators.similarity import (
+    ANN_BITS,
+    ANN_TABLES,
+    ann_signature,
+    ann_topk,
+    cosine_dup_pairs,
+    cosine_topk,
+)
+from sql_based_etl_spark.queries._util import load
+
+DIM = 64
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0)
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(_queries_df(spark, sf_dir), emb, k=5, dim=DIM)
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk(_queries_df(spark, sf_dir), emb, k=5, dim=DIM)
+
+
+def sim_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.9, dim=DIM)
+
+
+QUERIES = {
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_ann_lsh": sim_ann_lsh,
+    "sim_cosine_dup": sim_cosine_dup,
+}
+
+# --- oracle SQL -------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64),"
+    " i -> cast({a}[i] as double) * cast({b}[i] as double)), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+_TOPK_BODY = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+             SELECT query_id, neighbor_id, {_cos("qv", "cv")} AS score
+             FROM q, c WHERE query_id <> neighbor_id
+         ),
+         ranked AS (
+             SELECT query_id, neighbor_id, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+             FROM scored
+         )
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+_SIG_COLS = ", ".join(
+    f"{ann_signature('embedding', t, DIM, ANN_BITS, one_based=True)} AS s{t}"
+    for t in range(ANN_TABLES)
+)
+_BUCKETS_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, s{t} AS bucket FROM e" for t in range(ANN_TABLES)
+)
+
+_ANN_BODY = f"""
+    WITH e AS (SELECT vec_id, embedding, {_SIG_COLS} FROM embeddings),
+         b AS ({_BUCKETS_UNION}),
+         cand AS (
+             SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+             WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+         ),
+         scored AS (
+             SELECT cand.query_id, cand.neighbor_id,
+                    {_cos("qe.embedding", "ce.embedding")} AS score
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+         ),
+         ranked AS (
+             SELECT query_id, neighbor_id, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+             FROM scored
+         )
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+ORACLES = {
+    "sim_topk_bruteforce": _TOPK_BODY,
+    "sim_ann_lsh": _ANN_BODY,
+    "sim_cosine_dup": f"""
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cos("a.embedding", "b.embedding")}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.9
+    """,
+}

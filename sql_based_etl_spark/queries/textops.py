@@ -1,4 +1,125 @@
-"""Placeholder — populated in a later phase."""
+"""Text-analysis operators as oracle-checked queries over ``documents``."""
 
-QUERIES = {}
-ORACLES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.operators.textops import (
+    STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_counts,
+)
+from sql_based_etl_spark.queries._util import load
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = language_id(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang", "pred_lang")
+
+
+def text_language_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate accuracy of the heuristic vs the labeled lang column."""
+    out = language_id(load(spark, sf_dir, "documents"))
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)).alias("n_correct"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load(spark, sf_dir, "documents"))
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint + collapse: docs sharing a fingerprint form a cluster."""
+    fp = fingerprint(load(spark, sf_dir, "documents"))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("representative"), F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+QUERIES = {
+    "text_language_id": text_language_id,
+    "text_language_id_accuracy": text_language_id_accuracy,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+# --- oracle SQL -------------------------------------------------------------
+
+_WORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+
+
+def _sw_lit(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _hits(lang: str) -> str:
+    return f"len(list_filter(words, w -> list_contains({_sw_lit(lang)}, w)))"
+
+
+_LANG_PRED = f"""
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         ELSE 'es' END
+"""
+
+_LANG_SCORED = f"""
+    SELECT doc_id, lang, {_LANG_PRED} AS pred_lang FROM (
+        SELECT doc_id, lang,
+               {_hits('en')} AS s_en, {_hits('de')} AS s_de,
+               {_hits('fr')} AS s_fr, {_hits('es')} AS s_es
+        FROM (SELECT doc_id, lang, {_WORDS} AS words FROM documents)
+    )
+"""
+
+_ALL_SW = "[" + ", ".join(f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws})) + "]"
+
+ORACLES = {
+    "text_language_id": _LANG_SCORED,
+    "text_language_id_accuracy": f"""
+        SELECT lang, count(*) AS n,
+               sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct
+        FROM ({_LANG_SCORED}) GROUP BY lang
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id,
+               n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
+               round(least(n_words / 100.0, 1.0) * 0.4
+                     + (1.0 - punct_ratio) * 0.3 + stopword_ratio * 0.3, 6) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(words) AS INTEGER) AS n_words,
+                   round(list_aggregate(list_transform(words, w -> CAST(length(w) AS BIGINT)), 'sum')
+                         / greatest(len(words), 1), 6) AS mean_word_len,
+                   round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(words, w -> list_contains({_ALL_SW}, w)))
+                         / greatest(len(words), 1), 6) AS stopword_ratio
+            FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+        )
+    """,
+    "text_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_WORDS}) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INTEGER) AS regex_tokens
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS fingerprint,
+               min(doc_id) AS representative, count(*) AS cluster_size
+        FROM documents GROUP BY 1
+    """,
+}

@@ -1,0 +1,79 @@
+"""Structured Streaming path for the ``events`` table (SURVEY.md §1:
+the reference is batch-only; streams are the engine's extension, built
+on watermarks + windowed aggregation + stateful ``applyInPandasWithState``).
+
+Local smoke/testing drives the parquet file as a bounded stream with a
+memory sink + ``processAllAvailable()`` (synchronous); in production
+the same plan reads Kafka/file streams — only ``readStream`` options
+change.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over the events parquet with the nanos→µs
+    conversion applied (same semantics as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file-stream sources want a directory; point at the parent dir and
+    # glob-filter to the events file
+    if path.endswith(".parquet"):
+        base, fname = os.path.dirname(path), os.path.basename(path)
+    else:
+        base, fname = path, "*.parquet"
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window counts + exact sums with a watermark for late
+    data. Map-side partial aggregation applies; state is bounded by the
+    watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1e6).cast("long")) / 1e6).alias("sum_value"),
+        )
+    )
+
+
+def run_bounded(agg: DataFrame, mode: str = "complete") -> tuple[DataFrame, str]:
+    """Drive a (bounded) streaming aggregation to completion via a
+    memory sink; returns the result table DataFrame."""
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark = agg.sparkSession
+    return spark.table(name), name

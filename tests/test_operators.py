@@ -1,0 +1,180 @@
+"""Operator-level semantics tests for the extension operators
+(recall/exactness properties the oracle comparison can't express).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from sql_based_etl_spark.operators.multimodal import attach_binary, decode_features
+from sql_based_etl_spark.operators.similarity import ann_topk, cosine_topk
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    from sql_based_etl_spark.queries._util import load
+
+    return load(spark, SF_ORACLE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from sql_based_etl_spark.queries._util import load
+
+    return load(spark, SF_ORACLE, "embeddings").cache()
+
+
+def test_minhash_recall_vs_exact(spark, documents):
+    """LSH candidates must recover (nearly) all truly-similar pairs:
+    recall vs exact n-gram Jaccard at j≥0.8 should be high (32 hashes /
+    8 bands ⇒ P(candidate) ≈ 1-(1-j^4)^8 ≈ 0.998 at j=0.8)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(documents, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(documents, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)} vs {len(exact)})"
+    # precision is exact by construction (jaccard is verified on candidates)
+    assert lsh <= exact
+
+
+def test_exact_dedup_counts(spark, documents):
+    """Row-count conservation, plus injected exact copies collapse."""
+    copies = documents.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dups = documents.unionByName(copies)
+    out = exact_dedup(with_dups)
+    assert out.agg(F.sum("n_copies")).first()[0] == with_dups.count()
+    assert out.filter(F.col("n_copies") > 1).count() >= 5
+    # representatives keep the lowest id (the original, not the copy)
+    assert out.filter(F.col("doc_id") >= 1_000_000).filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_simhash_symmetry_and_consistency(spark, documents):
+    copies = documents.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = simhash_pairs(documents.unionByName(copies), max_hamming=3).collect()
+    seen = {(r.doc_a, r.doc_b) for r in pairs}
+    assert all(a < b for a, b in seen)
+    assert len(seen) == len(pairs)  # distinct
+    # injected identical texts must appear with hamming 0
+    ham0 = {(a, b) for (a, b) in seen
+            if b == a + 1_000_000}
+    assert len(ham0) == 5
+    assert all(r.hamming == 0 for r in pairs if (r.doc_a, r.doc_b) in ham0)
+
+
+def test_ann_recall_vs_bruteforce(spark, embeddings):
+    """ANN top-5 within-bucket recall vs exact top-5. Single-probe
+    8-bit signatures: recall is modest by design; assert it beats
+    random and self-consistency holds."""
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, embeddings, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk(queries, embeddings, k=5).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    n_queries = queries.count()
+    # random expectation: 5 hits of ~500 corpus → ~1%; require far better
+    assert recall >= 0.2, f"ANN recall suspiciously low: {recall}"
+    assert len(ann) <= 5 * n_queries
+
+
+def test_decode_features_exactness(spark, documents):
+    """The stub decoder's features must equal a direct Python
+    computation on the same bytes (schema + batching don't distort)."""
+    sample = documents.orderBy("doc_id").limit(3)
+    feats = {r.doc_id: r for r in decode_features(attach_binary(sample)).collect()}
+    for row in sample.collect():
+        b = row.text.encode()
+        n = len(b)
+        counts = [0] * 256
+        for byte in b:
+            counts[byte] += 1
+        ent = -sum((c / n) * math.log2(c / n) for c in counts if c)
+        f = feats[row.doc_id]
+        assert f.n_bytes == n
+        assert f.width == 1 + n % 64 and f.height == 1 + (n // 64) % 64
+        assert abs(f.mean_byte - round(sum(b) / n, 6)) < 1e-9
+        assert abs(f.byte_entropy - round(ent, 6)) < 1e-9
+
+
+def test_extension_stages_via_pipeline(spark):
+    """Extension operators are reachable through the declarative stage
+    surface (engine parity for the LLM-pipeline operators)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    stages = [
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/documents.parquet",
+         "outputView": "docs"},
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/embeddings.parquet",
+         "outputView": "embs"},
+        {"type": "DedupTransform", "inputView": "docs", "outputView": "dups",
+         "method": "exact"},
+        {"type": "TextAnalysisTransform", "inputView": "docs", "outputView": "quality",
+         "analysis": "quality"},
+        {"type": "SimilaritySearchTransform", "inputView": "embs", "outputView": "nn",
+         "method": "lsh_ann", "k": 3},
+        {"type": "MultimodalTransform", "inputView": "docs", "outputView": "bin",
+         "operation": "attach_binary"},
+        {"type": "MultimodalTransform", "inputView": "bin", "outputView": "feats",
+         "operation": "decode_features"},
+    ]
+    ctx = Pipeline(spark).run(stages)
+    assert ctx.views["dups"].columns == ["doc_id", "n_copies"]
+    assert "quality_score" in ctx.views["quality"].columns
+    assert ctx.views["nn"].columns == ["query_id", "neighbor_id", "score", "rank"]
+    assert ctx.views["feats"].count() == ctx.views["docs"].count()
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState session counting across micro-batches:
+    two batches for the same user must carry state (a session spanning
+    the batch boundary is not double-counted)."""
+    import pandas as pd
+
+    from sql_based_etl_spark.streaming.stateful import sessionize_stateful
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch 1: user 1 has events at t=0s and t=100s (one session)
+    pd.DataFrame({"user_id": [1, 1], "ts_micros": [0, 100_000_000]}).to_parquet(
+        src / "b1.parquet")
+    events = (
+        spark.readStream.schema("user_id bigint, ts_micros bigint")
+        .parquet(str(src))
+        .select("user_id", F.expr("timestamp_micros(ts_micros)").alias("ts"))
+    )
+    out = sessionize_stateful(events)
+    name = "stateful_out_test"
+    q = (out.writeStream.outputMode("update").format("memory").queryName(name).start())
+    q.processAllAvailable()
+    first = {r.user_id: (r.n_events, r.n_sessions)
+             for r in spark.table(name).collect()}
+    assert first[1] == (2, 1)
+    # batch 2: +200s (same session: gap < 30 min) and +1h (new session)
+    pd.DataFrame({"user_id": [1, 1],
+                  "ts_micros": [200_000_000, 3_800_000_000]}).to_parquet(
+        src / "b2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table(name).collect()
+    latest = max((r for r in rows if r.user_id == 1), key=lambda r: r.n_events)
+    assert (latest.n_events, latest.n_sessions) == (4, 2)
