@@ -50,52 +50,110 @@ SIMHASH_BLOCKS = 4  # Hamming ≤ 3 ⇒ some block of 4 is identical
 
 
 def words_col(text: str | Column = "text") -> Column:
-    """Lowercased whitespace tokens, empties removed."""
+    """Lowercased whitespace tokens, empties removed.
+
+    Lambda-free on purpose: whitespace runs are collapsed with
+    regexp_replace and split on a single space, because higher-order
+    functions (F.filter/F.transform lambdas) are CodegenFallback and
+    poison every operator in their stage into interpreted evaluation
+    (measured ~10-40× slowdowns on the dedup pipelines)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
 
 
 def shingles_col(words: Column, n: int = 3) -> Column:
-    """Distinct word n-grams. Documents shorter than n words collapse
-    to a single shingle of what's there."""
+    """Distinct word n-grams as an array column (lambda-based; kept for
+    API completeness and small inputs — the pipelines below use the
+    codegen-friendly exploded :func:`shingle_rows` instead)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     )
 
 
-def portable_hash(s: Column) -> Column:
-    """60-bit hash from md5 hex — reproducible in any engine with md5
-    (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3, distinct: bool = True) -> DataFrame:
+    """Exploded DISTINCT word n-gram shingles ``(id, s)`` — the scalable
+    and codegen-friendly formulation.
+
+    Long docs: posexplode words → window ``lead()`` per doc builds each
+    n-gram (one shuffle on the doc id; every expression whole-stage
+    codegen). Docs shorter than n words collapse to a single shingle of
+    the normalized text (matches :func:`shingles_col` semantics).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"), words_col(text_col).alias("wd"))
+    ex = base.select("id", F.posexplode("wd").alias("pos", "w"))
+    if n > 1:
+        worder = Window.partitionBy("id").orderBy("pos")
+        # materialize the leads as columns first: Spark rejects window
+        # expressions directly inside a WHERE
+        lead_cols = [
+            F.lead("w", k).over(worder).alias(f"_w{k}") for k in range(1, n)
+        ]
+        long_sh = (
+            ex.select("id", "w", *lead_cols)
+            .filter(F.col(f"_w{n - 1}").isNotNull())
+            .select(
+                "id",
+                F.concat_ws(" ", "w", *[f"_w{k}" for k in range(1, n)]).alias("s"),
+            )
+        )
+        short_sh = base.filter(F.size("wd") < n).select(
+            "id", F.concat_ws(" ", "wd").alias("s")
+        )
+        out = long_sh.unionByName(short_sh)
+    else:
+        out = ex.select("id", F.col("w").alias("s"))
+    return out.distinct() if distinct else out
+
+
+def portable_hash(s: Column, hex_chars: int = 15) -> Column:
+    """``4*hex_chars``-bit hash from md5 hex — reproducible in any
+    engine with md5 (DuckDB:
+    ``CAST('0x'||substr(md5(x),1,{hex_chars}) AS BIGINT)``).
+
+    The hex parse is instr/substring terms instead of ``conv()``:
+    ``conv`` is a CodegenFallback expression, and a fallback stacked on
+    a Generate (explode) degrades the whole stage to pathological
+    interpreted evaluation (~20× slower on the shingle pipeline).
+    Callers pick the narrowest width they need — wide chains bloat the
+    generated whole-stage method past the JIT limit."""
+    m = F.md5(s)
+    digits = F.lit("0123456789abcdef")
+    terms = [
+        (F.instr(digits, F.substring(m, k + 1, 1)) - 1).cast("bigint")
+        * F.lit(16 ** (hex_chars - 1 - k)).cast("bigint")
+        for k in range(hex_chars)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """K-permutation MinHash signatures: ``(id, sh, sig)``.
+    """K-permutation MinHash signatures: ``(id, m0..m{K-1})`` columns.
 
-    Formulated as explode(shingles) → K plain ``min()`` aggregates
+    Formulated as exploded shingles → K plain ``min()`` aggregates
     rather than nested array lambdas: each permutation is simple int
     arithmetic inside whole-stage codegen with map-side partial
     aggregation, so the only shuffle is the per-doc combine. (The
     lambda formulation re-evaluates the md5 subtree K× per row after
     projection collapse and runs interpreted — ~50× slower.)
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles_col(words_col(text_col), n).alias("sh")
-    )
-    ex = docs.select("id", F.explode("sh").alias("s")).select(
-        "id", (portable_hash(F.col("s")) % P).alias("h")
-    )
+    inv = shingle_rows(df, id_col, text_col, n, distinct=False)
+    # 7 hex chars = 28 bits: already < P, plenty for shingle identity
+    # (collision odds ~n²/2²⁹ per doc), and a compact codegen method
+    ex = inv.select("id", portable_hash(F.col("s"), hex_chars=7).alias("h"))
     mins = [
         F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
         for j in range(NUM_HASHES)
     ]
-    sigs = ex.groupBy("id").agg(*mins).select(
-        "id", F.array(*[f"m{j}" for j in range(NUM_HASHES)]).alias("sig")
-    )
-    return docs.join(sigs, "id")
+    return ex.groupBy("id").agg(*mins)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -125,18 +183,20 @@ def minhash_lsh_pairs(
     of boilerplate text would otherwise produce a quadratic join).
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
-    docs = minhash_signatures(df, id_col, text_col)
+    # The signature table feeds the band stack twice — persist it (it
+    # is tiny: one row per doc, K ints). At cluster scale this is the
+    # table you'd checkpoint.
+    sigs = minhash_signatures(df, id_col, text_col).persist()
 
-    bands = docs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                lambda b: F.concat_ws(
-                    ",", F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
-                ),
-            )
-        ).alias("band", "key"),
+    # band keys as explicit column expressions + stack(): everything
+    # stays in whole-stage codegen (no array lambdas)
+    band_keys = [
+        F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(f"bk{b}")
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(BANDS))
+    bands = sigs.select("id", *band_keys).select(
+        "id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)")
     )
     from pyspark.sql import Window
 
@@ -153,8 +213,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh_a = docs.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # exact-Jaccard verify on the candidate pairs via sorted shingle
+    # sets (collect_set keeps this a per-doc aggregate, no giant
+    # lambda-bearing projection in the hot path)
+    sh = shingle_rows(df, id_col, text_col).groupBy("id").agg(
+        F.collect_set("s").alias("sh")
+    )
+    sh_a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -171,13 +237,14 @@ def simhash_signatures(
     """48-bit SimHash signatures ``(id, sig)``: bit i is the sign of
     the vote sum of token-hash bit i over distinct tokens.
 
-    Same scalable shape as MinHash: explode tokens → 48 conditional
-    ``sum()`` aggregates (map-side combinable) → one bit-packing
-    projection."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(words_col(text_col))).alias("t"),
-    ).select("id", portable_hash(F.col("t")).alias("h"))
+    Same scalable, codegen-friendly shape as MinHash: exploded distinct
+    tokens → 48 conditional ``sum()`` aggregates (map-side combinable)
+    → one bit-packing projection."""
+    # 12 hex chars = exactly SIMHASH_BITS (48); distinct tokens via the
+    # codegen-friendly exploded form
+    ex = shingle_rows(df, id_col, text_col, n=1, distinct=True).select(
+        "id", portable_hash(F.col("s"), hex_chars=12).alias("h")
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -201,17 +268,15 @@ def simhash_pairs(
     — pigeonhole guarantees recall for Hamming ≤ 3) + exact Hamming
     filter via bit_count(xor)."""
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
-    docs = simhash_signatures(df, id_col, text_col)
+    docs = simhash_signatures(df, id_col, text_col).persist()
     mask = (1 << block_bits) - 1
-    blocks = docs.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BLOCKS - 1}),"
-                f" b -> shiftright(sig, b * {block_bits}) & {mask})"
-            )
-        ).alias("block", "bkey"),
+    block_cols = [
+        F.expr(f"shiftright(sig, {b * block_bits}) & {mask}").alias(f"blk{b}")
+        for b in range(SIMHASH_BLOCKS)
+    ]
+    stack_args = ", ".join(f"{b}, blk{b}" for b in range(SIMHASH_BLOCKS))
+    blocks = docs.select("id", "sig", *block_cols).select(
+        "id", "sig", F.expr(f"stack({SIMHASH_BLOCKS}, {stack_args}) as (block, bkey)")
     )
     b2 = blocks.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "block", "bkey"
@@ -243,11 +308,8 @@ def ngram_jaccard_pairs(
     index join is lossless. The shuffle key is the shingle — document
     frequency skew is the 100 TB hazard (drop ultra-common shingles
     upstream if needed)."""
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles_col(words_col(text_col), n).alias("sh")
-    )
-    sizes = docs.select("id", F.size("sh").alias("sz"))
-    inv = docs.select("id", F.explode("sh").alias("s"))
+    inv = shingle_rows(df, id_col, text_col, n, distinct=True)
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inv2 = inv.select(F.col("id").alias("id_b"), F.col("s"))
     shared = (
         inv.join(inv2, "s")

@@ -32,11 +32,17 @@ ANN_TABLES = 4  # hash tables; candidates = union of same-bucket sets
 
 
 def _dot_expr(a: str, b: str, dim: int) -> F.Column:
-    """Deterministic left-to-right fold of sum(a[i]*b[i]) in doubles."""
-    return F.expr(
-        f"aggregate(sequence(0, {dim - 1}), cast(0.0 as double),"
-        f" (acc, i) -> acc + cast({a}[i] as double) * cast({b}[i] as double))"
+    """Deterministic left-to-right fold of sum(a[i]*b[i]) in doubles.
+
+    Expanded to an explicit ``t0 + t1 + … + t{dim-1}`` sum: ``+`` is
+    left-associative so the fold order is bit-identical to the oracle's
+    ``list_reduce``, and unlike ``aggregate(sequence, lambda)`` (a
+    CodegenFallback higher-order function that ran ~50× slower) every
+    term stays inside whole-stage codegen."""
+    terms = " + ".join(
+        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)" for i in range(dim)
     )
+    return F.expr(terms)
 
 
 def _norm_expr(a: str, dim: int) -> F.Column:
@@ -53,6 +59,8 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self).
     Output: (query_id, neighbor_id, score, rank)."""
+    n_parts = queries.sparkSession.sparkContext.defaultParallelism
+    queries = queries.repartition(n_parts)  # parallelize the BNLJ stream side
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -173,7 +181,12 @@ def cosine_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold). Exact all-pairs — the oracle-checkable baseline; at
     scale, swap the cross join for an LSH bucket join (ann_signature)."""
-    a = df.select(
+    # The broadcast-nested-loop join streams the left side; a 1-file
+    # parquet scan would make that a single task, serializing the O(n²)
+    # pair evaluation. Spreading the (tiny) left side across the
+    # cluster costs one narrow shuffle and buys full parallelism.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = df.repartition(n_parts).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         _norm_expr(vec_col, dim).alias("na"),

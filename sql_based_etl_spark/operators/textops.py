@@ -25,43 +25,60 @@ _LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie precedence
 TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
-def _stopword_hits(words: Column, lang: str) -> Column:
-    sw = F.lit(STOPWORDS[lang])
-    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+def _norm_col(text: str | Column) -> Column:
+    """Lowercased, whitespace-normalized (single spaces, trimmed) text —
+    the string the word tokens are cut from."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def _stopword_count(norm: Column, stopwords: list[str]) -> Column:
+    """Whole-token stopword occurrences counted with one regex pass.
+
+    regexp_count over the normalized text instead of a lambda filter on
+    the token array: higher-order functions are CodegenFallback and
+    drop the whole stage to interpreted evaluation (~100× slower on the
+    documents scan). The trailing boundary is a lookahead so adjacent
+    stopwords ("of the") both count."""
+    alt = "|".join(stopwords)
+    return F.regexp_count(norm, F.lit(f"(^| )({alt})(?= |$)"))
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-voting language ID: argmax of function-word hits, ties
     broken by fixed language precedence, no hits → 'und' (undetermined).
     """
-    words = words_col(text_col)
-    scored = df.withColumn("__w", words)
+    scored = df.withColumn("__norm", _norm_col(text_col))
     for lang in _LANG_ORDER:
-        scored = scored.withColumn(f"__s_{lang}", _stopword_hits(F.col("__w"), lang))
+        scored = scored.withColumn(
+            f"__s_{lang}", _stopword_count(F.col("__norm"), STOPWORDS[lang])
+        )
     best = F.greatest(*[F.col(f"__s_{lang}") for lang in _LANG_ORDER])
     pred = F.when(best == 0, F.lit("und"))
     for lang in _LANG_ORDER:  # first max in precedence order wins
         pred = pred.when(F.col(f"__s_{lang}") == best, F.lit(lang))
     return scored.withColumn("pred_lang", pred).drop(
-        "__w", *[f"__s_{lang}" for lang in _LANG_ORDER]
+        "__norm", *[f"__s_{lang}" for lang in _LANG_ORDER]
     )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features + composite score: length, word count, mean
-    word length, punctuation ratio, stopword ratio."""
-    words = words_col(text_col)
+    word length, punctuation ratio, stopword ratio.
+
+    Every feature is a plain string expression (length/regexp_replace/
+    regexp_count) — no token arrays, no lambdas — so the whole operator
+    is one codegen'd projection pipelined off the scan."""
+    norm = _norm_col(text_col)
     n_chars = F.length(text_col)
-    n_words = F.size(words)
-    mean_wlen = F.round(
-        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
-        / F.greatest(n_words, F.lit(1)),
-        6,
-    )
-    n_punct = F.size(F.filter(F.split(text_col, ""), lambda c: c.rlike(r"[^A-Za-z0-9\s]")))
+    n_words = F.size(F.split(norm, " "))
+    # sum of token lengths == count of non-whitespace chars
+    sum_wlen = F.length(F.regexp_replace(text_col, r"\s", "")).cast("bigint")
+    mean_wlen = F.round(sum_wlen / F.greatest(n_words, F.lit(1)), 6)
+    n_punct = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    sw_all = F.lit(sorted({w for ws in STOPWORDS.values() for w in ws}))
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw_all, w)))
+    sw_all = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = _stopword_count(norm, sw_all)
     stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
     score = F.round(
         F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
@@ -94,5 +111,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Key-collapsing fingerprint: sorted distinct lowercase tokens,
     md5-hashed — the classic normalization for clustering variant
     duplicates (whitespace/order/case-insensitive)."""
-    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words_col(text_col)))))
+    # sort_array, not array_sort: the latter is a higher-order function
+    # (lambda comparator) and falls out of codegen
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(words_col(text_col)))))
     return df.select("doc_id", fp.alias("fingerprint"))

@@ -84,7 +84,7 @@ ORACLES = {
             FROM (
                 SELECT id, sh,
                        list_transform(sh, s ->
-                           CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {P}) AS hashes
+                           CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hashes
                 FROM docs
             )
         ),
@@ -111,7 +111,7 @@ ORACLES = {
             SELECT doc_id AS id,
                    list_transform(
                        list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')),
-                       t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hashes
+                       t -> CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT)) AS hashes
             FROM documents
         ),
         sigs AS (

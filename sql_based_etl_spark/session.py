@@ -51,6 +51,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Wide arithmetic chains (64-dim dot products, LSH signatures)
+        # stress both compilers: Janino's deeply-recursive compile
+        # overflows the default 512k thread stack (codegen retry +
+        # interpreted fallback costs minutes), and HotSpot refuses to
+        # JIT generated methods over 8KB bytecode (DontCompileHugeMethods),
+        # leaving the hot per-pair predicate interpreted — observed as
+        # bimodal 10s/100s runs on the pairwise-cosine join.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xss64m -XX:-DontCompileHugeMethods",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Xss64m -XX:-DontCompileHugeMethods",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
