@@ -171,6 +171,59 @@ def ann_topk(
     )
 
 
+def ann_topk_self(
+    corpus: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
+) -> DataFrame:
+    """:func:`ann_topk` for the common case where the query set is a
+    predicate over the corpus itself: signatures, norms, and the bucket
+    table are computed ONCE over the corpus (half the signature compute
+    and codegen of the two-DataFrame path), and the candidate join is a
+    self-join on (table, bucket) with the query flag carried through."""
+    sigs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col, dim).alias("nrm"),
+        query_pred.alias("is_q"),
+        *[ann_signature(vec_col, t, dim, bits).alias(f"s{t}") for t in range(tables)],
+    ).persist()
+
+    stack_args = ", ".join(f"{t}, s{t}" for t in range(tables))
+    buckets = sigs.select(
+        "id", "is_q", F.expr(f"stack({tables}, {stack_args}) as (tbl, bucket)")
+    )
+    q_b = buckets.filter("is_q").select(F.col("id").alias("query_id"), "tbl", "bucket")
+    c_b = buckets.select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
+    cand = (
+        q_b.join(c_b, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = sigs.filter("is_q").select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = sigs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos = _dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -17,6 +17,7 @@ from sql_based_etl_spark.operators.similarity import (
     ANN_TABLES,
     ann_signature,
     ann_topk,
+    ann_topk_self,
     cosine_dup_pairs,
     cosine_topk,
 )
@@ -36,7 +37,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return ann_topk(_queries_df(spark, sf_dir), emb, k=5, dim=DIM)
+    return ann_topk_self(emb, F.col("vec_id") % 50 == 0, k=5, dim=DIM)
 
 
 def sim_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,13 +58,17 @@ def get_spark(
         # JIT generated methods over 8KB bytecode (DontCompileHugeMethods),
         # leaving the hot per-pair predicate interpreted — observed as
         # bimodal 10s/100s runs on the pairwise-cosine join.
+        # ReservedCodeCacheSize: a long session compiles hundreds of
+        # generated classes; once the default 240m code cache fills,
+        # HotSpot silently disables the JIT and wide-expression stages
+        # run interpreted (order-dependent 10-20× slowdowns).
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xss64m -XX:-DontCompileHugeMethods",
+            "-Xss64m -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g",
         )
         .config(
             "spark.executor.extraJavaOptions",
-            "-Xss64m -XX:-DontCompileHugeMethods",
+            "-Xss64m -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g",
         )
     )
     for k, v in (extra_conf or {}).items():
