@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "text_quality_score",
     "mm_decode_features",
 ]

@@ -224,6 +224,67 @@ def ann_topk_self(
     )
 
 
+IVF_CELLS = 16   # coarse-quantizer cells (pivot vectors)
+IVF_NPROBE = 2   # cells probed per query
+
+
+def ivf_topk_self(
+    corpus: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into cells
+    around deterministic pivot vectors (the ``n_cells`` lowest-id
+    corpus vectors — no training step, reproducible in any engine),
+    assign every vector to its max-cosine cell, probe the ``nprobe``
+    best cells per query, exact re-rank inside the probed cells.
+
+    Scale shape: pivots broadcast (tiny); assignment is one scan ×
+    ``n_cells`` codegen'd dot products + a per-id shuffle; the
+    candidate join shuffles on the cell id, so cell count is the
+    parallelism/recall knob (raise cells with corpus size to keep cell
+    cardinality ~constant, raise nprobe to claw recall back)."""
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col, dim).alias("nrm"),
+        query_pred.alias("is_q"),
+    )
+    piv = base.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("pid"), F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
+    )
+    psim = _dot_expr("v", "pv", dim) / (F.col("nrm") * F.col("pnrm"))
+    wcell = Window.partitionBy("id").orderBy(F.desc("psim"), F.asc("pid"))
+    ranked = (
+        base.join(F.broadcast(piv))
+        .select("id", "is_q", "v", "nrm", "pid", psim.alias("psim"))
+        .withColumn("prn", F.row_number().over(wcell))
+    )
+    asg = ranked.filter(F.col("prn") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "pid",
+    )
+    probes = ranked.filter(F.col("is_q") & (F.col("prn") <= nprobe)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "pid",
+    )
+    cos = _dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    wtop = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        probes.join(asg, "pid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("score"))
+        .withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

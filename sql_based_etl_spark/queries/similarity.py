@@ -15,11 +15,14 @@ from pyspark.sql import functions as F
 from sql_based_etl_spark.operators.similarity import (
     ANN_BITS,
     ANN_TABLES,
+    IVF_CELLS,
+    IVF_NPROBE,
     ann_signature,
     ann_topk,
     ann_topk_self,
     cosine_dup_pairs,
     cosine_topk,
+    ivf_topk_self,
 )
 from sql_based_etl_spark.queries._util import load
 
@@ -40,6 +43,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_self(emb, F.col("vec_id") % 50 == 0, k=5, dim=DIM)
 
 
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_self(emb, F.col("vec_id") % 50 == 0, k=5, dim=DIM)
+
+
 def sim_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.9, dim=DIM)
 
@@ -47,6 +55,7 @@ def sim_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
     "sim_cosine_dup": sim_cosine_dup,
 }
 
@@ -115,9 +124,53 @@ _ANN_BODY = f"""
     FROM ranked WHERE rank <= 5
 """
 
+_IVF_BODY = f"""
+    WITH base AS (
+        SELECT vec_id AS id, embedding AS v,
+               sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm,
+               (vec_id % 50 = 0) AS is_q
+        FROM embeddings
+    ),
+    piv AS (
+        SELECT id AS pid, v AS pv, nrm AS pnrm
+        FROM base ORDER BY id LIMIT {IVF_CELLS}
+    ),
+    ranked AS (
+        SELECT b.id, b.is_q, b.v, b.nrm, p.pid,
+               row_number() OVER (
+                   PARTITION BY b.id
+                   ORDER BY ({_DOT.format(a="b.v", b="p.pv")}) / (b.nrm * p.pnrm) DESC,
+                            p.pid ASC) AS prn
+        FROM base b CROSS JOIN piv p
+    ),
+    asg AS (
+        SELECT id AS neighbor_id, v AS cv, nrm AS cn, pid
+        FROM ranked WHERE prn = 1
+    ),
+    probes AS (
+        SELECT id AS query_id, v AS qv, nrm AS qn, pid
+        FROM ranked WHERE is_q AND prn <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               ({_DOT.format(a="p.qv", b="a.cv")}) / (p.qn * a.cn) AS score
+        FROM probes p JOIN asg a USING (pid)
+        WHERE p.query_id <> a.neighbor_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+    FROM topk WHERE rank <= 5
+"""
+
 ORACLES = {
     "sim_topk_bruteforce": _TOPK_BODY,
     "sim_ann_lsh": _ANN_BODY,
+    "sim_ann_ivf": _IVF_BODY,
     "sim_cosine_dup": f"""
         SELECT id_a, id_b, cosine FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -97,6 +97,28 @@ def test_ann_recall_vs_bruteforce(spark, embeddings):
     assert len(ann) <= 5 * n_queries
 
 
+def test_ivf_recall_vs_bruteforce(spark, embeddings):
+    """IVF probed-cell recall vs exact top-5: 16 cells / 2 probes on
+    ~500 vectors ⇒ each query scans ~2/16 of the corpus; recall must
+    beat random by a wide margin and never exceed k per query."""
+    from pyspark.sql import functions as F
+
+    from sql_based_etl_spark.operators.similarity import ivf_topk_self
+
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, embeddings, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_self(embeddings, F.col("vec_id") % 50 == 0, k=5).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.2, f"IVF recall suspiciously low: {recall}"
+    assert len(ivf) <= 5 * queries.count()
+
+
 def test_decode_features_exactness(spark, documents):
     """The stub decoder's features must equal a direct Python
     computation on the same bytes (schema + batching don't distort)."""
