@@ -390,6 +390,183 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bi-nation shipping volume: revenue between two
+    nations by ship year, in both directions. Both nation dims
+    broadcast; the fact joins shuffle on their keys once."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(xsum(disc_price).alias("revenue"))
+    )
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue lost to returned
+    items in one quarter (join + agg + deterministic top-k)."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(xsum(disc_price).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo share: conditional aggregation over a
+    broadcast part join. Both sums are exact int64 micros; the final
+    ratio is one double division (bit-identical across engines)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    disc_micros = micros(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_micros).otherwise(F.lit(0))).alias(
+                "promo_micros"
+            ),
+            F.sum(disc_micros).alias("total_micros"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("promo_micros") / F.col("total_micros"), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: HAVING on a grouped sum,
+    then join back to orders/customer. Quantities are integral doubles,
+    so the per-order sum is exact at any parallelism."""
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style OR-of-ANDs predicate over a part join: exercises
+    disjunctive filter planning (the shared l_partkey=p_partkey conjunct
+    still drives the join; per-branch residuals evaluate post-join)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(xsum(disc_price).alias("revenue"))
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average account balance
+    and no recent orders (scalar aggregate subquery + anti join).
+
+    The above-average compare is exact integer cross-multiplication
+    (micros(bal) * n_customers > sum_micros) — no double average whose
+    accumulation order could differ between engines. The global
+    aggregate is one tiny row, joined in by broadcast."""
+    c = load(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.sum(micros(F.col("c_acctbal"))).alias("sum_bal_micros"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    )
+    rich = (
+        c.join(F.broadcast(stats))
+        .filter(micros(F.col("c_acctbal")) * F.col("n_cust") > F.col("sum_bal_micros"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum(micros(F.col("c_acctbal"))) / F.lit(MICROS)).alias("totacctbal"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column: per
+    event_type count + exact integer sum of the extracted value
+    (get_json_object stays JVM-side; no UDF)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -414,10 +591,97 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_event_window_agg": q_event_window_agg,
     "q_asof_join": q_asof_join,
+    "q07_nation_volume": q07_nation_volume,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_pred": q19_disjunctive_pred,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q_json_extract": q_json_extract,
 }
 
 
 ORACLES = {
+    "q07_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) / 1000000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "q10_returned_revenue": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) / 1000000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * promo_micros / total_micros, 6) AS promo_revenue_pct
+        FROM (
+            SELECT sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)
+                            ELSE 0 END) AS promo_micros,
+                   sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) AS total_micros
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+        )
+    """,
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice, sum_qty
+        FROM (
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_disjunctive_pred": """
+        SELECT sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) / 1000000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+    "q22_idle_rich_customers": """
+        SELECT c_nationkey, count(*) AS numcust,
+               sum(CAST(round(c_acctbal * 1000000.0) AS BIGINT)) / 1000000.0 AS totacctbal
+        FROM customer c
+        WHERE CAST(round(c_acctbal * 1000000.0) AS BIGINT)
+                * (SELECT count(*) FROM customer)
+              > (SELECT sum(CAST(round(c_acctbal * 1000000.0) AS BIGINT)) FROM customer)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+          )
+        GROUP BY c_nationkey
+    """,
+    "q_json_extract": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events
+        GROUP BY event_type
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_qty,
