@@ -7,10 +7,13 @@ so a pipeline written against the reference runs unchanged.
 
 from sql_based_etl_spark.engine.stages.extract import (
     delimited_extract,
+    json_extract,
+    orc_extract,
     parquet_extract,
     versioned_table_extract,
 )
 from sql_based_etl_spark.engine.stages.load import (
+    file_load,
     jdbc_execute,
     sql_execute,
     versioned_table_load,
@@ -35,6 +38,9 @@ STAGE_TYPES = {
     "JDBCExecute": jdbc_execute,
     # engine-native names + extensions
     "ParquetExtract": parquet_extract,
+    "JSONExtract": json_extract,
+    "ORCExtract": orc_extract,
+    "FileLoad": file_load,
     "VersionedTableLoad": versioned_table_load,
     "VersionedTableMergeLoad": versioned_table_merge_load,
     "VersionedTableExtract": versioned_table_extract,

@@ -35,6 +35,25 @@ def parquet_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     return ctx.spark.read.parquet(conf["inputURI"])
 
 
+def json_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """Extension: JSON-lines extract. ``schema`` (DDL string) skips the
+    inference pass — at scale, always pass it (inference is a full
+    extra read of the data)."""
+    reader = ctx.spark.read
+    if conf.get("schema"):
+        reader = reader.schema(conf["schema"])
+    multi_line = conf.get("multiLine")
+    if multi_line is not None:
+        reader = reader.option("multiLine", bool(multi_line))
+    return reader.json(conf["inputURI"])
+
+
+def orc_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """Extension: ORC columnar extract (pushdown/pruning via Catalyst,
+    same as parquet)."""
+    return ctx.spark.read.orc(conf["inputURI"])
+
+
 def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     """S2 ``DeltaLakeExtract`` incl. time travel (scd2-job.ipynb:418-427,
     461-472): ``options.relativeVersion`` (0 = latest, -1 = previous) or

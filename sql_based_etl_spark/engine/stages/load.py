@@ -24,6 +24,28 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     return None
 
 
+def file_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """S6 native file sink (native-spark-job-scheduler.yaml:12-13, the
+    wordcount job's ``df.write.save(argv[1])``): write a view to files.
+
+    ``format`` parquet|json|orc|csv (default parquet); ``numPartitions``
+    caps output file count (repartition before write — same knob as the
+    reference's DeltaLakeLoad numPartitions); ``partitionBy`` writes
+    hive-style partition directories, the 100 TB layout lever that lets
+    downstream scans prune whole partitions."""
+    df = ctx.view(conf["inputView"])
+    n = conf.get("numPartitions")
+    if n:
+        df = df.repartition(int(n))
+    writer = df.write.mode(str(conf.get("saveMode", "Overwrite")).lower())
+    part_cols = conf.get("partitionBy")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    fmt = str(conf.get("format", "parquet")).lower()
+    writer.format(fmt).save(conf["outputURI"])
+    return None
+
+
 def versioned_table_merge_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     """S4 ``DeltaLakeMergeLoad`` (scd2-job.ipynb:337-354): MERGE a source
     view into the target table. Config shape mirrors the reference:
