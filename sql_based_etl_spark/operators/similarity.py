@@ -224,6 +224,50 @@ def ann_topk_self(
     )
 
 
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
+) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs — the 100 TB path promised
+    by :func:`cosine_dup_pairs`: instead of the O(n²) cross join, pairs
+    are only generated inside shared (table, bucket) LSH blocks, then
+    exact-cosine verified. Deterministic hyperplanes ⇒ the candidate
+    set (and thus the result) is engine-reproducible. Recall follows
+    the signature collision probability — at cosine ≥ 0.9 (angle ≤
+    26°) a 4-bit table collides with p ≈ 0.53, four tables ≈ 0.95."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col, dim).alias("nrm"),
+        *[ann_signature(vec_col, t, dim, bits).alias(f"s{t}") for t in range(tables)],
+    ).persist()
+    stack_args = ", ".join(f"{t}, s{t}" for t in range(tables))
+    buckets = sigs.select(
+        "id", F.expr(f"stack({tables}, {stack_args}) as (tbl, bucket)")
+    )
+    b2 = buckets.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        buckets.join(b2, ["tbl", "bucket"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), F.col("id_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 IVF_CELLS = 16   # coarse-quantizer cells (pivot vectors)
 IVF_NPROBE = 2   # cells probed per query
 

@@ -21,12 +21,18 @@ from sql_based_etl_spark.operators.similarity import (
     ann_topk,
     ann_topk_self,
     cosine_dup_pairs,
+    cosine_dup_pairs_lsh,
     cosine_topk,
     ivf_topk_self,
 )
 from sql_based_etl_spark.queries._util import load
 
 DIM = 64
+# Near-dup threshold: the synthetic embeddings are near-orthogonal
+# random vectors (max pairwise cosine ≈ 0.51 at sf0.01), so 0.5 keeps
+# the near-dup queries non-trivially populated; real embedding spaces
+# would use 0.9+.
+DUP_THRESHOLD = 0.5
 
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +55,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.9, dim=DIM)
+    return cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=DUP_THRESHOLD, dim=DIM)
+
+
+def sim_cosine_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_dup_pairs_lsh(load(spark, sf_dir, "embeddings"), threshold=DUP_THRESHOLD, dim=DIM)
 
 
 QUERIES = {
@@ -57,6 +67,7 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_cosine_dup": sim_cosine_dup,
+    "sim_cosine_dup_lsh": sim_cosine_dup_lsh,
 }
 
 # --- oracle SQL -------------------------------------------------------------
@@ -176,6 +187,22 @@ ORACLES = {
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round({_cos("a.embedding", "b.embedding")}, 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        ) WHERE cosine >= 0.9
+        ) WHERE cosine >= {DUP_THRESHOLD}
+    """,
+    "sim_cosine_dup_lsh": f"""
+        WITH e AS (SELECT vec_id, embedding, {_SIG_COLS} FROM embeddings),
+             b AS ({_BUCKETS_UNION}),
+             cand AS (
+                 SELECT DISTINCT p.vec_id AS id_a, q.vec_id AS id_b
+                 FROM b p JOIN b q ON p.tbl = q.tbl AND p.bucket = q.bucket
+                 WHERE p.vec_id < q.vec_id
+             )
+        SELECT id_a, id_b, cosine FROM (
+            SELECT cand.id_a, cand.id_b,
+                   round({_cos("ea.embedding", "eb.embedding")}, 6) AS cosine
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.id_a
+            JOIN embeddings eb ON eb.vec_id = cand.id_b
+        ) WHERE cosine >= {DUP_THRESHOLD}
     """,
 }
