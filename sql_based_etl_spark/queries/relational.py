@@ -567,6 +567,58 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) of quantity per
+    return flag. Uses exact ``percentile`` (not approx_percentile —
+    sketch-based results are not engine-reproducible); quantities are
+    integral doubles so interpolation arithmetic is exact, rounded to
+    absorb formula-ulp differences."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel signup → click → purchase: per user, the
+    first signup, the first click at-or-after it, the first purchase
+    at-or-after that; count users reaching each stage.
+
+    Built as conditional min-aggregates + broadcastable per-user step
+    tables — each step is one map-side-combinable agg + one join, no
+    window over the full event log."""
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("signup_ts").alias("n_signup"),
+            F.count("click_ts").alias("n_click_after_signup"),
+            F.count("purchase_ts").alias("n_purchase_after_click"),
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -598,6 +650,8 @@ QUERIES = {
     "q19_disjunctive_pred": q19_disjunctive_pred,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "q_json_extract": q_json_extract,
+    "q_percentiles": q_percentiles,
+    "q_funnel": q_funnel,
 }
 
 
@@ -681,6 +735,37 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events
         GROUP BY event_type
+    """,
+    "q_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+               round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q_funnel": """
+        WITH s AS (
+            SELECT user_id, min(ts) AS signup_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+            GROUP BY e.user_id
+        )
+        SELECT count(s.signup_ts) AS n_signup,
+               count(c.click_ts) AS n_click_after_signup,
+               count(p.purchase_ts) AS n_purchase_after_click
+        FROM s
+        LEFT JOIN c ON s.user_id = c.user_id
+        LEFT JOIN p ON s.user_id = p.user_id
     """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
