@@ -619,6 +619,37 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each purchase, count same-user clicks in the
+    preceding hour (inclusive bounds).
+
+    The user_id equi-conjunct drives a hash join; the time-range
+    residual evaluates post-match, so this never degenerates into a
+    cross product. At 100 TB the additional lever is bucketing both
+    sides by user_id so the hash join is co-located, or time-bucketing
+    (join on (user, hour_bucket) ± 1) when a single user's history is
+    too long."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (purchases.user_id == clicks.user_id)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.p_ts)
+    )
+    return (
+        purchases.join(clicks, cond, "left")
+        .groupBy("purchase_id", purchases.user_id.alias("user_id"))
+        .agg(F.count("c_ts").alias("n_clicks_1h_before"))
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -652,6 +683,7 @@ QUERIES = {
     "q_json_extract": q_json_extract,
     "q_percentiles": q_percentiles,
     "q_funnel": q_funnel,
+    "q_range_join": q_range_join,
 }
 
 
@@ -735,6 +767,16 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events
         GROUP BY event_type
+    """,
+    "q_range_join": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               count(c.c_ts) AS n_clicks_1h_before
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.c_ts >= p.ts - INTERVAL 1 HOUR
+         AND c.c_ts <= p.ts
+        GROUP BY p.event_id, p.user_id
     """,
     "q_percentiles": """
         SELECT l_returnflag,
