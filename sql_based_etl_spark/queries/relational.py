@@ -650,6 +650,36 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute-bucket
+    aggregates per event type, re-aggregated to hourly — the hourly
+    level consumes the minute AGGREGATE, not the raw log (the
+    continuous-aggregate pattern: at 100 TB the fine level is the
+    materialized hypertable and every coarser resolution is a cheap
+    rollup over it; counts and int64-micros sums compose exactly)."""
+    e = load(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("m_bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros(F.col("value"))).alias("value_micros"),
+    )
+    return (
+        minute.groupBy(
+            F.date_format(F.date_trunc("hour", "m_bucket"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("value_micros") / F.lit(MICROS)).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_active_minutes"),
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -684,6 +714,7 @@ QUERIES = {
     "q_percentiles": q_percentiles,
     "q_funnel": q_funnel,
     "q_range_join": q_range_join,
+    "q_hypertable_rollup": q_hypertable_rollup,
 }
 
 
@@ -767,6 +798,22 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events
         GROUP BY event_type
+    """,
+    "q_hypertable_rollup": """
+        WITH minute AS (
+            SELECT date_trunc('minute', ts) AS m_bucket, event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 1000000.0) AS BIGINT)) AS value_micros
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT strftime(date_trunc('hour', m_bucket), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+               event_type,
+               sum(n) AS n_events,
+               sum(value_micros) / 1000000.0 AS sum_value,
+               count(*) AS n_active_minutes
+        FROM minute
+        GROUP BY 1, 2
     """,
     "q_range_join": """
         SELECT p.event_id AS purchase_id, p.user_id,
