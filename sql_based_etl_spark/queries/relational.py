@@ -680,6 +680,27 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with mixed granularities + grouping_id to
+    disambiguate the all-rows set from genuine NULL groups. One
+    shuffle; Spark expands the sets with partial aggregation per set."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               -- literal 1000000.0 parses as DECIMAL in Spark SQL (vs
+               -- DOUBLE in DuckDB); cast so both divide in doubles
+               sum(CAST(round(o_totalprice * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
+                   / CAST(1000000.0 AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -715,6 +736,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_range_join": q_range_join,
     "q_hypertable_rollup": q_hypertable_rollup,
+    "q_grouping_sets": q_grouping_sets,
 }
 
 
@@ -798,6 +820,16 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events
         GROUP BY event_type
+    """,
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) / 1000000.0
+                   AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
     """,
     "q_hypertable_rollup": """
         WITH minute AS (
