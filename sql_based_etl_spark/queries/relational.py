@@ -701,6 +701,29 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of orders by key hash (md5 of the
+    order key, first 8 hex chars mod 100 < 10), then an aggregate over
+    the sample. Unlike TABLESAMPLE/rand() this is reproducible in any
+    engine and stable under repartitioning — the standard idiom for
+    consistent samples of a 100 TB fact table (and for sampled joins:
+    hashing the JOIN KEY keeps related rows together)."""
+    o = load(spark, sf_dir, "orders")
+    digits = F.lit("0123456789abcdef")
+    m = F.md5(F.col("o_orderkey").cast("string"))
+    h = F.lit(0).cast("bigint")
+    for k in range(8):
+        h = h * 16 + (F.instr(digits, F.substring(m, k + 1, 1)) - 1).cast("bigint")
+    return (
+        o.filter(h % 100 < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (F.sum(micros(F.col("o_totalprice"))) / F.lit(MICROS)).alias("sampled_total"),
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -737,6 +760,7 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_hypertable_rollup": q_hypertable_rollup,
     "q_grouping_sets": q_grouping_sets,
+    "q_deterministic_sample": q_deterministic_sample,
 }
 
 
@@ -820,6 +844,15 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events
         GROUP BY event_type
+    """,
+    "q_deterministic_sample": """
+        SELECT o_orderstatus,
+               count(*) AS n_sampled,
+               sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) / 1000000.0
+                   AS sampled_total
+        FROM orders
+        WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        GROUP BY o_orderstatus
     """,
     "q_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
