@@ -724,6 +724,26 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (Spark's built-in gap-based session
+    operator, usable in batch and streaming): 30-minute gap, per-user
+    event counts with session bounds. Complements the gaps-and-islands
+    formulation in :func:`q_sessionize` — the built-in closes a session
+    when the gap is ≥ the duration (half-open window), and the oracle
+    reproduces exactly that boundary."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -761,6 +781,7 @@ QUERIES = {
     "q_hypertable_rollup": q_hypertable_rollup,
     "q_grouping_sets": q_grouping_sets,
     "q_deterministic_sample": q_deterministic_sample,
+    "q_session_window": q_session_window,
 }
 
 
@@ -844,6 +865,27 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events
         GROUP BY event_type
+    """,
+    "q_session_window": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events
+        FROM islands
+        GROUP BY user_id, session_id
     """,
     "q_deterministic_sample": """
         SELECT o_orderstatus,
