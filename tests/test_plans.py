@@ -1,0 +1,85 @@
+"""Physical-plan regression guards for the scale posture.
+
+These assert the *plan shape* the 100 TB design depends on — filters
+pushed into the parquet scan, pruned read schemas, broadcast joins for
+dimension tables, partial aggregation, and no Python evaluation or
+shuffle in operators designed to pipeline off the scan. A correctness
+regression shows up in the oracle tests; a silent plan regression
+(e.g. a lambda sneaking an operator out of codegen, a filter that
+stops pushing down) shows up here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from sql_based_etl_spark.queries import all_queries
+
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    """q06 is scan+filter+agg: its predicates must appear as
+    PushedFilters on the parquet scan, and the read schema must be
+    pruned to the referenced columns only."""
+    plan = plan_of(queries["q06_forecast_revenue"](spark, SF_ORACLE))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema  # unreferenced → pruned
+
+
+def test_dimension_joins_broadcast(spark, queries):
+    """q03/q05 join facts to small dims — the plan must use broadcast
+    joins (no shuffle of the fact table for dimension lookups)."""
+    for name in ("q03_shipping_priority", "q05_region_revenue"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_aggregates_are_partial(spark, queries):
+    """q01 must use two-phase hash aggregation (map-side combine before
+    the shuffle)."""
+    plan = plan_of(queries["q01_pricing_summary"](spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_text_ops_stay_jvm_side_and_shuffle_free(spark, queries):
+    """text_quality_score is a pure per-row projection: no Python
+    evaluation, no shuffle — it must pipeline straight off the scan."""
+    plan = plan_of(queries["text_quality_score"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_no_python_eval_outside_multimodal(spark, queries):
+    """Only the multimodal decode stub (and stateful streaming) may
+    evaluate Python; every dedup/text/similarity plan stays JVM-side."""
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "sim_ann_lsh",
+        "sim_ann_ivf",
+        "text_fingerprint",
+        "text_token_count",
+    ):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert "EvalPython" not in plan, f"{name} fell back to Python evaluation"
+
+
+def test_no_codegen_fallback_lambdas_in_hot_paths(spark, queries):
+    """Higher-order functions (transform/filter/aggregate lambdas) are
+    CodegenFallback — they must not appear in the dedup/text plans."""
+    for name in ("dedup_minhash_lsh", "text_quality_score", "dedup_simhash"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert "lambdafunction" not in plan.lower(), f"{name} reintroduced a lambda"
