@@ -744,6 +744,25 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_sum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the sum of same-user values
+    in the trailing hour (inclusive). RANGE frames include peer rows,
+    so the result is deterministic even with tied timestamps; ordering
+    is on epoch microseconds so both engines bound the frame with
+    integer arithmetic (no sub-second truncation)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(micros(F.col("value"))).over(w) / F.lit(MICROS)).alias("sum_value_1h"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -782,6 +801,7 @@ QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_deterministic_sample": q_deterministic_sample,
     "q_session_window": q_session_window,
+    "q_moving_sum_range": q_moving_sum_range,
 }
 
 
@@ -865,6 +885,14 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events
         GROUP BY event_type
+    """,
+    "q_moving_sum_range": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) / 1000000.0 AS sum_value_1h
+        FROM events
     """,
     "q_session_window": """
         WITH ordered AS (
