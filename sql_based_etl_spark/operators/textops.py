@@ -115,3 +115,37 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     # (lambda comparator) and falls out of codegen
     fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(words_col(text_col)))))
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Position-sensitive rolling fingerprint: each token's 48-bit hash
+    is bit-rotated by its position (mod 48) and the rotations are
+    XOR-folded per document — token order matters ("a b" ≠ "b a"),
+    unlike the sorted-set :func:`fingerprint`.
+
+    Scalable shape: posexplode → pure integer projection → one
+    ``bit_xor`` aggregate (XOR is commutative/associative, so the
+    combine is map-side partial and order-independent). The rotation
+    uses exact int64 modular arithmetic — ``(h % 2^(48-r)) * 2^r +
+    h div 2^(48-r)`` — which any engine reproduces bit-for-bit."""
+    from sql_based_etl_spark.operators.dedup import portable_hash
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_col(text_col)).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        (F.col("pos") % 48).alias("r"),
+        portable_hash(F.col("w"), hex_chars=12).alias("h"),
+    )
+    rot = F.expr(
+        "(h % shiftleft(CAST(1 AS BIGINT), CAST(48 - r AS INT)))"
+        " * shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))"
+        " + (h div shiftleft(CAST(1 AS BIGINT), CAST(48 - r AS INT)))"
+    )
+    return (
+        ex.select("doc_id", rot.alias("rot"))
+        .groupBy("doc_id")
+        .agg(F.expr("bit_xor(rot)").alias("rolling_fp"))
+    )

@@ -11,6 +11,7 @@ from sql_based_etl_spark.operators.textops import (
     fingerprint,
     language_id,
     quality_features,
+    rolling_fingerprint,
     token_counts,
 )
 from sql_based_etl_spark.queries._util import load
@@ -46,12 +47,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_fingerprint(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_language_id": text_language_id,
     "text_language_id_accuracy": text_language_id_accuracy,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_rolling_fingerprint": text_rolling_fingerprint,
 }
 
 # --- oracle SQL -------------------------------------------------------------
@@ -121,5 +127,27 @@ ORACLES = {
         SELECT md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS fingerprint,
                min(doc_id) AS representative, count(*) AS cluster_size
         FROM documents GROUP BY 1
+    """,
+    "text_rolling_fingerprint": f"""
+        WITH toks AS (
+            SELECT doc_id, {_WORDS} AS words FROM documents
+        ),
+        ex0 AS (
+            SELECT doc_id, words,
+                   unnest(generate_series(1, len(words))) AS i
+            FROM toks
+        ),
+        ex AS (
+            SELECT doc_id,
+                   CAST((i - 1) % 48 AS BIGINT) AS r,
+                   CAST(concat('0x', substr(md5(words[i]), 1, 12)) AS BIGINT) AS h
+            FROM ex0
+        )
+        SELECT doc_id,
+               bit_xor((h % (CAST(1 AS BIGINT) << CAST(48 - r AS INTEGER)))
+                           * (CAST(1 AS BIGINT) << CAST(r AS INTEGER))
+                       + (h // (CAST(1 AS BIGINT) << CAST(48 - r AS INTEGER)))) AS rolling_fp
+        FROM ex
+        GROUP BY doc_id
     """,
 }
