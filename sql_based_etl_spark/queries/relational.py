@@ -763,6 +763,42 @@ def q_moving_sum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares slope of value vs time, computed with the
+    closed form (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over EXACT integer
+    sums: x = whole seconds since the user's first event, y = value
+    micros, partial sums carried in DECIMAL(38). Built-in regr_slope
+    accumulates doubles (order-dependent across engines); this version
+    is reproducible anywhere at any parallelism. Two shuffles: the
+    per-user min, then the aggregate."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tmic"), micros(F.col("value")).alias("y")
+    )
+    mins = e.groupBy("user_id").agg(F.min("tmic").alias("t0"))
+    xy = e.join(mins, "user_id").select(
+        "user_id",
+        F.expr("(tmic - t0) div 1000000").alias("x"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+    agg = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        agg.filter(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+        .select(
+            "user_id",
+            F.round(num / den / F.lit(MICROS), 12).alias("slope_per_sec"),
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -802,6 +838,7 @@ QUERIES = {
     "q_deterministic_sample": q_deterministic_sample,
     "q_session_window": q_session_window,
     "q_moving_sum_range": q_moving_sum_range,
+    "q_exact_regression": q_exact_regression,
 }
 
 
@@ -885,6 +922,33 @@ ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         FROM events
         GROUP BY event_type
+    """,
+    "q_exact_regression": """
+        WITH base AS (
+            SELECT user_id, epoch_us(ts) AS tmic,
+                   CAST(round(value * 1000000.0) AS BIGINT) AS y
+            FROM events
+        ),
+        mins AS (SELECT user_id, min(tmic) AS t0 FROM base GROUP BY user_id),
+        xy AS (
+            SELECT b.user_id, (b.tmic - m.t0) // 1000000 AS x, b.y
+            FROM base b JOIN mins m ON b.user_id = m.user_id
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x * y AS HUGEINT)) AS sxy,
+                   sum(CAST(x * x AS HUGEINT)) AS sxx
+            FROM xy GROUP BY user_id
+        )
+        SELECT user_id,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 12)
+                   AS slope_per_sec
+        FROM agg
+        WHERE n * sxx - sx * sx <> 0
     """,
     "q_moving_sum_range": """
         SELECT event_id, user_id,
