@@ -919,7 +919,7 @@ ORACLES = {
     """,
     "q_json_extract": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events
         GROUP BY event_type
     """,
@@ -1008,7 +1008,7 @@ ORACLES = {
         )
         SELECT strftime(date_trunc('hour', m_bucket), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
                event_type,
-               sum(n) AS n_events,
+               CAST(sum(n) AS BIGINT) AS n_events,
                sum(value_micros) / 1000000.0 AS sum_value,
                count(*) AS n_active_minutes
         FROM minute
@@ -1214,8 +1214,8 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
             SELECT user_id, ts,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id, count(*) AS n_events,

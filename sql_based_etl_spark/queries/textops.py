@@ -96,7 +96,7 @@ ORACLES = {
     "text_language_id": _LANG_SCORED,
     "text_language_id_accuracy": f"""
         SELECT lang, count(*) AS n,
-               sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct
+               CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         FROM ({_LANG_SCORED}) GROUP BY lang
     """,
     "text_quality_score": f"""

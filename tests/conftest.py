@@ -5,7 +5,9 @@ import os
 import pytest
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = os.environ.get("SQL_ETL_TEST_SF_DIR", "/root/testdata/sf0.001")
+# sf0.01 is the driver's CORRECTNESS contract scale — the local gate must run
+# at the same SF or driver-only failures (e.g. data-dependent edge rows) hide.
+SF_ORACLE = os.environ.get("SQL_ETL_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -46,11 +46,17 @@ def spark_rows(df):
 
 
 def duck_rows(con, sql):
-    cur = con.execute(sql)
-    names = [d[0] for d in cur.description]
+    # Fetch through Arrow, not fetchall(): fetchall() collapses DuckDB HUGEINT
+    # (the result type of a bare integer sum()) to Python int, hiding exactly
+    # the int64-vs-decimal128 type mismatch the driver's typed value-hash
+    # catches.  Arrow preserves decimal128, so _norm tags it ("dec", ...) and
+    # the mismatch surfaces locally before the CORRECTNESS gate runs.
+    tbl = con.execute(sql).arrow()
+    names = list(tbl.column_names)
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
-    return cols, [tuple(_norm(row[i]) for i in order) for row in cur.fetchall()]
+    pycols = [tbl.column(i).to_pylist() for i in order]
+    return cols, [tuple(_norm(v) for v in row) for row in zip(*pycols)]
 
 
 def compare(df, con, sql) -> list[str]:
