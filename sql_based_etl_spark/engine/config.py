@@ -97,10 +97,64 @@ def _fold_hocon_splices(text: str) -> str:
     return "".join(out)
 
 
+_VALUE_END = set('"}]') | set("0123456789") | set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+_VALUE_START = set('"-${[') | set("0123456789") | set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+
+def _strip_hocon_extras(text: str) -> str:
+    """Normalize the HOCON conveniences the reference's stage cells use
+    down to strict JSON: ``//`` and ``#`` comments (scd2-job.ipynb's
+    ``//merge key is null``), newline-separated members with no comma,
+    and trailing commas. String-aware — a ``//`` inside ``"s3a://…"``
+    is content, not a comment."""
+    out: list[str] = []
+    last = -1  # index in out of the last significant char
+    newline = False
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            j = i + 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            if j >= n:
+                raise ConfigError("unterminated string in stage config")
+            if newline and last >= 0 and out[last] in _VALUE_END:
+                out.append(",")
+            out.extend(text[i : j + 1])
+            last, newline, i = len(out) - 1, False, j + 1
+        elif text.startswith("//", i) or c == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif c == "\n":
+            newline = True
+            out.append(c)
+            i += 1
+        elif c in " \t\r":
+            out.append(c)
+            i += 1
+        else:
+            if c in "}]" and last >= 0 and out[last] == ",":
+                out[last] = " "  # trailing comma
+                while last >= 0 and out[last] in ' \t\r\n':
+                    last -= 1
+            elif newline and last >= 0 and out[last] in _VALUE_END and c in _VALUE_START:
+                out.append(",")
+            out.append(c)
+            last, newline = len(out) - 1, False
+            i += 1
+    return "".join(out)
+
+
 def parse_stage_config(text: str, variables: dict[str, str]) -> dict[str, Any]:
     """Parse one stage-config cell (JSON with HOCON-isms the reference
-    uses: unquoted ``${VAR}`` splices adjacent to quoted strings)."""
-    text = resolve_vars(_fold_hocon_splices(text), variables)
+    uses: unquoted ``${VAR}`` splices adjacent to quoted strings,
+    comments, optional commas)."""
+    text = resolve_vars(_fold_hocon_splices(_strip_hocon_extras(text)), variables)
     try:
         return json.loads(text)
     except json.JSONDecodeError as e:

@@ -15,10 +15,13 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     count / write parallelism, ``saveMode`` (:169) Overwrite/Append."""
     df = ctx.view(conf["inputView"])
     t = VersionedTable(ctx.spark, conf["outputURI"])
+    n = conf.get("numPartitions")
     t.write(
         df,
         mode=str(conf.get("saveMode", "Overwrite")).lower(),
-        num_partitions=conf.get("numPartitions"),
+        # after ${VAR} splicing numPartitions may arrive as a string —
+        # repartition("4") would treat it as a column name
+        num_partitions=int(n) if n else None,
         operation="LOAD",
     )
     return None
@@ -56,14 +59,15 @@ def versioned_table_merge_load(ctx: PipelineContext, conf: dict) -> DataFrame | 
     if not t.exists():
         raise StageError(f"merge target does not exist: {conf['outputURI']}")
     wmu = conf.get("whenMatchedUpdate") or {}
+    n = conf.get("numPartitions")
     t.merge(
         source=df,
         condition=conf["condition"],
         when_matched_update=wmu.get("values"),
         matched_condition=wmu.get("condition"),
         insert_not_matched="whenNotMatchedByTargetInsert" in conf,
-        num_partitions=conf.get("numPartitions"),
-        validate_unique_match=bool(conf.get("validateUniqueMatch", False)),
+        num_partitions=int(n) if n else None,
+        validate_unique_match=bool(conf.get("validateUniqueMatch", True)),
     )
     return None
 

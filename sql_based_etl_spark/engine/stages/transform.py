@@ -42,7 +42,12 @@ def typing_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
         raise StageError(
             f"TypingTransform: view has {len(df.columns)} columns, schema needs {len(entries)}"
         )
+    return apply_typing(df, entries)
 
+
+def apply_typing(df: DataFrame, entries: list[dict]) -> DataFrame:
+    """Pure typing core: positional cast of ``df``'s columns onto the
+    schema ``entries`` plus the per-row ``_errors`` column."""
     cols = []
     err_entries = []
     for raw_name, entry in zip(df.columns, entries):
@@ -64,11 +69,19 @@ def typing_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             err_entries.append(
                 F.when(raw.isNull(), F.lit(f"{name}: null value for non-nullable field"))
             )
-    errors = (
-        F.filter(F.array(*err_entries), lambda x: x.isNotNull())
-        if err_entries
-        else F.array().cast("array<string>")
-    )
+    # Null-dropping must avoid higher-order functions: F.filter lambdas are
+    # CodegenFallback, and even F.array_compact is RuntimeReplaceable into
+    # filter(..., lambda) — either would drag every CSV-ingest stage out of
+    # whole-stage codegen (see tests/test_plans.py no-lambda gate). concat_ws
+    # skips nulls natively, so join-then-split on an unlikely delimiter
+    # (\x1f unit separator) stays fully codegen'd.
+    if err_entries:
+        joined = F.concat_ws("\x1f", *err_entries)
+        errors = F.when(F.length(joined) == 0, F.array().cast("array<string>")).otherwise(
+            F.split(joined, "\x1f")
+        )
+    else:
+        errors = F.array().cast("array<string>")
     return df.select(*cols, errors.alias("_errors"))
 
 

@@ -58,7 +58,12 @@ def words_col(text: str | Column = "text") -> Column:
     poison every operator in their stage into interpreted evaluation
     (measured ~10-40× slowdowns on the dedup pipelines)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    # split("", " ") yields [""] — map empty/whitespace-only docs to an
+    # empty array so token counts agree with the oracles' len>0 filters
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
 
 
 def shingles_col(words: Column, n: int = 3) -> Column:

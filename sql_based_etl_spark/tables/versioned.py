@@ -41,6 +41,17 @@ class VersionedTableError(RuntimeError):
     pass
 
 
+def _sql_literal(v: object) -> str:
+    """Render a parsed-JSON config value as a SQL expression string."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return str(v)
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -138,11 +149,11 @@ class VersionedTable:
         self,
         source: DataFrame,
         condition: str,
-        when_matched_update: dict[str, str] | None = None,
+        when_matched_update: dict[str, object] | None = None,
         matched_condition: str | None = None,
         insert_not_matched: bool = True,
         num_partitions: int | None = None,
-        validate_unique_match: bool = False,
+        validate_unique_match: bool = True,
     ) -> int:
         """Delta-style ``MERGE INTO`` (DeltaLakeMergeLoad parity,
         scd2-job.ipynb:337-354).
@@ -166,11 +177,9 @@ class VersionedTable:
         joined = t.join(s, F.expr(condition), "full_outer")
 
         if validate_unique_match:
-            # Delta errors when one target row matches several source rows
-            # (the update would be ambiguous). Same check, expressed as a
-            # grouped count over the join — only run when asked (extra job).
-            from pyspark.sql import Window
-
+            # Delta always errors when one target row matches several source
+            # rows (the update would be ambiguous) — fail-loud by default to
+            # match that; opt out only when the extra job is provably wasted.
             key = [F.col(f"target.{c}") for c in t_cols]
             dup = (
                 joined.filter(F.col("__t").isNotNull() & F.col("__s").isNotNull())
@@ -191,7 +200,10 @@ class VersionedTable:
         )
 
         out_cols = []
-        upd = when_matched_update or {}
+        # Config values arrive as parsed JSON — `"iscurrent": false` is a
+        # Python bool (scd2-job.ipynb:349) — so render non-strings as SQL
+        # literals before F.expr ever sees them.
+        upd = {k: _sql_literal(v) for k, v in (when_matched_update or {}).items()}
         t_dtypes = dict(target.dtypes)
         for c in t_cols:
             # Delta coerces update/insert expressions to the target column

@@ -64,3 +64,38 @@ def test_json_quotes_not_mispaired():
     cfg = parse_stage_config(
         '{"outputURI": "${LOC}", "values": {"valid_to": "${TS}", "flag": "false"}}', V)
     assert cfg["values"]["valid_to"] == "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+def test_hocon_comments_and_optional_commas():
+    # the reference notebook's actual cell shape: // comments, members
+    # separated by bare newlines, non-string JSON values
+    # (scd2-job.ipynb:337-354 — `//merge key is null`, `"iscurrent": false`)
+    cell = """
+    {
+      "type": "DeltaLakeMergeLoad"   //merge key is null
+      "name": "merge load"
+      # hash-style comment too
+      "numPartitions": 4
+      "whenMatchedUpdate": {
+        "values": {
+          "iscurrent": false,
+          "valid_to": "${TS}",
+        }
+      }
+    }
+    """
+    cfg = parse_stage_config(cell, V)
+    assert cfg["type"] == "DeltaLakeMergeLoad"
+    assert cfg["numPartitions"] == 4
+    assert cfg["whenMatchedUpdate"]["values"]["iscurrent"] is False
+    assert cfg["whenMatchedUpdate"]["values"]["valid_to"].startswith("TIMESTAMP")
+
+
+def test_comment_markers_inside_strings_preserved():
+    cfg = parse_stage_config('{"u": "s3a://bucket/x", "frag": "a#b"}', V)
+    assert cfg["u"] == "s3a://bucket/x"
+    assert cfg["frag"] == "a#b"
+
+
+def test_trailing_comma_tolerated():
+    assert parse_stage_config('{"a": [1, 2, 3,], "b": 1,}', V) == {"a": [1, 2, 3], "b": 1}

@@ -83,3 +83,24 @@ def test_no_codegen_fallback_lambdas_in_hot_paths(spark, queries):
     for name in ("dedup_minhash_lsh", "text_quality_score", "dedup_simhash"):
         plan = plan_of(queries[name](spark, SF_ORACLE))
         assert "lambdafunction" not in plan.lower(), f"{name} reintroduced a lambda"
+
+
+def test_typing_transform_plan_has_no_lambda(spark):
+    """TypingTransform sits in every CSV-ingest path — its _errors
+    column must be built lambda-free (array_compact, not F.filter) so
+    ingest stays inside whole-stage codegen."""
+    from sql_based_etl_spark.engine.stages.transform import apply_typing
+
+    raw = spark.createDataFrame(
+        [("1", "alice", "2024-01-01 00:00:00"), ("x", None, "nope")],
+        ["id", "name", "ts"],
+    )
+    meta = [
+        {"name": "id", "type": "integer", "nullable": False},
+        {"name": "name", "type": "string"},
+        {"name": "ts", "type": "timestamp"},
+    ]
+    typed = apply_typing(raw, meta)
+    plan = plan_of(typed)
+    assert "lambdafunction" not in plan.lower()
+    assert "EvalPython" not in plan
