@@ -61,13 +61,29 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        # time construction + execution: side-effecting queries (q_scd2_merge
-        # runs its whole pipeline eagerly when invoked) must not hide their
-        # work outside the timed window
+        # Warm pass, then measure: the first execution of a query pays
+        # one-time JVM costs (whole-stage-codegen compilation + JIT of the
+        # generated methods — seconds for the wide minhash/simhash
+        # expressions) that a long-running engine amortizes to zero, and
+        # that vary with host load. The timed pass is the steady-state
+        # per-query cost. Construction is inside the timed window so
+        # side-effecting queries (q_scd2_merge runs its pipeline eagerly
+        # when invoked) don't hide their work.
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = registry[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop caches AND collect dead broadcast/shuffle state: without the
+        # explicit gc, broadcast blocks from earlier queries accumulate and
+        # a later wide self-join pays their eviction/GC inside its timing
+        # (measured 4× inflation on dedup_ngram_jaccard in the full suite)
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
     total = round(sum(timings.values()), 3)
     print(

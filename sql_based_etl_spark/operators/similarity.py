@@ -31,6 +31,22 @@ ANN_TABLES = 4  # hash tables; candidates = union of same-bucket sets
 # (keeps bucket size ~constant), raise tables to claw recall back.
 
 
+def lsh_dup_params(threshold: float, target_recall: float = 0.98) -> tuple[int, int]:
+    """(bits, tables) sized for ``target_recall`` candidate probability
+    at cosine == threshold. Low thresholds mean wide angles where
+    4-bit signatures collide too rarely — the 4×4 ANN default has only
+    ~60% recall at cosine 0.5 — so below 0.8 drop to 2-bit signatures
+    and solve L from 1-(1-p1)^L ≥ target."""
+    import math
+
+    bits = ANN_BITS if threshold >= 0.8 else 2
+    p1 = (1.0 - math.acos(threshold) / math.pi) ** bits
+    if p1 >= 1.0:
+        return bits, 1
+    tables = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1)))
+    return bits, tables
+
+
 def _dot_expr(a: str, b: str, dim: int) -> F.Column:
     """Deterministic left-to-right fold of sum(a[i]*b[i]) in doubles.
 
@@ -230,16 +246,21 @@ def cosine_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = ANN_BITS,
-    tables: int = ANN_TABLES,
+    bits: int | None = None,
+    tables: int | None = None,
 ) -> DataFrame:
     """LSH-blocked embedding near-dup pairs — the 100 TB path promised
     by :func:`cosine_dup_pairs`: instead of the O(n²) cross join, pairs
     are only generated inside shared (table, bucket) LSH blocks, then
     exact-cosine verified. Deterministic hyperplanes ⇒ the candidate
-    set (and thus the result) is engine-reproducible. Recall follows
-    the signature collision probability — at cosine ≥ 0.9 (angle ≤
-    26°) a 4-bit table collides with p ≈ 0.53, four tables ≈ 0.95."""
+    set (and thus the result) is engine-reproducible. bits/tables
+    default to :func:`lsh_dup_params` sized for ≥98% candidate recall
+    at the requested threshold (tests/test_operators.py asserts recall
+    against the exact variant)."""
+    if bits is None or tables is None:
+        d_bits, d_tables = lsh_dup_params(threshold)
+        bits = bits if bits is not None else d_bits
+        tables = tables if tables is not None else d_tables
     sigs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

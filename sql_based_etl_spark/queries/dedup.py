@@ -18,6 +18,7 @@ from sql_based_etl_spark.operators.dedup import (
     ROWS_PER_BAND,
     SIMHASH_BITS,
     SIMHASH_BLOCKS,
+    NGRAM_MAX_DF,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -39,7 +40,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=NGRAM_MAX_DF
+    )
 
 
 QUERIES = {
@@ -75,14 +78,14 @@ ORACLES = {
     "dedup_minhash_lsh": f"""
         WITH docs AS ({_DOCS_SHINGLED}),
         sigs AS (
-            SELECT id, sh,
+            SELECT id, list_distinct(hashes) AS hh,
                    list_transform(generate_series(0, {NUM_HASHES - 1}), j ->
                        list_aggregate(
                            list_transform(hashes, h -> ({_A}[j + 1] * h + {_B}[j + 1]) % {P}),
                            'min')
                    ) AS sig
             FROM (
-                SELECT id, sh,
+                SELECT id,
                        list_transform(sh, s ->
                            CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hashes
                 FROM docs
@@ -100,8 +103,8 @@ ORACLES = {
         )
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT doc_a, doc_b,
-                   round(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
-                         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+                   round(len(list_filter(a.hh, s -> list_contains(b.hh, s)))
+                         / (len(a.hh) + len(b.hh) - len(list_filter(a.hh, s -> list_contains(b.hh, s)))),
                          6) AS jaccard
             FROM cand JOIN sigs a ON a.id = cand.doc_a JOIN sigs b ON b.id = cand.doc_b
         ) WHERE jaccard >= 0.5
@@ -136,9 +139,22 @@ ORACLES = {
               ON x.block = y.block AND x.bkey = y.bkey AND x.id < y.id
         ) WHERE hamming <= 3
     """,
+    # mirrors the operator's document-frequency cutoff: shingles with
+    # df > NGRAM_MAX_DF leave the similarity universe (index AND sizes)
     "dedup_ngram_jaccard": f"""
         WITH docs AS ({_DOCS_SHINGLED}),
-        inv AS (SELECT id, unnest(sh) AS s FROM docs),
+        hdocs AS (
+            SELECT id, list_distinct(list_transform(sh, s ->
+                       CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT))) AS hh
+            FROM docs
+        ),
+        inv0 AS (SELECT id, unnest(hh) AS s FROM hdocs),
+        inv AS (
+            SELECT id, s FROM (
+                SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM inv0
+            ) WHERE df <= {NGRAM_MAX_DF}
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM inv GROUP BY id),
         shared AS (
             SELECT x.id AS doc_a, y.id AS doc_b, count(*) AS shared
             FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
@@ -146,8 +162,8 @@ ORACLES = {
         )
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT doc_a, doc_b,
-                   round(shared / (len(a.sh) + len(b.sh) - shared), 6) AS jaccard
-            FROM shared JOIN docs a ON a.id = doc_a JOIN docs b ON b.id = doc_b
+                   round(shared / (a.sz + b.sz - shared), 6) AS jaccard
+            FROM shared JOIN sizes a ON a.id = doc_a JOIN sizes b ON b.id = doc_b
         ) WHERE jaccard >= 0.5
     """,
 }

@@ -24,6 +24,7 @@ from sql_based_etl_spark.operators.similarity import (
     cosine_dup_pairs_lsh,
     cosine_topk,
     ivf_topk_self,
+    lsh_dup_params,
 )
 from sql_based_etl_spark.queries._util import load
 
@@ -110,6 +111,16 @@ _BUCKETS_UNION = " UNION ALL ".join(
     f"SELECT vec_id, {t} AS tbl, s{t} AS bucket FROM e" for t in range(ANN_TABLES)
 )
 
+# the near-dup LSH uses threshold-derived (bits, tables) — mirror them
+_DUP_BITS, _DUP_TABLES = lsh_dup_params(DUP_THRESHOLD)
+_DUP_SIG_COLS = ", ".join(
+    f"{ann_signature('embedding', t, DIM, _DUP_BITS, one_based=True)} AS s{t}"
+    for t in range(_DUP_TABLES)
+)
+_DUP_BUCKETS_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, s{t} AS bucket FROM e" for t in range(_DUP_TABLES)
+)
+
 _ANN_BODY = f"""
     WITH e AS (SELECT vec_id, embedding, {_SIG_COLS} FROM embeddings),
          b AS ({_BUCKETS_UNION}),
@@ -190,8 +201,8 @@ ORACLES = {
         ) WHERE cosine >= {DUP_THRESHOLD}
     """,
     "sim_cosine_dup_lsh": f"""
-        WITH e AS (SELECT vec_id, embedding, {_SIG_COLS} FROM embeddings),
-             b AS ({_BUCKETS_UNION}),
+        WITH e AS (SELECT vec_id, embedding, {_DUP_SIG_COLS} FROM embeddings),
+             b AS ({_DUP_BUCKETS_UNION}),
              cand AS (
                  SELECT DISTINCT p.vec_id AS id_a, q.vec_id AS id_b
                  FROM b p JOIN b q ON p.tbl = q.tbl AND p.bucket = q.bucket

@@ -233,3 +233,38 @@ def test_stateful_sessionization(spark, tmp_path):
     rows = spark.table(name).collect()
     latest = max((r for r in rows if r.user_id == 1), key=lambda r: r.n_events)
     assert (latest.n_events, latest.n_sessions) == (4, 2)
+
+def test_ngram_df_cutoff_drops_hot_shingle(spark):
+    """A shingle shared by every doc (injected boilerplate) must leave
+    the similarity universe under max_df, so otherwise-unrelated docs
+    don't pair up — and genuinely-duplicate docs still do."""
+    boiler = "copyright license header boilerplate"
+    rows = [(i, f"{boiler} unique words number {i} alpha beta gamma {i}") for i in range(20)]
+    rows += [(100, f"{boiler} the same dup text here exactly"),
+             (101, f"{boiler} the same dup text here exactly")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=10).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # the boilerplate prefix alone (df=22 > 10) must not create pairs
+    assert got == {(100, 101)}, got
+    # with the guard off, boilerplate shingles drag unrelated docs in
+    raw = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
+    assert raw.count() > 1
+
+
+def test_cosine_dup_lsh_recall_vs_exact(spark, embeddings):
+    """The LSH-blocked near-dup variant must recover the exact
+    variant's pairs at the configured threshold (non-vacuous: the
+    fixture has at least one true pair at 0.5)."""
+    from sql_based_etl_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_lsh,
+    )
+    from sql_based_etl_spark.queries.similarity import DUP_THRESHOLD
+
+    exact = {(r.id_a, r.id_b) for r in cosine_dup_pairs(embeddings, DUP_THRESHOLD).collect()}
+    assert exact, "fixture should contain at least one near-dup embedding pair"
+    lsh = {(r.id_a, r.id_b) for r in cosine_dup_pairs_lsh(embeddings, DUP_THRESHOLD).collect()}
+    assert lsh <= exact  # precision exact by construction (verified cosine)
+    recall = len(exact & lsh) / len(exact)
+    assert recall == 1.0, f"LSH near-dup recall {recall}: missed {exact - lsh}"
