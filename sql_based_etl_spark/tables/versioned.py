@@ -11,26 +11,35 @@ Delta backend can be swapped in where its jars exist).
 Layout::
 
     <root>/_meta/v{N:08d}.json   one manifest per version
-    <root>/data/v{N:08d}/        parquet files for that version
+    <root>/data/v{N:08d}/        parquet files written by that version
 
-Readers list ``_meta`` and take the highest N — a reader never sees a
-half-written version because the manifest is written only after the
-data directory is fully committed by Spark. Single-writer semantics
-(matching the reference's Argo DAG, scd2-job-scheduler.yaml:47-48:
-merges are serialized behind their dependencies).
+A manifest lists the **files** composing its snapshot — copy-on-write
+at file granularity, like Delta/Iceberg: a version may reference files
+written by earlier versions. Readers list ``_meta`` and take the
+highest N; a reader never sees a half-written version because the
+manifest is committed (create temp + rename) only after the data files
+are fully written. Single-writer semantics (matching the reference's
+Argo DAG, scd2-job-scheduler.yaml:47-48: merges are serialized behind
+their dependencies).
 
-Scale posture: MERGE is one shuffle join on the merge condition plus a
-full snapshot rewrite. At 100 TB a production system prunes rewrite to
-matched files (copy-on-write at file granularity); the manifest format
-already records per-version file lists so that optimization slots in
-without changing the stage API. ``repartitionBeforeWrite`` semantics
-(scd2-job-scheduler.yaml:63-64) map to the ``num_partitions`` knob.
+All metadata I/O goes through the Hadoop FileSystem API (via the JVM
+gateway), so a table can live on any Hadoop-supported filesystem —
+``file://`` locally, ``hdfs://``/``s3a://`` on a cluster (the
+reference's tables are on S3, scd2-job.ipynb:42,167). Manifest commit
+is atomic where rename is atomic (HDFS); on S3A it degrades to
+last-writer-wins, acceptable under the single-writer contract above.
+
+Scale posture: MERGE joins the source against only the target files
+that contain matching rows (detected with one semi-join over
+``input_file_name()``) and rewrites only those; untouched files are
+carried forward by reference. APPEND writes only the new files. The
+``repartitionBeforeWrite`` knob (scd2-job-scheduler.yaml:63-64) maps
+to ``num_partitions``.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,22 +64,58 @@ def _sql_literal(v: object) -> str:
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
-        self._meta_dir = os.path.join(path, "_meta")
+        self.path = path.rstrip("/")
+
+    # --- Hadoop FS plumbing -----------------------------------------------
+
+    def _jpath(self, *parts: str):
+        jvm = self.spark.sparkContext._jvm  # noqa: SLF001
+        return jvm.org.apache.hadoop.fs.Path("/".join((self.path, *parts)))
+
+    def _fs(self):
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        return self._jpath("_meta").getFileSystem(conf)
+
+    def _read_text(self, jpath) -> str:
+        jvm = self.spark.sparkContext._jvm  # noqa: SLF001
+        stream = self._fs().open(jpath)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def _write_text_atomic(self, name: str, data: str) -> None:
+        """Commit ``_meta/<name>`` via create-temp + rename."""
+        fs = self._fs()
+        fs.mkdirs(self._jpath("_meta"))
+        tmp = self._jpath("_meta", f".{name}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        if not fs.rename(tmp, self._jpath("_meta", name)):
+            raise VersionedTableError(f"cannot commit manifest {name} at {self.path}")
 
     # --- metadata ---------------------------------------------------------
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self._meta_dir):
+        fs = self._fs()
+        meta = self._jpath("_meta")
+        if not fs.exists(meta):
             return []
         out = []
-        for fn in os.listdir(self._meta_dir):
+        for st in fs.listStatus(meta):
+            fn = st.getPath().getName()
             if fn.startswith("v") and fn.endswith(".json"):
                 out.append(int(fn[1:-5]))
         return sorted(out)
 
     def exists(self) -> bool:
         return bool(self.versions())
+
+    def manifest(self, version: int) -> dict:
+        return json.loads(self._read_text(self._jpath("_meta", f"v{version:08d}.json")))
 
     def latest_version(self) -> int:
         vs = self.versions()
@@ -80,11 +125,7 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         """Per-version metadata, newest first (DeltaTable.history parity)."""
-        out = []
-        for v in reversed(self.versions()):
-            with open(os.path.join(self._meta_dir, f"v{v:08d}.json")) as f:
-                out.append(json.load(f))
-        return out
+        return [self.manifest(v) for v in reversed(self.versions())]
 
     def resolve_version(self, version: int | None = None, relative_version: int | None = None) -> int:
         """Arc's relativeVersion: 0 = latest, -1 = previous, …
@@ -107,43 +148,88 @@ class VersionedTable:
             return vs[idx]
         return vs[-1]
 
+    def files(self, version: int | None = None, relative_version: int | None = None) -> list[str]:
+        """Table-relative data-file paths composing a snapshot."""
+        v = self.resolve_version(version, relative_version)
+        return list(self.manifest(v)["files"])
+
     # --- read / write -----------------------------------------------------
 
     def read(self, version: int | None = None, relative_version: int | None = None) -> DataFrame:
         v = self.resolve_version(version, relative_version)
-        return self.spark.read.parquet(os.path.join(self.path, "data", f"v{v:08d}"))
+        rel = self.files(v)
+        if not rel:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame([], StructType.fromJson(self.manifest(v)["schema"]))
+        return self.spark.read.parquet(*[f"{self.path}/{f}" for f in rel])
+
+    def _write_data_files(self, df: DataFrame, version: int,
+                          num_partitions: int | None) -> list[str]:
+        """Write ``df`` under ``data/v{version}/`` and return the
+        table-relative paths of the files written."""
+        if num_partitions:
+            df = df.repartition(int(num_partitions))
+        rel_dir = f"data/v{version:08d}"
+        df.write.mode("errorifexists").parquet(f"{self.path}/{rel_dir}")
+        fs = self._fs()
+        out = []
+        for st in fs.listStatus(self._jpath(rel_dir)):
+            fn = st.getPath().getName()
+            if not fn.startswith("_") and not fn.startswith("."):
+                out.append(f"{rel_dir}/{fn}")
+        return sorted(out)
+
+    def _commit(self, version: int, operation: str, files: list[str],
+                schema: dict, extra: dict | None = None) -> int:
+        manifest = {
+            "version": version,
+            "operation": operation,
+            "timestamp": time.time(),
+            "files": files,
+            "schema": schema,
+            **(extra or {}),
+        }
+        self._write_text_atomic(f"v{version:08d}.json", json.dumps(manifest))
+        return version
 
     def write(self, df: DataFrame, mode: str = "overwrite", num_partitions: int | None = None,
               operation: str = "WRITE") -> int:
-        """Commit ``df`` as a new version. ``mode='append'`` unions with
-        the current snapshot; ``'overwrite'`` replaces it."""
+        """Commit ``df`` as a new version. ``mode='append'`` adds files
+        to the current snapshot (no rewrite of existing data);
+        ``'overwrite'`` replaces the snapshot."""
         vs = self.versions()
-        if mode == "append" and vs:
-            df = self.read().unionByName(df)
-        elif mode not in ("overwrite", "append", "errorifexists"):
+        if mode not in ("overwrite", "append", "errorifexists"):
             raise VersionedTableError(f"unsupported saveMode {mode}")
         if mode == "errorifexists" and vs:
             raise VersionedTableError(f"table exists at {self.path}")
         new_v = (vs[-1] + 1) if vs else 0
-        if num_partitions:
-            df = df.repartition(num_partitions)
-        data_dir = os.path.join(self.path, "data", f"v{new_v:08d}")
-        df.write.mode("errorifexists").parquet(data_dir)
-        os.makedirs(self._meta_dir, exist_ok=True)
-        manifest = {
-            "version": new_v,
-            "operation": operation,
-            "timestamp": time.time(),
-            "data_dir": f"data/v{new_v:08d}",
-            "schema": df.schema.jsonValue(),
-        }
-        tmp = os.path.join(self._meta_dir, f".v{new_v:08d}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self._meta_dir, f"v{new_v:08d}.json"))
-        return new_v
+        new_files = self._write_data_files(df, new_v, num_partitions)
+        carried = self.files(vs[-1]) if (mode == "append" and vs) else []
+        return self._commit(new_v, operation if mode != "append" else "APPEND",
+                            carried + new_files, df.schema.jsonValue())
 
     # --- merge (the SCD2 workhorse) ----------------------------------------
+
+    _FILE_RE = r"(data/v\d{8}/[^/]+)$"
+
+    def _matched_files(self, source: DataFrame, condition: str) -> list[str]:
+        """Data files containing at least one row matching the merge
+        condition — one semi-join job whose output is a (tiny) file
+        list. This is the copy-on-write pruning step: everything else
+        is carried forward untouched."""
+        tagged = (
+            self.read()
+            .withColumn("__file", F.regexp_extract(F.input_file_name(), self._FILE_RE, 1))
+            .alias("target")
+        )
+        rows = (
+            tagged.join(source.alias("source"), F.expr(condition), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["__file"] for r in rows)
 
     def merge(
         self,
@@ -165,14 +251,34 @@ class VersionedTable:
         on the source route rows to the insert branch via standard SQL
         null semantics (scd2-job.ipynb:298,309) — no special code.
 
-        Physical shape: one full-outer shuffle join target⋈source on the
-        condition, branch classification with ``when()``, snapshot write.
-        Update expressions see both aliases; inserted rows take the
-        source columns positionally mapped onto the target schema.
+        Physical shape (copy-on-write at file granularity):
+
+        1. one semi-join finds the target files containing matched rows;
+        2. only those files join the source (full-outer on the
+           condition) and are rewritten with update/insert branches
+           applied — a source row that matches nothing in the matched
+           subset matches nothing globally, so insert routing over the
+           subset is exact;
+        3. unmatched files are carried forward by reference in the new
+           manifest — a merge touching 1 of N files rewrites ~1 file.
         """
-        target = self.read()
-        t_cols = target.columns
-        t = target.alias("target").withColumn("__t", F.lit(1))
+        vs = self.versions()
+        if not vs:
+            raise VersionedTableError(f"no versions at {self.path}")
+        cur_v = vs[-1]
+        all_files = self.files(cur_v)
+        matched_files = self._matched_files(source, condition) if all_files else []
+        carried = [f for f in all_files if f not in set(matched_files)]
+
+        target_full = self.read()
+        t_cols = target_full.columns
+        t_dtypes = dict(target_full.dtypes)
+        if matched_files:
+            subset = self.spark.read.parquet(*[f"{self.path}/{f}" for f in matched_files])
+        else:
+            subset = self.spark.createDataFrame([], target_full.schema)
+
+        t = subset.alias("target").withColumn("__t", F.lit(1))
         s = source.alias("source").withColumn("__s", F.lit(1))
         joined = t.join(s, F.expr(condition), "full_outer")
 
@@ -204,7 +310,6 @@ class VersionedTable:
         # Python bool (scd2-job.ipynb:349) — so render non-strings as SQL
         # literals before F.expr ever sees them.
         upd = {k: _sql_literal(v) for k, v in (when_matched_update or {}).items()}
-        t_dtypes = dict(target.dtypes)
         for c in t_cols:
             # Delta coerces update/insert expressions to the target column
             # type (the reference relies on this: boolean `false` lands in
@@ -230,5 +335,13 @@ class VersionedTable:
         if not insert_not_matched:
             result = result.filter(F.col("__t").isNotNull())
         result = result.select(*out_cols)
-        return self.write(result, mode="overwrite", num_partitions=num_partitions,
-                          operation="MERGE")
+
+        new_v = cur_v + 1
+        new_files = self._write_data_files(result, new_v, num_partitions)
+        return self._commit(
+            new_v, "MERGE", carried + new_files, target_full.schema.jsonValue(),
+            extra={
+                "files_rewritten": len(matched_files),
+                "files_carried": len(carried),
+            },
+        )
