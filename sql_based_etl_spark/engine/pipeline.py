@@ -82,3 +82,102 @@ class Pipeline:
                 if self.ctx.num_rows_preview:
                     df.show(self.ctx.num_rows_preview, truncate=False)
         return self.ctx
+
+    def run_dag(self, stages: list[dict[str, Any]]) -> PipelineContext:
+        """P6 DAG execution (SURVEY.md §2e): topologically order an
+        *unordered* stage list and run it.
+
+        Dependency edges, mirroring what the reference's Argo DAG
+        encodes by hand (scd2-job-scheduler.yaml:47-48, where SCD2-merge
+        depends on initial-load and delta-load):
+
+        - **view edges** — a stage consuming a view (``inputView``,
+          ``inputViews``, or a view name referenced in its ``sql`` text)
+          depends on the stage producing it via ``outputView``;
+        - **table edges** — a stage reading ``inputURI`` (and a merge
+          stage targeting ``outputURI``) depends on stages that write
+          that same URI, so loads precede merges into the same table;
+        - **explicit ``dependsOn``** — a list of stage names, for
+          ordering the graph can't infer (side-effect ordering).
+
+        Ties are broken by list position, so a correctly-ordered list
+        executes identically under ``run`` and ``run_dag``.
+        """
+        order = self._topo_order(stages)
+        return self.run([stages[i] for i in order])
+
+    @staticmethod
+    def _topo_order(stages: list[dict[str, Any]]) -> list[int]:
+        import heapq
+        import re
+
+        view_producers: dict[str, list[int]] = {}
+        uri_producers: dict[str, list[int]] = {}
+        by_name: dict[str, int] = {}
+        for i, st in enumerate(stages):
+            if st.get("outputView"):
+                view_producers.setdefault(st["outputView"], []).append(i)
+            if st.get("outputURI"):
+                uri_producers.setdefault(st["outputURI"], []).append(i)
+            if st.get("name"):
+                by_name[st["name"]] = i
+
+        deps: list[set[int]] = [set() for _ in stages]
+        for i, st in enumerate(stages):
+            consumed = list(st.get("inputViews") or [])
+            if st.get("inputView"):
+                consumed.append(st["inputView"])
+            sql = st.get("sql")
+            if sql:
+                consumed += [v for v in view_producers
+                             if re.search(rf"\b{re.escape(v)}\b", sql)]
+            for v in consumed:
+                deps[i].update(p for p in view_producers.get(v, []) if p != i)
+            explicit = set()
+            for dep_name in st.get("dependsOn") or []:
+                if dep_name not in by_name:
+                    raise ConfigError(
+                        f"stage {st.get('name', i)!r} dependsOn unknown stage {dep_name!r}"
+                    )
+                explicit.add(by_name[dep_name])
+            deps[i].update(explicit)
+
+            def uri_edges(uri: str) -> None:
+                # A URI written by several stages (load, then merge) has
+                # multiple sequential states the graph alone can't order a
+                # reader against — when the stage names one of the writers
+                # in dependsOn, that explicit choice REPLACES the inferred
+                # depend-on-every-writer edges (the reference resolves the
+                # same ambiguity with Argo `dependencies`,
+                # scd2-job-scheduler.yaml:47-48).
+                producers = [p for p in uri_producers.get(uri, []) if p != i]
+                if not (explicit & set(producers)):
+                    deps[i].update(producers)
+
+            if st.get("inputURI"):
+                uri_edges(st["inputURI"])
+            # a merge both reads and writes its target table: it must run
+            # after any other stage that writes the same URI
+            if st.get("outputURI") and "Merge" in str(st.get("type", "")):
+                uri_edges(st["outputURI"])
+
+        # Kahn's algorithm with a min-heap: deterministic, list-position
+        # tie-break (an already-ordered list round-trips unchanged)
+        out: list[int] = []
+        pending = [d.copy() for d in deps]
+        ready = [i for i, d in enumerate(pending) if not d]
+        heapq.heapify(ready)
+        done: set[int] = set()
+        while ready:
+            i = heapq.heappop(ready)
+            out.append(i)
+            done.add(i)
+            for j, d in enumerate(pending):
+                if j not in done and i in d:
+                    d.discard(i)
+                    if not d:
+                        heapq.heappush(ready, j)
+        if len(out) != len(stages):
+            cyc = [stages[i].get("name", i) for i in range(len(stages)) if i not in done]
+            raise ConfigError(f"stage dependency cycle among: {cyc}")
+        return out

@@ -108,7 +108,11 @@ def jdbc_execute(ctx: PipelineContext, conf: dict) -> DataFrame | None:
                          f"(driver jar on classpath?): {e}") from e
     try:
         stmt = conn.createStatement()
-        stmt.execute(sql)
+        # split multi-statement scripts like sql_execute does — JDBC
+        # Statement.execute takes one statement at a time (Athena DDL
+        # scripts commonly hold several, scd2-job.ipynb:379)
+        for piece in filter(None, (x.strip() for x in sql.split(";"))):
+            stmt.execute(piece)
         stmt.close()
     finally:
         conn.close()

@@ -89,8 +89,13 @@ def scd2_stages(fixture_dir, table_dir):
         {"type": "SQLTransform", "name": "calc cdc", "environments": ["dev", "test"],
          "sql": CALC_SQL, "outputView": "cdc_calc",
          "sqlParams": {"table_name": "cdc_typed", "current_ts": TS2}},
+        # dependsOn pins the snapshot read between the initial load and the
+        # merge (the table URI is written twice; the graph alone can't
+        # order a reader against sequential states — same resolution as
+        # the reference's Argo dependencies, scd2-job-scheduler.yaml:47-48)
         {"type": "DeltaLakeExtract", "name": "read current", "environments": ["dev", "test"],
-         "inputURI": str(table_dir), "outputView": "current_snapshot"},
+         "inputURI": str(table_dir), "outputView": "current_snapshot",
+         "dependsOn": ["initial load"]},
         {"type": "SQLTransform", "name": "stage updates", "environments": ["dev", "test"],
          "sql": STAGE_SQL, "outputView": "staged_update"},
         {"type": "DeltaLakeMergeLoad", "name": "scd2 merge", "environments": ["dev", "test"],
@@ -252,3 +257,42 @@ def test_versioned_table_history_and_append(spark, tmp_path):
     assert [h["version"] for h in t.history()] == [1, 0]
     with pytest.raises(VersionedTableError):
         t.read(relative_version=-5)
+
+
+def test_scd2_dag_runner_reorders_unordered_stages(spark, fixture_dir, tmp_path):
+    """P6 DAG execution (scd2-job-scheduler.yaml:47-48): the same SCD2
+    pipeline given as a deliberately scrambled stage list must
+    topologically re-order (extract -> typing -> calc -> load -> stage
+    -> merge) and produce the identical golden state."""
+    import random
+
+    table_dir = str(tmp_path / "contact_dag")
+    stages = scd2_stages(fixture_dir, table_dir)
+    scrambled = list(stages)
+    random.Random(7).shuffle(scrambled)
+    assert [s.get("name") for s in scrambled] != [s.get("name") for s in stages]
+    Pipeline(spark, environment="dev").run_dag(scrambled)
+    assert_goldens(spark, table_dir)
+
+
+def test_dag_explicit_depends_on_and_cycle_detection(spark):
+    from sql_based_etl_spark.engine.config import ConfigError
+
+    # dependsOn forces an order the graph can't infer
+    order = Pipeline._topo_order([
+        {"name": "b", "type": "SQLTransform", "sql": "SELECT 1", "outputView": "vb",
+         "dependsOn": ["a"]},
+        {"name": "a", "type": "SQLTransform", "sql": "SELECT 1", "outputView": "va"},
+    ])
+    assert order == [1, 0]
+    # an ordered list round-trips unchanged (position tie-break)
+    assert Pipeline._topo_order([
+        {"name": "x", "type": "SQLTransform", "sql": "SELECT 1", "outputView": "v1"},
+        {"name": "y", "type": "SQLTransform", "sql": "SELECT * FROM v1", "outputView": "v2"},
+        {"name": "z", "type": "SQLTransform", "sql": "SELECT 1", "outputView": "v3"},
+    ]) == [0, 1, 2]
+    with pytest.raises(ConfigError, match="cycle"):
+        Pipeline._topo_order([
+            {"name": "a", "type": "SQLTransform", "sql": "SELECT * FROM v2", "outputView": "v1"},
+            {"name": "b", "type": "SQLTransform", "sql": "SELECT * FROM v1", "outputView": "v2"},
+        ])

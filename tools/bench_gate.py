@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Bench regression gate: run bench.py and compare per-query timings
+against the committed baseline (BENCH_BASELINE.json).
+
+Fails (exit 1) when the total or any individual headline query exceeds
+``factor`` x its baseline. Default factor 1.3: bench.py measures warmed
+steady-state runs, which removes JIT noise, but host-speed drift of
++/-20% between sessions is routinely observed in this sandbox — 1.2
+would false-positive on an unchanged tree.
+
+Usage: python tools/bench_gate.py [factor]
+Refresh the baseline after a *deliberate* perf change with:
+    python bench.py > /tmp/b.json && python tools/bench_gate.py --update /tmp/b.json
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+BASELINE = ROOT / "BENCH_BASELINE.json"
+
+
+def run_bench() -> dict:
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True, text=True, check=True, cwd=ROOT,
+    ).stdout.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--update":
+        BASELINE.write_text(pathlib.Path(sys.argv[2]).read_text())
+        print(f"baseline updated from {sys.argv[2]}")
+        return 0
+    factor = float(sys.argv[1]) if len(sys.argv) > 1 else 1.3
+    base = json.loads(BASELINE.read_text())
+    cur = run_bench()
+    failures = []
+    if cur["value"] > base["value"] * factor:
+        failures.append(f"TOTAL {cur['value']:.2f}s > {factor}x baseline {base['value']:.2f}s")
+    for q, t in cur["queries"].items():
+        b = base["queries"].get(q)
+        if b is not None and t > b * factor and t - b > 0.3:
+            failures.append(f"{q}: {t:.2f}s > {factor}x baseline {b:.2f}s")
+    for q in base["queries"]:
+        if q not in cur["queries"]:
+            failures.append(f"{q}: dropped from bench")
+    print(json.dumps({"current_total": cur["value"], "baseline_total": base["value"],
+                      "factor": factor, "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
