@@ -55,34 +55,37 @@ def decode_features(df: DataFrame, id_col: str = "doc_id",
 
     def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                # byte walking vectorized in numpy (a pure-Python
-                # per-byte loop was ~50× slower per batch); the 256-term
-                # entropy sum stays a Python left fold so the result is
-                # bit-identical to a naive sum() reference
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = int(arr.size)
-                if n:
-                    counts = np.bincount(arr, minlength=256)
-                    p = counts[counts > 0] / n
-                    ent = -sum((p * np.log2(p)).tolist())
-                    mean = round(int(arr.sum(dtype=np.int64)) / n, 6)
-                else:
-                    ent, mean = 0.0, 0.0
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_bytes": n,
-                        # fake geometry derived from content, stable
-                        "width": 1 + n % 64,
-                        "height": 1 + (n // 64) % 64,
-                        "n_channels": 3,
-                        "mean_byte": mean,
-                        "byte_entropy": round(ent, 6),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            # whole-batch vectorization: concatenate every payload into one
+            # byte buffer and build all per-row 256-bin histograms with a
+            # single bincount over (row_index*256 + byte) — no Python work
+            # per row, which is the entire point of the Arrow batch path
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            nrows = len(payloads)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nrows)
+            all_bytes = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_of_byte = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            counts = np.bincount(
+                row_of_byte * 256 + all_bytes, minlength=nrows * 256
+            ).reshape(nrows, 256)
+            safe_n = np.maximum(lens, 1)
+            mean = np.round(counts @ np.arange(256, dtype=np.int64) / safe_n, 6)
+            p = counts / safe_n[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                terms = np.where(p > 0, p * np.log2(p), 0.0)
+            ent = np.round(-terms.sum(axis=1), 6)
+            empty = lens == 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "n_bytes": lens.astype(np.int32),
+                    # fake geometry derived from content, stable
+                    "width": (1 + lens % 64).astype(np.int32),
+                    "height": (1 + (lens // 64) % 64).astype(np.int32),
+                    "n_channels": np.full(nrows, 3, dtype=np.int32),
+                    "mean_byte": np.where(empty, 0.0, mean),
+                    "byte_entropy": np.where(empty, 0.0, ent),
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_fake_decode, FEATURE_SCHEMA)
 
