@@ -70,7 +70,7 @@ def similarity_search_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
 
 def text_analysis_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
     """``TextAnalysisTransform``: analysis ∈ language_id | quality |
-    token_count | fingerprint."""
+    token_count | fingerprint | pii_scrub | quality_filter."""
     from sql_based_etl_spark.operators import textops
 
     df = ctx.view(conf["inputView"])
@@ -84,6 +84,15 @@ def text_analysis_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
         return textops.token_counts(df, text_col)
     if analysis == "fingerprint":
         return textops.fingerprint(df, text_col)
+    if analysis == "pii_scrub":
+        return textops.pii_scrub(df, text_col, conf.get("idColumn", "doc_id"))
+    if analysis == "quality_filter":
+        return textops.quality_filter(
+            df,
+            min_words=int(conf.get("minWords", 30)),
+            min_score=float(conf.get("minScore", 0.45)),
+            text_col=text_col,
+        )
     raise StageError(f"TextAnalysisTransform: unknown analysis {analysis!r}")
 
 

@@ -62,9 +62,9 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality features + composite score: length, word count, mean
-    word length, punctuation ratio, stopword ratio.
+def quality_cols(text_col: str = "text") -> dict[str, Column]:
+    """Quality feature columns + composite score: length, word count,
+    mean word length, punctuation ratio, stopword ratio.
 
     Every feature is a plain string expression (length/regexp_replace/
     regexp_count) — no token arrays, no lambdas — so the whole operator
@@ -86,15 +86,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + stop_ratio * 0.3,
         6,
     )
-    return df.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
-    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    qc = quality_cols(text_col)
+    return df.select("doc_id", *[c.alias(n) for n, c in qc.items()])
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -107,14 +111,17 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", ws.alias("ws_tokens"), bpe.alias("regex_tokens"))
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint_col(text_col: str = "text") -> Column:
     """Key-collapsing fingerprint: sorted distinct lowercase tokens,
     md5-hashed — the classic normalization for clustering variant
     duplicates (whitespace/order/case-insensitive)."""
     # sort_array, not array_sort: the latter is a higher-order function
     # (lambda comparator) and falls out of codegen
-    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(words_col(text_col)))))
-    return df.select("doc_id", fp.alias("fingerprint"))
+    return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(words_col(text_col)))))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", fingerprint_col(text_col).alias("fingerprint"))
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text",
@@ -148,4 +155,73 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
         ex.select("doc_id", rot.alias("rot"))
         .groupBy("doc_id")
         .agg(F.expr("bit_xor(rot)").alias("rolling_fp"))
+    )
+
+
+# PII redaction patterns — a regex subset on which Java regex (Spark)
+# and RE2 (DuckDB) agree token-for-token, so the oracle can reproduce
+# the scrub byte-identically. Order matters: URLs first (they often
+# contain digit runs and @-signs), then emails, then long digit runs.
+PII_PATTERNS = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("digits", r"[0-9]{7,}", "<NUM>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Training-data PII scrub: redact URLs, email addresses, and long
+    digit runs (phone/account-number shaped), reporting per-document
+    redaction counts.
+
+    Pure regexp_count/regexp_replace projection — codegen'd, zero
+    shuffle, pipelines straight off the scan like the other text ops.
+    Counts are taken *in scrub order* on the progressively-cleaned
+    text, so a URL containing digits counts once as a URL and never as
+    a digit run (the redaction literally removes it first)."""
+    cur: Column = F.col(text_col)
+    counts = {}
+    for name, pattern, repl in PII_PATTERNS:
+        counts[name] = F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, repl)
+    return df.select(
+        id_col,
+        counts["url"].alias("n_urls"),
+        counts["email"].alias("n_emails"),
+        counts["digits"].alias("n_digit_runs"),
+        cur.alias("clean_text"),
+    )
+
+
+def quality_filter(df: DataFrame, min_words: int = 30, min_score: float = 0.45,
+                   text_col: str = "text") -> DataFrame:
+    """Composite pretraining-data gate — the filter chain a training
+    corpus actually runs: identified language + length floor + quality
+    score floor + variant-duplicate removal (keep the lowest doc_id per
+    key-collapsing fingerprint).
+
+    One scan carries every per-row feature (language votes, quality
+    score, fingerprint are all codegen'd projections); the only shuffle
+    is the fingerprint window that picks cluster representatives."""
+    from pyspark.sql import Window
+
+    qc = quality_cols(text_col)
+    scored = language_id(df, text_col).select(
+        "doc_id",
+        "pred_lang",
+        qc["n_words"].alias("n_words"),
+        qc["quality_score"].alias("quality_score"),
+        fingerprint_col(text_col).alias("__fp"),
+    )
+    rep = F.min("doc_id").over(Window.partitionBy("__fp"))
+    return (
+        scored.withColumn("__rep", rep)
+        .filter(
+            (F.col("doc_id") == F.col("__rep"))
+            & (F.col("pred_lang") != "und")
+            & (F.col("n_words") >= min_words)
+            & (F.col("quality_score") >= min_score)
+        )
+        .select("doc_id", "pred_lang", "n_words", "quality_score")
     )

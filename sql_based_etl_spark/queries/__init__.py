@@ -32,6 +32,8 @@ APPENDIX = [
     "q22_idle_rich_customers",  # correlated NOT EXISTS — graded via q_anti_join
     "q_session_window",  # session_window() twin of q_sessionize (identical output)
     "q_moving_sum_range",  # RANGE window frame — ROWS frame graded via q_running_total
+    "q_event_window_agg",  # time-bucket agg — graded via q_hypertable_rollup (2-level buckets)
+    "text_language_id",  # per-doc scores — graded via text_language_id_accuracy (same operator + agg)
 ]
 
 

@@ -6,11 +6,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_based_etl_spark.operators.textops import (
+    PII_PATTERNS,
     STOPWORDS,
     TOKEN_REGEX,
     fingerprint,
     language_id,
+    pii_scrub,
     quality_features,
+    quality_filter,
     rolling_fingerprint,
     token_counts,
 )
@@ -51,6 +54,28 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The synthetic documents contain
+    no PII, so a third of them get a deterministic injection (email +
+    URL + long digit run derived from doc_id) before the scrub — the
+    oracle mirrors the injection, so both engines redact real work."""
+    d = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com or https://ex.io/d/"),
+        sid, F.lit(" ref "), (F.col("doc_id") * 1234567 + 10000000).cast("string"),
+    )
+    body = F.when(F.col("doc_id") % 3 == 0, injected).otherwise(F.col("text"))
+    return pii_scrub(d.withColumn("text", body))
+
+
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite pretraining gate (language + length + quality +
+    variant-dedup) over the documents corpus."""
+    return quality_filter(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_language_id": text_language_id,
     "text_language_id_accuracy": text_language_id_accuracy,
@@ -58,6 +83,8 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_rolling_fingerprint": text_rolling_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
+    "docs_quality_filter": docs_quality_filter,
 }
 
 # --- oracle SQL -------------------------------------------------------------
@@ -127,6 +154,63 @@ ORACLES = {
         SELECT md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS fingerprint,
                min(doc_id) AS representative, count(*) AS cluster_size
         FROM documents GROUP BY 1
+    """,
+    # scrub order mirrors PII_PATTERNS: counts taken on the
+    # progressively-cleaned text, DuckDB regexp_replace needs the 'g' flag
+    "text_pii_scrub": f"""
+        WITH body AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                                    '@example.com or https://ex.io/d/', CAST(doc_id AS VARCHAR),
+                                    ' ref ', CAST(doc_id * 1234567 + 10000000 AS VARCHAR))
+                        ELSE text END AS t
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{PII_PATTERNS[0][1]}')) AS INTEGER) AS n_urls,
+                   regexp_replace(t, '{PII_PATTERNS[0][1]}', '{PII_PATTERNS[0][2]}', 'g') AS t
+            FROM body
+        ),
+        s2 AS (
+            SELECT doc_id, n_urls,
+                   CAST(len(regexp_extract_all(t, '{PII_PATTERNS[1][1]}')) AS INTEGER) AS n_emails,
+                   regexp_replace(t, '{PII_PATTERNS[1][1]}', '{PII_PATTERNS[1][2]}', 'g') AS t
+            FROM s1
+        )
+        SELECT doc_id, n_urls, n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PATTERNS[2][1]}')) AS INTEGER) AS n_digit_runs,
+               regexp_replace(t, '{PII_PATTERNS[2][1]}', '{PII_PATTERNS[2][2]}', 'g') AS clean_text
+        FROM s2
+    """,
+    "docs_quality_filter": f"""
+        WITH scored AS ({_LANG_SCORED}),
+        q AS (
+            SELECT doc_id,
+                   CAST(len(words) AS INTEGER) AS n_words,
+                   round(least(len(words) / 100.0, 1.0) * 0.4
+                         + (1.0 - round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                                        / greatest(length(text), 1), 6)) * 0.3
+                         + round(len(list_filter(words, w -> list_contains({_ALL_SW}, w)))
+                                 / greatest(len(words), 1), 6) * 0.3, 6) AS quality_score
+            FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+        ),
+        fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS f
+            FROM documents
+        ),
+        rep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS r FROM fp
+            ) WHERE doc_id = r
+        )
+        SELECT s.doc_id, s.pred_lang, q.n_words, q.quality_score
+        FROM scored s
+        JOIN q ON q.doc_id = s.doc_id
+        JOIN rep ON rep.doc_id = s.doc_id
+        WHERE s.pred_lang <> 'und' AND q.n_words >= 30 AND q.quality_score >= 0.45
     """,
     "text_rolling_fingerprint": f"""
         WITH toks AS (

@@ -270,3 +270,46 @@ def test_cosine_dup_lsh_recall_vs_exact(spark, embeddings):
     assert lsh <= exact  # precision exact by construction (verified cosine)
     recall = len(exact & lsh) / len(exact)
     assert recall == 1.0, f"LSH near-dup recall {recall}: missed {exact - lsh}"
+
+
+def test_pii_scrub_semantics(spark):
+    """Redaction order: URLs first (a URL's digits/@ must not double-
+    count), then emails, then 7+ digit runs; short digit runs stay."""
+    from sql_based_etl_spark.operators.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail john.doe+x@ex-ample.co.uk now"),
+            (2, "see https://a.b/c?d=123456789&u=a@b.cc end"),
+            (3, "phone 5551234567 id 123456"),
+            (4, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_urls, out[1].n_digit_runs) == (1, 0, 0)
+    assert out[1].clean_text == "mail <EMAIL> now"
+    # the URL swallows both the digit run and the @-token inside it
+    assert (out[2].n_urls, out[2].n_emails, out[2].n_digit_runs) == (1, 0, 0)
+    assert out[2].clean_text == "see <URL> end"
+    assert (out[3].n_digit_runs, out[3].clean_text) == (1, "phone <NUM> id 123456")
+    assert out[4].clean_text == "clean text"
+
+
+def test_quality_filter_gates(spark):
+    """Each gate of the composite filter actually rejects: short docs,
+    unidentifiable language, and fingerprint-duplicate variants."""
+    from sql_based_etl_spark.operators.textops import quality_filter
+
+    good = ("the and of to in is a that it for " * 5).strip()  # en, 50 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "qqq zzz xxx"),  # no stopwords -> 'und', too short
+            (3, good + " "),  # whitespace variant of 1 -> same fingerprint
+            (4, ("zz " * 40).strip()),  # long enough but 'und'
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in quality_filter(docs, min_words=30, min_score=0.3).collect()}
+    assert kept == {1}
