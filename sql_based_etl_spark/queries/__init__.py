@@ -34,6 +34,9 @@ APPENDIX = [
     "q_moving_sum_range",  # RANGE window frame — ROWS frame graded via q_running_total
     "q_event_window_agg",  # time-bucket agg — graded via q_hypertable_rollup (2-level buckets)
     "text_language_id",  # per-doc scores — graded via text_language_id_accuracy (same operator + agg)
+    "text_fingerprint",  # fingerprint op — graded via docs_quality_filter + text_rolling_fingerprint
+    "q_rollup",  # ROLLUP — generalized by the graded q_grouping_sets
+    "stream_sliding_counts",  # sliding window — tumbling variant graded via stream_window_counts
 ]
 
 

@@ -77,3 +77,32 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> tuple[DataFrame, str]
     q.stop()
     spark = agg.sparkSession
     return spark.table(name), name
+
+
+def sliding_counts(events: DataFrame, window: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide
+    overlapping buckets (state bounded by the watermark, same shape as
+    the tumbling agg — the bucket replication happens at the source)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def deduped_counts(events_a: DataFrame, events_b: DataFrame,
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: union two event streams (at-least-once
+    delivery produces duplicates), drop repeated event_ids within the
+    watermark horizon, then count per type. Two chained stateful
+    operators (dedup state + agg state) — the canonical exactly-once
+    ingest shape; state for dedup is bounded by the watermark."""
+    both = events_a.unionByName(events_b)
+    return (
+        both.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
