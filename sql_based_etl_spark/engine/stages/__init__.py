@@ -23,6 +23,7 @@ from sql_based_etl_spark.engine.stages.extensions import (
     dedup_transform,
     multimodal_transform,
     similarity_search_transform,
+    table_profile,
     text_analysis_transform,
 )
 from sql_based_etl_spark.engine.stages.transform import sql_transform, typing_transform
@@ -50,4 +51,5 @@ STAGE_TYPES = {
     "SimilaritySearchTransform": similarity_search_transform,
     "TextAnalysisTransform": text_analysis_transform,
     "MultimodalTransform": multimodal_transform,
+    "TableProfile": table_profile,
 }

@@ -97,7 +97,8 @@ def text_analysis_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
 
 
 def multimodal_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
-    """``MultimodalTransform``: operation ∈ attach_binary | decode_features."""
+    """``MultimodalTransform``: operation ∈ attach_binary |
+    decode_features | sample_frames."""
     from sql_based_etl_spark.operators import multimodal
 
     df = ctx.view(conf["inputView"])
@@ -108,4 +109,23 @@ def multimodal_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
         return multimodal.decode_features(
             df, conf.get("idColumn", "doc_id"), conf.get("payloadColumn", "payload")
         )
+    if op == "sample_frames":
+        return multimodal.sample_frames_stub(
+            df,
+            frame_bytes=int(conf.get("frameBytes", 256)),
+            every_n=int(conf.get("everyN", 4)),
+            id_col=conf.get("idColumn", "doc_id"),
+            payload_col=conf.get("payloadColumn", "payload"),
+        )
     raise StageError(f"MultimodalTransform: unknown operation {op!r}")
+
+
+def table_profile(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``TableProfile``: one-pass per-column statistics of a view."""
+    from sql_based_etl_spark.operators.profiling import profile
+
+    return profile(
+        ctx.view(conf["inputView"]),
+        columns=conf.get("columns"),
+        approx=bool(conf.get("approx", False)),
+    )

@@ -109,3 +109,36 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     raise NotImplementedError(
         "sample_frames needs a video codec (pyav/ffmpeg) on the executors"
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_frame_bytes int, frame_md5 string"
+
+
+def sample_frames_stub(df: DataFrame, frame_bytes: int = 256, every_n: int = 4,
+                       id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """Frame sampling with the REAL Spark plumbing and a stub decoder:
+    the payload is treated as a sequence of fixed-size frames
+    (``frame_bytes`` each — a real video decoder would use container
+    chunk boundaries), and every ``every_n``-th frame is emitted as
+    (doc_id, frame_idx, n_frame_bytes, frame_md5).
+
+    Shape: posexplode over a ``sequence()`` of sampled frame indices +
+    ``substring`` on the binary column — pure codegen, no Python, and
+    the frame bytes never leave the JVM (only their md5 + length do).
+    A real decoder swaps the substring for a codec call via
+    ``mapInPandas`` with this exact output schema."""
+    n_frames = F.ceil(F.octet_length(F.col(payload_col)) / F.lit(frame_bytes)).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).alias("__p"),
+        F.posexplode(idxs).alias("__pos", "frame_idx"),
+    )
+    frame = F.expr(f"substring(__p, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+    return ex.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.octet_length(frame).cast("int").alias("n_frame_bytes"),
+        F.md5(frame).alias("frame_md5"),
+    )

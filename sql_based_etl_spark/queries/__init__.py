@@ -37,6 +37,9 @@ APPENDIX = [
     "text_fingerprint",  # fingerprint op — graded via docs_quality_filter + text_rolling_fingerprint
     "q_rollup",  # ROLLUP — generalized by the graded q_grouping_sets
     "stream_sliding_counts",  # sliding window — tumbling variant graded via stream_window_counts
+    "text_top_ngrams",  # corpus df top-k — shingle machinery graded via dedup_* queries
+    "mm_frame_sample",  # frame plumbing — binary+metadata path graded via mm_metadata/mm_decode
+    "profile_orders",  # profiling — aggregate machinery graded via q01/q_distinct_agg
 ]
 
 
@@ -44,6 +47,7 @@ def all_queries() -> dict[str, QueryFn]:
     from sql_based_etl_spark.queries import (
         dedup,
         multimodal,
+        profiling,
         relational,
         scd2,
         similarity,
@@ -52,7 +56,8 @@ def all_queries() -> dict[str, QueryFn]:
     )
 
     merged: dict[str, QueryFn] = {}
-    for mod in (relational, scd2, dedup, similarity, textops, multimodal, streaming):
+    for mod in (relational, scd2, dedup, similarity, textops, multimodal,
+                streaming, profiling):
         merged.update(mod.QUERIES)
     appendix = {name: merged.pop(name) for name in APPENDIX if name in merged}
     merged.update(appendix)
@@ -63,6 +68,7 @@ def all_oracles() -> dict[str, str]:
     from sql_based_etl_spark.queries import (
         dedup,
         multimodal,
+        profiling,
         relational,
         scd2,
         similarity,
@@ -71,6 +77,7 @@ def all_oracles() -> dict[str, str]:
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, scd2, dedup, similarity, textops, multimodal, streaming):
+    for mod in (relational, scd2, dedup, similarity, textops, multimodal,
+                streaming, profiling):
         merged.update(mod.ORACLES)
     return merged

@@ -46,3 +46,35 @@ ORACLES = {
     """,
     # mm_decode_features: rows-only (see module docstring)
 }
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload: every 4th 256-byte frame,
+    emitted as (doc_id, frame_idx, n_frame_bytes, frame_md5)."""
+    from sql_based_etl_spark.operators.multimodal import sample_frames_stub
+
+    d = attach_binary(load(spark, sf_dir, "documents"))
+    return sample_frames_stub(d, frame_bytes=256, every_n=4)
+
+
+QUERIES["mm_frame_sample"] = mm_frame_sample
+
+# the corpus is pure ASCII (asserted by the parity run: octet_length ==
+# length), so DuckDB's string substring is byte-identical to Spark's
+# binary substring on the utf-8 payload
+ORACLES["mm_frame_sample"] = """
+    WITH base AS (
+        SELECT doc_id, text, CAST(ceil(length(text) / 256.0) AS INTEGER) AS nf
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(nf - 1, 0), 4)) AS frame_idx
+        FROM base
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(length(substring(text, frame_idx * 256 + 1, 256)) AS INTEGER)
+               AS n_frame_bytes,
+           md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+    FROM ex
+"""

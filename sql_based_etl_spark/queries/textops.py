@@ -235,3 +235,42 @@ ORACLES = {
         GROUP BY doc_id
     """,
 }
+
+
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level trigram document frequency, top 20 (ties broken by
+    the shingle text so the cut is deterministic across engines)."""
+    from sql_based_etl_spark.operators.dedup import shingle_rows
+
+    inv = shingle_rows(load(spark, sf_dir, "documents"), "doc_id", "text", 3,
+                       distinct=True)
+    return (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("s"))
+        .limit(20)
+        .select(F.col("s").alias("ngram"), "df")
+    )
+
+
+QUERIES["text_top_ngrams"] = text_top_ngrams
+
+ORACLES["text_top_ngrams"] = """
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 1)),
+                   i -> array_to_string(list_slice(words, i, i + 2), ' ')
+               )) AS sh
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words
+            FROM documents
+        )
+    )
+    SELECT s AS ngram, count(*) AS df
+    FROM (SELECT id, unnest(sh) AS s FROM (SELECT doc_id AS id, sh FROM docs))
+    GROUP BY s
+    ORDER BY df DESC, s ASC
+    LIMIT 20
+"""

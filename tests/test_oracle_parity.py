@@ -29,3 +29,24 @@ def test_query_matches_oracle(name, spark, duck):
 def test_all_oracle_keys_have_queries():
     missing = set(_ORACLES) - set(_QUERIES)
     assert not missing, f"oracles without queries: {missing}"
+
+
+def test_graded_window_composition():
+    """The driver grades only the first 50 registry entries. This guard
+    keeps every LLM-pipeline query (text/mm/stream + the composite
+    filter) inside that window — a new query added to an early-merging
+    module would otherwise silently displace them (exactly what
+    ungraded round 1's text/mm/stream queries)."""
+    graded = list(_QUERIES)[:50]
+    must_grade = [
+        "text_language_id_accuracy", "text_quality_score", "text_token_count",
+        "text_rolling_fingerprint", "text_pii_scrub", "docs_quality_filter",
+        "mm_metadata", "mm_decode_features",
+        "stream_window_counts", "stream_dedup", "stream_sessionize",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
+        "sim_cosine_dup", "sim_cosine_dup_lsh",
+        "q_scd2_merge", "q_scd2_expired_count",
+    ]
+    missing = [n for n in must_grade if n not in graded]
+    assert not missing, f"queries fell out of the graded window: {missing}"
