@@ -104,3 +104,25 @@ def test_typing_transform_plan_has_no_lambda(spark):
     plan = plan_of(typed)
     assert "lambdafunction" not in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_new_text_ops_plan_shapes(spark, queries):
+    """pii_scrub and frame sampling are pure projections (zero
+    shuffles, no Python, no lambdas); the composite quality filter
+    pays exactly ONE shuffle (the fingerprint window) for the whole
+    language+quality+dedup chain."""
+    for name in ("text_pii_scrub", "mm_frame_sample"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert "Exchange" not in plan, f"{name} gained a shuffle"
+        assert "EvalPython" not in plan and "lambdafunction" not in plan.lower()
+
+    plan = plan_of(queries["docs_quality_filter"](spark, SF_ORACLE))
+    assert plan.count("Exchange") == 1, "quality filter should shuffle once (fingerprint window)"
+    assert "EvalPython" not in plan and "lambdafunction" not in plan.lower()
+
+
+def test_ngram_guard_is_broadcast(spark, queries):
+    """The n-gram df cutoff must stay a broadcast anti-join — a
+    shuffled anti-join would add a full shuffle of the inverted index."""
+    plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
