@@ -86,36 +86,38 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """Exploded DISTINCT word n-gram shingles ``(id, s)`` — the scalable
     and codegen-friendly formulation.
 
-    Long docs: posexplode words → window ``lead()`` per doc builds each
-    n-gram (one shuffle on the doc id; every expression whole-stage
-    codegen). Docs shorter than n words collapse to a single shingle of
-    the normalized text (matches :func:`shingles_col` semantics).
+    Long docs: ``arrays_zip`` of the words array with its 1..n-1 step
+    ``slice`` offsets, exploded — each n-gram is assembled entirely
+    inside one projection, with NO shuffle at all (the earlier
+    window-``lead`` formulation paid a per-doc shuffle + sort before a
+    single shingle existed). Docs shorter than n words collapse to a
+    single shingle of the normalized text (matches
+    :func:`shingles_col` semantics).
     """
-    from pyspark.sql import Window
-
     base = df.select(F.col(id_col).alias("id"), words_col(text_col).alias("wd"))
-    ex = base.select("id", F.posexplode("wd").alias("pos", "w"))
     if n > 1:
-        worder = Window.partitionBy("id").orderBy("pos")
-        # materialize the leads as columns first: Spark rejects window
-        # expressions directly inside a WHERE
-        lead_cols = [
-            F.lead("w", k).over(worder).alias(f"_w{k}") for k in range(1, n)
+        shifted = [
+            F.expr(f"slice(wd, {k + 1}, greatest(size(wd) - {k}, 0))").alias(f"w{k}")
+            for k in range(1, n)
         ]
-        long_sh = (
-            ex.select("id", "w", *lead_cols)
-            .filter(F.col(f"_w{n - 1}").isNotNull())
-            .select(
-                "id",
-                F.concat_ws(" ", "w", *[f"_w{k}" for k in range(1, n)]).alias("s"),
-            )
+        zipped = base.select("id", "wd", *shifted).select(
+            "id",
+            F.posexplode(F.arrays_zip("wd", *[f"w{k}" for k in range(1, n)])).alias(
+                "pos", "z"
+            ),
+        )
+        long_sh = zipped.filter(F.col(f"z.w{n - 1}").isNotNull()).select(
+            "id",
+            F.concat_ws(
+                " ", F.col("z.wd"), *[F.col(f"z.w{k}") for k in range(1, n)]
+            ).alias("s"),
         )
         short_sh = base.filter(F.size("wd") < n).select(
             "id", F.concat_ws(" ", "wd").alias("s")
         )
         out = long_sh.unionByName(short_sh)
     else:
-        out = ex.select("id", F.col("w").alias("s"))
+        out = base.select("id", F.explode("wd").alias("s"))
     return out.distinct() if distinct else out
 
 
