@@ -10,6 +10,7 @@ from sql_based_etl_spark.engine.stages.extract import (
     json_extract,
     orc_extract,
     parquet_extract,
+    text_extract,
     versioned_table_extract,
 )
 from sql_based_etl_spark.engine.stages.load import (
@@ -41,6 +42,7 @@ STAGE_TYPES = {
     "ParquetExtract": parquet_extract,
     "JSONExtract": json_extract,
     "ORCExtract": orc_extract,
+    "TextExtract": text_extract,
     "FileLoad": file_load,
     "VersionedTableLoad": versioned_table_load,
     "VersionedTableMergeLoad": versioned_table_merge_load,

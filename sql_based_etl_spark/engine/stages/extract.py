@@ -29,6 +29,17 @@ def delimited_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     return reader.csv(conf["inputURI"])
 
 
+def text_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """Extension: line-oriented text extract (one ``value`` row per
+    line; ``wholetext`` reads each file as a single row) — the input
+    shape of the wordcount native job
+    (native-spark-job-scheduler.yaml:12)."""
+    reader = ctx.spark.read
+    if conf.get("wholetext"):
+        reader = reader.option("wholetext", True)
+    return reader.text(conf["inputURI"])
+
+
 def parquet_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     """Extension: columnar extract (the driver's tables; pushdown and
     pruning reach the scan via Catalyst)."""

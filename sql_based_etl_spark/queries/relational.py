@@ -174,6 +174,28 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.union(s).distinct()
 
 
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond UNION: INTERSECT and EXCEPT (both
+    distinct, per SQL semantics — DataFrame intersect()/exceptAll()
+    differ exactly here). Market segments of big spenders vs overdrawn
+    customers, labeled by which set operation produced them."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_totalprice") > 200000.0)
+        .select(F.col("c_mktsegment").alias("segment"))
+    )
+    overdrawn = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    both = big.intersect(overdrawn).select(F.lit("both").alias("which"), "segment")
+    # subtract == SQL EXCEPT (distinct); exceptAll would only remove as
+    # many duplicates as the right side holds
+    only_big = big.subtract(overdrawn).select(F.lit("only_big").alias("which"), "segment")
+    return both.unionByName(only_big)
+
+
 def q_md5_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2: md5(concat(...)) row checksum with *null-propagating*
     concat — any NULL input nulls the checksum (scd2-job.ipynb:144,276).
@@ -808,6 +830,7 @@ QUERIES = {
     "q_filter_project": q_filter_project,
     "q_literal_cast": q_literal_cast,
     "q_union_distinct": q_union_distinct,
+    "q_intersect_except": q_intersect_except,
     "q_md5_checksum": q_md5_checksum,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
@@ -1124,6 +1147,19 @@ ORACLES = {
     "q_literal_cast": """
         SELECT CAST(NULL AS VARCHAR) AS merge_key, 1 AS iscurrent, *
         FROM nation
+    """,
+    "q_intersect_except": """
+        WITH big AS (
+            SELECT c_mktsegment AS segment FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            WHERE o_totalprice > 200000.0
+        ),
+        overdrawn AS (
+            SELECT c_mktsegment AS segment FROM customer WHERE c_acctbal < 0
+        )
+        SELECT 'both' AS which, segment FROM (SELECT segment FROM big INTERSECT SELECT segment FROM overdrawn)
+        UNION ALL
+        SELECT 'only_big' AS which, segment FROM (SELECT segment FROM big EXCEPT SELECT segment FROM overdrawn)
     """,
     "q_union_distinct": """
         SELECT c_nationkey AS nationkey FROM customer

@@ -296,3 +296,19 @@ def test_dag_explicit_depends_on_and_cycle_detection(spark):
             {"name": "a", "type": "SQLTransform", "sql": "SELECT * FROM v2", "outputView": "v1"},
             {"name": "b", "type": "SQLTransform", "sql": "SELECT * FROM v1", "outputView": "v2"},
         ])
+
+
+def test_text_extract_wordcount_pipeline(spark, tmp_path):
+    """TextExtract -> SQLTransform wordcount — the native job's shape
+    (native-spark-job-scheduler.yaml) through the declarative surface."""
+    src = tmp_path / "lines.txt"
+    src.write_text("alpha beta alpha\nbeta alpha\n")
+    ctx = Pipeline(spark).run([
+        {"type": "TextExtract", "inputURI": str(src), "outputView": "lines"},
+        {"type": "SQLTransform", "outputView": "wc", "sql": """
+            SELECT word, count(*) AS n
+            FROM (SELECT explode(split(value, ' ')) AS word FROM lines)
+            GROUP BY word"""},
+    ])
+    counts = {r.word: r.n for r in ctx.views["wc"].collect()}
+    assert counts == {"alpha": 3, "beta": 2}
