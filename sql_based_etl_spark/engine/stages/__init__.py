@@ -14,6 +14,7 @@ from sql_based_etl_spark.engine.stages.extract import (
     versioned_table_extract,
 )
 from sql_based_etl_spark.engine.stages.load import (
+    bucketed_table_load,
     file_load,
     jdbc_execute,
     sql_execute,
@@ -44,6 +45,7 @@ STAGE_TYPES = {
     "ORCExtract": orc_extract,
     "TextExtract": text_extract,
     "FileLoad": file_load,
+    "BucketedTableLoad": bucketed_table_load,
     "VersionedTableLoad": versioned_table_load,
     "VersionedTableMergeLoad": versioned_table_merge_load,
     "VersionedTableExtract": versioned_table_extract,

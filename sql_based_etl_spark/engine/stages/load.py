@@ -117,3 +117,26 @@ def jdbc_execute(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     finally:
         conn.close()
     return None
+
+
+def bucketed_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """``BucketedTableLoad``: write a view as a bucketed (and
+    optionally sort-ordered) managed table.
+
+    Bucketing is the storage-layout lever for 100 TB joins: two tables
+    bucketed by the same key into the same bucket count equi-join with
+    NO exchange at all — the shuffle is paid once at write time and
+    amortized over every later join/aggregation on the key
+    (tests/test_plans.py asserts the exchange-free join plan)."""
+    df = ctx.view(conf["inputView"])
+    cols = conf["bucketBy"]
+    cols = cols if isinstance(cols, list) else [cols]
+    writer = (
+        df.write.mode(str(conf.get("saveMode", "overwrite")).lower())
+        .bucketBy(int(conf.get("numBuckets", 8)), *cols)
+    )
+    sort_cols = conf.get("sortBy")
+    if sort_cols:
+        writer = writer.sortBy(*(sort_cols if isinstance(sort_cols, list) else [sort_cols]))
+    writer.format(str(conf.get("format", "parquet")).lower()).saveAsTable(conf["table"])
+    return None

@@ -106,3 +106,23 @@ def deduped_counts(events_a: DataFrame, events_b: DataFrame,
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def stream_append_to_table(stream_df: DataFrame, table_path: str,
+                           num_partitions: int | None = None):
+    """Streaming sink into the engine's versioned table: each
+    micro-batch commits as one APPEND version via ``foreachBatch``
+    (file-additive — no rewrite of earlier data), giving the streaming
+    path the same ACID-ish, time-travelable storage as batch loads.
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = VersionedTable(batch_df.sparkSession, table_path)
+        mode = "append" if t.exists() else "overwrite"
+        t.write(batch_df, mode=mode, num_partitions=num_partitions,
+                operation=f"STREAM_BATCH_{batch_id}")
+
+    return stream_df.writeStream.foreachBatch(_sink).outputMode("append").start()

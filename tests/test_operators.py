@@ -313,3 +313,26 @@ def test_quality_filter_gates(spark):
     )
     kept = {r.doc_id for r in quality_filter(docs, min_words=30, min_score=0.3).collect()}
     assert kept == {1}
+
+
+def test_stream_append_to_versioned_table(spark, tmp_path):
+    """Streaming micro-batches commit as APPEND versions of the
+    versioned table (file-additive, time-travelable)."""
+    from sql_based_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_append_to_table,
+    )
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+    from sql_based_etl_spark.queries._util import load
+
+    table_path = str(tmp_path / "events_stream_tbl")
+    stream = read_events_stream(spark, SF_ORACLE + "/events.parquet")
+    q = stream_append_to_table(stream, table_path, num_partitions=2)
+    q.processAllAvailable()
+    q.stop()
+    t = VersionedTable(spark, table_path)
+    batch_n = load(spark, SF_ORACLE, "events").count()
+    assert t.read().count() == batch_n
+    assert t.exists() and t.manifest(t.latest_version())["operation"].startswith(
+        ("STREAM_BATCH", "WRITE", "APPEND")
+    )

@@ -126,3 +126,31 @@ def test_ngram_guard_is_broadcast(spark, queries):
     shuffled anti-join would add a full shuffle of the inverted index."""
     plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the join key into the same bucket count
+    must sort-merge join with ZERO exchanges — the write-once shuffle
+    amortization bucketing exists for."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    Pipeline(spark).run([
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/customer.parquet",
+         "outputView": "bk_cust_src"},
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/orders.parquet",
+         "outputView": "bk_ord_src"},
+        {"type": "BucketedTableLoad", "inputView": "bk_cust_src",
+         "table": "bk_customer", "bucketBy": "c_custkey", "numBuckets": 4,
+         "sortBy": "c_custkey"},
+        {"type": "BucketedTableLoad", "inputView": "bk_ord_src",
+         "table": "bk_orders", "bucketBy": "o_custkey", "numBuckets": 4,
+         "sortBy": "o_custkey"},
+    ])
+    joined = spark.sql("""
+        SELECT /*+ MERGE(c) */ c.c_custkey, count(*) AS n
+        FROM bk_customer c JOIN bk_orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """)
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join should not shuffle"
