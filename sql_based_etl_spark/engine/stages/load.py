@@ -131,8 +131,23 @@ def bucketed_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     df = ctx.view(conf["inputView"])
     cols = conf["bucketBy"]
     cols = cols if isinstance(cols, list) else [cols]
+    mode = str(conf.get("saveMode", "overwrite")).lower()
+    if mode == "overwrite":
+        # Crash-idempotence: a killed run can leave the warehouse dir on
+        # disk with no catalog entry, and saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS even in overwrite mode.  Drop any
+        # catalog entry, then clear the orphaned location through the
+        # Hadoop FS API (works on any scheme, not just local disk).
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{conf['table']}`")
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(warehouse, conf["table"].lower())
+        fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())  # noqa: SLF001
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = (
-        df.write.mode(str(conf.get("saveMode", "overwrite")).lower())
+        df.write.mode(mode)
         .bucketBy(int(conf.get("numBuckets", 8)), *cols)
     )
     sort_cols = conf.get("sortBy")

@@ -174,6 +174,47 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.union(s).distinct()
 
 
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: distinct suppliers per (brand, size) for
+    non-ECONOMY parts, excluding suppliers with negative balance via a
+    NOT IN subquery (the anti-join-with-null-semantics shape)."""
+    p = load(spark, sf_dir, "part").filter(~F.col("p_type").startswith("ECONOMY"))
+    li = load(spark, sf_dir, "lineitem")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue: average yearly revenue lost if small-quantity
+    orders (below 20%% of the part's mean quantity) were not taken.
+    The correlated scalar-avg subquery is rewritten exactly:
+    ``q < 0.2 * sum/n  <=>  5*q*n < sum`` over integer micros, so both
+    engines compare identical int64s (no float avg in the predicate)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(micros(F.col("l_quantity"))).alias("sum_q_micros"),
+        F.count(F.lit(1)).alias("n_q"),
+    )
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(F.lit(5) * micros(F.col("l_quantity")) * F.col("n_q") < F.col("sum_q_micros"))
+    )
+    return joined.agg(
+        F.round(F.sum(micros(F.col("l_extendedprice"))) / F.lit(MICROS) / 7.0, 6).alias(
+            "avg_yearly"
+        )
+    )
+
+
 def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations beyond UNION: INTERSECT and EXCEPT (both
     distinct, per SQL semantics — DataFrame intersect()/exceptAll()
@@ -831,6 +872,8 @@ QUERIES = {
     "q_literal_cast": q_literal_cast,
     "q_union_distinct": q_union_distinct,
     "q_intersect_except": q_intersect_except,
+    "q16_supplier_part_count": q16_supplier_part_count,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
     "q_md5_checksum": q_md5_checksum,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
@@ -1147,6 +1190,28 @@ ORACLES = {
     "q_literal_cast": """
         SELECT CAST(NULL AS VARCHAR) AS merge_key, 1 AS iscurrent, *
         FROM nation
+    """,
+    "q16_supplier_part_count": """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type NOT LIKE 'ECONOMY%'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+    """,
+    "q17_small_qty_revenue": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS sum_q_micros,
+                   count(*) AS n_q
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT))
+                     / 1000000.0 / 7.0, 6) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN per_part USING (l_partkey)
+        WHERE p_brand = 'Brand#1' AND p_size <= 15
+          AND 5 * CAST(round(l_quantity * 1000000.0) AS BIGINT) * n_q < sum_q_micros
     """,
     "q_intersect_except": """
         WITH big AS (
