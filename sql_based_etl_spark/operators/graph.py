@@ -1,0 +1,112 @@
+"""Distributed connected components over an edge list.
+
+The missing last step of every near-dup pipeline: pair generation
+(MinHash/SimHash/n-gram, operators/dedup.py) emits *edges*; keeping
+one survivor per duplicate *group* needs the transitive closure —
+A~B and B~C must collapse A,B,C into one cluster even though (A,C)
+was never emitted as a pair.
+
+Algorithm: min-label propagation with pointer jumping, the DataFrame
+formulation of the two-phase MapReduce CC family (hash-to-min /
+large-star–small-star; Rastogi et al., "Finding Connected Components
+in Map-Reduce in Logarithmic Rounds", ICDE 2013). Each round:
+
+1. propagate: every node takes the min label over itself and its
+   neighbors (one join edge⋈labels + one map-side-combinable min agg);
+2. jump: every node replaces its label with its label's label
+   (one self-join) — path compression, which turns the O(diameter)
+   propagation into O(log diameter) rounds.
+
+Cost model at 100 TB: the edge list from a near-dup pass is tiny
+relative to the corpus (candidates ≪ corpus is the whole point of
+LSH blocking), so each round shuffles |E| + |V_clustered| rows of two
+ints. Rounds are bounded by log₂(longest dup-chain), in practice ≤ 5
+for dedup graphs. Each round ends in ``localCheckpoint(eager=True)``:
+the round's label table references the previous round's plan *twice*
+(the pointer-jump self-join), so without truncation the logical plan
+doubles per round and Catalyst analysis goes exponential long before
+any data size matters — persist() alone caches rows but not the plan.
+(On a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+``checkpoint()`` for executor-loss tolerance; localCheckpoint keeps
+the tight loop driver-local here.)
+
+Convergence is detected with one tiny aggregate per round (labels
+decrease monotonically; the sum is stationary exactly at the
+fixpoint) — the driver never collects the label table itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(node, component)`` where ``component`` is the minimum
+    node id in the node's connected component.
+
+    Only nodes that appear in ``edges`` are returned (isolated
+    documents are their own trivial cluster; callers left-join if they
+    want those rows too). Deterministic: the fixpoint is unique
+    regardless of join order or round count.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        propagated = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label ← label's label (labels are always node
+        # ids, so the inner self-join is total). localCheckpoint (not
+        # persist): the self-join references `propagated` twice, so an
+        # untruncated plan doubles every round.
+        jumped = (
+            propagated.join(
+                propagated.select(
+                    F.col("node").alias("label"), F.col("label").alias("__ll")
+                ),
+                "label",
+            )
+            .select("node", F.col("__ll").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = jumped.agg(F.sum("label")).first()[0]
+        labels = jumped
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_cluster_assignments(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs → per-document cluster assignment
+    ``(doc_id, cluster_id)`` with ``cluster_id`` = min doc_id in the
+    duplicate group. The canonical "keep one per cluster" survivor set
+    is exactly the rows with ``doc_id = cluster_id``."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

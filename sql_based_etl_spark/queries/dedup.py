@@ -24,11 +24,21 @@ from sql_based_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from sql_based_etl_spark.operators.graph import dedup_cluster_assignments
 from sql_based_etl_spark.queries._util import load
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups: MinHash-LSH pairs → connected
+    components → ``(doc_id, cluster_id)`` with cluster_id = min doc_id
+    of the group (rows with doc_id = cluster_id are the survivors).
+    The oracle recomputes the same closure with a recursive CTE."""
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup_cluster_assignments(pairs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,6 +60,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
 }
 
 # --- oracle SQL -------------------------------------------------------------
@@ -167,3 +178,22 @@ ORACLES = {
         ) WHERE jaccard >= 0.5
     """,
 }
+
+# Transitive closure of the LSH pair graph (recursive CTE): lab
+# reaches every node in its component, so min(lab) per node is the
+# component's minimum id — exactly the converged label of the Spark
+# min-propagation in operators/graph.py.
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""

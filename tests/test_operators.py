@@ -336,3 +336,43 @@ def test_stream_append_to_versioned_table(spark, tmp_path):
     assert t.exists() and t.manifest(t.latest_version())["operation"].startswith(
         ("STREAM_BATCH", "WRITE", "APPEND")
     )
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E must yield clusters {A,B,C} and {D,E} — the
+    transitive closure pair generation alone cannot see."""
+    from sql_based_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path graph needs real iteration (diameter 63); pointer
+    jumping must converge well inside max_iter and label every node
+    with the path minimum."""
+    from sql_based_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["src", "dst"]
+    )
+    rows = connected_components(edges, max_iter=10).collect()
+    assert len(rows) == 64
+    assert {r.component for r in rows} == {0}
+
+
+def test_dedup_cluster_survivors_match_pairs(spark, documents):
+    """Every clustered doc appears in some LSH pair, and each pair's
+    endpoints share a cluster."""
+    from sql_based_etl_spark.operators.dedup import minhash_lsh_pairs
+    from sql_based_etl_spark.operators.graph import dedup_cluster_assignments
+
+    pairs = minhash_lsh_pairs(documents, threshold=0.5).persist()
+    assign = {r.doc_id: r.cluster_id for r in dedup_cluster_assignments(pairs).collect()}
+    for p in pairs.collect():
+        assert assign[p.doc_a] == assign[p.doc_b]
+    paired = {p.doc_a for p in pairs.collect()} | {p.doc_b for p in pairs.collect()}
+    assert set(assign) == paired
