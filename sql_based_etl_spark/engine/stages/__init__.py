@@ -11,6 +11,7 @@ from sql_based_etl_spark.engine.stages.extract import (
     orc_extract,
     parquet_extract,
     text_extract,
+    versioned_table_changes_extract,
     versioned_table_extract,
 )
 from sql_based_etl_spark.engine.stages.load import (
@@ -49,6 +50,7 @@ STAGE_TYPES = {
     "VersionedTableLoad": versioned_table_load,
     "VersionedTableMergeLoad": versioned_table_merge_load,
     "VersionedTableExtract": versioned_table_extract,
+    "VersionedTableChangesExtract": versioned_table_changes_extract,
     "SQLExecute": sql_execute,
     # LLM-data-pipeline extension stages
     "DedupTransform": dedup_transform,

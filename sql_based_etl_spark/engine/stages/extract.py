@@ -77,3 +77,18 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
         version=int(version) if version is not None else None,
         relative_version=int(rel) if rel is not None else None,
     )
+
+
+def versioned_table_changes_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """Extension: change-data-feed extract — rows inserted/deleted
+    between ``options.fromVersion`` and ``options.toVersion`` (default
+    latest), tagged in a ``change_type`` column. The Delta
+    ``readChangeFeed`` analogue; the diff reads only files the two
+    manifests don't share (VersionedTable.changes)."""
+    opts = conf.get("options", {}) or {}
+    t = VersionedTable(ctx.spark, conf["inputURI"])
+    to_v = opts.get("toVersion")
+    return t.changes(
+        from_version=int(opts["fromVersion"]),
+        to_version=int(to_v) if to_v is not None else None,
+    )

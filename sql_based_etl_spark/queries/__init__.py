@@ -39,6 +39,7 @@ APPENDIX = [
     "stream_sliding_counts",  # sliding window — tumbling variant graded via stream_window_counts
     "q_anti_join",  # 0 rows at sf0.01 (vacuous signal) — anti semantics graded via q_intersect_except's EXCEPT
     "q_string_functions",  # scalar string surface — exercised by the graded text_*/dedup_* operators (lower/regexp/split/md5/concat)
+    "q_scd2_expired_count",  # filter+count over the graded q_scd2_merge state (the notebook's challenge question; no unique machinery)
     "q16_supplier_part_count",  # NOT IN anti subquery — anti/semi graded via q_semi_join + q_intersect_except
     "q17_small_qty_revenue",  # correlated scalar avg — scalar-subquery shape graded via q22 pattern tests
     "text_top_ngrams",  # corpus df top-k — shingle machinery graded via dedup_* queries

@@ -46,7 +46,10 @@ SELECT id AS mergeKey, * FROM scd2_cdc_calc
 """
 
 
-def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _run_scd2_pipeline(spark: SparkSession, sf_dir: str) -> str:
+    """Run the full SCD2 pipeline (initial load → CDC staging → MERGE)
+    against a fresh temp table dir; return the table dir (version 0 =
+    initial snapshot, version 1 = merged snapshot)."""
     from sql_based_etl_spark.engine.pipeline import Pipeline
 
     load(spark, sf_dir, "customer").createOrReplaceTempView("scd2_customer_src")
@@ -90,8 +93,14 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "VersionedTableExtract", "name": "read merged",
          "inputURI": table_dir, "outputView": "scd2_contact"},
     ]
-    ctx = Pipeline(spark, environment="dev").run(stages)
-    result = ctx.views["scd2_contact"].select(
+    Pipeline(spark, environment="dev").run(stages)
+    # NB: the temp table dir must outlive any (lazy) DataFrame read from
+    # it, so it is intentionally not cleaned up here (it lives in /tmp).
+    return table_dir
+
+
+def _scd2_output_cols(df: DataFrame) -> DataFrame:
+    return df.select(
         "id",
         "name",
         "segment",
@@ -100,9 +109,13 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "iscurrent",
     )
-    # NB: the temp table dir must outlive the returned (lazy) DataFrame,
-    # so it is intentionally not cleaned up here (it lives under /tmp).
-    return result
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    table_dir = _run_scd2_pipeline(spark, sf_dir)
+    return _scd2_output_cols(VersionedTable(spark, table_dir).read())
 
 
 def q_scd2_expired_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,9 +125,37 @@ def q_scd2_expired_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("iscurrent") == 0).agg(F.count(F.lit(1)).alias("n_expired"))
 
 
+def q_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed of the merge: rows the MERGE inserted and rows
+    it removed, computed by the file-pruned snapshot diff
+    (VersionedTable.changes) via the VersionedTableChangesExtract
+    stage. An SCD2 update shows up as its delete (the open-ended
+    current row) + two inserts (the expired copy and the new current
+    row)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    table_dir = _run_scd2_pipeline(spark, sf_dir)
+    ctx = Pipeline(spark, environment="dev").run([
+        {"type": "VersionedTableChangesExtract", "name": "cdf",
+         "inputURI": table_dir, "outputView": "scd2_cdf",
+         "options": {"fromVersion": 0, "toVersion": 1}},
+    ])
+    return ctx.views["scd2_cdf"].select(
+        "id",
+        "name",
+        "segment",
+        "checksum",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "iscurrent",
+        "change_type",
+    )
+
+
 QUERIES = {
     "q_scd2_merge": q_scd2_merge,
     "q_scd2_expired_count": q_scd2_expired_count,
+    "q_scd2_changes": q_scd2_changes,
 }
 
 _ORACLE_STATE = """
@@ -154,7 +195,28 @@ WITH initial AS (
 SELECT * FROM expired UNION ALL SELECT * FROM kept UNION ALL SELECT * FROM inserted
 """
 
+# version-0 snapshot: every initial row open-ended and current
+_ORACLE_V0 = """
+SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+       md5(c_name || c_mktsegment) AS checksum,
+       '2024-01-01 00:00:00' AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to, 1 AS iscurrent
+FROM customer
+"""
+
 ORACLES = {
     "q_scd2_merge": _ORACLE_STATE,
     "q_scd2_expired_count": f"SELECT count(*) AS n_expired FROM ({_ORACLE_STATE}) WHERE iscurrent = 0",
+    # CDF = multiset diff of the two snapshots, matching the Spark
+    # side's exceptAll in both directions
+    "q_scd2_changes": f"""
+        WITH v0 AS ({_ORACLE_V0}), v1 AS ({_ORACLE_STATE})
+        SELECT *, 'insert' AS change_type FROM (
+            SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0
+        )
+        UNION ALL
+        SELECT *, 'delete' AS change_type FROM (
+            SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1
+        )
+    """,
 }

@@ -209,6 +209,50 @@ class VersionedTable:
         return self._commit(new_v, operation if mode != "append" else "APPEND",
                             carried + new_files, df.schema.jsonValue())
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        change_col: str = "change_type",
+    ) -> DataFrame:
+        """Change data feed between two versions: rows added between
+        ``from_version`` and ``to_version`` (default latest) tagged
+        ``insert``, rows removed tagged ``delete`` (an update appears
+        as its delete+insert pair, like Delta CDF without explicit
+        update tracking).
+
+        Scale posture — this is a *file-pruned* diff: data files are
+        immutable and shared across manifests (copy-on-write), so any
+        file present in both snapshots contributes nothing and is never
+        read. Only the symmetric difference of the two file lists is
+        scanned, and the row-level diff (``exceptAll`` both ways — a
+        hash aggregate) runs over just those files. A merge that
+        rewrote 1 of N files diffs ~2 files, not 2 snapshots. Rows
+        carried *unchanged through a rewritten file* appear in both
+        sides and cancel in the multiset difference."""
+        va = self.resolve_version(from_version)
+        vb = self.resolve_version(to_version)
+        fa, fb = set(self.files(va)), set(self.files(vb))
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(self.manifest(vb)["schema"])
+
+        def _read(rel: list[str]) -> DataFrame:
+            if not rel:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in sorted(rel)]
+            )
+
+        removed = _read(list(fa - fb))
+        added = _read(list(fb - fa))
+        return added.exceptAll(removed).withColumn(
+            change_col, F.lit("insert")
+        ).unionByName(
+            removed.exceptAll(added).withColumn(change_col, F.lit("delete"))
+        )
+
     # --- merge (the SCD2 workhorse) ----------------------------------------
 
     _FILE_RE = r"(data/v\d{8}/[^/]+)$"

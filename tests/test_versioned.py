@@ -87,3 +87,41 @@ def test_uri_paths_accepted(spark, tmp_path):
     t.write(df)
     assert t.read().count() == 5
     assert t.versions() == [0]
+
+
+def test_changes_diff_is_file_pruned(spark, table):
+    """CDF between versions must (a) report exactly the inserted and
+    deleted rows, with unchanged rows in rewritten files cancelling
+    out, and (b) scan only files the two manifests don't share."""
+    table.write(_clustered_df(spark), num_partitions=None)
+    src = spark.range(10).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("updated").alias("name"),
+    )
+    table.merge(src, "source.id = target.id",
+                when_matched_update={"name": "source.name"})
+
+    cdf = table.changes(0, 1)
+    rows = {(r.id, r.name, r.change_type) for r in cdf.collect()}
+    expect = {(i, "updated", "insert") for i in range(10)} | {
+        (i, f"name_{i}", "delete") for i in range(10)
+    }
+    assert rows == expect
+
+    # only the 1 rewritten + 1 replacement file may appear in the scan
+    shared = set(table.files(0)) & set(table.files(1))
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    for f in shared:
+        assert f.split("/")[-1] not in plan
+
+
+def test_changes_append_is_insert_only(spark, table):
+    table.write(_clustered_df(spark, n=100, parts=2), num_partitions=None)
+    extra = spark.range(100, 120).select(
+        F.col("id").cast("int").alias("id"), F.lit("x").alias("name")
+    )
+    table.write(extra, mode="append", num_partitions=1)
+    cdf = table.changes(0)
+    assert cdf.filter(F.col("change_type") == "delete").count() == 0
+    got = {r.id for r in cdf.collect()}
+    assert got == set(range(100, 120))
