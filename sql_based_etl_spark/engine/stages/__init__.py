@@ -20,6 +20,7 @@ from sql_based_etl_spark.engine.stages.load import (
     jdbc_execute,
     sql_execute,
     versioned_table_load,
+    versioned_table_maintenance,
     versioned_table_merge_load,
 )
 from sql_based_etl_spark.engine.stages.extensions import (
@@ -51,6 +52,7 @@ STAGE_TYPES = {
     "VersionedTableMergeLoad": versioned_table_merge_load,
     "VersionedTableExtract": versioned_table_extract,
     "VersionedTableChangesExtract": versioned_table_changes_extract,
+    "VersionedTableMaintenance": versioned_table_maintenance,
     "SQLExecute": sql_execute,
     # LLM-data-pipeline extension stages
     "DedupTransform": dedup_transform,

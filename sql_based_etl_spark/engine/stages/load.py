@@ -119,6 +119,31 @@ def jdbc_execute(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     return None
 
 
+def versioned_table_maintenance(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """``VersionedTableMaintenance``: compact small files and/or vacuum
+    old versions of a versioned table — the scheduled housekeeping job
+    a streaming append sink needs (the reference schedules maintenance
+    through the same Argo DAG machinery as its loads,
+    scd2-job-scheduler.yaml:15-48).
+
+    conf: ``inputURI``; optional ``compact`` {``smallFileBytes``,
+    ``numPartitions``} and ``vacuum`` {``retainVersions``} blocks —
+    either may be given alone."""
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(ctx.spark, conf["inputURI"])
+    c = conf.get("compact")
+    if c is not None:
+        t.compact(
+            small_file_bytes=int(c.get("smallFileBytes", 32 * 1024 * 1024)),
+            num_partitions=int(c.get("numPartitions", 1)),
+        )
+    v = conf.get("vacuum")
+    if v is not None:
+        t.vacuum(retain_versions=int(v.get("retainVersions", 1)))
+    return None
+
+
 def bucketed_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     """``BucketedTableLoad``: write a view as a bucketed (and
     optionally sort-ordered) managed table.

@@ -215,6 +215,68 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue: distribution of per-customer order counts,
+    counting only non-urgent orders — a LEFT join with an extra join-
+    side predicate (customers with zero qualifying orders must still
+    appear with c_count = 0), then a second aggregation over the first."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue: supplier(s) with the maximum Q1-1995 revenue
+    — an aggregate view joined against its own scalar max (ties kept,
+    like the spec). Revenue compared in exact int64 micros so the
+    max-equality predicate is bit-stable in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_micros"
+        )
+    )
+    top = rev.agg(F.max("rev_micros").alias("rev_micros"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), "rev_micros")
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_micros") / F.lit(MICROS), 6).alias("total_revenue"),
+        )
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue through an explicitly salted fact⋈dim join
+    (operators/joins.py) — the skew-mitigation lever for hot keys that
+    AQE's sort-merge-only skew split can't reach. The salt must be
+    invisible: the oracle is the plain join."""
+    from sql_based_etl_spark.operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_micros"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    return (
+        salted_join(li, p, "pk", how="inner", salt=8)
+        .groupBy("p_brand")
+        .agg((F.sum("rev_micros") / F.lit(MICROS)).alias("revenue"))
+    )
+
+
 def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations beyond UNION: INTERSECT and EXCEPT (both
     distinct, per SQL semantics — DataFrame intersect()/exceptAll()
@@ -874,6 +936,9 @@ QUERIES = {
     "q_intersect_except": q_intersect_except,
     "q16_supplier_part_count": q16_supplier_part_count,
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q_salted_join": q_salted_join,
     "q_md5_checksum": q_md5_checksum,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
@@ -1212,6 +1277,34 @@ ORACLES = {
         JOIN per_part USING (l_partkey)
         WHERE p_brand = 'Brand#1' AND p_size <= 15
           AND 5 * CAST(round(l_quantity * 1000000.0) AS BIGINT) * n_q < sum_q_micros
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT))
+                       AS rev_micros
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(rev_micros / 1000000.0, 6) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_micros = (SELECT max(rev_micros) FROM rev)
+    """,
+    "q_salted_join": """
+        SELECT p_brand,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT))
+                   / 1000000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """,
     "q_intersect_except": """
         WITH big AS (

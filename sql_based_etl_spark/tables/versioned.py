@@ -209,6 +209,66 @@ class VersionedTable:
         return self._commit(new_v, operation if mode != "append" else "APPEND",
                             carried + new_files, df.schema.jsonValue())
 
+    def compact(
+        self,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        num_partitions: int = 1,
+    ) -> int:
+        """Bin-pack small data files (OPTIMIZE analogue): files under
+        ``small_file_bytes`` are read back and rewritten as
+        ``num_partitions`` files; larger files are carried by
+        reference. Commits a ``COMPACT`` version — row content is
+        unchanged (the CDF between the two versions is empty), and
+        time travel to pre-compact versions still works because their
+        manifests keep referencing the old files until :meth:`vacuum`.
+
+        This is the maintenance pass a streaming append sink needs:
+        micro-batch commits accumulate one small file per batch, and a
+        100 TB scan pays per-file open/seek costs (and loses row-group
+        pruning) until they're packed."""
+        fs = self._fs()
+        cur = self.files()
+        small = [
+            f for f in cur
+            if fs.getFileStatus(self._jpath(f)).getLen() < small_file_bytes
+        ]
+        if len(small) <= 1:
+            return self.latest_version()  # nothing to pack
+        carried = [f for f in cur if f not in set(small)]
+        df = self.spark.read.parquet(*[f"{self.path}/{f}" for f in small])
+        new_v = self.latest_version() + 1
+        new_files = self._write_data_files(df, new_v, num_partitions)
+        return self._commit(
+            new_v, "COMPACT", carried + new_files, df.schema.jsonValue(),
+            extra={"files_compacted": len(small), "files_carried": len(carried)},
+        )
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data files referenced only by versions older than the
+        newest ``retain_versions``, and drop those versions' manifests
+        (they could no longer be read). Returns the deleted data-file
+        paths. The physical-delete pass of the copy-on-write design —
+        run after compaction, outside any time-travel retention window.
+        Metadata-sized work only: the file lists live in manifests, so
+        no data is scanned."""
+        if retain_versions < 1:
+            raise VersionedTableError("retain_versions must be >= 1")
+        vs = self.versions()
+        keep_vs = vs[-retain_versions:]
+        drop_vs = vs[:-retain_versions]
+        if not drop_vs:
+            return []
+        live = {f for v in keep_vs for f in self.files(v)}
+        dead = sorted(
+            {f for v in drop_vs for f in self.files(v)} - live
+        )
+        fs = self._fs()
+        for f in dead:
+            fs.delete(self._jpath(f), False)
+        for v in drop_vs:
+            fs.delete(self._jpath("_meta", f"v{v:08d}.json"), False)
+        return dead
+
     def changes(
         self,
         from_version: int,

@@ -376,3 +376,28 @@ def test_dedup_cluster_survivors_match_pairs(spark, documents):
         assert assign[p.doc_a] == assign[p.doc_b]
     paired = {p.doc_a for p in pairs.collect()} | {p.doc_b for p in pairs.collect()}
     assert set(assign) == paired
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be invisible in the result: same rows, same
+    multiplicities, for inner and left joins, on a skewed key."""
+    from sql_based_etl_spark.operators.joins import salted_join, salted_join_hot_keys
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 30)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 25)], ["k", "d"]
+    )
+    plain = big.join(small, "k", "inner")
+    for how in ("inner", "left"):
+        expect = sorted(map(tuple, big.join(small, "k", how).collect()))
+        got = sorted(map(tuple, salted_join(big, small, "k", how, salt=8).collect()))
+        assert got == expect, how
+        hot = spark.createDataFrame([(1,)], ["k"])
+        got_hot = sorted(
+            map(tuple, salted_join_hot_keys(big, small, "k", hot, how, salt=8).collect())
+        )
+        assert got_hot == expect, how
+    assert plain.count() == 500 + 23

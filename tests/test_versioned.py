@@ -125,3 +125,61 @@ def test_changes_append_is_insert_only(spark, table):
     assert cdf.filter(F.col("change_type") == "delete").count() == 0
     got = {r.id for r in cdf.collect()}
     assert got == set(range(100, 120))
+
+
+def test_compact_packs_small_files_and_preserves_rows(spark, table):
+    table.write(_clustered_df(spark, n=100, parts=2), num_partitions=None)
+    for lo in (100, 150, 200):
+        extra = spark.range(lo, lo + 50).select(
+            F.col("id").cast("int").alias("id"), F.lit("x").alias("name")
+        )
+        table.write(extra, mode="append", num_partitions=1)
+    n_before = len(table.files())
+    v = table.compact(num_partitions=1)
+    m = table.manifest(v)
+    assert m["operation"] == "COMPACT"
+    assert len(table.files()) < n_before
+    assert table.read().count() == 250
+    # content-identical: the CDF across the compaction is empty
+    assert table.changes(v - 1, v).count() == 0
+    # pre-compact versions still time-travelable
+    assert table.read(version=0).count() == 100
+
+
+def test_vacuum_drops_dead_files_and_old_versions(spark, table):
+    table.write(_clustered_df(spark, n=100, parts=2), num_partitions=None)
+    extra = spark.range(100, 150).select(
+        F.col("id").cast("int").alias("id"), F.lit("x").alias("name")
+    )
+    table.write(extra, mode="append", num_partitions=1)
+    table.compact(num_partitions=1)
+    deleted = table.vacuum(retain_versions=1)
+    assert deleted, "compacted-away small files should be deleted"
+    assert table.versions() == [table.latest_version()]
+    assert table.read().count() == 150
+    fs = table._fs()
+    for f in deleted:
+        assert not fs.exists(table._jpath(f))
+    for f in table.files():
+        assert fs.exists(table._jpath(f))
+
+
+def test_maintenance_stage(spark, table):
+    """Compaction + vacuum driven declaratively through the stage
+    runner."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    table.write(_clustered_df(spark, n=100, parts=2), num_partitions=None)
+    for lo in (100, 150):
+        extra = spark.range(lo, lo + 50).select(
+            F.col("id").cast("int").alias("id"), F.lit("x").alias("name")
+        )
+        table.write(extra, mode="append", num_partitions=1)
+    Pipeline(spark).run([
+        {"type": "VersionedTableMaintenance", "name": "housekeeping",
+         "inputURI": table.path,
+         "compact": {"numPartitions": 1},
+         "vacuum": {"retainVersions": 1}},
+    ])
+    assert len(table.versions()) == 1
+    assert table.read().count() == 200
