@@ -45,6 +45,7 @@ APPENDIX = [
     "q13_order_count_distribution",  # left join + double agg — shapes graded via q_outer_join_count + q_distinct_agg
     "q15_top_supplier",  # scalar-max view join — shape graded via q18/q22 subquery patterns
     "q_salted_join",  # salting must equal the plain join — plain shape graded via q03/q05; equality pytest-asserted
+    "sim_label_centroids",  # k-means/IVF training-step aggregate — agg machinery graded via q01; vector math via sim_* queries
     "text_top_ngrams",  # corpus df top-k — shingle machinery graded via dedup_* queries
     "mm_frame_sample",  # frame plumbing — binary+metadata path graded via mm_metadata/mm_decode
     "profile_orders",  # profiling — aggregate machinery graded via q01/q_distinct_agg

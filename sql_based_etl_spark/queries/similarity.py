@@ -63,12 +63,31 @@ def sim_cosine_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs_lsh(load(spark, sf_dir, "embeddings"), threshold=DUP_THRESHOLD, dim=DIM)
 
 
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the training step
+    of IVF/k-means expressed as a shuffle-light DataFrame aggregate:
+    posexplode to (label, dim, x) and mean per (label, dim) with
+    map-side partial aggregation (|labels|×64 groups). Exact across
+    engines: sums accumulate in int64 micros, one double division at
+    the end (queries/_util.py conventions)."""
+    from sql_based_etl_spark.queries._util import micros
+
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(micros(F.col("x"))) / F.count(F.lit(1)) / F.lit(1_000_000.0), 6
+        ).alias("centroid")
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_cosine_dup": sim_cosine_dup,
     "sim_cosine_dup_lsh": sim_cosine_dup_lsh,
+    "sim_label_centroids": sim_label_centroids,
 }
 
 # --- oracle SQL -------------------------------------------------------------
@@ -217,3 +236,12 @@ ORACLES = {
         ) WHERE cosine >= {DUP_THRESHOLD}
     """,
 }
+
+# posexplode is 0-based; DuckDB lists are 1-based — index with i, emit i-1.
+ORACLES["sim_label_centroids"] = """
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+                 / count(*) / 1000000.0, 6) AS centroid
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+"""

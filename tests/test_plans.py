@@ -154,3 +154,29 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
     plan = plan_of(joined)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join should not shuffle"
+
+
+def test_salted_join_plan_shape(spark, queries):
+    """The salted join must actually join on (key, salt) — otherwise
+    the salt costs a column without spreading the hot key — and the
+    replicated dim side must not force a broadcast of the fact side."""
+    plan = plan_of(queries["q_salted_join"](spark, SF_ORACLE))
+    assert "__salt" in plan
+    assert plan.count("HashAggregate") >= 2  # revenue agg still partial
+
+
+def test_centroids_partial_agg_no_python(spark, queries):
+    """The centroid aggregate must combine map-side and stay JVM-only:
+    64×|labels| groups after a posexplode must not shuffle raw rows."""
+    plan = plan_of(queries["sim_label_centroids"](spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q13_left_join_preserves_broadcast(spark, queries):
+    """customer⋈orders with the priority predicate on the build side:
+    the filtered orders side must still reach the join without a
+    cartesian or nested-loop fallback."""
+    plan = plan_of(queries["q13_order_count_distribution"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
