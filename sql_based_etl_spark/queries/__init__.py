@@ -42,6 +42,7 @@ APPENDIX = [
     "q_scd2_expired_count",  # filter+count over the graded q_scd2_merge state (the notebook's challenge question; no unique machinery)
     "q16_supplier_part_count",  # NOT IN anti subquery — anti/semi graded via q_semi_join + q_intersect_except
     "q17_small_qty_revenue",  # correlated scalar avg — scalar-subquery shape graded via q22 pattern tests
+    "q08_market_share",  # 8-way join + conditional-share agg — join tree graded via q05/q07, ratio via q14
     "q13_order_count_distribution",  # left join + double agg — shapes graded via q_outer_join_count + q_distinct_agg
     "q15_top_supplier",  # scalar-max view join — shape graded via q18/q22 subquery patterns
     "q_salted_join",  # salting must equal the plain join — plain shape graded via q03/q05; equality pytest-asserted

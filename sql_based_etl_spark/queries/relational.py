@@ -215,6 +215,49 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue: a supplier nation's share of STANDARD-part
+    revenue sold to AMERICA-region customers, by order year — the
+    widest join tree in the suite (lineitem ⋈ part ⋈ orders ⋈ customer
+    ⋈ supplier ⋈ 2×nation ⋈ region). Share = conditional sum / total
+    sum over identical int64-micro revenues, one double division."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").startswith("STANDARD"))
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("r_regionkey").alias("c_rk"))
+    )
+    rev = micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.c_nk)
+        .join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
+        .join(F.broadcast(r), "c_rk")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev_micros"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev_micros")).otherwise(F.lit(0)))
+    return base.groupBy("o_year").agg(
+        F.round(target / F.sum("rev_micros"), 6).alias("mkt_share")
+    )
+
+
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 analogue: distribution of per-customer order counts,
     counting only non-urgent orders — a LEFT join with an extra join-
@@ -936,6 +979,7 @@ QUERIES = {
     "q_intersect_except": q_intersect_except,
     "q16_supplier_part_count": q16_supplier_part_count,
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q08_market_share": q08_market_share,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q_salted_join": q_salted_join,
@@ -1277,6 +1321,27 @@ ORACLES = {
         JOIN per_part USING (l_partkey)
         WHERE p_brand = 'Brand#1' AND p_size <= 15
           AND 5 * CAST(round(l_quantity * 1000000.0) AS BIGINT) * n_q < sum_q_micros
+    """,
+    "q08_market_share": """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_micros ELSE 0 END)
+                     / sum(rev_micros), 6) AS mkt_share
+        FROM (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT)
+                       AS rev_micros,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            WHERE p_type LIKE 'STANDARD%' AND r_name = 'AMERICA'
+        )
+        GROUP BY o_year
     """,
     "q13_order_count_distribution": """
         SELECT c_count, count(*) AS custdist FROM (
