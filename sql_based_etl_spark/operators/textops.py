@@ -225,3 +225,56 @@ def quality_filter(df: DataFrame, min_words: int = 30, min_score: float = 0.45,
         )
         .select("doc_id", "pred_lang", "n_words", "quality_score")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_shared`` distinct word ``n``-grams with any benchmark
+    document — the standard guard against eval-set leakage into
+    pretraining data (long n-grams, default 8, so incidental phrase
+    overlap doesn't flag).
+
+    Shape at 100 TB: an inverted-index join keyed on 28-bit shingle
+    identities (operators/dedup.py:hashed_shingle_rows) — the benchmark
+    side is tiny (eval sets are thousands of docs, not billions), so
+    its index broadcasts and the corpus side never shuffles: explode →
+    broadcast-hash join → per-(doc, bench) count. ``max_df`` drops
+    corpus-side boilerplate shingles (license headers ...) that would
+    otherwise flag everything; benchmark shingles are assumed curated.
+
+    Returns ``(doc_id, bench_id, shared_ngrams)`` per contaminated
+    (doc, benchmark-doc) pair.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    from sql_based_etl_spark.operators.dedup import hashed_shingle_rows
+
+    corpus = hashed_shingle_rows(docs, id_col, text_col, n).distinct()
+    if max_df is not None:
+        hot = (
+            corpus.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("h")
+        )
+        corpus = corpus.join(F.broadcast(hot), "h", "left_anti")
+    bench = (
+        hashed_shingle_rows(benchmark, id_col, text_col, n)
+        .distinct()
+        .select(F.col("id").alias("bench_id"), "h")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+        .select(F.col("id").alias("doc_id"), "bench_id", "shared_ngrams")
+    )

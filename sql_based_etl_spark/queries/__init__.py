@@ -40,6 +40,7 @@ APPENDIX = [
     "q_anti_join",  # 0 rows at sf0.01 (vacuous signal) — anti semantics graded via q_intersect_except's EXCEPT
     "q_string_functions",  # scalar string surface — exercised by the graded text_*/dedup_* operators (lower/regexp/split/md5/concat)
     "q_scd2_expired_count",  # filter+count over the graded q_scd2_merge state (the notebook's challenge question; no unique machinery)
+    "q_date_functions",  # scalar date surface — intervals/year graded via q04/q06, date_trunc bucketing via q_hypertable_rollup
     "q16_supplier_part_count",  # NOT IN anti subquery — anti/semi graded via q_semi_join + q_intersect_except
     "q17_small_qty_revenue",  # correlated scalar avg — scalar-subquery shape graded via q22 pattern tests
     "q08_market_share",  # 8-way join + conditional-share agg — join tree graded via q05/q07, ratio via q14

@@ -274,3 +274,42 @@ ORACLES["text_top_ngrams"] = """
     ORDER BY df DESC, s ASC
     LIMIT 20
 """
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 20 != 0)
+    sharing any distinct 8-gram with a held-out 'benchmark' slice
+    (doc_id % 20 == 0) — the eval-leakage guard of a pretraining
+    pipeline. Inverted-index broadcast join; see
+    operators/textops.py:decontaminate."""
+    from sql_based_etl_spark.operators.textops import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, bench, n=8, min_shared=1)
+
+
+QUERIES["text_decontaminate"] = text_decontaminate
+
+ORACLES["text_decontaminate"] = """
+    WITH sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 7, 1)),
+                   i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(words, i, i + 7), ' ')), 1, 7)) AS BIGINT)
+               ))) AS h
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words
+            FROM documents
+        )
+    ),
+    corpus0 AS (SELECT id, h FROM sh WHERE id % 20 <> 0),
+    hot AS (SELECT h FROM corpus0 GROUP BY h HAVING count(*) > 1000),
+    corpus AS (SELECT id, h FROM corpus0 WHERE h NOT IN (SELECT h FROM hot)),
+    bench AS (SELECT id AS bench_id, h FROM sh WHERE id % 20 = 0)
+    SELECT id AS doc_id, bench_id, count(*) AS shared_ngrams
+    FROM corpus JOIN bench USING (h)
+    GROUP BY id, bench_id HAVING count(*) >= 1
+"""

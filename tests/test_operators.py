@@ -401,3 +401,24 @@ def test_salted_join_matches_plain_join(spark):
         )
         assert got_hot == expect, how
     assert plain.count() == 500 + 23
+
+
+def test_decontaminate_flags_injected_overlap(spark):
+    """A training doc embedding a benchmark doc's 8-gram must be
+    flagged; unrelated docs must not."""
+    from sql_based_etl_spark.operators.textops import decontaminate
+
+    secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text {secret} closing remarks here"),
+            (2, "completely unrelated content with no overlap at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, f"question: {secret} answer: yes")], ["doc_id", "text"]
+    )
+    rows = decontaminate(corpus, bench, n=8, min_shared=1).collect()
+    assert {(r.doc_id, r.bench_id) for r in rows} == {(1, 100)}
+    assert all(r.shared_ngrams >= 1 for r in rows)

@@ -47,7 +47,7 @@ def test_graded_window_composition():
         "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
         "sim_cosine_dup", "sim_cosine_dup_lsh",
         "q_scd2_merge", "q_scd2_changes", "q_intersect_except",
-        "dedup_clusters",
+        "dedup_clusters", "text_decontaminate",
     ]
     missing = [n for n in must_grade if n not in graded]
     assert not missing, f"queries fell out of the graded window: {missing}"
