@@ -12,10 +12,13 @@ from sql_based_etl_spark.tables.versioned import VersionedTable
 def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     """S3 ``DeltaLakeLoad`` (scd2-job.ipynb:162-172): write a view to a
     versioned table; ``numPartitions`` (:168) controls output file
-    count / write parallelism, ``saveMode`` (:169) Overwrite/Append."""
+    count / write parallelism, ``saveMode`` (:169) Overwrite/Append;
+    ``options.mergeSchema`` allows an append to widen the table schema
+    (Delta's option of the same name)."""
     df = ctx.view(conf["inputView"])
     t = VersionedTable(ctx.spark, conf["outputURI"])
     n = conf.get("numPartitions")
+    opts = conf.get("options", {}) or {}
     t.write(
         df,
         mode=str(conf.get("saveMode", "Overwrite")).lower(),
@@ -23,6 +26,7 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         # repartition("4") would treat it as a column name
         num_partitions=int(n) if n else None,
         operation="LOAD",
+        merge_schema=str(opts.get("mergeSchema", False)).lower() == "true",
     )
     return None
 

@@ -113,3 +113,25 @@ ORACLES = {
         FROM flagged GROUP BY user_id
     """,
 }
+
+
+def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (events stream ⋈ customer dim,
+    broadcast, stateless) feeding a stateful count — the canonical
+    enrich-then-aggregate streaming DAG."""
+    from sql_based_etl_spark.queries._util import load
+    from sql_based_etl_spark.streaming.events import enriched_counts
+
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    dim = load(spark, sf_dir, "customer")
+    out, _ = run_bounded(enriched_counts(events, dim), mode="complete")
+    return out
+
+
+QUERIES["stream_enriched_counts"] = stream_enriched_counts
+
+ORACLES["stream_enriched_counts"] = """
+    SELECT c_mktsegment AS segment, event_type, count(*) AS n
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+"""

@@ -126,3 +126,25 @@ def stream_append_to_table(stream_df: DataFrame, table_path: str,
                 operation=f"STREAM_BATCH_{batch_id}")
 
     return stream_df.writeStream.foreachBatch(_sink).outputMode("append").start()
+
+
+def enriched_counts(events: DataFrame, dim: DataFrame,
+                    key: str = "user_id", dim_key: str = "c_custkey",
+                    dim_attr: str = "c_mktsegment") -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static
+    dimension and aggregate per (attribute, event_type).
+
+    The stream-static join is stateless — each micro-batch hash-joins
+    against the (broadcast) dimension snapshot, no join state
+    accumulates — which is why enrichment belongs *before* stateful
+    aggregation in a streaming DAG. Left join: events with no
+    dimension row keep flowing (NULL attribute), an enrichment must
+    never drop facts."""
+    joined = events.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(key), dim_attr)),
+        key,
+        "left",
+    )
+    return joined.groupBy(F.col(dim_attr).alias("segment"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -156,13 +156,21 @@ class VersionedTable:
     # --- read / write -----------------------------------------------------
 
     def read(self, version: int | None = None, relative_version: int | None = None) -> DataFrame:
+        from pyspark.sql.types import StructType
+
         v = self.resolve_version(version, relative_version)
         rel = self.files(v)
+        schema = StructType.fromJson(self.manifest(v)["schema"])
         if not rel:
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame([], StructType.fromJson(self.manifest(v)["schema"]))
-        return self.spark.read.parquet(*[f"{self.path}/{f}" for f in rel])
+            return self.spark.createDataFrame([], schema)
+        # read under the manifest's schema, not the files' own: after a
+        # schema-evolving append the snapshot mixes files written under
+        # older schemas — the explicit schema makes the scan fill their
+        # missing columns with NULL (and keeps the scan single-pass: no
+        # footer-merging inference job)
+        return self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in rel]
+        )
 
     def _write_data_files(self, df: DataFrame, version: int,
                           num_partitions: int | None) -> list[str]:
@@ -194,20 +202,48 @@ class VersionedTable:
         return version
 
     def write(self, df: DataFrame, mode: str = "overwrite", num_partitions: int | None = None,
-              operation: str = "WRITE") -> int:
+              operation: str = "WRITE", merge_schema: bool = False) -> int:
         """Commit ``df`` as a new version. ``mode='append'`` adds files
         to the current snapshot (no rewrite of existing data);
-        ``'overwrite'`` replaces the snapshot."""
+        ``'overwrite'`` replaces the snapshot.
+
+        Appends enforce the table schema (fail-loud like Delta): a
+        drifted ``df`` is rejected unless ``merge_schema=True``, which
+        widens the manifest schema with the new columns (existing files
+        are untouched — the schema-aware scan in :meth:`read` fills
+        their missing columns with NULL). Same-name columns must keep
+        their type; silent type changes corrupt every older file."""
+        from pyspark.sql.types import StructType
+
         vs = self.versions()
         if mode not in ("overwrite", "append", "errorifexists"):
             raise VersionedTableError(f"unsupported saveMode {mode}")
         if mode == "errorifexists" and vs:
             raise VersionedTableError(f"table exists at {self.path}")
+
+        schema = df.schema
+        if mode == "append" and vs:
+            old = StructType.fromJson(self.manifest(vs[-1])["schema"])
+            old_types = {f.name: f.dataType for f in old.fields}
+            new_fields = [f for f in df.schema.fields if f.name not in old_types]
+            for f in df.schema.fields:
+                if f.name in old_types and f.dataType != old_types[f.name]:
+                    raise VersionedTableError(
+                        f"append changes type of column {f.name!r}: "
+                        f"{old_types[f.name].simpleString()} -> {f.dataType.simpleString()}"
+                    )
+            if new_fields and not merge_schema:
+                raise VersionedTableError(
+                    f"append adds columns {[f.name for f in new_fields]}; "
+                    "pass merge_schema=True to evolve the table schema"
+                )
+            schema = StructType(list(old.fields) + new_fields)
+
         new_v = (vs[-1] + 1) if vs else 0
         new_files = self._write_data_files(df, new_v, num_partitions)
         carried = self.files(vs[-1]) if (mode == "append" and vs) else []
         return self._commit(new_v, operation if mode != "append" else "APPEND",
-                            carried + new_files, df.schema.jsonValue())
+                            carried + new_files, schema.jsonValue())
 
     def compact(
         self,

@@ -183,3 +183,32 @@ def test_maintenance_stage(spark, table):
     ])
     assert len(table.versions()) == 1
     assert table.read().count() == 200
+
+
+def test_append_schema_enforcement_and_evolution(spark, table):
+    """A drifted append must fail loud without merge_schema; with it,
+    the schema widens and old rows read NULL for the new column. Time
+    travel keeps each version's own schema."""
+    table.write(_clustered_df(spark, n=50, parts=1), num_partitions=None)
+
+    drifted = spark.range(50, 60).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("x").alias("name"),
+        F.lit(1.5).alias("score"),
+    )
+    with pytest.raises(VersionedTableError, match="merge_schema"):
+        table.write(drifted, mode="append")
+    with pytest.raises(VersionedTableError, match="changes type"):
+        table.write(
+            spark.range(5).select(F.col("id").cast("string").alias("id"),
+                                  F.lit("y").alias("name")),
+            mode="append",
+        )
+
+    table.write(drifted, mode="append", merge_schema=True)
+    out = table.read()
+    assert out.columns == ["id", "name", "score"]
+    assert out.count() == 60
+    assert out.filter(F.col("score").isNull()).count() == 50
+    # pre-evolution version still reads under its original schema
+    assert table.read(version=0).columns == ["id", "name"]
