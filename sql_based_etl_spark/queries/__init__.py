@@ -43,6 +43,8 @@ APPENDIX = [
     "q_date_functions",  # scalar date surface — intervals/year graded via q04/q06, date_trunc bucketing via q_hypertable_rollup
     "q16_supplier_part_count",  # NOT IN anti subquery — anti/semi graded via q_semi_join + q_intersect_except
     "q17_small_qty_revenue",  # correlated scalar avg — scalar-subquery shape graded via q22 pattern tests
+    "q_array_functions",  # array surface (sort_array/element_at/slice/aggregate) — array machinery graded via dedup/sim queries
+    "q_ntile_quartiles",  # ntile window — ranking windows graded via q_topk_per_group
     "q08_market_share",  # 8-way join + conditional-share agg — join tree graded via q05/q07, ratio via q14
     "q13_order_count_distribution",  # left join + double agg — shapes graded via q_outer_join_count + q_distinct_agg
     "q15_top_supplier",  # scalar-max view join — shape graded via q18/q22 subquery patterns

@@ -320,6 +320,50 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: per-order sorted quantity vector plus
+    size / element_at / slice / array_contains / reverse — built on one
+    sort_array(collect_list()) so the vector is deterministic (collect
+    order is not; the sort makes both engines agree)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 1000 == 0)
+    arr = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(micros(F.col("l_quantity")))).alias("q"))
+    )
+    return arr.select(
+        "l_orderkey",
+        F.size("q").alias("n_items"),
+        (F.element_at("q", 1) / F.lit(MICROS)).alias("min_qty"),
+        (F.element_at("q", -1) / F.lit(MICROS)).alias("max_qty"),
+        F.array_contains("q", F.lit(1_000_000)).alias("has_qty_1"),
+        (
+            F.aggregate(F.slice("q", 1, 3), F.lit(0).cast("long"), lambda a, x: a + x)
+            / F.lit(MICROS)
+        ).alias("sum_small3"),
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() window coverage: quartile bucket of customers by account
+    balance within market segment (unique custkey tiebreak so bucket
+    boundaries are deterministic), then per-bucket aggregates."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    binned = c.select(
+        "c_mktsegment",
+        micros(F.col("c_acctbal")).alias("bal_micros"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return binned.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("bal_micros") / F.lit(MICROS)).alias("sum_bal"),
+    )
+
+
 def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations beyond UNION: INTERSECT and EXCEPT (both
     distinct, per SQL semantics — DataFrame intersect()/exceptAll()
@@ -979,6 +1023,8 @@ QUERIES = {
     "q_intersect_except": q_intersect_except,
     "q16_supplier_part_count": q16_supplier_part_count,
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q_array_functions": q_array_functions,
+    "q_ntile_quartiles": q_ntile_quartiles,
     "q08_market_share": q08_market_share,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q15_top_supplier": q15_top_supplier,
@@ -1321,6 +1367,32 @@ ORACLES = {
         JOIN per_part USING (l_partkey)
         WHERE p_brand = 'Brand#1' AND p_size <= 15
           AND 5 * CAST(round(l_quantity * 1000000.0) AS BIGINT) * n_q < sum_q_micros
+    """,
+    "q_array_functions": """
+        SELECT l_orderkey,
+               len(q) AS n_items,
+               q[1] / 1000000.0 AS min_qty,
+               q[-1] / 1000000.0 AS max_qty,
+               list_contains(q, 1000000) AS has_qty_1,
+               list_aggregate(list_slice(q, 1, 3), 'sum') / 1000000.0 AS sum_small3
+        FROM (
+            SELECT l_orderkey,
+                   list_sort(list(CAST(round(l_quantity * 1000000.0) AS BIGINT))) AS q
+            FROM lineitem WHERE l_orderkey % 1000 = 0
+            GROUP BY l_orderkey
+        )
+    """,
+    "q_ntile_quartiles": """
+        SELECT c_mktsegment, quartile, count(*) AS n,
+               sum(bal_micros) / 1000000.0 AS sum_bal
+        FROM (
+            SELECT c_mktsegment,
+                   CAST(round(c_acctbal * 1000000.0) AS BIGINT) AS bal_micros,
+                   ntile(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+            FROM customer
+        )
+        GROUP BY c_mktsegment, quartile
     """,
     "q08_market_share": """
         SELECT o_year,
