@@ -239,12 +239,18 @@ def minhash_lsh_pairs(
     bands = sigs.select("id", *band_keys).select(
         "id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)")
     )
-    from pyspark.sql import Window
-
-    bucket_sizes = Window.partitionBy("band", "key")
-    bands = bands.withColumn("__n", F.count(F.lit(1)).over(bucket_sizes)).filter(
-        F.col("__n") <= max_bucket
-    ).drop("__n")
+    # skew guard as a broadcast anti-join against the (tiny, by
+    # definition) hot-bucket list — a window count over (band, key)
+    # would shuffle AND sort the whole bands relation just to tag the
+    # few oversized buckets; the groupBy is map-side combinable and the
+    # anti-join adds no shuffle of bands
+    hot_buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band", "key")
+    )
+    bands = bands.join(F.broadcast(hot_buckets), ["band", "key"], "left_anti")
 
     b2 = bands.select(F.col("id").alias("id_b"), F.col("band"), F.col("key"))
     cand = (
