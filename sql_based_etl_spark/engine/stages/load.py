@@ -133,8 +133,6 @@ def versioned_table_maintenance(ctx: PipelineContext, conf: dict) -> DataFrame |
     conf: ``inputURI``; optional ``compact`` {``smallFileBytes``,
     ``numPartitions``} and ``vacuum`` {``retainVersions``} blocks —
     either may be given alone."""
-    from sql_based_etl_spark.tables.versioned import VersionedTable
-
     t = VersionedTable(ctx.spark, conf["inputURI"])
     c = conf.get("compact")
     if c is not None:
@@ -167,11 +165,23 @@ def bucketed_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         # LOCATION_ALREADY_EXISTS even in overwrite mode.  Drop any
         # catalog entry, then clear the orphaned location through the
         # Hadoop FS API (works on any scheme, not just local disk).
+        # Names may be database-qualified: quote each part separately
+        # (a single backtick pair would make `db.tbl` one identifier)
+        # and mirror the managed-table layout <warehouse>/<db>.db/<tbl>
+        # for non-default databases.
         spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS `{conf['table']}`")
+        parts = conf["table"].split(".")
+        qualified = ".".join(f"`{p}`" for p in parts)
+        spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+        if len(parts) == 1:
+            db = spark.catalog.currentDatabase()
+            tbl = parts[0]
+        else:
+            db, tbl = parts[-2], parts[-1]
+        rel = tbl.lower() if db == "default" else f"{db.lower()}.db/{tbl.lower()}"
         jvm = spark.sparkContext._jvm  # noqa: SLF001
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        loc = jvm.org.apache.hadoop.fs.Path(warehouse, conf["table"].lower())
+        loc = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
         fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())  # noqa: SLF001
         if fs.exists(loc):
             fs.delete(loc, True)

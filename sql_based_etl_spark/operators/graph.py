@@ -30,9 +30,9 @@ any data size matters — persist() alone caches rows but not the plan.
 ``checkpoint()`` for executor-loss tolerance; localCheckpoint keeps
 the tight loop driver-local here.)
 
-Convergence is detected with one tiny aggregate per round (labels
-decrease monotonically; the sum is stationary exactly at the
-fixpoint) — the driver never collects the label table itself.
+Convergence is detected with one tiny changed-rows probe per round
+(join old vs new labels, ``limit(1).count()``) — exact for any node-id
+type, and the driver never collects the label table itself.
 """
 
 from __future__ import annotations
@@ -65,7 +65,6 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iter):
         nbr = sym.join(
@@ -88,11 +87,20 @@ def connected_components(
             .select("node", F.col("__ll").alias("label"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = jumped.agg(F.sum("label")).first()[0]
+        # exact fixpoint test, type-agnostic (a sum-based check would
+        # silently NULL out on string node ids): any row whose label
+        # changed this round? limit(1) short-circuits the scan.
+        changed = (
+            jumped.join(
+                labels.select("node", F.col("label").alias("__prev")), "node"
+            )
+            .filter(F.col("label") != F.col("__prev"))
+            .limit(1)
+            .count()
+        )
         labels = jumped
-        if cur_sum == prev_sum:
+        if not changed:
             break
-        prev_sum = cur_sum
 
     return labels.select("node", F.col("label").alias("component"))
 

@@ -43,6 +43,8 @@ def salted_join(
     keeps exactly one salt, so multiplicities are preserved."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how}")
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("salted_join: inputs must not already have a __salt column")
     keys = [on] if isinstance(on, str) else list(on)
     b = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     s = small.withColumn(

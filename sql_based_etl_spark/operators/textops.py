@@ -253,8 +253,6 @@ def decontaminate(
     Returns ``(doc_id, bench_id, shared_ngrams)`` per contaminated
     (doc, benchmark-doc) pair.
     """
-    from pyspark.sql import DataFrame as _DF
-
     from sql_based_etl_spark.operators.dedup import hashed_shingle_rows
 
     corpus = hashed_shingle_rows(docs, id_col, text_col, n).distinct()

@@ -237,11 +237,15 @@ ORACLES = {
     """,
 }
 
-# posexplode is 0-based; DuckDB lists are 1-based — index with i, emit i-1.
-ORACLES["sim_label_centroids"] = """
+# posexplode is 0-based; DuckDB lists are 1-based — index with i, emit
+# i-1. The i <= len() guard makes the per-(label,dim) divisor count
+# only embeddings that actually have that dimension, mirroring
+# posexplode exactly even on ragged arrays.
+ORACLES["sim_label_centroids"] = f"""
     SELECT label, CAST(i - 1 AS INT) AS dim,
            round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
                  / count(*) / 1000000.0, 6) AS centroid
-    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+    WHERE i <= len(embedding)
     GROUP BY label, i
 """

@@ -262,6 +262,8 @@ class VersionedTable:
         micro-batch commits accumulate one small file per batch, and a
         100 TB scan pays per-file open/seek costs (and loses row-group
         pruning) until they're packed."""
+        from pyspark.sql.types import StructType
+
         fs = self._fs()
         cur = self.files()
         small = [
@@ -271,11 +273,18 @@ class VersionedTable:
         if len(small) <= 1:
             return self.latest_version()  # nothing to pack
         carried = [f for f in cur if f not in set(small)]
-        df = self.spark.read.parquet(*[f"{self.path}/{f}" for f in small])
+        # read under the manifest schema, never file-footer inference:
+        # after a schema-evolving append the small files mix schemas,
+        # and inferring from one footer would silently drop the evolved
+        # columns from the rewritten rows AND from the new manifest
+        schema = StructType.fromJson(self.manifest(self.latest_version())["schema"])
+        df = self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in small]
+        )
         new_v = self.latest_version() + 1
         new_files = self._write_data_files(df, new_v, num_partitions)
         return self._commit(
-            new_v, "COMPACT", carried + new_files, df.schema.jsonValue(),
+            new_v, "COMPACT", carried + new_files, schema.jsonValue(),
             extra={"files_compacted": len(small), "files_carried": len(carried)},
         )
 
@@ -292,18 +301,31 @@ class VersionedTable:
         vs = self.versions()
         keep_vs = vs[-retain_versions:]
         drop_vs = vs[:-retain_versions]
-        if not drop_vs:
-            return []
-        live = {f for v in keep_vs for f in self.files(v)}
-        dead = sorted(
-            {f for v in drop_vs for f in self.files(v)} - live
-        )
         fs = self._fs()
-        for f in dead:
-            fs.delete(self._jpath(f), False)
+        # manifests first: a crash mid-vacuum must never leave a listed
+        # version pointing at deleted files (reads would die with raw
+        # FileNotFound instead of a clean resolve error)
         for v in drop_vs:
             fs.delete(self._jpath("_meta", f"v{v:08d}.json"), False)
-        return dead
+        # then GC by physical listing — every data file not referenced
+        # by a surviving manifest goes, which also reclaims files
+        # orphaned by an earlier crash (manifests deleted, files not).
+        # Safe under the table's single-writer contract; a concurrent
+        # writer's uncommitted files would need Delta-style retention.
+        live = {f for v in keep_vs for f in self.files(v)}
+        dead = []
+        data_root = self._jpath("data")
+        if fs.exists(data_root):
+            for vdir in fs.listStatus(data_root):
+                vname = vdir.getPath().getName()
+                for st in fs.listStatus(vdir.getPath()):
+                    fn = st.getPath().getName()
+                    rel = f"data/{vname}/{fn}"
+                    if rel not in live:
+                        dead.append(rel)
+        for f in sorted(dead):
+            fs.delete(self._jpath(f), False)
+        return sorted(dead)
 
     def changes(
         self,
@@ -414,7 +436,13 @@ class VersionedTable:
         t_cols = target_full.columns
         t_dtypes = dict(target_full.dtypes)
         if matched_files:
-            subset = self.spark.read.parquet(*[f"{self.path}/{f}" for f in matched_files])
+            # manifest schema, not footer inference: after a schema-
+            # evolving append the matched files may predate the newest
+            # columns — the explicit schema fills them with NULL and
+            # keeps target.<col> resolvable for every manifest column
+            subset = self.spark.read.schema(target_full.schema).parquet(
+                *[f"{self.path}/{f}" for f in matched_files]
+            )
         else:
             subset = self.spark.createDataFrame([], target_full.schema)
 

@@ -422,3 +422,19 @@ def test_decontaminate_flags_injected_overlap(spark):
     rows = decontaminate(corpus, bench, n=8, min_shared=1).collect()
     assert {(r.doc_id, r.bench_id) for r in rows} == {(1, 100)}
     assert all(r.shared_ngrams >= 1 for r in rows)
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric node ids must converge exactly (the convergence
+    probe is type-agnostic; a sum-based check would NULL out and stop
+    after one round, splitting the 6-node chain)."""
+    from sql_based_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("x", "y")],
+        ["src", "dst"],
+    )
+    rows = connected_components(edges).collect()
+    comp = {r.node: r.component for r in rows}
+    assert {comp[n] for n in "abcdef"} == {"a"}
+    assert comp["x"] == comp["y"] == "x"

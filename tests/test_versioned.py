@@ -212,3 +212,51 @@ def test_append_schema_enforcement_and_evolution(spark, table):
     assert out.filter(F.col("score").isNull()).count() == 50
     # pre-evolution version still reads under its original schema
     assert table.read(version=0).columns == ["id", "name"]
+
+
+def test_merge_and_compact_after_schema_evolution(spark, table):
+    """MERGE and compaction must read pre-evolution files under the
+    manifest schema (NULL-filled), not footer inference — otherwise
+    target.<new_col> fails to resolve / evolved columns vanish."""
+    table.write(_clustered_df(spark, n=40, parts=1), num_partitions=None)
+    drifted = spark.range(40, 45).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("x").alias("name"),
+        F.lit(2.5).alias("score"),
+    )
+    table.write(drifted, mode="append", merge_schema=True)
+
+    src = spark.createDataFrame(
+        [(0, "merged", 9.0)], ["id", "name", "score"]
+    ).select(F.col("id").cast("int"), "name", "score")
+    table.merge(
+        src,
+        "source.id = target.id",
+        when_matched_update={"name": "source.name", "score": "source.score"},
+    )
+    out = table.read()
+    assert out.filter((F.col("id") == 0) & (F.col("name") == "merged")
+                      & (F.col("score") == 9.0)).count() == 1
+    assert out.filter(F.col("score").isNull()).count() == 39
+
+    v = table.compact(num_partitions=1)
+    out2 = table.read()
+    assert out2.columns == ["id", "name", "score"]
+    assert out2.filter(F.col("score") == 2.5).count() == 5
+    assert table.changes(v - 1, v).count() == 0
+
+
+def test_vacuum_reclaims_crash_orphans(spark, table):
+    """Physical-listing GC: a data file on disk that no surviving
+    manifest references (e.g. left by a crashed writer) is reclaimed."""
+    table.write(_clustered_df(spark, n=50, parts=1), num_partitions=None)
+    fs = table._fs()
+    orphan = table._jpath("data/v00000099/orphan.parquet")
+    out = fs.create(orphan, True)
+    out.write(bytearray(b"junk"))
+    out.close()
+    table.write(_clustered_df(spark, n=50, parts=1), num_partitions=None)
+    deleted = table.vacuum(retain_versions=1)
+    assert "data/v00000099/orphan.parquet" in deleted
+    assert not fs.exists(orphan)
+    assert table.read().count() == 50
