@@ -68,14 +68,19 @@ def orc_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
 def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     """S2 ``DeltaLakeExtract`` incl. time travel (scd2-job.ipynb:418-427,
     461-472): ``options.relativeVersion`` (0 = latest, -1 = previous) or
-    ``options.versionAsOf`` (absolute)."""
+    ``options.versionAsOf`` (absolute). ``options.filters`` — a list of
+    ``[column, op, value]`` conjuncts — enables manifest-stats data
+    skipping: files whose min/max range can't match are never opened
+    (the predicate is still applied row-level afterwards)."""
     opts = conf.get("options", {}) or {}
     t = VersionedTable(ctx.spark, conf["inputURI"])
     version = opts.get("versionAsOf")
     rel = opts.get("relativeVersion")
+    filters = opts.get("filters")
     return t.read(
         version=int(version) if version is not None else None,
         relative_version=int(rel) if rel is not None else None,
+        filters=[tuple(f) for f in filters] if filters else None,
     )
 
 

@@ -14,7 +14,10 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     versioned table; ``numPartitions`` (:168) controls output file
     count / write parallelism, ``saveMode`` (:169) Overwrite/Append;
     ``options.mergeSchema`` allows an append to widen the table schema
-    (Delta's option of the same name)."""
+    (Delta's option of the same name); ``options.clusterBy`` range-
+    clusters the written files on the given columns so the manifest's
+    per-file stats become selective (liquid-clustering analogue);
+    ``options.statsColumns`` narrows stats collection on wide tables."""
     df = ctx.view(conf["inputView"])
     t = VersionedTable(ctx.spark, conf["outputURI"])
     n = conf.get("numPartitions")
@@ -27,6 +30,8 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         num_partitions=int(n) if n else None,
         operation="LOAD",
         merge_schema=str(opts.get("mergeSchema", False)).lower() == "true",
+        cluster_by=opts.get("clusterBy"),
+        stats_columns=opts.get("statsColumns"),
     )
     return None
 

@@ -35,6 +35,15 @@ that contain matching rows (detected with one semi-join over
 carried forward by reference. APPEND writes only the new files. The
 ``repartitionBeforeWrite`` knob (scd2-job-scheduler.yaml:63-64) maps
 to ``num_partitions``.
+
+Data skipping (Delta/Iceberg-style): every commit records per-file
+min/max/null-count stats for scalar columns in the manifest, and
+:meth:`read` takes simple conjunctive ``filters`` that prune
+non-matching files **driver-side, from metadata alone** — a selective
+scan over a 100 TB table opens only the files whose stat range
+intersects the predicate, before Spark plans anything. Writes accept
+``cluster_by`` (range-partition + sort, the liquid-clustering
+analogue) so file stat ranges are narrow and pruning actually bites.
 """
 
 from __future__ import annotations
@@ -59,6 +68,58 @@ def _sql_literal(v: object) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     return str(v)
+
+
+# Column types that get per-file min/max stats. Arrays/maps/structs/
+# binary are excluded: range stats are meaningless or huge for them.
+_STATS_TYPES = (
+    "byte", "short", "int", "bigint", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz", "boolean",
+)
+
+
+def _stat_encode(v: object) -> object:
+    """JSON-encode a stat bound so that Python-comparing two encoded
+    values matches SQL ordering: numbers stay numbers, timestamps/dates
+    become ISO strings (space separator — lexicographic order is
+    chronological for a fixed format with no trailing fraction zeros)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+_FILTER_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _file_may_match(col_stats: dict | None, op: str, val: object) -> bool:
+    """Conservative driver-side prune test for one conjunct against one
+    file's stats. True = the file might contain matching rows (keep);
+    stats absent ⇒ keep. All supported ops are null-rejecting, so a
+    file whose column is entirely NULL (min is null) is safely pruned."""
+    if op not in _FILTER_OPS:
+        raise VersionedTableError(f"unsupported filter op {op!r}; use one of {_FILTER_OPS}")
+    if col_stats is None:
+        return True
+    lo, hi = col_stats.get("min"), col_stats.get("max")
+    if lo is None or hi is None:
+        return False  # no non-null values in this file
+    vals = [_stat_encode(v) for v in (val if op == "in" else [val])]
+    try:
+        if op == "=" or op == "in":
+            return any(lo <= v <= hi for v in vals)
+        if op == "<":
+            return lo < vals[0]
+        if op == "<=":
+            return lo <= vals[0]
+        if op == ">":
+            return hi > vals[0]
+        return hi >= vals[0]  # >=
+    except TypeError:
+        return True  # incomparable literal type — never prune on it
 
 
 class VersionedTable:
@@ -155,28 +216,85 @@ class VersionedTable:
 
     # --- read / write -----------------------------------------------------
 
-    def read(self, version: int | None = None, relative_version: int | None = None) -> DataFrame:
+    def prune_files(
+        self,
+        filters: list[tuple[str, str, object]],
+        version: int | None = None,
+        relative_version: int | None = None,
+    ) -> list[str]:
+        """Data skipping: the subset of a snapshot's files that might
+        contain rows matching ALL conjuncts ``(col, op, value)`` (ops:
+        ``= < <= > >= in``), decided from manifest stats alone — no
+        file is opened. Conservative: a file without stats for a
+        column is kept."""
+        v = self.resolve_version(version, relative_version)
+        m = self.manifest(v)
+        stats = m.get("stats", {})
+        kept = []
+        for f in m["files"]:
+            fstats = stats.get(f)
+            cols = fstats.get("columns", {}) if fstats else {}
+            if all(
+                _file_may_match(cols.get(c) if fstats else None, op, val)
+                for c, op, val in filters
+            ):
+                kept.append(f)
+        return kept
+
+    def read(
+        self,
+        version: int | None = None,
+        relative_version: int | None = None,
+        filters: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
         from pyspark.sql.types import StructType
 
         v = self.resolve_version(version, relative_version)
-        rel = self.files(v)
+        rel = (
+            self.prune_files(filters, version=v) if filters else self.files(v)
+        )
         schema = StructType.fromJson(self.manifest(v)["schema"])
         if not rel:
-            return self.spark.createDataFrame([], schema)
-        # read under the manifest's schema, not the files' own: after a
-        # schema-evolving append the snapshot mixes files written under
-        # older schemas — the explicit schema makes the scan fill their
-        # missing columns with NULL (and keeps the scan single-pass: no
-        # footer-merging inference job)
-        return self.spark.read.schema(schema).parquet(
-            *[f"{self.path}/{f}" for f in rel]
-        )
+            df = self.spark.createDataFrame([], schema)
+        else:
+            # read under the manifest's schema, not the files' own: after a
+            # schema-evolving append the snapshot mixes files written under
+            # older schemas — the explicit schema makes the scan fill their
+            # missing columns with NULL (and keeps the scan single-pass: no
+            # footer-merging inference job)
+            df = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in rel]
+            )
+        # residual filter: pruning is file-granular and conservative, so
+        # the predicate is still applied row-level (and reaches the
+        # parquet scan as a pushed filter for row-group skipping)
+        _COL_OPS = {
+            "=": lambda col, v: col == F.lit(v),
+            "<": lambda col, v: col < F.lit(v),
+            "<=": lambda col, v: col <= F.lit(v),
+            ">": lambda col, v: col > F.lit(v),
+            ">=": lambda col, v: col >= F.lit(v),
+            "in": lambda col, v: col.isin(list(v)),
+        }
+        for c, op, val in filters or []:
+            df = df.filter(_COL_OPS[op](F.col(c), val))
+        return df
 
     def _write_data_files(self, df: DataFrame, version: int,
-                          num_partitions: int | None) -> list[str]:
+                          num_partitions: int | None,
+                          cluster_by: list[str] | None = None) -> list[str]:
         """Write ``df`` under ``data/v{version}/`` and return the
-        table-relative paths of the files written."""
-        if num_partitions:
+        table-relative paths of the files written.
+
+        ``cluster_by`` range-partitions on the given columns and sorts
+        within partitions (liquid-clustering analogue): each output
+        file covers a narrow, mostly disjoint slice of the clustering
+        key space, which is what makes min/max data skipping selective."""
+        if cluster_by:
+            n = int(num_partitions) if num_partitions else \
+                df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
+        elif num_partitions:
             df = df.repartition(int(num_partitions))
         rel_dir = f"data/v{version:08d}"
         df.write.mode("errorifexists").parquet(f"{self.path}/{rel_dir}")
@@ -188,21 +306,73 @@ class VersionedTable:
                 out.append(f"{rel_dir}/{fn}")
         return sorted(out)
 
+    def _collect_stats(self, rel_files: list[str], schema,
+                       stats_columns: list[str] | None = None) -> dict:
+        """Per-file ``{rows, columns: {col: {min, max, nulls}}}`` for
+        scalar columns, computed with ONE aggregate job over the
+        just-written files (the engine can't hook the parquet writer
+        like Delta does, so stats cost one columnar read-back of the
+        new data — of the stats columns only, never carried files).
+        ``stats_columns`` narrows the set at wide tables."""
+        eligible = [
+            f.name for f in schema.fields
+            if f.dataType.simpleString() in _STATS_TYPES
+            and (stats_columns is None or f.name in stats_columns)
+        ]
+        if not eligible or not rel_files:
+            return {}
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*[f"{self.path}/{f}" for f in rel_files])
+            .withColumn("__file", F.regexp_extract(F.input_file_name(), self._FILE_RE, 1))
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in eligible:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            ]
+        stats: dict[str, dict] = {}
+        for r in df.groupBy("__file").agg(*aggs).collect():
+            stats[r["__file"]] = {
+                "rows": r["__rows"],
+                "columns": {
+                    c: {
+                        "min": _stat_encode(r[f"__min_{c}"]),
+                        "max": _stat_encode(r[f"__max_{c}"]),
+                        "nulls": r[f"__nulls_{c}"],
+                    }
+                    for c in eligible
+                },
+            }
+        return stats
+
+    def _carried_stats(self, prev_version: int, carried: list[str]) -> dict:
+        """Stats entries for files carried by reference from the
+        previous manifest (never re-scanned)."""
+        prev = self.manifest(prev_version).get("stats", {})
+        return {f: prev[f] for f in carried if f in prev}
+
     def _commit(self, version: int, operation: str, files: list[str],
-                schema: dict, extra: dict | None = None) -> int:
+                schema: dict, extra: dict | None = None,
+                stats: dict | None = None) -> int:
         manifest = {
             "version": version,
             "operation": operation,
             "timestamp": time.time(),
             "files": files,
             "schema": schema,
+            "stats": stats or {},
             **(extra or {}),
         }
         self._write_text_atomic(f"v{version:08d}.json", json.dumps(manifest))
         return version
 
     def write(self, df: DataFrame, mode: str = "overwrite", num_partitions: int | None = None,
-              operation: str = "WRITE", merge_schema: bool = False) -> int:
+              operation: str = "WRITE", merge_schema: bool = False,
+              cluster_by: list[str] | None = None,
+              stats_columns: list[str] | None = None) -> int:
         """Commit ``df`` as a new version. ``mode='append'`` adds files
         to the current snapshot (no rewrite of existing data);
         ``'overwrite'`` replaces the snapshot.
@@ -240,10 +410,13 @@ class VersionedTable:
             schema = StructType(list(old.fields) + new_fields)
 
         new_v = (vs[-1] + 1) if vs else 0
-        new_files = self._write_data_files(df, new_v, num_partitions)
+        new_files = self._write_data_files(df, new_v, num_partitions, cluster_by)
         carried = self.files(vs[-1]) if (mode == "append" and vs) else []
+        stats = self._collect_stats(new_files, df.schema, stats_columns)
+        if carried:
+            stats.update(self._carried_stats(vs[-1], carried))
         return self._commit(new_v, operation if mode != "append" else "APPEND",
-                            carried + new_files, schema.jsonValue())
+                            carried + new_files, schema.jsonValue(), stats=stats)
 
     def compact(
         self,
@@ -281,11 +454,15 @@ class VersionedTable:
         df = self.spark.read.schema(schema).parquet(
             *[f"{self.path}/{f}" for f in small]
         )
-        new_v = self.latest_version() + 1
+        cur_v = self.latest_version()
+        new_v = cur_v + 1
         new_files = self._write_data_files(df, new_v, num_partitions)
+        stats = self._collect_stats(new_files, schema)
+        stats.update(self._carried_stats(cur_v, carried))
         return self._commit(
             new_v, "COMPACT", carried + new_files, schema.jsonValue(),
             extra={"files_compacted": len(small), "files_carried": len(carried)},
+            stats=stats,
         )
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
@@ -506,10 +683,13 @@ class VersionedTable:
 
         new_v = cur_v + 1
         new_files = self._write_data_files(result, new_v, num_partitions)
+        stats = self._collect_stats(new_files, target_full.schema)
+        stats.update(self._carried_stats(cur_v, carried))
         return self._commit(
             new_v, "MERGE", carried + new_files, target_full.schema.jsonValue(),
             extra={
                 "files_rewritten": len(matched_files),
                 "files_carried": len(carried),
             },
+            stats=stats,
         )

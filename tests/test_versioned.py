@@ -260,3 +260,110 @@ def test_vacuum_reclaims_crash_orphans(spark, table):
     assert "data/v00000099/orphan.parquet" in deleted
     assert not fs.exists(orphan)
     assert table.read().count() == 50
+
+
+def test_data_skipping_prunes_files_from_stats(spark, table):
+    """cluster_by gives each file a narrow id range; a selective filter
+    must then prune to ~1 file from manifest stats alone (no file
+    opened), and the filtered read must equal a full-scan filter."""
+    df = spark.range(1000).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    table.write(df, num_partitions=8, cluster_by=["id"])
+    m = table.manifest(0)
+    assert len(m["files"]) == 8
+    assert set(m["stats"]) == set(m["files"])
+    for f in m["files"]:
+        st = m["stats"][f]["columns"]["id"]
+        assert st["min"] <= st["max"] and st["nulls"] == 0
+
+    kept = table.prune_files([("id", "=", 5)])
+    assert len(kept) == 1
+    out = table.read(filters=[("id", "=", 5)])
+    # the pruned scan reads only the kept file
+    assert {f.split("/")[-1] for f in out.inputFiles()} == {
+        kept[0].split("/")[-1]
+    }
+    assert [r.name for r in out.collect()] == ["n5"]
+
+    # range + in filters stay correct and conservative
+    assert table.read(filters=[("id", ">=", 990)]).count() == 10
+    assert len(table.prune_files([("id", ">=", 990)])) == 1
+    assert table.read(filters=[("id", "in", (3, 997))]).count() == 2
+    assert table.read(filters=[("id", "<", 0)]).count() == 0
+    assert table.prune_files([("id", "<", 0)]) == []
+
+
+def test_data_skipping_carries_stats_and_stays_conservative(spark, table):
+    """Stats survive append/merge/compact carry-forward; files written
+    before a schema evolution have no stats for the new column and must
+    be KEPT (conservative) when filtering on it — while an all-NULL
+    column file is safely pruned (null-rejecting ops)."""
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    table.write(df, num_partitions=4, cluster_by=["id"])
+    extra = spark.range(100, 150).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("x").alias("name"),
+        F.lit(7.5).alias("score"),
+    )
+    table.write(extra, mode="append", num_partitions=1, merge_schema=True)
+    m = table.manifest(table.latest_version())
+    # carried files kept their v0 stats without any re-scan
+    assert sum(1 for f in m["files"] if f.startswith("data/v00000000/")) == 4
+    assert all(f in m["stats"] for f in m["files"])
+
+    # old files lack 'score' stats -> kept; their rows are NULL, so the
+    # row-level residual still gives the right answer
+    kept = table.prune_files([("score", ">=", 5.0)])
+    assert len(kept) == 5
+    assert table.read(filters=[("score", ">=", 5.0)]).count() == 50
+
+    # an all-NULL column in a file prunes that file outright
+    nulls = spark.range(150, 160).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("y").alias("name"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    table.write(nulls, mode="append", num_partitions=1)
+    new_file = [
+        f for f in table.files()
+        if f.startswith(f"data/v{table.latest_version():08d}/")
+    ]
+    assert new_file and new_file[0] not in table.prune_files([("score", ">=", 5.0)])
+
+    # merge carries stats for untouched files
+    src = spark.createDataFrame([(0, "m", 1.0)], ["id", "name", "score"]).select(
+        F.col("id").cast("int"), "name", "score"
+    )
+    v = table.merge(src, "source.id = target.id",
+                    when_matched_update={"name": "source.name"})
+    m2 = table.manifest(v)
+    assert all(f in m2["stats"] for f in m2["files"])
+
+
+def test_data_skipping_via_stages(spark, tmp_path):
+    """Declarative surface: clusterBy on the load stage, filters on the
+    extract stage."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    uri = str(tmp_path / "skip_tbl")
+    p = Pipeline(spark)
+    spark.range(200).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 10).cast("int").alias("bucket"),
+    ).createOrReplaceTempView("src_view")
+    p.run([
+        {"type": "DeltaLakeLoad", "name": "load", "inputView": "src_view",
+         "outputURI": uri, "numPartitions": 4,
+         "options": {"clusterBy": ["id"]}},
+        {"type": "DeltaLakeExtract", "name": "extract", "inputURI": uri,
+         "outputView": "pruned",
+         "options": {"filters": [["id", "<=", 10]]}},
+    ])
+    out = spark.table("pruned")
+    assert out.count() == 11
+    assert len(out.inputFiles()) == 1
