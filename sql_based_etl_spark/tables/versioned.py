@@ -309,10 +309,16 @@ class VersionedTable:
     def _collect_stats(self, rel_files: list[str], schema,
                        stats_columns: list[str] | None = None) -> dict:
         """Per-file ``{rows, columns: {col: {min, max, nulls}}}`` for
-        scalar columns, computed with ONE aggregate job over the
-        just-written files (the engine can't hook the parquet writer
-        like Delta does, so stats cost one columnar read-back of the
-        new data — of the stats columns only, never carried files).
+        scalar columns of the just-written files (never carried ones).
+
+        Fast path: the parquet writer already put min/max/null-count in
+        every file's footer — for local tables those footers are read
+        driver-side with pyarrow (KB of metadata, zero Spark jobs).
+        Timestamp columns are skipped there (Spark's default INT96
+        encoding carries no footer stats; absent stats just mean the
+        file is conservatively kept when pruning on that column).
+        Fallback for non-local URIs or unreadable footers: ONE Spark
+        aggregate job over the new files, stats columns only.
         ``stats_columns`` narrows the set at wide tables."""
         eligible = [
             f.name for f in schema.fields
@@ -321,6 +327,22 @@ class VersionedTable:
         ]
         if not eligible or not rel_files:
             return {}
+        if self._local_dir() is not None:
+            # footer stats for INT96 timestamps don't exist, and footer
+            # tz normalization differs from the collect path's — skip
+            # timestamps on the fast path (absent stats ⇒ file is
+            # conservatively kept when pruning on them)
+            footer_cols = [
+                c for c in eligible
+                if not next(
+                    f.dataType.simpleString() for f in schema.fields
+                    if f.name == c
+                ).startswith("timestamp")
+            ]
+            try:
+                return self._collect_stats_footers(rel_files, footer_cols)
+            except Exception:
+                pass  # unreadable/odd footers — pay for the scan instead
         df = (
             self.spark.read.schema(schema)
             .parquet(*[f"{self.path}/{f}" for f in rel_files])
@@ -345,6 +367,57 @@ class VersionedTable:
                     }
                     for c in eligible
                 },
+            }
+        return stats
+
+    def _local_dir(self) -> str | None:
+        """The table's plain filesystem directory, or None when it
+        lives on a non-local URI (s3a://…, hdfs://…)."""
+        from urllib.parse import urlparse
+
+        p = urlparse(self.path)
+        if p.scheme in ("", "file"):
+            return p.path or self.path
+        return None
+
+    def _collect_stats_footers(self, rel_files: list[str],
+                               eligible: list[str]) -> dict:
+        """Assemble per-file stats from parquet footer metadata alone —
+        driver-side pyarrow reads, no Spark job. Bounds stay
+        conservative under parquet's stats truncation (a truncated min
+        is a prefix ≤ the true min; a truncated max is bumped to remain
+        an upper bound), which only ever widens the keep-range."""
+        import pyarrow.parquet as pq
+
+        base = self._local_dir()
+        want = set(eligible)
+        stats: dict[str, dict] = {}
+        for f in rel_files:
+            md = pq.ParquetFile(f"{base}/{f}").metadata
+            per_col: dict[str, dict] = {}
+            usable = dict.fromkeys(want, True)
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    name = col.path_in_schema
+                    if name not in want or not usable[name]:
+                        continue
+                    st = col.statistics
+                    if st is None or st.null_count is None:
+                        usable[name] = False
+                        continue
+                    e = per_col.setdefault(name, {"min": None, "max": None, "nulls": 0})
+                    e["nulls"] += st.null_count
+                    if st.has_min_max:
+                        mn, mx = _stat_encode(st.min), _stat_encode(st.max)
+                        e["min"] = mn if e["min"] is None else min(e["min"], mn)
+                        e["max"] = mx if e["max"] is None else max(e["max"], mx)
+                    elif st.null_count < rg.num_rows:
+                        usable[name] = False  # values present but unbounded
+            stats[f] = {
+                "rows": md.num_rows,
+                "columns": {c: e for c, e in per_col.items() if usable[c]},
             }
         return stats
 

@@ -367,3 +367,24 @@ def test_data_skipping_via_stages(spark, tmp_path):
     out = spark.table("pruned")
     assert out.count() == 11
     assert len(out.inputFiles()) == 1
+
+
+def test_stats_scan_fallback_matches_footer_path(spark, table, monkeypatch):
+    """Non-local tables can't read footers driver-side; the Spark-scan
+    fallback must produce the same manifest stats shape and pruning."""
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    monkeypatch.setattr(
+        VersionedTable, "_collect_stats_footers",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("no local footers")),
+    )
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    table.write(df, num_partitions=4, cluster_by=["id"])
+    m = table.manifest(0)
+    assert set(m["stats"]) == set(m["files"])
+    assert sum(s["rows"] for s in m["stats"].values()) == 100
+    assert len(table.prune_files([("id", "=", 5)])) == 1
+    assert table.read(filters=[("id", "=", 5)]).count() == 1
