@@ -34,11 +34,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Parquet scan → Catalyst gets pushdown and
     column pruning for free; never cache here (operators decide).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which the Spark
-    vectorized reader rejects; read it as int64 nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert losslessly to
-    a microsecond timestamp (the data is µs-aligned; DuckDB reads the
-    same column as µs TIMESTAMP, so parity holds).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in one
+    testdata generation and TIMESTAMP(MICROS, isAdjustedToUTC=false) in
+    another; normalize both to a session-TZ TIMESTAMP so downstream
+    numeric casts (``unix_micros``, ``cast("long")``) work and match the
+    oracle. DuckDB reads either encoding as a naive-UTC µs TIMESTAMP:
+    - NANOS: the Spark vectorized reader rejects it; read as int64 nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``) and convert losslessly
+      (the data is µs-aligned).
+    - MICROS without UTC adjustment: Spark infers TIMESTAMP_NTZ, which
+      refuses numeric casts; ``to_timestamp`` reinterprets the naive
+      value in the session TZ (pinned UTC) — the same instant DuckDB
+      sees, zero-cost projection, pushdown unaffected.
 
     Session TZ is pinned to UTC here (runtime conf) because the caller
     may hand us an arbitrarily-configured session (the driver does) and
@@ -47,8 +54,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.to_timestamp("ts"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

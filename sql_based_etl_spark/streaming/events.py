@@ -17,35 +17,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) via nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """``readStream`` over the events parquet with the nanos→µs
-    conversion applied (same semantics as the batch loader)."""
+    """``readStream`` over the events parquet, normalizing ``ts`` to a
+    session-TZ TIMESTAMP (same semantics as the batch loader).
+
+    File streams require an explicit schema, and the testdata has
+    shipped ``ts`` as TIMESTAMP(NANOS) in one generation and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) in another — sniff the
+    footer once (driver-side, metadata-only) and build the matching
+    requested schema: NANOS must be read as int64
+    (``nanosAsLong``, the vectorized reader rejects it) then converted;
+    naive MICROS is read as TIMESTAMP_NTZ then reinterpreted in the
+    session TZ (pinned UTC — the instant DuckDB's naive read sees)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # file-stream sources want a directory; point at the parent dir and
     # glob-filter to the events file
     if path.endswith(".parquet"):
         base, fname = os.path.dirname(path), os.path.basename(path)
+        sniff = path
     else:
         base, fname = path, "*.parquet"
+        import glob
+
+        hits = glob.glob(os.path.join(path, "*.parquet"))
+        sniff = hits[0] if hits else None
+
+    ts_arrow = ""
+    if sniff is not None:
+        import pyarrow.parquet as pq
+
+        ts_arrow = str(pq.read_schema(sniff).field("ts").type)
+
+    if ts_arrow.startswith("timestamp[ns"):
+        schema = _events_schema(T.LongType())
+        fix = F.expr("timestamp_micros(ts div 1000)")
+    elif "tz=" in ts_arrow:  # already instant-typed (isAdjustedToUTC)
+        schema = _events_schema(T.TimestampType())
+        fix = F.col("ts")
+    else:  # naive micros → NTZ → reinterpret in session TZ
+        schema = _events_schema(T.TimestampNTZType())
+        fix = F.to_timestamp("ts")
+
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", fname)
         .parquet(base)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", fix)
 
 
 def windowed_counts(events: DataFrame, window: str = "5 minutes",
