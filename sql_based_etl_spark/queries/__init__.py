@@ -54,6 +54,12 @@ APPENDIX = [
     "text_top_ngrams",  # corpus df top-k — shingle machinery graded via dedup_* queries
     "mm_frame_sample",  # frame plumbing — binary+metadata path graded via mm_metadata/mm_decode
     "profile_orders",  # profiling — aggregate machinery graded via q01/q_distinct_agg
+    "q02_min_acctbal_supplier",  # correlated-min via window — ranking windows graded via q_topk_per_group
+    "q09_product_profit",  # LIKE + 5-way join + computed measure — shapes graded via q05/q08
+    "q11_important_parts",  # global-scalar HAVING — shape graded via q22's scalar subquery
+    "q12_late_shipment_priority",  # CASE-bucketed counts — graded via q_pivot FILTER
+    "q20_excess_share_suppliers",  # nested semi-joins — graded via q_semi_join + q17's window-threshold
+    "q21_lone_late_supplier",  # EXISTS/NOT-EXISTS collapsed to one agg — anti/semi graded via q_semi_join/q_intersect_except
 ]
 
 

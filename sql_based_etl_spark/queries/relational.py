@@ -1011,6 +1011,200 @@ def q_exact_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- remaining TPC-H analogues (schema gaps bridged, shapes preserved) ----
+#
+# The testdata has no partsupp table and no l_shipmode / l_commitdate /
+# l_receiptdate columns, so Q2/Q9/Q11/Q12/Q20/Q21 cannot be transcribed
+# literally. Each analogue below keeps the query's *relational shape*
+# (the thing that matters for engine coverage and the 100 TB plan) and
+# substitutes the nearest available column, documented per query.
+
+
+def q02_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue — correlated-min subquery + 5-way join + ordered
+    top-k. Schema bridge: distinct ``lineitem`` (part, supplier) pairs
+    stand in for ``partsupp``; ``s_acctbal`` for ``ps_supplycost``.
+
+    For each LARGE size-8 part, the EUROPE supplier(s) with the minimum
+    account balance among those who ever shipped it. The correlated min
+    is one window (min over part) + filter — per-part state only, no
+    re-scan, and the tiny dims broadcast."""
+    ps = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 8) & (F.col("p_type") == "LARGE")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    base = (
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        base.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue — LIKE-filtered part, 5-way join, computed
+    profit measure, group by (nation, year). Schema bridge: unit cost
+    ``ps_supplycost`` → ``0.6 * p_retailprice``.
+
+    Profit is summed with the integer-micros pattern over a double
+    expression written identically in both engines (same IEEE op order
+    → identical bits → identical rounding)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(micros(profit)) / F.lit(MICROS)).alias("sum_profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue — per-key aggregate HAVING a global-scalar
+    threshold. Schema bridge: a part's "stock value held by NATION_7
+    suppliers" = extended price shipped by them (no partsupp).
+
+    The global total is a 1-row aggregate broadcast into the filter (no
+    driver collect); threshold compare is exact int64 micros × 1000."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    base = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum(micros(F.col("l_extendedprice"))).alias("value_micros")
+    )
+    total = per_part.agg(F.sum("value_micros").alias("total_micros"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_micros") * F.lit(1000) > F.col("total_micros"))
+        .select(
+            "l_partkey",
+            (F.col("value_micros") / F.lit(MICROS)).alias("value"),
+        )
+    )
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue — join + CASE-bucketed priority counts per
+    class. Schema bridge: no l_shipmode/l_commitdate; the class is the
+    shipping-delay bucket ``clamp(floor((ship-order)/30d), -2..6)`` and
+    "late" semantics live in the bucketing itself.
+
+    One join + one hash aggregate; the CASE sums combine map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    delay_class = F.greatest(
+        F.lit(-2),
+        F.least(F.lit(6), F.floor(F.datediff("l_shipdate", "o_orderdate") / F.lit(30.0))),
+    ).cast("int")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+    )
+
+
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue — nested semi-join chain. Schema bridge: no
+    partsupp.availqty; a supplier "holds excess stock" of a red part if
+    their 1997 shipped quantity exceeds 20% of all 1997 shipments of
+    that part.
+
+    Per-(part,supplier) partial sums first (map-side combine), the
+    per-part total as a window over the *aggregated* relation (small),
+    then a semi-join up to ASIA suppliers — no self-join of lineitem."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    ps = (
+        li.join(F.broadcast(red.select("p_partkey")), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(micros(F.col("l_quantity"))).alias("q_micros"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        ps.withColumn("t_micros", F.sum("q_micros").over(w))
+        .filter(F.col("q_micros") * F.lit(5) > F.col("t_micros"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue — the EXISTS / NOT-EXISTS pair over the same
+    fact table. Schema bridge: no receipt/commit dates; "late" =
+    shipped more than 60 days after the order date.
+
+    Q21's two correlated self-joins collapse into ONE per-order
+    aggregation: count distinct suppliers, count distinct late
+    suppliers, and (when exactly one is late) that supplier's key via
+    ``max(CASE WHEN late)``. One shuffle on orderkey instead of three
+    scans of lineitem — the formulation that survives 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("lone_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        per_order.join(s, per_order.lone_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1060,6 +1254,12 @@ QUERIES = {
     "q_session_window": q_session_window,
     "q_moving_sum_range": q_moving_sum_range,
     "q_exact_regression": q_exact_regression,
+    "q02_min_acctbal_supplier": q02_min_acctbal_supplier,
+    "q09_product_profit": q09_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q20_excess_share_suppliers": q20_excess_share_suppliers,
+    "q21_lone_late_supplier": q21_lone_late_supplier,
 }
 
 
@@ -1576,5 +1776,105 @@ ORACLES = {
              )
         SELECT p.event_id AS purchase_id, p.user_id, best.click_id
         FROM p LEFT JOIN best ON best.purchase_id = p.event_id
+    """,
+    # q02 oracle uses a genuinely correlated scalar-min subquery — a
+    # different formulation than the Spark window, so parity validates
+    # the rewrite, not just the arithmetic.
+    "q02_min_acctbal_supplier": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        base AS (
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_size = 8 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM base b
+        WHERE s_acctbal = (SELECT min(s_acctbal) FROM base b2
+                           WHERE b2.p_partkey = b.p_partkey)
+        ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+        LIMIT 20
+    """,
+    "q09_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+                               - 0.6 * p_retailprice * l_quantity) * 1000000.0) AS BIGINT))
+                   / 1000000.0 AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS value_micros
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_micros / 1000000.0 AS value
+        FROM per_part
+        WHERE value_micros * 1000 > (SELECT sum(value_micros) FROM per_part)
+    """,
+    "q12_late_shipment_priority": """
+        SELECT CAST(greatest(-2, least(6,
+                   floor(date_diff('day', o_orderdate, l_shipdate) / 30.0))) AS INTEGER)
+                   AS delay_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "q20_excess_share_suppliers": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS q_micros
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT l_partkey, sum(q_micros) AS t_micros FROM ps GROUP BY 1)
+        SELECT DISTINCT s_suppkey, s_name
+        FROM ps
+        JOIN tot USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE q_micros * 5 > t_micros AND r_name = 'ASIA'
+    """,
+    "q21_lone_late_supplier": """
+        WITH lo AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+                   max(CASE WHEN late THEN l_suppkey END) AS lone_supp
+            FROM (
+                SELECT l_orderkey, l_suppkey,
+                       l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            )
+            GROUP BY l_orderkey
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM lo JOIN supplier ON lone_supp = s_suppkey
+        WHERE n_supp >= 2 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 25
     """,
 }
