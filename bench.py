@@ -71,10 +71,19 @@ def main() -> None:
         # when invoked) don't hide their work.
         registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two timed passes: HotSpot's compile queue drains huge
+        # generated methods over multiple executions, and the shared
+        # host adds minute-scale jitter — a single timed pass measured
+        # up to 5× spread on identical plans. The min is the
+        # steady-state cost a long-running engine actually pays.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = registry[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         # drop caches AND collect dead broadcast/shuffle state: without the
         # explicit gc, broadcast blocks from earlier queries accumulate and
         # a later wide self-join pays their eviction/GC inside its timing
