@@ -7,6 +7,7 @@ so a pipeline written against the reference runs unchanged.
 
 from sql_based_etl_spark.engine.stages.extract import (
     delimited_extract,
+    jdbc_extract,
     json_extract,
     orc_extract,
     parquet_extract,
@@ -18,6 +19,7 @@ from sql_based_etl_spark.engine.stages.load import (
     bucketed_table_load,
     file_load,
     jdbc_execute,
+    jdbc_load,
     sql_execute,
     versioned_table_load,
     versioned_table_maintenance,
@@ -41,6 +43,8 @@ STAGE_TYPES = {
     "DeltaLakeMergeLoad": versioned_table_merge_load,
     "DeltaLakeExtract": versioned_table_extract,
     "JDBCExecute": jdbc_execute,
+    "JDBCExtract": jdbc_extract,
+    "JDBCLoad": jdbc_load,
     # engine-native names + extensions
     "ParquetExtract": parquet_extract,
     "JSONExtract": json_extract,

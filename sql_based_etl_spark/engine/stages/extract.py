@@ -84,6 +84,28 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     )
 
 
+def jdbc_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """Arc ``JDBCExtract`` analogue: read an external JDBC table (or a
+    pushed-down subquery via the parenthesized-``tableName`` idiom).
+
+    Scale levers pass straight through to Spark's JDBC relation:
+    ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
+    split the read into concurrent range queries (without them a JDBC
+    read is ONE task — never acceptable for a big table), ``fetchsize``
+    batches the cursor. Catalyst pushes filters and projections into
+    the remote query where the dialect allows."""
+    reader = (
+        ctx.spark.read.format("jdbc")
+        .option("url", conf["jdbcURL"])
+        .option("dbtable", conf["tableName"])
+    )
+    for key in ("partitionColumn", "lowerBound", "upperBound",
+                "numPartitions", "fetchsize", "queryTimeout"):
+        if key in conf:
+            reader = reader.option(key, conf[key])
+    return reader.load()
+
+
 def versioned_table_changes_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     """Extension: change-data-feed extract — rows inserted/deleted
     between ``options.fromVersion`` and ``options.toVersion`` (default

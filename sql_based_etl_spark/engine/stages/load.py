@@ -128,6 +128,31 @@ def jdbc_execute(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     return None
 
 
+def jdbc_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """Arc ``JDBCLoad`` analogue: write a view to an external JDBC
+    table. ``numPartitions`` bounds write concurrency (each partition
+    opens one connection — at 100 TB the constraint is the *database's*
+    ingest capacity, so this is a throttle, not a parallelism
+    maximizer); ``batchsize`` amortizes row round-trips; ``truncate``
+    reuses the existing table on overwrite instead of dropping it
+    (preserves remote indexes/grants)."""
+    df = ctx.view(conf["inputView"])
+    n = conf.get("numPartitions")
+    if n:
+        df = df.repartition(int(n))
+    writer = (
+        df.write.format("jdbc")
+        .option("url", conf["jdbcURL"])
+        .option("dbtable", conf["tableName"])
+        .mode(str(conf.get("saveMode", "Append")).lower())
+    )
+    for key in ("batchsize", "isolationLevel", "truncate"):
+        if key in conf:
+            writer = writer.option(key, conf[key])
+    writer.save()
+    return None
+
+
 def versioned_table_maintenance(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     """``VersionedTableMaintenance``: compact small files and/or vacuum
     old versions of a versioned table — the scheduled housekeeping job

@@ -438,3 +438,37 @@ def test_connected_components_string_ids(spark):
     comp = {r.node: r.component for r in rows}
     assert {comp[n] for n in "abcdef"} == {"a"}
     assert comp["x"] == comp["y"] == "x"
+
+
+def test_jdbc_stages_roundtrip_derby(spark):
+    """JDBCLoad write → JDBCExecute DDL/DML → JDBCExtract (parallel,
+    range-partitioned) read back, against the in-process Derby engine
+    whose driver jar ships on Spark's classpath — a real DriverManager
+    connection and real executor-side JDBC I/O, no external endpoint.
+
+    Columns are aliased to uppercase before the write: Derby uppercases
+    unquoted identifiers, and JDBCExtract's partitionColumn is embedded
+    unquoted in the generated range predicates."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    url = "jdbc:derby:memory:jdbcsmoke;create=true"
+    stages = [
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/nation.parquet",
+         "outputView": "jdbc_nation"},
+        {"type": "SQLTransform", "outputView": "jdbc_nation_slim",
+         "sql": "SELECT n_nationkey AS NK, n_regionkey AS RK FROM jdbc_nation"},
+        {"type": "JDBCLoad", "inputView": "jdbc_nation_slim", "jdbcURL": url,
+         "tableName": "NATION_T", "saveMode": "Overwrite", "numPartitions": 1},
+        {"type": "JDBCExecute", "jdbcURL": url,
+         "sql": "CREATE TABLE MARKER (ID INT); INSERT INTO MARKER VALUES (7)"},
+        {"type": "JDBCExtract", "jdbcURL": url, "tableName": "NATION_T",
+         "outputView": "jdbc_nation_back", "partitionColumn": "NK",
+         "lowerBound": 0, "upperBound": 25, "numPartitions": 4},
+        {"type": "JDBCExtract", "jdbcURL": url, "tableName": "MARKER",
+         "outputView": "jdbc_marker"},
+    ]
+    ctx = Pipeline(spark).run(stages)
+    back = ctx.views["jdbc_nation_back"]
+    assert back.count() == ctx.views["jdbc_nation"].count()
+    assert back.rdd.getNumPartitions() == 4
+    assert [r.ID for r in ctx.views["jdbc_marker"].collect()] == [7]
