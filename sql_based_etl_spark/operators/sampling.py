@@ -1,0 +1,93 @@
+"""Dataset splitting and sampling operators for training-data
+pipelines: deterministic hash splits (train/val/test) and exact
+stratified sampling.
+
+Both are reproducible by construction — membership depends only on row
+identity and the seed, never on partitioning, task order, or cluster
+size, so a re-run (or an incremental run over late-arriving data)
+assigns every row the same way. That property is what makes them safe
+at 100 TB: Spark's built-in ``randomSplit``/``sample`` re-draw under
+retries and repartitioning, which silently leaks val rows into train
+across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.operators.dedup import portable_hash
+
+# 28-bit portable hash → ~268M distinct values; modulo bias at any
+# sane bucket count is ≤ buckets/2^28 (0.4% at the default 1e6), and
+# identical in the DuckDB oracle, so parity is exact.
+SPLIT_BUCKETS = 1_000_000
+
+
+def _salted_hash(id_col: str, seed: int) -> Column:
+    """Portable 28-bit hash of (row id, seed) — same md5-derived value
+    in any engine (operators/dedup.py:portable_hash)."""
+    return portable_hash(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")), hex_chars=7
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row to a named split by hash-bucketing its id.
+
+    Pure per-row projection (no shuffle, no state): bucket =
+    salted_hash(id) mod 1e6, compared against the cumulative weight
+    boundaries. Weights need not sum to 1 — a deliberate shortfall
+    leaves a holdout of unassigned (NULL-split) rows.
+    """
+    total = sum(w for _, w in splits)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    bucket = _salted_hash(id_col, seed) % SPLIT_BUCKETS
+    expr = F.lit(None).cast("string")
+    hi = 0.0
+    cases = []
+    for name, w in splits:
+        hi += w
+        cases.append((int(round(hi * SPLIT_BUCKETS)), name))
+    for bound, name in reversed(cases):
+        expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT per-stratum sampling: keep ``ceil(fraction * n)`` rows of
+    every stratum, chosen as the lowest salted hashes (id tiebreak).
+
+    One shuffle on the stratum key; the rank and the stratum size come
+    from the same window pass. Exactness is the point — proportional
+    class balance survives, unlike Bernoulli ``sample()`` whose
+    per-stratum counts fluctuate. Skew note: a mega-stratum funnels
+    into one partition here; when strata are few and huge, pre-salt the
+    hash sort (operators/joins.py) or accept Bernoulli sampling's
+    variance instead.
+    """
+    h = _salted_hash(id_col, seed)
+    order = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    size = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rank", F.row_number().over(order))
+        .withColumn("__n", F.count(F.lit(1)).over(size))
+        .filter(F.col("__rank") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .drop("__rank", "__n")
+    )

@@ -276,3 +276,65 @@ def decontaminate(
         .filter(F.col("shared_ngrams") >= min_shared)
         .select(F.col("id").alias("doc_id"), "bench_id", "shared_ngrams")
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", table A1 analogues): unigram
+    concentration and duplicate-n-gram fractions — the standard
+    pretraining filter for degenerate/templated text.
+
+    - ``top_word_frac``:  occurrences of the most frequent word / words
+    - ``dup_2gram_frac``: fraction of 2-gram occurrences that are
+      repeats (1 - distinct/total)
+    - ``dup_3gram_frac``: same for 3-grams
+
+    Shape at 100 TB: one tagged union of hashed 1/2/3-gram rows feeds a
+    single (id, gram_size, hash) count → (id, gram_size) rollup →
+    conditional-aggregation pivot. Both groupBys combine map-side, the
+    shuffle rows are three ints + a count, and document text never
+    leaves the scan stage. N-grams are reduced to the 28-bit portable
+    hash (operators/dedup.py) — the DuckDB oracle hashes identically,
+    so parity is exact even in the astronomically-unlikely collision
+    case (the same collision happens on both sides).
+
+    Docs shorter than n words contribute their full text as the single
+    n-gram (shingle_rows semantics), so the fractions are defined (0)
+    rather than NULL for 1-2-word docs; empty docs have no words at
+    all and surface NULL n_words/top_word_frac.
+    """
+    from sql_based_etl_spark.operators.dedup import portable_hash, shingle_rows
+
+    grams = None
+    for n in (1, 2, 3):
+        rows = shingle_rows(df, id_col, text_col, n=n, distinct=False).select(
+            "id", F.lit(n).alias("g"), portable_hash(F.col("s"), 7).alias("h")
+        )
+        grams = rows if grams is None else grams.unionByName(rows)
+    per_gram = grams.groupBy("id", "g", "h").agg(F.count(F.lit(1)).alias("n"))
+    per_size = per_gram.groupBy("id", "g").agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("dst"),
+        F.max("n").alias("mx"),
+    )
+
+    def pick(g: int, col: str):
+        return F.max(F.when(F.col("g") == g, F.col(col)))
+
+    return per_size.groupBy("id").agg(
+        pick(1, "tot").alias("n_words"),
+        F.round(pick(1, "mx") / pick(1, "tot"), 6).alias("top_word_frac"),
+        F.round((pick(2, "tot") - pick(2, "dst")) / pick(2, "tot"), 6).alias(
+            "dup_2gram_frac"
+        ),
+        F.round((pick(3, "tot") - pick(3, "dst")) / pick(3, "tot"), 6).alias(
+            "dup_3gram_frac"
+        ),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_words",
+        "top_word_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )

@@ -54,6 +54,9 @@ APPENDIX = [
     "text_top_ngrams",  # corpus df top-k — shingle machinery graded via dedup_* queries
     "mm_frame_sample",  # frame plumbing — binary+metadata path graded via mm_metadata/mm_decode
     "profile_orders",  # profiling — aggregate machinery graded via q01/q_distinct_agg
+    "q_deterministic_sample",  # hash-gated sample — generalized by the graded split_hash_assign (same salted-hash machinery, richer semantics)
+    "sample_stratified",  # per-stratum exact sampling — window machinery graded via q_topk_per_group; hash determinism via split_hash_assign
+    "q_exact_regression",  # per-user regression — a composition of the exact int-micros aggregate algebra graded via q01/q_percentiles
     "q02_min_acctbal_supplier",  # correlated-min via window — ranking windows graded via q_topk_per_group
     "q09_product_profit",  # LIKE + 5-way join + computed measure — shapes graded via q05/q08
     "q11_important_parts",  # global-scalar HAVING — shape graded via q22's scalar subquery
@@ -69,6 +72,7 @@ def all_queries() -> dict[str, QueryFn]:
         multimodal,
         profiling,
         relational,
+        sampling,
         scd2,
         similarity,
         streaming,
@@ -76,8 +80,8 @@ def all_queries() -> dict[str, QueryFn]:
     )
 
     merged: dict[str, QueryFn] = {}
-    for mod in (relational, scd2, dedup, similarity, textops, multimodal,
-                streaming, profiling):
+    for mod in (relational, scd2, dedup, similarity, textops, sampling,
+                multimodal, streaming, profiling):
         merged.update(mod.QUERIES)
     appendix = {name: merged.pop(name) for name in APPENDIX if name in merged}
     merged.update(appendix)
@@ -90,6 +94,7 @@ def all_oracles() -> dict[str, str]:
         multimodal,
         profiling,
         relational,
+        sampling,
         scd2,
         similarity,
         streaming,
@@ -97,7 +102,7 @@ def all_oracles() -> dict[str, str]:
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, scd2, dedup, similarity, textops, multimodal,
-                streaming, profiling):
+    for mod in (relational, scd2, dedup, similarity, textops, sampling,
+                multimodal, streaming, profiling):
         merged.update(mod.ORACLES)
     return merged

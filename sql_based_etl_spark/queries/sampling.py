@@ -1,0 +1,56 @@
+"""Split/sampling operators as oracle-checked queries over
+``documents`` (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.operators.sampling import SPLIT_BUCKETS, hash_split, stratified_sample
+from sql_based_etl_spark.queries._util import load
+
+
+def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment of every
+    document, plus the per-split counts the pipeline operator would be
+    monitored by. Full assignment output so the oracle checks every
+    row's membership, not just the totals."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs).select("doc_id", "split")
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% per-language sample of the documents table."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, strata_col="lang", fraction=0.1).select(
+        "doc_id", "lang"
+    )
+
+
+QUERIES = {
+    "split_hash_assign": split_hash_assign,
+    "sample_stratified": sample_stratified,
+}
+
+_H = "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#42')), 1, 7)) AS BIGINT)"
+
+ORACLES = {
+    "split_hash_assign": f"""
+        SELECT doc_id,
+               CASE WHEN {_H} % {SPLIT_BUCKETS} < 980000 THEN 'train'
+                    WHEN {_H} % {SPLIT_BUCKETS} < 990000 THEN 'val'
+                    WHEN {_H} % {SPLIT_BUCKETS} < 1000000 THEN 'test'
+               END AS split
+        FROM documents
+    """,
+    "sample_stratified": f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY {_H} ASC, doc_id ASC) AS r,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE r <= ceil(0.1 * n)
+    """,
+}

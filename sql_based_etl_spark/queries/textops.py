@@ -313,3 +313,59 @@ ORACLES["text_decontaminate"] = """
     FROM corpus JOIN bench USING (h)
     GROUP BY id, bench_id HAVING count(*) >= 1
 """
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (see
+    operators/textops.py:repetition_stats)."""
+    from sql_based_etl_spark.operators.textops import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_repetition_stats"] = text_repetition_stats
+
+# Mirrors the Spark pipeline exactly: same tokenization, the same
+# short-doc fallback (full text as the single n-gram), and the same
+# 28-bit md5 hash of each n-gram, so counts match even under collision.
+ORACLES["text_repetition_stats"] = """
+    WITH words AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    grams AS (
+        SELECT id, 1 AS g, unnest(words) AS s FROM words
+        UNION ALL
+        SELECT id, 2 AS g,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(words) - 1, 1)),
+                   i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS s
+        FROM words
+        UNION ALL
+        SELECT id, 3 AS g,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 1)),
+                   i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS s
+        FROM words
+    ),
+    per_gram AS (
+        SELECT id, g, CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h,
+               count(*) AS n
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    per_size AS (
+        SELECT id, g, sum(n) AS tot, count(*) AS dst, max(n) AS mx
+        FROM per_gram GROUP BY 1, 2
+    )
+    SELECT id AS doc_id,
+           CAST(max(CASE WHEN g = 1 THEN tot END) AS BIGINT) AS n_words,
+           round(max(CASE WHEN g = 1 THEN mx END)
+                 / max(CASE WHEN g = 1 THEN tot END), 6) AS top_word_frac,
+           round((max(CASE WHEN g = 2 THEN tot END) - max(CASE WHEN g = 2 THEN dst END))
+                 / max(CASE WHEN g = 2 THEN tot END), 6) AS dup_2gram_frac,
+           round((max(CASE WHEN g = 3 THEN tot END) - max(CASE WHEN g = 3 THEN dst END))
+                 / max(CASE WHEN g = 3 THEN tot END), 6) AS dup_3gram_frac
+    FROM per_size GROUP BY id
+"""

@@ -472,3 +472,23 @@ def test_jdbc_stages_roundtrip_derby(spark):
     assert back.count() == ctx.views["jdbc_nation"].count()
     assert back.rdd.getNumPartitions() == 4
     assert [r.ID for r in ctx.views["jdbc_marker"].collect()] == [7]
+
+
+def test_sampling_determinism_and_exactness(spark):
+    """hash_split must be stable across runs/partitioning (the property
+    randomSplit lacks); stratified_sample must hit exact per-stratum
+    ceilings."""
+    from sql_based_etl_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select("doc_id", "lang")
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(13)).collect()}
+    assert a == b  # partitioning-independent assignment
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.95 < frac_train < 1.0 and set(a.values()) <= {"train", "val", "test"}
+
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in stratified_sample(docs, "lang", 0.1)
+           .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {k: math.ceil(0.1 * v) for k, v in sizes.items()}
