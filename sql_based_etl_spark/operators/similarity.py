@@ -302,12 +302,15 @@ def ivf_topk_self(
     dim: int = 64,
     n_cells: int = IVF_CELLS,
     nprobe: int = IVF_NPROBE,
+    pivots: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into cells
     around deterministic pivot vectors (the ``n_cells`` lowest-id
-    corpus vectors — no training step, reproducible in any engine),
-    assign every vector to its max-cosine cell, probe the ``nprobe``
-    best cells per query, exact re-rank inside the probed cells.
+    corpus vectors — no training step, reproducible in any engine; or
+    pass ``pivots`` = (pid, pv) rows from :func:`kmeans_lloyd` for
+    trained, better-balanced cells), assign every vector to its
+    max-cosine cell, probe the ``nprobe`` best cells per query, exact
+    re-rank inside the probed cells.
 
     Scale shape: pivots broadcast (tiny); assignment is one scan ×
     ``n_cells`` codegen'd dot products + a per-id shuffle; the
@@ -320,9 +323,12 @@ def ivf_topk_self(
         _norm_expr(vec_col, dim).alias("nrm"),
         query_pred.alias("is_q"),
     )
-    piv = base.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("pid"), F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
-    )
+    if pivots is not None:
+        piv = pivots.select("pid", "pv", _norm_expr("pv", dim).alias("pnrm"))
+    else:
+        piv = base.orderBy("id").limit(n_cells).select(
+            F.col("id").alias("pid"), F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
+        )
     psim = _dot_expr("v", "pv", dim) / (F.col("nrm") * F.col("pnrm"))
     wcell = Window.partitionBy("id").orderBy(F.desc("psim"), F.asc("pid"))
     ranked = (
@@ -382,3 +388,76 @@ def cosine_dup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = IVF_CELLS,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd iterations — the training step that upgrades
+    the IVF coarse quantizer from "k lowest-id vectors" to actual
+    cluster centroids (better-balanced cells ⇒ better recall per
+    probe).
+
+    Iterative-algorithm shape at 100 TB: the mutable state is only
+    k×dim doubles, so the driver loop is legitimate — each iteration is
+    one corpus scan (broadcast-centroid max-cosine assignment, the same
+    rule ivf_topk_self uses at query time) plus one map-side-combinable
+    (cell, dim) aggregate; nothing per-row ever reaches the driver.
+
+    Exactness across engines: per-dimension means accumulate in int64
+    micros and are re-quantized to integer micros after the division —
+    rounding to a whole micro only ever hits half-boundaries on
+    exactly-representable doubles (k + 0.5), where Spark's HALF_UP and
+    DuckDB's away-from-zero agree (an unquantized mean rounded at the
+    6th decimal does diverge: the .5 is then an approximation and the
+    engines see different sides of it). Assignments break cosine ties
+    on the lowest cell id, so every iteration — and therefore the
+    final centroids — is bit-reproducible in the DuckDB oracle. Cells
+    that lose all members drop out (k shrinks), identically on both
+    sides.
+
+    Returns ``(pid, pv)`` centroid rows; ``pid`` is the seeding
+    vector's id. The tiny collect_list/transform lambda reassembling
+    each centroid array runs on k×dim rows — never the corpus — so the
+    CodegenFallback it carries is irrelevant.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    cents = base.orderBy("id").limit(k).select(
+        F.col("id").alias("pid"), F.col("v").alias("pv")
+    )
+    for _ in range(iters):
+        cos = _dot_expr("v", "pv", dim) / (_norm_expr("v", dim) * _norm_expr("pv", dim))
+        w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("pid"))
+        asg = (
+            base.join(F.broadcast(cents))
+            .select("id", "v", "pid", cos.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("pid", "v")
+        )
+        means = (
+            asg.select("pid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("pid", "dim")
+            .agg(
+                (
+                    F.round(
+                        F.sum(F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
+                        .cast("double")
+                        / F.count(F.lit(1))
+                    ).cast("long")
+                    / F.lit(1_000_000.0)
+                ).alias("m")
+            )
+        )
+        cents = means.groupBy("pid").agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias("pv")
+        )
+    return cents

@@ -50,6 +50,7 @@ APPENDIX = [
     "q15_top_supplier",  # scalar-max view join — shape graded via q18/q22 subquery patterns
     "q_salted_join",  # salting must equal the plain join — plain shape graded via q03/q05; equality pytest-asserted
     "sim_label_centroids",  # k-means/IVF training-step aggregate — agg machinery graded via q01; vector math via sim_* queries
+    "sim_kmeans_cells",  # iterative Lloyd training — per-iteration machinery (broadcast assign + micros means) graded via sim_ann_ivf + sim_label_centroids
     "stream_enriched_counts",  # stream-static broadcast join — stateless; stateful stream ops graded via stream_window_counts/stream_sessionize
     "text_top_ngrams",  # corpus df top-k — shingle machinery graded via dedup_* queries
     "mm_frame_sample",  # frame plumbing — binary+metadata path graded via mm_metadata/mm_decode

@@ -249,3 +249,54 @@ ORACLES["sim_label_centroids"] = f"""
     WHERE i <= len(embedding)
     GROUP BY label, i
 """
+
+
+def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations over the embeddings table
+    (operators/similarity.py:kmeans_lloyd), output as flat
+    (pid, dim, centroid) rows rounded to 6 decimals."""
+    from sql_based_etl_spark.operators.similarity import kmeans_lloyd
+
+    cents = kmeans_lloyd(load(spark, sf_dir, "embeddings"), k=16, iters=2)
+    return cents.select(
+        "pid", F.posexplode("pv").alias("dim", "centroid")
+    ).select("pid", "dim", F.round("centroid", 6).alias("centroid"))
+
+
+QUERIES["sim_kmeans_cells"] = sim_kmeans_cells
+
+# Replicates both Lloyd iterations exactly: same double-cast vectors,
+# the same left-fold cosine, lowest-pid tie-break, int64-micros means.
+# Spark's posexplode emits 0-based dims; DuckDB lists are 1-based, so
+# dims are generated 0..63 and indexed at +1.
+_KM_ASSIGN = """
+    SELECT pid, v FROM (
+        SELECT b.id, b.v, c.pid,
+               row_number() OVER (PARTITION BY b.id
+                                  ORDER BY {cos} DESC, c.pid ASC) AS rn
+        FROM base b CROSS JOIN {cents} c
+    ) WHERE rn = 1
+"""
+
+_KM_MEANS = """
+    SELECT pid, d.dim,
+           CAST(round(CAST(sum(CAST(round(v[d.dim + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+                      / count(*)) AS BIGINT) / 1000000.0 AS m
+    FROM {asg}, (SELECT unnest(generate_series(0, 63)) AS dim) d
+    GROUP BY pid, d.dim
+"""
+
+ORACLES["sim_kmeans_cells"] = f"""
+    WITH base AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT id AS pid, v AS pv FROM base ORDER BY id LIMIT 16),
+    a1 AS ({_KM_ASSIGN.format(cos=_cos("b.v", "c.pv"), cents="c0")}),
+    m1 AS ({_KM_MEANS.format(asg="a1")}),
+    c1 AS (SELECT pid, list(m ORDER BY dim) AS pv FROM m1 GROUP BY pid),
+    a2 AS ({_KM_ASSIGN.format(cos=_cos("b.v", "c.pv"), cents="c1")}),
+    m2 AS ({_KM_MEANS.format(asg="a2")})
+    SELECT pid, dim, round(m, 6) AS centroid FROM m2
+"""

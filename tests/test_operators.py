@@ -492,3 +492,38 @@ def test_sampling_determinism_and_exactness(spark):
     got = {r.lang: r.n for r in stratified_sample(docs, "lang", 0.1)
            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert got == {k: math.ceil(0.1 * v) for k, v in sizes.items()}
+
+
+def test_kmeans_lloyd_improves_ivf_objective(spark):
+    """Each Lloyd iteration must not decrease the mean max-cosine of
+    vectors to their assigned centroid (the k-means objective under the
+    cosine assignment rule) vs the untrained lowest-id pivots."""
+    from sql_based_etl_spark.operators.similarity import (
+        _dot_expr,
+        _norm_expr,
+        kmeans_lloyd,
+    )
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+
+    def objective(cents):
+        cos = _dot_expr("v", "pv", 64) / (_norm_expr("v", 64) * _norm_expr("pv", 64))
+        w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("pid"))
+        best = (
+            base.join(F.broadcast(cents))
+            .select("id", cos.alias("sim"), "pid")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+        )
+        return best.agg(F.avg("sim")).collect()[0][0]
+
+    untrained = base.orderBy("id").limit(16).select(
+        F.col("id").alias("pid"), F.col("v").alias("pv")
+    )
+    trained = kmeans_lloyd(emb, k=16, iters=2)
+    assert objective(trained) >= objective(untrained) - 1e-9
