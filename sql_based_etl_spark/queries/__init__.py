@@ -51,6 +51,7 @@ APPENDIX = [
     "q_salted_join",  # salting must equal the plain join — plain shape graded via q03/q05; equality pytest-asserted
     "sim_label_centroids",  # k-means/IVF training-step aggregate — agg machinery graded via q01; vector math via sim_* queries
     "sim_kmeans_cells",  # iterative Lloyd training — per-iteration machinery (broadcast assign + micros means) graded via sim_ann_ivf + sim_label_centroids
+    "sim_quantize_int8",  # write-side int8 compression — array machinery graded via sim_* queries; recall contract pytest-asserted
     "stream_enriched_counts",  # stream-static broadcast join — stateless; stateful stream ops graded via stream_window_counts/stream_sessionize
     "text_top_ngrams",  # corpus df top-k — shingle machinery graded via dedup_* queries
     "mm_frame_sample",  # frame plumbing — binary+metadata path graded via mm_metadata/mm_decode

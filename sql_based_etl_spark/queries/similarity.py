@@ -300,3 +300,37 @@ ORACLES["sim_kmeans_cells"] = f"""
     m2 AS ({_KM_MEANS.format(asg="a2")})
     SELECT pid, dim, round(m, 6) AS centroid FROM m2
 """
+
+
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embeddings table
+    (operators/similarity.py:quantize_int8), flattened to
+    (vec_id, dim, q, scale) rows. ``scale`` is the raw double — it is
+    computed by the identical expression in both engines, so full
+    precision matches without rounding."""
+    from sql_based_etl_spark.operators.similarity import quantize_int8
+
+    qt = quantize_int8(load(spark, sf_dir, "embeddings"))
+    return qt.select(
+        F.col("id").alias("vec_id"), "scale", F.posexplode("qv").alias("dim", "q")
+    ).select("vec_id", "dim", "q", "scale")
+
+
+QUERIES["sim_quantize_int8"] = sim_quantize_int8
+
+ORACLES["sim_quantize_int8"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               greatest(list_max(v), -list_min(v)) / 127.0 AS scale
+        FROM v
+    )
+    SELECT vec_id, d.dim,
+           CASE WHEN scale = 0.0 THEN CAST(0 AS TINYINT)
+                ELSE CAST(round(v[d.dim + 1] / scale) AS TINYINT) END AS q,
+           scale
+    FROM s, (SELECT unnest(generate_series(0, 63)) AS dim) d
+"""

@@ -527,3 +527,22 @@ def test_kmeans_lloyd_improves_ivf_objective(spark):
     )
     trained = kmeans_lloyd(emb, k=16, iters=2)
     assert objective(trained) >= objective(untrained) - 1e-9
+
+
+def test_int8_quantization_preserves_topk(spark):
+    """Dequantized (q * scale) top-5 neighbors must overlap ≥ 80% with
+    the float top-5 on average — the recall contract that makes 4×
+    storage compression usable for ANN."""
+    from sql_based_etl_spark.operators.similarity import cosine_topk, quantize_int8
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    deq = quantize_int8(emb).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(qv, q -> q * scale)").alias("embedding"),
+    )
+    qpred = F.col("vec_id") % 50 == 0
+    exact = cosine_topk(emb.filter(qpred), emb, k=5)
+    approx = cosine_topk(deq.filter(qpred), deq, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.8
