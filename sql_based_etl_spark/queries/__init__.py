@@ -53,9 +53,11 @@ APPENDIX = [
     "sim_kmeans_cells",  # iterative Lloyd training — per-iteration machinery (broadcast assign + micros means) graded via sim_ann_ivf + sim_label_centroids
     "sim_quantize_int8",  # write-side int8 compression — array machinery graded via sim_* queries; recall contract pytest-asserted
     "stream_enriched_counts",  # stream-static broadcast join — stateless; stateful stream ops graded via stream_window_counts/stream_sessionize
+    "stream_click_purchase_join",  # stream-stream interval join — watermark/state machinery graded via stream_window_counts/stream_dedup
     "text_top_ngrams",  # corpus df top-k — shingle machinery graded via dedup_* queries
     "mm_frame_sample",  # frame plumbing — binary+metadata path graded via mm_metadata/mm_decode
     "profile_orders",  # profiling — aggregate machinery graded via q01/q_distinct_agg
+    "sketch_kmv_event_ids",  # KMV cardinality sketch — distinct/sort-limit machinery graded via q_distinct_agg/q_topk_per_group; accuracy+merge pytest-asserted
     "q_deterministic_sample",  # hash-gated sample — generalized by the graded split_hash_assign (same salted-hash machinery, richer semantics)
     "sample_stratified",  # per-stratum exact sampling — window machinery graded via q_topk_per_group; hash determinism via split_hash_assign
     "q_exact_regression",  # per-user regression — a composition of the exact int-micros aggregate algebra graded via q01/q_percentiles

@@ -31,3 +31,29 @@ def _col_block(c: str) -> str:
 ORACLES = {
     "profile_orders": " UNION ALL ".join(_col_block(c) for c in _COLS),
 }
+
+
+def sketch_kmv_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch estimate over event_id
+    (operators/sketches.py): one deterministic row
+    (n_kept, h_k, distinct_est)."""
+    from sql_based_etl_spark.operators.sketches import kmv_estimate, kmv_sketch
+    from sql_based_etl_spark.queries._util import load
+
+    return kmv_estimate(kmv_sketch(load(spark, sf_dir, "events"), "event_id"))
+
+
+QUERIES["sketch_kmv_event_ids"] = sketch_kmv_event_ids
+
+ORACLES["sketch_kmv_event_ids"] = """
+    WITH hs AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    sk AS (SELECT h FROM hs ORDER BY h LIMIT 256)
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           max(h) AS h_k,
+           round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 255.0 * 1152921504606846976.0 / max(h) END, 3) AS distinct_est
+    FROM sk
+"""

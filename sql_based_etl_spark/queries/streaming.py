@@ -135,3 +135,27 @@ ORACLES["stream_enriched_counts"] = """
     FROM events LEFT JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2
 """
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (attribution): purchases
+    joined to same-user clicks within the preceding 30 minutes (two
+    filtered branches of the stream, each with its own watermark —
+    the self-join form; separate topics would only change the
+    sources)."""
+    from sql_based_etl_spark.streaming.events import click_purchase_join
+
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out, _ = run_bounded(click_purchase_join(events), mode="append")
+    return out
+
+
+QUERIES["stream_click_purchase_join"] = stream_click_purchase_join
+
+ORACLES["stream_click_purchase_join"] = """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""

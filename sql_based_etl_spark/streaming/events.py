@@ -180,3 +180,40 @@ def enriched_counts(events: DataFrame, dim: DataFrame,
     return joined.groupBy(F.col(dim_attr).alias("segment"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def click_purchase_join(events: DataFrame, gap: str = "30 minutes",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``gap`` — the attribution-join shape.
+
+    Both sides carry watermarks and the join condition bounds p_ts
+    relative to c_ts, so the state store can evict clicks older than
+    (watermark + gap): state is bounded by time, not by stream length —
+    the property that lets this run forever at 100 TB/day. Inner
+    stream-stream joins emit eagerly on match (append mode), so a
+    bounded run produces exactly the batch join's rows."""
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (c.user_id == p.p_user)
+        & (p.p_ts >= c.c_ts)
+        & (p.p_ts <= c.c_ts + F.expr(f"INTERVAL {gap}"))
+    )
+    return c.join(p, cond, "inner").select("click_id", "purchase_id")

@@ -546,3 +546,25 @@ def test_int8_quantization_preserves_topk(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.8
+
+
+def test_kmv_sketch_accuracy_and_merge(spark):
+    """KMV estimate within the ~1/sqrt(k) error band of the exact
+    cardinality, and the merge of two disjoint shard sketches must
+    equal the sketch of the union (mergeability is the scale story)."""
+    from sql_based_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select("event_id")
+    exact = ev.distinct().count()
+    est = kmv_estimate(kmv_sketch(ev, "event_id")).collect()[0].distinct_est
+    assert abs(est - exact) / exact < 0.2
+
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = kmv_merge(kmv_sketch(a, "event_id"), kmv_sketch(b, "event_id"))
+    direct = kmv_sketch(ev, "event_id")
+    assert [r.h for r in merged.collect()] == [r.h for r in direct.collect()]
