@@ -33,6 +33,7 @@ from sql_based_etl_spark.engine.stages.extensions import (
     text_analysis_transform,
 )
 from sql_based_etl_spark.engine.stages.transform import sql_transform, typing_transform
+from sql_based_etl_spark.engine.stages.validate import expectations_validate, sql_validate
 
 STAGE_TYPES = {
     # reference surface (Arc names, scd2-job.ipynb:39,88,163,208,338,373,419,462)
@@ -58,6 +59,8 @@ STAGE_TYPES = {
     "VersionedTableChangesExtract": versioned_table_changes_extract,
     "VersionedTableMaintenance": versioned_table_maintenance,
     "SQLExecute": sql_execute,
+    "SQLValidate": sql_validate,
+    "ExpectationsValidate": expectations_validate,
     # LLM-data-pipeline extension stages
     "DedupTransform": dedup_transform,
     "SimilaritySearchTransform": similarity_search_transform,

@@ -1,0 +1,103 @@
+"""Validate stages: fail-loud data-quality gates between pipeline
+stages (Arc's Validate stage family — https://arc.tripl.ai exposes
+SQLValidate as the canonical example; the reference notebook's
+pipeline, scd2-job.ipynb, is a straight ETL chain, so these are
+engine-surface parity plus the expectations shorthand every ETL
+pipeline grows).
+
+Both stages AGGREGATE to a verdict rather than collecting rows: at
+100 TB a validation is one scan with map-side-combinable counts, and
+only the (tiny) failure summary ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_based_etl_spark.engine.config import substitute_sql_params
+from sql_based_etl_spark.engine.pipeline import PipelineContext, StageError
+
+
+def sql_validate(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """Arc ``SQLValidate``: run SQL that returns one row
+    ``(valid boolean, message string)``; raise on ``valid = false``
+    (aborting the pipeline before a bad load propagates).
+
+    The SQL itself is the aggregation — e.g.
+    ``SELECT count(*) = 0 AS valid, concat('dupes: ', count(*)) AS
+    message FROM (SELECT id FROM v GROUP BY id HAVING count(*) > 1)``.
+    """
+    if "sql" in conf:
+        sql = conf["sql"]
+    else:
+        with open(conf["inputURI"]) as f:
+            sql = f.read()
+    sql = substitute_sql_params(sql, conf.get("sqlParams"))
+    sql = substitute_sql_params(sql, ctx.variables)
+    rows = ctx.spark.sql(sql).collect()
+    if len(rows) != 1 or len(rows[0]) < 2:
+        raise StageError(
+            f"SQLValidate {conf.get('name', '')!r}: validation SQL must "
+            f"return exactly one (valid, message) row, got {len(rows)} rows"
+        )
+    valid, message = bool(rows[0][0]), str(rows[0][1])
+    if not valid:
+        raise StageError(f"SQLValidate {conf.get('name', '')!r} failed: {message}")
+    return None
+
+
+def expectations_validate(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """Declarative expectations over a view, all checked in ONE scan:
+
+    conf: ``inputView``; ``expectations`` — a list of
+      {"column": c, "notNull": true}
+      {"column": c, "unique": true}
+      {"column": c, "acceptedValues": [..]}
+      {"column": c, "min": x} / {"column": c, "max": x}
+      {"expr": "<boolean SQL>"}          (row-level predicate)
+
+    Violation counts aggregate map-side (unique via count - distinct);
+    the stage raises with every failed expectation's count, so one run
+    reports all problems, not just the first.
+    """
+    df = ctx.view(conf["inputView"])
+    aggs = []
+    labels = []
+    for i, e in enumerate(conf["expectations"]):
+        c = e.get("column")
+        if e.get("notNull"):
+            aggs.append(F.sum(F.col(c).isNull().cast("long")))
+            labels.append(f"{c} notNull")
+        elif e.get("unique"):
+            aggs.append(F.count(c) - F.count_distinct(F.col(c)))
+            labels.append(f"{c} unique")
+        elif "acceptedValues" in e:
+            ok = F.col(c).isin(*e["acceptedValues"]) | F.col(c).isNull()
+            aggs.append(F.sum((~ok).cast("long")))
+            labels.append(f"{c} acceptedValues")
+        elif "min" in e or "max" in e:
+            bad = F.lit(False)
+            if "min" in e:
+                bad = bad | (F.col(c) < F.lit(e["min"]))
+            if "max" in e:
+                bad = bad | (F.col(c) > F.lit(e["max"]))
+            aggs.append(F.sum(bad.cast("long")))
+            labels.append(f"{c} range")
+        elif "expr" in e:
+            aggs.append(F.sum((~F.expr(e["expr"])).cast("long")))
+            labels.append(f"expr[{i}] {e['expr']!r}")
+        else:
+            raise StageError(f"ExpectationsValidate: unrecognized expectation {e!r}")
+    row = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)]).collect()[0]
+    failures = [
+        f"{labels[i]}: {row[i]} violating rows"
+        for i in range(len(labels))
+        if (row[i] or 0) > 0
+    ]
+    if failures:
+        raise StageError(
+            f"ExpectationsValidate {conf.get('name', '')!r} failed: "
+            + "; ".join(failures)
+        )
+    return None

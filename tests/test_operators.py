@@ -568,3 +568,45 @@ def test_kmv_sketch_accuracy_and_merge(spark):
     merged = kmv_merge(kmv_sketch(a, "event_id"), kmv_sketch(b, "event_id"))
     direct = kmv_sketch(ev, "event_id")
     assert [r.h for r in merged.collect()] == [r.h for r in direct.collect()]
+
+
+def test_validate_stages(spark):
+    """SQLValidate passes/raises on its (valid, message) row;
+    ExpectationsValidate reports ALL failed expectations from one scan."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline, StageError
+
+    base = [
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/nation.parquet",
+         "outputView": "val_nation"},
+    ]
+    ok = base + [
+        {"type": "SQLValidate", "name": "unique keys", "sql": """
+            SELECT count(*) = count(DISTINCT n_nationkey) AS valid,
+                   'dup nation keys' AS message FROM val_nation"""},
+        {"type": "ExpectationsValidate", "inputView": "val_nation",
+         "expectations": [
+             {"column": "n_nationkey", "notNull": True},
+             {"column": "n_nationkey", "unique": True},
+             {"column": "n_regionkey", "min": 0, "max": 4},
+         ]},
+    ]
+    Pipeline(spark).run(ok)  # must not raise
+
+    bad_sql = base + [
+        {"type": "SQLValidate", "name": "impossible", "sql": """
+            SELECT count(*) = 0 AS valid,
+                   concat('rows: ', count(*)) AS message FROM val_nation"""},
+    ]
+    with pytest.raises(StageError, match="rows: 25"):
+        Pipeline(spark).run(bad_sql)
+
+    bad_exp = base + [
+        {"type": "ExpectationsValidate", "inputView": "val_nation",
+         "expectations": [
+             {"column": "n_regionkey", "max": 1},
+             {"column": "n_name", "acceptedValues": ["NATION_0"]},
+         ]},
+    ]
+    with pytest.raises(StageError) as ei:
+        Pipeline(spark).run(bad_exp)
+    assert "range" in str(ei.value) and "acceptedValues" in str(ei.value)

@@ -180,3 +180,15 @@ def test_q13_left_join_preserves_broadcast(spark, queries):
     plan = plan_of(queries["q13_order_count_distribution"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_pipeline_ops_stay_jvm_side(spark, queries):
+    """repetition/sampling/sketch queries are built from hashed-shingle
+    and salted-hash machinery — they must stay lambda-free, JVM-side,
+    and (for the per-row split assignment) shuffle-free."""
+    for name in ("text_repetition_stats", "split_hash_assign",
+                 "sample_stratified", "sketch_kmv_event_ids"):
+        plan = plan_of(queries[name](spark, SF_ORACLE))
+        assert "EvalPython" not in plan, f"{name} fell back to Python"
+        assert "lambdafunction" not in plan.lower(), f"{name} grew a lambda"
+    assert "Exchange" not in plan_of(queries["split_hash_assign"](spark, SF_ORACLE))
