@@ -1205,6 +1205,25 @@ def q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): lineitem's four measure columns to long-form
+    (measure, value) rows, then exact per-measure totals — the
+    wide-to-long inverse of q_pivot. Spark plans the melt as one
+    map-side Expand (4 output rows per input row, no shuffle); the
+    only exchange is the 4-group aggregate's combine."""
+    li = load(spark, sf_dir, "lineitem")
+    longf = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return longf.groupBy("measure").agg(
+        xsum(F.col("value")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1260,6 +1279,7 @@ QUERIES = {
     "q12_late_shipment_priority": q12_late_shipment_priority,
     "q20_excess_share_suppliers": q20_excess_share_suppliers,
     "q21_lone_late_supplier": q21_lone_late_supplier,
+    "q_unpivot_measures": q_unpivot_measures,
 }
 
 
@@ -1876,5 +1896,17 @@ ORACLES = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name ASC
         LIMIT 25
+    """,
+    "q_unpivot_measures": """
+        WITH longf AS (
+            SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure,
+               sum(CAST(round(value * 1000000.0) AS BIGINT)) / 1000000.0 AS total,
+               count(*) AS n
+        FROM longf GROUP BY measure
     """,
 }
