@@ -18,6 +18,7 @@ from sql_based_etl_spark.engine.stages.extract import (
 from sql_based_etl_spark.engine.stages.load import (
     bucketed_table_load,
     file_load,
+    incremental_agg_load,
     jdbc_execute,
     jdbc_load,
     sql_execute,
@@ -58,6 +59,7 @@ STAGE_TYPES = {
     "VersionedTableExtract": versioned_table_extract,
     "VersionedTableChangesExtract": versioned_table_changes_extract,
     "VersionedTableMaintenance": versioned_table_maintenance,
+    "IncrementalAggLoad": incremental_agg_load,
     "SQLExecute": sql_execute,
     "SQLValidate": sql_validate,
     "ExpectationsValidate": expectations_validate,

@@ -153,6 +153,30 @@ def jdbc_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     return None
 
 
+def incremental_agg_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """``IncrementalAggLoad``: maintain a grouped sum/count rollup of a
+    versioned source table incrementally via its change-data-feed
+    (tables/incremental.py) — the refresh reads only changed files plus
+    the (small) aggregate table, never the full source.
+
+    conf: ``inputURI`` (source table), ``outputURI`` (aggregate table),
+    ``groupBy`` (list), ``sumColumns`` (list), ``numPartitions``."""
+    from sql_based_etl_spark.tables.incremental import IncrementalAggregate
+
+    n = conf.get("numPartitions")
+    groups = conf["groupBy"]
+    sums = conf.get("sumColumns", [])
+    IncrementalAggregate(
+        ctx.spark,
+        conf["inputURI"],
+        conf["outputURI"],
+        group_cols=groups if isinstance(groups, list) else [groups],
+        sum_cols=sums if isinstance(sums, list) else [sums],
+        num_partitions=int(n) if n else None,
+    ).refresh()
+    return None
+
+
 def versioned_table_maintenance(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     """``VersionedTableMaintenance``: compact small files and/or vacuum
     old versions of a versioned table — the scheduled housekeeping job

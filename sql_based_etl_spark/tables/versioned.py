@@ -445,7 +445,8 @@ class VersionedTable:
     def write(self, df: DataFrame, mode: str = "overwrite", num_partitions: int | None = None,
               operation: str = "WRITE", merge_schema: bool = False,
               cluster_by: list[str] | None = None,
-              stats_columns: list[str] | None = None) -> int:
+              stats_columns: list[str] | None = None,
+              extra: dict | None = None) -> int:
         """Commit ``df`` as a new version. ``mode='append'`` adds files
         to the current snapshot (no rewrite of existing data);
         ``'overwrite'`` replaces the snapshot.
@@ -489,7 +490,8 @@ class VersionedTable:
         if carried:
             stats.update(self._carried_stats(vs[-1], carried))
         return self._commit(new_v, operation if mode != "append" else "APPEND",
-                            carried + new_files, schema.jsonValue(), stats=stats)
+                            carried + new_files, schema.jsonValue(), stats=stats,
+                            extra=extra)
 
     def compact(
         self,

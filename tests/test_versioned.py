@@ -388,3 +388,83 @@ def test_stats_scan_fallback_matches_footer_path(spark, table, monkeypatch):
     assert sum(s["rows"] for s in m["stats"].values()) == 100
     assert len(table.prune_files([("id", "=", 5)])) == 1
     assert table.read(filters=[("id", "=", 5)]).count() == 1
+
+
+def test_incremental_aggregate_equals_full_recompute(spark, tmp_path):
+    """The CDF-driven refresh must equal a from-scratch recompute
+    EXACTLY after appends and after a merge update, be idempotent on an
+    unchanged source, and record the processed source version."""
+    from sql_based_etl_spark.tables.incremental import IncrementalAggregate
+
+    src = VersionedTable(spark, str(tmp_path / "facts"))
+    tgt_uri = str(tmp_path / "rollup")
+
+    def facts(lo, hi, seg):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.lit(seg).alias("segment"),
+            (F.col("id") % 10 * 1.5).alias("amount"),
+        )
+
+    src.write(facts(0, 300, "A").unionByName(facts(300, 500, "B")),
+              num_partitions=4)
+    inc = IncrementalAggregate(spark, src.path, tgt_uri,
+                               group_cols=["segment"], sum_cols=["amount"])
+    inc.refresh()
+
+    def full():
+        return {
+            (r.segment): (r.s, r.n)
+            for r in src.read().groupBy("segment").agg(
+                F.sum(F.round(F.col("amount") * 1e6).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+        }
+
+    def materialized():
+        return {
+            (r.segment): (r.sum_amount_micros, r.n)
+            for r in VersionedTable(spark, tgt_uri).read().collect()
+        }
+
+    assert materialized() == full()
+
+    # idempotent no-op: same target version, no new aggregate commit
+    v_before = VersionedTable(spark, tgt_uri).latest_version()
+    assert inc.refresh() == v_before
+
+    # append-only delta
+    src.write(facts(500, 800, "C"), mode="append")
+    inc.refresh()
+    assert materialized() == full()
+
+    # merge update: move half of segment B's rows to amount 0
+    upd = spark.range(300, 400).select(
+        F.col("id"), F.lit("B").alias("segment"), F.lit(0.0).alias("amount")
+    )
+    src.merge(upd, "source.id = target.id",
+              when_matched_update={"values": {"amount": "source.amount"}})
+    inc.refresh()
+    assert materialized() == full()
+    assert (VersionedTable(spark, tgt_uri)
+            .manifest(VersionedTable(spark, tgt_uri).latest_version())
+            ["source_version"] == src.latest_version())
+
+
+def test_incremental_agg_stage(spark, tmp_path):
+    """IncrementalAggLoad conf plumbing through the declarative runner."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    src = VersionedTable(spark, str(tmp_path / "f2"))
+    src.write(spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), F.lit(2.5).alias("x")))
+    stages = [{
+        "type": "IncrementalAggLoad", "inputURI": src.path,
+        "outputURI": str(tmp_path / "r2"),
+        "groupBy": ["g"], "sumColumns": ["x"], "numPartitions": "1",
+    }]
+    Pipeline(spark).run(stages)
+    rows = {r.g: (r.sum_x_micros, r.n)
+            for r in VersionedTable(spark, str(tmp_path / "r2")).read().collect()}
+    assert rows[0][1] + rows[1][1] + rows[2][1] == 100
+    assert sum(v[0] for v in rows.values()) == 100 * 2_500_000
