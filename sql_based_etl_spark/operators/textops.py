@@ -7,7 +7,7 @@ parquet scan).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sql_based_etl_spark.operators.dedup import words_col
@@ -337,4 +337,78 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         "top_word_frac",
         "dup_2gram_frac",
         "dup_3gram_frac",
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_words: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size word windows with overlap — the
+    standard pre-tokenization chunking step of a training-data pipeline
+    (long documents must become model-context-sized samples; overlap
+    preserves cross-boundary context).
+
+    Chunk i covers words [i·stride, i·stride + max_words) with
+    stride = max_words - overlap. Codegen-friendly: the chunk indices
+    come from ``posexplode(sequence(...))`` and each chunk's text from
+    ``slice``/``concat_ws`` with a computed start — no higher-order
+    lambda anywhere, so the whole operator pipelines off the scan
+    (plan-asserted). Empty docs produce no chunks.
+
+    Returns ``(id, chunk_idx, n_words, chunk_text)``.
+    """
+    from sql_based_etl_spark.operators.dedup import words_col
+
+    stride = max_words - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_words")
+    base = df.select(F.col(id_col).alias("id"), words_col(text_col).alias("wd"))
+    # number of chunks: 1 + ceil(max(len - max_words, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size("wd") - max_words, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = base.filter(F.size("wd") > 0).select(
+        "id",
+        "wd",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_"),
+    )
+    piece = F.slice("wd", F.col("chunk_idx") * stride + 1, max_words)
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        F.size(piece).alias("n_words"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    id_col: str = "id",
+    idx_col: str = "chunk_idx",
+    words_col_name: str = "n_words",
+    budget: int = 256,
+) -> DataFrame:
+    """Deterministic sequence packing: assign chunks, in (doc, chunk)
+    order, to consecutive bins of ~``budget`` words — the sample-packing
+    step that keeps training batches dense.
+
+    Bin id = floor((running_total - n_words) / budget) over the global
+    order: a window cumulative sum, reproducible in any engine (unlike
+    first-fit-decreasing, whose result depends on iteration order).
+    A global window implies a single-partition sort at this altitude —
+    at 100 TB pack per shard instead: partition the window by a
+    hash-bucket column so bins are shard-local (the padding loss at
+    shard boundaries is one partial bin per shard, negligible).
+
+    Returns the input plus ``bin_id``.
+    """
+    w = Window.orderBy(F.col(id_col).asc(), F.col(idx_col).asc())
+    running = F.sum(words_col_name).over(w)
+    return chunks.withColumn(
+        "bin_id",
+        F.floor((running - F.col(words_col_name)) / F.lit(budget)).cast("long"),
     )

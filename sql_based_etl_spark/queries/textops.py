@@ -369,3 +369,51 @@ ORACLES["text_repetition_stats"] = """
                  / max(CASE WHEN g = 3 THEN tot END), 6) AS dup_3gram_frac
     FROM per_size GROUP BY id
 """
+
+
+def text_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into 32-word windows (4-word overlap) and
+    pack the chunks into ~256-word training bins
+    (operators/textops.py:chunk_documents/pack_chunks)."""
+    from sql_based_etl_spark.operators.textops import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        load(spark, sf_dir, "documents"), max_words=32, overlap=4
+    )
+    return pack_chunks(chunks, budget=256).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "n_words", "chunk_text", "bin_id"
+    )
+
+
+QUERIES["text_chunk_pack"] = text_chunk_pack
+
+# Same tokenization, same 1-based slice bounds (Spark slice(start,len) ==
+# DuckDB list_slice(start, start+len-1)), same cumulative-sum bin rule.
+ORACLES["text_chunk_pack"] = """
+    WITH words AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    sized AS (
+        SELECT id, words,
+               1 + CAST(ceil(greatest(len(words) - 32, 0) / 28.0) AS INTEGER) AS nc
+        FROM words WHERE len(words) > 0
+    ),
+    idx AS (
+        SELECT id, words, unnest(generate_series(0, nc - 1)) AS chunk_idx
+        FROM sized
+    ),
+    chunks AS (
+        SELECT id, chunk_idx,
+               list_slice(words, chunk_idx * 28 + 1, chunk_idx * 28 + 32) AS piece
+        FROM idx
+    )
+    SELECT id AS doc_id, chunk_idx,
+           CAST(len(piece) AS INTEGER) AS n_words,
+           array_to_string(piece, ' ') AS chunk_text,
+           CAST(floor((sum(len(piece)) OVER (ORDER BY id, chunk_idx) - len(piece))
+                      / 256.0) AS BIGINT) AS bin_id
+    FROM chunks
+"""

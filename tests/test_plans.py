@@ -192,3 +192,15 @@ def test_new_pipeline_ops_stay_jvm_side(spark, queries):
         assert "EvalPython" not in plan, f"{name} fell back to Python"
         assert "lambdafunction" not in plan.lower(), f"{name} grew a lambda"
     assert "Exchange" not in plan_of(queries["split_hash_assign"](spark, SF_ORACLE))
+
+
+def test_chunking_is_lambda_free_and_jvm_side(spark, queries):
+    """chunk_documents must pipeline off the scan: no Python eval, no
+    higher-order lambdas (posexplode(sequence) + computed-start slice)."""
+    from sql_based_etl_spark.operators.textops import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = plan_of(chunk_documents(docs))
+    assert "EvalPython" not in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "Exchange" not in plan  # per-row: no shuffle before packing
