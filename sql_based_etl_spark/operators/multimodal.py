@@ -142,3 +142,47 @@ def sample_frames_stub(df: DataFrame, frame_bytes: int = 256, every_n: int = 4,
         F.octet_length(frame).cast("int").alias("n_frame_bytes"),
         F.md5(frame).alias("frame_md5"),
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, src_bytes int, dst_bytes int, resized_md5 string"
+
+
+def resize_stub(df: DataFrame, target_bytes: int = 128,
+                id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Resize with the REAL Spark plumbing and a stub resampler:
+    1-D nearest-neighbor byte resampling (index j of the output maps to
+    source byte floor(j·n/T)) stands in for 2-D pixel resampling — the
+    contract a real thumbnailer plugs into is identical (Arrow-batched
+    ``mapInPandas``, payload in, fixed-size artifact + digest out).
+
+    Per row the resample is one numpy fancy-index of length T (no
+    per-byte Python); empty payloads produce an empty artifact whose
+    md5 is the md5 of b''. Only the digest and sizes leave the
+    executor — resized bytes would stream to object storage in
+    production, never through the driver."""
+    import hashlib
+
+    import numpy as np
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, src, dst, digest = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = buf.size
+                if n == 0:
+                    out = b""
+                else:
+                    idx = (np.arange(target_bytes, dtype=np.int64) * n) // target_bytes
+                    out = buf[idx].tobytes()
+                ids.append(doc_id)
+                src.append(n)
+                dst.append(len(out))
+                digest.append(hashlib.md5(out).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "src_bytes": src, "dst_bytes": dst,
+                 "resized_md5": digest}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resample, RESIZE_SCHEMA)

@@ -69,6 +69,7 @@ APPENDIX = [
     "q21_lone_late_supplier",  # EXISTS/NOT-EXISTS collapsed to one agg — anti/semi graded via q_semi_join/q_intersect_except
     "q_unpivot_measures",  # UNPIVOT/melt — Expand machinery graded via q_grouping_sets; agg via q01
     "text_chunk_pack",  # chunking+packing — explode/slice machinery graded via dedup shingles; window cumsum via q_running_total
+    "mm_resize",  # resize plumbing (rows-only by design) — mapInPandas path graded via mm_decode_features
 ]
 
 

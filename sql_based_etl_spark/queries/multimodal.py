@@ -78,3 +78,15 @@ ORACLES["mm_frame_sample"] = """
            md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
     FROM ex
 """
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-resampler resize over the binary payloads (rows-only
+    driver check — blob byte-walking isn't expressible in DuckDB SQL;
+    exactness vs a direct Python resample is pytest-asserted)."""
+    from sql_based_etl_spark.operators.multimodal import resize_stub
+
+    return resize_stub(attach_binary(load(spark, sf_dir, "documents")))
+
+
+QUERIES["mm_resize"] = mm_resize

@@ -610,3 +610,21 @@ def test_validate_stages(spark):
     with pytest.raises(StageError) as ei:
         Pipeline(spark).run(bad_exp)
     assert "range" in str(ei.value) and "acceptedValues" in str(ei.value)
+
+
+def test_resize_stub_exactness(spark, documents):
+    """The stub resampler must equal a direct nearest-neighbor
+    resample of the same bytes (schema/batching don't distort)."""
+    import hashlib
+
+    from sql_based_etl_spark.operators.multimodal import attach_binary, resize_stub
+
+    sample = documents.orderBy("doc_id").limit(5)
+    got = {r.doc_id: r for r in resize_stub(attach_binary(sample)).collect()}
+    for row in sample.collect():
+        b = row.text.encode()
+        n = len(b)
+        out = bytes(b[(j * n) // 128] for j in range(128)) if n else b""
+        r = got[row.doc_id]
+        assert (r.src_bytes, r.dst_bytes) == (n, len(out))
+        assert r.resized_md5 == hashlib.md5(out).hexdigest()

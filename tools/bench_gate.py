@@ -8,8 +8,10 @@ steady-state runs, which removes JIT noise, but host-speed drift of
 +/-20% between sessions is routinely observed in this sandbox — 1.2
 would false-positive on an unchanged tree.
 
-Usage: python tools/bench_gate.py [factor]
-Refresh the baseline after a *deliberate* perf change with:
+Usage: python tools/bench_gate.py [factor] [--compare result.json]
+``--compare`` gates an already-recorded bench result instead of
+re-running bench.py. Refresh the baseline after a *deliberate* perf
+change with:
     python bench.py > /tmp/b.json && python tools/bench_gate.py --update /tmp/b.json
 """
 
@@ -37,9 +39,20 @@ def main() -> int:
         BASELINE.write_text(pathlib.Path(sys.argv[2]).read_text())
         print(f"baseline updated from {sys.argv[2]}")
         return 0
-    factor = float(sys.argv[1]) if len(sys.argv) > 1 else 1.3
+    args = sys.argv[1:]
+    compare_path = None
+    if "--compare" in args:
+        i = args.index("--compare")
+        compare_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    factor = float(args[0]) if args else 1.3
     base = json.loads(BASELINE.read_text())
-    cur = run_bench()
+    if compare_path:
+        cur = json.loads(
+            pathlib.Path(compare_path).read_text().strip().splitlines()[-1]
+        )
+    else:
+        cur = run_bench()
     failures = []
     if cur["value"] > base["value"] * factor:
         failures.append(f"TOTAL {cur['value']:.2f}s > {factor}x baseline {base['value']:.2f}s")
