@@ -31,6 +31,7 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         operation="LOAD",
         merge_schema=str(opts.get("mergeSchema", False)).lower() == "true",
         cluster_by=opts.get("clusterBy"),
+        cluster_method=str(opts.get("clusterMethod", "range")).lower(),
         stats_columns=opts.get("statsColumns"),
     )
     return None

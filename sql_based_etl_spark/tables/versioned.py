@@ -280,17 +280,84 @@ class VersionedTable:
             df = df.filter(_COL_OPS[op](F.col(c), val))
         return df
 
+    _ZORDER_BITS = 16
+
+    def _zorder_key(self, df: DataFrame, cols: list[str]) -> tuple[DataFrame, str]:
+        """Append an interleaved-bit Z-order key column over ``cols``.
+
+        Each column is min-max scaled to a ``_ZORDER_BITS``-bit code
+        (one 1-row aggregate, broadcast — no sort, no window; skewed
+        distributions get uneven codes but pruning stays correct, just
+        less selective — rank-based codes would need a global sort),
+        then the codes' bits interleave LSB-first. Clustering on the
+        key gives every clustered column a ~|range|^(1/k) per-file
+        span, so data skipping works on ANY of them, not only the
+        leading one as in lexicographic range clustering. Numeric and
+        timestamp columns only."""
+        from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
+
+        types = {f.name: f.dataType for f in df.schema.fields}
+        nums = []
+        for c in cols:
+            t = types[c]
+            if isinstance(t, (TimestampType, TimestampNTZType)):
+                nums.append(F.unix_micros(F.col(c).cast("timestamp")).cast("double"))
+            elif isinstance(t, NumericType):
+                nums.append(F.col(c).cast("double"))
+            else:
+                raise VersionedTableError(
+                    f"zorder clustering needs numeric/timestamp columns; "
+                    f"{c!r} is {t.simpleString()}"
+                )
+        bounds = df.agg(*[
+            a for i, num in enumerate(nums)
+            for a in (F.min(num).alias(f"__zmn_{i}"), F.max(num).alias(f"__zmx_{i}"))
+        ])
+        df = df.crossJoin(F.broadcast(bounds))
+        top = (1 << self._ZORDER_BITS) - 1
+        codes = []
+        for i, num in enumerate(nums):
+            rng = F.col(f"__zmx_{i}") - F.col(f"__zmn_{i}")
+            code = F.when(
+                (rng <= 0) | rng.isNull() | num.isNull(), F.lit(0)
+            ).otherwise(
+                F.floor((num - F.col(f"__zmn_{i}")) / rng * F.lit(float(top)))
+            ).cast("long")
+            codes.append(code)
+        z = F.lit(0).cast("long")
+        for b in range(self._ZORDER_BITS):
+            for i, code in enumerate(codes):
+                bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * len(codes) + i))
+        df = df.withColumn("__zkey", z)
+        return df.drop(*[c for c in df.columns if c.startswith("__zmn_") or c.startswith("__zmx_")]), "__zkey"
+
     def _write_data_files(self, df: DataFrame, version: int,
                           num_partitions: int | None,
-                          cluster_by: list[str] | None = None) -> list[str]:
+                          cluster_by: list[str] | None = None,
+                          cluster_method: str = "range") -> list[str]:
         """Write ``df`` under ``data/v{version}/`` and return the
         table-relative paths of the files written.
 
-        ``cluster_by`` range-partitions on the given columns and sorts
-        within partitions (liquid-clustering analogue): each output
-        file covers a narrow, mostly disjoint slice of the clustering
-        key space, which is what makes min/max data skipping selective."""
-        if cluster_by:
+        ``cluster_by`` with ``cluster_method='range'`` range-partitions
+        on the given columns and sorts within partitions
+        (liquid-clustering analogue): each output file covers a narrow,
+        mostly disjoint slice of the clustering key space, which is
+        what makes min/max data skipping selective — on the LEADING
+        column. ``cluster_method='zorder'`` clusters on an
+        interleaved-bit key instead, narrowing per-file ranges on EVERY
+        clustered column at once (multi-dimensional skipping)."""
+        if cluster_by and cluster_method == "zorder":
+            n = int(num_partitions) if num_partitions else \
+                df.sparkSession.sparkContext.defaultParallelism
+            out_cols = list(df.columns)
+            df, zkey = self._zorder_key(df, cluster_by)
+            df = (
+                df.repartitionByRange(n, zkey)
+                .sortWithinPartitions(zkey)
+                .select(*out_cols)
+            )
+        elif cluster_by:
             n = int(num_partitions) if num_partitions else \
                 df.sparkSession.sparkContext.defaultParallelism
             df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
@@ -445,6 +512,7 @@ class VersionedTable:
     def write(self, df: DataFrame, mode: str = "overwrite", num_partitions: int | None = None,
               operation: str = "WRITE", merge_schema: bool = False,
               cluster_by: list[str] | None = None,
+              cluster_method: str = "range",
               stats_columns: list[str] | None = None,
               extra: dict | None = None) -> int:
         """Commit ``df`` as a new version. ``mode='append'`` adds files
@@ -484,7 +552,8 @@ class VersionedTable:
             schema = StructType(list(old.fields) + new_fields)
 
         new_v = (vs[-1] + 1) if vs else 0
-        new_files = self._write_data_files(df, new_v, num_partitions, cluster_by)
+        new_files = self._write_data_files(df, new_v, num_partitions, cluster_by,
+                                           cluster_method)
         carried = self.files(vs[-1]) if (mode == "append" and vs) else []
         stats = self._collect_stats(new_files, df.schema, stats_columns)
         if carried:

@@ -468,3 +468,33 @@ def test_incremental_agg_stage(spark, tmp_path):
             for r in VersionedTable(spark, str(tmp_path / "r2")).read().collect()}
     assert rows[0][1] + rows[1][1] + rows[2][1] == 100
     assert sum(v[0] for v in rows.values()) == 100 * 2_500_000
+
+
+def test_zorder_clustering_skips_on_every_column(spark, tmp_path):
+    """Z-order clustering must make data skipping selective on BOTH
+    clustered columns; lexicographic range clustering only narrows the
+    leading one. Same data, same file count, same filters."""
+    df = spark.range(20_000).select(
+        F.col("id").alias("rowid"),
+        (F.col("id") % 100).alias("a"),
+        F.floor(F.col("id") / 200).alias("b"),
+    )
+    lex = VersionedTable(spark, str(tmp_path / "lex"))
+    lex.write(df, num_partitions=16, cluster_by=["a", "b"])
+    zo = VersionedTable(spark, str(tmp_path / "zo"))
+    zo.write(df, num_partitions=16, cluster_by=["a", "b"], cluster_method="zorder")
+
+    n_files = len(zo.files(zo.latest_version()))
+    assert n_files == len(lex.files(lex.latest_version())) == 16
+
+    # leading column: both layouts prune
+    assert len(lex.prune_files([("a", "=", 7)])) < n_files
+    assert len(zo.prune_files([("a", "=", 7)])) < n_files
+    # second column: only z-order prunes meaningfully
+    lex_b = len(lex.prune_files([("b", "=", 3)]))
+    zo_b = len(zo.prune_files([("b", "=", 3)]))
+    assert lex_b == n_files  # lexicographic: b spans every file
+    assert zo_b < n_files
+    # correctness: the pruned read returns exactly the matching rows
+    got = zo.read(filters=[("b", "=", 3)]).filter(F.col("b") == 3).count()
+    assert got == df.filter(F.col("b") == 3).count()
