@@ -609,6 +609,20 @@ class VersionedTable:
             stats=stats,
         )
 
+    def restore(self, version: int | None = None,
+                relative_version: int | None = None) -> int:
+        """Delta RESTORE analogue: re-commit an earlier snapshot's file
+        list (and schema/stats) as the new latest version. No data is
+        copied — files are immutable and shared across manifests
+        (copy-on-write), so a restore is a metadata-only commit, and
+        the restored files are referenced by the new manifest, which
+        keeps vacuum from collecting them."""
+        src_v = self.resolve_version(version, relative_version)
+        m = self.manifest(src_v)
+        new_v = self.latest_version() + 1
+        return self._commit(new_v, f"RESTORE_v{src_v}", m["files"],
+                            m["schema"], stats=m.get("stats", {}))
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files referenced only by versions older than the
         newest ``retain_versions``, and drop those versions' manifests

@@ -498,3 +498,20 @@ def test_zorder_clustering_skips_on_every_column(spark, tmp_path):
     # correctness: the pruned read returns exactly the matching rows
     got = zo.read(filters=[("b", "=", 3)]).filter(F.col("b") == 3).count()
     assert got == df.filter(F.col("b") == 3).count()
+
+
+def test_restore_is_metadata_only_and_vacuum_safe(spark, table):
+    """RESTORE re-commits an old snapshot's file list without copying
+    data; the restored version survives a vacuum that drops the
+    in-between overwrite."""
+    table.write(spark.range(10).select(F.col("id")), num_partitions=1)
+    v0_files = table.files(0)
+    table.write(spark.range(100, 120).select(F.col("id")), num_partitions=1)
+    assert table.read().count() == 20
+    v2 = table.restore(version=0)
+    assert v2 == 2
+    assert table.files(2) == v0_files  # shared, not copied
+    assert sorted(r.id for r in table.read().collect()) == list(range(10))
+    table.vacuum(retain_versions=1)  # drops v0/v1 manifests
+    assert table.versions() == [2]
+    assert sorted(r.id for r in table.read().collect()) == list(range(10))
