@@ -185,10 +185,18 @@ def versioned_table_maintenance(ctx: PipelineContext, conf: dict) -> DataFrame |
     through the same Argo DAG machinery as its loads,
     scd2-job-scheduler.yaml:15-48).
 
-    conf: ``inputURI``; optional ``compact`` {``smallFileBytes``,
+    conf: ``inputURI``; optional ``restore`` {``version`` |
+    ``relativeVersion``}, ``compact`` {``smallFileBytes``,
     ``numPartitions``} and ``vacuum`` {``retainVersions``} blocks —
-    either may be given alone."""
+    any subset, executed in that order (restore → compact → vacuum)."""
     t = VersionedTable(ctx.spark, conf["inputURI"])
+    r = conf.get("restore")
+    if r is not None:
+        ver, rel = r.get("version"), r.get("relativeVersion")
+        t.restore(
+            version=int(ver) if ver is not None else None,
+            relative_version=int(rel) if rel is not None else None,
+        )
     c = conf.get("compact")
     if c is not None:
         t.compact(

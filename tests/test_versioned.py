@@ -515,3 +515,15 @@ def test_restore_is_metadata_only_and_vacuum_safe(spark, table):
     table.vacuum(retain_versions=1)  # drops v0/v1 manifests
     assert table.versions() == [2]
     assert sorted(r.id for r in table.read().collect()) == list(range(10))
+
+
+def test_restore_via_maintenance_stage(spark, table):
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    table.write(spark.range(3).select(F.col("id")))
+    table.write(spark.range(30, 40).select(F.col("id")))
+    Pipeline(spark).run([{
+        "type": "VersionedTableMaintenance", "inputURI": table.path,
+        "restore": {"relativeVersion": "-1"},
+    }])
+    assert sorted(r.id for r in table.read().collect()) == [0, 1, 2]
