@@ -78,6 +78,13 @@ class Pipeline:
             df = fn(self.ctx, stage)
             out = stage.get("outputView")
             if out and df is not None:
+                # Arc stage attribute ``persist``: cache a view that
+                # multiple later stages will re-read (e.g. a staged CDC
+                # view consumed by both a merge and a validation) so
+                # its lineage executes once. StorageLevel defaults to
+                # MEMORY_AND_DISK — spill-safe on big views.
+                if str(stage.get("persist", "")).lower() == "true":
+                    df = df.persist()
                 self.ctx.register_view(out, df)
                 if self.ctx.num_rows_preview:
                     df.show(self.ctx.num_rows_preview, truncate=False)

@@ -99,3 +99,18 @@ def test_comment_markers_inside_strings_preserved():
 
 def test_trailing_comma_tolerated():
     assert parse_stage_config('{"a": [1, 2, 3,], "b": 1,}', V) == {"a": [1, 2, 3], "b": 1}
+
+
+def test_stage_persist_attribute(spark):
+    """Arc's ``persist`` stage attribute caches the output view."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    ctx = Pipeline(spark).run([
+        {"type": "SQLTransform", "outputView": "persisted_v",
+         "persist": "true", "sql": "SELECT 1 AS one"},
+        {"type": "SQLTransform", "outputView": "unpersisted_v",
+         "sql": "SELECT 2 AS two"},
+    ])
+    assert ctx.views["persisted_v"].storageLevel.useMemory
+    assert not ctx.views["unpersisted_v"].storageLevel.useMemory
+    ctx.views["persisted_v"].unpersist()

@@ -48,6 +48,7 @@ def test_graded_window_composition():
         "sim_cosine_dup", "sim_cosine_dup_lsh",
         "q_scd2_merge", "q_scd2_changes", "q_intersect_except",
         "dedup_clusters", "text_decontaminate",
+        "text_repetition_stats", "split_hash_assign",
     ]
     missing = [n for n in must_grade if n not in graded]
     assert not missing, f"queries fell out of the graded window: {missing}"
