@@ -70,6 +70,7 @@ APPENDIX = [
     "q_unpivot_measures",  # UNPIVOT/melt — Expand machinery graded via q_grouping_sets; agg via q01
     "text_chunk_pack",  # chunking+packing — explode/slice machinery graded via dedup shingles; window cumsum via q_running_total
     "mm_resize",  # resize plumbing (rows-only by design) — mapInPandas path graded via mm_decode_features
+    "sim_ann_ivf_trained",  # trained-pivot IVF — untrained IVF graded via sim_ann_ivf; training via sim_kmeans_cells
 ]
 
 

@@ -334,3 +334,83 @@ ORACLES["sim_quantize_int8"] = """
            scale
     FROM s, (SELECT unnest(generate_series(0, 63)) AS dim) d
 """
+
+
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the k-means-trained coarse quantizer: kmeans_lloyd
+    pivots (2 iterations) feeding ivf_topk_self — the trained variant
+    of sim_ann_ivf, oracle-checked end-to-end (training + assignment +
+    probe + re-rank reproduce bit-for-bit in DuckDB)."""
+    from sql_based_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    piv = kmeans_lloyd(emb, k=IVF_CELLS, iters=2)
+    return ivf_topk_self(
+        emb, F.col("vec_id") % 50 == 0, k=5, dim=DIM, pivots=piv
+    )
+
+
+QUERIES["sim_ann_ivf_trained"] = sim_ann_ivf_trained
+
+_KM_ASSIGN_KB = """
+    SELECT pid, v FROM (
+        SELECT b.id, b.v, c.pid,
+               row_number() OVER (PARTITION BY b.id
+                                  ORDER BY {cos} DESC, c.pid ASC) AS rn
+        FROM kb b CROSS JOIN {cents} c
+    ) WHERE rn = 1
+"""
+
+ORACLES["sim_ann_ivf_trained"] = f"""
+    WITH kb AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT id AS pid, v AS pv FROM kb ORDER BY id LIMIT {IVF_CELLS}),
+    a1 AS ({_KM_ASSIGN_KB.format(cos=_cos("b.v", "c.pv"), cents="c0")}),
+    m1 AS ({_KM_MEANS.format(asg="a1")}),
+    c1 AS (SELECT pid, list(m ORDER BY dim) AS pv FROM m1 GROUP BY pid),
+    a2 AS ({_KM_ASSIGN_KB.format(cos=_cos("b.v", "c.pv"), cents="c1")}),
+    m2 AS ({_KM_MEANS.format(asg="a2")}),
+    c2 AS (SELECT pid, list(m ORDER BY dim) AS pv FROM m2 GROUP BY pid),
+    base AS (
+        SELECT vec_id AS id, embedding AS v,
+               sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm,
+               (vec_id % 50 = 0) AS is_q
+        FROM embeddings
+    ),
+    piv AS (
+        SELECT pid, pv, sqrt({_DOT.format(a="pv", b="pv")}) AS pnrm FROM c2
+    ),
+    ranked AS (
+        SELECT b.id, b.is_q, b.v, b.nrm, p.pid,
+               row_number() OVER (
+                   PARTITION BY b.id
+                   ORDER BY ({_DOT.format(a="b.v", b="p.pv")}) / (b.nrm * p.pnrm) DESC,
+                            p.pid ASC) AS prn
+        FROM base b CROSS JOIN piv p
+    ),
+    asg AS (
+        SELECT id AS neighbor_id, v AS cv, nrm AS cn, pid
+        FROM ranked WHERE prn = 1
+    ),
+    probes AS (
+        SELECT id AS query_id, v AS qv, nrm AS qn, pid
+        FROM ranked WHERE is_q AND prn <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               ({_DOT.format(a="p.qv", b="a.cv")}) / (p.qn * a.cn) AS score
+        FROM probes p JOIN asg a USING (pid)
+        WHERE p.query_id <> a.neighbor_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+    FROM topk WHERE rank <= 5
+"""
