@@ -26,8 +26,13 @@ All metadata I/O goes through the Hadoop FileSystem API (via the JVM
 gateway), so a table can live on any Hadoop-supported filesystem —
 ``file://`` locally, ``hdfs://``/``s3a://`` on a cluster (the
 reference's tables are on S3, scd2-job.ipynb:42,167). Manifest commit
-is atomic where rename is atomic (HDFS); on S3A it degrades to
-last-writer-wins, acceptable under the single-writer contract above.
+is atomic where rename is atomic (HDFS, local): rename refuses to
+clobber an existing manifest, so two writers racing to the same
+version number get optimistic-concurrency semantics — the loser's
+commit raises instead of silently overwriting (pytest-pinned). On S3A
+rename is copy+delete and this degrades to last-writer-wins,
+acceptable under the single-writer contract above (or front it with a
+DynamoDB/ZK lock as S3 Delta deployments do).
 
 Scale posture: MERGE joins the source against only the target files
 that contain matching rows (detected with one semi-join over

@@ -527,3 +527,15 @@ def test_restore_via_maintenance_stage(spark, table):
         "restore": {"relativeVersion": "-1"},
     }])
     assert sorted(r.id for r in table.read().collect()) == [0, 1, 2]
+
+
+def test_conflicting_commit_fails_loudly(spark, table):
+    """Two writers racing to the same version number: the second
+    manifest rename must fail (Hadoop rename won't clobber), so a lost
+    update surfaces as an error instead of silent last-writer-wins —
+    optimistic concurrency at the manifest level."""
+    table.write(spark.range(3).toDF("id"))
+    stub = '{"version": 1, "files": [], "schema": {}}'
+    table._write_text_atomic("v00000001.json", stub)
+    with pytest.raises(VersionedTableError, match="cannot commit"):
+        table._write_text_atomic("v00000001.json", stub)
