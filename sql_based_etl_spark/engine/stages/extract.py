@@ -67,8 +67,10 @@ def orc_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
 
 def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     """S2 ``DeltaLakeExtract`` incl. time travel (scd2-job.ipynb:418-427,
-    461-472): ``options.relativeVersion`` (0 = latest, -1 = previous) or
-    ``options.versionAsOf`` (absolute). ``options.filters`` — a list of
+    461-472): ``options.relativeVersion`` (0 = latest, -1 = previous),
+    ``options.versionAsOf`` (absolute), or ``options.timestampAsOf``
+    (Delta parity — epoch seconds or ISO string, newest commit at or
+    before that instant). ``options.filters`` — a list of
     ``[column, op, value]`` conjuncts — enables manifest-stats data
     skipping: files whose min/max range can't match are never opened
     (the predicate is still applied row-level afterwards)."""
@@ -81,6 +83,7 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
         version=int(version) if version is not None else None,
         relative_version=int(rel) if rel is not None else None,
         filters=[tuple(f) for f in filters] if filters else None,
+        timestamp=opts.get("timestampAsOf"),
     )
 
 

@@ -193,9 +193,13 @@ class VersionedTable:
         """Per-version metadata, newest first (DeltaTable.history parity)."""
         return [self.manifest(v) for v in reversed(self.versions())]
 
-    def resolve_version(self, version: int | None = None, relative_version: int | None = None) -> int:
+    def resolve_version(self, version: int | None = None, relative_version: int | None = None,
+                        timestamp: float | str | None = None) -> int:
         """Arc's relativeVersion: 0 = latest, -1 = previous, …
-        (scd2-job.ipynb:471). Absolute ``version`` wins if given."""
+        (scd2-job.ipynb:471). Absolute ``version`` wins if given;
+        ``timestamp`` (Delta's timestampAsOf — epoch seconds or an
+        ISO/'YYYY-MM-DD HH:MM:SS' string, naive = UTC) resolves to the
+        newest version committed at or before that instant."""
         vs = self.versions()
         if not vs:
             raise VersionedTableError(f"no versions at {self.path}")
@@ -203,6 +207,24 @@ class VersionedTable:
             if version not in vs:
                 raise VersionedTableError(f"version {version} not in {vs}")
             return version
+        if timestamp is not None:
+            if isinstance(timestamp, str):
+                import datetime as _dt
+
+                ts = _dt.datetime.fromisoformat(timestamp)
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                cutoff = ts.timestamp()
+            else:
+                cutoff = float(timestamp)
+            eligible = [v for v in vs
+                        if float(self.manifest(v).get("timestamp", 0.0)) <= cutoff]
+            if not eligible:
+                raise VersionedTableError(
+                    f"no version committed at or before {timestamp!r} "
+                    f"(earliest is v{vs[0]})"
+                )
+            return eligible[-1]
         if relative_version is not None:
             if relative_version > 0:
                 raise VersionedTableError("relativeVersion must be <= 0")
@@ -251,10 +273,11 @@ class VersionedTable:
         version: int | None = None,
         relative_version: int | None = None,
         filters: list[tuple[str, str, object]] | None = None,
+        timestamp: float | str | None = None,
     ) -> DataFrame:
         from pyspark.sql.types import StructType
 
-        v = self.resolve_version(version, relative_version)
+        v = self.resolve_version(version, relative_version, timestamp)
         rel = (
             self.prune_files(filters, version=v) if filters else self.files(v)
         )

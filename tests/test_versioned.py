@@ -539,3 +539,30 @@ def test_conflicting_commit_fails_loudly(spark, table):
     table._write_text_atomic("v00000001.json", stub)
     with pytest.raises(VersionedTableError, match="cannot commit"):
         table._write_text_atomic("v00000001.json", stub)
+
+
+def test_timestamp_as_of_time_travel(spark, table):
+    """timestampAsOf resolves to the newest commit at or before the
+    instant (epoch float or ISO string); before-first-commit errors."""
+    import time as _time
+
+    table.write(spark.range(3).toDF("id"))
+    t0 = _time.time()
+    _time.sleep(0.05)
+    table.write(spark.range(100, 110).toDF("id"))
+    assert table.read(timestamp=t0).count() == 3
+    assert table.read(timestamp=_time.time()).count() == 10
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(t0, _dt.timezone.utc).isoformat()
+    assert table.read(timestamp=iso).count() == 3
+    with pytest.raises(VersionedTableError, match="no version committed"):
+        table.read(timestamp=t0 - 3600)
+    # stage surface
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    ctx = Pipeline(spark).run([{
+        "type": "DeltaLakeExtract", "inputURI": table.path,
+        "outputView": "asof_v", "options": {"timestampAsOf": t0},
+    }])
+    assert ctx.views["asof_v"].count() == 3
