@@ -146,18 +146,42 @@ def stream_append_to_table(stream_df: DataFrame, table_path: str,
     micro-batch commits as one APPEND version via ``foreachBatch``
     (file-additive — no rewrite of earlier data), giving the streaming
     path the same ACID-ish, time-travelable storage as batch loads.
-    Returns the started StreamingQuery (caller awaits/stops)."""
-    from sql_based_etl_spark.tables.versioned import VersionedTable
 
+    EXACTLY-ONCE: ``foreachBatch`` is at-least-once (a crash between
+    the table commit and the checkpoint advance replays the batch), so
+    the sink is made idempotent the way Delta's txn table is — each
+    commit records its ``stream_batch_id`` in the manifest, and a
+    replayed batch id that any surviving manifest already carries is
+    skipped. Checking manifests is metadata-only; vacuuming every
+    version between a commit and its replay is the one (operationally
+    absurd) hole. Returns the started StreamingQuery (caller
+    awaits/stops)."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        t = VersionedTable(batch_df.sparkSession, table_path)
-        mode = "append" if t.exists() else "overwrite"
-        t.write(batch_df, mode=mode, num_partitions=num_partitions,
-                operation=f"STREAM_BATCH_{batch_id}")
+        append_stream_batch(batch_df, batch_id, table_path, num_partitions)
 
     return stream_df.writeStream.foreachBatch(_sink).outputMode("append").start()
+
+
+def append_stream_batch(batch_df: DataFrame, batch_id: int, table_path: str,
+                        num_partitions: int | None = None) -> bool:
+    """One idempotent micro-batch commit (the ``foreachBatch`` body of
+    :func:`stream_append_to_table`, module-level so the replay contract
+    is directly testable). Returns True if a commit happened, False
+    for an empty or already-committed (replayed) batch."""
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    if batch_df.isEmpty():
+        return False
+    t = VersionedTable(batch_df.sparkSession, table_path)
+    mode = "append" if t.exists() else "overwrite"
+    if t.exists() and any(
+        m.get("stream_batch_id") == batch_id for m in t.history()
+    ):
+        return False  # replayed batch — already committed
+    t.write(batch_df, mode=mode, num_partitions=num_partitions,
+            operation=f"STREAM_BATCH_{batch_id}",
+            extra={"stream_batch_id": batch_id})
+    return True
 
 
 def enriched_counts(events: DataFrame, dim: DataFrame,

@@ -628,3 +628,20 @@ def test_resize_stub_exactness(spark, documents):
         r = got[row.doc_id]
         assert (r.src_bytes, r.dst_bytes) == (n, len(out))
         assert r.resized_md5 == hashlib.md5(out).hexdigest()
+
+
+def test_stream_sink_is_idempotent_on_batch_replay(spark, tmp_path):
+    """A replayed micro-batch id must not double-append: foreachBatch
+    is at-least-once, and the manifest's stream_batch_id makes the
+    versioned-table sink exactly-once."""
+    from sql_based_etl_spark.streaming.events import append_stream_batch
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    path = str(tmp_path / "sink_tbl")
+    batch = spark.range(10).select(F.col("id"))
+    assert append_stream_batch(batch, 0, path) is True
+    assert append_stream_batch(batch, 1, path) is True
+    assert append_stream_batch(batch, 1, path) is False  # replay: skipped
+    t = VersionedTable(spark, path)
+    assert t.read().count() == 20  # not 30
+    assert [m.get("stream_batch_id") for m in t.history()] == [1, 0]
