@@ -33,7 +33,11 @@ from sql_based_etl_spark.engine.stages.extensions import (
     table_profile,
     text_analysis_transform,
 )
-from sql_based_etl_spark.engine.stages.transform import sql_transform, typing_transform
+from sql_based_etl_spark.engine.stages.transform import (
+    model_score_transform,
+    sql_transform,
+    typing_transform,
+)
 from sql_based_etl_spark.engine.stages.validate import expectations_validate, sql_validate
 
 STAGE_TYPES = {
@@ -41,6 +45,7 @@ STAGE_TYPES = {
     "DelimitedExtract": delimited_extract,
     "TypingTransform": typing_transform,
     "SQLTransform": sql_transform,
+    "ModelScoreTransform": model_score_transform,
     "DeltaLakeLoad": versioned_table_load,
     "DeltaLakeMergeLoad": versioned_table_merge_load,
     "DeltaLakeExtract": versioned_table_extract,

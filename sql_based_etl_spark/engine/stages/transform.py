@@ -98,3 +98,65 @@ def sql_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
     sql = substitute_sql_params(sql, conf.get("sqlParams"))
     sql = substitute_sql_params(sql, ctx.variables)
     return ctx.spark.sql(sql)
+
+
+def model_score_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``ModelScoreTransform``: apply a small linear model to numeric
+    feature columns — ``score = intercept + Σ wᵢ·xᵢ``, optional
+    ``label = score ≥ threshold``.
+
+    This is the deployment shape of a distilled pretraining-quality
+    classifier (fastText/logreg exported to plain weights): the model
+    splices in as literals, so scoring is ONE codegen projection — no
+    UDF, no model server, no shuffle; at 100 TB it runs at scan speed.
+    The score is the linear term (not the sigmoid): monotone in the
+    probability, so thresholding is equivalent, and it stays exactly
+    reproducible across engines (``exp`` is last-ulp
+    implementation-defined; a sum of products is not).
+
+    conf: ``inputView``; ``model`` {``weights`` {col: w}, ``intercept``,
+    ``threshold``, optional ``decimals`` {``weights``, ``features``}}
+    inline or ``modelURI`` (JSON file of the same shape);
+    ``scoreColumn``/``labelColumn`` names.
+
+    With ``decimals`` given, scoring runs in scaled int64 space
+    (weights×10^dw, features×10^df, one double division at the end) —
+    bit-reproducible in any engine and immune to decimal-rounding
+    half-boundary divergence; without it, plain double arithmetic
+    (fine when no cross-engine hash must match)."""
+    df = ctx.view(conf["inputView"])
+    if "modelURI" in conf:
+        import json as _json
+
+        with open(conf["modelURI"]) as f:
+            model = _json.load(f)
+    else:
+        model = conf["model"]
+    score_col = conf.get("scoreColumn", "score")
+    thr = model.get("threshold")
+    dec = model.get("decimals")
+    if dec is not None:
+        dw, dframe = int(dec["weights"]), int(dec["features"])
+        sw, sf_, stot = 10 ** dw, 10 ** dframe, 10 ** (dw + dframe)
+        z = F.lit(int(round(float(model.get("intercept", 0.0)) * stot)))
+        for c, w in model["weights"].items():
+            z = z + F.lit(int(round(float(w) * sw))) * F.round(
+                F.col(c).cast("double") * F.lit(float(sf_))
+            ).cast("long")
+        out = df.withColumn(score_col, z.cast("double") / F.lit(float(stot)))
+        if thr is not None:
+            out = out.withColumn(
+                conf.get("labelColumn", "label"),
+                (z >= F.lit(int(round(float(thr) * stot)))).cast("int"),
+            )
+        return out
+    z = F.lit(float(model.get("intercept", 0.0)))
+    for c, w in model["weights"].items():
+        z = z + F.lit(float(w)) * F.col(c).cast("double")
+    out = df.withColumn(score_col, F.round(z, 6))
+    if thr is not None:
+        out = out.withColumn(
+            conf.get("labelColumn", "label"),
+            (F.col(score_col) >= F.lit(float(thr))).cast("int"),
+        )
+    return out

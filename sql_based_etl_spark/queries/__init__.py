@@ -71,6 +71,7 @@ APPENDIX = [
     "text_chunk_pack",  # chunking+packing — explode/slice machinery graded via dedup shingles; window cumsum via q_running_total
     "mm_resize",  # resize plumbing (rows-only by design) — mapInPandas path graded via mm_decode_features
     "sim_ann_ivf_trained",  # trained-pivot IVF — untrained IVF graded via sim_ann_ivf; training via sim_kmeans_cells
+    "docs_model_score",  # linear-model scoring stage — feature machinery graded via text_quality_score; exact int-scaled algebra via q01 pattern
 ]
 
 

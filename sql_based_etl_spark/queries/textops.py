@@ -417,3 +417,49 @@ ORACLES["text_chunk_pack"] = """
                       / 256.0) AS BIGINT) AS bin_id
     FROM chunks
 """
+
+
+def docs_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled linear quality classifier applied to the quality
+    features through the ModelScoreTransform stage (weights as
+    literals -> one codegen projection)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+    from sql_based_etl_spark.operators.textops import quality_features
+
+    quality_features(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "model_score_feats"
+    )
+    ctx = Pipeline(spark).run([{
+        "type": "ModelScoreTransform", "inputView": "model_score_feats",
+        "outputView": "model_scored",
+        "model": {
+            "intercept": -1.0,
+            "weights": {"n_words": 0.01, "mean_word_len": 0.2,
+                        "punct_ratio": -2.0, "stopword_ratio": 1.5},
+            "threshold": 0.0,
+            "decimals": {"weights": 2, "features": 6},
+        },
+    }])
+    return ctx.views["model_scored"].select("doc_id", "score", "label")
+
+
+QUERIES["docs_model_score"] = docs_model_score
+
+# The features are the (already 6-rounded, engine-exact) quality
+# columns; the linear term reproduces the stage's left-to-right fold.
+ORACLES["docs_model_score"] = """
+    WITH feats AS ({quality_oracle}),
+    scaled AS (
+        SELECT doc_id,
+               -100000000
+               + 1 * CAST(round(n_words * 1000000.0) AS BIGINT)
+               + 20 * CAST(round(mean_word_len * 1000000.0) AS BIGINT)
+               + -200 * CAST(round(punct_ratio * 1000000.0) AS BIGINT)
+               + 150 * CAST(round(stopword_ratio * 1000000.0) AS BIGINT) AS z
+        FROM feats
+    )
+    SELECT doc_id,
+           CAST(z AS DOUBLE) / 100000000.0 AS score,
+           CAST(z >= 0 AS INT) AS label
+    FROM scaled
+""".format(quality_oracle=ORACLES["text_quality_score"])
