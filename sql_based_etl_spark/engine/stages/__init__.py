@@ -45,7 +45,6 @@ STAGE_TYPES = {
     "DelimitedExtract": delimited_extract,
     "TypingTransform": typing_transform,
     "SQLTransform": sql_transform,
-    "ModelScoreTransform": model_score_transform,
     "DeltaLakeLoad": versioned_table_load,
     "DeltaLakeMergeLoad": versioned_table_merge_load,
     "DeltaLakeExtract": versioned_table_extract,
@@ -69,6 +68,7 @@ STAGE_TYPES = {
     "SQLValidate": sql_validate,
     "ExpectationsValidate": expectations_validate,
     # LLM-data-pipeline extension stages
+    "ModelScoreTransform": model_score_transform,
     "DedupTransform": dedup_transform,
     "SimilaritySearchTransform": similarity_search_transform,
     "TextAnalysisTransform": text_analysis_transform,
