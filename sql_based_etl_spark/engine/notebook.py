@@ -47,13 +47,32 @@ def _printschema_stage(ctx: PipelineContext, conf: dict) -> None:
 
 def _raw_config_stage(ctx: PipelineContext, conf: dict):
     """A JSON/HOCON stage cell, parsed at execution time against the
-    *current* variable map, then dispatched normally."""
+    *current* variable map, then dispatched normally.
+
+    Two test/porting facilities (no-ops unless the caller sets them on
+    the context via :func:`run_notebook`):
+
+    - ``uri_scheme_map``: prefix rewrites applied to every ``*URI``
+      conf value — how a notebook written against ``s3a://`` paths runs
+      against local fixtures (prod keeps s3a; only the prefix differs).
+    - ``skip_stages``: stage *names* to skip — for stages whose
+      external endpoint can't exist in the environment (the reference's
+      Athena-catalog JDBCExecute, scd2-job.ipynb:372-384).
+    """
     from sql_based_etl_spark.engine.stages import STAGE_TYPES
 
     stage = parse_stage_config(conf["text"], ctx.variables)
     envs = stage.get("environments")
     if envs and ctx.environment not in envs:
         return None
+    if stage.get("name") in getattr(ctx, "skip_stages", ()):
+        return None
+    for key, val in list(stage.items()):
+        if key.endswith("URI") and isinstance(val, str):
+            for prefix, repl in getattr(ctx, "uri_scheme_map", {}).items():
+                if val.startswith(prefix):
+                    stage[key] = repl + val[len(prefix):]
+                    break
     fn = STAGE_TYPES.get(stage["type"])
     if fn is None:
         raise ValueError(f"unknown stage type {stage['type']!r}")
@@ -89,6 +108,20 @@ def cells_to_stages(cells: list[dict[str, Any]]) -> list[dict[str, Any]]:
         if text.startswith("%"):
             first, _, body = text.partition("\n")
             magic, opts, args = parse_magic_line(first)
+            # the reference notebook puts %env/%conf args and the
+            # %printschema view on the FOLLOWING lines
+            # (scd2-job.ipynb:20-22,66-67,131-132) — fold body k=v
+            # lines into opts, body bare words into args
+            if magic in ("env", "conf", "printschema"):
+                for line in body.splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    k, eq, v = line.partition("=")
+                    if eq:
+                        opts[k.strip()] = v.strip()
+                    else:
+                        args.append(line)
             if magic == "env":
                 stages.append({"type": "EnvStage", "vars": opts})
             elif magic == "conf":
@@ -124,11 +157,17 @@ def run_notebook(
     path: str,
     environment: str = "dev",
     variables: dict[str, str] | None = None,
+    uri_scheme_map: dict[str, str] | None = None,
+    skip_stages: set[str] | None = None,
 ) -> PipelineContext:
     """Entry points 1+2 (SURVEY.md §3): execute an ``.ipynb`` file's
-    cells as a pipeline."""
+    cells as a pipeline. ``uri_scheme_map``/``skip_stages`` are the
+    local-porting facilities documented on :func:`_raw_config_stage`."""
     register_magic_stages()
     with open(path) as f:
         nb = json.load(f)
     stages = cells_to_stages(nb.get("cells", []))
-    return Pipeline(spark, environment, variables).run(stages)
+    pipe = Pipeline(spark, environment, variables)
+    pipe.ctx.uri_scheme_map = dict(uri_scheme_map or {})
+    pipe.ctx.skip_stages = set(skip_stages or ())
+    return pipe.run(stages)

@@ -1,0 +1,48 @@
+"""Arc/Spark-3 SQL compatibility shims.
+
+The reference pipeline was written for Arc on Spark 3.0, whose
+``BooleanEquality`` type-coercion rule allowed ``int_col = true``
+(scd2-job.ipynb:313 ``old.iscurrent=true``, :346 merge condition).
+Spark 4 removed that rule — the comparison is now a hard
+DATATYPE_MISMATCH — so running the reference's SQL unchanged needs the
+coercion reproduced at the engine boundary.
+"""
+
+from __future__ import annotations
+
+import re
+
+_RHS = re.compile(r"(=|<>|!=)(\s*)(true|false)\b", re.IGNORECASE)
+_LHS = re.compile(r"\b(true|false)(\s*)(=|<>|!=)", re.IGNORECASE)
+_QUALIFIED = re.compile(
+    r"\b(\w+)\.(\w+)\s*(=|<>|!=)\s*(true|false)\b", re.IGNORECASE
+)
+
+
+def _lit(word: str) -> str:
+    return "1" if word.lower() == "true" else "0"
+
+
+def coerce_boolean_equality(sql: str) -> str:
+    """Blanket rewrite of boolean literals in =/<> comparisons to 1/0
+    (Spark 3's BooleanEquality semantics). Use ONLY as an error-driven
+    retry: a query whose first analysis succeeded never sees this, so
+    genuine boolean-column comparisons are untouched."""
+    sql = _RHS.sub(lambda m: m.group(1) + m.group(2) + _lit(m.group(3)), sql)
+    return _LHS.sub(lambda m: _lit(m.group(1)) + m.group(2) + m.group(3), sql)
+
+
+def coerce_condition_for_types(cond: str, dtypes_by_alias: dict[str, dict[str, str]]) -> str:
+    """Dtype-aware rewrite for merge conditions: only a comparison
+    ``alias.col = true|false`` whose column is known NON-boolean gets
+    its literal rewritten to 1/0 — boolean columns keep their literal.
+    ``dtypes_by_alias``: {"target": {col: dtype}, "source": {...}}."""
+
+    def repl(m: re.Match) -> str:
+        alias, col, op, word = m.group(1), m.group(2), m.group(3), m.group(4)
+        dt = dtypes_by_alias.get(alias.lower(), {}).get(col)
+        if dt is not None and dt != "boolean":
+            return f"{alias}.{col} {op} {_lit(word)}"
+        return m.group(0)
+
+    return _QUALIFIED.sub(repl, cond)

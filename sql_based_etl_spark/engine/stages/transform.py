@@ -97,7 +97,23 @@ def sql_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             sql = f.read()
     sql = substitute_sql_params(sql, conf.get("sqlParams"))
     sql = substitute_sql_params(sql, ctx.variables)
-    return ctx.spark.sql(sql)
+    try:
+        return ctx.spark.sql(sql)
+    except Exception as e:  # noqa: BLE001
+        # Arc/Spark-3 compat: `int_col = true` (scd2-job.ipynb:313) is a
+        # DATATYPE_MISMATCH on Spark 4 — retry once with Spark 3's
+        # BooleanEquality literal coercion; surface the ORIGINAL error
+        # if the rewrite doesn't fix it (engine/sql_compat.py).
+        if "DATATYPE_MISMATCH" in str(e) and "BOOLEAN" in str(e):
+            from sql_based_etl_spark.engine.sql_compat import coerce_boolean_equality
+
+            rewritten = coerce_boolean_equality(sql)
+            if rewritten != sql:
+                try:
+                    return ctx.spark.sql(rewritten)
+                except Exception:  # noqa: BLE001
+                    pass
+        raise
 
 
 def model_score_transform(ctx: PipelineContext, conf: dict) -> DataFrame:

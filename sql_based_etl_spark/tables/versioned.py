@@ -791,6 +791,17 @@ class VersionedTable:
         if not vs:
             raise VersionedTableError(f"no versions at {self.path}")
         cur_v = vs[-1]
+        # Arc/Spark-3 compat: `target.iscurrent = true` against the
+        # INTEGER iscurrent column (scd2-job.ipynb:346) relied on the
+        # BooleanEquality coercion Spark 4 removed — rewrite boolean
+        # literals compared to known non-boolean columns (dtype-aware;
+        # genuine boolean columns keep their literal).
+        from sql_based_etl_spark.engine.sql_compat import coerce_condition_for_types
+
+        dtmap = {"target": dict(self.read().dtypes), "source": dict(source.dtypes)}
+        condition = coerce_condition_for_types(condition, dtmap)
+        if matched_condition:
+            matched_condition = coerce_condition_for_types(matched_condition, dtmap)
         all_files = self.files(cur_v)
         matched_files = self._matched_files(source, condition) if all_files else []
         carried = [f for f in all_files if f not in set(matched_files)]

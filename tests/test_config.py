@@ -114,3 +114,33 @@ def test_stage_persist_attribute(spark):
     assert ctx.views["persisted_v"].storageLevel.useMemory
     assert not ctx.views["unpersisted_v"].storageLevel.useMemory
     ctx.views["persisted_v"].unpersist()
+
+
+def test_boolean_equality_compat(spark):
+    """Arc/Spark-3 BooleanEquality shim: int-vs-boolean comparisons in
+    reference SQL work; genuine boolean comparisons are untouched (the
+    rewrite only runs as an error-driven retry)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+    from sql_based_etl_spark.engine.sql_compat import (
+        coerce_boolean_equality,
+        coerce_condition_for_types,
+    )
+
+    assert coerce_boolean_equality("a = true AND b <> FALSE") == "a = 1 AND b <> 0"
+    assert coerce_condition_for_types(
+        "target.iscurrent = true AND target.flag = true",
+        {"target": {"iscurrent": "int", "flag": "boolean"}},
+    ) == "target.iscurrent = 1 AND target.flag = true"
+
+    ctx = Pipeline(spark).run([
+        {"type": "SQLTransform", "outputView": "bc_src",
+         "sql": "SELECT 1 AS iscurrent, true AS ok"},
+        # reference idiom: int column compared to a boolean literal
+        {"type": "SQLTransform", "outputView": "bc_out",
+         "sql": "SELECT * FROM bc_src WHERE iscurrent = true"},
+        # genuine boolean comparison must keep working untouched
+        {"type": "SQLTransform", "outputView": "bc_bool",
+         "sql": "SELECT * FROM bc_src WHERE ok = true"},
+    ])
+    assert ctx.views["bc_out"].count() == 1
+    assert ctx.views["bc_bool"].count() == 1

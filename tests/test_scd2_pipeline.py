@@ -13,6 +13,7 @@ contract (SURVEY.md §5, FIXTURES.md §1-§4):
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -312,3 +313,86 @@ def test_text_extract_wordcount_pipeline(spark, tmp_path):
     ])
     counts = {r.word: r.n for r in ctx.views["wc"].collect()}
     assert counts == {"alpha": 3, "beta": 2}
+
+
+REFERENCE_NB = "/root/reference/example/notebook/scd2-job.ipynb"
+
+# The student answer to the notebook's deliberate fill-in-the-blank cell
+# (scd2-job.ipynb cell "2.1 Apply Data Type (build your transformation
+# here)" — its source is literally `?????????`): a TypingTransform
+# mirroring the initial-load one (cell 1.3) with the CDC views, exactly
+# what the tutorial instructs.
+FILL_IN_CELL = """
+{
+  "type": "TypingTransform",
+  "name": "apply table schema to CDC CSV",
+  "environments": ["dev", "test"],
+  "schemaURI": "s3a://"${ETL_CONF_DATALAKE_LOC}"/app_code/meta/contact_meta_0.json",
+  "inputView": "cdc_raw",
+  "outputView": "cdc_typed",
+  "authentication": {
+     "method": "AmazonIAM"
+  }
+}
+"""
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_NB), reason="reference snapshot absent")
+def test_reference_notebook_runs_unchanged(spark, fixture_dir, tmp_path):
+    """THE parity proof: the reference's own scd2-job.ipynb executes
+    through the engine with only
+      (a) its fill-in-the-blank tutorial cell completed (FILL_IN_CELL),
+      (b) s3a:// URIs remapped to the local fixture tree, and
+      (c) the Athena-catalog JDBCExecute skipped by name (no Athena
+          endpoint here; the JDBC path has its own Derby smoke test) —
+    then the uat pass answers the notebook's own validation queries
+    (id=12 current+expired, time travel to the pre-merge version)."""
+    import shutil
+
+    # fixture tree in the notebook's expected app_code layout
+    base = tmp_path / "lake"
+    (base / "app_code" / "data").mkdir(parents=True)
+    (base / "app_code" / "meta").mkdir(parents=True)
+    for f in ("initial_contacts.csv", "update_contacts.csv"):
+        shutil.copy(fixture_dir / f, base / "app_code" / "data" / f)
+    shutil.copy(fixture_dir / "contact_meta_0.json",
+                base / "app_code" / "meta" / "contact_meta_0.json")
+
+    nb = json.loads(open(REFERENCE_NB).read())
+    filled = 0
+    for cell in nb["cells"]:
+        src = "".join(cell["source"]) if isinstance(cell["source"], list) else cell["source"]
+        if cell["cell_type"] == "code" and "?????????" in src:
+            cell["source"] = FILL_IN_CELL
+            filled += 1
+    assert filled == 1  # exactly the tutorial's blank
+    nb_path = tmp_path / "scd2-job.ipynb"
+    nb_path.write_text(json.dumps(nb))
+
+    common = dict(
+        variables={"ETL_CONF_DATALAKE_LOC": str(base), "AWS_DEFAULT_REGION": "local"},
+        uri_scheme_map={"s3a://": ""},
+        skip_stages={"Create glue data catalog"},
+    )
+    run_notebook(spark, str(nb_path), environment="dev", **common)
+
+    table_dir = base / "app_code" / "output" / "contact"
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(table_dir))
+    merged = t.read()
+    # the notebook's goldens (timestamps are current_timestamp() here,
+    # so only structural assertions apply)
+    rows = {(r.state, bool(r.iscurrent), r.valid_to is not None)
+            for r in merged.filter(F.col("id") == 12).collect()}
+    assert rows == {("WA", False, True), ("NY", True, False)}
+    assert merged.filter(~F.col("iscurrent").cast("boolean")).count() == 1
+    assert merged.count() == 15
+    assert t.latest_version() == 1
+
+    # uat pass: the notebook's own validation + time-travel cells
+    ctx = run_notebook(spark, str(nb_path), environment="uat", **common)
+    v12 = ctx.views["validate_type2"].collect()
+    assert {bool(r.iscurrent) for r in v12} == {True, False}
+    tt = ctx.views["tt_validation"].collect()
+    assert len(tt) == 1 and tt[0].state == "WA"  # pre-merge snapshot
