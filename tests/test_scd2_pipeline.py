@@ -396,3 +396,43 @@ def test_reference_notebook_runs_unchanged(spark, fixture_dir, tmp_path):
     assert {bool(r.iscurrent) for r in v12} == {True, False}
     tt = ctx.views["tt_validation"].collect()
     assert len(tt) == 1 and tt[0].state == "WA"  # pre-merge snapshot
+
+
+def test_scheduled_job_notebooks(spark, fixture_dir, tmp_path):
+    """The Argo DAG's three-job flow (scd2-job-scheduler.yaml:17-64):
+    initial-load and delta-load run as independent jobs (separate
+    pipeline contexts — the CDC batch hands off through storage),
+    SCD2-merge runs after both, and the merged table matches the
+    interactive notebook's goldens exactly (fixed per-run timestamps,
+    as the scheduler's parameter injection implies)."""
+    import shutil
+
+    base = tmp_path / "lake"
+    (base / "app_code" / "data").mkdir(parents=True)
+    (base / "app_code" / "meta").mkdir(parents=True)
+    for f in ("initial_contacts.csv", "update_contacts.csv"):
+        shutil.copy(fixture_dir / f, base / "app_code" / "data" / f)
+    shutil.copy(fixture_dir / "contact_meta_0.json",
+                base / "app_code" / "meta" / "contact_meta_0.json")
+
+    jobs = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "examples", "app_code", "job")
+
+    def run_job(name, ts):
+        return run_notebook(
+            spark, os.path.join(jobs, name),
+            variables={"ETL_CONF_DATALAKE_LOC": str(base),
+                       "ETL_CONF_CURRENT_TIMESTAMP": ts},
+            uri_scheme_map={"s3a://": ""},
+        )
+
+    run_job("initial_load.ipynb", TS1)
+    run_job("delta_load.ipynb", TS2)
+    run_job("scd2_merge.ipynb", TS2)
+
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(base / "app_code" / "output" / "contact"))
+    merged = t.read()
+    merged.createOrReplaceTempView("contact")
+    assert_goldens(spark, str(base / "app_code" / "output" / "contact"))
