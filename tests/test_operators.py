@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -645,3 +646,21 @@ def test_stream_sink_is_idempotent_on_batch_replay(spark, tmp_path):
     t = VersionedTable(spark, path)
     assert t.read().count() == 20  # not 30
     assert [m.get("stream_batch_id") for m in t.history()] == [1, 0]
+
+
+def test_native_wordcount_job(spark, tmp_path):
+    """The reconstructed native wordcount job (S6) runs as a script
+    and writes per-word counts to argv[1]."""
+    import subprocess
+    import sys as _sys
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b a\nc a b\n")
+    out = tmp_path / "out"
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "examples", "app_code", "job", "wordcount.py")
+    r = subprocess.run([_sys.executable, script, str(out), str(inp)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    got = {row.word: row["count"] for row in spark.read.parquet(str(out)).collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
