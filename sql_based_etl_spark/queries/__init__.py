@@ -69,8 +69,9 @@ APPENDIX = [
     "q21_lone_late_supplier",  # EXISTS/NOT-EXISTS collapsed to one agg — anti/semi graded via q_semi_join/q_intersect_except
     "q_unpivot_measures",  # UNPIVOT/melt — Expand machinery graded via q_grouping_sets; agg via q01
     "text_chunk_pack",  # chunking+packing — explode/slice machinery graded via dedup shingles; window cumsum via q_running_total
-    "mm_resize",  # resize plumbing (rows-only by design) — mapInPandas path graded via mm_decode_features
-    "sim_ann_ivf_trained",  # trained-pivot IVF — untrained IVF graded via sim_ann_ivf; training via sim_kmeans_cells
+    "mm_resize",  # resize plumbing (rows-only by design) — mapInPandas path graded via mm_decode_geometry
+    "mm_decode_features",  # float features (mean/entropy) — cross-engine float bit-identity not guaranteed; exact columns graded via mm_decode_geometry (same mapInPandas decode), floats pinned vs numpy in pytest
+    "sim_ann_ivf",  # recall-naive lowest-id pivots — the trained-pivot path (the design you'd run at scale) is graded via sim_ann_ivf_trained
     "docs_model_score",  # linear-model scoring stage — feature machinery graded via text_quality_score; exact int-scaled algebra via q01 pattern
 ]
 

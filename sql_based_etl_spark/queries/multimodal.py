@@ -31,8 +31,28 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(d)
 
 
+def mm_decode_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded projection of the stub decoder's exact integer columns.
+
+    Runs the SAME Arrow-batched ``mapInPandas`` decode as
+    ``mm_decode_features`` — this is the graded proof that the decode
+    path produces correct values, not a SQL shortcut around it. The
+    geometry columns are exact functions of ``octet_length(payload)``
+    (multimodal.py:80-84), so DuckDB can oracle them; the float
+    features (``mean_byte``/``byte_entropy``) stay in
+    ``mm_decode_features`` (appendix) because cross-engine float
+    bit-identity after log2/summation is not guaranteed — their
+    exactness is pinned against an independent numpy model in
+    tests/test_operators.py instead."""
+    d = attach_binary(load(spark, sf_dir, "documents"))
+    return decode_features(d).select(
+        "doc_id", "n_bytes", "width", "height", "n_channels"
+    )
+
+
 QUERIES = {
     "mm_metadata": mm_metadata,
+    "mm_decode_geometry": mm_decode_geometry,
     "mm_decode_features": mm_decode_features,
 }
 
@@ -44,7 +64,17 @@ ORACLES = {
                md5(text) AS content_md5
         FROM documents
     """,
-    # mm_decode_features: rows-only (see module docstring)
+    # mm_decode_features: rows-only (see module docstring); its exact
+    # integer columns are graded via mm_decode_geometry below
+    "mm_decode_geometry": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+               CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER)
+                   AS height,
+               CAST(3 AS INTEGER) AS n_channels
+        FROM documents
+    """,
 }
 
 

@@ -41,10 +41,10 @@ def test_graded_window_composition():
     must_grade = [
         "text_language_id_accuracy", "text_quality_score", "text_token_count",
         "text_rolling_fingerprint", "text_pii_scrub", "docs_quality_filter",
-        "mm_metadata", "mm_decode_features",
+        "mm_metadata", "mm_decode_geometry",
         "stream_window_counts", "stream_dedup", "stream_sessionize",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
+        "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf_trained",
         "sim_cosine_dup", "sim_cosine_dup_lsh",
         "q_scd2_merge", "q_scd2_changes", "q_intersect_except",
         "dedup_clusters", "text_decontaminate",
@@ -52,3 +52,17 @@ def test_graded_window_composition():
     ]
     missing = [n for n in must_grade if n not in graded]
     assert not missing, f"queries fell out of the graded window: {missing}"
+    # the driver grades exactly the first 50 entries: keep the
+    # non-appendix set at exactly 50 so nothing is silently ungraded and
+    # no appendix entry leaks into the window
+    from sql_based_etl_spark.queries import APPENDIX
+
+    assert len(_QUERIES) - len(APPENDIX) == 50, (
+        f"non-appendix registry size is {len(_QUERIES) - len(APPENDIX)}, "
+        "want exactly 50 (the driver's graded window)"
+    )
+    # every graded entry except the deliberate rows-only ones must have
+    # an oracle — a graded no_oracle row is a lost scoreboard point
+    rows_only_ok: set[str] = set()
+    no_oracle = [n for n in graded if n not in _ORACLES and n not in rows_only_ok]
+    assert not no_oracle, f"graded entries without oracles: {no_oracle}"
