@@ -73,10 +73,30 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     before that instant). ``options.filters`` — a list of
     ``[column, op, value]`` conjuncts — enables manifest-stats data
     skipping: files whose min/max range can't match are never opened
-    (the predicate is still applied row-level afterwards)."""
+    (the predicate is still applied row-level afterwards).
+
+    Interop: when ``inputURI`` holds a REAL Delta table (a
+    ``_delta_log`` directory exists), the stage routes to delta-spark
+    if its jars are present, else to the engine's no-jar log-replay
+    bridge (tables/delta_interop.py) — so notebooks pointed at the
+    reference's actual Delta tables run unchanged. ``versionAsOf``
+    works on both paths; ``relativeVersion``/``timestampAsOf``/
+    ``filters`` need the manifest and stay VersionedTable-only."""
     opts = conf.get("options", {}) or {}
-    t = VersionedTable(ctx.spark, conf["inputURI"])
     version = opts.get("versionAsOf")
+    from sql_based_etl_spark.tables import delta_interop
+
+    if delta_interop.is_delta_dir(ctx.spark, conf["inputURI"]):
+        if delta_interop.delta_available():
+            reader = ctx.spark.read.format("delta")
+            if version is not None:
+                reader = reader.option("versionAsOf", int(version))
+            return reader.load(conf["inputURI"])
+        return delta_interop.read_delta(
+            ctx.spark, conf["inputURI"],
+            version=int(version) if version is not None else None,
+        )
+    t = VersionedTable(ctx.spark, conf["inputURI"])
     rel = opts.get("relativeVersion")
     filters = opts.get("filters")
     return t.read(

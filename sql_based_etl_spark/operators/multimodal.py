@@ -156,33 +156,45 @@ def resize_stub(df: DataFrame, target_bytes: int = 128,
     contract a real thumbnailer plugs into is identical (Arrow-batched
     ``mapInPandas``, payload in, fixed-size artifact + digest out).
 
-    Per row the resample is one numpy fancy-index of length T (no
-    per-byte Python); empty payloads produce an empty artifact whose
-    md5 is the md5 of b''. Only the digest and sizes leave the
-    executor — resized bytes would stream to object storage in
-    production, never through the driver."""
+    Whole-batch vectorization (same lesson as ``decode_features``):
+    every payload is concatenated into one byte buffer and ALL rows'
+    resamples happen in a single 2-D fancy-index —
+    ``buf[offset[r] + (j * n_r) // T]`` for the full (row, j) grid at
+    once — no per-row numpy calls. Only the md5 digests walk rows in
+    Python (hashlib has no batch API); each hashes a T-byte slice, so
+    that loop is O(rows), not O(bytes). Empty payloads produce an empty
+    artifact whose md5 is the md5 of b''. Only the digest and sizes
+    leave the executor — resized bytes would stream to object storage
+    in production, never through the driver."""
     import hashlib
 
     import numpy as np
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, src, dst, digest = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = buf.size
-                if n == 0:
-                    out = b""
-                else:
-                    idx = (np.arange(target_bytes, dtype=np.int64) * n) // target_bytes
-                    out = buf[idx].tobytes()
-                ids.append(doc_id)
-                src.append(n)
-                dst.append(len(out))
-                digest.append(hashlib.md5(out).hexdigest())
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            nrows = len(payloads)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nrows)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            offsets = np.cumsum(lens) - lens
+            nz = lens > 0
+            out_rows = np.zeros((nrows, target_bytes), dtype=np.uint8)
+            if nz.any():
+                j = np.arange(target_bytes, dtype=np.int64)
+                idx = offsets[nz, None] + (j[None, :] * lens[nz, None]) // target_bytes
+                out_rows[nz] = buf[idx]
+            empty_md5 = hashlib.md5(b"").hexdigest()
+            digests = [
+                hashlib.md5(out_rows[r].tobytes()).hexdigest() if nz[r] else empty_md5
+                for r in range(nrows)
+            ]
             yield pd.DataFrame(
-                {"doc_id": ids, "src_bytes": src, "dst_bytes": dst,
-                 "resized_md5": digest}
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "src_bytes": lens.astype(np.int32),
+                    "dst_bytes": np.where(nz, target_bytes, 0).astype(np.int32),
+                    "resized_md5": digests,
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(_resample, RESIZE_SCHEMA)

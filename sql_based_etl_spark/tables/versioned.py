@@ -26,13 +26,11 @@ All metadata I/O goes through the Hadoop FileSystem API (via the JVM
 gateway), so a table can live on any Hadoop-supported filesystem —
 ``file://`` locally, ``hdfs://``/``s3a://`` on a cluster (the
 reference's tables are on S3, scd2-job.ipynb:42,167). Manifest commit
-is atomic where rename is atomic (HDFS, local): rename refuses to
-clobber an existing manifest, so two writers racing to the same
-version number get optimistic-concurrency semantics — the loser's
-commit raises instead of silently overwriting (pytest-pinned). On S3A
-rename is copy+delete and this degrades to last-writer-wins,
-acceptable under the single-writer contract above (or front it with a
-DynamoDB/ZK lock as S3 Delta deployments do).
+is an exclusive-claim protocol (see ``_write_text_atomic``): two
+writers racing to the same version number get optimistic-concurrency
+semantics on EVERY FS type — the loser's commit raises instead of
+silently overwriting (pytest-pinned), including object stores, where
+the claim maps to a conditional PUT on Hadoop ≥ 3.4.1 S3A.
 
 Scale posture: MERGE joins the source against only the target files
 that contain matching rows (detected with one semi-join over
@@ -151,7 +149,27 @@ class VersionedTable:
             stream.close()
 
     def _write_text_atomic(self, name: str, data: str) -> None:
-        """Commit ``_meta/<name>`` via create-temp + rename."""
+        """Commit ``_meta/<name>`` exclusively: temp write → exclusive
+        claim → rename.
+
+        The claim is ``fs.create(claim_path, overwrite=False)`` — the
+        FileSystem contract's conditional create. Exactly one of two
+        racing committers wins it on every FS type: local/HDFS raise
+        ``FileAlreadyExistsException`` on the second create, and S3A
+        maps it to a conditional PUT (``If-None-Match``) on Hadoop ≥
+        3.4.1 (older S3A does HEAD-then-PUT, leaving a millisecond
+        race — front with a lock service there, the pre-conditional-put
+        Delta-on-S3 pattern). The loser RAISES instead of silently
+        overwriting — no last-writer-wins on any store. The final
+        rename is winner-only, so its non-atomicity on object stores no
+        longer matters (and an S3 copy publishes the object atomically
+        on completion anyway — readers never see partial JSON).
+
+        Crash recovery: a writer that dies between claim and rename
+        leaves ``.{name}.claim`` with no manifest; the version is then
+        unclaimable until the stale claim is deleted (the same manual
+        unlock any lock-file protocol needs). If the manifest EXISTS,
+        the commit completed and the claim is just its tombstone."""
         fs = self._fs()
         fs.mkdirs(self._jpath("_meta"))
         tmp = self._jpath("_meta", f".{name}.tmp")
@@ -160,6 +178,20 @@ class VersionedTable:
             out.write(bytearray(data.encode("utf-8")))
         finally:
             out.close()
+        claim = self._jpath("_meta", f".{name}.claim")
+        try:
+            fs.create(claim, False).close()
+        except Exception as e:  # Py4J-wrapped java.io exceptions
+            fs.delete(tmp, False)
+            jcls = ""
+            if hasattr(e, "java_exception"):
+                jcls = e.java_exception.getClass().getName()
+            if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+                raise VersionedTableError(
+                    f"concurrent commit detected for {name} at {self.path}: "
+                    "another writer claimed this version first"
+                ) from e
+            raise
         if not fs.rename(tmp, self._jpath("_meta", name)):
             raise VersionedTableError(f"cannot commit manifest {name} at {self.path}")
 

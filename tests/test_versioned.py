@@ -530,15 +530,38 @@ def test_restore_via_maintenance_stage(spark, table):
 
 
 def test_conflicting_commit_fails_loudly(spark, table):
-    """Two writers racing to the same version number: the second
-    manifest rename must fail (Hadoop rename won't clobber), so a lost
-    update surfaces as an error instead of silent last-writer-wins —
-    optimistic concurrency at the manifest level."""
+    """Two writers racing to the same version number: exactly one wins
+    the exclusive claim (a conditional create, atomic on every FS type,
+    not a rename); the loser RAISES instead of silently overwriting —
+    no last-writer-wins anywhere, including object stores."""
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
     table.write(spark.range(3).toDF("id"))
-    stub = '{"version": 1, "files": [], "schema": {}}'
-    table._write_text_atomic("v00000001.json", stub)
-    with pytest.raises(VersionedTableError, match="cannot commit"):
-        table._write_text_atomic("v00000001.json", stub)
+    # two independent handles both believe the next version is 2
+    writer_a = VersionedTable(spark, table.path)
+    writer_b = VersionedTable(spark, table.path)
+    a_manifest = '{"version": 2, "operation": "A", "files": [], "schema": {}}'
+    b_manifest = '{"version": 2, "operation": "B", "files": [], "schema": {}}'
+    writer_a._write_text_atomic("v00000002.json", a_manifest)
+    with pytest.raises(VersionedTableError, match="concurrent commit"):
+        writer_b._write_text_atomic("v00000002.json", b_manifest)
+    # the surviving manifest is the winner's, intact
+    assert table.manifest(2)["operation"] == "A"
+
+
+def test_stale_claim_blocks_version_until_cleared(spark, table):
+    """A writer that dies between claim and publish leaves a claim with
+    no manifest; the version stays unclaimable (fail-loud, never
+    silent reuse) until the stale claim is deleted."""
+    table.write(spark.range(3).toDF("id"))
+    fs = table._fs()
+    fs.create(table._jpath("_meta", ".v00000002.json.claim"), False).close()
+    stub = '{"version": 2, "operation": "W", "files": [], "schema": {}}'
+    with pytest.raises(VersionedTableError, match="concurrent commit"):
+        table._write_text_atomic("v00000002.json", stub)
+    fs.delete(table._jpath("_meta", ".v00000002.json.claim"), False)
+    table._write_text_atomic("v00000002.json", stub)
+    assert table.manifest(2)["operation"] == "W"
 
 
 def test_timestamp_as_of_time_travel(spark, table):
