@@ -36,6 +36,23 @@ class PipelineContext:
         self.variables: dict[str, str] = dict(variables or {})
         self.views: dict[str, DataFrame] = {}
         self.num_rows_preview = 0  # %conf numRows; 0 = no preview echo
+        self._persisted: list[DataFrame] = []
+
+    def track_persisted(self, df: DataFrame) -> DataFrame:
+        """Record a view cached via the Arc ``persist`` attribute so
+        :meth:`close` can release it — a long-lived session running
+        many pipelines (the scheduler pattern) must not accumulate
+        MEMORY_AND_DISK blocks forever."""
+        self._persisted.append(df)
+        return df
+
+    def close(self) -> None:
+        """Release every view this run persisted. Idempotent. Call when
+        the run's outputs are no longer needed; :func:`run_notebook`
+        and the DAG runner leave views live for the caller, so the
+        caller owns the close."""
+        while self._persisted:
+            self._persisted.pop().unpersist()
 
     def register_view(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
@@ -84,7 +101,7 @@ class Pipeline:
                 # its lineage executes once. StorageLevel defaults to
                 # MEMORY_AND_DISK — spill-safe on big views.
                 if str(stage.get("persist", "")).lower() == "true":
-                    df = df.persist()
+                    df = self.ctx.track_persisted(df.persist())
                 self.ctx.register_view(out, df)
                 if self.ctx.num_rows_preview:
                     df.show(self.ctx.num_rows_preview, truncate=False)

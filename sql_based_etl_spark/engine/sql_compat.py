@@ -18,18 +18,53 @@ _QUALIFIED = re.compile(
     r"\b(\w+)\.(\w+)\s*(=|<>|!=)\s*(true|false)\b", re.IGNORECASE
 )
 
+# regions the rewrites must never touch: '…' string literals (with ''
+# escapes), "…" quoted identifiers, `…` backtick identifiers, -- line
+# comments, /* */ block comments
+_PROTECTED = re.compile(
+    r"('(?:[^']|'')*')"
+    r'|("(?:[^"]|"")*")'
+    r"|(`[^`]*`)"
+    r"|(--[^\n]*)"
+    r"|(/\*.*?\*/)",
+    re.DOTALL,
+)
+
+
+def _sub_outside_quotes(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` outside string literals,
+    quoted identifiers, and comments — a comparison text INSIDE a
+    literal is data, and rewriting it would change values, not
+    semantics."""
+    out, pos = [], 0
+    for m in _PROTECTED.finditer(sql):
+        out.append(fn(sql[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(fn(sql[pos:]))
+    return "".join(out)
+
 
 def _lit(word: str) -> str:
     return "1" if word.lower() == "true" else "0"
 
 
 def coerce_boolean_equality(sql: str) -> str:
-    """Blanket rewrite of boolean literals in =/<> comparisons to 1/0
-    (Spark 3's BooleanEquality semantics). Use ONLY as an error-driven
-    retry: a query whose first analysis succeeded never sees this, so
-    genuine boolean-column comparisons are untouched."""
-    sql = _RHS.sub(lambda m: m.group(1) + m.group(2) + _lit(m.group(3)), sql)
-    return _LHS.sub(lambda m: _lit(m.group(1)) + m.group(2) + m.group(3), sql)
+    """Rewrite boolean literals in =/<> comparisons to 1/0 (Spark 3's
+    BooleanEquality semantics), skipping string literals, quoted
+    identifiers, and comments. Use ONLY as an error-driven retry: a
+    query whose first analysis succeeded never sees this, so genuine
+    boolean-column comparisons are untouched."""
+
+    def rewrite(segment: str) -> str:
+        segment = _RHS.sub(
+            lambda m: m.group(1) + m.group(2) + _lit(m.group(3)), segment
+        )
+        return _LHS.sub(
+            lambda m: _lit(m.group(1)) + m.group(2) + m.group(3), segment
+        )
+
+    return _sub_outside_quotes(sql, rewrite)
 
 
 def coerce_condition_for_types(cond: str, dtypes_by_alias: dict[str, dict[str, str]]) -> str:
@@ -45,4 +80,4 @@ def coerce_condition_for_types(cond: str, dtypes_by_alias: dict[str, dict[str, s
             return f"{alias}.{col} {op} {_lit(word)}"
         return m.group(0)
 
-    return _QUALIFIED.sub(repl, cond)
+    return _sub_outside_quotes(cond, lambda seg: _QUALIFIED.sub(repl, seg))

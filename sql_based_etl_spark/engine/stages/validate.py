@@ -60,8 +60,22 @@ def expectations_validate(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     Violation counts aggregate map-side (unique via count - distinct);
     the stage raises with every failed expectation's count, so one run
     reports all problems, not just the first.
+
+    NULL semantics (deliberate, fail-closed): ``unique`` counts
+    duplicate NULLs as violations (two NULL keys are two rows a
+    downstream merge can't distinguish); an ``expr`` that evaluates to
+    NULL counts as a violation (an expectation that can't affirm the
+    row has not validated it). ``acceptedValues``/``min``/``max`` pass
+    NULLs — pair them with ``notNull`` to reject those. An empty
+    expectations list is a config error, not a vacuous pass.
     """
     df = ctx.view(conf["inputView"])
+    if not conf.get("expectations"):
+        raise StageError(
+            f"ExpectationsValidate {conf.get('name', '')!r}: empty "
+            "expectations list — a validation that checks nothing is a "
+            "config error, not a pass"
+        )
     aggs = []
     labels = []
     for i, e in enumerate(conf["expectations"]):
@@ -70,7 +84,10 @@ def expectations_validate(ctx: PipelineContext, conf: dict) -> DataFrame | None:
             aggs.append(F.sum(F.col(c).isNull().cast("long")))
             labels.append(f"{c} notNull")
         elif e.get("unique"):
-            aggs.append(F.count(c) - F.count_distinct(F.col(c)))
+            null_dups = F.greatest(
+                F.sum(F.col(c).isNull().cast("long")) - F.lit(1), F.lit(0)
+            )
+            aggs.append(F.count(c) - F.count_distinct(F.col(c)) + null_dups)
             labels.append(f"{c} unique")
         elif "acceptedValues" in e:
             ok = F.col(c).isin(*e["acceptedValues"]) | F.col(c).isNull()
@@ -85,7 +102,11 @@ def expectations_validate(ctx: PipelineContext, conf: dict) -> DataFrame | None:
             aggs.append(F.sum(bad.cast("long")))
             labels.append(f"{c} range")
         elif "expr" in e:
-            aggs.append(F.sum((~F.expr(e["expr"])).cast("long")))
+            # coalesce(NOT expr, true): a NULL-valued expectation is a
+            # violation, not a free pass
+            aggs.append(
+                F.sum(F.coalesce(~F.expr(e["expr"]), F.lit(True)).cast("long"))
+            )
             labels.append(f"expr[{i}] {e['expr']!r}")
         else:
             raise StageError(f"ExpectationsValidate: unrecognized expectation {e!r}")

@@ -15,8 +15,20 @@ Effective timestamps are fixed literals so results are reproducible.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
+
+# temp table dirs must outlive any lazy DataFrame read from them, so
+# they are reclaimed at process exit rather than per-invocation (the
+# bench runs this pipeline several times per process)
+_TEMP_TABLE_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_temp_tables() -> None:
+    while _TEMP_TABLE_DIRS:
+        shutil.rmtree(_TEMP_TABLE_DIRS.pop(), ignore_errors=True)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,8 +106,9 @@ def _run_scd2_pipeline(spark: SparkSession, sf_dir: str) -> str:
          "inputURI": table_dir, "outputView": "scd2_contact"},
     ]
     Pipeline(spark, environment="dev").run(stages)
-    # NB: the temp table dir must outlive any (lazy) DataFrame read from
-    # it, so it is intentionally not cleaned up here (it lives in /tmp).
+    # cleaned up at process exit (see _cleanup_temp_tables): the dir
+    # must outlive any lazy DataFrame read from it
+    _TEMP_TABLE_DIRS.append(table_dir)
     return table_dir
 
 

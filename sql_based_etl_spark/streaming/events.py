@@ -41,7 +41,23 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     requested schema: NANOS must be read as int64
     (``nanosAsLong``, the vectorized reader rejects it) then converted;
     naive MICROS is read as TIMESTAMP_NTZ then reinterpreted in the
-    session TZ (pinned UTC — the instant DuckDB's naive read sees)."""
+    session TZ (pinned UTC — the instant DuckDB's naive read sees).
+
+    SESSION-CONF CONTRACT (deliberate session-wide mutation, shared
+    with the batch loader ``queries/_util.py:load()``): this pins
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+    ``spark.sql.session.timeZone=UTC`` on the session. Both are
+    prerequisites of cross-engine parity for every events consumer in
+    the process, so pinning them at first use is the contract, not an
+    accident — anything in the same session that needs a different TZ
+    for display must convert explicitly rather than repoint the
+    session.
+
+    The requested schema is frozen from a REAL file's footer: if no
+    parquet file exists yet, this raises rather than guessing an
+    encoding (a guess would misread int64-nanos files that arrive
+    after the stream starts — schema resolution must wait until the
+    first file exists)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # file-stream sources want a directory; point at the parent dir and
@@ -54,13 +70,18 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         import glob
 
         hits = glob.glob(os.path.join(path, "*.parquet"))
-        sniff = hits[0] if hits else None
+        if not hits:
+            raise FileNotFoundError(
+                f"read_events_stream: no parquet file under {path!r} to "
+                "sniff the ts encoding from — defer starting the stream "
+                "until a file exists (guessing the encoding would misread "
+                "late-arriving NANOS files)"
+            )
+        sniff = hits[0]
 
-    ts_arrow = ""
-    if sniff is not None:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        ts_arrow = str(pq.read_schema(sniff).field("ts").type)
+    ts_arrow = str(pq.read_schema(sniff).field("ts").type)
 
     if ts_arrow.startswith("timestamp[ns"):
         schema = _events_schema(T.LongType())
@@ -141,7 +162,8 @@ def deduped_counts(events_a: DataFrame, events_b: DataFrame,
 
 
 def stream_append_to_table(stream_df: DataFrame, table_path: str,
-                           num_partitions: int | None = None):
+                           num_partitions: int | None = None,
+                           checkpoint: str | None = None):
     """Streaming sink into the engine's versioned table: each
     micro-batch commits as one APPEND version via ``foreachBatch``
     (file-additive — no rewrite of earlier data), giving the streaming
@@ -159,7 +181,13 @@ def stream_append_to_table(stream_df: DataFrame, table_path: str,
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         append_stream_batch(batch_df, batch_id, table_path, num_partitions)
 
-    return stream_df.writeStream.foreachBatch(_sink).outputMode("append").start()
+    writer = stream_df.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint is not None:
+        # durable progress log: a restarted query resumes at the first
+        # uncommitted batch (and replays the last possibly-uncommitted
+        # one — which the manifest batch-id dedup above absorbs)
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def append_stream_batch(batch_df: DataFrame, batch_id: int, table_path: str,

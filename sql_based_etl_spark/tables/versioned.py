@@ -243,10 +243,23 @@ class VersionedTable:
             if isinstance(timestamp, str):
                 import datetime as _dt
 
-                ts = _dt.datetime.fromisoformat(timestamp)
-                if ts.tzinfo is None:
-                    ts = ts.replace(tzinfo=_dt.timezone.utc)
-                cutoff = ts.timestamp()
+                try:
+                    # stringified epoch first: notebook variable
+                    # substitution is string-typed, so '1700000000.5'
+                    # is the common arrival shape
+                    cutoff = float(timestamp)
+                except ValueError:
+                    try:
+                        ts = _dt.datetime.fromisoformat(timestamp)
+                    except ValueError as e:
+                        raise VersionedTableError(
+                            f"timestampAsOf {timestamp!r} is neither epoch "
+                            "seconds nor an ISO 'YYYY-MM-DD[ HH:MM:SS]' "
+                            "string"
+                        ) from e
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=_dt.timezone.utc)
+                    cutoff = ts.timestamp()
             else:
                 cutoff = float(timestamp)
             eligible = [v for v in vs

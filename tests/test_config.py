@@ -113,7 +113,11 @@ def test_stage_persist_attribute(spark):
     ])
     assert ctx.views["persisted_v"].storageLevel.useMemory
     assert not ctx.views["unpersisted_v"].storageLevel.useMemory
-    ctx.views["persisted_v"].unpersist()
+    # the context tracks its persisted views; close() releases them so a
+    # long-lived session running many pipelines doesn't leak cache
+    ctx.close()
+    assert not ctx.views["persisted_v"].storageLevel.useMemory
+    ctx.close()  # idempotent
 
 
 def test_boolean_equality_compat(spark):

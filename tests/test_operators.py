@@ -339,6 +339,76 @@ def test_stream_append_to_versioned_table(spark, tmp_path):
     )
 
 
+def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Kill a checkpointed stream after batch 0, then restart from the
+    same checkpointLocation with new input AND a simulated
+    crash-before-checkpoint replay (batch 1 committed to the table but
+    not acknowledged in the checkpoint): the restarted query resumes at
+    the next batch — batch 0 is not reprocessed — and the manifest
+    batch-id dedup absorbs the replayed commit. No duplicate versions,
+    no duplicate rows, end-to-end through a real checkpointLocation."""
+    import glob
+    import shutil
+
+    from sql_based_etl_spark.streaming.events import (
+        append_stream_batch,
+        stream_append_to_table,
+    )
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table_path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string"
+
+    def put(name, rows):
+        stage = str(tmp_path / ("w_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        shutil.move(glob.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    put("a.parquet", [(1, "a"), (2, "a")])
+    q = stream_append_to_table(
+        spark.readStream.schema(schema).parquet(str(src)), table_path,
+        checkpoint=ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()  # query goes down after batch 0
+    t = VersionedTable(spark, table_path)
+    assert t.read().count() == 2
+
+    # new data arrives while the query is down; simulate "table commit
+    # succeeded but the checkpoint never advanced" for its batch id
+    put("b.parquet", [(3, "b")])
+    assert append_stream_batch(
+        spark.createDataFrame([(3, "b")], schema), 1, table_path
+    )
+    n_versions = len(t.versions())
+
+    q2 = stream_append_to_table(
+        spark.readStream.schema(schema).parquet(str(src)), table_path,
+        checkpoint=ckpt,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert len(t.versions()) == n_versions  # replay deduped, batch 0 skipped
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "a"), (3, "b"),
+    ]
+
+
+def test_read_events_stream_refuses_to_guess_encoding(spark, tmp_path):
+    """No parquet file to sniff -> raise, never guess (a NANOS file
+    arriving after a guessed-MICROS schema would be misread)."""
+    from sql_based_etl_spark.streaming.events import read_events_stream
+
+    with pytest.raises(FileNotFoundError, match="sniff"):
+        read_events_stream(spark, str(tmp_path))
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C, D~E must yield clusters {A,B,C} and {D,E} — the
     transitive closure pair generation alone cannot see."""
@@ -611,6 +681,54 @@ def test_validate_stages(spark):
     with pytest.raises(StageError) as ei:
         Pipeline(spark).run(bad_exp)
     assert "range" in str(ei.value) and "acceptedValues" in str(ei.value)
+
+
+def test_validate_null_semantics_and_empty_list(spark):
+    """Fail-closed edges: duplicate NULL keys violate 'unique', an expr
+    evaluating to NULL violates that expectation, and an empty
+    expectations list is a config error, not a vacuous pass."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline, StageError
+
+    spark.createDataFrame(
+        [(1, 10), (None, 20), (None, None)], "k int, x int"
+    ).createOrReplaceTempView("val_nulls")
+
+    with pytest.raises(StageError, match="unique"):
+        Pipeline(spark).run([
+            {"type": "ExpectationsValidate", "inputView": "val_nulls",
+             "expectations": [{"column": "k", "unique": True}]},
+        ])
+    # x > 15 is NULL for the (None, None) row -> that row violates
+    with pytest.raises(StageError, match="2 violating"):
+        Pipeline(spark).run([
+            {"type": "ExpectationsValidate", "inputView": "val_nulls",
+             "expectations": [{"expr": "x > 15"}]},
+        ])
+    with pytest.raises(StageError, match="empty"):
+        Pipeline(spark).run([
+            {"type": "ExpectationsValidate", "inputView": "val_nulls",
+             "expectations": []},
+        ])
+
+
+def test_boolean_coercion_skips_quoted_regions():
+    """The BooleanEquality retry must not rewrite 'true'/'false' inside
+    string literals, quoted identifiers, or comments — those are data."""
+    from sql_based_etl_spark.engine.sql_compat import coerce_boolean_equality
+
+    sql = (
+        "SELECT * FROM t WHERE note = 'flag = true' AND flag = true "
+        'AND "weird = true" = 1 '
+        "-- comment: x = true\n"
+        "AND /* y = false */ y = false"
+    )
+    got = coerce_boolean_equality(sql)
+    assert "note = 'flag = true'" in got          # literal untouched
+    assert '"weird = true"' in got                # quoted ident untouched
+    assert "-- comment: x = true" in got          # comment untouched
+    assert "/* y = false */" in got
+    assert "AND flag = 1 " in got                 # real comparison rewritten
+    assert got.rstrip().endswith("y = 0")
 
 
 def test_resize_stub_exactness(spark, documents):

@@ -121,11 +121,20 @@ def test_new_text_ops_plan_shapes(spark, queries):
     assert "EvalPython" not in plan and "lambdafunction" not in plan.lower()
 
 
-def test_ngram_guard_is_broadcast(spark, queries):
-    """The n-gram df cutoff must stay a broadcast anti-join — a
-    shuffled anti-join would add a full shuffle of the inverted index."""
+def test_ngram_guard_is_free_size_filter(spark, queries):
+    """The postings rewrite made the df cutoff a ``size(ids) <= N``
+    filter on the already-grouped postings — no anti-join (and no extra
+    shuffle of the index) may reappear, and the shingle relation must
+    shuffle onto the shingle key exactly once (the postings groupBy;
+    the old self-join shape paid it for both join sides)."""
     plan = plan_of(queries["dedup_ngram_jaccard"](spark, SF_ORACLE))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftAnti" not in plan
+    assert "size(ids" in plan
+    # the postings relation is cached (its one shuffle onto the shingle
+    # key is paid once, not once per consumer — the plan text repeats
+    # the subtree under InMemoryRelation per branch, so count the cache
+    # marker, not Exchange occurrences)
+    assert "InMemoryRelation" in plan
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):

@@ -579,6 +579,10 @@ def test_timestamp_as_of_time_travel(spark, table):
 
     iso = _dt.datetime.fromtimestamp(t0, _dt.timezone.utc).isoformat()
     assert table.read(timestamp=iso).count() == 3
+    # stringified epoch (notebook variable substitution is string-typed)
+    assert table.read(timestamp=str(t0)).count() == 3
+    with pytest.raises(VersionedTableError, match="neither epoch"):
+        table.read(timestamp="not-a-time")
     with pytest.raises(VersionedTableError, match="no version committed"):
         table.read(timestamp=t0 - 3600)
     # stage surface
