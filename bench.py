@@ -32,8 +32,11 @@ HEADLINE = [
     "q_scd2_merge",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_ivf_trained",
     "text_quality_score",
     "mm_decode_features",
 ]

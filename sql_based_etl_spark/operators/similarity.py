@@ -435,12 +435,21 @@ def kmeans_lloyd(
     )
     for _ in range(iters):
         cos = _dot_expr("v", "pv", dim) / (_norm_expr("v", dim) * _norm_expr("pv", dim))
-        w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("pid"))
+        # argmax cell via max_by over (sim, -pid): same result as a
+        # row_number window (desc sim, asc pid tie-break) but map-side
+        # combinable — the shuffle carries one combined row per vector
+        # instead of all corpus×k scored rows needing a partition sort.
+        # v is constant within the id group, so first(v) is exact.
         asg = (
             base.join(F.broadcast(cents))
             .select("id", "v", "pid", cos.alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    "pid", F.struct(F.col("sim"), (-F.col("pid")).alias("nb"))
+                ).alias("pid"),
+                F.first("v").alias("v"),
+            )
             .select("pid", "v")
         )
         means = (

@@ -111,12 +111,37 @@ ORACLES["mm_frame_sample"] = """
 
 
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub-resampler resize over the binary payloads (rows-only
-    driver check — blob byte-walking isn't expressible in DuckDB SQL;
-    exactness vs a direct Python resample is pytest-asserted)."""
+    """Stub-resampler resize over the binary payloads, oracle-checked:
+    the nearest-neighbor formula (out[j] = byte[(j*n)//T]) is
+    reproduced in DuckDB as an ordered string_agg of substrings (the
+    corpus is pure ASCII, so char slicing == byte slicing), and the
+    md5 digests must agree byte-for-byte."""
     from sql_based_etl_spark.operators.multimodal import resize_stub
 
     return resize_stub(attach_binary(load(spark, sf_dir, "documents")))
 
 
 QUERIES["mm_resize"] = mm_resize
+
+ORACLES["mm_resize"] = """
+    WITH base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, n, text,
+               unnest(generate_series(0, 127)) AS j
+        FROM base WHERE n > 0
+    ),
+    resampled AS (
+        SELECT doc_id,
+               md5(string_agg(
+                   substring(text, CAST((j * n) // 128 AS INTEGER) + 1, 1),
+                   '' ORDER BY j)) AS m
+        FROM ex GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS INTEGER) AS src_bytes,
+           CAST(CASE WHEN b.n > 0 THEN 128 ELSE 0 END AS INTEGER) AS dst_bytes,
+           coalesce(r.m, md5('')) AS resized_md5
+    FROM base b LEFT JOIN resampled r USING (doc_id)
+"""
