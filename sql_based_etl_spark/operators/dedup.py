@@ -217,6 +217,16 @@ def minhash_lsh_pairs(
     than ``max_bucket`` are dropped (skew guard — at 100 TB a hot bucket
     of boilerplate text would otherwise produce a quadratic join).
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+
+    Candidate generation uses bucket POSTINGS lists (same shape as
+    :func:`ngram_jaccard_pairs`, measured 4.3s → 3.1s at sf0.1): group
+    the banded signatures by (band, key) ONCE, keep buckets with
+    2..max_bucket members (the skew guard becomes a free size filter —
+    no hot-list groupBy + anti-join pass), and expand each sorted
+    postings array's i<j combinations codegen-side. The old band
+    self-join shuffled the bands relation onto the bucket key twice and
+    scanned the signature table for both sides; postings pay the bucket
+    shuffle once and bound every array at ``max_bucket`` ids.
     """
     # ONE hashed-shingle relation (id, h) feeds both the signatures and
     # the Jaccard verify — the shingle explosion + md5 run exactly once
@@ -225,9 +235,7 @@ def minhash_lsh_pairs(
     # them; ints are cheap to hold and cheap to shuffle). min() and
     # collect_set are duplicate-insensitive, so no distinct shuffle.
     hashed = hashed_shingle_rows(df, id_col, text_col, n).persist()
-    # The signature table feeds the band self-join twice — persist it
-    # too (tiny: one row per doc, K ints).
-    sigs = minhash_signatures_from_hashes(hashed).persist()
+    sigs = minhash_signatures_from_hashes(hashed)
 
     # band keys as explicit column expressions + stack(): everything
     # stays in whole-stage codegen (no array lambdas)
@@ -239,28 +247,23 @@ def minhash_lsh_pairs(
     bands = sigs.select("id", *band_keys).select(
         "id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)")
     )
-    # skew guard as a broadcast anti-join against the (tiny, by
-    # definition) hot-bucket list — a window count over (band, key)
-    # would shuffle AND sort the whole bands relation just to tag the
-    # few oversized buckets; the groupBy is map-side combinable and the
-    # anti-join adds no shuffle of bands
-    hot_buckets = (
+    post = (
         bands.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket)
-        .select("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    bands = bands.join(F.broadcast(hot_buckets), ["band", "key"], "left_anti")
-
-    b2 = bands.select(F.col("id").alias("id_b"), F.col("band"), F.col("key"))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a as doc_a, b as doc_b))))"
+    )
     cand = (
-        bands.join(b2, ["band", "key"])
-        .filter(F.col("id") < F.col("id_b"))
-        .select(F.col("id").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        post.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         # two consumers (the candidate-id broadcast for the verify
         # semi-join, and the final pair join) — persist the tiny pair
-        # list so the band self-join runs once
+        # list so the bucket expansion runs once
         .persist()
     )
 
@@ -328,7 +331,15 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: block join (any of 4 12-bit blocks equal
     — pigeonhole guarantees recall for Hamming ≤ 3) + exact Hamming
-    filter via bit_count(xor)."""
+    filter via bit_count(xor).
+
+    Deliberately NOT the postings-list expansion minhash/ngram use:
+    simhash's 12-bit blocks produce dense buckets and a large candidate
+    volume (hundreds of thousands of pairs at sf0.1), and evaluating
+    the pair lambda per candidate measured 1.5× SLOWER than keeping the
+    codegen'd self-join + bit_count. Postings win when candidates ≪
+    corpus (minhash/ngram); the self-join wins when the expansion
+    itself is the bulk of the work."""
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
     docs = simhash_signatures(df, id_col, text_col).persist()
     mask = (1 << block_bits) - 1

