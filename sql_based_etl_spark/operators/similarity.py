@@ -313,10 +313,17 @@ def ivf_topk_self(
     re-rank inside the probed cells.
 
     Scale shape: pivots broadcast (tiny); assignment is one scan ×
-    ``n_cells`` codegen'd dot products + a per-id shuffle; the
-    candidate join shuffles on the cell id, so cell count is the
-    parallelism/recall knob (raise cells with corpus size to keep cell
-    cardinality ~constant, raise nprobe to claw recall back)."""
+    ``n_cells`` codegen'd dot products + a map-side-combinable argmax
+    aggregate (``max_by`` over (psim, -pid) — same result as a
+    row_number window with the desc-sim/asc-pid tie-break, but the
+    shuffle carries one combined row per vector instead of sorting
+    corpus × n_cells scored rows per partition). Only the QUERY subset
+    — queries ≪ corpus by construction — pays a row_number window,
+    because top-``nprobe`` cells per query genuinely needs ranked
+    rows, not an argmax. The candidate join shuffles on the cell id,
+    so cell count is the parallelism/recall knob (raise cells with
+    corpus size to keep cell cardinality ~constant, raise nprobe to
+    claw recall back)."""
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -330,19 +337,30 @@ def ivf_topk_self(
             F.col("id").alias("pid"), F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
         )
     psim = _dot_expr("v", "pv", dim) / (F.col("nrm") * F.col("pnrm"))
+    scored = base.join(F.broadcast(piv)).select(
+        "id", "is_q", "v", "nrm", "pid", psim.alias("psim")
+    )
+    asg = (
+        scored.groupBy("id")
+        .agg(
+            F.max_by(
+                "pid", F.struct(F.col("psim"), (-F.col("pid")).alias("nb"))
+            ).alias("pid"),
+            # v/nrm are constant within the id group — first() is exact
+            F.first("v").alias("cv"),
+            F.first("nrm").alias("cn"),
+        )
+        .select(F.col("id").alias("neighbor_id"), "cv", "cn", "pid")
+    )
     wcell = Window.partitionBy("id").orderBy(F.desc("psim"), F.asc("pid"))
-    ranked = (
-        base.join(F.broadcast(piv))
-        .select("id", "is_q", "v", "nrm", "pid", psim.alias("psim"))
+    probes = (
+        scored.filter(F.col("is_q"))
         .withColumn("prn", F.row_number().over(wcell))
-    )
-    asg = ranked.filter(F.col("prn") == 1).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"), "pid",
-    )
-    probes = ranked.filter(F.col("is_q") & (F.col("prn") <= nprobe)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), "pid",
+        .filter(F.col("prn") <= nprobe)
+        .select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), "pid",
+        )
     )
     cos = _dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
     wtop = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
