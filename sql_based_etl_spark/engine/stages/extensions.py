@@ -12,8 +12,14 @@ from sql_based_etl_spark.engine.pipeline import PipelineContext, StageError
 
 
 def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
-    """``DedupTransform``: method ∈ exact | minhash_lsh | simhash |
-    ngram_jaccard | embedding_cosine."""
+    """``DedupTransform``: method ∈ exact | exact_incremental |
+    minhash_lsh | simhash | ngram_jaccard | embedding_cosine.
+
+    ``exact_incremental`` is the daily-pipeline shape: dedup the input
+    batch within itself and against the historical digest index at
+    ``seenURI`` (a versioned table of md5 digests, or a view named by
+    ``seenView``); the caller appends ``digest_index`` of the kept rows
+    back to that table after the load commits."""
     from sql_based_etl_spark.operators import dedup, similarity
 
     df = ctx.view(conf["inputView"])
@@ -22,6 +28,14 @@ def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
     text_col = conf.get("textColumn", "text")
     if method == "exact":
         return dedup.exact_dedup(df, id_col, text_col)
+    if method == "exact_incremental":
+        if "seenView" in conf:
+            seen = ctx.view(conf["seenView"])
+        else:
+            from sql_based_etl_spark.tables.versioned import VersionedTable
+
+            seen = VersionedTable(ctx.spark, conf["seenURI"]).read()
+        return dedup.exact_dedup_incremental(df, seen, id_col, text_col)
     if method == "minhash_lsh":
         return dedup.minhash_lsh_pairs(
             df, id_col, text_col,

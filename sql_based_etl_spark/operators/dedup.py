@@ -203,6 +203,44 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def digest_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The historical content index incremental dedup joins against:
+    one ``digest`` (md5 hex) row per distinct document text. Tiny
+    relative to the corpus (16 bytes of identity per distinct doc) —
+    the thing a daily pipeline appends to a versioned table after each
+    batch."""
+    return df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup — the shape a production pipeline runs
+    DAILY: deduplicate a new batch within itself AND against the
+    historical :func:`digest_index` of everything already ingested,
+    returning ``(id, n_copies)`` for the batch's surviving documents
+    (lowest id per digest, digest unseen historically).
+
+    Scale shape: the within-batch pass is the same text-free
+    (digest, min_id, count) combine as :func:`exact_dedup`; the
+    historical check is a LEFT ANTI join on the 128-bit digest — both
+    sides shuffle 16-byte digests, never document text, and the anti
+    join's build side is the (small) batch aggregate, so at 100 TB the
+    historical index streams past it without materializing. Appending
+    ``digest_index`` of the kept rows back to the versioned index table
+    closes the loop (see ``DedupTransform``'s ``seenURI`` option)."""
+    batch = (
+        new_df.select(id_col, F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+    seen_digests = seen.select(F.col(seen.columns[0]).alias("digest"))
+    return batch.join(seen_digests, "digest", "left_anti").select(id_col, "n_copies")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -73,6 +73,7 @@ APPENDIX = [
     "mm_decode_features",  # float features (mean/entropy) — cross-engine float bit-identity not guaranteed; exact columns graded via mm_decode_geometry (same mapInPandas decode), floats pinned vs numpy in pytest
     "sim_ann_ivf",  # recall-naive lowest-id pivots — the trained-pivot path (the design you'd run at scale) is graded via sim_ann_ivf_trained
     "docs_model_score",  # linear-model scoring stage — feature machinery graded via text_quality_score; exact int-scaled algebra via q01 pattern
+    "dedup_exact_incremental",  # daily batch-vs-historical-index dedup — digest machinery graded via dedup_exact; anti-join via q_semi_join/q_intersect_except
 ]
 
 

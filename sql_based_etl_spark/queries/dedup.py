@@ -8,6 +8,7 @@ the match is exact, including the LSH candidate set.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sql_based_etl_spark.operators.dedup import (
     BANDS,
@@ -55,12 +56,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-pipeline incremental dedup: even-id docs stand in for the
+    historical corpus (as a digest index), odd-id docs are the new
+    batch — deduped within the batch and against the index."""
+    from sql_based_etl_spark.operators.dedup import (
+        digest_index,
+        exact_dedup_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    seen = digest_index(docs.filter(F.col("doc_id") % 2 == 0))
+    return exact_dedup_incremental(docs.filter(F.col("doc_id") % 2 == 1), seen)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_exact_incremental": dedup_exact_incremental,
 }
 
 # --- oracle SQL -------------------------------------------------------------
@@ -196,4 +212,20 @@ ORACLES["dedup_clusters"] = f"""
         SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
     )
     SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+# Incremental dedup: the batch aggregate (digest -> min id, count) anti-
+# joined against the historical digest set. count(*) is BIGINT in both
+# engines, so no cast gymnastics.
+ORACLES["dedup_exact_incremental"] = """
+    WITH seen AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+        SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+               count(*) AS n_copies
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text)
+    )
+    SELECT doc_id, n_copies
+    FROM batch WHERE digest NOT IN (SELECT digest FROM seen)
 """

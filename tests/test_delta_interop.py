@@ -171,6 +171,43 @@ def test_read_delta_from_checkpoint_with_pruned_json(spark, tmp_path):
     assert _ids(read_delta(spark, d)) == [10, 11, 12, 20]
 
 
+def test_read_delta_multipart_checkpoint(spark, tmp_path):
+    """Large tables split checkpoints into N parts
+    (%020d.checkpoint.%010d.%010d.parquet) — all parts must be read."""
+    d = str(tmp_path / "mp")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f1.parquet", [1])
+    _write_datafile(spark, d, "f2.parquet", [2])
+    log_dir = os.path.join(d, "_delta_log")
+    os.makedirs(log_dir)
+    cp_schema = (
+        "protocol struct<minReaderVersion int, minWriterVersion int>, "
+        "metaData struct<id string, schemaString string, "
+        "partitionColumns array<string>, configuration map<string,string>>, "
+        "add struct<path string, partitionValues map<string,string>, "
+        "size long, dataChange boolean>, "
+        "remove struct<path string>"
+    )
+    parts = [
+        [((1, 2), None, None, None),
+         (None, ("u", SCHEMA_STRING, [], {}), None, None),
+         (None, None, ("f1.parquet", {}, 1, True), None)],
+        [(None, None, ("f2.parquet", {}, 1, True), None)],
+    ]
+    for i, rows in enumerate(parts):
+        tmp = os.path.join(d, f"__cp_tmp{i}")
+        spark.createDataFrame(rows, cp_schema).coalesce(1).write.parquet(tmp)
+        shutil.move(
+            glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(log_dir,
+                         f"{10:020d}.checkpoint.{i + 1:010d}.{len(parts):010d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 10, "size": 4, "parts": len(parts)}))
+    assert _ids(read_delta(spark, d)) == [1, 2]
+
+
 def test_export_snapshot_roundtrip(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "vt"))
     t.write(spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("x")))

@@ -339,6 +339,43 @@ def test_stream_append_to_versioned_table(spark, tmp_path):
     )
 
 
+def test_incremental_dedup_stage_closes_the_loop(spark, tmp_path):
+    """The daily-pipeline shape end-to-end: batch 1 dedupes against an
+    empty index and its kept digests are appended; batch 2 then drops
+    both its internal duplicates and everything batch 1 already
+    ingested."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+    from sql_based_etl_spark.operators.dedup import digest_index
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    idx_path = str(tmp_path / "digest_idx")
+    idx = VersionedTable(spark, idx_path)
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    b1.createOrReplaceTempView("batch1")
+    ctx = Pipeline(spark).run([
+        {"type": "DedupTransform", "inputView": "batch1", "outputView": "kept1",
+         "method": "exact"},
+    ])
+    kept1 = {r.doc_id for r in ctx.spark.table("kept1").collect()}
+    assert kept1 == {1, 2}
+    idx.write(digest_index(b1.filter(F.col("doc_id").isin(*kept1))))
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    b2.createOrReplaceTempView("batch2")
+    ctx = Pipeline(spark).run([
+        {"type": "DedupTransform", "inputView": "batch2", "outputView": "kept2",
+         "method": "exact_incremental", "seenURI": idx_path},
+    ])
+    got = {(r.doc_id, r.n_copies) for r in ctx.spark.table("kept2").collect()}
+    # 'alpha' seen historically -> dropped; 'gamma' deduped within batch
+    assert got == {(11, 2), (13, 1)}
+
+
 def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
     """Kill a checkpointed stream after batch 0, then restart from the
     same checkpointLocation with new input AND a simulated
