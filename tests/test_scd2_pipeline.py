@@ -436,3 +436,31 @@ def test_scheduled_job_notebooks(spark, fixture_dir, tmp_path):
     merged = t.read()
     merged.createOrReplaceTempView("contact")
     assert_goldens(spark, str(base / "app_code" / "output" / "contact"))
+
+
+def test_training_data_prep_notebook(spark, tmp_path):
+    """The LLM-corpus example notebook runs unchanged end-to-end:
+    quality gate -> PII scrub -> exact dedup -> model score ->
+    versioned load, with row counts shrinking monotonically at each
+    filter and the final table committed."""
+    from sql_based_etl_spark.engine.notebook import run_notebook
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    ctx = run_notebook(
+        spark,
+        "examples/app_code/job/training_data_prep.ipynb",
+        environment="dev",
+        variables={
+            "ETL_CONF_TESTDATA_LOC": "/root/testdata/sf0.001",
+            "ETL_CONF_OUTPUT_LOC": str(tmp_path),
+        },
+    )
+    n_raw = ctx.views["docs_raw"].count()
+    n_quality = ctx.views["docs_quality"].count()
+    n_unique = ctx.views["docs_unique"].count()
+    assert 0 < n_quality <= n_raw
+    assert 0 < n_unique <= n_quality
+    scored = ctx.views["docs_scored"]
+    assert {"doc_id", "text", "model_score", "keep"} <= set(scored.columns)
+    t = VersionedTable(spark, str(tmp_path / "training_docs"))
+    assert t.read().count() == n_unique
