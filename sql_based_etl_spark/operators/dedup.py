@@ -18,6 +18,16 @@ the DuckDB oracles reproduce results bit-for-bit. At 100 TB:
   the skew risk, so ``max_bucket`` caps them (boilerplate/empty docs
   collapse into mega-buckets otherwise);
 - the verify join shuffles pairs once on doc_id.
+
+Cache lifecycle: the pair operators ``persist()`` small intermediate
+relations (hashed shingles, postings, candidate pairs) that feed
+multiple consumers INSIDE one returned plan. The caches are
+intentionally not unpersisted here — the returned DataFrame is lazy
+and unpersisting before the caller materializes it would defeat the
+reuse. A long-lived session invoking these repeatedly should call
+``spark.catalog.clearCache()`` between batches (bench.py does), or
+rely on LRU eviction; nothing here pins executor memory beyond
+MEMORY_AND_DISK defaults.
 """
 
 from __future__ import annotations
