@@ -490,6 +490,78 @@ def kmeans_lloyd(
     return cents
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = IVF_CELLS,
+    pivots: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space into cells around
+    pivot vectors, then emit only WITHIN-CELL pairs with cosine ≥
+    ``threshold``. Cross-cell duplicates are missed *by design* — that
+    is the published algorithm's recall/cost tradeoff, complementary to
+    the hyperplane blocking of :func:`cosine_dup_pairs_lsh` (which
+    trades tables for recall instead).
+
+    Cell assignment is the IVF rule (max-cosine pivot, lowest-pid tie
+    break) so a corpus already IVF-indexed for search reuses the exact
+    same partitioning for dedup. Pass ``pivots`` from
+    :func:`kmeans_lloyd` for trained cells; default seeds are the
+    ``n_cells`` lowest-id vectors (deterministic, engine-reproducible).
+
+    Scale shape at 100 TB: pivots broadcast (k×dim doubles); assignment
+    is one scan with a map-side-combinable argmax (identical to
+    ivf_topk_self); the pair join shuffles once on the cell id and the
+    O(Σ|cell|²) pair work is bounded by scaling ``n_cells`` with the
+    corpus so cell cardinality stays ~constant — exactly the knob
+    SemDeDup's k plays in the paper. Nothing is collected; the output
+    is ``(cell, id_a, id_b, cosine)``.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col, dim).alias("nrm"),
+    )
+    if pivots is not None:
+        piv = pivots.select("pid", "pv", _norm_expr("pv", dim).alias("pnrm"))
+    else:
+        piv = base.orderBy("id").limit(n_cells).select(
+            F.col("id").alias("pid"), F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
+        )
+    psim = _dot_expr("v", "pv", dim) / (F.col("nrm") * F.col("pnrm"))
+    asg = (
+        base.join(F.broadcast(piv))
+        .select("id", "v", "nrm", "pid", psim.alias("psim"))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                "pid", F.struct(F.col("psim"), (-F.col("pid")).alias("nb"))
+            ).alias("cell"),
+            # v/nrm constant within the id group — first() is exact
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    a = asg.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = asg.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -74,6 +74,7 @@ APPENDIX = [
     "sim_ann_ivf",  # recall-naive lowest-id pivots — the trained-pivot path (the design you'd run at scale) is graded via sim_ann_ivf_trained
     "docs_model_score",  # linear-model scoring stage — feature machinery graded via text_quality_score; exact int-scaled algebra via q01 pattern
     "dedup_exact_incremental",  # daily batch-vs-historical-index dedup — digest machinery graded via dedup_exact; anti-join via q_semi_join/q_intersect_except
+    "sim_semantic_dedup",  # SemDeDup cell-blocked near-dup — training/assignment graded via sim_ann_ivf_trained; pair verify via sim_cosine_dup
 ]
 
 

@@ -352,6 +352,31 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_ann_ivf_trained"] = sim_ann_ivf_trained
 
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means-trained cells
+    (2 Lloyd iterations, the same quantizer sim_ann_ivf_trained uses)
+    → within-cell exact-cosine pairs ≥ threshold
+    (operators/similarity.py:semantic_dedup_pairs). The oracle replays
+    training, assignment and pairing bit-for-bit."""
+    from sql_based_etl_spark.operators.similarity import (
+        kmeans_lloyd,
+        semantic_dedup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    piv = kmeans_lloyd(emb, k=IVF_CELLS, iters=2)
+    return semantic_dedup_pairs(
+        emb, threshold=SEMANTIC_DUP_THRESHOLD, dim=DIM, pivots=piv
+    )
+
+
+QUERIES["sim_semantic_dedup"] = sim_semantic_dedup
+
+# Within-cell cosines skew high (cells group similar vectors), so a
+# lower threshold than the global near-dup one keeps the result
+# populated on the near-orthogonal synthetic embeddings.
+SEMANTIC_DUP_THRESHOLD = 0.3
+
 _KM_ASSIGN_KB = """
     SELECT pid, v FROM (
         SELECT b.id, b.v, c.pid,
@@ -413,4 +438,45 @@ ORACLES["sim_ann_ivf_trained"] = f"""
     )
     SELECT query_id, neighbor_id, round(score, 6) AS score, rank
     FROM topk WHERE rank <= 5
+"""
+
+
+# Replays kmeans training (c0..c2, shared CTE templates), IVF-rule cell
+# assignment (max cosine, lowest-pid tie-break), then within-cell
+# pairing — all on the same left-fold double arithmetic as Spark.
+ORACLES["sim_semantic_dedup"] = f"""
+    WITH kb AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT id AS pid, v AS pv FROM kb ORDER BY id LIMIT {IVF_CELLS}),
+    a1 AS ({_KM_ASSIGN_KB.format(cos=_cos("b.v", "c.pv"), cents="c0")}),
+    m1 AS ({_KM_MEANS.format(asg="a1")}),
+    c1 AS (SELECT pid, list(m ORDER BY dim) AS pv FROM m1 GROUP BY pid),
+    a2 AS ({_KM_ASSIGN_KB.format(cos=_cos("b.v", "c.pv"), cents="c1")}),
+    m2 AS ({_KM_MEANS.format(asg="a2")}),
+    c2 AS (SELECT pid, list(m ORDER BY dim) AS pv FROM m2 GROUP BY pid),
+    base AS (
+        SELECT vec_id AS id, embedding AS v,
+               sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
+        FROM embeddings
+    ),
+    piv AS (
+        SELECT pid, pv, sqrt({_DOT.format(a="pv", b="pv")}) AS pnrm FROM c2
+    ),
+    ranked AS (
+        SELECT b.id, b.v, b.nrm, p.pid,
+               row_number() OVER (
+                   PARTITION BY b.id
+                   ORDER BY ({_DOT.format(a="b.v", b="p.pv")}) / (b.nrm * p.pnrm) DESC,
+                            p.pid ASC) AS prn
+        FROM base b CROSS JOIN piv p
+    ),
+    asg AS (SELECT id, v, nrm, pid AS cell FROM ranked WHERE prn = 1)
+    SELECT cell, id_a, id_b, cosine FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(({_DOT.format(a="a.v", b="b.v")}) / (a.nrm * b.nrm), 6) AS cosine
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+    ) WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
 """

@@ -273,6 +273,36 @@ def test_cosine_dup_lsh_recall_vs_exact(spark, embeddings):
     assert recall == 1.0, f"LSH near-dup recall {recall}: missed {exact - lsh}"
 
 
+def test_semantic_dedup_cell_blocking(spark, embeddings):
+    """SemDeDup pairs are exact-cosine verified (precision 1 vs the
+    all-pairs baseline) and with a single cell the blocking is total,
+    so the result must EQUAL the exact baseline bit-for-bit."""
+    from sql_based_etl_spark.operators.similarity import (
+        cosine_dup_pairs,
+        kmeans_lloyd,
+        semantic_dedup_pairs,
+    )
+    from sql_based_etl_spark.queries.similarity import SEMANTIC_DUP_THRESHOLD as T
+
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_dup_pairs(embeddings, T).collect()
+    }
+    assert exact, "fixture should contain pairs at the semantic threshold"
+    one_cell = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in semantic_dedup_pairs(embeddings, T, n_cells=1).collect()
+    }
+    assert one_cell == exact
+    piv = kmeans_lloyd(embeddings, k=8, iters=1)
+    blocked = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in semantic_dedup_pairs(embeddings, T, pivots=piv).collect()
+    }
+    # cell blocking only ever drops cross-cell pairs, never invents one
+    assert blocked <= exact
+
+
 def test_pii_scrub_semantics(spark):
     """Redaction order: URLs first (a URL's digits/@ must not double-
     count), then emails, then 7+ digit runs; short digit runs stay."""
