@@ -278,6 +278,47 @@ def decontaminate(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf-idf — the classic
+    content-descriptor / topic-tagging signal of a document-processing
+    pipeline. ``score = tf · ln(N / df)`` with N = total input docs.
+
+    Shape at 100 TB: term frequencies are a map-side-combinable
+    ``(id, word)`` count; document frequencies aggregate the tf
+    relation (≤1 row per (doc, word), so the zipfian word key is NOT
+    skew-amplifying — the tf⋈df join emits exactly |tf| rows); the
+    corpus size is a broadcast 1-row aggregate, never a collect. The
+    final top-k window shuffles on the doc id. Document text never
+    rides a shuffle — only (int, word-token, count) rows do.
+
+    Output: ``(doc_id, word, tf, df, score, rank)``, rank 1..k per doc
+    (desc score, asc word tie-break). Docs with no words emit no rows.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(words_col(text_col)).alias("word")
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select("id", "word", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "word", "tf", "df", "score", "rank")
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style per-document repetition signals (Rae et al. 2021,

@@ -75,6 +75,7 @@ APPENDIX = [
     "docs_model_score",  # linear-model scoring stage — feature machinery graded via text_quality_score; exact int-scaled algebra via q01 pattern
     "dedup_exact_incremental",  # daily batch-vs-historical-index dedup — digest machinery graded via dedup_exact; anti-join via q_semi_join/q_intersect_except
     "sim_semantic_dedup",  # SemDeDup cell-blocked near-dup — training/assignment graded via sim_ann_ivf_trained; pair verify via sim_cosine_dup
+    "text_tfidf_topk",  # tf-idf keyword extraction — token/agg machinery graded via text_token_count + q_topk_per_group's ranking window
 ]
 
 

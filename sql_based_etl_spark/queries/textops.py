@@ -463,3 +463,41 @@ ORACLES["docs_model_score"] = """
            CAST(z >= 0 AS INT) AS label
     FROM scaled
 """.format(quality_oracle=ORACLES["text_quality_score"])
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document
+    (operators/textops.py:tfidf_topk): tf · ln(N/df), desc-score /
+    asc-word top-k window. Both engines compute the identical double
+    expression, so rounded scores (and therefore ranks) match."""
+    from sql_based_etl_spark.operators.textops import tfidf_topk
+
+    return tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+QUERIES["text_tfidf_topk"] = text_tfidf_topk
+
+ORACLES["text_tfidf_topk"] = """
+    WITH w AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT id, word, count(*) AS tf FROM w GROUP BY id, word),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.id, tf.word, tf.tf, dfreq.df,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS score
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT id, word, tf, df, score,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY score DESC, word ASC) AS rank
+        FROM scored
+    )
+    SELECT id AS doc_id, word, tf, df, score, rank
+    FROM ranked WHERE rank <= 3
+"""
