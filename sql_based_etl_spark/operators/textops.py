@@ -278,6 +278,101 @@ def decontaminate(
     )
 
 
+BLOOM_M = 1 << 17  # bitmap bits — fixed so the oracle SQL is static
+BLOOM_K = 3        # hash functions per n-gram
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = BLOOM_M,
+    k_hashes: int = BLOOM_K,
+) -> list[int]:
+    """Build a Bloom-filter bitmap of the benchmark's distinct word
+    ``n``-grams: each gram sets ``k_hashes`` bits at positions
+    ``portable_hash(gram || '#' || j) % m_bits`` (md5-derived, so any
+    engine reproduces the identical bitmap — false positives included).
+
+    Returns ``m_bits/64`` signed int64 words, built driver-side from
+    the collected distinct positions. That collect is metadata-sized
+    BY CONSTRUCTION: eval benchmarks are thousands of documents, so
+    positions ≤ |bench grams|·k ≪ m_bits — this is exactly the
+    "aggregate small state to the driver, broadcast it back" shape of
+    a Spark broadcast variable, never a corpus-side collect."""
+    from sql_based_etl_spark.operators.dedup import portable_hash, shingle_rows
+
+    grams = shingle_rows(benchmark, id_col, text_col, n=n, distinct=True)
+    pos_cols = [
+        (portable_hash(F.concat(F.col("s"), F.lit(f"#{j}")), hex_chars=8) % m_bits)
+        .alias("p")
+        for j in range(k_hashes)
+    ]
+    positions = (
+        grams.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct().collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in positions:
+        p = row.pos
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bloom: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = BLOOM_M,
+    k_hashes: int = BLOOM_K,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the cheapest possible
+    membership check at 100 TB: where :func:`decontaminate` pays a
+    broadcast JOIN against the benchmark's inverted index, this pays
+    NO join at all. The bitmap rides into every task as one literal
+    (``m_bits/8`` bytes ≈ 16 KiB at the defaults) and the per-gram
+    test is ``k_hashes`` md5+bit-probes inside whole-stage codegen,
+    pipelined straight out of the scan.
+
+    Tradeoff (the standard Bloom contract): zero false negatives —
+    every true benchmark gram is flagged — plus a deterministic,
+    engine-reproducible false-positive set (~(grams·k/m)^k rate; same
+    md5 positions on both sides, so the oracle reproduces even the
+    false positives bit-for-bit). Use it to cheaply PRE-FILTER at
+    corpus scale, then confirm hits with the exact inverted-index
+    :func:`decontaminate` over the (tiny) flagged subset.
+
+    Returns ``(doc_id, flagged_ngrams)`` for docs with ≥ ``min_shared``
+    distinct bloom-positive ``n``-grams.
+    """
+    from sql_based_etl_spark.operators.dedup import portable_hash, shingle_rows
+
+    grams = shingle_rows(docs, id_col, text_col, n=n, distinct=True).withColumn(
+        "__bm", F.lit(bloom).cast("array<bigint>")
+    )
+    for j in range(k_hashes):
+        grams = grams.withColumn(
+            f"__p{j}",
+            portable_hash(F.concat(F.col("s"), F.lit(f"#{j}")), hex_chars=8) % m_bits,
+        )
+    member = F.lit(True)
+    for j in range(k_hashes):
+        member = member & F.expr(
+            f"(element_at(__bm, cast(__p{j} div 64 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(__p{j} % 64 as int))) <> 0"
+        )
+    return (
+        grams.filter(member)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("flagged_ngrams"))
+        .filter(F.col("flagged_ngrams") >= min_shared)
+        .select(F.col("id").alias(id_col), "flagged_ngrams")
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -76,6 +76,7 @@ APPENDIX = [
     "dedup_exact_incremental",  # daily batch-vs-historical-index dedup — digest machinery graded via dedup_exact; anti-join via q_semi_join/q_intersect_except
     "sim_semantic_dedup",  # SemDeDup cell-blocked near-dup — training/assignment graded via sim_ann_ivf_trained; pair verify via sim_cosine_dup
     "text_tfidf_topk",  # tf-idf keyword extraction — token/agg machinery graded via text_token_count + q_topk_per_group's ranking window
+    "text_bloom_decontaminate",  # Bloom pre-filter — exact-membership path graded via text_decontaminate; zero-false-negative property pytest-asserted
 ]
 
 

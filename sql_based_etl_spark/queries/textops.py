@@ -501,3 +501,56 @@ ORACLES["text_tfidf_topk"] = """
     SELECT id AS doc_id, word, tf, df, score, rank
     FROM ranked WHERE rank <= 3
 """
+
+
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter
+    (operators/textops.py:bloom_decontaminate): the benchmark slice
+    (doc_id % 20 == 0) is compacted into a 16 KiB bitmap driver-side,
+    and the training slice is scanned with zero joins — each distinct
+    8-gram probes 3 md5-derived bit positions in codegen. The oracle
+    reproduces the identical position set (including any false
+    positives) via set-membership SQL, which is bitwise-equivalent to
+    the bitmap."""
+    from sql_based_etl_spark.operators.textops import bloom_build, bloom_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bloom = bloom_build(docs.filter(F.col("doc_id") % 20 == 0), n=8)
+    return bloom_decontaminate(docs.filter(F.col("doc_id") % 20 != 0), bloom, n=8)
+
+
+QUERIES["text_bloom_decontaminate"] = text_bloom_decontaminate
+
+_BLOOM_POS = (
+    "CAST(concat('0x', substr(md5(s || '#' || j), 1, 8)) AS BIGINT) % 131072"
+)
+
+ORACLES["text_bloom_decontaminate"] = f"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 7, 1)),
+                   i -> array_to_string(list_slice(words, i, i + 7), ' ')
+               ))) AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words
+            FROM documents
+        )
+    ),
+    js AS (SELECT unnest(generate_series(0, 2)) AS j),
+    positions AS (
+        SELECT DISTINCT {_BLOOM_POS} AS pos
+        FROM (SELECT DISTINCT s FROM sh WHERE id % 20 = 0), js
+    ),
+    cand AS (
+        SELECT id, s, j, {_BLOOM_POS} AS pos
+        FROM sh, js WHERE id % 20 <> 0
+    ),
+    member AS (
+        SELECT id, s FROM cand JOIN positions USING (pos)
+        GROUP BY id, s HAVING count(DISTINCT j) = 3
+    )
+    SELECT id AS doc_id, count(*) AS flagged_ngrams
+    FROM member GROUP BY id HAVING count(*) >= 1
+"""

@@ -303,6 +303,38 @@ def test_semantic_dedup_cell_blocking(spark, embeddings):
     assert blocked <= exact
 
 
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The Bloom pre-filter must flag a SUPERSET of the docs the exact
+    inverted-index decontaminate flags (zero false negatives — the
+    Bloom contract), and a doc sharing a full 8-gram with the
+    benchmark must be flagged with at least that many grams."""
+    from sql_based_etl_spark.operators.textops import (
+        bloom_build,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {leak} answer text here")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"training doc contains {leak} verbatim inside"),
+            (2, "totally unrelated words nothing shared at all here okay"),
+            (3, "another clean document with its own content entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {r.doc_id for r in decontaminate(corpus, bench, n=8, max_df=None).collect()}
+    assert exact == {1}
+    bloom = bloom_build(bench, n=8)
+    flagged = {r.doc_id: r.flagged_ngrams for r in
+               bloom_decontaminate(corpus, bloom, n=8).collect()}
+    assert exact <= set(flagged)  # no false negatives, ever
+    assert flagged[1] >= 1
+
+
 def test_pii_scrub_semantics(spark):
     """Redaction order: URLs first (a URL's digits/@ must not double-
     count), then emails, then 7+ digit runs; short digit runs stay."""
