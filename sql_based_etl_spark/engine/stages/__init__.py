@@ -27,6 +27,7 @@ from sql_based_etl_spark.engine.stages.load import (
     versioned_table_merge_load,
 )
 from sql_based_etl_spark.engine.stages.extensions import (
+    decontaminate_transform,
     dedup_transform,
     multimodal_transform,
     similarity_search_transform,
@@ -72,6 +73,7 @@ STAGE_TYPES = {
     "DedupTransform": dedup_transform,
     "SimilaritySearchTransform": similarity_search_transform,
     "TextAnalysisTransform": text_analysis_transform,
+    "DecontaminateTransform": decontaminate_transform,
     "MultimodalTransform": multimodal_transform,
     "TableProfile": table_profile,
 }

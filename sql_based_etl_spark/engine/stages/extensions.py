@@ -59,6 +59,28 @@ def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             vec_col=conf.get("vectorColumn", "embedding"),
             dim=int(conf.get("dim", 64)),
         )
+    if method == "semantic_cosine":
+        # SemDeDup: k-means cells (trainIters Lloyd rounds over the
+        # input itself; 0 = lowest-id seed pivots) → within-cell pairs
+        kwargs = dict(
+            id_col=conf.get("idColumn", "vec_id"),
+            vec_col=conf.get("vectorColumn", "embedding"),
+            dim=int(conf.get("dim", 64)),
+        )
+        n_cells = int(conf.get("nCells", similarity.IVF_CELLS))
+        iters = int(conf.get("trainIters", 2))
+        pivots = (
+            similarity.kmeans_lloyd(df, k=n_cells, iters=iters, **kwargs)
+            if iters > 0
+            else None
+        )
+        return similarity.semantic_dedup_pairs(
+            df,
+            threshold=float(conf.get("threshold", 0.9)),
+            n_cells=n_cells,
+            pivots=pivots,
+            **kwargs,
+        )
     raise StageError(f"DedupTransform: unknown method {method!r}")
 
 
@@ -107,7 +129,43 @@ def text_analysis_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             min_score=float(conf.get("minScore", 0.45)),
             text_col=text_col,
         )
+    if analysis == "tfidf":
+        return textops.tfidf_topk(
+            df,
+            id_col=conf.get("idColumn", "doc_id"),
+            text_col=text_col,
+            k=int(conf.get("topK", 3)),
+        )
     raise StageError(f"TextAnalysisTransform: unknown analysis {analysis!r}")
+
+
+def decontaminate_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``DecontaminateTransform``: flag training docs overlapping the
+    benchmark view. method ∈ exact (inverted-index broadcast join,
+    per-(doc, bench) shared-gram counts) | bloom (zero-join bitmap
+    pre-filter — cheapest corpus-scale shape; confirm hits with exact
+    over the flagged subset)."""
+    from sql_based_etl_spark.operators import textops
+
+    df = ctx.view(conf["inputView"])
+    bench = ctx.view(conf["benchmarkView"])
+    id_col = conf.get("idColumn", "doc_id")
+    text_col = conf.get("textColumn", "text")
+    n = int(conf.get("n", 8))
+    min_shared = int(conf.get("minShared", 1))
+    method = conf.get("method", "exact")
+    if method == "exact":
+        max_df = conf.get("maxDf", 1000)
+        return textops.decontaminate(
+            df, bench, id_col, text_col, n=n, min_shared=min_shared,
+            max_df=None if max_df is None else int(max_df),
+        )
+    if method == "bloom":
+        bloom = textops.bloom_build(bench, id_col, text_col, n=n)
+        return textops.bloom_decontaminate(
+            df, bloom, id_col, text_col, n=n, min_shared=min_shared
+        )
+    raise StageError(f"DecontaminateTransform: unknown method {method!r}")
 
 
 def multimodal_transform(ctx: PipelineContext, conf: dict) -> DataFrame:

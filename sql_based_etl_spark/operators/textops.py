@@ -242,20 +242,34 @@ def decontaminate(
     pretraining data (long n-grams, default 8, so incidental phrase
     overlap doesn't flag).
 
-    Shape at 100 TB: an inverted-index join keyed on 28-bit shingle
-    identities (operators/dedup.py:hashed_shingle_rows) — the benchmark
-    side is tiny (eval sets are thousands of docs, not billions), so
-    its index broadcasts and the corpus side never shuffles: explode →
-    broadcast-hash join → per-(doc, bench) count. ``max_df`` drops
-    corpus-side boilerplate shingles (license headers ...) that would
-    otherwise flag everything; benchmark shingles are assumed curated.
+    Shape at 100 TB: an inverted-index join keyed on 60-bit shingle
+    identities — the benchmark side is tiny (eval sets are thousands
+    of docs, not billions), so its index broadcasts and the corpus
+    side never shuffles: explode → broadcast-hash join → per-(doc,
+    bench) count. ``max_df`` drops corpus-side boilerplate shingles
+    (license headers ...) that would otherwise flag everything;
+    benchmark shingles are assumed curated.
+
+    60-bit keys, NOT the 28-bit identities the pairwise-dedup
+    pipelines use (operators/dedup.py:hashed_shingle_rows): a
+    membership join has no downstream verify step, so ANY
+    corpus-gram/bench-gram collision becomes a spurious flag — odds
+    |corpus|·|bench|/2^bits, which at 28 bits is ~0.4 already at
+    sf0.01 (one observed collision) and certain at corpus scale. At
+    60 bits a 10¹³-gram corpus against a 10⁶-gram benchmark expects
+    single-digit spurious flags.
 
     Returns ``(doc_id, bench_id, shared_ngrams)`` per contaminated
     (doc, benchmark-doc) pair.
     """
-    from sql_based_etl_spark.operators.dedup import hashed_shingle_rows
+    from sql_based_etl_spark.operators.dedup import portable_hash, shingle_rows
 
-    corpus = hashed_shingle_rows(docs, id_col, text_col, n).distinct()
+    def wide_hashed(df: DataFrame) -> DataFrame:
+        return shingle_rows(df, id_col, text_col, n, distinct=False).select(
+            "id", portable_hash(F.col("s"), hex_chars=15).alias("h")
+        )
+
+    corpus = wide_hashed(docs).distinct()
     if max_df is not None:
         hot = (
             corpus.groupBy("h")
@@ -264,10 +278,8 @@ def decontaminate(
             .select("h")
         )
         corpus = corpus.join(F.broadcast(hot), "h", "left_anti")
-    bench = (
-        hashed_shingle_rows(benchmark, id_col, text_col, n)
-        .distinct()
-        .select(F.col("id").alias("bench_id"), "h")
+    bench = wide_hashed(benchmark).distinct().select(
+        F.col("id").alias("bench_id"), "h"
     )
     return (
         corpus.join(F.broadcast(bench), "h")

@@ -297,7 +297,7 @@ ORACLES["text_decontaminate"] = """
         SELECT doc_id AS id,
                unnest(list_distinct(list_transform(
                    generate_series(1, greatest(len(words) - 7, 1)),
-                   i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(words, i, i + 7), ' ')), 1, 7)) AS BIGINT)
+                   i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(words, i, i + 7), ' ')), 1, 15)) AS BIGINT)
                ))) AS h
         FROM (
             SELECT doc_id,

@@ -161,12 +161,32 @@ def test_extension_stages_via_pipeline(spark):
          "operation": "attach_binary"},
         {"type": "MultimodalTransform", "inputView": "bin", "outputView": "feats",
          "operation": "decode_features"},
+        {"type": "SQLTransform", "outputView": "bench",
+         "sql": "SELECT * FROM docs WHERE doc_id % 20 = 0"},
+        {"type": "SQLTransform", "outputView": "train",
+         "sql": "SELECT * FROM docs WHERE doc_id % 20 <> 0"},
+        {"type": "DecontaminateTransform", "inputView": "train",
+         "benchmarkView": "bench", "outputView": "leaks", "method": "exact"},
+        {"type": "DecontaminateTransform", "inputView": "train",
+         "benchmarkView": "bench", "outputView": "leaks_bloom", "method": "bloom"},
+        {"type": "DedupTransform", "inputView": "embs", "outputView": "semdups",
+         "method": "semantic_cosine", "threshold": 0.3, "trainIters": 1},
+        {"type": "TextAnalysisTransform", "inputView": "docs",
+         "outputView": "keywords", "analysis": "tfidf", "topK": 2},
     ]
     ctx = Pipeline(spark).run(stages)
     assert ctx.views["dups"].columns == ["doc_id", "n_copies"]
     assert "quality_score" in ctx.views["quality"].columns
     assert ctx.views["nn"].columns == ["query_id", "neighbor_id", "score", "rank"]
     assert ctx.views["feats"].count() == ctx.views["docs"].count()
+    # bloom is a zero-false-negative pre-filter of the exact method
+    exact_ids = {r.doc_id for r in ctx.views["leaks"].collect()}
+    bloom_ids = {r.doc_id for r in ctx.views["leaks_bloom"].collect()}
+    assert exact_ids <= bloom_ids
+    assert ctx.views["semdups"].columns == ["cell", "id_a", "id_b", "cosine"]
+    kw = ctx.views["keywords"]
+    assert kw.columns == ["doc_id", "word", "tf", "df", "score", "rank"]
+    assert kw.groupBy("doc_id").count().agg({"count": "max"}).collect()[0][0] <= 2
 
 
 def test_file_format_stages_roundtrip(spark, tmp_path):
