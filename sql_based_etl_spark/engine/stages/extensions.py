@@ -13,7 +13,8 @@ from sql_based_etl_spark.engine.pipeline import PipelineContext, StageError
 
 def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
     """``DedupTransform``: method ∈ exact | exact_incremental |
-    minhash_lsh | simhash | ngram_jaccard | embedding_cosine.
+    minhash_lsh | simhash | ngram_jaccard | substring_spans |
+    embedding_cosine | semantic_cosine.
 
     ``exact_incremental`` is the daily-pipeline shape: dedup the input
     batch within itself and against the historical digest index at
@@ -58,6 +59,12 @@ def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             id_col=conf.get("idColumn", "vec_id"),
             vec_col=conf.get("vectorColumn", "embedding"),
             dim=int(conf.get("dim", 64)),
+        )
+    if method == "substring_spans":
+        return dedup.duplicated_substring_spans(
+            df, id_col, text_col,
+            n=int(conf.get("n", 8)),
+            min_count=int(conf.get("minCount", 2)),
         )
     if method == "semantic_cosine":
         # SemDeDup: k-means cells (trainIters Lloyd rounds over the

@@ -32,7 +32,7 @@ MEMORY_AND_DISK defaults.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 P = 2_147_483_647  # 2^31 - 1 (Mersenne prime) — keeps a*h + b inside int64
@@ -493,4 +493,121 @@ def ngram_jaccard_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def positioned_hashed_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    hex_chars: int = 15,
+) -> DataFrame:
+    """Word ``n``-grams WITH their word offsets:
+    ``(id, n_words, pos, h)`` — the positioned sibling of
+    :func:`hashed_shingle_rows` for operators that need to know WHERE
+    in the document a gram sits (substring-span dedup), not just that
+    it exists. Same zero-shuffle zipped-slice assembly; 60-bit default
+    hash because positioned consumers are membership-style (no
+    downstream verify to absorb collisions).
+
+    Docs shorter than ``n`` words contribute their full text as a
+    single gram at pos 0 (shingle_rows semantics); empty docs emit
+    nothing (there is no substring to deduplicate).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), words_col(text_col).alias("wd")
+    ).select("id", "wd", F.size("wd").alias("nw"))
+    shifted = [
+        F.expr(f"slice(wd, {k + 1}, greatest(size(wd) - {k}, 0))").alias(f"w{k}")
+        for k in range(1, n)
+    ]
+    zipped = base.select("id", "nw", "wd", *shifted).select(
+        "id",
+        "nw",
+        F.posexplode(F.arrays_zip("wd", *[f"w{k}" for k in range(1, n)])).alias(
+            "pos", "z"
+        ),
+    )
+    long_sh = zipped.filter(F.col(f"z.w{n - 1}").isNotNull()).select(
+        "id",
+        "nw",
+        "pos",
+        portable_hash(
+            F.concat_ws(" ", F.col("z.wd"), *[F.col(f"z.w{k}") for k in range(1, n)]),
+            hex_chars,
+        ).alias("h"),
+    )
+    short_sh = base.filter((F.col("nw") > 0) & (F.col("nw") < n)).select(
+        "id",
+        "nw",
+        F.lit(0).alias("pos"),
+        portable_hash(F.concat_ws(" ", "wd"), hex_chars).alias("h"),
+    )
+    return long_sh.unionByName(short_sh)
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal word-span of a document that is covered by
+    ``n``-grams occurring ≥ ``min_count`` times ACROSS THE CORPUS
+    (other docs or repeats within the same doc). Document-level dedup
+    misses these — two distinct articles quoting the same boilerplate
+    paragraph are not near-dups, but the paragraph still appears
+    thousands of times in the training set. The published remedy is a
+    suffix array; the distributed equivalent is this bounded-gram
+    formulation: a duplicated substring of length ≥ n is exactly a run
+    of duplicated n-grams, so maximal duplicated spans = merged
+    intervals ``[pos, pos+n-1]`` of duplicated grams.
+
+    Scale shape: gram assembly is shuffle-free codegen; the global
+    occurrence count is a map-side-combinable groupBy on the 60-bit
+    gram key (int pairs on the shuffle, never text); marking rides ONE
+    full shuffle of the positioned relation joined against the
+    (compact) duplicated-key set; span merging is a per-doc
+    gaps-and-islands window (lag + cumulative sum — one shuffle on the
+    doc id). The positioned relation is persisted across its two
+    consumers (count + mark), mirroring minhash_lsh_pairs' contract:
+    the cache is released when the returned plan's last action
+    finishes or the session's executors drop it — callers running
+    many corpora through long sessions should ``spark.catalog.clearCache()``
+    between batches.
+
+    Returns ``(doc_id, span_start, span_end, n_dup_grams)`` — word
+    offsets, inclusive; a downstream trimmer drops or rewrites the
+    spans. Spans from a short doc (< n words, whole-text gram) are
+    capped at the doc's last word.
+    """
+    sh = positioned_hashed_shingles(df, id_col, text_col, n).persist()
+    dup_keys = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("h")
+    )
+    marked = sh.join(dup_keys, "h").select("id", "nw", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    # intervals are fixed-length [pos, pos+n-1]; merge overlapping OR
+    # adjacent ranges: a new island starts when the gap to the previous
+    # gram exceeds n (pos > prev_end + 1 with prev_end = prev + n - 1)
+    new_island = F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0)
+    islands = marked.withColumn("__isl", F.sum(new_island).over(w))
+    return (
+        islands.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + F.lit(n - 1), F.min("nw") - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_dup_grams"
+        )
     )

@@ -77,6 +77,7 @@ APPENDIX = [
     "sim_semantic_dedup",  # SemDeDup cell-blocked near-dup — training/assignment graded via sim_ann_ivf_trained; pair verify via sim_cosine_dup
     "text_tfidf_topk",  # tf-idf keyword extraction — token/agg machinery graded via text_token_count + q_topk_per_group's ranking window
     "text_bloom_decontaminate",  # Bloom pre-filter — exact-membership path graded via text_decontaminate; zero-false-negative property pytest-asserted
+    "dedup_substring_spans",  # substring-span dedup — gram/window machinery graded via dedup_ngram_jaccard + q_sessionize's islands; span semantics pytest-pinned
 ]
 
 

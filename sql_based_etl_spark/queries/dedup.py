@@ -229,3 +229,55 @@ ORACLES["dedup_exact_incremental"] = """
     SELECT doc_id, n_copies
     FROM batch WHERE digest NOT IN (SELECT digest FROM seen)
 """
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: maximal word-spans covered by 8-grams
+    occurring ≥2× across the corpus
+    (operators/dedup.py:duplicated_substring_spans) — what a
+    suffix-array pass finds, as a bounded-gram DataFrame plan."""
+    from sql_based_etl_spark.operators.dedup import duplicated_substring_spans
+
+    return duplicated_substring_spans(load(spark, sf_dir, "documents"), n=8)
+
+
+QUERIES["dedup_substring_spans"] = dedup_substring_spans
+
+# Positioned 8-grams via generate_series (long docs) + whole-text gram
+# (short docs), 60-bit md5 keys, global count ≥ 2, lag/cumsum island
+# merge — integer-exact, so parity is bit-for-bit.
+ORACLES["dedup_substring_spans"] = """
+    WITH d AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words
+        FROM documents
+    ),
+    sh AS (
+        SELECT id, len(words) AS nw, i - 1 AS pos,
+               CAST(concat('0x', substr(md5(array_to_string(list_slice(words, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        FROM d, LATERAL unnest(generate_series(1, len(words) - 7)) AS t(i)
+        WHERE len(words) >= 8
+        UNION ALL
+        SELECT id, len(words) AS nw, 0 AS pos,
+               CAST(concat('0x', substr(md5(array_to_string(words, ' ')), 1, 15)) AS BIGINT) AS h
+        FROM d WHERE len(words) > 0 AND len(words) < 8
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    m AS (SELECT id, nw, pos FROM sh JOIN dup USING (h)),
+    isl AS (
+        SELECT id, nw, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                    THEN 1 ELSE 0 END AS f
+        FROM m WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    isl2 AS (
+        SELECT id, nw, pos,
+               sum(f) OVER (PARTITION BY id ORDER BY pos) AS island
+        FROM isl
+    )
+    SELECT id AS doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(least(max(pos) + 7, min(nw) - 1) AS INT) AS span_end,
+           count(*) AS n_dup_grams
+    FROM isl2 GROUP BY id, island
+"""

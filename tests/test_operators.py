@@ -323,6 +323,40 @@ def test_semantic_dedup_cell_blocking(spark, embeddings):
     assert blocked <= exact
 
 
+def test_substring_spans_semantics(spark):
+    """A ≥n-word phrase shared by two docs yields one merged span per
+    doc covering exactly the phrase; sub-n repeats (even within a doc)
+    and unique text yield nothing; a duplicated short doc (< n words)
+    is one whole-doc span capped at its last word."""
+    from sql_based_etl_spark.operators.dedup import duplicated_substring_spans
+
+    shared = "one two three four five six seven eight nine ten"  # 10 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} and a unique tail for doc one"),
+            (2, f"{shared} different continuation entirely for the second doc body"),
+            (3, "totally unrelated text with no duplicated content at all here"),
+            (4, "repeat me now please okay fine repeat me now please okay fine"),
+            (5, "tiny dup doc"),
+            (6, "tiny dup doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in duplicated_substring_spans(docs, n=8).collect()
+    }
+    # docs 1/2: the 10-word phrase = three overlapping 8-grams merged;
+    # doc 4's 6-word repeat never forms a duplicated 8-gram; docs 5/6
+    # are whole-text grams capped at word 2
+    assert got == {
+        (1, 3, 12, 3),
+        (2, 0, 9, 3),
+        (5, 0, 2, 1),
+        (6, 0, 2, 1),
+    }, got
+
+
 def test_bloom_decontaminate_no_false_negatives(spark):
     """The Bloom pre-filter must flag a SUPERSET of the docs the exact
     inverted-index decontaminate flags (zero false negatives — the
