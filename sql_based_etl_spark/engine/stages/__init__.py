@@ -30,6 +30,7 @@ from sql_based_etl_spark.engine.stages.extensions import (
     decontaminate_transform,
     dedup_transform,
     multimodal_transform,
+    sampling_transform,
     similarity_search_transform,
     table_profile,
     text_analysis_transform,
@@ -74,6 +75,7 @@ STAGE_TYPES = {
     "SimilaritySearchTransform": similarity_search_transform,
     "TextAnalysisTransform": text_analysis_transform,
     "DecontaminateTransform": decontaminate_transform,
+    "SamplingTransform": sampling_transform,
     "MultimodalTransform": multimodal_transform,
     "TableProfile": table_profile,
 }

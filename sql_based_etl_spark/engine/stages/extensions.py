@@ -199,6 +199,41 @@ def multimodal_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
     raise StageError(f"MultimodalTransform: unknown operation {op!r}")
 
 
+def sampling_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``SamplingTransform``: method ∈ hash_split (deterministic named
+    splits from ``splits: {name: weight}``) | stratified (exact
+    per-stratum fraction) | mixture (epoch-weighted up/down-sampling
+    from ``weights: {group: epochs}``). All salted-hash deterministic —
+    re-runs and retries assign identically."""
+    from sql_based_etl_spark.operators import sampling
+
+    df = ctx.view(conf["inputView"])
+    id_col = conf.get("idColumn", "doc_id")
+    seed = int(conf.get("seed", 42))
+    method = conf.get("method", "hash_split")
+    if method == "hash_split":
+        splits = conf.get(
+            "splits", {"train": 0.98, "val": 0.01, "test": 0.01}
+        )
+        return sampling.hash_split(
+            df, id_col, tuple((k, float(v)) for k, v in splits.items()), seed
+        )
+    if method == "stratified":
+        return sampling.stratified_sample(
+            df, conf["strataColumn"], float(conf["fraction"]), id_col, seed
+        )
+    if method == "mixture":
+        return sampling.mixture_sample(
+            df,
+            {k: float(v) for k, v in conf["weights"].items()},
+            group_col=conf.get("groupColumn", "source"),
+            id_col=id_col,
+            default=float(conf.get("default", 0.0)),
+            seed=seed,
+        )
+    raise StageError(f"SamplingTransform: unknown method {method!r}")
+
+
 def table_profile(ctx: PipelineContext, conf: dict) -> DataFrame:
     """``TableProfile``: one-pass per-column statistics of a view."""
     from sql_based_etl_spark.operators.profiling import profile

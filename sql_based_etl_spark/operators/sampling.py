@@ -91,3 +91,44 @@ def stratified_sample(
         .filter(F.col("__rank") <= F.ceil(F.lit(fraction) * F.col("__n")))
         .drop("__rank", "__n")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic data-mixture sampling with epoch weighting — the
+    mixing step of every pretraining corpus (e.g. "2.2 epochs of
+    wikipedia, 0.3 of common-crawl"): each group's weight ``w`` keeps
+    ``floor(w)`` full copies of every row plus one more copy for the
+    deterministic ``frac(w)`` fraction of rows (salted-hash gated, so
+    membership is identical across re-runs, retries, and cluster
+    sizes — the property ``sample()`` lacks). Groups absent from
+    ``weights`` get ``default``.
+
+    Pure per-row projection + generator: no shuffle, no state; the
+    only data growth is the emitted copies themselves. Output adds a
+    ``copy`` column (1..n) so downstream packing can interleave
+    epochs rather than emit them back-to-back.
+    """
+    whole_expr = F.lit(int(default // 1))
+    bound_expr = F.lit(int(round((default % 1) * SPLIT_BUCKETS)))
+    for g, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {g!r}: {w}")
+        whole = int(w // 1)
+        bound = int(round((w % 1) * SPLIT_BUCKETS))
+        whole_expr = F.when(F.col(group_col) == g, F.lit(whole)).otherwise(whole_expr)
+        bound_expr = F.when(F.col(group_col) == g, F.lit(bound)).otherwise(bound_expr)
+    bucket = _salted_hash(id_col, seed) % SPLIT_BUCKETS
+    n = (whole_expr + F.when(bucket < bound_expr, 1).otherwise(0)).cast("int")
+    # sequence(1, 0) in Spark steps DOWNWARD ([1, 0]) — guard n < 1 to
+    # an empty array so zero-copy rows vanish instead of doubling
+    copies = F.when(
+        n >= 1, F.sequence(F.lit(1), n)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy", F.explode(copies))

@@ -78,6 +78,7 @@ APPENDIX = [
     "text_tfidf_topk",  # tf-idf keyword extraction — token/agg machinery graded via text_token_count + q_topk_per_group's ranking window
     "text_bloom_decontaminate",  # Bloom pre-filter — exact-membership path graded via text_decontaminate; zero-false-negative property pytest-asserted
     "dedup_substring_spans",  # substring-span dedup — gram/window machinery graded via dedup_ngram_jaccard + q_sessionize's islands; span semantics pytest-pinned
+    "sample_mixture",  # epoch-weighted mixture sampling — salted-hash gating graded via split_hash_assign; multiset semantics oracle-checked in pytest
 ]
 
 

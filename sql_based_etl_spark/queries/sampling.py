@@ -54,3 +54,43 @@ ORACLES = {
         SELECT doc_id, lang FROM ranked WHERE r <= ceil(0.1 * n)
     """,
 }
+
+
+MIXTURE_WEIGHTS = {"en": 1.5, "de": 1.0, "fr": 0.5, "es": 0.25, "zh": 2.0}
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted language mixture
+    (operators/sampling.py:mixture_sample): 1.5 epochs of en, 2 of zh,
+    down-sampled fr/es — every copy row materialized so the oracle
+    checks the exact multiset, not just counts."""
+    from sql_based_etl_spark.operators.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, MIXTURE_WEIGHTS, group_col="lang").select(
+        "doc_id", "lang", "copy"
+    )
+
+
+QUERIES["sample_mixture"] = sample_mixture
+
+_MIX_WHOLE = "CASE " + " ".join(
+    f"WHEN lang = '{g}' THEN {int(w // 1)}"
+    for g, w in sorted(MIXTURE_WEIGHTS.items())
+) + " ELSE 0 END"
+_MIX_BOUND = "CASE " + " ".join(
+    f"WHEN lang = '{g}' THEN {int(round((w % 1) * SPLIT_BUCKETS))}"
+    for g, w in sorted(MIXTURE_WEIGHTS.items())
+) + " ELSE 0 END"
+
+ORACLES["sample_mixture"] = f"""
+    WITH n AS (
+        SELECT doc_id, lang,
+               ({_MIX_WHOLE})
+               + CASE WHEN {_H} % {SPLIT_BUCKETS} < ({_MIX_BOUND})
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(c AS INT) AS copy
+    FROM n, LATERAL unnest(generate_series(1, n_copies)) AS t(c)
+"""

@@ -323,6 +323,40 @@ def test_semantic_dedup_cell_blocking(spark, embeddings):
     assert blocked <= exact
 
 
+def test_mixture_sample_epoch_weighting(spark):
+    """Weight w keeps floor(w) copies of every row plus a deterministic
+    frac(w) share with one more; weight 0 (and unlisted groups at the
+    default) vanish; re-runs produce the identical multiset."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+    from sql_based_etl_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 100 else "b" if i < 200 else "c") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    w = {"a": 2.0, "b": 0.5, "c": 0.0}
+    out = mixture_sample(df, w, group_col="grp").collect()
+    by_grp: dict[str, list] = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    # exactly 2 copies of every 'a' row, numbered 1..2
+    assert len(by_grp["a"]) == 200
+    assert {(r.doc_id, r.copy) for r in by_grp["a"]} == {
+        (i, c) for i in range(100) for c in (1, 2)
+    }
+    # 'b' keeps a deterministic ~half, one copy each; 'c' vanishes
+    assert 25 <= len(by_grp.get("b", [])) <= 75
+    assert all(r.copy == 1 for r in by_grp["b"])
+    assert "c" not in by_grp
+    rerun = mixture_sample(df, w, group_col="grp").collect()
+    assert {(r.doc_id, r.copy) for r in rerun} == {(r.doc_id, r.copy) for r in out}
+    # stage surface
+    df.createOrReplaceTempView("mix_in")
+    ctx = Pipeline(spark).run([
+        {"type": "SamplingTransform", "inputView": "mix_in", "outputView": "mixed",
+         "method": "mixture", "groupColumn": "grp", "weights": {"a": 2.0, "b": 0.5}},
+    ])
+    assert ctx.views["mixed"].count() == len(out)
+
+
 def test_substring_spans_semantics(spark):
     """A ≥n-word phrase shared by two docs yields one merged span per
     doc covering exactly the phrase; sub-n repeats (even within a doc)
