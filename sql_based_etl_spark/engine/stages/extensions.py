@@ -7,6 +7,7 @@ multimodal transforms.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from sql_based_etl_spark.engine.pipeline import PipelineContext, StageError
 
@@ -108,6 +109,14 @@ def similarity_search_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
         return similarity.cosine_topk(queries, corpus, **kwargs)
     if method == "lsh_ann":
         return similarity.ann_topk(queries, corpus, **kwargs)
+    if method == "hard_negatives":
+        # query set = a predicate over the corpus view itself
+        return similarity.hard_negative_topk(
+            corpus,
+            F.expr(conf.get("queryPredicate", "true")),
+            label_col=conf.get("labelColumn", "label"),
+            **kwargs,
+        )
     raise StageError(f"SimilaritySearchTransform: unknown method {method!r}")
 
 

@@ -490,6 +490,79 @@ def kmeans_lloyd(
     return cents
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most-similar corpus vectors with a DIFFERENT
+    label — the negatives that sit closest to the decision boundary,
+    which is what embedding-model training pipelines actually sample
+    (random negatives are too easy to carry gradient).
+
+    Same LSH-bucket machinery as :func:`ann_topk_self` (signatures
+    computed once, self-join on (table, bucket), exact cosine re-rank)
+    with the label inequality applied at the CANDIDATE stage, so
+    same-label neighbors never reach the re-rank join. Scale posture
+    matches ann_topk_self: one shuffle on the bucket key, candidates
+    ≪ corpus by blocking.
+
+    Output: ``(query_id, neighbor_id, neighbor_label, score, rank)``.
+    """
+    sigs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+        _norm_expr(vec_col, dim).alias("nrm"),
+        query_pred.alias("is_q"),
+        *[ann_signature(vec_col, t, dim, bits).alias(f"s{t}") for t in range(tables)],
+    ).persist()
+
+    stack_args = ", ".join(f"{t}, s{t}" for t in range(tables))
+    buckets = sigs.select(
+        "id", "lbl", "is_q", F.expr(f"stack({tables}, {stack_args}) as (tbl, bucket)")
+    )
+    q_b = buckets.filter("is_q").select(
+        F.col("id").alias("query_id"), F.col("lbl").alias("q_lbl"), "tbl", "bucket"
+    )
+    c_b = buckets.select(
+        F.col("id").alias("neighbor_id"), F.col("lbl").alias("n_lbl"), "tbl", "bucket"
+    )
+    cand = (
+        q_b.join(c_b, ["tbl", "bucket"])
+        .filter(F.col("q_lbl") != F.col("n_lbl"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = sigs.filter("is_q").select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = sigs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), F.col("lbl").alias("neighbor_label"),
+    )
+    cos = _dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", "neighbor_label", cos.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "neighbor_label",
+            F.round("score", 6).alias("score"), "rank",
+        )
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -480,3 +480,42 @@ ORACLES["sim_semantic_dedup"] = f"""
         FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
     ) WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
 """
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negative_topk):
+    per query (vec_id % 50 == 0), the 5 most-cosine-similar vectors
+    with a DIFFERENT label, candidates blocked by the shared LSH
+    buckets. The oracle replays buckets, label filter, and re-rank."""
+    from sql_based_etl_spark.operators.similarity import hard_negative_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, F.col("vec_id") % 50 == 0, k=5, dim=DIM)
+
+
+QUERIES["sim_hard_negatives"] = sim_hard_negatives
+
+ORACLES["sim_hard_negatives"] = f"""
+    WITH e AS (SELECT vec_id, label, embedding, {_SIG_COLS} FROM embeddings),
+         b AS ({" UNION ALL ".join(f"SELECT vec_id, label, {t} AS tbl, s{t} AS bucket FROM e" for t in range(ANN_TABLES))}),
+         cand AS (
+             SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+             WHERE q.vec_id % 50 = 0 AND q.label <> c.label
+         ),
+         scored AS (
+             SELECT cand.query_id, cand.neighbor_id, ce.label AS neighbor_label,
+                    {_cos("qe.embedding", "ce.embedding")} AS score
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+         ),
+         ranked AS (
+             SELECT query_id, neighbor_id, neighbor_label, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+             FROM scored
+         )
+    SELECT query_id, neighbor_id, neighbor_label, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+"""

@@ -323,6 +323,29 @@ def test_semantic_dedup_cell_blocking(spark, embeddings):
     assert blocked <= exact
 
 
+def test_hard_negative_mining(spark, embeddings):
+    """Every mined negative carries a label different from its query's,
+    ranks are dense per query, and the top negative is at least as
+    similar as any other returned one (re-rank is exact cosine)."""
+    from pyspark.sql import functions as F
+
+    from sql_based_etl_spark.operators.similarity import hard_negative_topk
+
+    out = hard_negative_topk(embeddings, F.col("vec_id") % 50 == 0, k=3).collect()
+    assert out, "fixture should yield hard negatives"
+    labels = {r.vec_id: r.label for r in embeddings.collect()}
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r.neighbor_label == labels[r.neighbor_id]
+        assert r.neighbor_label != labels[r.query_id], r
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_mixture_sample_epoch_weighting(spark):
     """Weight w keeps floor(w) copies of every row plus a deterministic
     frac(w) share with one more; weight 0 (and unlisted groups at the
