@@ -61,6 +61,16 @@ def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             vec_col=conf.get("vectorColumn", "embedding"),
             dim=int(conf.get("dim", 64)),
         )
+    if method == "minhash_incremental":
+        # daily batch vs stored (id, h) index view (+ optional stored
+        # banded-buckets view) — pairs touching the batch only
+        old_hashed = ctx.view(conf["indexView"])
+        old_bands = ctx.view(conf["bandsView"]) if "bandsView" in conf else None
+        return dedup.minhash_lsh_pairs_incremental(
+            df, old_hashed, old_bands, id_col, text_col,
+            threshold=float(conf.get("threshold", 0.5)),
+            max_bucket=int(conf.get("maxBucket", 1000)),
+        )
     if method == "substring_spans":
         return dedup.duplicated_substring_spans(
             df, id_col, text_col,

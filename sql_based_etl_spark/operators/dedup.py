@@ -315,13 +315,17 @@ def minhash_lsh_pairs(
         .persist()
     )
 
-    # exact-Jaccard verify on the candidate pairs only: semi-join the
-    # hashed-shingle relation down to candidate docs before the
-    # collect_set, so the verify shuffle carries candidate shingle sets,
-    # not the whole corpus (candidates ≪ corpus by construction —
-    # that's the point of the blocking). Jaccard is computed over the
-    # 28-bit shingle identities (standard dedup-pipeline practice; the
-    # oracle hashes identically, so the match stays exact).
+    return _verify_jaccard(cand, hashed, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, hashed: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify on the candidate pairs only: semi-join the
+    hashed-shingle relation down to candidate docs before the
+    collect_set, so the verify shuffle carries candidate shingle sets,
+    not the whole corpus (candidates ≪ corpus by construction —
+    that's the point of the blocking). Jaccard is computed over the
+    28-bit shingle identities (standard dedup-pipeline practice; the
+    oracle hashes identically, so the match stays exact)."""
     cand_ids = (
         cand.select(F.col("doc_a").alias("id"))
         .union(cand.select(F.col("doc_b").alias("id")))
@@ -342,6 +346,90 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_bands_from_hashes(hashed: DataFrame) -> DataFrame:
+    """Banded LSH bucket keys ``(id, band, key)`` from a hashed-shingle
+    relation — the thing an incremental pipeline PERSISTS between daily
+    runs (alongside the ``(id, h)`` relation itself) so tomorrow's
+    batch probes yesterday's buckets without recomputing the corpus."""
+    sigs = minhash_signatures_from_hashes(hashed)
+    band_keys = [
+        F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(f"bk{b}")
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(BANDS))
+    return sigs.select("id", *band_keys).select(
+        "id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    old_hashed: DataFrame,
+    old_bands: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup — the shape a production
+    pipeline runs DAILY: pair the new batch against itself AND the
+    historical corpus WITHOUT ever re-pairing old×old (which is
+    quadratically re-paid work the previous runs already did).
+
+    The historical state is two stored relations, both int-cheap:
+    ``old_hashed`` = the corpus ``(id, h)`` hashed-shingle relation
+    (feeds the Jaccard verify), and ``old_bands`` = its banded bucket
+    keys from :func:`minhash_bands_from_hashes` (probed by the new
+    batch; derived from ``old_hashed`` when not supplied, but a real
+    pipeline persists it — the whole point is NOT touching the old
+    corpus text). After the run, append the new batch's rows to both
+    tables to close the loop (mirrors ``exact_dedup_incremental``'s
+    digest-index contract).
+
+    Shape at 100 TB: the candidate join probes the (partitioned)
+    historical postings with the new batch's bucket keys — old rows
+    outside probed buckets are never read past the join's shuffle
+    pruning; the hot-bucket guard counts ONLY probed buckets; the
+    verify semi-joins both shingle relations down to candidate ids.
+    Output: ``(doc_a, doc_b, jaccard)`` pairs with ≥1 new doc.
+    """
+    new_hashed = hashed_shingle_rows(new_docs, id_col, text_col, n).persist()
+    new_bands = minhash_bands_from_hashes(new_hashed)
+    if old_bands is None:
+        old_bands = minhash_bands_from_hashes(old_hashed)
+    all_bands = old_bands.unionByName(new_bands)
+
+    # hot-bucket skew guard over the buckets the new batch actually
+    # probes (semi-join first — counting every historical bucket would
+    # scan state the batch never touches)
+    probed = new_bands.select("band", "key").distinct().persist()
+    probed_all = all_bands.join(F.broadcast(probed), ["band", "key"], "leftsemi")
+    hot = (
+        probed_all.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > max_bucket)
+        .select("band", "key")
+    )
+    nb = new_bands.join(F.broadcast(hot), ["band", "key"], "left_anti").select(
+        F.col("id").alias("new_id"), "band", "key"
+    )
+    ab = probed_all.join(F.broadcast(hot), ["band", "key"], "left_anti").select(
+        F.col("id").alias("other_id"), "band", "key"
+    )
+    cand = (
+        nb.join(ab, ["band", "key"])
+        .filter(F.col("new_id") != F.col("other_id"))
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    return _verify_jaccard(cand, old_hashed.unionByName(new_hashed), threshold)
 
 
 def simhash_signatures(

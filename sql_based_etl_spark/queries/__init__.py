@@ -80,6 +80,7 @@ APPENDIX = [
     "dedup_substring_spans",  # substring-span dedup — gram/window machinery graded via dedup_ngram_jaccard + q_sessionize's islands; span semantics pytest-pinned
     "sample_mixture",  # epoch-weighted mixture sampling — salted-hash gating graded via split_hash_assign; multiset semantics oracle-checked in pytest
     "sim_hard_negatives",  # contrastive hard-negative mining — LSH bucket/re-rank machinery graded via sim_ann_lsh; label-filter semantics oracle-checked in pytest
+    "dedup_minhash_incremental",  # daily batch-vs-index near-dup — full-corpus machinery graded via dedup_minhash_lsh; ≥1-new restriction oracle-checked in pytest
 ]
 
 

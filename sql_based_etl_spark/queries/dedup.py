@@ -281,3 +281,36 @@ ORACLES["dedup_substring_spans"] = """
            count(*) AS n_dup_grams
     FROM isl2 GROUP BY id, island
 """
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily incremental near-dup: odd-id docs are the new batch, the
+    even-id docs' stored (id, h) + banded-bucket relations are the
+    historical index — pairs with ≥1 new doc, old×old never re-paired
+    (operators/dedup.py:minhash_lsh_pairs_incremental)."""
+    from sql_based_etl_spark.operators.dedup import (
+        hashed_shingle_rows,
+        minhash_bands_from_hashes,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    old_hashed = hashed_shingle_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    old_bands = minhash_bands_from_hashes(old_hashed)
+    return minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), old_hashed, old_bands, threshold=0.5
+    )
+
+
+QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental
+
+# The full-corpus LSH pair oracle restricted to pairs touching the new
+# (odd-id) batch — exactly what "never re-pair old×old" must equal.
+ORACLES["dedup_minhash_incremental"] = (
+    ORACLES["dedup_minhash_lsh"].replace(
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id",
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id "
+        "AND (x.id % 2 = 1 OR y.id % 2 = 1)",
+    )
+)
+assert "% 2 = 1" in ORACLES["dedup_minhash_incremental"]

@@ -323,6 +323,43 @@ def test_semantic_dedup_cell_blocking(spark, embeddings):
     assert blocked <= exact
 
 
+def test_minhash_incremental_equals_restricted_full(spark):
+    """Incremental minhash (new batch vs stored index) must produce
+    exactly the full-corpus pairs that touch the new batch — no old×old
+    pair, nothing missed, identical jaccards."""
+    from tests.conftest import SF_ORACLE
+
+    from pyspark.sql import functions as F
+
+    from sql_based_etl_spark.operators.dedup import (
+        hashed_shingle_rows,
+        minhash_bands_from_hashes,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    expected = {
+        (a, b, j) for a, b, j in full if a % 2 == 1 or b % 2 == 1
+    }
+    old_hashed = hashed_shingle_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_incremental(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            old_hashed,
+            minhash_bands_from_hashes(old_hashed),
+            threshold=0.5,
+        ).collect()
+    }
+    assert inc == expected
+    assert expected < full  # some old×old pairs exist and are skipped
+
+
 def test_hard_negative_mining(spark, embeddings):
     """Every mined negative carries a label different from its query's,
     ranks are dense per query, and the top negative is at least as

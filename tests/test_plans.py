@@ -229,3 +229,27 @@ def test_chunking_is_lambda_free_and_jvm_side(spark, queries):
     assert "EvalPython" not in plan
     assert "lambdafunction" not in plan.lower()
     assert "Exchange" not in plan  # per-row: no shuffle before packing
+
+
+def test_bloom_decontaminate_is_join_free(spark, queries):
+    """The Bloom pre-filter's whole point is membership with NO join:
+    the corpus plan must contain no join operator at all (the bitmap is
+    a literal) and stay JVM-side."""
+    plan = plan_of(queries["text_bloom_decontaminate"](spark, SF_ORACLE))
+    assert "Join" not in plan, "bloom membership must not join"
+    assert "EvalPython" not in plan
+
+
+def test_mixture_sample_is_shuffle_free(spark, queries):
+    """Epoch-weighted mixture sampling is a pure projection+generator:
+    no Exchange, no Python, no join."""
+    plan = plan_of(queries["sample_mixture"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_semantic_dedup_broadcasts_pivots(spark, queries):
+    """SemDeDup's cell assignment must broadcast the pivot vectors
+    (k×dim doubles) — never shuffle the corpus against them."""
+    plan = plan_of(queries["sim_semantic_dedup"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
