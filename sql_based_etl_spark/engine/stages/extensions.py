@@ -77,6 +77,19 @@ def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             n=int(conf.get("n", 8)),
             min_count=int(conf.get("minCount", 2)),
         )
+    if method == "trim_spans":
+        # rewrite docs with duplicated spans removed; spansView reuses a
+        # prior substring_spans stage's output, else detect inline
+        spans = (
+            ctx.view(conf["spansView"])
+            if "spansView" in conf
+            else dedup.duplicated_substring_spans(
+                df, id_col, text_col,
+                n=int(conf.get("n", 8)),
+                min_count=int(conf.get("minCount", 2)),
+            )
+        )
+        return dedup.trim_duplicated_spans(df, spans, id_col, text_col)
     if method == "semantic_cosine":
         # SemDeDup: k-means cells (trainIters Lloyd rounds over the
         # input itself; 0 = lowest-id seed pivots) → within-cell pairs

@@ -699,3 +699,51 @@ def duplicated_substring_spans(
             F.col("id").alias(id_col), "span_start", "span_end", "n_dup_grams"
         )
     )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`duplicated_substring_spans` output: rewrite each
+    document with its duplicated word-spans removed, the way a
+    substring-dedup pass actually edits the corpus. Documents with no
+    spans pass through with their (normalized) text intact.
+
+    Shape: spans explode to their covered ``(id, pos)`` positions
+    (``sequence(span_start, span_end)`` — codegen, bounded by doc
+    length); document words posexplode to ``(id, pos, word)``; one
+    LEFT ANTI equi-join on (id, pos) drops covered words; surviving
+    words re-assemble with an order-preserving
+    ``array_sort(collect_list(struct(pos, word)))`` aggregate — one
+    shuffle on the doc id, and only surviving words ride it. Output
+    text is whitespace-normalized lowercase (words_col semantics), the
+    canonical form the dedup pipeline already keys on.
+
+    Returns ``(doc_id, clean_text, n_removed_words)``.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.posexplode(words_col(text_col)).alias("pos", "w")
+    )
+    covered = spans.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    ).distinct()
+    kept = words.join(covered, ["id", "pos"], "left_anti")
+    n_words = words.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    rebuilt = kept.groupBy("id").agg(
+        F.expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, w))), s -> s.w))").alias(
+            "clean_text"
+        ),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        n_words.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n") - F.coalesce("__kept", F.lit(0))).alias("n_removed_words"),
+        )
+    )

@@ -81,6 +81,7 @@ APPENDIX = [
     "sample_mixture",  # epoch-weighted mixture sampling — salted-hash gating graded via split_hash_assign; multiset semantics oracle-checked in pytest
     "sim_hard_negatives",  # contrastive hard-negative mining — LSH bucket/re-rank machinery graded via sim_ann_lsh; label-filter semantics oracle-checked in pytest
     "dedup_minhash_incremental",  # daily batch-vs-index near-dup — full-corpus machinery graded via dedup_minhash_lsh; ≥1-new restriction oracle-checked in pytest
+    "dedup_trim_spans",  # span-removal rewrite — detection graded via dedup_substring_spans; rebuild semantics oracle-checked in pytest
 ]
 
 

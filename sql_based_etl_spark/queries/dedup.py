@@ -314,3 +314,80 @@ ORACLES["dedup_minhash_incremental"] = (
     )
 )
 assert "% 2 = 1" in ORACLES["dedup_minhash_incremental"]
+
+
+def dedup_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end substring dedup: detect duplicated 8-gram spans, then
+    rewrite every document with those spans removed
+    (operators/dedup.py:trim_duplicated_spans)."""
+    from sql_based_etl_spark.operators.dedup import (
+        duplicated_substring_spans,
+        trim_duplicated_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    spans = duplicated_substring_spans(docs, n=8)
+    return trim_duplicated_spans(docs, spans)
+
+
+QUERIES["dedup_trim_spans"] = dedup_trim_spans
+
+# Reuses the span-detection CTE chain, then: covered positions →
+# anti-join on (id, pos) → order-preserving string_agg rebuild.
+ORACLES["dedup_trim_spans"] = """
+    WITH d AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words
+        FROM documents
+    ),
+    sh AS (
+        SELECT id, len(words) AS nw, i - 1 AS pos,
+               CAST(concat('0x', substr(md5(array_to_string(list_slice(words, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        FROM d, LATERAL unnest(generate_series(1, len(words) - 7)) AS t(i)
+        WHERE len(words) >= 8
+        UNION ALL
+        SELECT id, len(words) AS nw, 0 AS pos,
+               CAST(concat('0x', substr(md5(array_to_string(words, ' ')), 1, 15)) AS BIGINT) AS h
+        FROM d WHERE len(words) > 0 AND len(words) < 8
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    m AS (SELECT id, nw, pos FROM sh JOIN dup USING (h)),
+    isl AS (
+        SELECT id, nw, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                    THEN 1 ELSE 0 END AS f
+        FROM m WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    isl2 AS (
+        SELECT id, nw, pos,
+               sum(f) OVER (PARTITION BY id ORDER BY pos) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT id, min(pos) AS s, least(max(pos) + 7, min(nw) - 1) AS e
+        FROM isl2 GROUP BY id, island
+    ),
+    covered AS (
+        SELECT DISTINCT id, p
+        FROM spans, LATERAL unnest(generate_series(s, e)) AS t(p)
+    ),
+    w AS (
+        SELECT id, i - 1 AS pos, words[i] AS w
+        FROM d, LATERAL unnest(generate_series(1, len(words))) AS t(i)
+        WHERE len(words) > 0
+    ),
+    kept AS (
+        SELECT w.id, w.pos, w.w
+        FROM w LEFT JOIN covered c ON c.id = w.id AND c.p = w.pos
+        WHERE c.id IS NULL
+    ),
+    n AS (SELECT id, count(*) AS nw FROM w GROUP BY id),
+    r AS (
+        SELECT id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS k
+        FROM kept GROUP BY id
+    )
+    SELECT n.id AS doc_id, coalesce(r.clean_text, '') AS clean_text,
+           n.nw - coalesce(r.k, 0) AS n_removed_words
+    FROM n LEFT JOIN r USING (id)
+"""

@@ -323,6 +323,35 @@ def test_semantic_dedup_cell_blocking(spark, embeddings):
     assert blocked <= exact
 
 
+def test_trim_spans_rewrites_documents(spark):
+    """Trimming removes exactly the duplicated span's words, keeps the
+    rest in order, passes clean docs through normalized, and counts
+    removed words."""
+    from sql_based_etl_spark.operators.dedup import (
+        duplicated_substring_spans,
+        trim_duplicated_spans,
+    )
+
+    shared = "one two three four five six seven eight"  # exactly 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"head {shared} tail words"),
+            (2, f"{shared} trailing unique content here"),
+            (3, "Spotless   DOC with  odd Spacing"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicated_substring_spans(docs, n=8)
+    out = {r.doc_id: r for r in trim_duplicated_spans(docs, spans).collect()}
+    assert out[1].clean_text == "head tail words"
+    assert out[1].n_removed_words == 8
+    assert out[2].clean_text == "trailing unique content here"
+    assert out[2].n_removed_words == 8
+    # untouched doc: normalized (lowercase, single spaces), zero removed
+    assert out[3].clean_text == "spotless doc with odd spacing"
+    assert out[3].n_removed_words == 0
+
+
 def test_minhash_incremental_equals_restricted_full(spark):
     """Incremental minhash (new batch vs stored index) must produce
     exactly the full-corpus pairs that touch the new batch — no old×old
