@@ -460,7 +460,15 @@ def test_training_data_prep_notebook(spark, tmp_path):
     n_unique = ctx.views["docs_unique"].count()
     assert 0 < n_quality <= n_raw
     assert 0 < n_unique <= n_quality
+    # decontamination only ever removes docs; trimming preserves count
+    n_decon = ctx.views["docs_decontaminated"].count()
+    assert 0 < n_decon <= n_unique
+    assert ctx.views["docs_prepped"].count() == n_decon
     scored = ctx.views["docs_scored"]
-    assert {"doc_id", "text", "model_score", "keep"} <= set(scored.columns)
+    assert {"doc_id", "text", "lang", "model_score", "keep"} <= set(scored.columns)
+    # the mixture emits ≥1 copy per doc at these ≥1.0 weights, with
+    # en up-sampled — strictly more rows than docs, deterministic
+    n_mixed = ctx.views["docs_mixed"].count()
+    assert n_mixed > n_decon
     t = VersionedTable(spark, str(tmp_path / "training_docs"))
-    assert t.read().count() == n_unique
+    assert t.read().count() == n_mixed
