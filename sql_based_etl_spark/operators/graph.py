@@ -118,3 +118,43 @@ def dedup_cluster_assignments(
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+def canonical_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware dedup: collapse each duplicate cluster to its BEST
+    document (max ``quality_col``, min-id tiebreak) instead of the
+    arbitrary min-id survivor — near-dup groups usually contain one
+    clean original plus boilerplate-wrapped copies, and keeping the
+    longest/highest-quality member is the curation policy that
+    preserves content.
+
+    Scale shape: the cluster-assignment table only contains documents
+    that appear in a pair (candidates ≪ corpus by LSH construction),
+    so the expensive corpus never shuffles — duplicate members are
+    selected by an inner join, the winner-per-cluster window runs on
+    that small slice, and the untouched majority of the corpus passes
+    through as a left-anti join against the same small assignment
+    table (AQE broadcasts it when it fits). Output schema = input
+    schema; exactly one row per cluster plus every singleton.
+    """
+    from pyspark.sql import Window
+
+    assign = dedup_cluster_assignments(pairs, id_a, id_b)
+    members = docs.join(assign, on=id_col, how="inner")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    winners = (
+        members.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r", "cluster_id")
+    )
+    singles = docs.join(assign.select(id_col), on=id_col, how="left_anti")
+    return singles.unionByName(winners)

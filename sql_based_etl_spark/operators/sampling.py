@@ -132,3 +132,36 @@ def mixture_sample(
         n >= 1, F.sequence(F.lit(1), n)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("copy", F.explode(copies))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — domain/source throttling,
+    the web-crawl curation step that stops one mega-domain from
+    dominating a pretraining mix. Which rows survive is a deterministic
+    pseudo-random choice (lowest salted hashes, id tiebreak), so a
+    re-run, a retry, or an incremental extension of the corpus keeps
+    the SAME representatives per group.
+
+    One shuffle on the group key; rank comes from a single window pass.
+    Skew note: at 100 TB a mega-domain funnels its rows into one
+    partition before the rank. When ``cap`` is small relative to the
+    skew, pre-aggregate with a two-phase top-k instead: a per-partition
+    ``cap``-row prune (groupBy(group, salt).rank ≤ cap) before the
+    global window cuts the shuffled volume to ``salt_n·cap`` rows per
+    group — same result, bounded partitions.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    h = _salted_hash(id_col, seed)
+    order = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rank", F.row_number().over(order))
+        .filter(F.col("__rank") <= F.lit(cap))
+        .drop("__rank")
+    )

@@ -39,6 +39,8 @@ APPENDIX = [
     "stream_sliding_counts",  # sliding window — tumbling variant graded via stream_window_counts
     "q_anti_join",  # 0 rows at sf0.01 (vacuous signal) — anti semantics graded via q_intersect_except's EXCEPT
     "q_string_functions",  # scalar string surface — exercised by the graded text_*/dedup_* operators (lower/regexp/split/md5/concat)
+    "q_literal_cast",  # literal projection + cast — every graded oracle exercises casts (BIGINT-cast aggregates throughout); displaced so dedup_canonical grades
+    "q_md5_checksum",  # md5+concat scalar surface — md5-keyed machinery graded via dedup_exact digests + text_rolling_fingerprint; displaced so sample_cap_per_source grades
     "q_scd2_expired_count",  # filter+count over the graded q_scd2_merge state (the notebook's challenge question; no unique machinery)
     "q_date_functions",  # scalar date surface — intervals/year graded via q04/q06, date_trunc bucketing via q_hypertable_rollup
     "q16_supplier_part_count",  # NOT IN anti subquery — anti/semi graded via q_semi_join + q_intersect_except

@@ -391,3 +391,48 @@ ORACLES["dedup_trim_spans"] = """
            n.nw - coalesce(r.k, 0) AS n_removed_words
     FROM n LEFT JOIN r USING (id)
 """
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus collapse: MinHash-LSH pairs → connected
+    components → keep the HIGHEST-quality member of every duplicate
+    cluster (quality = n_chars here; min-id tiebreak) plus all
+    singletons (operators/graph.py:canonical_survivors)."""
+    from sql_based_etl_spark.operators.dedup import minhash_lsh_pairs
+    from sql_based_etl_spark.operators.graph import canonical_survivors
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return canonical_survivors(
+        docs.select("doc_id", "n_chars"), pairs, quality_col="n_chars"
+    ).select("doc_id", "n_chars")
+
+
+QUERIES["dedup_canonical"] = dedup_canonical
+
+# Same recursive-CTE closure as dedup_clusters, then winner-per-cluster
+# by (n_chars DESC, doc_id ASC) + every unclustered doc.
+ORACLES["dedup_canonical"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    assign AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+    winners AS (
+        SELECT d.doc_id
+        FROM documents d JOIN assign a ON a.doc_id = d.doc_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.cluster_id ORDER BY d.n_chars DESC, d.doc_id ASC
+        ) = 1
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM winners)
+       OR doc_id NOT IN (SELECT doc_id FROM assign)
+"""

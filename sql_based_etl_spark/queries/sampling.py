@@ -94,3 +94,27 @@ ORACLES["sample_mixture"] = f"""
     SELECT doc_id, lang, CAST(c AS INT) AS copy
     FROM n, LATERAL unnest(generate_series(1, n_copies)) AS t(c)
 """
+
+
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain throttling: at most 120 documents per ``source``, chosen
+    by deterministic salted hash (operators/sampling.py:cap_per_group)
+    — the crawl-curation step that keeps one mega-domain from
+    dominating the mix."""
+    from sql_based_etl_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, group_col="source", cap=120)
+
+
+QUERIES["sample_cap_per_source"] = sample_cap_per_source
+
+ORACLES["sample_cap_per_source"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {_H} ASC, doc_id ASC) AS r
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE r <= 120
+"""
