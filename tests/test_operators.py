@@ -1058,3 +1058,47 @@ def test_native_wordcount_job(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     got = {row.word: row["count"] for row in spark.read.parquet(str(out)).collect()}
     assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_cap_per_group_determinism_and_bound(spark):
+    """cap_per_group keeps min(cap, group size) rows per group and the
+    SAME rows regardless of partitioning (retry/re-run stability)."""
+    from sql_based_etl_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    sizes = {r.source: r.n
+             for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    capped = cap_per_group(docs, "source", cap=7)
+    got = {r.source: r.n
+           for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {s: min(7, n) for s, n in sizes.items()}
+
+    a = {r.doc_id for r in capped.collect()}
+    b = {r.doc_id for r in cap_per_group(docs.repartition(13), "source", 7).collect()}
+    assert a == b  # partitioning-independent survivor choice
+
+    assert cap_per_group(docs, "source", cap=0).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cap_per_group(docs, "source", cap=-1)
+
+
+def test_canonical_survivors_pick_best_quality(spark):
+    """One survivor per duplicate cluster — the max-quality member —
+    plus every singleton unchanged."""
+    from sql_based_etl_spark.operators.graph import canonical_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 7), (9, 1)],
+        "doc_id long, quality long",
+    )
+    # clusters: {1,2,3} (transitive via 2), {4,5}; 9 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = canonical_survivors(docs, pairs, quality_col="quality")
+    got = {r.doc_id: r.quality for r in out.collect()}
+    # 2 wins {1,2,3} on quality; 4 wins {4,5} on the min-id tiebreak
+    assert got == {2: 99, 4: 7, 9: 1}
