@@ -373,6 +373,7 @@ def minhash_lsh_pairs_incremental(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     n: int = 3,
+    new_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dup — the shape a production
     pipeline runs DAILY: pair the new batch against itself AND the
@@ -396,7 +397,11 @@ def minhash_lsh_pairs_incremental(
     verify semi-joins both shingle relations down to candidate ids.
     Output: ``(doc_a, doc_b, jaccard)`` pairs with ≥1 new doc.
     """
-    new_hashed = hashed_shingle_rows(new_docs, id_col, text_col, n).persist()
+    if new_hashed is None:
+        # callers that already hold the batch's hashed relation (the
+        # streaming wrapper persists it to append to the stored index
+        # afterwards) pass it in instead of paying the shingle pass twice
+        new_hashed = hashed_shingle_rows(new_docs, id_col, text_col, n).persist()
     new_bands = minhash_bands_from_hashes(new_hashed)
     if old_bands is None:
         old_bands = minhash_bands_from_hashes(old_hashed)

@@ -43,6 +43,7 @@ APPENDIX = [
     "q_md5_checksum",  # md5+concat scalar surface — md5-keyed machinery graded via dedup_exact digests + text_rolling_fingerprint; displaced so sample_cap_per_source grades
     "q_scd2_expired_count",  # filter+count over the graded q_scd2_merge state (the notebook's challenge question; no unique machinery)
     "q_date_functions",  # scalar date surface — intervals/year graded via q04/q06, date_trunc bucketing via q_hypertable_rollup
+    "sim_cosine_dup",  # exact cross-join embedding near-dup — the labeled exactness BASELINE; its scale path sim_cosine_dup_lsh stays graded and a recall pytest pins them equal; displaced so stream_near_dedup grades
     "q16_supplier_part_count",  # NOT IN anti subquery — anti/semi graded via q_semi_join + q_intersect_except
     "q17_small_qty_revenue",  # correlated scalar avg — scalar-subquery shape graded via q22 pattern tests
     "q_array_functions",  # array surface (sort_array/element_at/slice/aggregate) — array machinery graded via dedup/sim queries

@@ -159,3 +159,85 @@ ORACLES["stream_click_purchase_join"] = """
      AND c.event_type = 'click' AND p.event_type = 'purchase'
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
+
+
+# work dirs for the file-stream queries must outlive lazy reads;
+# reclaimed at process exit (same contract as queries/scd2.py)
+import atexit as _atexit
+import shutil as _shutil
+import tempfile as _tempfile
+
+_WORK_DIRS: list[str] = []
+
+
+@_atexit.register
+def _cleanup_work_dirs() -> None:
+    while _WORK_DIRS:
+        _shutil.rmtree(_WORK_DIRS.pop(), ignore_errors=True)
+
+
+def stream_near_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dedup end-to-end
+    (streaming/neardedup.py): the documents table arrives as four
+    id-ordered micro-batches over a file stream; each batch is paired
+    against the versioned-table index built from the earlier batches,
+    flagged, and ingested. Because arrival order follows doc_id, the
+    cumulative flag set equals the batch answer: a doc is a duplicate
+    iff it is the LATER (doc_b) member of any full-corpus LSH pair —
+    which is exactly what the oracle computes."""
+    import glob
+    import shutil
+
+    from sql_based_etl_spark.queries._util import load
+    from sql_based_etl_spark.streaming.neardedup import stream_near_dedup
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    work = _tempfile.mkdtemp(prefix="stream_neardedup_")
+    _WORK_DIRS.append(work)
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    n_batches = 4
+    step = (max_id + n_batches) // n_batches
+    base_mtime = 1_700_000_000
+    for i in range(n_batches):
+        lo, hi = i * step, (i + 1) * step
+        stage = os.path.join(work, f"stage{i}")
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch_{i}.parquet")
+        shutil.move(part, dst)
+        # file streams discover oldest-modified first: pin strictly
+        # increasing mtimes so batch order is deterministic
+        os.utime(dst, (base_mtime + 60 * i, base_mtime + 60 * i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    index_dir = os.path.join(work, "index")
+    q = stream_near_dedup(stream, index_dir)
+    q.processAllAvailable()
+    q.stop()
+    return (
+        VersionedTable(spark, os.path.join(index_dir, "flags"))
+        .read()
+        .select("doc_id", "is_dup")
+    )
+
+
+QUERIES["stream_near_dedup"] = stream_near_dedup_flags
+
+# A document is flagged iff it is the later (doc_b) member of any
+# full-corpus LSH pair — the streaming keep-first policy under
+# id-ordered arrival. Reuses the batch minhash pair oracle verbatim.
+from sql_based_etl_spark.queries.dedup import ORACLES as _DEDUP_ORACLES
+
+ORACLES["stream_near_dedup"] = f"""
+    WITH pairs AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]})
+    SELECT doc_id, doc_id IN (SELECT doc_b FROM pairs) AS is_dup
+    FROM documents
+"""

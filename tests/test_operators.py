@@ -1102,3 +1102,42 @@ def test_canonical_survivors_pick_best_quality(spark):
     got = {r.doc_id: r.quality for r in out.collect()}
     # 2 wins {1,2,3} on quality; 4 wins {4,5} on the min-id tiebreak
     assert got == {2: 99, 4: 7, 9: 1}
+
+
+def test_stream_near_dedup_batch_replay_and_flags(spark, tmp_path):
+    """Streaming near-dedup contract: within-batch dups keep the
+    smaller id, later batches flag against the stored index, and a
+    replayed micro-batch (foreachBatch at-least-once) commits nothing
+    twice on any of the three index tables."""
+    from sql_based_etl_spark.streaming.neardedup import near_dedup_batch
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    idx = str(tmp_path / "nd_idx")
+    text = "the quick brown fox jumps over the lazy dog again"
+    b0 = spark.createDataFrame(
+        [(1, text), (2, text), (5, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    near_dedup_batch(b0, 0, idx)
+    flags = VersionedTable(spark, f"{idx}/flags")
+    got0 = {r.doc_id: r.is_dup for r in flags.read().collect()}
+    assert got0 == {1: False, 2: True, 5: False}
+
+    b1 = spark.createDataFrame(
+        [(10, text), (11, "yet another unrelated document body")],
+        "doc_id long, text string",
+    )
+    near_dedup_batch(b1, 1, idx)
+    got1 = {r.doc_id: r.is_dup for r in flags.read().collect()}
+    assert got1 == {1: False, 2: True, 5: False, 10: True, 11: False}
+
+    # replay batch 1 (crash between manifest commit and checkpoint
+    # advance): every table must skip — no duplicate rows, no new versions
+    versions_before = {
+        t: VersionedTable(spark, f"{idx}/{t}").versions()
+        for t in ("flags", "hashed", "bands")
+    }
+    near_dedup_batch(b1, 1, idx)
+    for t, v in versions_before.items():
+        assert VersionedTable(spark, f"{idx}/{t}").versions() == v
+    assert flags.read().count() == 5
