@@ -112,6 +112,24 @@ def dedup_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             pivots=pivots,
             **kwargs,
         )
+    if method == "canonical":
+        # pairs (from a prior pair-generating stage via pairsView, else
+        # minhash inline) → connected components → keep the
+        # max-quality member per cluster plus every singleton
+        from sql_based_etl_spark.operators.graph import canonical_survivors
+
+        pairs = (
+            ctx.view(conf["pairsView"])
+            if "pairsView" in conf
+            else dedup.minhash_lsh_pairs(
+                df, id_col, text_col,
+                threshold=float(conf.get("threshold", 0.5)),
+                max_bucket=int(conf.get("maxBucket", 1000)),
+            )
+        )
+        return canonical_survivors(
+            df, pairs, quality_col=conf["qualityColumn"], id_col=id_col
+        )
     raise StageError(f"DedupTransform: unknown method {method!r}")
 
 
@@ -262,6 +280,11 @@ def sampling_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             id_col=id_col,
             default=float(conf.get("default", 0.0)),
             seed=seed,
+        )
+    if method == "cap":
+        # domain throttling: at most `cap` rows per groupColumn
+        return sampling.cap_per_group(
+            df, conf.get("groupColumn", "source"), int(conf["cap"]), id_col, seed
         )
     raise StageError(f"SamplingTransform: unknown method {method!r}")
 

@@ -19,9 +19,21 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     per-file stats become selective (liquid-clustering analogue);
     ``options.statsColumns`` narrows stats collection on wide tables."""
     df = ctx.view(conf["inputView"])
-    t = VersionedTable(ctx.spark, conf["outputURI"])
     n = conf.get("numPartitions")
     opts = conf.get("options", {}) or {}
+    if str(opts.get("protocol", "")).lower() == "delta":
+        # emit the actual Delta transaction-log format (no jars needed)
+        # so external Delta tooling can consume the table directly
+        from sql_based_etl_spark.tables.delta_interop import write_delta
+
+        write_delta(
+            df.repartition(int(n)) if n else df,
+            conf["outputURI"],
+            mode=str(conf.get("saveMode", "Overwrite")).lower(),
+            partition_by=conf.get("partitionBy"),
+        )
+        return None
+    t = VersionedTable(ctx.spark, conf["outputURI"])
     t.write(
         df,
         mode=str(conf.get("saveMode", "Overwrite")).lower(),

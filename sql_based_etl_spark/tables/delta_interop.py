@@ -159,6 +159,17 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
     for non-Delta paths, missing versions, or tables using reader
     features the bridge cannot honor (see module docstring).
     """
+    meta, adds, _ = _replay_state(spark, path, version)
+    return _snapshot_df(spark, path, meta, adds)
+
+
+def _replay_state(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[dict, dict[str, dict], int]:
+    """Replay the transaction log to ``(metaData, {path: add},
+    resolved_version)`` — shared by the reader and the writer (the
+    writer needs the live file set for overwrite tombstones and the
+    current schema for append drift checks)."""
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
@@ -206,7 +217,14 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
     if meta is None:
         raise VersionedTableError(f"Delta log at {log_dir} has no metaData action")
     _check_metadata(meta)
+    return meta, adds, version
 
+
+def _snapshot_df(
+    spark: SparkSession, path: str, meta: dict, adds: dict[str, dict]
+) -> DataFrame:
+    """Materialize a replayed snapshot state as a DataFrame."""
+    path = path.rstrip("/")
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -292,3 +310,177 @@ def is_delta_dir(spark: SparkSession, path: str) -> bool:
         return bool(fs.exists(jpath))
     except Exception:
         return False
+
+
+# --- write bridge -------------------------------------------------------
+
+
+def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
+                      data: str) -> None:
+    """Commit ``_delta_log/%020d.json`` with the same exclusive-claim
+    protocol as VersionedTable manifests (versioned.py:_write_text_atomic):
+    temp write → conditional-create claim → winner-only rename. Delta's
+    own correctness contract is exactly this — the log entry for a
+    version must be created at most once — and a racing committer loses
+    LOUDLY on every FS type. Dot-prefixed temp/claim names are invisible
+    to Delta readers (log listing matches ``%020d.json`` only)."""
+    fs, _, _ = _fs_and_path(spark, log_dir)
+    name = f"{version:020d}.json"
+    jdir = _fs_and_path(spark, log_dir)[1]
+    fs.mkdirs(jdir)
+    tmp = _fs_and_path(spark, f"{log_dir}/.{name}.tmp")[1]
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+    claim = _fs_and_path(spark, f"{log_dir}/.{name}.claim")[1]
+    try:
+        fs.create(claim, False).close()
+    except Exception as e:  # Py4J-wrapped java.io exceptions
+        fs.delete(tmp, False)
+        jcls = e.java_exception.getClass().getName() if hasattr(e, "java_exception") else ""
+        if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+            raise VersionedTableError(
+                f"concurrent Delta commit detected for version {version} at "
+                f"{log_dir}: another writer claimed it first"
+            ) from e
+        raise
+    if not fs.rename(tmp, _fs_and_path(spark, f"{log_dir}/{name}")[1]):
+        raise VersionedTableError(f"cannot commit Delta log {name} at {log_dir}")
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "append",
+                partition_by: list[str] | None = None) -> int:
+    """Write a commit to a Delta-protocol table WITHOUT delta-spark jars
+    — the write half of the interop bridge (read half:
+    :func:`read_delta`), so engine output is consumable by any Delta
+    deployment (scd2-job.ipynb:153's production format).
+
+    Emits the public transaction-log actions: ``protocol``
+    (minReader 1 / minWriter 2 — no writer features the bridge cannot
+    honor) + ``metaData`` (``schemaString`` is Spark's StructType JSON,
+    which IS Delta's schema encoding) on table creation, ``add`` per
+    data file (size/modificationTime from the FileSystem), ``remove``
+    tombstones for every live file on overwrite. Data files are written
+    by a normal parquet job into a dot-prefixed staging dir (invisible
+    to Delta readers), then renamed into the table root preserving
+    hive-style partition dirs; ``partitionValues`` are parsed back from
+    those dir names (``__HIVE_DEFAULT_PARTITION__`` → null).
+
+    Fail-loud contract: append with a drifted schema raises (Delta's
+    own default — pass the evolved frame through overwrite semantics
+    instead); repartitioning of an existing table raises; concurrent
+    commits to the same version raise (see :func:`_commit_delta_log`).
+    Checkpoint files are a reader optimization the bridge does not
+    emit; pure-JSON logs are valid Delta at any version count.
+
+    Returns the committed version number.
+    """
+    import time
+    import uuid
+
+    spark = df.sparkSession
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    mode = mode.lower()
+    if mode not in ("append", "overwrite"):
+        raise VersionedTableError(f"write_delta: unsupported mode {mode!r}")
+    fs, jlog, _ = _fs_and_path(spark, log_dir)
+
+    live: dict[str, dict] = {}
+    if fs.exists(jlog) and _list_log(spark, log_dir):
+        meta, live, latest = _replay_state(spark, path)
+        next_v = latest + 1
+        part_cols = list(meta.get("partitionColumns") or [])
+        if partition_by is not None and list(partition_by) != part_cols:
+            raise VersionedTableError(
+                f"write_delta: table is partitioned by {part_cols}, "
+                f"got partition_by={list(partition_by)}"
+            )
+        if mode == "append":
+            from pyspark.sql.types import StructType
+
+            existing = StructType.fromJson(json.loads(meta["schemaString"]))
+            have = {f.name: f.dataType.simpleString() for f in existing.fields}
+            got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            if have != got:
+                raise VersionedTableError(
+                    f"write_delta: append schema drift (table {have}, "
+                    f"batch {got}); write with mode='overwrite' to replace"
+                )
+        emit_meta = mode == "overwrite"  # schema may legitimately change
+        meta["schemaString"] = df.schema.json() if mode == "overwrite" else meta["schemaString"]
+    else:
+        next_v = 0
+        part_cols = list(partition_by or [])
+        emit_meta = True
+        meta = {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": part_cols,
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+
+    # stage the data files with a normal parquet write, then move them
+    # into the table root (dot-prefix keeps readers blind to the staging)
+    staging = f"{path}/.staging-{uuid.uuid4().hex[:12]}"
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+
+    jstag = _fs_and_path(spark, staging)[1]
+    new_adds: list[dict] = []
+    it = fs.listFiles(jstag, True)
+    staging_prefix = fs.getFileStatus(jstag).getPath().toString().rstrip("/") + "/"
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(staging_prefix):]
+        if not rel.endswith(".parquet") or rel.startswith("_"):
+            continue
+        dst = _fs_and_path(spark, f"{path}/{rel}")[1]
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(st.getPath(), dst):
+            raise VersionedTableError(f"write_delta: cannot move {rel} into {path}")
+        pv: dict[str, str | None] = {}
+        for seg in rel.split("/")[:-1]:
+            k, _, v = seg.partition("=")
+            pv[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__"
+                else urllib.parse.unquote(v)
+            )
+        dst_st = fs.getFileStatus(dst)
+        new_adds.append({
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": {c: pv.get(c) for c in part_cols},
+            "size": int(dst_st.getLen()),
+            "modificationTime": int(dst_st.getModificationTime()),
+            "dataChange": True,
+        })
+    fs.delete(jstag, True)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "CREATE TABLE AS SELECT" if next_v == 0 else "WRITE",
+            "operationParameters": {"mode": mode.capitalize()},
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+    }]
+    if next_v == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if emit_meta:
+        actions.append({"metaData": meta})
+    if mode == "overwrite":
+        actions.extend(
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in sorted(live)
+        )
+    actions.extend({"add": a} for a in new_adds)
+    _commit_delta_log(spark, log_dir, next_v, "\n".join(json.dumps(a) for a in actions))
+    return next_v

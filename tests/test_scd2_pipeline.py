@@ -456,13 +456,18 @@ def test_training_data_prep_notebook(spark, tmp_path):
         },
     )
     n_raw = ctx.views["docs_raw"].count()
+    n_throttled = ctx.views["docs_throttled"].count()
     n_quality = ctx.views["docs_quality"].count()
     n_unique = ctx.views["docs_unique"].count()
-    assert 0 < n_quality <= n_raw
+    assert 0 < n_throttled <= n_raw
+    assert 0 < n_quality <= n_throttled
     assert 0 < n_unique <= n_quality
+    # near-dup collapse keeps one survivor per cluster + singletons
+    n_canonical = ctx.views["docs_canonical"].count()
+    assert 0 < n_canonical <= n_unique
     # decontamination only ever removes docs; trimming preserves count
     n_decon = ctx.views["docs_decontaminated"].count()
-    assert 0 < n_decon <= n_unique
+    assert 0 < n_decon <= n_canonical
     assert ctx.views["docs_prepped"].count() == n_decon
     scored = ctx.views["docs_scored"]
     assert {"doc_id", "text", "lang", "model_score", "keep"} <= set(scored.columns)
