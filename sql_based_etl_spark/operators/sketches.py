@@ -58,3 +58,73 @@ def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
     of the combined hash sets, k smallest kept. Associative and
     commutative — fold any number of per-shard sketches."""
     return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+# --- count-min sketch ---------------------------------------------------
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+
+
+def _cms_bucket(c: Column, d: int, width: int) -> Column:
+    """Row d's bucket for a value: portable 60-bit hash of the salted
+    value, modulo the width — reproducible in any engine with md5."""
+    return portable_hash(F.concat(c.cast("string"), F.lit(f"|cms{d}")),
+                         hex_chars=15) % width
+
+
+def cms_sketch(df: DataFrame, col: str | Column,
+               width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> DataFrame:
+    """Count-min sketch of ``col`` as counter rows ``(d, bucket, cnt)``
+    (Cormode & Muthukrishnan 2005): ``depth`` independent hash rows of
+    ``width`` counters; every occurrence increments one counter per
+    row. Point estimate = min over rows (never under-counts; over-count
+    ≤ 2N/width with prob 1-2^-depth).
+
+    The DataFrame formulation is one map-side-combinable groupBy over
+    (d, bucket) int pairs — the input's values never shuffle, only
+    ≤ width·depth counter rows ever exist. Like KMV, the 100 TB value
+    is maintenance: per-day/per-shard sketches are width·depth longs
+    and merge by plain counter addition (``cms_merge``) without
+    rescanning history — the frequency complement to KMV's
+    cardinality."""
+    c = F.col(col) if isinstance(col, str) else col
+    rows = [
+        df.select(F.lit(d).alias("d"), _cms_bucket(c, d, width).alias("bucket"))
+        for d in range(depth)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches of the same (width, depth): counter-wise sum.
+    Associative/commutative — fold per-shard sketches freely."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str,
+                 width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> DataFrame:
+    """Point-estimate the frequency of every row of ``keys[col]``:
+    join each key's ``depth`` buckets against the counters (broadcast —
+    the sketch is ≤ width·depth rows by construction), take the min.
+    Keys whose buckets were never incremented estimate 0 (min over
+    missing counters) — CMS never under-counts, so that only happens
+    for keys absent from the sketched data."""
+    c = F.col(col)
+    probes = None
+    for d in range(depth):
+        p = keys.select(c.alias("key"),
+                        F.lit(d).alias("d"),
+                        _cms_bucket(c, d, width).alias("bucket"))
+        probes = p if probes is None else probes.unionByName(p)
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").select(
+        "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("key").agg(F.min("cnt").alias("freq_est"))

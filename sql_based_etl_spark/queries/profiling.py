@@ -57,3 +57,51 @@ ORACLES["sketch_kmv_event_ids"] = """
                       ELSE 255.0 * 1152921504606846976.0 / max(h) END, 3) AS distinct_est
     FROM sk
 """
+
+
+def sketch_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's exact
+    top-20 words (operators/sketches.py:cms_sketch/cms_estimate):
+    the mergeable frequency complement to the KMV cardinality sketch,
+    reproduced counter-for-counter by the oracle."""
+    from pyspark.sql import functions as F
+
+    from sql_based_etl_spark.operators.dedup import words_col
+    from sql_based_etl_spark.operators.sketches import cms_estimate, cms_sketch
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(words_col("text")).alias("w"))
+    sk = cms_sketch(words, "w")
+    top = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc()).limit(20).select("w")
+    )
+    return cms_estimate(sk, top, "w").select(
+        F.col("key").alias("word"), F.col("freq_est").cast("long").alias("freq_est")
+    )
+
+
+QUERIES["sketch_cms_word_freq"] = sketch_cms_word_freq
+
+_CMS_H = ("CAST(concat('0x', substr(md5(concat(w, '|cms', CAST(d AS VARCHAR))), 1, 15)) "
+          "AS BIGINT) % 2048")
+
+ORACLES["sketch_cms_word_freq"] = f"""
+    WITH w AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    counters AS (
+        SELECT d, {_CMS_H} AS bucket, count(*) AS cnt
+        FROM w, ds GROUP BY 1, 2
+    ),
+    topw AS (
+        SELECT w FROM w GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 20
+    ),
+    probes AS (SELECT w, d, {_CMS_H} AS bucket FROM topw, ds)
+    SELECT w AS word, min(coalesce(cnt, 0)) AS freq_est
+    FROM probes LEFT JOIN counters USING (d, bucket)
+    GROUP BY w
+"""

@@ -1141,3 +1141,39 @@ def test_stream_near_dedup_batch_replay_and_flags(spark, tmp_path):
     for t, v in versions_before.items():
         assert VersionedTable(spark, f"{idx}/{t}").versions() == v
     assert flags.read().count() == 5
+
+
+def test_cms_sketch_bounds_and_merge(spark):
+    """CMS never under-counts, over-counts within the ±2N/width bound
+    at these parameters, and per-shard sketches merge counter-wise to
+    exactly the whole-corpus sketch."""
+    from sql_based_etl_spark.operators.dedup import words_col
+    from sql_based_etl_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    words = docs.select(F.explode(words_col("text")).alias("w")).persist()
+    truth = {r.w: r.n for r in
+             words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), F.col("w").asc()).limit(30).collect()}
+    n_total = words.count()
+    sk = cms_sketch(words, "w").persist()
+    keys = spark.createDataFrame([(w,) for w in truth], "w string")
+    est = {r.key: r.freq_est for r in cms_estimate(sk, keys, "w").collect()}
+    from sql_based_etl_spark.operators.sketches import CMS_WIDTH
+    for w, n in truth.items():
+        assert est[w] >= n  # CMS never under-counts
+        assert est[w] <= n + 2 * n_total / CMS_WIDTH * 4  # loose e-bound
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(words_col("text")).alias("w"))
+    half_b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(words_col("text")).alias("w"))
+    merged = cms_merge(cms_sketch(half_a, "w"), cms_sketch(half_b, "w"))
+    full = {(r.d, r.bucket): r.cnt for r in sk.collect()}
+    got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert got == full  # merge is exact counter addition
+    words.unpersist(); sk.unpersist()
