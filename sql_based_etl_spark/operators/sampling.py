@@ -140,6 +140,7 @@ def cap_per_group(
     cap: int,
     id_col: str = "doc_id",
     seed: int = 42,
+    pre_prune_salts: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group — domain/source throttling,
     the web-crawl curation step that stops one mega-domain from
@@ -150,15 +151,27 @@ def cap_per_group(
 
     One shuffle on the group key; rank comes from a single window pass.
     Skew note: at 100 TB a mega-domain funnels its rows into one
-    partition before the rank. When ``cap`` is small relative to the
-    skew, pre-aggregate with a two-phase top-k instead: a per-partition
-    ``cap``-row prune (groupBy(group, salt).rank ≤ cap) before the
-    global window cuts the shuffled volume to ``salt_n·cap`` rows per
-    group — same result, bounded partitions.
+    partition before the rank. Set ``pre_prune_salts`` for the
+    two-phase top-k: phase 1 ranks within (group, hash mod salts) —
+    the mega-domain spreads over ``salts`` bounded partitions — and
+    keeps ≤ cap rows per salt, a lossless prune (any row in the
+    group's global top-``cap`` is necessarily in its salt bucket's
+    top-``cap``); phase 2's global window then sees ≤ salts·cap rows
+    per group instead of the whole domain. Same output, bounded
+    partitions.
     """
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
     h = _salted_hash(id_col, seed)
+    if pre_prune_salts:
+        pre = Window.partitionBy(
+            F.col(group_col), (h % pre_prune_salts).alias("__salt")
+        ).orderBy(h.asc(), F.col(id_col).asc())
+        df = (
+            df.withColumn("__r1", F.row_number().over(pre))
+            .filter(F.col("__r1") <= F.lit(cap))
+            .drop("__r1")
+        )
     order = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rank", F.row_number().over(order))

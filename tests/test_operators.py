@@ -1084,6 +1084,11 @@ def test_cap_per_group_determinism_and_bound(spark):
     with _pytest.raises(ValueError):
         cap_per_group(docs, "source", cap=-1)
 
+    # the skew-bounded two-phase path is a lossless prune: identical output
+    c = {r.doc_id for r in
+         cap_per_group(docs, "source", 7, pre_prune_salts=8).collect()}
+    assert c == a
+
 
 def test_canonical_survivors_pick_best_quality(spark):
     """One survivor per duplicate cluster — the max-quality member —
