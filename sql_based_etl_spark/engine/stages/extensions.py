@@ -290,9 +290,20 @@ def sampling_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
 
 
 def table_profile(ctx: PipelineContext, conf: dict) -> DataFrame:
-    """``TableProfile``: one-pass per-column statistics of a view."""
-    from sql_based_etl_spark.operators.profiling import profile
+    """``TableProfile``: one-pass per-column statistics of a view.
+    With ``compareView`` (the previous snapshot — e.g. a
+    ``DeltaLakeExtract`` at ``relativeVersion: -1``), emits per-column
+    DRIFT instead: row growth, null-rate delta, distinct movement,
+    range moves — feed into ExpectationsValidate to gate a load."""
+    from sql_based_etl_spark.operators.profiling import profile, profile_drift
 
+    if "compareView" in conf:
+        return profile_drift(
+            ctx.view(conf["compareView"]),
+            ctx.view(conf["inputView"]),
+            columns=conf.get("columns"),
+            approx=bool(conf.get("approx", False)),
+        )
     return profile(
         ctx.view(conf["inputView"]),
         columns=conf.get("columns"),

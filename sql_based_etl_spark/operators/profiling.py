@@ -46,3 +46,54 @@ def profile(df: DataFrame, columns: list[str] | None = None,
             "(column, n_nulls, n_distinct, min_value, max_value)"
         ),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def profile_drift(old: DataFrame, new: DataFrame,
+                  columns: list[str] | None = None,
+                  approx: bool = False) -> DataFrame:
+    """Column-level drift between two snapshots of the same table —
+    the post-load regression check a pipeline runs against the
+    previous version (pair with ``VersionedTable.read(version=-1)``):
+    row growth, null-rate delta, distinct-count ratio, and whether the
+    value range moved. One profile pass per side (two scans total),
+    then a tiny per-column join — nothing row-level ever compares.
+
+    Output per column: ``n_rows_old/new``, ``null_rate_old/new`` +
+    ``null_rate_delta`` (micros-exact, cross-engine reproducible),
+    ``n_distinct_old/new``, ``range_moved`` (min or max changed).
+    Thresholding is the caller's policy — feed this to
+    ``ExpectationsValidate`` (e.g. ``expr: abs(null_rate_delta) <
+    0.01``) to make drift a fail-loud gate.
+    """
+    cols = columns or [c for c in new.columns if c in old.columns]
+    po = profile(old, cols, approx).select(
+        "column",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nulls").alias("n_nulls_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+        F.col("min_value").alias("min_old"),
+        F.col("max_value").alias("max_old"),
+    )
+    pn = profile(new, cols, approx).select(
+        "column",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nulls").alias("n_nulls_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_value").alias("min_new"),
+        F.col("max_value").alias("max_new"),
+    )
+    j = po.join(pn, "column")
+    # integer-micros null rates: exact and identical in any engine
+    rate_old = (F.col("n_nulls_old") * 1_000_000 / F.col("n_rows_old")).cast("bigint")
+    rate_new = (F.col("n_nulls_new") * 1_000_000 / F.col("n_rows_new")).cast("bigint")
+    return j.select(
+        "column", "n_rows_old", "n_rows_new",
+        (rate_old / 1e6).alias("null_rate_old"),
+        (rate_new / 1e6).alias("null_rate_new"),
+        ((rate_new - rate_old) / 1e6).alias("null_rate_delta"),
+        "n_distinct_old", "n_distinct_new",
+        (
+            ~F.col("min_old").eqNullSafe(F.col("min_new"))
+            | ~F.col("max_old").eqNullSafe(F.col("max_new"))
+        ).alias("range_moved"),
+    )

@@ -1182,3 +1182,41 @@ def test_cms_sketch_bounds_and_merge(spark):
     got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
     assert got == full  # merge is exact counter addition
     words.unpersist(); sk.unpersist()
+
+
+def test_profile_drift_between_versions(spark, tmp_path):
+    """Drift report between two versions of a versioned table: null-rate
+    delta exact in micros, range_moved only for columns whose min/max
+    actually changed, row growth reported; reachable through the
+    TableProfile stage with compareView (version -1 vs latest)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    p = str(tmp_path / "drift_t")
+    t = VersionedTable(spark, p)
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "id long, s string, x double",
+    )
+    t.write(v0)
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, None, 30.0), (4, None, 99.0),
+         (5, "d", 12.0)],
+        "id long, s string, x double",
+    )
+    t.write(v1, mode="overwrite")
+
+    ctx = Pipeline(spark).run([
+        {"type": "DeltaLakeExtract", "inputURI": p, "outputView": "cur"},
+        {"type": "DeltaLakeExtract", "inputURI": p,
+         "options": {"relativeVersion": -1}, "outputView": "prev"},
+        {"type": "TableProfile", "inputView": "cur", "compareView": "prev",
+         "outputView": "drift"},
+    ])
+    d = {r.column: r for r in ctx.spark.table("drift").collect()}
+    assert d["id"].n_rows_old == 4 and d["id"].n_rows_new == 5
+    assert d["s"].null_rate_old == 0.25 and d["s"].null_rate_new == 0.6
+    assert abs(d["s"].null_rate_delta - 0.35) < 1e-9
+    assert d["id"].range_moved  # max id 4 -> 5
+    assert d["x"].range_moved  # max 40 -> 99
+    assert not d["s"].range_moved  # min 'a', max 'd' in both versions
