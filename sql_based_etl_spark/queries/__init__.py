@@ -61,6 +61,7 @@ APPENDIX = [
     "mm_frame_sample",  # frame plumbing — binary+metadata path graded via mm_metadata/mm_decode
     "profile_orders",  # profiling — aggregate machinery graded via q01/q_distinct_agg
     "sketch_kmv_event_ids",  # KMV cardinality sketch — distinct/sort-limit machinery graded via q_distinct_agg/q_topk_per_group; accuracy+merge pytest-asserted
+    "stream_window_cms",  # per-window CMS counters — stateful window agg graded via stream_window_counts; sketch semantics via sketch_cms_word_freq oracle
     "sketch_cms_word_freq",  # count-min frequency sketch — counter groupBy graded via q_wordcount; oracle + accuracy/merge pytest
     "q_deterministic_sample",  # hash-gated sample — generalized by the graded split_hash_assign (same salted-hash machinery, richer semantics)
     "sample_stratified",  # per-stratum exact sampling — window machinery graded via q_topk_per_group; hash determinism via split_hash_assign

@@ -241,3 +241,31 @@ ORACLES["stream_near_dedup"] = f"""
     SELECT doc_id, doc_id IN (SELECT doc_b FROM pairs) AS is_dup
     FROM documents
 """
+
+
+def stream_window_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly count-min sketches of per-user event volume maintained by
+    the streaming engine (streaming/events.py:windowed_cms); on a
+    bounded input the final counters equal the batch CMS per window, so
+    the sketch-in-stream path is oracle-checked counter-for-counter."""
+    from sql_based_etl_spark.streaming.events import windowed_cms
+
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out, _ = run_bounded(windowed_cms(events), mode="complete")
+    return out.select(
+        F.col("window.start").cast("long").alias("bucket_epoch"),
+        "d", "bucket", "cnt",
+    )
+
+
+QUERIES["stream_window_cms"] = stream_window_cms
+
+_CMS_H_U = ("CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR), '|cms', "
+            "CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2048")
+
+ORACLES["stream_window_cms"] = f"""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+           d, {_CMS_H_U} AS bucket, count(*) AS cnt
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS d) ds
+    GROUP BY 1, 2, 3
+"""

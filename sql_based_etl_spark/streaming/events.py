@@ -269,3 +269,39 @@ def click_purchase_join(events: DataFrame, gap: str = "30 minutes",
         & (p.p_ts <= c.c_ts + F.expr(f"INTERVAL {gap}"))
     )
     return c.join(p, cond, "inner").select("click_id", "purchase_id")
+
+
+def windowed_cms(events: DataFrame, col: str = "user_id",
+                 window: str = "1 hour", watermark: str = "10 minutes",
+                 width: int | None = None, depth: int | None = None) -> DataFrame:
+    """Per-window count-min sketch maintained BY the streaming engine —
+    the rolling heavy-hitter dashboard shape: each window's sketch is a
+    (d, bucket) counter relation (operators/sketches.py semantics), so
+    closed windows are tiny mergeable artifacts (``cms_merge`` folds
+    hours into days without rescanning events) and point-frequency
+    estimates never touch the raw stream again.
+
+    Plan shape: the bucket projection is stateless codegen per arm of a
+    ``depth``-way union; the ONLY stateful operator is one windowed
+    groupBy over int pairs, so state per window is ≤ width·depth
+    counters regardless of event volume — the watermark bounds how many
+    windows stay open. Output: (window, d, bucket, cnt)."""
+    from sql_based_etl_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, _cms_bucket
+
+    w = width or CMS_WIDTH
+    dep = depth or CMS_DEPTH
+    arms = [
+        events.select(
+            "ts", F.lit(d).alias("d"),
+            _cms_bucket(F.col(col), d, w).alias("bucket"),
+        )
+        for d in range(dep)
+    ]
+    probes = arms[0]
+    for a in arms[1:]:
+        probes = probes.unionByName(a)
+    return (
+        probes.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
