@@ -253,3 +253,23 @@ def test_semantic_dedup_broadcasts_pivots(spark, queries):
     (k×dim doubles) — never shuffle the corpus against them."""
     plan = plan_of(queries["sim_semantic_dedup"](spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_round3_ops_plan_shapes(spark, queries):
+    """Round-3 additions keep their scale shape: cap_per_group prunes
+    the scan to its two columns and shuffles once on the group key;
+    canonical_survivors broadcasts the tiny cluster-assignment side;
+    the CMS sketch is a two-phase (map-side-combinable) aggregate with
+    no Python anywhere."""
+    cap = plan_of(queries["sample_cap_per_source"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in cap and "ArrowEvalPython" not in cap
+    read_schema = cap.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema  # column pruning reached the scan
+
+    canon = plan_of(queries["dedup_canonical"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in canon  # assignment side broadcasts
+
+    cms = plan_of(queries["sketch_cms_word_freq"](spark, SF_ORACLE))
+    assert cms.count("HashAggregate") >= 2  # partial counters map-side
+    assert "BatchEvalPython" not in cms and "ArrowEvalPython" not in cms
