@@ -45,6 +45,16 @@ def _printschema_stage(ctx: PipelineContext, conf: dict) -> None:
     return None
 
 
+def _explain_stage(ctx: PipelineContext, conf: dict) -> None:
+    """``%explain <view> [mode]`` — plan introspection from the
+    notebook surface (extension; the reference stops at
+    %printschema). Prints the view's plan in the given explain mode
+    (default ``formatted`` — the scan/pushdown/codegen view the 100 TB
+    posture is audited with)."""
+    ctx.view(conf["view"]).explain(conf.get("mode", "formatted"))
+    return None
+
+
 def _raw_config_stage(ctx: PipelineContext, conf: dict):
     """A JSON/HOCON stage cell, parsed at execution time against the
     *current* variable map, then dispatched normally.
@@ -89,6 +99,7 @@ def register_magic_stages() -> None:
     STAGE_TYPES.setdefault("EnvStage", _env_stage)
     STAGE_TYPES.setdefault("ConfStage", _conf_stage)
     STAGE_TYPES.setdefault("PrintSchemaStage", _printschema_stage)
+    STAGE_TYPES.setdefault("ExplainStage", _explain_stage)
     STAGE_TYPES.setdefault("RawConfigStage", _raw_config_stage)
 
 
@@ -112,7 +123,7 @@ def cells_to_stages(cells: list[dict[str, Any]]) -> list[dict[str, Any]]:
             # %printschema view on the FOLLOWING lines
             # (scd2-job.ipynb:20-22,66-67,131-132) — fold body k=v
             # lines into opts, body bare words into args
-            if magic in ("env", "conf", "printschema"):
+            if magic in ("env", "conf", "printschema", "explain"):
                 for line in body.splitlines():
                     line = line.strip()
                     if not line:
@@ -129,6 +140,14 @@ def cells_to_stages(cells: list[dict[str, Any]]) -> list[dict[str, Any]]:
             elif magic == "printschema":
                 view = args[0] if args else opts.get("view", "")
                 stages.append({"type": "PrintSchemaStage", "view": view})
+            elif magic == "explain":
+                view = args[0] if args else opts.get("view", "")
+                stage = {"type": "ExplainStage", "view": view}
+                if len(args) > 1:
+                    stage["mode"] = args[1]
+                elif "mode" in opts:
+                    stage["mode"] = opts["mode"]
+                stages.append(stage)
             elif magic in ("sql", "sqlvalidate"):
                 sql_params = {}
                 if "sqlParams" in opts:

@@ -148,3 +148,20 @@ def test_boolean_equality_compat(spark):
     ])
     assert ctx.views["bc_out"].count() == 1
     assert ctx.views["bc_bool"].count() == 1
+
+
+def test_explain_magic_prints_formatted_plan(spark, capsys):
+    """%explain <view> [mode] runs through the notebook cell converter
+    and prints the physical plan of the named view."""
+    from sql_based_etl_spark.engine.notebook import cells_to_stages, register_magic_stages
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    register_magic_stages()
+    spark.range(5).createOrReplaceTempView("explain_me")
+    stages = cells_to_stages([
+        {"cell_type": "code", "source": ["%explain explain_me"]},
+    ])
+    assert stages == [{"type": "ExplainStage", "view": "explain_me"}]
+    Pipeline(spark).run(stages)
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Range" in out
