@@ -1220,3 +1220,31 @@ def test_profile_drift_between_versions(spark, tmp_path):
     assert d["id"].range_moved  # max id 4 -> 5
     assert d["x"].range_moved  # max 40 -> 99
     assert not d["s"].range_moved  # min 'a', max 'd' in both versions
+
+
+def test_windowed_cms_merges_across_windows(spark):
+    """Closed streaming windows are mergeable sketch artifacts: folding
+    two adjacent hourly window sketches with cms_merge equals the CMS
+    of the union of their events — rolling dashboards never rescan."""
+    from sql_based_etl_spark.operators.sketches import cms_merge, cms_sketch
+    from sql_based_etl_spark.queries._util import load
+
+    events = load(spark, SF_ORACLE, "events").persist()
+    hours = sorted(
+        r[0] for r in events.select(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("h")
+        ).distinct().collect()
+    )[:2]
+    assert len(hours) == 2
+    in_hour = [
+        events.filter(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600) == h
+        ).select("user_id")
+        for h in hours
+    ]
+    merged = cms_merge(cms_sketch(in_hour[0], "user_id"),
+                       cms_sketch(in_hour[1], "user_id"))
+    both = cms_sketch(in_hour[0].unionByName(in_hour[1]), "user_id")
+    assert ({(r.d, r.bucket, r.cnt) for r in merged.collect()}
+            == {(r.d, r.bucket, r.cnt) for r in both.collect()})
+    events.unpersist()
