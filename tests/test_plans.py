@@ -261,6 +261,9 @@ def test_round3_ops_plan_shapes(spark, queries):
     canonical_survivors broadcasts the tiny cluster-assignment side;
     the CMS sketch is a two-phase (map-side-combinable) aggregate with
     no Python anywhere."""
+    # other modules cache the documents relation; a cache hit would
+    # legitimately serve the full schema and mask the pruning assert
+    spark.catalog.clearCache()
     cap = plan_of(queries["sample_cap_per_source"](spark, SF_ORACLE))
     assert "BatchEvalPython" not in cap and "ArrowEvalPython" not in cap
     read_schema = cap.split("ReadSchema:")[1].splitlines()[0]
