@@ -48,6 +48,39 @@ def profile(df: DataFrame, columns: list[str] | None = None,
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
 
 
+def key_skew_stats(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Hot-key diagnostic for join/agg planning: the ``top_n`` heaviest
+    values of ``key`` with their share of all rows and their skew
+    factor (count ÷ mean-count-per-key). This is the measurement that
+    decides the skew playbook — AQE skew-join handles moderate hotness,
+    ``operators/joins.py`` salting targets the keys this report names,
+    and a skew factor near 1.0 says do nothing.
+
+    Scale shape: one map-side-combinable groupBy(key).count() (the
+    same shuffle a join on the key would pay, which is the point —
+    run this BEFORE committing to that join), then a two-row global
+    aggregate broadcast back over just ``top_n`` rows. NULL keys are
+    counted too: they hash to one partition in a real join, which
+    makes them the most common hot key in practice."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    # integer-micros ratios via INTEGER division (`div`) — exact, no
+    # double-rounding step for another engine to disagree on
+    share = F.expr("cnt * 1000000 div __total")
+    skew = F.expr("cnt * 1000000 * __nkeys div __total")
+    return top.join(F.broadcast(totals)).select(
+        F.col("key").cast("string").alias("key"),
+        "cnt",
+        (share / 1e6).alias("share"),
+        (skew / 1e6).alias("skew_factor"),
+    )
+
+
 def profile_drift(old: DataFrame, new: DataFrame,
                   columns: list[str] | None = None,
                   approx: bool = False) -> DataFrame:

@@ -178,3 +178,46 @@ def cap_per_group(
         .filter(F.col("__rank") <= F.lit(cap))
         .drop("__rank")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    seed: int = 42,
+) -> DataFrame:
+    """Train/val/test assignment that keeps every near-duplicate
+    cluster inside ONE split — hashing raw ids (``hash_split``) puts a
+    document in train and its near-copy in test, and the eval set
+    silently measures memorization instead of generalization.
+
+    The split key is the duplicate-cluster id (min doc id of the
+    connected component behind ``pairs``, operators/graph.py), falling
+    back to the document's own id for singletons; ``hash_split``'s
+    salted-hash bucketing then runs on that key, so cluster members
+    share a bucket by construction.
+
+    Scale shape: the cluster-assignment table only holds documents
+    that appear in a pair (candidates ≪ corpus by LSH construction),
+    so the corpus-side cost is one left join against that small table
+    (AQE broadcasts it when it fits) on top of hash_split's pure
+    projection. Deterministic end-to-end: pairs → components → hash
+    are all reproducible, so re-runs and incremental batches agree.
+    """
+    from sql_based_etl_spark.operators.graph import dedup_cluster_assignments
+
+    assign = dedup_cluster_assignments(pairs, id_a, id_b).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    keyed = df.join(assign, on=id_col, how="left").withColumn(
+        "__split_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    out = hash_split(keyed, id_col="__split_key", splits=splits, seed=seed)
+    return out.drop("cluster_id").withColumnRenamed("__split_key", "split_key")

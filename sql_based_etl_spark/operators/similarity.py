@@ -666,3 +666,68 @@ def quantize_int8(
         .withColumn("scale", scale)
         .select("id", "scale", qv.alias("qv"))
     )
+
+
+def label_outliers(
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Label-noise detection: for every label, the ``k`` member vectors
+    LEAST similar to their own label's centroid — the rows a curation
+    pass sends to re-annotation (mislabeled or out-of-distribution
+    examples poison a contrastive/classifier training set far beyond
+    their count).
+
+    Scale shape: centroids come from the same map-side-combinable
+    int64-micros (label, dim) mean the k-means trainer uses (exact and
+    engine-reproducible), get reassembled into |labels| tiny arrays,
+    and are broadcast back onto the corpus — one scan, one ≤ |labels|
+    × dim aggregate, and a per-label bottom-k window over the corpus
+    rows. Cosines are the deterministic left-fold ``_dot_expr``, so the
+    scores (and the rank cutoff) replay bit-identically elsewhere.
+
+    Returns ``(label, vec_id, centroid_cos, rank)`` with rank 1 = the
+    worst-fitting member (lowest cosine, id tiebreak).
+    """
+    from pyspark.sql import Window
+
+    base = corpus.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    means = (
+        base.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).cast("long")
+                / F.lit(1_000_000.0)
+            ).alias("m")
+        )
+    )
+    cents = means.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias(
+            "cv"
+        )
+    )
+    cos = _dot_expr("v", "cv", dim) / (_norm_expr("v", dim) * _norm_expr("cv", dim))
+    scored = base.join(F.broadcast(cents), "label").select(
+        "label", "id", F.round(cos, 6).alias("centroid_cos")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_cos").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", F.col("id").alias(id_col), "centroid_cos", "rank")
+    )

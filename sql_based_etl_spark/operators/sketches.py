@@ -60,6 +60,144 @@ def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
     return a.unionByName(b).distinct().orderBy("h").limit(k)
 
 
+def kmv_sketch_grouped(
+    df: DataFrame, group_col: str, col: str | Column, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV sketches as rows ``(g, h)`` — the k smallest
+    distinct hashes of ``col`` within each ``group_col`` value.
+
+    One shuffle on the group key: distinct (g, h) pairs (8-byte hash
+    rows), then a rank window keeps the k minimum per group. Per-source
+    / per-day sketches are the unit of the rolling-cardinality pattern:
+    k longs per group, mergeable by re-taking the k smallest
+    (``kmv_merge`` works unchanged on any one group's rows)."""
+    from pyspark.sql import Window
+
+    c = F.col(col) if isinstance(col, str) else col
+    h = portable_hash(c.cast("string"), hex_chars=15)
+    pairs = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Estimate the overlap of the two sets behind two KMV sketches
+    without touching the underlying data (Beyer et al., SIGMOD 2007):
+    one row ``(n_kept, matches, union_est, jaccard_est, intersect_est)``.
+
+    Method: the merged sketch's k minimum hashes are a uniform sample
+    of the UNION; the fraction of them present in BOTH input sketches
+    estimates Jaccard, and intersection = jaccard × union-estimate.
+    All inputs are ≤ k rows, so the joins below are broadcast-trivial —
+    this is the "compare yesterday's corpus to today's without
+    rescanning either" operation, costing k longs per side."""
+    m = kmv_merge(a, b, k)
+    flagged = (
+        m.join(a.select("h", F.lit(1).alias("__in_a")).distinct(), "h", "left")
+        .join(b.select("h", F.lit(1).alias("__in_b")).distinct(), "h", "left")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.sum(
+            F.coalesce(F.col("__in_a"), F.lit(0)) * F.coalesce(F.col("__in_b"), F.lit(0))
+        ).alias("matches"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("h_k"))
+    return agg.select(
+        "n_kept",
+        "matches",
+        F.round(union_est, 3).alias("union_est"),
+        F.round(F.col("matches") / F.col("n_kept"), 6).alias("jaccard_est"),
+        F.round(F.col("matches") / F.col("n_kept") * F.round(union_est, 3), 3).alias(
+            "intersect_est"
+        ),
+    )
+
+
+# --- mergeable fixed-bin histogram / quantile sketch ----------------------
+
+
+def histogram_sketch(
+    df: DataFrame, col: str | Column, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Equi-width histogram of ``col`` over [lo, hi) as counter rows
+    ``(bin, cnt)`` — the mergeable quantile/distribution complement to
+    KMV (cardinality) and CMS (frequency).
+
+    One map-side-combinable int groupBy: values never shuffle, only
+    ≤ nbins counter rows exist, and per-shard/per-day histograms merge
+    by counter addition (``histogram_merge``). Out-of-range values
+    clamp into the edge bins (a histogram must account for every row
+    or its quantiles silently shift); NULLs are dropped. The bin rule
+    ``floor((x - lo) / (hi - lo) * nbins)`` is plain IEEE-754 double
+    arithmetic, reproducible in any engine."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    bin_ = F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(nbins)))
+    bin_ = F.least(F.greatest(bin_, F.lit(0)), F.lit(nbins - 1))
+    return (
+        df.filter(c.isNotNull())
+        .select(bin_.cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two histograms of the same (lo, hi, nbins): counter-wise
+    sum. Associative/commutative — fold per-shard histograms freely."""
+    return a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Quantile estimates from a histogram: ``(q, value_est)`` per
+    requested quantile, linearly interpolated inside the holding bin
+    (error ≤ one bin width — sized by the caller, unlike
+    approx_percentile whose internal sketch no other engine can
+    replay).
+
+    The histogram is ≤ nbins rows, so the cumulative-count window and
+    the per-quantile min_by below are metadata-sized work regardless of
+    how much data was sketched."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    width = (hi - lo) / float(nbins)
+    target = F.col("q") * F.col("total").cast("double")
+    # value at the target rank inside the holding bin: bin start +
+    # (rank distance into the bin / bin count) × bin width
+    est = F.lit(lo) + (
+        F.col("bin").cast("double")
+        + (target - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    ) * F.lit(width)
+    joined = qdf.join(F.broadcast(cum)).filter(
+        F.col("cum").cast("double") >= target
+    )
+    return (
+        joined.select("q", "bin", F.round(est, 6).alias("v"))
+        .groupBy("q")
+        .agg(F.min_by("v", "bin").alias("value_est"))
+    )
+
+
 # --- count-min sketch ---------------------------------------------------
 
 CMS_WIDTH = 2048

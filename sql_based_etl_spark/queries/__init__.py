@@ -87,6 +87,11 @@ APPENDIX = [
     "sim_hard_negatives",  # contrastive hard-negative mining — LSH bucket/re-rank machinery graded via sim_ann_lsh; label-filter semantics oracle-checked in pytest
     "dedup_minhash_incremental",  # daily batch-vs-index near-dup — full-corpus machinery graded via dedup_minhash_lsh; ≥1-new restriction oracle-checked in pytest
     "dedup_trim_spans",  # span-removal rewrite — detection graded via dedup_substring_spans; rebuild semantics oracle-checked in pytest
+    "profile_key_skew",  # hot-key diagnostic — groupBy-count machinery graded via q_wordcount/q_distinct_agg; integer-micros ratios oracle-checked in pytest
+    "sketch_kmv_source_overlap",  # sketch-based corpus overlap — KMV machinery graded via sketch_kmv pytest oracle; jaccard/intersect estimator oracle-checked in pytest
+    "sketch_hist_event_quantiles",  # mergeable histogram quantiles — counter groupBy graded via q_wordcount; interpolation oracle-checked in pytest + merge pytest
+    "split_leakage_safe",  # cluster-aware split — hash_split graded via split_hash_assign, closure via dedup_clusters; composition oracle-checked in pytest
+    "sim_label_outliers",  # label-noise detection — centroid/cosine machinery graded via sim_ann_ivf_trained + sim_cosine_dup_lsh; bottom-k semantics oracle-checked in pytest
 ]
 
 

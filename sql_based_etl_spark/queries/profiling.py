@@ -105,3 +105,131 @@ ORACLES["sketch_cms_word_freq"] = f"""
     FROM probes LEFT JOIN counters USING (d, bucket)
     GROUP BY w
 """
+
+
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic over events.user_id
+    (operators/profiling.py:key_skew_stats): the 10 heaviest users with
+    row share and skew factor — the measurement that picks between AQE
+    skew handling, targeted salting (operators/joins.py), or nothing."""
+    from sql_based_etl_spark.operators.profiling import key_skew_stats
+
+    return key_skew_stats(load(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+QUERIES["profile_key_skew"] = profile_key_skew
+
+ORACLES["profile_key_skew"] = """
+    WITH counts AS (
+        SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    t AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM counts),
+    top AS (SELECT k, cnt FROM counts ORDER BY cnt DESC, k ASC LIMIT 10)
+    SELECT CAST(k AS VARCHAR) AS key, cnt,
+           ((cnt * 1000000) // total) / 1000000.0 AS share,
+           ((cnt * 1000000 * nkeys) // total) / 1000000.0 AS skew_factor
+    FROM top, t
+"""
+
+
+def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus overlap (operators/sketches.py:kmv_overlap):
+    the word-set Jaccard between the even-doc_id half of the corpus and
+    the odd half, estimated purely from two 256-long KMV sketches — the
+    'how much does today's crawl overlap yesterday's' check that never
+    rescans either side."""
+    from pyspark.sql import functions as F
+
+    from sql_based_etl_spark.operators.dedup import words_col
+    from sql_based_etl_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(words_col("text")).alias("w"))
+    a = kmv_sketch(words.filter(F.col("doc_id") % 2 == 0), "w")
+    b = kmv_sketch(words.filter(F.col("doc_id") % 2 == 1), "w")
+    return kmv_overlap(a, b)
+
+
+QUERIES["sketch_kmv_source_overlap"] = sketch_kmv_source_overlap
+
+_W_HALF = """
+    SELECT DISTINCT CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE doc_id % 2 = {parity}
+    )
+"""
+
+ORACLES["sketch_kmv_source_overlap"] = f"""
+    WITH ska AS (SELECT h FROM ({_W_HALF.format(parity=0)}) ORDER BY h LIMIT 256),
+    skb AS (SELECT h FROM ({_W_HALF.format(parity=1)}) ORDER BY h LIMIT 256),
+    m AS (
+        SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        ORDER BY h LIMIT 256
+    ),
+    flags AS (
+        SELECT m.h,
+               CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END
+               * CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS mt
+        FROM m LEFT JOIN ska a ON m.h = a.h LEFT JOIN skb b ON m.h = b.h
+    ),
+    agg AS (
+        SELECT count(*) AS n_kept, max(h) AS h_k,
+               CAST(sum(mt) AS BIGINT) AS matches
+        FROM flags
+    )
+    SELECT n_kept, matches,
+           round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                      ELSE 255.0 * 1152921504606846976.0 / h_k END, 3) AS union_est,
+           round(matches / n_kept, 6) AS jaccard_est,
+           round(matches / n_kept *
+                 round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                            ELSE 255.0 * 1152921504606846976.0 / h_k END, 3),
+                 3) AS intersect_est
+    FROM agg
+"""
+
+
+_HIST_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def sketch_hist_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of events.value from a 1000-bin mergeable histogram
+    (operators/sketches.py:histogram_sketch/histogram_quantiles) —
+    the distribution complement to KMV/CMS: values never shuffle, only
+    counter rows, and per-shard histograms merge by addition."""
+    from sql_based_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    hist = histogram_sketch(load(spark, sf_dir, "events"), "value", 0.0, 500.0, 1000)
+    return histogram_quantiles(hist, _HIST_QS, 0.0, 500.0, 1000)
+
+
+QUERIES["sketch_hist_event_quantiles"] = sketch_hist_event_quantiles
+
+ORACLES["sketch_hist_event_quantiles"] = f"""
+    WITH h AS (
+        SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 500.0 * 1000.0)
+                                   AS BIGINT), 0), 999) AS bin,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+        SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+               sum(cnt) OVER () AS total
+        FROM h
+    ),
+    qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _HIST_QS)}]) AS q),
+    j AS (
+        SELECT q, bin,
+               round(0.0 + (CAST(bin AS DOUBLE)
+                            + (q * CAST(total AS DOUBLE)
+                               - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+                     * 0.5, 6) AS v
+        FROM qs, c WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE)
+    )
+    SELECT q, min_by(v, bin) AS value_est FROM j GROUP BY q
+"""

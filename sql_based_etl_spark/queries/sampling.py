@@ -118,3 +118,56 @@ ORACLES["sample_cap_per_source"] = f"""
     )
     SELECT doc_id, source FROM ranked WHERE r <= 120
 """
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test assignment
+    (operators/sampling.py:leakage_safe_split): MinHash-LSH pairs →
+    connected components → hash-split on the CLUSTER id, so a document
+    and its near-copies always land in the same split (raw-id hashing
+    puts one in train and the twin in test, and eval measures
+    memorization). The oracle replays pairs + closure + hash."""
+    from sql_based_etl_spark.operators.dedup import minhash_lsh_pairs
+    from sql_based_etl_spark.operators.sampling import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return leakage_safe_split(docs, pairs).select("doc_id", "split_key", "split")
+
+
+QUERIES["split_leakage_safe"] = split_leakage_safe
+
+_HK = ("CAST(concat('0x', substr(md5(concat(CAST(split_key AS VARCHAR), '#42')), 1, 7)) "
+       "AS BIGINT)")
+
+
+def _leakage_oracle() -> str:
+    from sql_based_etl_spark.queries.dedup import ORACLES as _DEDUP_ORACLES
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+    keyed AS (
+        SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN {_HK} % {SPLIT_BUCKETS} < 980000 THEN 'train'
+                WHEN {_HK} % {SPLIT_BUCKETS} < 990000 THEN 'val'
+                WHEN {_HK} % {SPLIT_BUCKETS} < 1000000 THEN 'test'
+           END AS split
+    FROM keyed
+"""
+
+
+ORACLES["split_leakage_safe"] = _leakage_oracle()

@@ -519,3 +519,49 @@ ORACLES["sim_hard_negatives"] = f"""
     SELECT query_id, neighbor_id, neighbor_label, round(score, 6) AS score, rank
     FROM ranked WHERE rank <= 5
 """
+
+
+def sim_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection (operators/similarity.py:label_outliers):
+    per label, the 2 member vectors least similar to their own label's
+    centroid — the re-annotation queue of a labeled-data curation pass.
+    Centroids are the int64-micros means the k-means trainer uses and
+    cosines the deterministic left fold, so the oracle replays scores
+    (and the rank cutoff) bit-for-bit."""
+    from sql_based_etl_spark.operators.similarity import label_outliers
+
+    return label_outliers(load(spark, sf_dir, "embeddings"), k=2)
+
+
+QUERIES["sim_label_outliers"] = sim_label_outliers
+
+# Same micros-quantized per-(label, dim) mean as the kmeans oracle,
+# reassembled per label (1-based list indexing ↔ 0-based dims), then
+# the identical left-fold cosine rounded to 6 BEFORE ranking.
+ORACLES["sim_label_outliers"] = f"""
+    WITH base AS (
+        SELECT label, vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    means AS (
+        SELECT label, d.dim,
+               CAST(round(CAST(sum(CAST(round(v[d.dim + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+                          / count(*)) AS BIGINT) / 1000000.0 AS m
+        FROM base, (SELECT unnest(generate_series(0, 63)) AS dim) d
+        GROUP BY label, d.dim
+    ),
+    cents AS (SELECT label, list(m ORDER BY dim) AS cv FROM means GROUP BY label),
+    scored AS (
+        SELECT b.label, b.id, round({_cos("b.v", "c.cv")}, 6) AS centroid_cos
+        FROM base b JOIN cents c ON b.label = c.label
+    ),
+    ranked AS (
+        SELECT label, id, centroid_cos,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY centroid_cos ASC, id ASC) AS rank
+        FROM scored
+    )
+    SELECT label, id AS vec_id, centroid_cos, rank
+    FROM ranked WHERE rank <= 2
+"""

@@ -1248,3 +1248,151 @@ def test_windowed_cms_merges_across_windows(spark):
     assert ({(r.d, r.bucket, r.cnt) for r in merged.collect()}
             == {(r.d, r.bucket, r.cnt) for r in both.collect()})
     events.unpersist()
+
+
+def test_kmv_overlap_exact_on_small_sets(spark):
+    """Below k distinct values the sketches ARE the sets, so the
+    overlap estimator must return the exact Jaccard/union/intersection
+    (operators/sketches.py:kmv_overlap)."""
+    from sql_based_etl_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    a = spark.range(0, 100).select(F.col("id").alias("v"))
+    b = spark.range(50, 150).select(F.col("id").alias("v"))
+    row = kmv_overlap(kmv_sketch(a, "v"), kmv_sketch(b, "v")).collect()[0]
+    assert row.n_kept == 150 and row.matches == 50
+    assert row.union_est == 150.0
+    assert row.jaccard_est == round(50 / 150, 6)
+    assert row.intersect_est == 50.0
+
+
+def test_kmv_sketch_grouped_matches_per_group(spark):
+    """The per-group sketch rows for one group equal the ungrouped
+    sketch of that group's slice (operators/sketches.py)."""
+    from sql_based_etl_spark.operators.dedup import words_col
+    from sql_based_etl_spark.operators.sketches import kmv_sketch, kmv_sketch_grouped
+    from sql_based_etl_spark.queries._util import load
+
+    docs = load(spark, SF_ORACLE, "documents")
+    words = docs.select("lang", F.explode(words_col("text")).alias("w"))
+    grouped = {
+        (r.g, r.h) for r in kmv_sketch_grouped(words, "lang", "w", k=32).collect()
+    }
+    for lang in ("en", "zh"):
+        solo = kmv_sketch(words.filter(F.col("lang") == lang), "w", k=32)
+        assert {(lang, r.h) for r in solo.collect()} == {
+            gh for gh in grouped if gh[0] == lang
+        }
+
+
+def test_histogram_merge_and_quantile_error(spark):
+    """Per-shard histograms merge into the whole-data histogram
+    counter-for-counter, and the interpolated quantile lands within one
+    bin width of the exact percentile (operators/sketches.py)."""
+    from sql_based_etl_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from sql_based_etl_spark.queries._util import load
+
+    events = load(spark, SF_ORACLE, "events").persist()
+    lo, hi, nbins = 0.0, 500.0, 1000
+    whole = histogram_sketch(events, "value", lo, hi, nbins)
+    halves = [events.filter(F.col("event_id") % 2 == p) for p in (0, 1)]
+    merged = histogram_merge(
+        histogram_sketch(halves[0], "value", lo, hi, nbins),
+        histogram_sketch(halves[1], "value", lo, hi, nbins),
+    )
+    assert {(r.bin, r.cnt) for r in merged.collect()} == {
+        (r.bin, r.cnt) for r in whole.collect()
+    }
+    est = {
+        r.q: r.value_est
+        for r in histogram_quantiles(whole, [0.5, 0.9], lo, hi, nbins).collect()
+    }
+    vals = sorted(r[0] for r in events.select("value").collect())
+    width = (hi - lo) / nbins
+    for q in (0.5, 0.9):
+        exact = vals[min(len(vals) - 1, int(q * len(vals)))]
+        assert abs(est[q] - exact) <= width, (q, est[q], exact)
+    events.unpersist()
+
+
+def test_key_skew_stats_shares_and_factor(spark):
+    """Shares/skew factors are exact integer-micros ratios and the
+    report rows really are the heaviest keys
+    (operators/profiling.py:key_skew_stats)."""
+    from sql_based_etl_spark.operators.profiling import key_skew_stats
+    from sql_based_etl_spark.queries._util import load
+
+    events = load(spark, SF_ORACLE, "events")
+    rows = key_skew_stats(events, "user_id", top_n=5).collect()
+    counts = {
+        r.user_id: r.cnt
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total, nkeys = sum(counts.values()), len(counts)
+    heaviest = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.key, r.cnt) for r in rows] == [(str(k), c) for k, c in heaviest]
+    for r in rows:
+        assert r.share == (r.cnt * 1_000_000 // total) / 1e6
+        assert r.skew_factor == (r.cnt * 1_000_000 * nkeys // total) / 1e6
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster lands in exactly one split, and
+    singletons get their plain hash_split assignment
+    (operators/sampling.py:leakage_safe_split)."""
+    from sql_based_etl_spark.operators.sampling import hash_split, leakage_safe_split
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (150, 151)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(docs, pairs).select("doc_id", "split_key", "split")
+    by_id = {r.doc_id: (r.split_key, r.split) for r in out.collect()}
+    assert len(by_id) == 200
+    for cluster in ([1, 2, 3], [10, 11], [150, 151]):
+        keys = {by_id[d] for d in cluster}
+        assert len(keys) == 1, f"cluster {cluster} split across {keys}"
+        assert by_id[cluster[0]][0] == min(cluster)
+    plain = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    clustered = {1, 2, 3, 10, 11, 150, 151}
+    for d, (key, split) in by_id.items():
+        if d not in clustered:
+            assert key == d and split == plain[d]
+
+
+def test_label_outliers_matches_numpy_model(spark):
+    """Bottom-k-per-label cosines agree with an independent numpy
+    replay of the micros-quantized centroid + left-fold cosine
+    (operators/similarity.py:label_outliers)."""
+    import numpy as np
+
+    from sql_based_etl_spark.operators.similarity import label_outliers
+    from sql_based_etl_spark.queries._util import load
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    got = {
+        (r.label, r.rank): (r.vec_id, r.centroid_cos)
+        for r in label_outliers(emb, k=2).collect()
+    }
+    rows = emb.select("label", "vec_id", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+    def round_half_away(x):  # Spark's ROUND, not numpy's half-even
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    for label, members in by_label.items():
+        micros = np.stack([round_half_away(v * 1e6) for _, v in members])
+        cent = round_half_away(micros.sum(axis=0) / len(members)) / 1e6
+        scored = []
+        for vid, v in members:
+            cos = float(v @ cent) / (np.linalg.norm(v) * np.linalg.norm(cent))
+            scored.append((round(cos, 6), vid))
+        scored.sort()
+        for rank, (cos, vid) in enumerate(scored[:2], start=1):
+            assert got[(label, rank)] == (vid, cos), (label, rank)
