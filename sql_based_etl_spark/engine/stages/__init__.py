@@ -32,6 +32,7 @@ from sql_based_etl_spark.engine.stages.extensions import (
     multimodal_transform,
     sampling_transform,
     similarity_search_transform,
+    sketch_transform,
     table_profile,
     text_analysis_transform,
 )
@@ -76,6 +77,7 @@ STAGE_TYPES = {
     "TextAnalysisTransform": text_analysis_transform,
     "DecontaminateTransform": decontaminate_transform,
     "SamplingTransform": sampling_transform,
+    "SketchTransform": sketch_transform,
     "MultimodalTransform": multimodal_transform,
     "TableProfile": table_profile,
 }

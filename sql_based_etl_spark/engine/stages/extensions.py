@@ -158,6 +158,16 @@ def similarity_search_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             label_col=conf.get("labelColumn", "label"),
             **kwargs,
         )
+    if method == "label_outliers":
+        # label-noise triage: bottom-k per label by own-centroid cosine
+        return similarity.label_outliers(
+            corpus,
+            k=kwargs["k"],
+            id_col=kwargs["id_col"],
+            vec_col=kwargs["vec_col"],
+            label_col=conf.get("labelColumn", "label"),
+            dim=kwargs["dim"],
+        )
     raise StageError(f"SimilaritySearchTransform: unknown method {method!r}")
 
 
@@ -286,6 +296,24 @@ def sampling_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
         return sampling.cap_per_group(
             df, conf.get("groupColumn", "source"), int(conf["cap"]), id_col, seed
         )
+    if method == "leakage_safe":
+        # near-dup-cluster-aware splits: pairs from a prior
+        # pair-generating stage via pairsView, else MinHash inline
+        from sql_based_etl_spark.operators import dedup as dedup_ops
+
+        pairs = (
+            ctx.view(conf["pairsView"])
+            if "pairsView" in conf
+            else dedup_ops.minhash_lsh_pairs(
+                df, id_col, conf.get("textColumn", "text"),
+                threshold=float(conf.get("threshold", 0.5)),
+            ).select("doc_a", "doc_b")
+        )
+        splits = conf.get("splits", {"train": 0.98, "val": 0.01, "test": 0.01})
+        return sampling.leakage_safe_split(
+            df, pairs, id_col=id_col,
+            splits=tuple((k, float(v)) for k, v in splits.items()), seed=seed
+        )
     raise StageError(f"SamplingTransform: unknown method {method!r}")
 
 
@@ -297,6 +325,13 @@ def table_profile(ctx: PipelineContext, conf: dict) -> DataFrame:
     range moves — feed into ExpectationsValidate to gate a load."""
     from sql_based_etl_spark.operators.profiling import profile, profile_drift
 
+    if conf.get("analysis") == "key_skew":
+        from sql_based_etl_spark.operators.profiling import key_skew_stats
+
+        return key_skew_stats(
+            ctx.view(conf["inputView"]), conf["keyColumn"],
+            top_n=int(conf.get("topN", 10)),
+        )
     if "compareView" in conf:
         return profile_drift(
             ctx.view(conf["compareView"]),
@@ -309,3 +344,51 @@ def table_profile(ctx: PipelineContext, conf: dict) -> DataFrame:
         columns=conf.get("columns"),
         approx=bool(conf.get("approx", False)),
     )
+
+def sketch_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
+    """``SketchTransform``: mergeable-sketch construction and use —
+    method ∈ kmv (k-min-values cardinality; ``estimate: true`` returns
+    the one-row estimate instead of the sketch) | kmv_grouped
+    (per-``groupColumn`` sketches) | kmv_overlap (Jaccard/union/
+    intersection estimate from two sketch views ``aView``/``bView``) |
+    cms (count-min frequency counters) | histogram (fixed-bin counts
+    over [lo, hi); with ``quantiles: [..]`` returns interpolated
+    quantile estimates instead).
+
+    Sketches are engine-portable (md5-derived hashes) and merge by
+    union/addition — build them per shard/day, fold them later without
+    rescanning (operators/sketches.py)."""
+    from sql_based_etl_spark.operators import sketches
+
+    method = conf.get("method", "kmv")
+    col = conf.get("column")
+    k = int(conf.get("k", sketches.KMV_K))
+    if method == "kmv":
+        sk = sketches.kmv_sketch(ctx.view(conf["inputView"]), col, k)
+        return sketches.kmv_estimate(sk, k) if conf.get("estimate") else sk
+    if method == "kmv_grouped":
+        return sketches.kmv_sketch_grouped(
+            ctx.view(conf["inputView"]), conf["groupColumn"], col, k
+        )
+    if method == "kmv_overlap":
+        return sketches.kmv_overlap(
+            ctx.view(conf["aView"]), ctx.view(conf["bView"]), k
+        )
+    if method == "cms":
+        return sketches.cms_sketch(
+            ctx.view(conf["inputView"]), col,
+            width=int(conf.get("width", sketches.CMS_WIDTH)),
+            depth=int(conf.get("depth", sketches.CMS_DEPTH)),
+        )
+    if method == "histogram":
+        lo, hi = float(conf["lo"]), float(conf["hi"])
+        nbins = int(conf.get("bins", 1000))
+        hist = sketches.histogram_sketch(
+            ctx.view(conf["inputView"]), col, lo, hi, nbins
+        )
+        if "quantiles" in conf:
+            return sketches.histogram_quantiles(
+                hist, [float(q) for q in conf["quantiles"]], lo, hi, nbins
+            )
+        return hist
+    raise StageError(f"SketchTransform: unknown method {method!r}")

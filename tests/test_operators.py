@@ -1396,3 +1396,52 @@ def test_label_outliers_matches_numpy_model(spark):
         scored.sort()
         for rank, (cos, vid) in enumerate(scored[:2], start=1):
             assert got[(label, rank)] == (vid, cos), (label, rank)
+
+
+def test_sketch_and_curation_stages_via_pipeline(spark):
+    """The round-3 curation operators are reachable through the
+    declarative stage surface: SketchTransform (kmv/overlap/histogram),
+    TableProfile key_skew, SamplingTransform leakage_safe,
+    SimilaritySearchTransform label_outliers."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    stages = [
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/documents.parquet",
+         "outputView": "docs"},
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/embeddings.parquet",
+         "outputView": "embs"},
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/events.parquet",
+         "outputView": "events"},
+        {"type": "SQLTransform", "outputView": "docs_a",
+         "sql": "SELECT * FROM docs WHERE doc_id % 2 = 0"},
+        {"type": "SQLTransform", "outputView": "docs_b",
+         "sql": "SELECT * FROM docs WHERE doc_id % 2 = 1"},
+        {"type": "SketchTransform", "inputView": "docs_a", "outputView": "sk_a",
+         "method": "kmv", "column": "text"},
+        {"type": "SketchTransform", "inputView": "docs_b", "outputView": "sk_b",
+         "method": "kmv", "column": "text"},
+        {"type": "SketchTransform", "aView": "sk_a", "bView": "sk_b",
+         "outputView": "overlap", "method": "kmv_overlap"},
+        {"type": "SketchTransform", "inputView": "events", "outputView": "quant",
+         "method": "histogram", "column": "value", "lo": 0.0, "hi": 500.0,
+         "bins": 1000, "quantiles": [0.5, 0.9]},
+        {"type": "TableProfile", "inputView": "events", "outputView": "skew",
+         "analysis": "key_skew", "keyColumn": "user_id", "topN": 5},
+        {"type": "SamplingTransform", "inputView": "docs", "outputView": "splits",
+         "method": "leakage_safe", "threshold": 0.5},
+        {"type": "SimilaritySearchTransform", "inputView": "embs",
+         "outputView": "noisy", "method": "label_outliers", "k": 2},
+    ]
+    ctx = Pipeline(spark).run(stages)
+    ov = ctx.views["overlap"].collect()[0]
+    assert ov.jaccard_est == 0.0  # doc texts are unique across halves
+    qs = {r.q: r.value_est for r in ctx.views["quant"].collect()}
+    assert set(qs) == {0.5, 0.9} and 0.0 < qs[0.5] < qs[0.9] < 500.0
+    skew = ctx.views["skew"].collect()
+    assert len(skew) == 5 and all(r.skew_factor >= 0 for r in skew)
+    splits = ctx.views["splits"]
+    assert {"split", "split_key"} <= set(splits.columns)
+    assert splits.count() == ctx.views["docs"].count()
+    noisy = ctx.views["noisy"]
+    assert noisy.columns == ["label", "vec_id", "centroid_cos", "rank"]
+    assert noisy.groupBy("label").count().agg({"count": "max"}).collect()[0][0] <= 2
