@@ -55,8 +55,13 @@ def connected_components(
     want those rows too). Deterministic: the fixpoint is unique
     regardless of join order or round count.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # checkpoint the raw edge list BEFORE symmetrizing: the union below
+    # consumes it twice, and without truncation the (expensive) pair-
+    # generation pipeline upstream runs once per consumer
+    base = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=True)
 
     labels = (

@@ -487,6 +487,11 @@ def kmeans_lloyd(
         cents = means.groupBy("pid").agg(
             F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias("pv")
         )
+        # truncate the per-iteration lineage: iteration i+1 (and every
+        # downstream consumer — IVF probes broadcast the pivots in two
+        # branches) would otherwise re-analyze/re-run the whole
+        # training DAG; the checkpointed relation is k×dim doubles
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
