@@ -221,3 +221,34 @@ def leakage_safe_split(
     )
     out = hash_split(keyed, id_col="__split_key", splits=splits, seed=seed)
     return out.drop("cluster_id").withColumnRenamed("__split_key", "split_key")
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    fraction: float,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Adaptive per-group thresholding: keep the best
+    ``ceil(fraction·n)`` rows of every group ranked by ``order_col``
+    (id tiebreak) — "top 25% by quality score per language", the
+    curation policy that replaces one global cutoff (which silently
+    empties low-resource languages whose score distribution sits
+    lower) with a per-group one.
+
+    Same shape and caveats as ``stratified_sample`` (one shuffle on the
+    group key, rank + group size from a single window pass), but ranked
+    by a SCORE instead of a hash: deterministic given the score column,
+    exact per-group proportions by construction.
+    """
+    direction = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = Window.partitionBy(group_col).orderBy(direction, F.col(id_col).asc())
+    size = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rank", F.row_number().over(order))
+        .withColumn("__n", F.count(F.lit(1)).over(size))
+        .filter(F.col("__rank") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .drop("__rank", "__n")
+    )

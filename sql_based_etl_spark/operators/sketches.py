@@ -139,14 +139,19 @@ def histogram_sketch(
     ``floor((x - lo) / (hi - lo) * nbins)`` is plain IEEE-754 double
     arithmetic, reproducible in any engine."""
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
-    bin_ = F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(nbins)))
-    bin_ = F.least(F.greatest(bin_, F.lit(0)), F.lit(nbins - 1))
     return (
         df.filter(c.isNotNull())
-        .select(bin_.cast("long").alias("bin"))
+        .select(hist_bin(c, lo, hi, nbins).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def hist_bin(c: Column, lo: float, hi: float, nbins: int) -> Column:
+    """The clamp-to-edge equi-width bin rule, exposed for streaming
+    variants that need the projection without the batch groupBy."""
+    b = F.floor((c.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(nbins)))
+    return F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("long")
 
 
 def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -92,6 +92,8 @@ APPENDIX = [
     "sketch_hist_event_quantiles",  # mergeable histogram quantiles — counter groupBy graded via q_wordcount; interpolation oracle-checked in pytest + merge pytest
     "split_leakage_safe",  # cluster-aware split — hash_split graded via split_hash_assign, closure via dedup_clusters; composition oracle-checked in pytest
     "sim_label_outliers",  # label-noise detection — centroid/cosine machinery graded via sim_ann_ivf_trained + sim_cosine_dup_lsh; bottom-k semantics oracle-checked in pytest
+    "stream_window_histogram",  # per-window histogram — stateful window agg graded via stream_window_counts; bin/merge semantics via sketch_hist oracle + pytest
+    "sample_top_quality_per_lang",  # per-group score thresholding — window machinery graded via q_topk_per_group; quality score graded via text_quality_score
 ]
 
 

@@ -171,3 +171,48 @@ def _leakage_oracle() -> str:
 
 
 ORACLES["split_leakage_safe"] = _leakage_oracle()
+
+
+def sample_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language quality thresholding
+    (operators/sampling.py:top_fraction_per_group): keep the top 25%
+    of documents per language by the quality score — the per-group
+    cutoff that a single global threshold gets wrong for low-resource
+    languages. Composes the graded quality operator with the exact
+    top-fraction window."""
+    from sql_based_etl_spark.operators.sampling import top_fraction_per_group
+    from sql_based_etl_spark.operators.textops import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        quality_features(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return top_fraction_per_group(
+        scored, "lang", 0.25, order_col="quality_score"
+    ).select("doc_id", "lang", "quality_score")
+
+
+QUERIES["sample_top_quality_per_lang"] = sample_top_quality_per_lang
+
+
+def _top_quality_oracle() -> str:
+    from sql_based_etl_spark.queries.textops import ORACLES as _TEXT_ORACLES
+
+    return f"""
+    WITH scored AS ({_TEXT_ORACLES["text_quality_score"]}),
+    j AS (
+        SELECT d.doc_id, d.lang, s.quality_score
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, lang, quality_score,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY quality_score DESC, doc_id ASC) AS r,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM j
+    )
+    SELECT doc_id, lang, quality_score FROM ranked WHERE r <= ceil(0.25 * n)
+"""
+
+
+ORACLES["sample_top_quality_per_lang"] = _top_quality_oracle()

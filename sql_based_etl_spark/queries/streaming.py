@@ -269,3 +269,31 @@ ORACLES["stream_window_cms"] = f"""
     FROM events, (SELECT unnest([0, 1, 2, 3]) AS d) ds
     GROUP BY 1, 2, 3
 """
+
+
+def stream_window_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly value histograms maintained by the streaming engine
+    (streaming/events.py:windowed_histogram); on bounded input the
+    final counters equal the batch histogram per window, so the
+    sketch-in-stream path is oracle-checked counter-for-counter.
+    Closed windows fold via histogram_merge / read via
+    histogram_quantiles without rescanning the stream."""
+    from sql_based_etl_spark.streaming.events import windowed_histogram
+
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out, _ = run_bounded(windowed_histogram(events), mode="complete")
+    return out.select(
+        F.col("window.start").cast("long").alias("bucket_epoch"), "bin", "cnt"
+    )
+
+
+QUERIES["stream_window_histogram"] = stream_window_histogram
+
+ORACLES["stream_window_histogram"] = """
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+           least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 500.0 * 100.0)
+                               AS BIGINT), 0), 99) AS bin,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+"""

@@ -305,3 +305,31 @@ def windowed_cms(events: DataFrame, col: str = "user_id",
         .groupBy(F.window("ts", window), "d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def windowed_histogram(events: DataFrame, col: str = "value",
+                       window: str = "1 hour", watermark: str = "10 minutes",
+                       lo: float = 0.0, hi: float = 500.0,
+                       nbins: int = 100) -> DataFrame:
+    """Per-window equi-width histogram maintained BY the streaming
+    engine — the rolling latency/size-distribution dashboard shape
+    (the quantile complement to ``windowed_cms``): each closed window
+    is a ≤ nbins counter relation with ``operators/sketches.py``
+    semantics, so windows fold into days via ``histogram_merge`` and
+    ``histogram_quantiles`` reads p50/p99 without touching the raw
+    stream again.
+
+    Plan shape: the bin rule is one stateless codegen projection; the
+    only stateful operator is a windowed groupBy over (window, bin)
+    ints — state per window is ≤ nbins counters regardless of event
+    volume, watermark bounds open windows. Output:
+    (window, bin, cnt)."""
+    from sql_based_etl_spark.operators.sketches import hist_bin
+
+    return (
+        events.filter(F.col(col).isNotNull())
+        .select("ts", hist_bin(F.col(col), lo, hi, nbins).alias("bin"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

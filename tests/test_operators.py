@@ -1445,3 +1445,55 @@ def test_sketch_and_curation_stages_via_pipeline(spark):
     noisy = ctx.views["noisy"]
     assert noisy.columns == ["label", "vec_id", "centroid_cos", "rank"]
     assert noisy.groupBy("label").count().agg({"count": "max"}).collect()[0][0] <= 2
+
+
+def test_stream_window_histograms_merge_to_batch(spark):
+    """Folding every closed window's histogram with histogram_merge
+    equals the batch histogram of all events — the 'hours fold into
+    days without rescanning' claim (streaming/events.py:
+    windowed_histogram + operators/sketches.py:histogram_merge)."""
+    from sql_based_etl_spark.operators.sketches import histogram_merge, histogram_sketch
+    from sql_based_etl_spark.queries._util import load
+    from sql_based_etl_spark.queries.streaming import run_bounded
+    from sql_based_etl_spark.streaming.events import (
+        read_events_stream,
+        windowed_histogram,
+    )
+
+    stream = read_events_stream(spark, f"{SF_ORACLE}/events.parquet")
+    out, _ = run_bounded(windowed_histogram(stream), mode="complete")
+    # histogram_merge is counter addition — folding EVERY window at
+    # once is one groupBy, the same algebra as pairwise merging
+    folded = histogram_merge(
+        out.select("bin", "cnt"), out.select("bin", "cnt").limit(0)
+    )
+    batch = histogram_sketch(load(spark, SF_ORACLE, "events"), "value", 0.0, 500.0, 100)
+    assert {(r.bin, r.cnt) for r in folded.collect()} == {
+        (r.bin, r.cnt) for r in batch.collect()
+    }
+
+
+def test_top_fraction_per_group_exact_counts_and_threshold(spark):
+    """top_fraction_per_group keeps exactly ceil(frac·n) rows per group
+    and every kept score dominates every dropped score
+    (operators/sampling.py)."""
+    import math
+
+    from sql_based_etl_spark.operators.sampling import top_fraction_per_group
+    from sql_based_etl_spark.queries._util import load
+
+    docs = load(spark, SF_ORACLE, "documents").select("doc_id", "lang", "n_chars")
+    kept = top_fraction_per_group(docs, "lang", 0.25, order_col="n_chars")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_rows = kept.collect()
+    by_lang: dict[str, list] = {}
+    for r in kept_rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    all_rows = docs.collect()
+    for lang, n in sizes.items():
+        k = by_lang.get(lang, [])
+        assert len(k) == math.ceil(0.25 * n), (lang, len(k), n)
+        kept_ids = {r.doc_id for r in k}
+        dropped = [r.n_chars for r in all_rows if r.lang == lang and r.doc_id not in kept_ids]
+        if dropped:
+            assert min(r.n_chars for r in k) >= max(dropped)
