@@ -477,3 +477,16 @@ def test_training_data_prep_notebook(spark, tmp_path):
     assert n_mixed > n_decon
     t = VersionedTable(spark, str(tmp_path / "training_docs"))
     assert t.read().count() == n_mixed
+    # corpus diagnostics: skew report, KMV cardinality, length quantiles
+    skew = ctx.views["source_skew"].collect()
+    assert len(skew) == 5 and all(r.skew_factor >= 0 for r in skew)
+    card = ctx.views["corpus_card"].collect()[0]
+    assert card.distinct_est > 0
+    lq = {r.q: r.value_est for r in ctx.views["len_quantiles"].collect()}
+    assert set(lq) == {0.5, 0.9} and 0 < lq[0.5] <= lq[0.9] <= 600
+    # leakage-safe split covers every prepped doc with a named split
+    split = ctx.views["docs_split"]
+    assert split.count() == ctx.views["docs_prepped"].count()
+    assert {r.split for r in split.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
