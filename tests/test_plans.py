@@ -276,3 +276,25 @@ def test_round3_ops_plan_shapes(spark, queries):
     cms = plan_of(queries["sketch_cms_word_freq"](spark, SF_ORACLE))
     assert cms.count("HashAggregate") >= 2  # partial counters map-side
     assert "BatchEvalPython" not in cms and "ArrowEvalPython" not in cms
+
+
+def test_curation_ops_plan_shapes(spark, queries):
+    """The curation diagnostics keep their scale shape: the histogram
+    is a two-phase int aggregate (values never shuffle) with no Python;
+    key_skew broadcasts its 2-column totals; label_outliers broadcasts
+    the tiny centroid side; the leakage-safe split's corpus leg joins
+    against the small assignment table without Python."""
+    spark.catalog.clearCache()
+    hist = plan_of(queries["sketch_hist_event_quantiles"](spark, SF_ORACLE))
+    assert hist.count("HashAggregate") >= 2  # partial bin counters map-side
+    assert "BatchEvalPython" not in hist and "ArrowEvalPython" not in hist
+
+    skew = plan_of(queries["profile_key_skew"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in skew or "BroadcastHashJoin" in skew
+    assert "BatchEvalPython" not in skew and "ArrowEvalPython" not in skew
+
+    outl = plan_of(queries["sim_label_outliers"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in outl  # centroids broadcast onto the corpus
+
+    split = plan_of(queries["split_leakage_safe"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in split and "ArrowEvalPython" not in split
