@@ -158,6 +158,17 @@ def similarity_search_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
             label_col=conf.get("labelColumn", "label"),
             **kwargs,
         )
+    if method == "pca":
+        # train-then-project in one stage: the eigensolver runs on the
+        # collected dim x dim covariance (metadata-sized), projection is
+        # a broadcast join (operators/similarity.py:pca_train/project)
+        comps = similarity.pca_train(
+            corpus, vec_col=kwargs["vec_col"], dim=kwargs["dim"], k=kwargs["k"]
+        )
+        return similarity.pca_project(
+            corpus, comps, id_col=kwargs["id_col"],
+            vec_col=kwargs["vec_col"], dim=kwargs["dim"],
+        )
     if method == "label_outliers":
         # label-noise triage: bottom-k per label by own-centroid cosine
         return similarity.label_outliers(

@@ -736,3 +736,116 @@ def label_outliers(
         .filter(F.col("rank") <= k)
         .select("label", F.col("id").alias(id_col), "centroid_cos", "rank")
     )
+
+
+def embedding_covariance(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Upper-triangle covariance of the embedding columns as rows
+    ``(i, j, n, s_i, s_j, s_ij, cov)`` — the training statistic behind
+    PCA/whitening, accumulated EXACTLY: coordinates quantize to integer
+    millis (``round(x·scale)``), so the cross-product sums are int64
+    arithmetic any engine reproduces bit-for-bit, and the only doubles
+    are the final centering/division (a fixed expression over exact
+    ints).
+
+    Scale shape: ONE ``agg()`` with dim·(dim+1)/2 + dim + 1 map-side-
+    combinable integer sums — the corpus never shuffles; per-partition
+    state is that many longs (≈ 17 KB at dim 64), and the single
+    combined row unpivots driver-side via a constant ``stack()``.
+    Overflow headroom: |x|·scale ≤ 10⁴ ⇒ each product ≤ 10⁸, so int64
+    holds ~9·10¹⁰ rows per (i,j) cell; beyond that, shrink ``scale``.
+    """
+    v = F.col(vec_col)
+
+    def xq(i: int) -> F.Column:
+        return F.expr(
+            f"cast(round(cast({vec_col}[{i}] as double) * {scale}.0) as bigint)"
+        )
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(xq(i)).alias(f"s_{i}") for i in range(dim)]
+    pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
+    aggs += [F.sum(xq(i) * xq(j)).alias(f"p_{i}_{j}") for i, j in pairs]
+    wide = corpus.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, {j}, s_{i}, s_{j}, p_{i}_{j}" for i, j in pairs
+    )
+    long = wide.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) as (i, j, s_i, s_j, s_ij)"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    cov = (
+        (
+            F.col("s_ij").cast("double")
+            - F.col("s_i").cast("double") * F.col("s_j").cast("double") / nd
+        )
+        / nd
+        / F.lit(float(scale * scale))
+    )
+    return long.select(
+        "i", "j", "n", "s_i", "s_j", "s_ij", F.round(cov, 9).alias("cov")
+    )
+
+
+def pca_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-``k`` principal components of the embedding column as
+    ``(pc, explained_var, pv)`` rows (pc 0 = largest eigenvalue).
+
+    The distributed part is :func:`embedding_covariance` (one exact
+    combinable aggregate); the eigendecomposition runs driver-side on
+    the collected dim×dim matrix — metadata-sized, the same legitimacy
+    argument as k-means centroids. Sign convention: each component's
+    largest-|loading| coordinate is made positive, so results are
+    deterministic up to the eigensolver's floating point."""
+    import numpy as np
+
+    rows = embedding_covariance(corpus, vec_col, dim, scale).collect()
+    c = np.zeros((dim, dim))
+    for r in rows:
+        c[r.i, r.j] = c[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(c)
+    order = np.argsort(vals)[::-1][:k]
+    out = []
+    for rank, idx in enumerate(order):
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        out.append((rank, float(vals[idx]), [float(x) for x in v]))
+    return corpus.sparkSession.createDataFrame(
+        out, "pc int, explained_var double, pv array<double>"
+    )
+
+
+def pca_project(
+    corpus: DataFrame,
+    components: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Project every vector onto the trained components:
+    ``(id, pc, score)`` rows via a broadcast join (components are k×dim
+    doubles) + the deterministic left-fold dot product — one corpus
+    scan, no shuffle beyond the output's own layout. Downstream ANN on
+    the k-dim projection pays k/dim of the full dot-product cost."""
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    return base.join(F.broadcast(components.select("pc", "pv"))).select(
+        "id", "pc", F.round(_dot_expr("v", "pv", dim), 6).alias("score")
+    )

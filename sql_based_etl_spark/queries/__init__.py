@@ -94,6 +94,7 @@ APPENDIX = [
     "sim_label_outliers",  # label-noise detection — centroid/cosine machinery graded via sim_ann_ivf_trained + sim_cosine_dup_lsh; bottom-k semantics oracle-checked in pytest
     "stream_window_histogram",  # per-window histogram — stateful window agg graded via stream_window_counts; bin/merge semantics via sketch_hist oracle + pytest
     "sample_top_quality_per_lang",  # per-group score thresholding — window machinery graded via q_topk_per_group; quality score graded via text_quality_score
+    "sim_embedding_covariance",  # PCA training aggregate — combinable-agg machinery graded via q01; exact int-millis cross sums oracle-checked in pytest
 ]
 
 

@@ -565,3 +565,46 @@ ORACLES["sim_label_outliers"] = f"""
     SELECT label, id AS vec_id, centroid_cos, rank
     FROM ranked WHERE rank <= 2
 """
+
+
+_COV_DIM = 16
+
+
+def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance statistics of the first 16 embedding dims
+    (operators/similarity.py:embedding_covariance) — the PCA/whitening
+    training aggregate: integer-millis cross-product sums (bit-exact in
+    any engine) with the centering done in a fixed double expression.
+    One combinable aggregate; the corpus never shuffles."""
+    from sql_based_etl_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(load(spark, sf_dir, "embeddings"), dim=_COV_DIM)
+
+
+QUERIES["sim_embedding_covariance"] = sim_embedding_covariance
+
+ORACLES["sim_embedding_covariance"] = f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS xq
+        FROM embeddings
+    ),
+    ij AS (
+        SELECT i.i, j.j
+        FROM (SELECT unnest(generate_series(0, {_COV_DIM - 1})) AS i) i,
+             (SELECT unnest(generate_series(0, {_COV_DIM - 1})) AS j) j
+        WHERE j.j >= i.i
+    ),
+    sums AS (
+        SELECT i, j, count(*) AS n,
+               sum(xq[i + 1]) AS s_i, sum(xq[j + 1]) AS s_j,
+               sum(xq[i + 1] * xq[j + 1]) AS s_ij
+        FROM q, ij GROUP BY i, j
+    )
+    SELECT i, j, n, CAST(s_i AS BIGINT) AS s_i, CAST(s_j AS BIGINT) AS s_j,
+           CAST(s_ij AS BIGINT) AS s_ij,
+           round((CAST(s_ij AS DOUBLE)
+                  - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0, 9) AS cov
+    FROM sums
+"""

@@ -1431,6 +1431,8 @@ def test_sketch_and_curation_stages_via_pipeline(spark):
          "method": "leakage_safe", "threshold": 0.5},
         {"type": "SimilaritySearchTransform", "inputView": "embs",
          "outputView": "noisy", "method": "label_outliers", "k": 2},
+        {"type": "SimilaritySearchTransform", "inputView": "embs",
+         "outputView": "pca_proj", "method": "pca", "k": 4, "dim": 16},
     ]
     ctx = Pipeline(spark).run(stages)
     ov = ctx.views["overlap"].collect()[0]
@@ -1445,6 +1447,9 @@ def test_sketch_and_curation_stages_via_pipeline(spark):
     noisy = ctx.views["noisy"]
     assert noisy.columns == ["label", "vec_id", "centroid_cos", "rank"]
     assert noisy.groupBy("label").count().agg({"count": "max"}).collect()[0][0] <= 2
+    pca = ctx.views["pca_proj"]
+    assert pca.columns == ["id", "pc", "score"]
+    assert pca.select("pc").distinct().count() == 4
 
 
 def test_stream_window_histograms_merge_to_batch(spark):
@@ -1497,3 +1502,58 @@ def test_top_fraction_per_group_exact_counts_and_threshold(spark):
         dropped = [r.n_chars for r in all_rows if r.lang == lang and r.doc_id not in kept_ids]
         if dropped:
             assert min(r.n_chars for r in k) >= max(dropped)
+
+
+def test_pca_matches_numpy_and_projection_is_exact(spark):
+    """pca_train's components reproduce numpy PCA on the same
+    quantized-covariance matrix (same eigenvalues, loadings up to the
+    shared sign convention), and pca_project equals the left-fold dot
+    product of vector × component (operators/similarity.py)."""
+    import numpy as np
+
+    from sql_based_etl_spark.operators.similarity import (
+        embedding_covariance,
+        pca_project,
+        pca_train,
+    )
+    from sql_based_etl_spark.queries._util import load
+
+    emb = load(spark, SF_ORACLE, "embeddings").persist()
+    dim, k = 16, 4
+    comps = pca_train(emb, dim=dim, k=k).collect()
+
+    # independent covariance replay in numpy (same millis quantization)
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.stack([np.array(r.embedding[:dim], dtype=np.float64) for r in rows])
+    xq = np.sign(x * 1000.0) * np.floor(np.abs(x * 1000.0) + 0.5)
+    n = len(xq)
+    s = xq.sum(axis=0)
+    cov = np.round(((xq.T @ xq) - np.outer(s, s) / n) / n / 1e6, 9)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    assert [round(c.explained_var, 8) for c in comps] == [
+        round(float(vals[i]), 8) for i in order
+    ]
+    for c, idx in zip(comps, order):
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        assert np.allclose(c.pv, v, atol=1e-9), c.pc
+    # explained variance is sorted and the covariance relation agrees
+    evs = [c.explained_var for c in comps]
+    assert evs == sorted(evs, reverse=True)
+    got_cov = {
+        (r.i, r.j): r.cov for r in embedding_covariance(emb, dim=dim).collect()
+    }
+    for (i, j), v in got_cov.items():
+        assert v == cov[i, j], (i, j)
+
+    comps_df = pca_train(emb, dim=dim, k=k)
+    proj = pca_project(emb, comps_df, dim=dim)
+    some = proj.filter(F.col("id") == rows[0].vec_id).collect()
+    v0 = np.array(rows[0].embedding, dtype=np.float64)[:dim]
+    for r in some:
+        expect = float(np.dot(v0, np.array(comps[r.pc].pv)))
+        assert abs(r.score - round(expect, 6)) <= 1e-6
+    emb.unpersist()
