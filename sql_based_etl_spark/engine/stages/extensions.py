@@ -307,6 +307,14 @@ def sampling_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
         return sampling.cap_per_group(
             df, conf.get("groupColumn", "source"), int(conf["cap"]), id_col, seed
         )
+    if method == "top_fraction":
+        # adaptive per-group thresholding: best ceil(frac*n) per group
+        # by a score column (e.g. top 25% by quality per language)
+        return sampling.top_fraction_per_group(
+            df, conf["groupColumn"], float(conf["fraction"]),
+            order_col=conf["orderColumn"], id_col=id_col,
+            descending=bool(conf.get("descending", True)),
+        )
     if method == "leakage_safe":
         # near-dup-cluster-aware splits: pairs from a prior
         # pair-generating stage via pairsView, else MinHash inline

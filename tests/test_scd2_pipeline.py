@@ -490,3 +490,31 @@ def test_training_data_prep_notebook(spark, tmp_path):
     assert {r.split for r in split.select("split").distinct().collect()} <= {
         "train", "val", "test"
     }
+
+
+def test_embedding_curation_notebook(spark, tmp_path):
+    """The vector-corpus example notebook runs unchanged end-to-end:
+    label-noise triage -> semantic dedup -> PCA projection -> ANN
+    sanity -> versioned load."""
+    from sql_based_etl_spark.engine.notebook import run_notebook
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    ctx = run_notebook(
+        spark,
+        "examples/app_code/job/embedding_curation.ipynb",
+        environment="dev",
+        variables={
+            "ETL_CONF_TESTDATA_LOC": "/root/testdata/sf0.001",
+            "ETL_CONF_OUTPUT_LOC": str(tmp_path),
+        },
+    )
+    n_raw = ctx.views["embs"].count()
+    n_clean = ctx.views["emb_clean"].count()
+    n_noisy = ctx.views["noisy_labels"].count()
+    assert n_noisy > 0 and 0 < n_clean < n_raw
+    # PCA rows = clean vectors x 8 components, ANN returns <=3 per query
+    assert ctx.views["emb_pca"].count() == n_clean * 8
+    ann = ctx.views["ann_check"]
+    assert ann.groupBy("query_id").count().agg({"count": "max"}).collect()[0][0] <= 3
+    t = VersionedTable(spark, str(tmp_path / "clean_embeddings"))
+    assert t.read().count() == n_clean
