@@ -386,8 +386,17 @@ def sketch_transform(ctx: PipelineContext, conf: dict) -> DataFrame:
         sk = sketches.kmv_sketch(ctx.view(conf["inputView"]), col, k)
         return sketches.kmv_estimate(sk, k) if conf.get("estimate") else sk
     if method == "kmv_grouped":
-        return sketches.kmv_sketch_grouped(
+        sk = sketches.kmv_sketch_grouped(
             ctx.view(conf["inputView"]), conf["groupColumn"], col, k
+        )
+        return sketches.kmv_estimate_grouped(sk, k) if conf.get("estimate") else sk
+    if method == "cms_estimate":
+        # point-frequency estimates for keysView's column against a
+        # previously built sketch view (counters broadcast)
+        return sketches.cms_estimate(
+            ctx.view(conf["sketchView"]), ctx.view(conf["keysView"]), col,
+            width=int(conf.get("width", sketches.CMS_WIDTH)),
+            depth=int(conf.get("depth", sketches.CMS_DEPTH)),
         )
     if method == "kmv_overlap":
         return sketches.kmv_overlap(

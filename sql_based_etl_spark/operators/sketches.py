@@ -271,3 +271,17 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str,
         "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy("key").agg(F.min("cnt").alias("freq_est"))
+
+
+def kmv_estimate_grouped(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-group estimates from a grouped sketch (``kmv_sketch_grouped``
+    rows): ``(g, n_kept, h_k, distinct_est)`` — exact below k, the
+    (k-1)·H/h_k estimator otherwise. One tiny aggregate over ≤ k rows
+    per group."""
+    agg = sketch.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("h_k")
+    )
+    return agg.select("g", "n_kept", "h_k", F.round(est, 3).alias("distinct_est"))

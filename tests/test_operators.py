@@ -1557,3 +1557,31 @@ def test_pca_matches_numpy_and_projection_is_exact(spark):
         expect = float(np.dot(v0, np.array(comps[r.pc].pv)))
         assert abs(r.score - round(expect, 6)) <= 1e-6
     emb.unpersist()
+
+
+def test_kmv_estimate_grouped_matches_solo(spark):
+    """Per-group estimates from the grouped sketch equal the ungrouped
+    estimator run on each group's slice (operators/sketches.py)."""
+    from sql_based_etl_spark.operators.dedup import words_col
+    from sql_based_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        kmv_sketch_grouped,
+    )
+    from sql_based_etl_spark.operators.sketches import kmv_estimate_grouped
+    from sql_based_etl_spark.queries._util import load
+
+    docs = load(spark, SF_ORACLE, "documents")
+    words = docs.select("lang", F.explode(words_col("text")).alias("w")).persist()
+    grouped = {
+        r.g: (r.n_kept, r.h_k, r.distinct_est)
+        for r in kmv_estimate_grouped(
+            kmv_sketch_grouped(words, "lang", "w", k=64), k=64
+        ).collect()
+    }
+    for lang in grouped:
+        solo = kmv_estimate(
+            kmv_sketch(words.filter(F.col("lang") == lang), "w", k=64), k=64
+        ).collect()[0]
+        assert grouped[lang] == (solo.n_kept, solo.h_k, solo.distinct_est), lang
+    words.unpersist()
