@@ -297,3 +297,38 @@ ORACLES["stream_window_histogram"] = """
     FROM events WHERE value IS NOT NULL
     GROUP BY 1, 2
 """
+
+
+def stream_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view
+    (streaming/events.py:stream_materialized_aggregate): micro-batches
+    append to a base versioned table and incrementally refresh a
+    per-event-type aggregate from its change feed. On bounded input the
+    final aggregate snapshot equals the batch groupBy — which is what
+    the oracle asserts."""
+    from sql_based_etl_spark.streaming.events import stream_materialized_aggregate
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    work = _tempfile.mkdtemp(prefix="stream_matagg_")
+    _WORK_DIRS.append(work)
+    base, agg = os.path.join(work, "base"), os.path.join(work, "agg")
+    q = stream_materialized_aggregate(
+        events, base, agg, group_cols=["event_type"], sum_cols=["value"],
+        num_partitions=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return VersionedTable(spark, agg).read().select(
+        "event_type", "sum_value_micros", "n"
+    )
+
+
+QUERIES["stream_materialized_agg"] = stream_materialized_agg
+
+ORACLES["stream_materialized_agg"] = """
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_value_micros,
+           count(*) AS n
+    FROM events GROUP BY event_type
+"""

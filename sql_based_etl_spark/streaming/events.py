@@ -333,3 +333,39 @@ def windowed_histogram(events: DataFrame, col: str = "value",
         .groupBy(F.window("ts", window), "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def stream_materialized_aggregate(stream_df: DataFrame, base_path: str,
+                                  agg_path: str, group_cols: list[str],
+                                  sum_cols: list[str],
+                                  num_partitions: int | None = None,
+                                  checkpoint: str | None = None):
+    """Streaming MATERIALIZED VIEW: each micro-batch (1) appends to the
+    base versioned table and (2) incrementally refreshes the aggregate
+    table from the base's change feed — the Delta-Live-Tables shape on
+    the engine's own storage. Readers always see a consistent,
+    time-travelable aggregate snapshot; the raw stream is never
+    rescanned (each refresh reads only the batch's files via CDF).
+
+    Exactly-once falls out of composing the two idempotence contracts:
+    a replayed batch id is skipped by the manifest dedup
+    (``append_stream_batch``) and the refresh is a no-op when the
+    aggregate's recorded ``source_version`` already matches — and a
+    crash BETWEEN append and refresh self-heals because the next
+    batch's refresh folds every unapplied base version, not just its
+    own. Returns the started StreamingQuery."""
+    from sql_based_etl_spark.tables.incremental import IncrementalAggregate
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_stream_batch(batch_df, batch_id, base_path, num_partitions)
+        spark = batch_df.sparkSession
+        if VersionedTable(spark, base_path).exists():
+            IncrementalAggregate(
+                spark, base_path, agg_path, group_cols, sum_cols, num_partitions
+            ).refresh()
+
+    writer = stream_df.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

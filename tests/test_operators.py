@@ -1585,3 +1585,54 @@ def test_kmv_estimate_grouped_matches_solo(spark):
         ).collect()[0]
         assert grouped[lang] == (solo.n_kept, solo.h_k, solo.distinct_est), lang
     words.unpersist()
+
+
+def test_stream_materialized_aggregate_equals_batch(spark, tmp_path):
+    """The streaming materialized view
+    (streaming/events.py:stream_materialized_aggregate) ends bounded
+    input exactly equal to the batch groupBy, and a replayed micro-batch
+    (crash between checkpoint advance and commit) changes nothing."""
+    from sql_based_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_materialized_aggregate,
+    )
+    from sql_based_etl_spark.tables.incremental import IncrementalAggregate
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+    from sql_based_etl_spark.queries._util import load
+
+    base, agg = str(tmp_path / "ev_base"), str(tmp_path / "ev_agg")
+    stream = read_events_stream(spark, SF_ORACLE + "/events.parquet")
+    q = stream_materialized_aggregate(
+        stream, base, agg, group_cols=["event_type"], sum_cols=["value"],
+        num_partitions=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    events = load(spark, SF_ORACLE, "events")
+    expect = {
+        (r.event_type, r.s, r.n)
+        for r in events.groupBy("event_type").agg(
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    got = {
+        (r.event_type, r.sum_value_micros, r.n)
+        for r in VersionedTable(spark, agg).read().collect()
+    }
+    assert got == expect
+
+    # replay: batch id 0 is already in the base manifest -> append is
+    # skipped and the refresh is a source_version no-op
+    from sql_based_etl_spark.streaming.events import append_stream_batch
+
+    t = VersionedTable(spark, base)
+    v_before = t.latest_version()
+    assert append_stream_batch(events.limit(5), 0, base, 2) is False
+    IncrementalAggregate(spark, base, agg, ["event_type"], ["value"], 2).refresh()
+    assert t.latest_version() == v_before
+    assert {
+        (r.event_type, r.sum_value_micros, r.n)
+        for r in VersionedTable(spark, agg).read().collect()
+    } == expect
