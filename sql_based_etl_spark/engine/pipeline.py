@@ -37,6 +37,36 @@ class PipelineContext:
         self.views: dict[str, DataFrame] = {}
         self.num_rows_preview = 0  # %conf numRows; 0 = no preview echo
         self._persisted: list[DataFrame] = []
+        self.observations: dict[str, Any] = {}
+
+    def observed_metrics(self, wait_secs: float = 2.0) -> dict[str, dict[str, Any]]:
+        """Metrics collected by ``observe: true`` stages — per stage
+        name, the metric dict Spark accumulated while the FIRST action
+        over that stage's output ran (zero extra jobs; that is the
+        point of ``Dataset.observe`` vs counting views afterwards).
+
+        Bounded, never hanging: the metric lands via an async listener
+        shortly after the action returns, so completion is polled up to
+        ``wait_secs`` — but ONLY until the first poll pass, after which
+        still-incomplete observations (views nothing downstream ever
+        consumed — ``Observation.get`` would block on those forever)
+        are simply absent from the result."""
+        import time
+
+        deadline = time.monotonic() + wait_secs
+        pending = {
+            name: obs for name, obs in self.observations.items()
+            if obs._jo is not None
+        }
+        out: dict[str, dict[str, Any]] = {}
+        while pending:
+            for name in [n for n, o in pending.items()
+                         if o._jo.future().isCompleted()]:
+                out[name] = pending.pop(name).get
+            if not pending or time.monotonic() >= deadline:
+                break
+            time.sleep(0.05)
+        return out
 
     def track_persisted(self, df: DataFrame) -> DataFrame:
         """Record a view cached via the Arc ``persist`` attribute so
@@ -95,6 +125,17 @@ class Pipeline:
             df = fn(self.ctx, stage)
             out = stage.get("outputView")
             if out and df is not None:
+                # Arc logs per-stage record counts; the Spark-native way
+                # is Dataset.observe — metrics accumulate inside the
+                # first downstream action, costing ZERO extra jobs
+                # (counting views afterwards would re-run their plans)
+                if str(stage.get("observe", "")).lower() == "true":
+                    from pyspark.sql import Observation
+                    from pyspark.sql import functions as F
+
+                    obs = Observation(f"stage:{name}")
+                    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                    self.ctx.observations[name] = obs
                 # Arc stage attribute ``persist``: cache a view that
                 # multiple later stages will re-read (e.g. a staged CDC
                 # view consumed by both a merge and a validation) so

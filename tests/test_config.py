@@ -165,3 +165,29 @@ def test_explain_magic_prints_formatted_plan(spark, capsys):
     Pipeline(spark).run(stages)
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Range" in out
+
+
+def test_stage_observe_metrics(spark, tmp_path):
+    """``observe: true`` stages report row metrics collected inside the
+    first downstream action (zero extra jobs); stages whose plan never
+    ran are absent rather than blocking
+    (engine/pipeline.py:PipelineContext.observed_metrics)."""
+    from pyspark.sql import functions as F
+
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    pipe = Pipeline(spark)
+    ctx = pipe.run([
+        {"type": "ParquetExtract", "inputURI": "/root/testdata/sf0.001/documents.parquet",
+         "outputView": "docs"},
+        {"type": "SQLTransform", "name": "filtered", "observe": True,
+         "sql": "SELECT * FROM docs WHERE doc_id % 2 = 0", "outputView": "evens"},
+        {"type": "SQLTransform", "name": "orphan", "observe": True,
+         "sql": "SELECT * FROM docs WHERE doc_id % 2 = 1", "outputView": "odds"},
+        {"type": "FileLoad", "inputView": "evens",
+         "outputURI": str(tmp_path / "evens"), "format": "parquet"},
+    ])
+    metrics = ctx.observed_metrics()
+    n = ctx.views["evens"].count()
+    assert metrics.get("filtered", {}).get("rows") == n
+    assert "orphan" not in metrics  # never executed; must not block
