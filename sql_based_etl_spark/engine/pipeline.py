@@ -105,50 +105,54 @@ class Pipeline:
     def run(self, stages: list[dict[str, Any]]) -> PipelineContext:
         """Execute stages in order (the production entry point runs the
         same list a notebook produces — scd2-job-scheduler.yaml:29)."""
-        from sql_based_etl_spark.engine.stages import STAGE_TYPES
-
         for i, stage in enumerate(stages):
-            stype = stage.get("type")
-            if not stype:
-                raise ConfigError(f"stage {i} has no type: {stage}")
-            envs = stage.get("environments")
-            if envs and self.ctx.environment not in envs:
-                log.info("skip stage %s (%s): env %s not in %s",
-                         i, stage.get("name"), self.ctx.environment, envs)
-                continue
-            fn = STAGE_TYPES.get(stype)
-            if fn is None:
-                raise ConfigError(f"unknown stage type {stype!r}")
-            name = stage.get("name", stype)
-            self.ctx.spark.sparkContext.setJobDescription(f"{stype}: {name}")
-            log.info("run stage %s: %s (%s)", i, name, stype)
-            df = fn(self.ctx, stage)
-            out = stage.get("outputView")
-            if out and df is not None:
-                # Arc logs per-stage record counts; the Spark-native way
-                # is Dataset.observe — metrics accumulate inside the
-                # first downstream action, costing ZERO extra jobs
-                # (counting views afterwards would re-run their plans)
-                if str(stage.get("observe", "")).lower() == "true":
-                    from pyspark.sql import Observation
-                    from pyspark.sql import functions as F
-
-                    obs = Observation(f"stage:{name}")
-                    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-                    self.ctx.observations[name] = obs
-                # Arc stage attribute ``persist``: cache a view that
-                # multiple later stages will re-read (e.g. a staged CDC
-                # view consumed by both a merge and a validation) so
-                # its lineage executes once. StorageLevel defaults to
-                # MEMORY_AND_DISK — spill-safe on big views.
-                if str(stage.get("persist", "")).lower() == "true":
-                    df = self.ctx.track_persisted(df.persist())
-                self.ctx.register_view(out, df)
-                if self.ctx.num_rows_preview:
-                    df.show(self.ctx.num_rows_preview, truncate=False)
+            self._execute_stage(i, stage)
         return self.ctx
 
-    def run_dag(self, stages: list[dict[str, Any]]) -> PipelineContext:
+    def _execute_stage(self, i: int, stage: dict[str, Any]) -> None:
+        from sql_based_etl_spark.engine.stages import STAGE_TYPES
+
+        stype = stage.get("type")
+        if not stype:
+            raise ConfigError(f"stage {i} has no type: {stage}")
+        envs = stage.get("environments")
+        if envs and self.ctx.environment not in envs:
+            log.info("skip stage %s (%s): env %s not in %s",
+                     i, stage.get("name"), self.ctx.environment, envs)
+            return
+        fn = STAGE_TYPES.get(stype)
+        if fn is None:
+            raise ConfigError(f"unknown stage type {stype!r}")
+        name = stage.get("name", stype)
+        self.ctx.spark.sparkContext.setJobDescription(f"{stype}: {name}")
+        log.info("run stage %s: %s (%s)", i, name, stype)
+        df = fn(self.ctx, stage)
+        out = stage.get("outputView")
+        if out and df is not None:
+            # Arc logs per-stage record counts; the Spark-native way
+            # is Dataset.observe — metrics accumulate inside the
+            # first downstream action, costing ZERO extra jobs
+            # (counting views afterwards would re-run their plans)
+            if str(stage.get("observe", "")).lower() == "true":
+                from pyspark.sql import Observation
+                from pyspark.sql import functions as F
+
+                obs = Observation(f"stage:{name}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                self.ctx.observations[name] = obs
+            # Arc stage attribute ``persist``: cache a view that
+            # multiple later stages will re-read (e.g. a staged CDC
+            # view consumed by both a merge and a validation) so
+            # its lineage executes once. StorageLevel defaults to
+            # MEMORY_AND_DISK — spill-safe on big views.
+            if str(stage.get("persist", "")).lower() == "true":
+                df = self.ctx.track_persisted(df.persist())
+            self.ctx.register_view(out, df)
+            if self.ctx.num_rows_preview:
+                df.show(self.ctx.num_rows_preview, truncate=False)
+
+    def run_dag(self, stages: list[dict[str, Any]],
+                max_parallel: int = 1) -> PipelineContext:
         """P6 DAG execution (SURVEY.md §2e): topologically order an
         *unordered* stage list and run it.
 
@@ -167,13 +171,69 @@ class Pipeline:
 
         Ties are broken by list position, so a correctly-ordered list
         executes identically under ``run`` and ``run_dag``.
+
+        ``max_parallel > 1`` runs independent branches concurrently from
+        driver-side threads — exactly what the reference's Argo DAG does
+        with its parallel initial-load/delta-load tasks
+        (scd2-job-scheduler.yaml:15-48), and the standard Spark idiom
+        for filling a cluster whose single lineages can't: each thread
+        submits its own jobs and the scheduler interleaves them. Stage
+        bodies stay Python-thin (plan construction + one action), so
+        thread overhead is negligible; failures cancel the remaining
+        schedule and re-raise.
         """
         order = self._topo_order(stages)
-        return self.run([stages[i] for i in order])
+        if max_parallel <= 1:
+            return self.run([stages[i] for i in order])
+
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        deps = self._stage_deps(stages)
+        pending: dict[int, set[int]] = {i: set(d) for i, d in enumerate(deps)}
+        running: dict[Any, int] = {}
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            while pending or running:
+                ready = sorted(i for i, d in pending.items() if not d)
+                for i in ready[: max(0, max_parallel - len(running))]:
+                    del pending[i]
+                    running[pool.submit(self._execute_stage, i, stages[i])] = i
+                done, _ = wait(running, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    i = running.pop(fut)
+                    fut.result()  # re-raise stage failures here
+                    for d in pending.values():
+                        d.discard(i)
+        return self.ctx
 
     @staticmethod
     def _topo_order(stages: list[dict[str, Any]]) -> list[int]:
+        """Kahn's algorithm with a min-heap over :meth:`_stage_deps`:
+        deterministic, list-position tie-break (an already-ordered list
+        round-trips unchanged)."""
         import heapq
+
+        deps = Pipeline._stage_deps(stages)
+        out: list[int] = []
+        pending = [d.copy() for d in deps]
+        ready = [i for i, d in enumerate(pending) if not d]
+        heapq.heapify(ready)
+        done: set[int] = set()
+        while ready:
+            i = heapq.heappop(ready)
+            out.append(i)
+            done.add(i)
+            for j, d in enumerate(pending):
+                if j not in done and i in d:
+                    d.discard(i)
+                    if not d:
+                        heapq.heappush(ready, j)
+        if len(out) != len(stages):
+            cyc = [stages[i].get("name", i) for i in range(len(stages)) if i not in done]
+            raise ConfigError(f"stage dependency cycle among: {cyc}")
+        return out
+
+    @staticmethod
+    def _stage_deps(stages: list[dict[str, Any]]) -> list[set[int]]:
         import re
 
         view_producers: dict[str, list[int]] = {}
@@ -194,6 +254,14 @@ class Pipeline:
                 consumed.append(st["inputView"])
             sql = st.get("sql")
             if sql:
+                # resolve ${param} indirection BEFORE scanning for view
+                # references — the reference's own calc stages consume
+                # their input as `FROM ${table_name}` (SURVEY P3), which
+                # is invisible to a raw-text scan (this was a latent
+                # ordering bug that lingering temp views from earlier
+                # pipelines in the same session masked)
+                for pk, pv in (st.get("sqlParams") or {}).items():
+                    sql = sql.replace("${" + pk + "}", str(pv))
                 consumed += [v for v in view_producers
                              if re.search(rf"\b{re.escape(v)}\b", sql)]
             for v in consumed:
@@ -226,23 +294,4 @@ class Pipeline:
             if st.get("outputURI") and "Merge" in str(st.get("type", "")):
                 uri_edges(st["outputURI"])
 
-        # Kahn's algorithm with a min-heap: deterministic, list-position
-        # tie-break (an already-ordered list round-trips unchanged)
-        out: list[int] = []
-        pending = [d.copy() for d in deps]
-        ready = [i for i, d in enumerate(pending) if not d]
-        heapq.heapify(ready)
-        done: set[int] = set()
-        while ready:
-            i = heapq.heappop(ready)
-            out.append(i)
-            done.add(i)
-            for j, d in enumerate(pending):
-                if j not in done and i in d:
-                    d.discard(i)
-                    if not d:
-                        heapq.heappush(ready, j)
-        if len(out) != len(stages):
-            cyc = [stages[i].get("name", i) for i in range(len(stages)) if i not in done]
-            raise ConfigError(f"stage dependency cycle among: {cyc}")
-        return out
+        return deps

@@ -518,3 +518,19 @@ def test_embedding_curation_notebook(spark, tmp_path):
     assert ann.groupBy("query_id").count().agg({"count": "max"}).collect()[0][0] <= 3
     t = VersionedTable(spark, str(tmp_path / "clean_embeddings"))
     assert t.read().count() == n_clean
+
+
+def test_scd2_dag_parallel_execution(spark, fixture_dir, tmp_path):
+    """run_dag(max_parallel=3) executes independent branches from
+    driver-side threads — the Argo DAG's parallel initial-load /
+    delta-load shape — and lands the exact same goldens as the
+    sequential order (engine/pipeline.py:run_dag)."""
+    import random
+
+    table_dir = tmp_path / "contact_table_par"
+    stages = scd2_stages(fixture_dir, table_dir)
+    shuffled = stages[:]
+    random.Random(7).shuffle(shuffled)  # order must not matter
+    ctx = Pipeline(spark, environment="dev").run_dag(shuffled, max_parallel=3)
+    assert "never_created" not in ctx.views  # env filter still applies
+    assert_goldens(spark, table_dir)
