@@ -57,10 +57,24 @@ def file_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     caps output file count (repartition before write — same knob as the
     reference's DeltaLakeLoad numPartitions); ``partitionBy`` writes
     hive-style partition directories, the 100 TB layout lever that lets
-    downstream scans prune whole partitions."""
+    downstream scans prune whole partitions.
+
+    ``rangePartitionBy`` writes a RANGE-partitioned, within-file-sorted
+    export (one range exchange + local sort): file k holds keys strictly
+    below file k+1's, so each parquet footer's min/max covers a disjoint
+    slice and a key-predicate scan prunes to ~one file — the sorted-
+    export layout for handing data to consumers that binary-search or
+    merge-join it. Combine with ``numPartitions`` to set the file
+    count."""
     df = ctx.view(conf["inputView"])
     n = conf.get("numPartitions")
-    if n:
+    range_cols = conf.get("rangePartitionBy")
+    if range_cols:
+        parts = [int(n)] if n else []
+        df = df.repartitionByRange(*parts, *range_cols).sortWithinPartitions(
+            *range_cols
+        )
+    elif n:
         df = df.repartition(int(n))
     writer = df.write.mode(str(conf.get("saveMode", "Overwrite")).lower())
     part_cols = conf.get("partitionBy")

@@ -1636,3 +1636,41 @@ def test_stream_materialized_aggregate_equals_batch(spark, tmp_path):
         (r.event_type, r.sum_value_micros, r.n)
         for r in VersionedTable(spark, agg).read().collect()
     } == expect
+
+
+def test_range_partitioned_sorted_export(spark, tmp_path):
+    """FileLoad rangePartitionBy writes disjoint-range, internally
+    sorted files (each footer's min/max covers its own key slice), and
+    reading back with a key predicate prunes to a subset of files
+    (engine/stages/load.py:file_load)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    out = str(tmp_path / "sorted_export")
+    Pipeline(spark).run([
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/orders.parquet",
+         "outputView": "orders"},
+        {"type": "FileLoad", "inputView": "orders", "outputURI": out,
+         "rangePartitionBy": ["o_orderkey"], "numPartitions": 4},
+    ])
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        keys = [
+            (md.row_group(g).column(c).statistics.min,
+             md.row_group(g).column(c).statistics.max)
+            for g in range(md.num_row_groups)
+            for c in range(md.num_columns)
+            if md.schema.column(c).name == "o_orderkey"
+        ]
+        ranges.append((min(k[0] for k in keys), max(k[1] for k in keys)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+    # round-trip preserves the data
+    assert spark.read.parquet(out).count() == spark.table("orders").count()

@@ -298,3 +298,23 @@ def test_curation_ops_plan_shapes(spark, queries):
 
     split = plan_of(queries["split_leakage_safe"](spark, SF_ORACLE))
     assert "BatchEvalPython" not in split and "ArrowEvalPython" not in split
+
+
+def test_hive_partitioned_output_prunes_partitions(spark, tmp_path_factory):
+    """partitionBy output + a partition predicate → the scan lists only
+    matching directories (PartitionFilters non-empty, PartitionCount
+    below the total) — the layout lever FileLoad documents."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    out = str(tmp_path_factory.mktemp("hive_part") / "events_by_type")
+    Pipeline(spark).run([
+        {"type": "ParquetExtract", "inputURI": f"{SF_ORACLE}/events.parquet",
+         "outputView": "ev"},
+        {"type": "FileLoad", "inputView": "ev", "outputURI": out,
+         "partitionBy": ["event_type"], "numPartitions": 2},
+    ])
+    df = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = plan_of(df)
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in seg  # predicate became a partition filter
+    assert df.count() == spark.table("ev").filter("event_type = 'click'").count()
