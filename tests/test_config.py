@@ -191,3 +191,92 @@ def test_stage_observe_metrics(spark, tmp_path):
     n = ctx.views["evens"].count()
     assert metrics.get("filtered", {}).get("rows") == n
     assert "orphan" not in metrics  # never executed; must not block
+
+
+# --- property-based robustness for the hand-rolled config layer -----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    _names = st.text(
+        alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ_", min_size=1, max_size=12
+    )
+    _values = st.text(
+        alphabet=st.characters(blacklist_characters='"$\\{}',
+                               blacklist_categories=("Cs",)),
+        max_size=20,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.dictionaries(_names, _values, min_size=1, max_size=5))
+    def test_resolve_vars_substitutes_every_known_var(variables):
+        from sql_based_etl_spark.engine.config import resolve_vars
+
+        text = " | ".join(f"${{{k}}}" for k in variables)
+        out = resolve_vars(text, variables)
+        assert out == " | ".join(str(v) for v in variables.values())
+        assert "${" not in out
+
+    @settings(max_examples=200, deadline=None)
+    @given(_names, _values)
+    def test_resolve_vars_strict_raises_on_unknown(name, value):
+        import pytest as _pytest
+
+        from sql_based_etl_spark.engine.config import ConfigError, resolve_vars
+
+        import os as _os
+        if name in _os.environ:
+            return  # env fallback is the documented behavior
+        with _pytest.raises(ConfigError):
+            resolve_vars(f"x ${{{name}}} y", {})
+        # non-strict leaves the reference intact for later passes
+        assert resolve_vars(f"${{{name}}}", {}, strict=False) == f"${{{name}}}"
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8),
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", max_size=12),
+            min_size=0, max_size=4,
+        ),
+        st.lists(
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.",
+                    min_size=1, max_size=10),
+            max_size=3,
+        ),
+    )
+    def test_parse_magic_line_roundtrip(opts, args):
+        from sql_based_etl_spark.engine.config import parse_magic_line
+
+        # bare args must not contain '=', by the parser's contract
+        args = [a for a in args if "=" not in a]
+        line = "%sql " + " ".join(
+            [f"{k}={v}" for k, v in opts.items()] + args
+        )
+        magic, got_opts, got_args = parse_magic_line(line)
+        assert magic == "sql"
+        assert got_opts == opts
+        assert got_args == args
+
+    # JSON string literals may not contain raw control characters, so
+    # the splice-folding property quantifies over printable text only
+    _json_text = st.text(
+        alphabet=st.characters(blacklist_characters='"$\\{}',
+                               blacklist_categories=("Cs", "Cc")),
+        max_size=20,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(_json_text, _json_text)
+    def test_hocon_splice_folding_any_value(prefix, suffix):
+        from sql_based_etl_spark.engine.config import parse_stage_config
+
+        cfg = ('{ "type": "X", "uri": "' + prefix + '"${V}"' + suffix + '" }')
+        out = parse_stage_config(cfg, {"V": "mid"})
+        assert out["uri"] == f"{prefix}mid{suffix}"
