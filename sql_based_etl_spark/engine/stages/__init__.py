@@ -25,6 +25,7 @@ from sql_based_etl_spark.engine.stages.load import (
     versioned_table_load,
     versioned_table_maintenance,
     versioned_table_merge_load,
+    validated_load,
 )
 from sql_based_etl_spark.engine.stages.extensions import (
     decontaminate_transform,
@@ -69,6 +70,7 @@ STAGE_TYPES = {
     "IncrementalAggLoad": incremental_agg_load,
     "SQLExecute": sql_execute,
     "SQLValidate": sql_validate,
+    "ValidatedLoad": validated_load,
     "ExpectationsValidate": expectations_validate,
     # LLM-data-pipeline extension stages
     "ModelScoreTransform": model_score_transform,

@@ -283,3 +283,47 @@ def bucketed_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         writer = writer.sortBy(*(sort_cols if isinstance(sort_cols, list) else [sort_cols]))
     writer.format(str(conf.get("format", "parquet")).lower()).saveAsTable(conf["table"])
     return None
+
+
+def validated_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
+    """Write-audit-publish with automatic rollback: write ``inputView``
+    as a new version of the target versioned table, AUDIT the committed
+    snapshot with the same one-scan expectation set
+    ``ExpectationsValidate`` uses, and on failure ROLL BACK — a
+    metadata-only RESTORE to the pre-write version — before re-raising.
+
+    Auditing the COMMITTED snapshot (not the input view) is the point:
+    it validates exactly the bytes readers would see, including
+    write-path surprises (schema coercion, partition clustering). The
+    bad version stays in history for forensics — RESTORE re-points
+    `latest`, it deletes nothing — and readers' time-travel semantics
+    never observe the bad snapshot as latest once the stage returns.
+    On a first-ever write there is nothing to restore; the failed table
+    is left in place and the error says so."""
+    from sql_based_etl_spark.engine.stages.validate import check_expectations
+
+    df = ctx.view(conf["inputView"])
+    t = VersionedTable(ctx.spark, conf["outputURI"])
+    prev = t.latest_version() if t.exists() else None
+    n = conf.get("numPartitions")
+    t.write(
+        df,
+        mode=str(conf.get("saveMode", "Overwrite")).lower(),
+        num_partitions=int(n) if n else None,
+        operation="VALIDATED_WRITE",
+    )
+    label = f"ValidatedLoad {conf.get('name', '')!r}"
+    try:
+        check_expectations(t.read(), conf.get("expectations"), label)
+    except StageError as e:
+        if prev is not None:
+            t.restore(prev)
+            raise StageError(
+                f"{e} — rolled back to version {prev} (the failed "
+                "version remains in history for forensics)"
+            ) from e
+        raise StageError(
+            f"{e} — no prior version to roll back to; the failed table "
+            f"remains at {conf['outputURI']}"
+        ) from e
+    return None

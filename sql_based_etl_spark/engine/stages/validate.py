@@ -69,16 +69,26 @@ def expectations_validate(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     NULLs — pair them with ``notNull`` to reject those. An empty
     expectations list is a config error, not a vacuous pass.
     """
-    df = ctx.view(conf["inputView"])
-    if not conf.get("expectations"):
+    check_expectations(
+        ctx.view(conf["inputView"]), conf.get("expectations"),
+        f"ExpectationsValidate {conf.get('name', '')!r}",
+    )
+    return None
+
+
+def check_expectations(df: DataFrame, expectations, label: str) -> None:
+    """The one-scan expectation audit behind ``ExpectationsValidate``
+    (and ``ValidatedLoad``'s post-write gate): raises ``StageError``
+    listing EVERY failed expectation's violation count."""
+    if not expectations:
         raise StageError(
-            f"ExpectationsValidate {conf.get('name', '')!r}: empty "
+            f"{label}: empty "
             "expectations list — a validation that checks nothing is a "
             "config error, not a pass"
         )
     aggs = []
     labels = []
-    for i, e in enumerate(conf["expectations"]):
+    for i, e in enumerate(expectations):
         c = e.get("column")
         if e.get("notNull"):
             aggs.append(F.sum(F.col(c).isNull().cast("long")))
@@ -109,7 +119,7 @@ def expectations_validate(ctx: PipelineContext, conf: dict) -> DataFrame | None:
             )
             labels.append(f"expr[{i}] {e['expr']!r}")
         else:
-            raise StageError(f"ExpectationsValidate: unrecognized expectation {e!r}")
+            raise StageError(f"{label}: unrecognized expectation {e!r}")
     row = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)]).collect()[0]
     failures = [
         f"{labels[i]}: {row[i]} violating rows"
@@ -117,8 +127,4 @@ def expectations_validate(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         if (row[i] or 0) > 0
     ]
     if failures:
-        raise StageError(
-            f"ExpectationsValidate {conf.get('name', '')!r} failed: "
-            + "; ".join(failures)
-        )
-    return None
+        raise StageError(f"{label} failed: " + "; ".join(failures))

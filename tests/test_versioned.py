@@ -593,3 +593,51 @@ def test_timestamp_as_of_time_travel(spark, table):
         "outputView": "asof_v", "options": {"timestampAsOf": t0},
     }])
     assert ctx.views["asof_v"].count() == 3
+
+
+def test_validated_load_rolls_back_on_audit_failure(spark, tmp_path):
+    """ValidatedLoad (write-audit-publish): a passing audit publishes
+    the version; a failing one restores the pre-write snapshot as
+    latest (metadata-only) and re-raises, with the bad version kept in
+    history for forensics (engine/stages/load.py:validated_load)."""
+    import pytest
+
+    from sql_based_etl_spark.engine.pipeline import Pipeline, StageError
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    uri = str(tmp_path / "wap_table")
+    good = [
+        {"type": "SQLTransform", "outputView": "good",
+         "sql": "SELECT id AS k, id * 2 AS v FROM range(10)"},
+        {"type": "ValidatedLoad", "inputView": "good", "outputURI": uri,
+         "expectations": [{"column": "k", "notNull": True},
+                          {"column": "k", "unique": True}]},
+    ]
+    Pipeline(spark).run(good)
+    t = VersionedTable(spark, uri)
+    v_good = t.latest_version()
+    assert t.read().count() == 10
+
+    bad = [
+        {"type": "SQLTransform", "outputView": "bad",
+         "sql": "SELECT 1 AS k, 0 AS v UNION ALL SELECT 1 AS k, 0 AS v"},
+        {"type": "ValidatedLoad", "name": "audit", "inputView": "bad",
+         "outputURI": uri,
+         "expectations": [{"column": "k", "unique": True}]},
+    ]
+    with pytest.raises(StageError, match="rolled back"):
+        Pipeline(spark).run(bad)
+    # latest snapshot is the good data again…
+    assert t.read().count() == 10
+    assert {r.k for r in t.read().collect()} == set(range(10))
+    # …and history keeps both the bad write and the restore commit
+    assert t.latest_version() > v_good + 1
+    # first-ever write failure: nothing to restore, error says so
+    uri2 = str(tmp_path / "wap_first")
+    with pytest.raises(StageError, match="no prior version"):
+        Pipeline(spark).run([
+            {"type": "SQLTransform", "outputView": "bad2",
+             "sql": "SELECT NULL AS k"},
+            {"type": "ValidatedLoad", "inputView": "bad2", "outputURI": uri2,
+             "expectations": [{"column": "k", "notNull": True}]},
+        ])
