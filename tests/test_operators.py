@@ -1674,3 +1674,56 @@ def test_range_partitioned_sorted_export(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
     # round-trip preserves the data
     assert spark.read.parquet(out).count() == spark.table("orders").count()
+
+
+def test_stream_materialized_aggregate_restart_from_checkpoint(spark, tmp_path):
+    """Kill the streaming materialized view after the first batch,
+    restart from the same checkpointLocation with new input: the
+    restarted query resumes at the next batch and the final aggregate
+    equals the batch groupBy of ALL input — exactly-once end-to-end
+    through a real checkpoint (streaming/events.py:
+    stream_materialized_aggregate)."""
+    import glob
+    import shutil
+
+    from sql_based_etl_spark.streaming.events import stream_materialized_aggregate
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base, agg = str(tmp_path / "mv_base"), str(tmp_path / "mv_agg")
+    ckpt = str(tmp_path / "mv_ckpt")
+    schema = "k string, x double"
+
+    def put(name, rows):
+        stage = str(tmp_path / ("w_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        shutil.move(glob.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    def start():
+        return stream_materialized_aggregate(
+            spark.readStream.schema(schema).parquet(str(src)),
+            base, agg, group_cols=["k"], sum_cols=["x"], num_partitions=1,
+            checkpoint=ckpt,
+        )
+
+    put("a.parquet", [("a", 1.0), ("b", 2.0)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # crash after batch 0
+    base_versions = len(VersionedTable(spark, base).versions())
+
+    put("b.parquet", [("a", 3.5)])
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    # batch 0 was not reprocessed: exactly one new base version
+    assert len(VersionedTable(spark, base).versions()) == base_versions + 1
+    got = {
+        (r.k, r.sum_x_micros, r.n)
+        for r in VersionedTable(spark, agg).read().collect()
+    }
+    assert got == {("a", 4_500_000, 2), ("b", 2_000_000, 1)}
