@@ -233,3 +233,47 @@ ORACLES = {
         )
     """,
 }
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the canonical CONSUMER of an SCD2 table:
+    each event joins the dimension version whose [valid_from, valid_to)
+    interval covers the event timestamp, so January events resolve
+    changed customers to their EXPIRED (then-current) version, not
+    today's row. Equi-join on the key + per-key interval filter: the
+    range never leaves the key's partition, so this is one ordinary
+    shuffle at any scale. Runs the full merge pipeline first; the
+    oracle rebuilds the merged state and replays the interval join."""
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    table_dir = _run_scd2_pipeline(spark, sf_dir)
+    dim = VersionedTable(spark, table_dir).read().select(
+        "id", "segment", "iscurrent", "valid_from", "valid_to"
+    )
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    cond = (
+        (events.user_id == dim.id)
+        & (events.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (events.ts < dim.valid_to))
+    )
+    return events.join(dim, cond).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "segment",
+        "iscurrent",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+    )
+
+
+QUERIES["q_scd2_point_in_time"] = q_scd2_point_in_time
+
+ORACLES["q_scd2_point_in_time"] = f"""
+    WITH merged AS ({_ORACLE_STATE})
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+           m.segment, m.iscurrent, m.valid_from
+    FROM events e JOIN merged m ON e.user_id = m.id
+    WHERE e.ts >= CAST(m.valid_from AS TIMESTAMP)
+      AND (m.valid_to IS NULL OR e.ts < CAST(m.valid_to AS TIMESTAMP))
+"""
