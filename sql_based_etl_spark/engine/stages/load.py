@@ -45,6 +45,7 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         cluster_by=opts.get("clusterBy"),
         cluster_method=str(opts.get("clusterMethod", "range")).lower(),
         stats_columns=opts.get("statsColumns"),
+        bloom_filter_columns=opts.get("bloomFilterColumns"),
     )
     return None
 

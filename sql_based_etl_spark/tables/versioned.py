@@ -408,7 +408,8 @@ class VersionedTable:
     def _write_data_files(self, df: DataFrame, version: int,
                           num_partitions: int | None,
                           cluster_by: list[str] | None = None,
-                          cluster_method: str = "range") -> list[str]:
+                          cluster_method: str = "range",
+                          bloom_filter_columns: list[str] | None = None) -> list[str]:
         """Write ``df`` under ``data/v{version}/`` and return the
         table-relative paths of the files written.
 
@@ -437,7 +438,15 @@ class VersionedTable:
         elif num_partitions:
             df = df.repartition(int(num_partitions))
         rel_dir = f"data/v{version:08d}"
-        df.write.mode("errorifexists").parquet(f"{self.path}/{rel_dir}")
+        writer = df.write.mode("errorifexists")
+        for c in bloom_filter_columns or []:
+            # parquet-level bloom filters: the reader skips whole row
+            # groups on `col = x` probes that min/max stats can't prune
+            # (high-cardinality point lookups — id fetches, digest
+            # probes). Purely additive file metadata; costs write-side
+            # space only on the named columns.
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(f"{self.path}/{rel_dir}")
         fs = self._fs()
         out = []
         for st in fs.listStatus(self._jpath(rel_dir)):
@@ -587,6 +596,7 @@ class VersionedTable:
               cluster_by: list[str] | None = None,
               cluster_method: str = "range",
               stats_columns: list[str] | None = None,
+              bloom_filter_columns: list[str] | None = None,
               extra: dict | None = None) -> int:
         """Commit ``df`` as a new version. ``mode='append'`` adds files
         to the current snapshot (no rewrite of existing data);
@@ -626,7 +636,7 @@ class VersionedTable:
 
         new_v = (vs[-1] + 1) if vs else 0
         new_files = self._write_data_files(df, new_v, num_partitions, cluster_by,
-                                           cluster_method)
+                                           cluster_method, bloom_filter_columns)
         carried = self.files(vs[-1]) if (mode == "append" and vs) else []
         stats = self._collect_stats(new_files, df.schema, stats_columns)
         if carried:
