@@ -344,6 +344,13 @@ def table_profile(ctx: PipelineContext, conf: dict) -> DataFrame:
     range moves — feed into ExpectationsValidate to gate a load."""
     from sql_based_etl_spark.operators.profiling import profile, profile_drift
 
+    if conf.get("analysis") == "outliers":
+        from sql_based_etl_spark.operators.profiling import numeric_outlier_stats
+
+        return numeric_outlier_stats(
+            ctx.view(conf["inputView"]), conf["groupColumn"],
+            conf["valueColumn"], z=float(conf.get("z", 3.0)),
+        )
     if conf.get("analysis") == "key_skew":
         from sql_based_etl_spark.operators.profiling import key_skew_stats
 

@@ -130,3 +130,63 @@ def profile_drift(old: DataFrame, new: DataFrame,
             | ~F.col("max_old").eqNullSafe(F.col("max_new"))
         ).alias("range_moved"),
     )
+
+
+def numeric_outlier_stats(
+    df: DataFrame, group_col: str, value_col: str, z: float = 3.0
+) -> DataFrame:
+    """Per-group z-score anomaly report: ``(group, n, mean, std,
+    n_outliers)`` where outliers are rows with ``|x - mean| > z·std``
+    — the numeric data-quality gate (sensor spikes, unit mix-ups,
+    loader bugs) that complements the categorical checks in
+    ``ExpectationsValidate``.
+
+    Exactness: sums and sums-of-squares accumulate in integer MILLIS
+    (``round(x·1e3)``) so another engine replays them bit-for-bit;
+    mean/std are fixed double expressions over those ints, rounded to 6
+    decimals BEFORE the outlier comparison so both engines compare
+    against identical thresholds. Two scans, both map-side combinable:
+    one for the moments, one (with the tiny stats broadcast back) for
+    the outlier count. Overflow headroom: |x|·10³ ≤ 10⁶ ⇒ squares
+    ≤ 10¹², so int64 holds ~9·10⁶ billion rows per group; shrink the
+    scale for wider-ranged values."""
+    xq = F.expr(f"cast(round(cast({value_col} as double) * 1000.0) as bigint)")
+    moments = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xq).alias("s"),
+            F.sum(xq * xq).alias("ss"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean = F.round(F.col("s").cast("double") / nd / F.lit(1000.0), 6)
+    var = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / nd)
+        / nd
+        / F.lit(1_000_000.0)
+    )
+    stats = moments.select(
+        "g", "n", "s", "ss", mean.alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+    )
+    flagged = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), xq.alias("xq"))
+        .join(F.broadcast(stats), "g")
+        .filter(
+            F.abs(F.col("xq").cast("double") / F.lit(1000.0) - F.col("mean"))
+            > F.lit(float(z)) * F.col("std")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(flagged, "g", "left")
+        .select(
+            F.col("g").cast("string").alias("group"),
+            "n", "mean", "std",
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+    )

@@ -95,6 +95,7 @@ APPENDIX = [
     "stream_window_histogram",  # per-window histogram — stateful window agg graded via stream_window_counts; bin/merge semantics via sketch_hist oracle + pytest
     "sample_top_quality_per_lang",  # per-group score thresholding — window machinery graded via q_topk_per_group; quality score graded via text_quality_score
     "sim_embedding_covariance",  # PCA training aggregate — combinable-agg machinery graded via q01; exact int-millis cross sums oracle-checked in pytest
+    "profile_value_outliers",  # z-score anomaly report — moment machinery graded via q01/q_percentiles; exact millis moments oracle-checked in pytest
     "q_scd2_point_in_time",  # SCD2 consumer join — interval machinery graded via q_range_join/q_asof_join over the graded q_scd2_merge state; oracle-checked in pytest
     "stream_materialized_agg",  # streaming materialized view — stream sink + CDF refresh graded via stream_window_counts + q_scd2_changes machinery; equals-batch oracle-checked in pytest
 ]

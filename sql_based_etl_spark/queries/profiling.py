@@ -233,3 +233,48 @@ ORACLES["sketch_hist_event_quantiles"] = f"""
     )
     SELECT q, min_by(v, bin) AS value_est FROM j GROUP BY q
 """
+
+
+def profile_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly report over events.value
+    (operators/profiling.py:numeric_outlier_stats): integer-millis
+    moments (bit-exact cross-engine), 6-decimal-rounded mean/std, and
+    the |z| > 3 outlier count — the numeric complement to the
+    categorical expectation gates."""
+    from sql_based_etl_spark.operators.profiling import numeric_outlier_stats
+
+    return numeric_outlier_stats(load(spark, sf_dir, "events"), "event_type", "value")
+
+
+QUERIES["profile_value_outliers"] = profile_value_outliers
+
+ORACLES["profile_value_outliers"] = """
+    WITH q AS (
+        SELECT event_type AS g,
+               CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+        FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+        SELECT g, count(*) AS n,
+               CAST(sum(xq) AS BIGINT) AS s,
+               CAST(sum(xq * xq) AS BIGINT) AS ss
+        FROM q GROUP BY g
+    ),
+    enriched AS (
+        SELECT g, n,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) AS mean,
+               round(sqrt((CAST(ss AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE) / 1000000.0), 6) AS std
+        FROM stats
+    ),
+    flagged AS (
+        SELECT q.g, count(*) AS n_outliers
+        FROM q JOIN enriched e ON q.g = e.g
+        WHERE abs(CAST(q.xq AS DOUBLE) / 1000.0 - e.mean) > 3.0 * e.std
+        GROUP BY q.g
+    )
+    SELECT CAST(e.g AS VARCHAR) AS "group", e.n, e.mean, e.std,
+           coalesce(f.n_outliers, 0) AS n_outliers
+    FROM enriched e LEFT JOIN flagged f ON e.g = f.g
+"""
