@@ -30,14 +30,20 @@ any data size matters — persist() alone caches rows but not the plan.
 ``checkpoint()`` for executor-loss tolerance; localCheckpoint keeps
 the tight loop driver-local here.)
 
-Convergence is detected with one tiny changed-rows probe per round
-(join old vs new labels, ``limit(1).count()``) — exact for any node-id
-type, and the driver never collects the label table itself.
+Convergence costs ZERO extra jobs: the previous label rides through
+the propagate aggregate as ``__prev`` (min over the self-tagged row),
+and a ``Dataset.observe`` metric on the jump output counts
+``label != __prev`` rows INSIDE the same job that materializes the
+round's checkpoint — exact for any node-id type, and the driver never
+collects the label table itself. (Earlier revisions paid a separate
+join + ``limit(1).count()`` probe job per round; at small SF those
+driver-synchronized round-trips dominated the loop — the probe was
+the 1.5×-over-floor constant factor the round-3 bench flagged.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -72,16 +78,34 @@ def connected_components(
     )
 
     for _ in range(max_iter):
+        # propagate: min label over self + neighbors. The self row is
+        # tagged so the SAME map-side-combinable aggregate also carries
+        # the node's previous label through as __prev (min over a
+        # one-element when-set) — this is what lets the convergence
+        # check below ride inside the round's one job instead of
+        # paying its own join + count round-trip.
         nbr = sym.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("node"), "label")
+        ).select(
+            F.col("a").alias("node"), "label", F.lit(False).alias("__self")
+        )
         propagated = (
-            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+            labels.withColumn("__self", F.lit(True))
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__self"), F.col("label"))).alias("__prev"),
+            )
         )
         # pointer jump: label ← label's label (labels are always node
         # ids, so the inner self-join is total). localCheckpoint (not
         # persist): the self-join references `propagated` twice, so an
-        # untruncated plan doubles every round.
+        # untruncated plan doubles every round. The exact fixpoint test
+        # (type-agnostic — a sum-of-ids check would silently NULL out on
+        # string node ids) is a Dataset.observe metric computed INSIDE
+        # the checkpoint job: zero extra jobs per round.
+        obs = Observation()
         jumped = (
             propagated.join(
                 propagated.select(
@@ -89,22 +113,18 @@ def connected_components(
                 ),
                 "label",
             )
-            .select("node", F.col("__ll").alias("label"))
+            .select("node", F.col("__ll").alias("label"), "__prev")
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("__prev")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        # exact fixpoint test, type-agnostic (a sum-based check would
-        # silently NULL out on string node ids): any row whose label
-        # changed this round? limit(1) short-circuits the scan.
-        changed = (
-            jumped.join(
-                labels.select("node", F.col("label").alias("__prev")), "node"
-            )
-            .filter(F.col("label") != F.col("__prev"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if not changed:
+        labels = jumped.drop("__prev")
+        # eager checkpoint above already ran the job, so this never blocks
+        if not (obs.get["changed"] or 0):
             break
 
     return labels.select("node", F.col("label").alias("component"))
