@@ -53,15 +53,28 @@ class PipelineContext:
         are simply absent from the result."""
         import time
 
+        def probe(obs) -> bool | None:
+            # Observation._jo / .future() are private PySpark/JVM
+            # surfaces (not stable API); a Spark upgrade or a Spark
+            # Connect session may not expose them. Any probe failure
+            # means "cannot confirm completion" — the observation is
+            # left absent from the result rather than raising.
+            try:
+                jo = obs._jo  # noqa: SLF001
+                if jo is None:
+                    return None  # never attached to a plan
+                return bool(jo.future().isCompleted())
+            except Exception:  # noqa: BLE001
+                return None
+
         deadline = time.monotonic() + wait_secs
         pending = {
             name: obs for name, obs in self.observations.items()
-            if obs._jo is not None
+            if probe(obs) is not None
         }
         out: dict[str, dict[str, Any]] = {}
         while pending:
-            for name in [n for n, o in pending.items()
-                         if o._jo.future().isCompleted()]:
+            for name in [n for n, o in pending.items() if probe(o)]:
                 out[name] = pending.pop(name).get
             if not pending or time.monotonic() >= deadline:
                 break
@@ -248,6 +261,18 @@ class Pipeline:
                 by_name[st["name"]] = i
 
         deps: list[set[int]] = [set() for _ in stages]
+        # Two stages producing the SAME outputView must not run
+        # concurrently: createOrReplaceTempView + ctx.views are
+        # last-writer-wins, so an unordered pair racing under
+        # run_dag(max_parallel>1) makes the surviving view
+        # nondeterministic and can hand a downstream consumer the
+        # earlier producer's data. Chain duplicate producers in list
+        # order (earlier → later) — the same resolution uri_edges
+        # applies to multi-writer tables — so parallel execution
+        # matches serial run() semantics.
+        for ps in view_producers.values():
+            for a, b in zip(ps, ps[1:]):
+                deps[b].add(a)
         for i, st in enumerate(stages):
             consumed = list(st.get("inputViews") or [])
             if st.get("inputView"):

@@ -301,9 +301,26 @@ def validated_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     never observe the bad snapshot as latest once the stage returns.
     On a first-ever write there is nothing to restore; the failed table
     is left in place and the error says so."""
-    from sql_based_etl_spark.engine.stages.validate import check_expectations
+    from sql_based_etl_spark.engine.stages.validate import (
+        check_expectations,
+        compile_expectations,
+    )
 
     df = ctx.view(conf["inputView"])
+    label = f"ValidatedLoad {conf.get('name', '')!r}"
+    # Config errors (empty list, unrecognized entry, column typo) must
+    # surface BEFORE the write: detecting them only in the post-commit
+    # audit costs a full data write plus two junk versions (bad version
+    # + restore) — or a dangling table on a first-ever write.
+    compile_expectations(conf.get("expectations"), label)
+    missing = sorted({
+        e["column"] for e in conf.get("expectations")
+        if e.get("column") and e["column"] not in df.columns
+    })
+    if missing:
+        raise StageError(
+            f"{label}: expectation columns not in inputView: {missing}"
+        )
     t = VersionedTable(ctx.spark, conf["outputURI"])
     prev = t.latest_version() if t.exists() else None
     n = conf.get("numPartitions")
@@ -313,7 +330,6 @@ def validated_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         num_partitions=int(n) if n else None,
         operation="VALIDATED_WRITE",
     )
-    label = f"ValidatedLoad {conf.get('name', '')!r}"
     try:
         check_expectations(t.read(), conf.get("expectations"), label)
     except StageError as e:

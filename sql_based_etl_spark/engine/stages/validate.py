@@ -80,6 +80,24 @@ def check_expectations(df: DataFrame, expectations, label: str) -> None:
     """The one-scan expectation audit behind ``ExpectationsValidate``
     (and ``ValidatedLoad``'s post-write gate): raises ``StageError``
     listing EVERY failed expectation's violation count."""
+    aggs, labels = compile_expectations(expectations, label)
+    row = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)]).collect()[0]
+    failures = [
+        f"{labels[i]}: {row[i]} violating rows"
+        for i in range(len(labels))
+        if (row[i] or 0) > 0
+    ]
+    if failures:
+        raise StageError(f"{label} failed: " + "; ".join(failures))
+
+
+def compile_expectations(expectations, label: str):
+    """Pure config step of :func:`check_expectations`: translate the
+    expectations list into aggregate columns + human labels, raising
+    ``StageError`` on an empty list or an unrecognized entry WITHOUT
+    touching any data. ``ValidatedLoad`` calls this before its write so
+    a config typo costs nothing (no junk version + rollback, no
+    dangling first-ever table)."""
     if not expectations:
         raise StageError(
             f"{label}: empty "
@@ -120,11 +138,4 @@ def check_expectations(df: DataFrame, expectations, label: str) -> None:
             labels.append(f"expr[{i}] {e['expr']!r}")
         else:
             raise StageError(f"{label}: unrecognized expectation {e!r}")
-    row = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)]).collect()[0]
-    failures = [
-        f"{labels[i]}: {row[i]} violating rows"
-        for i in range(len(labels))
-        if (row[i] or 0) > 0
-    ]
-    if failures:
-        raise StageError(f"{label} failed: " + "; ".join(failures))
+    return aggs, labels

@@ -68,7 +68,13 @@ def key_skew_stats(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     totals = counts.agg(
         F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
     )
-    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    # tie-break pins NULLS LAST explicitly on BOTH engines: Spark's
+    # bare asc() is NULLS FIRST while DuckDB's `k ASC` defaults NULLS
+    # LAST, and the NULL key is precisely the hot key most likely to
+    # sit on the top_n boundary
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("key").asc_nulls_last()
+    ).limit(top_n)
     # integer-micros ratios via INTEGER division (`div`) — exact, no
     # double-rounding step for another engine to disagree on
     share = F.expr("cnt * 1000000 div __total")

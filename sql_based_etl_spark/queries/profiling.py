@@ -124,7 +124,7 @@ ORACLES["profile_key_skew"] = """
         SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY user_id
     ),
     t AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM counts),
-    top AS (SELECT k, cnt FROM counts ORDER BY cnt DESC, k ASC LIMIT 10)
+    top AS (SELECT k, cnt FROM counts ORDER BY cnt DESC, k ASC NULLS LAST LIMIT 10)
     SELECT CAST(k AS VARCHAR) AS key, cnt,
            ((cnt * 1000000) // total) / 1000000.0 AS share,
            ((cnt * 1000000 * nkeys) // total) / 1000000.0 AS skew_factor

@@ -193,6 +193,24 @@ def test_stage_observe_metrics(spark, tmp_path):
     assert "orphan" not in metrics  # never executed; must not block
 
 
+def test_observed_metrics_survives_missing_private_surface(spark):
+    """The completion probe rides on private PySpark internals
+    (``Observation._jo``/``future()``) that a Spark upgrade or Connect
+    session may not expose — probe failures must degrade to "metric
+    absent", never raise (engine/pipeline.py:observed_metrics)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    class NoPrivates:  # stands in for a future Observation shape
+        @property
+        def _jo(self):
+            raise AttributeError("gone in this Spark version")
+
+    pipe = Pipeline(spark)
+    pipe.ctx.observations["broken"] = NoPrivates()
+    out = pipe.ctx.observed_metrics(wait_secs=0.2)
+    assert "broken" not in out  # absent, and no exception escaped
+
+
 # --- property-based robustness for the hand-rolled config layer -----------
 
 try:

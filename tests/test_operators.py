@@ -1339,6 +1339,22 @@ def test_key_skew_stats_shares_and_factor(spark):
         assert r.skew_factor == (r.cnt * 1_000_000 * nkeys // total) / 1e6
 
 
+def test_key_skew_stats_null_key_tiebreak_is_nulls_last(spark):
+    """A NULL key tying on cnt at the top_n boundary sorts NULLS LAST —
+    pinned explicitly on both engines, since Spark's bare asc() is
+    NULLS FIRST while DuckDB's `k ASC` defaults NULLS LAST
+    (operators/profiling.py:key_skew_stats)."""
+    from sql_based_etl_spark.operators.profiling import key_skew_stats
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), ("b",)], "k string"
+    )
+    rows = key_skew_stats(df, "k", top_n=2).collect()
+    # 'a' and NULL tie at cnt=2; NULLS LAST ⇒ 'a' first, NULL second
+    assert [r.key for r in rows] == ["a", None]
+    assert key_skew_stats(df, "k", top_n=1).collect()[0].key == "a"
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Every near-dup cluster lands in exactly one split, and
     singletons get their plain hash_split assignment

@@ -534,3 +534,25 @@ def test_scd2_dag_parallel_execution(spark, fixture_dir, tmp_path):
     ctx = Pipeline(spark, environment="dev").run_dag(shuffled, max_parallel=3)
     assert "never_created" not in ctx.views  # env filter still applies
     assert_goldens(spark, table_dir)
+
+
+def test_dag_duplicate_output_view_producers_are_chained(spark):
+    """Two stages writing the SAME outputView must not race under
+    max_parallel>1: createOrReplaceTempView is last-writer-wins, so the
+    graph chains duplicate producers in list order and a consumer sees
+    the later producer's data — identical to serial run() semantics
+    (engine/pipeline.py:_stage_deps)."""
+    stages = [
+        {"name": "p1", "type": "SQLTransform", "outputView": "dupv",
+         "sql": "SELECT 1 AS x"},
+        {"name": "p2", "type": "SQLTransform", "outputView": "dupv",
+         "sql": "SELECT 2 AS x"},
+        {"name": "c", "type": "SQLTransform", "outputView": "dup_out",
+         "sql": "SELECT max(x) AS x FROM dupv"},
+    ]
+    deps = Pipeline._stage_deps(stages)
+    assert 0 in deps[1]          # p2 ordered after p1, not concurrent
+    assert deps[2] >= {0, 1}     # consumer waits for the final writer
+    for _ in range(3):  # would be flaky, not deterministic, if racing
+        ctx = Pipeline(spark).run_dag(stages, max_parallel=3)
+        assert ctx.views["dup_out"].collect()[0].x == 2

@@ -643,6 +643,35 @@ def test_validated_load_rolls_back_on_audit_failure(spark, tmp_path):
         ])
 
 
+def test_validated_load_config_errors_cost_no_write(spark, tmp_path):
+    """A pure expectations-config error (empty list, unrecognized
+    entry, column typo) must surface BEFORE the write — not after
+    committing a junk version (engine/stages/load.py:validated_load +
+    validate.py:compile_expectations)."""
+    import os
+
+    import pytest
+
+    from sql_based_etl_spark.engine.pipeline import Pipeline, StageError
+
+    uri = str(tmp_path / "wap_cfg")
+    for exps, match in [
+        ([], "empty"),
+        ([{"column": "k", "frobnicate": True}], "unrecognized"),
+        ([{"column": "nope", "notNull": True}], "not in inputView"),
+    ]:
+        with pytest.raises(StageError, match=match):
+            Pipeline(spark).run([
+                {"type": "SQLTransform", "outputView": "cfg_src",
+                 "sql": "SELECT 1 AS k"},
+                {"type": "ValidatedLoad", "name": "cfg",
+                 "inputView": "cfg_src", "outputURI": uri,
+                 "expectations": exps},
+            ])
+        # the config error fired before any data/table write
+        assert not os.path.exists(uri)
+
+
 def test_bloom_filter_columns_written_to_parquet(spark, tmp_path):
     """options.bloomFilterColumns emits parquet bloom filters on the
     named columns (reader-side row-group skipping for point lookups
