@@ -26,11 +26,13 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         # so external Delta tooling can consume the table directly
         from sql_based_etl_spark.tables.delta_interop import write_delta
 
+        cpi = opts.get("checkpointInterval")
         write_delta(
             df.repartition(int(n)) if n else df,
             conf["outputURI"],
             mode=str(conf.get("saveMode", "Overwrite")).lower(),
             partition_by=conf.get("partitionBy"),
+            checkpoint_interval=int(cpi) if cpi else 10,
         )
         return None
     t = VersionedTable(ctx.spark, conf["outputURI"])

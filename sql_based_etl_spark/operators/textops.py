@@ -322,6 +322,9 @@ def bloom_build(
         for j in range(k_hashes)
     ]
     positions = (
+        # bounded collect: distinct bit positions ≤ m_bits (131072 ints
+        # for the 16 KiB default) regardless of benchmark size — the
+        # driver materializes a bitmap index, never data rows
         grams.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct().collect()
     )
     words = [0] * (m_bits // 64)

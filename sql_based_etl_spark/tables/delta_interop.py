@@ -131,14 +131,26 @@ def _replay_checkpoint(spark: SparkSession, log_dir: str, cp_version: int,
             m = metas[-1]["metaData"].asDict(recursive=True)
             meta = m
     # only the surviving file list is collected (checkpoints already
-    # contain reconciled state: no remove tombstones needed for reads)
+    # contain reconciled state: no remove tombstones needed for reads).
+    # size/modificationTime ride along (when the checkpoint has them —
+    # protocol-required, but be tolerant of sparse hand-built logs) so
+    # a LATER checkpoint built on top of this state keeps the add
+    # fields external Delta readers require.
+    add_fields = set(cp.schema["add"].dataType.fieldNames())
+    opt = [
+        F.col(f"add.{f}").alias(f) if f in add_fields
+        else F.lit(None).cast("long").alias(f)
+        for f in ("size", "modificationTime")
+    ]
     for r in (
         cp.filter(F.col("add.path").isNotNull())
-        .select("add.path", "add.partitionValues")
+        .select("add.path", "add.partitionValues", *opt)
         .collect()
     ):
         adds[r["path"]] = {"path": r["path"],
-                           "partitionValues": dict(r["partitionValues"] or {})}
+                           "partitionValues": dict(r["partitionValues"] or {}),
+                           "size": r["size"],
+                           "modificationTime": r["modificationTime"]}
     return meta, adds
 
 
@@ -350,8 +362,109 @@ def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
         raise VersionedTableError(f"cannot commit Delta log {name} at {log_dir}")
 
 
+def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
+                      meta: dict, adds: dict[str, dict]) -> None:
+    """Emit ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` for the
+    reconciled state after commit ``version`` — Delta's reader
+    optimization: without it every reader of a long-lived table (e.g. a
+    per-micro-batch streaming sink) replays an unbounded JSON log.
+    Schema mirrors what :func:`_replay_checkpoint` consumes and what
+    delta-spark expects of a single-part classic checkpoint: one row per
+    action with exactly one of ``protocol``/``metaData``/``add`` set.
+
+    Written via a normal Spark parquet job into a dot-prefixed temp dir
+    (invisible to readers), renamed into place, then ``_last_checkpoint``
+    is overwritten — the same publication order Delta uses, so a crash
+    between the two leaves a valid table (readers just keep replaying
+    JSON until the pointer lands)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    fmt_t = StructType([
+        StructField("provider", StringType()),
+        StructField("options", MapType(StringType(), StringType())),
+    ])
+    schema = StructType([
+        StructField("protocol", StructType([
+            StructField("minReaderVersion", IntegerType()),
+            StructField("minWriterVersion", IntegerType()),
+        ])),
+        StructField("metaData", StructType([
+            StructField("id", StringType()),
+            StructField("format", fmt_t),
+            StructField("schemaString", StringType()),
+            StructField("partitionColumns", ArrayType(StringType())),
+            StructField("configuration", MapType(StringType(), StringType())),
+            StructField("createdTime", LongType()),
+        ])),
+        StructField("add", StructType([
+            StructField("path", StringType()),
+            StructField("partitionValues", MapType(StringType(), StringType())),
+            StructField("size", LongType()),
+            StructField("modificationTime", LongType()),
+            StructField("dataChange", BooleanType()),
+        ])),
+    ])
+    none_row = {"protocol": None, "metaData": None, "add": None}
+    rows = [
+        {**none_row, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {**none_row, "metaData": {
+            k: meta.get(k)
+            for k in ("id", "format", "schemaString", "partitionColumns",
+                      "configuration", "createdTime")
+        }},
+    ]
+    rows += [
+        {**none_row, "add": {
+            "path": a["path"],
+            "partitionValues": dict(a.get("partitionValues") or {}),
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
+            "dataChange": False,
+        }}
+        for _, a in sorted(adds.items())
+    ]
+    fs, _, _ = _fs_and_path(spark, log_dir)
+    tmp_dir = f"{log_dir}/.checkpoint-{version:020d}.tmp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_dir)
+    jtmp = _fs_and_path(spark, tmp_dir)[1]
+    part = next(
+        st.getPath() for st in fs.listStatus(jtmp)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    dest = _fs_and_path(
+        spark, f"{log_dir}/{version:020d}.checkpoint.parquet"
+    )[1]
+    # re-running a checkpoint is content-idempotent; replace, not race
+    if fs.exists(dest):
+        fs.delete(dest, False)
+    if not fs.rename(part, dest):
+        raise VersionedTableError(
+            f"cannot publish checkpoint for version {version} at {log_dir}"
+        )
+    fs.delete(jtmp, True)
+    out = fs.create(_fs_and_path(spark, f"{log_dir}/_last_checkpoint")[1], True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"version": version, "size": len(rows)}
+        ).encode("utf-8")))
+    finally:
+        out.close()
+
+
 def write_delta(df: DataFrame, path: str, mode: str = "append",
-                partition_by: list[str] | None = None) -> int:
+                partition_by: list[str] | None = None,
+                checkpoint_interval: int | None = 10) -> int:
     """Write a commit to a Delta-protocol table WITHOUT delta-spark jars
     — the write half of the interop bridge (read half:
     :func:`read_delta`), so engine output is consumable by any Delta
@@ -372,8 +485,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     own default — pass the evolved frame through overwrite semantics
     instead); repartitioning of an existing table raises; concurrent
     commits to the same version raise (see :func:`_commit_delta_log`).
-    Checkpoint files are a reader optimization the bridge does not
-    emit; pure-JSON logs are valid Delta at any version count.
+
+    Every ``checkpoint_interval`` commits (Delta's own default, 10) the
+    reconciled state is also published as a parquet checkpoint +
+    ``_last_checkpoint`` (:func:`_write_checkpoint`), so readers of a
+    long-lived table — the one-commit-per-micro-batch streaming sink
+    pattern — replay a bounded JSON tail instead of the whole log.
+    ``checkpoint_interval=None`` disables (pure-JSON logs are valid
+    Delta at any version count).
 
     Returns the committed version number.
     """
@@ -483,4 +602,9 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         )
     actions.extend({"add": a} for a in new_adds)
     _commit_delta_log(spark, log_dir, next_v, "\n".join(json.dumps(a) for a in actions))
+    if checkpoint_interval and next_v > 0 and next_v % checkpoint_interval == 0:
+        state = {a["path"]: a for a in new_adds}
+        if mode == "append":
+            state = {**live, **state}
+        _write_checkpoint(spark, log_dir, next_v, meta, state)
     return next_v

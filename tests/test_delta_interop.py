@@ -244,6 +244,31 @@ def test_delta_lake_extract_stage_routes_to_bridge(spark, delta_dir):
     assert got == [0, 1, 2, 10, 11, 12]
 
 
+@pytest.mark.skipif(not delta_available(), reason="delta-spark jars absent "
+                    "(the sandbox default); README documents the matrix")
+def test_library_read_route_when_jars_present(spark, tmp_path):
+    """When delta-spark IS importable, DeltaLakeExtract routes a
+    ``_delta_log`` directory to the library reader (the preferred
+    branch at engine/stages/extract.py:versioned_table_extract) — a
+    bridge-written table must read back identically through it,
+    including versionAsOf."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    t = str(tmp_path / "lib_route")
+    write_delta(spark.range(4).select(F.col("id"), F.lit("a").alias("v")),
+                t, mode="overwrite")
+    write_delta(spark.range(4, 6).select(F.col("id"), F.lit("b").alias("v")),
+                t, mode="append")
+    ctx = Pipeline(spark).run([
+        {"type": "DeltaLakeExtract", "inputURI": t, "outputView": "lib_out"},
+        {"type": "DeltaLakeExtract", "inputURI": t, "outputView": "lib_v0",
+         "options": {"versionAsOf": 0}},
+    ])
+    assert _ids(ctx.views["lib_out"]) == list(range(6))
+    assert _ids(ctx.views["lib_v0"]) == list(range(4))
+
+
 def test_delta_available_reflects_sandbox():
     # the sandbox ships no delta-spark; the bridge is the tested path
     assert delta_available() is False
@@ -322,6 +347,83 @@ def test_write_delta_concurrent_commit_loses_loudly(spark, tmp_path):
     os.remove(os.path.join(t, "_delta_log", f".{1:020d}.json.claim"))
     _commit_delta_log(spark, f"{t}/_delta_log", 1, json.dumps({"commitInfo": {}}))
     assert write_delta(df, t, mode="append") == 2
+
+
+def test_write_delta_emits_checkpoint_and_survives_log_corruption(spark, tmp_path):
+    """The write bridge publishes ``%020d.checkpoint.parquet`` +
+    ``_last_checkpoint`` every 10 commits (Delta's own default), so
+    readers of a long-lived table replay a bounded JSON tail instead of
+    an unbounded log. Proven the strong way: corrupt a PRE-checkpoint
+    commit file — replay-from-zero is then impossible, so a successful
+    read can only have come through the checkpoint path
+    (tables/delta_interop.py:_write_checkpoint)."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "cp_tab")
+    for i in range(13):  # versions 0..12 — checkpoint lands at 10
+        df = spark.createDataFrame([(i, f"r{i}")], "id long, v string")
+        assert write_delta(df, d, mode="append") == i
+    log = os.path.join(d, "_delta_log")
+    cp = os.path.join(log, f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(cp)
+    with open(os.path.join(log, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 10
+    assert _ids(read_delta(spark, d)) == list(range(13))
+
+    # corrupt a pre-checkpoint commit; reads still serve the full table
+    with open(os.path.join(log, f"{3:020d}.json"), "w") as fh:
+        fh.write("{corrupted — not json")
+    assert _ids(read_delta(spark, d)) == list(range(13))
+    # …and the JSON tail alone really is insufficient: removing the
+    # checkpoint forces full replay, which hits the corruption loudly
+    os.remove(os.path.join(log, "_last_checkpoint"))
+    os.remove(cp)
+    with pytest.raises(Exception):
+        read_delta(spark, d)
+
+
+def test_write_delta_checkpoint_interval_overwrite_and_size_carry(spark, tmp_path):
+    """checkpoint_interval is honored; a checkpoint after an overwrite
+    holds only the live files; and a checkpoint built ON TOP of an
+    earlier checkpoint's replayed state keeps add.size/modificationTime
+    (protocol-required fields external Delta readers expect)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_checkpoint,
+        write_delta,
+    )
+
+    d = str(tmp_path / "cp2_tab")
+    for i in range(4):  # v0..3, checkpoint at v2
+        write_delta(
+            spark.createDataFrame([(i, "x")], "id long, v string"),
+            d, mode="append", checkpoint_interval=2,
+        )
+    log = os.path.join(d, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    # overwrite at v4 → its checkpoint holds exactly the live (new) files
+    write_delta(
+        spark.createDataFrame([(99, "o")], "id long, v string").coalesce(1),
+        d, mode="overwrite", checkpoint_interval=2,
+    )
+    meta4, adds4 = _replay_checkpoint(spark, log, 4, None)
+    assert len(adds4) == 1  # pre-overwrite files are gone from the state
+    assert all(a["size"] and a["size"] > 0 for a in adds4.values())
+    assert _ids(read_delta(spark, d)) == [99]
+
+    # remove commit 0 so the next replay MUST come from checkpoint 4,
+    # then keep appending: checkpoint 6 is built from cp4's state and
+    # must still carry the protocol-required size/modificationTime
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    for i in range(2):  # v5, v6 → checkpoint at v6
+        write_delta(
+            spark.createDataFrame([(i, "y")], "id long, v string").coalesce(1),
+            d, mode="append", checkpoint_interval=2,
+        )
+    meta6, adds6 = _replay_checkpoint(spark, log, 6, None)
+    assert len(adds6) == 3
+    assert all(a["size"] and a["size"] > 0 for a in adds6.values())
+    assert all(a["modificationTime"] is not None for a in adds6.values())
+    assert _ids(read_delta(spark, d)) == [0, 1, 99]
 
 
 def test_delta_load_stage_routes_protocol_delta(spark, tmp_path):
