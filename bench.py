@@ -39,6 +39,12 @@ HEADLINE = [
     "sim_ann_ivf_trained",
     "text_quality_score",
     "mm_decode_features",
+    # heavy round-3 operators: gated so regressions are visible (the
+    # ngram-jaccard lesson — an ungated heavy path drifted 2 rounds)
+    "dedup_substring_spans",
+    "sim_semantic_dedup",
+    "text_bloom_decontaminate",
+    "stream_near_dedup",
 ]
 
 

@@ -294,6 +294,35 @@ BLOOM_M = 1 << 17  # bitmap bits — fixed so the oracle SQL is static
 BLOOM_K = 3        # hash functions per n-gram
 
 
+def _md5_hex_bigint(m: Column, start: int, width: int) -> Column:
+    """Parse the md5-hex substring ``[start, start+width)`` (1-based)
+    as a bigint — the same conv()-free instr parse as
+    ``dedup.portable_hash``, but over an ALREADY-computed md5 column:
+    Bloom double hashing (Kirsch–Mitzenmacher, "Less Hashing, Same
+    Performance") derives all k probe positions as ``h1 + j·h2`` from
+    one 128-bit digest, so the expensive md5 runs once per gram
+    instead of k times."""
+    digits = F.lit("0123456789abcdef")
+    terms = [
+        (F.instr(digits, F.substring(m, start + k, 1)) - 1).cast("bigint")
+        * F.lit(16 ** (width - 1 - k)).cast("bigint")
+        for k in range(width)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _bloom_positions(k_hashes: int, m_bits: int) -> list[Column]:
+    """The ``k`` probe positions of the gram in column ``__m`` (its
+    md5 hex): ``(h1 + j·h2) % m_bits`` with h1 = hex[1:9],
+    h2 = hex[9:17] — reproduced verbatim by the DuckDB oracle."""
+    h1 = _md5_hex_bigint(F.col("__m"), 1, 8)
+    h2 = _md5_hex_bigint(F.col("__m"), 9, 8)
+    return [(h1 + F.lit(j) * h2) % m_bits for j in range(k_hashes)]
+
+
 def bloom_build(
     benchmark: DataFrame,
     id_col: str = "doc_id",
@@ -304,23 +333,25 @@ def bloom_build(
 ) -> list[int]:
     """Build a Bloom-filter bitmap of the benchmark's distinct word
     ``n``-grams: each gram sets ``k_hashes`` bits at positions
-    ``portable_hash(gram || '#' || j) % m_bits`` (md5-derived, so any
-    engine reproduces the identical bitmap — false positives included).
+    ``(h1 + j·h2) % m_bits`` where h1/h2 are slices of ONE md5 digest
+    (:func:`_bloom_positions` — double hashing, so any engine
+    reproduces the identical bitmap, false positives included).
 
     Returns ``m_bits/64`` signed int64 words, built driver-side from
     the collected distinct positions. That collect is metadata-sized
     BY CONSTRUCTION: eval benchmarks are thousands of documents, so
     positions ≤ |bench grams|·k ≪ m_bits — this is exactly the
     "aggregate small state to the driver, broadcast it back" shape of
-    a Spark broadcast variable, never a corpus-side collect."""
-    from sql_based_etl_spark.operators.dedup import portable_hash, shingle_rows
+    a Spark broadcast variable, never a corpus-side collect. Grams are
+    NOT pre-deduplicated (``distinct=False``): the only distinct that
+    matters is over the int positions, which shuffles ints, not gram
+    strings."""
+    from sql_based_etl_spark.operators.dedup import shingle_rows
 
-    grams = shingle_rows(benchmark, id_col, text_col, n=n, distinct=True)
-    pos_cols = [
-        (portable_hash(F.concat(F.col("s"), F.lit(f"#{j}")), hex_chars=8) % m_bits)
-        .alias("p")
-        for j in range(k_hashes)
-    ]
+    grams = shingle_rows(
+        benchmark, id_col, text_col, n=n, distinct=False
+    ).withColumn("__m", F.md5(F.col("s")))
+    pos_cols = [p.alias("p") for p in _bloom_positions(k_hashes, m_bits)]
     positions = (
         # bounded collect: distinct bit positions ≤ m_bits (131072 ints
         # for the 16 KiB default) regardless of benchmark size — the
@@ -362,17 +393,36 @@ def bloom_decontaminate(
 
     Returns ``(doc_id, flagged_ngrams)`` for docs with ≥ ``min_shared``
     distinct bloom-positive ``n``-grams.
-    """
-    from sql_based_etl_spark.operators.dedup import portable_hash, shingle_rows
 
-    grams = shingle_rows(docs, id_col, text_col, n=n, distinct=True).withColumn(
-        "__bm", F.lit(bloom).cast("array<bigint>")
-    )
-    for j in range(k_hashes):
-        grams = grams.withColumn(
-            f"__p{j}",
-            portable_hash(F.concat(F.col("s"), F.lit(f"#{j}")), hex_chars=8) % m_bits,
+    Shuffle shape: the membership test runs on the RAW gram stream
+    (``distinct=False``) straight out of the scan, and only the
+    SURVIVORS — true contamination plus the small false-positive set —
+    are deduplicated per doc. Testing after a global gram distinct
+    would shuffle every gram string in the corpus first; filtering
+    first shuffles ~nothing, which is the entire point of a Bloom
+    pre-filter.
+
+    The bitmap arrives via a broadcast single-row join, NOT as an
+    inline array literal: a 2048-element literal array embedded in the
+    predicate overflows Janino (codegen compile failure → the whole
+    probe stage silently drops to interpreted evaluation, measured
+    ~10× slower); as a broadcast attribute the probe stays inside
+    whole-stage codegen.
+    """
+    from sql_based_etl_spark.operators.dedup import shingle_rows
+
+    bm_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(bloom,)], schema="__bm array<bigint>"
         )
+    )
+    grams = (
+        shingle_rows(docs, id_col, text_col, n=n, distinct=False)
+        .withColumn("__m", F.md5(F.col("s")))
+        .crossJoin(bm_df)
+    )
+    for j, p in enumerate(_bloom_positions(k_hashes, m_bits)):
+        grams = grams.withColumn(f"__p{j}", p)
     member = F.lit(True)
     for j in range(k_hashes):
         member = member & F.expr(
@@ -381,6 +431,8 @@ def bloom_decontaminate(
         )
     return (
         grams.filter(member)
+        .select("id", "s")
+        .distinct()
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("flagged_ngrams"))
         .filter(F.col("flagged_ngrams") >= min_shared)

@@ -507,8 +507,9 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-filter
     (operators/textops.py:bloom_decontaminate): the benchmark slice
     (doc_id % 20 == 0) is compacted into a 16 KiB bitmap driver-side,
-    and the training slice is scanned with zero joins — each distinct
-    8-gram probes 3 md5-derived bit positions in codegen. The oracle
+    and the training slice is scanned with zero joins — each raw
+    8-gram probes 3 double-hashed bit positions from one md5 in
+    codegen, and only survivors are deduplicated per doc. The oracle
     reproduces the identical position set (including any false
     positives) via set-membership SQL, which is bitwise-equivalent to
     the bitmap."""
@@ -521,8 +522,12 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_bloom_decontaminate"] = text_bloom_decontaminate
 
+# double hashing (Kirsch–Mitzenmacher): pos_j = (h1 + j·h2) % m with
+# h1/h2 = hex slices [1,8] and [9,16] of ONE md5 — mirrors
+# operators/textops.py:_bloom_positions bit-for-bit
 _BLOOM_POS = (
-    "CAST(concat('0x', substr(md5(s || '#' || j), 1, 8)) AS BIGINT) % 131072"
+    "(CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+    " + j * CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)) % 131072"
 )
 
 ORACLES["text_bloom_decontaminate"] = f"""
