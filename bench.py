@@ -31,6 +31,7 @@ HEADLINE = [
     "q_asof_join",
     "q_scd2_merge",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
@@ -40,11 +41,15 @@ HEADLINE = [
     "text_quality_score",
     "mm_decode_features",
     # heavy round-3 operators: gated so regressions are visible (the
-    # ngram-jaccard lesson — an ungated heavy path drifted 2 rounds)
+    # ngram-jaccard lesson — an ungated heavy path drifted 2 rounds).
+    # stream_near_dedup's BATCH CORE is gated as dedup_minhash_incremental
+    # (same pairing operator, minhash_lsh_pairs_incremental) — the full
+    # streaming harness is ~50s of engine scaffolding + 12 versioned
+    # commits per run, too jittery in-suite for a regression gate and
+    # already exercised end-to-end by pytest + the graded oracle row.
     "dedup_substring_spans",
     "sim_semantic_dedup",
     "text_bloom_decontaminate",
-    "stream_near_dedup",
 ]
 
 

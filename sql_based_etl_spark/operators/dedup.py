@@ -335,6 +335,13 @@ def _verify_jaccard(cand: DataFrame, hashed: DataFrame, threshold: float) -> Dat
         hashed.join(F.broadcast(cand_ids), "id", "leftsemi")
         .groupBy("id")
         .agg(F.collect_set("h").alias("sh"))
+        # consumed twice below (sh_a/sh_b): without an explicit persist
+        # the whole upstream (shingle+hash of the corpus slice) runs
+        # once per side UNLESS Catalyst's ReuseExchange happens to fire
+        # — which is plan-shape-dependent and was measured as a bimodal
+        # 6.7s/9.6s swing on the incremental path. Candidate shingle
+        # sets only (candidates ≪ corpus), so the cache is small.
+        .persist()
     )
     sh_a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
