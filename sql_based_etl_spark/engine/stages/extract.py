@@ -79,22 +79,36 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     ``_delta_log`` directory exists), the stage routes to delta-spark
     if its jars are present, else to the engine's no-jar log-replay
     bridge (tables/delta_interop.py) — so notebooks pointed at the
-    reference's actual Delta tables run unchanged. ``versionAsOf``
-    works on both paths; ``relativeVersion``/``timestampAsOf``/
-    ``filters`` need the manifest and stay VersionedTable-only."""
+    reference's actual Delta tables run unchanged. ``versionAsOf``,
+    ``timestampAsOf`` and ``relativeVersion`` work on all three routes
+    (the bridge resolves timestamps from commit-file modification
+    times, the Delta protocol's own rule; the delta-spark library has
+    no relativeVersion, so it is resolved to a versionAsOf through the
+    bridge's log listing first). ``filters`` data skipping needs the
+    manifest and stays VersionedTable-only."""
     opts = conf.get("options", {}) or {}
     version = opts.get("versionAsOf")
+    ts = opts.get("timestampAsOf")
+    rel = opts.get("relativeVersion")
     from sql_based_etl_spark.tables import delta_interop
 
     if delta_interop.is_delta_dir(ctx.spark, conf["inputURI"]):
         if delta_interop.delta_available():
             reader = ctx.spark.read.format("delta")
+            if rel is not None:
+                version = delta_interop._resolve_log_version(  # noqa: SLF001
+                    ctx.spark, conf["inputURI"], None, int(rel)
+                )
             if version is not None:
                 reader = reader.option("versionAsOf", int(version))
+            elif ts is not None:
+                reader = reader.option("timestampAsOf", ts)
             return reader.load(conf["inputURI"])
         return delta_interop.read_delta(
             ctx.spark, conf["inputURI"],
             version=int(version) if version is not None else None,
+            timestamp=ts,
+            relative_version=int(rel) if rel is not None else None,
         )
     t = VersionedTable(ctx.spark, conf["inputURI"])
     rel = opts.get("relativeVersion")

@@ -163,16 +163,75 @@ def _last_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, int | None
     return int(d["version"]), d.get("parts")
 
 
-def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read_delta(spark: SparkSession, path: str, version: int | None = None,
+               timestamp: float | str | None = None,
+               relative_version: int | None = None) -> DataFrame:
     """Read a Delta table snapshot without delta-spark jars.
 
-    ``version=None`` reads the latest commit; an int gives Delta's
-    ``versionAsOf`` time travel. Raises :class:`VersionedTableError`
-    for non-Delta paths, missing versions, or tables using reader
-    features the bridge cannot honor (see module docstring).
+    Time travel, mirroring the versioned table's surface: ``version``
+    is Delta's ``versionAsOf``; ``timestamp`` is ``timestampAsOf``
+    (epoch seconds or ISO string — resolved against commit-file
+    modification times, Delta's own rule for timestamp time travel);
+    ``relative_version`` is Arc's 0 = latest / -1 = previous. At most
+    one selector; ``None`` for all reads the latest commit. Raises
+    :class:`VersionedTableError` for non-Delta paths, missing versions,
+    or tables using reader features the bridge cannot honor (see
+    module docstring).
     """
+    selectors = [s for s in (version, timestamp, relative_version) if s is not None]
+    if len(selectors) > 1:
+        raise VersionedTableError(
+            "read_delta: pass at most one of version / timestamp / "
+            "relative_version"
+        )
+    if timestamp is not None or relative_version is not None:
+        version = _resolve_log_version(spark, path, timestamp, relative_version)
     meta, adds, _ = _replay_state(spark, path, version)
     return _snapshot_df(spark, path, meta, adds)
+
+
+def _resolve_log_version(spark: SparkSession, path: str,
+                         timestamp: float | str | None,
+                         relative_version: int | None) -> int:
+    """Resolve ``timestampAsOf`` / ``relativeVersion`` to a commit
+    version from the transaction log alone.
+
+    ``timestampAsOf`` uses the commit FILE's modification time — the
+    Delta protocol's own rule for timestamp-based time travel (absent
+    the in-commit-timestamp table feature, which raises at protocol
+    check anyway). Commits pruned below a checkpoint cannot be
+    timestamp-resolved and fail loudly rather than guess."""
+    from sql_based_etl_spark.tables.versioned import parse_timestamp_cutoff
+
+    log_dir = f"{path.rstrip('/')}/_delta_log"
+    logs = _list_log(spark, log_dir)
+    if not logs:
+        raise VersionedTableError(f"no commits at {log_dir}")
+    versions = sorted(logs)
+    if relative_version is not None:
+        if relative_version > 0:
+            raise VersionedTableError("relativeVersion must be <= 0")
+        idx = len(versions) - 1 + relative_version
+        if idx < 0:
+            raise VersionedTableError(
+                f"relativeVersion {relative_version} out of range "
+                f"({len(versions)} commits at {log_dir})"
+            )
+        return versions[idx]
+    cutoff_ms = parse_timestamp_cutoff(timestamp) * 1000.0
+    fs, _, _ = _fs_and_path(spark, log_dir)
+    eligible = [
+        v for v in versions
+        if fs.getFileStatus(_fs_and_path(spark, logs[v])[1]).getModificationTime()
+        <= cutoff_ms
+    ]
+    if not eligible:
+        raise VersionedTableError(
+            f"no Delta commit at or before {timestamp!r} at {log_dir} "
+            f"(earliest surviving commit is v{versions[0]}; commits "
+            "pruned below a checkpoint cannot be timestamp-resolved)"
+        )
+    return eligible[-1]
 
 
 def _replay_state(

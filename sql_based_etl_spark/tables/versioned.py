@@ -62,6 +62,33 @@ class VersionedTableError(RuntimeError):
     pass
 
 
+def parse_timestamp_cutoff(timestamp: float | str) -> float:
+    """``timestampAsOf`` argument → epoch seconds. Accepts epoch
+    seconds (number or string — notebook variable substitution is
+    string-typed, so ``'1700000000.5'`` is the common arrival shape) or
+    an ISO ``'YYYY-MM-DD[ HH:MM:SS]'`` string (naive = UTC). Shared by
+    the versioned table and the Delta-bridge reader so both time-travel
+    surfaces parse identically."""
+    if isinstance(timestamp, str):
+        import datetime as _dt
+
+        try:
+            return float(timestamp)
+        except ValueError:
+            pass
+        try:
+            ts = _dt.datetime.fromisoformat(timestamp)
+        except ValueError as e:
+            raise VersionedTableError(
+                f"timestampAsOf {timestamp!r} is neither epoch seconds "
+                "nor an ISO 'YYYY-MM-DD[ HH:MM:SS]' string"
+            ) from e
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    return float(timestamp)
+
+
 def _sql_literal(v: object) -> str:
     """Render a parsed-JSON config value as a SQL expression string."""
     if isinstance(v, bool):
@@ -240,28 +267,7 @@ class VersionedTable:
                 raise VersionedTableError(f"version {version} not in {vs}")
             return version
         if timestamp is not None:
-            if isinstance(timestamp, str):
-                import datetime as _dt
-
-                try:
-                    # stringified epoch first: notebook variable
-                    # substitution is string-typed, so '1700000000.5'
-                    # is the common arrival shape
-                    cutoff = float(timestamp)
-                except ValueError:
-                    try:
-                        ts = _dt.datetime.fromisoformat(timestamp)
-                    except ValueError as e:
-                        raise VersionedTableError(
-                            f"timestampAsOf {timestamp!r} is neither epoch "
-                            "seconds nor an ISO 'YYYY-MM-DD[ HH:MM:SS]' "
-                            "string"
-                        ) from e
-                    if ts.tzinfo is None:
-                        ts = ts.replace(tzinfo=_dt.timezone.utc)
-                    cutoff = ts.timestamp()
-            else:
-                cutoff = float(timestamp)
+            cutoff = parse_timestamp_cutoff(timestamp)
             eligible = [v for v in vs
                         if float(self.manifest(v).get("timestamp", 0.0)) <= cutoff]
             if not eligible:

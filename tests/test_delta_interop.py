@@ -103,6 +103,58 @@ def test_read_delta_latest_and_time_travel(spark, delta_dir):
         read_delta(spark, delta_dir, version=9)
 
 
+def test_read_delta_timestamp_and_relative_version(spark, delta_dir):
+    """Bridge time travel beyond versionAsOf: ``timestamp`` resolves
+    against commit-FILE modification times (the Delta protocol's own
+    rule) and ``relative_version`` walks back from latest
+    (tables/delta_interop.py:_resolve_log_version)."""
+    log = os.path.join(delta_dir, "_delta_log")
+    t0 = 1_600_000_000
+    for v in range(3):  # pin strictly increasing commit mtimes
+        os.utime(os.path.join(log, f"{v:020d}.json"), (t0 + 100 * v,) * 2)
+
+    # epoch cutoffs between commits pick the newest at-or-before commit
+    assert _ids(read_delta(spark, delta_dir, timestamp=t0 + 150)) == [0, 1, 2, 10, 11, 12]
+    assert _ids(read_delta(spark, delta_dir, timestamp=t0)) == [0, 1, 2]
+    assert _ids(read_delta(spark, delta_dir, timestamp=t0 + 10**6)) == [10, 11, 12]
+    # ISO string form parses through the shared cutoff parser
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(t0 + 150, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    assert _ids(read_delta(spark, delta_dir, timestamp=iso)) == [0, 1, 2, 10, 11, 12]
+    # relativeVersion: 0 = latest, -1 = previous
+    assert _ids(read_delta(spark, delta_dir, relative_version=0)) == [10, 11, 12]
+    assert _ids(read_delta(spark, delta_dir, relative_version=-1)) == [0, 1, 2, 10, 11, 12]
+    with pytest.raises(VersionedTableError, match="at or before"):
+        read_delta(spark, delta_dir, timestamp=t0 - 999)
+    with pytest.raises(VersionedTableError, match="out of range"):
+        read_delta(spark, delta_dir, relative_version=-5)
+    with pytest.raises(VersionedTableError, match="at most one"):
+        read_delta(spark, delta_dir, version=1, timestamp=t0)
+
+
+def test_delta_extract_stage_time_travel_options(spark, delta_dir):
+    """DeltaLakeExtract passes timestampAsOf / relativeVersion through
+    to the bridge on a real ``_delta_log`` directory
+    (engine/stages/extract.py:versioned_table_extract)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    log = os.path.join(delta_dir, "_delta_log")
+    t0 = 1_600_000_000
+    for v in range(3):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (t0 + 100 * v,) * 2)
+    ctx = Pipeline(spark).run([
+        {"type": "DeltaLakeExtract", "inputURI": delta_dir,
+         "outputView": "tt_ts", "options": {"timestampAsOf": str(t0)}},
+        {"type": "DeltaLakeExtract", "inputURI": delta_dir,
+         "outputView": "tt_rel", "options": {"relativeVersion": -1}},
+    ])
+    assert _ids(ctx.views["tt_ts"]) == [0, 1, 2]
+    assert _ids(ctx.views["tt_rel"]) == [0, 1, 2, 10, 11, 12]
+
+
 def test_read_delta_rejects_unsupported_reader_features(spark, tmp_path):
     d = str(tmp_path / "dv")
     os.makedirs(d)

@@ -231,13 +231,21 @@ def test_chunking_is_lambda_free_and_jvm_side(spark, queries):
     assert "Exchange" not in plan  # per-row: no shuffle before packing
 
 
-def test_bloom_decontaminate_is_join_free(spark, queries):
-    """The Bloom pre-filter's whole point is membership with NO join:
-    the corpus plan must contain no join operator at all (the bitmap is
-    a literal) and stay JVM-side."""
+def test_bloom_decontaminate_probe_shape(spark, queries):
+    """The Bloom pre-filter must never DATA-join: no shuffle join, no
+    per-gram hash join against an index. The ONE allowed join is the
+    single-row BroadcastNestedLoopJoin that delivers the 16 KiB bitmap
+    as a broadcast attribute — deliberately NOT an inline array literal,
+    which overflowed Janino and dropped the probe stage to interpreted
+    evaluation (4× slower). Stays JVM-side."""
     plan = plan_of(queries["text_bloom_decontaminate"](spark, SF_ORACLE))
-    assert "Join" not in plan, "bloom membership must not join"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, "bloom membership must not key-join"
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the bitmap row
     assert "EvalPython" not in plan
+    # the probe predicate compiles: a codegen fallback here silently
+    # costs ~4x (the literal-array lesson) — no fallback markers allowed
+    assert "CodegenFallback" not in plan
 
 
 def test_mixture_sample_is_shuffle_free(spark, queries):
