@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-coalesce the output partitioning of CACHED plans:
+        # the default (false, a compatibility holdover) pins every
+        # persisted subtree to the static shuffle partition count, so
+        # each persist materialization in the dedup/ANN paths launched
+        # full-width tiny-task stages (measured ~10% on the incremental
+        # minhash path; strictly better at scale too — a cached plan's
+        # partitioning is an implementation detail, not a contract)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
