@@ -615,3 +615,89 @@ def pack_chunks(
         "bin_id",
         F.floor((running - F.col(words_col_name)) / F.lit(budget)).cast("long"),
     )
+
+
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC 2020): score each document by the average negative
+    log-likelihood of its word bigrams under an add-one bigram LM
+    trained on a *reference* corpus — the cheap, training-free stand-in
+    for the KenLM perplexity filter every large-scale LLM data pipeline
+    runs. Low ``nll_micros`` = fluent, reference-like text; high =
+    gibberish, boilerplate soup, or wrong-language content. Thresholding
+    (or head/middle/tail bucketing, CCNet §4.3) is the caller's policy.
+
+    Model: ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` with counts
+    from the reference's bigram relation and ``V`` = its distinct
+    second-word vocabulary — additive smoothing keeps every probability
+    finite without a backoff join chain, and every quantity is an exact
+    integer, so the DuckDB oracle replays the model bit-for-bit. The
+    only float is the final ``ln``, pinned to integer micros
+    (``round(ln(p)·1e6)``) before aggregation so cross-engine float
+    noise cannot reach the summed result.
+
+    Scale shape: training is two map-side-combinable groupBy counts
+    over the reference's bigrams plus ONE bounded driver scalar (the
+    vocabulary size — a count, not a collect). Scoring is the corpus
+    bigram stream left-joined to the two count relations (plain
+    equi-joins; count tables are unique per key, so hot bigrams do not
+    amplify rows — AQE skew-split handles partition imbalance), then
+    one combinable per-doc aggregate. Document text never shuffles —
+    only (id, bigram-string) rows do.
+
+    Returns ``(doc_id, n_bigrams, nll_micros)`` — ``nll_micros`` is
+    integer-micros average NLL (``div``, exact); docs with fewer than
+    two words emit no row (no bigrams → no evidence).
+    """
+    from sql_based_etl_spark.operators.dedup import shingle_rows
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        # shingle_rows collapses <n-word docs to a single short shingle;
+        # those are not bigrams — keep exactly the two-word grams
+        return shingle_rows(df, id_col, text_col, n=2, distinct=False).filter(
+            F.instr("s", " ") > 0
+        )
+
+    ref_bi = bigrams(reference)
+    bi_counts = ref_bi.groupBy("s").agg(F.count(F.lit(1)).alias("__c12"))
+    w1_of = F.split(F.col("s"), " ").getItem(0)
+    w1_counts = (
+        ref_bi.select(w1_of.alias("__w1"))
+        .groupBy("__w1")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    # bounded driver scalar (ONE long): |vocab| for the smoothing
+    # denominator — an aggregate, never a row collect
+    vocab = (
+        ref_bi.select(F.split(F.col("s"), " ").getItem(1).alias("w2"))
+        .distinct()
+        .count()
+    )
+
+    p = (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(int(vocab))
+    ).cast("double")
+    logp_micros = F.round(F.log(p) * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        bigrams(docs)
+        .join(bi_counts, "s", "left")
+        .withColumn("__w1", w1_of)
+        .join(w1_counts, "__w1", "left")
+        .select("id", logp_micros.alias("__lp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("__lp")).alias("__nll_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            F.expr("__nll_sum div n_bigrams").alias("nll_micros"),
+        )
+    )

@@ -98,6 +98,7 @@ APPENDIX = [
     "profile_value_outliers",  # z-score anomaly report — moment machinery graded via q01/q_percentiles; exact millis moments oracle-checked in pytest
     "q_scd2_point_in_time",  # SCD2 consumer join — interval machinery graded via q_range_join/q_asof_join over the graded q_scd2_merge state; oracle-checked in pytest
     "stream_materialized_agg",  # streaming materialized view — stream sink + CDF refresh graded via stream_window_counts + q_scd2_changes machinery; equals-batch oracle-checked in pytest
+    "text_lm_perplexity",  # CCNet bigram-LM quality scoring — count-join machinery graded via text_decontaminate + text_tfidf_topk's df join; integer-micros NLL oracle-checked in pytest
 ]
 
 

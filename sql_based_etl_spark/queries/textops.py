@@ -559,3 +559,59 @@ ORACLES["text_bloom_decontaminate"] = f"""
     SELECT id AS doc_id, count(*) AS flagged_ngrams
     FROM member GROUP BY id HAVING count(*) >= 1
 """
+
+
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring
+    (operators/textops.py:ngram_lm_perplexity): an add-one bigram LM is
+    trained on the doc_id % 10 == 0 reference slice and every other
+    document is scored by integer-micros average bigram NLL — the
+    perplexity filter of the CCNet pipeline, training-free and
+    oracle-replayable down to the micro."""
+    from sql_based_etl_spark.operators.textops import ngram_lm_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_lm_perplexity(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+QUERIES["text_lm_perplexity"] = text_lm_perplexity
+
+_BIGRAMS = """
+    SELECT doc_id AS id,
+           unnest(list_transform(
+               generate_series(1, len(words) - 1),
+               i -> array_to_string(list_slice(words, i, i + 1), ' ')
+           )) AS s
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words
+        FROM documents
+    )
+    WHERE len(words) >= 2
+"""
+
+ORACLES["text_lm_perplexity"] = f"""
+    WITH bi AS ({_BIGRAMS}),
+    refbi AS (SELECT s FROM bi WHERE id % 10 = 0),
+    c12 AS (SELECT s, count(*) AS c12 FROM refbi GROUP BY s),
+    c1 AS (SELECT split_part(s, ' ', 1) AS w1, count(*) AS c1
+           FROM refbi GROUP BY 1),
+    v AS (SELECT count(DISTINCT split_part(s, ' ', 2)) AS v FROM refbi),
+    scored AS (
+        SELECT bi.id,
+               CAST(round(ln((coalesce(c12.c12, 0) + 1.0)
+                             / (coalesce(c1.c1, 0) + v.v)) * 1000000)
+                    AS BIGINT) AS lp
+        FROM bi
+        LEFT JOIN c12 USING (s)
+        LEFT JOIN c1 ON split_part(bi.s, ' ', 1) = c1.w1
+        CROSS JOIN v
+        WHERE bi.id % 10 <> 0
+    )
+    SELECT id AS doc_id, count(*) AS n_bigrams,
+           CAST((-sum(lp)) // count(*) AS BIGINT) AS nll_micros
+    FROM scored GROUP BY id
+"""

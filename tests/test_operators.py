@@ -1355,6 +1355,34 @@ def test_key_skew_stats_null_key_tiebreak_is_nulls_last(spark):
     assert key_skew_stats(df, "k", top_n=1).collect()[0].key == "a"
 
 
+def test_ngram_lm_perplexity_orders_fluency(spark):
+    """The CCNet-style bigram LM scores in-distribution text lower-NLL
+    than unseen-vocabulary text, skips sub-bigram docs, and computes
+    the smoothed model exactly (operators/textops.py:
+    ngram_lm_perplexity)."""
+    import math
+
+    from sql_based_etl_spark.operators.textops import ngram_lm_perplexity
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "the cat ran")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "zig zag"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_lm_perplexity(docs, ref).collect()}
+    assert 3 not in rows  # one word → no bigrams → no evidence → no row
+    assert rows[1].n_bigrams == 1 and rows[2].n_bigrams == 1
+    # exact hand-computed model: ref bigrams = {the cat:2, cat sat:1,
+    # cat ran:1}; prefix counts the:2 cat:2; V = |{cat, sat, ran}| = 3
+    exp_in = -round(math.log((2 + 1) / (2 + 3)) * 1e6)
+    exp_oov = -round(math.log((0 + 1) / (0 + 3)) * 1e6)
+    assert rows[1].nll_micros == exp_in
+    assert rows[2].nll_micros == exp_oov
+    assert rows[1].nll_micros < rows[2].nll_micros  # fluent < gibberish
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Every near-dup cluster lands in exactly one split, and
     singletons get their plain hash_split assignment
