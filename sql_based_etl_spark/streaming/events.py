@@ -212,6 +212,52 @@ def append_stream_batch(batch_df: DataFrame, batch_id: int, table_path: str,
     return True
 
 
+def append_stream_batch_delta(batch_df: DataFrame, batch_id: int,
+                              table_path: str, app_id: str,
+                              num_partitions: int | None = None) -> bool:
+    """Delta-bridge twin of :func:`append_stream_batch`: one idempotent
+    micro-batch APPEND to a real ``_delta_log`` table, exactly-once via
+    the Delta protocol's OWN mechanism — a ``txn {appId, version}``
+    action per commit; a replayed batch whose version is ≤ the appId's
+    recorded watermark is skipped inside :func:`~..tables.delta_interop.
+    write_delta` itself. This is the streaming sink pattern for output
+    that external Delta tooling tails directly: every micro-batch is
+    one protocol commit, and the bridge's periodic parquet checkpoints
+    keep long-table read cost bounded. Returns True if a commit
+    happened, False for an empty or replayed batch."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    if num_partitions:
+        batch_df = batch_df.repartition(num_partitions)
+    path = table_path.rstrip("/")
+    fs_path = f"{path}/_delta_log"
+    from sql_based_etl_spark.tables.delta_interop import _fs_and_path, _list_log
+
+    fs, jlog, _ = _fs_and_path(spark, fs_path)
+    exists = fs.exists(jlog) and bool(_list_log(spark, fs_path))
+    before = None
+    if exists:
+        before = max(_list_log(spark, fs_path))
+    v = write_delta(batch_df, path, mode="append" if exists else "overwrite",
+                    txn_app_id=app_id, txn_version=batch_id)
+    return before is None or v > before
+
+
+def stream_append_to_delta(stream: DataFrame, table_path: str, app_id: str,
+                           checkpoint: str | None = None):
+    """Start an exactly-once streaming append into a Delta-protocol
+    table via the write bridge; returns the started StreamingQuery."""
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: append_stream_batch_delta(df, bid, table_path, app_id)
+    ).outputMode("append")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def enriched_counts(events: DataFrame, dim: DataFrame,
                     key: str = "user_id", dim_key: str = "c_custkey",
                     dim_attr: str = "c_mktsegment") -> DataFrame:

@@ -108,9 +108,11 @@ def _check_metadata(meta: dict) -> None:
         )
 
 
-def _replay_checkpoint(spark: SparkSession, log_dir: str, cp_version: int,
-                       parts: int | None) -> tuple[dict | None, dict[str, dict]]:
-    """Active state as of a checkpoint: (metaData, {path: add})."""
+def _replay_checkpoint(
+    spark: SparkSession, log_dir: str, cp_version: int, parts: int | None
+) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
+    """Active state as of a checkpoint:
+    ``(metaData, {path: add}, {txn appId: version})``."""
     if parts:
         paths = [
             f"{log_dir}/{cp_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
@@ -151,7 +153,15 @@ def _replay_checkpoint(spark: SparkSession, log_dir: str, cp_version: int,
                            "partitionValues": dict(r["partitionValues"] or {}),
                            "size": r["size"],
                            "modificationTime": r["modificationTime"]}
-    return meta, adds
+    # streaming-writer watermarks survive log pruning through the
+    # checkpoint, exactly like Delta's own (bounded: one row per appId)
+    txns: dict[str, int] = {}
+    if "txn" in cols:
+        for r in cp.filter(F.col("txn.appId").isNotNull()).select(
+            "txn.appId", "txn.version"
+        ).collect():
+            txns[r["appId"]] = int(r["version"])
+    return meta, adds, txns
 
 
 def _last_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, int | None] | None:
@@ -186,7 +196,7 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None,
         )
     if timestamp is not None or relative_version is not None:
         version = _resolve_log_version(spark, path, timestamp, relative_version)
-    meta, adds, _ = _replay_state(spark, path, version)
+    meta, adds, _, _ = _replay_state(spark, path, version)
     return _snapshot_df(spark, path, meta, adds)
 
 
@@ -236,17 +246,19 @@ def _resolve_log_version(spark: SparkSession, path: str,
 
 def _replay_state(
     spark: SparkSession, path: str, version: int | None = None
-) -> tuple[dict, dict[str, dict], int]:
+) -> tuple[dict, dict[str, dict], int, dict[str, int]]:
     """Replay the transaction log to ``(metaData, {path: add},
-    resolved_version)`` — shared by the reader and the writer (the
-    writer needs the live file set for overwrite tombstones and the
-    current schema for append drift checks)."""
+    resolved_version, {txn appId: version})`` — shared by the reader
+    and the writer (the writer needs the live file set for overwrite
+    tombstones, the current schema for append drift checks, and the
+    txn watermarks for idempotent streaming commits)."""
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
 
     meta: dict | None = None
     adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     start = 0
     cp = _last_checkpoint(spark, log_dir)
     if cp is not None and (version is None or cp[0] <= version) and (
@@ -254,7 +266,7 @@ def _replay_state(
         # (cheaper for small tables and exercises nothing extra)
         0 not in logs or cp[0] >= 10
     ):
-        meta, adds = _replay_checkpoint(spark, log_dir, cp[0], cp[1])
+        meta, adds, txns = _replay_checkpoint(spark, log_dir, cp[0], cp[1])
         start = cp[0] + 1
 
     latest = max(logs) if logs else -1
@@ -285,10 +297,12 @@ def _replay_state(
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                txns[action["txn"]["appId"]] = int(action["txn"]["version"])
     if meta is None:
         raise VersionedTableError(f"Delta log at {log_dir} has no metaData action")
     _check_metadata(meta)
-    return meta, adds, version
+    return meta, adds, version, txns
 
 
 def _snapshot_df(
@@ -422,7 +436,8 @@ def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
 
 
 def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
-                      meta: dict, adds: dict[str, dict]) -> None:
+                      meta: dict, adds: dict[str, dict],
+                      txns: dict[str, int] | None = None) -> None:
     """Emit ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` for the
     reconciled state after commit ``version`` — Delta's reader
     optimization: without it every reader of a long-lived table (e.g. a
@@ -471,8 +486,12 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             StructField("modificationTime", LongType()),
             StructField("dataChange", BooleanType()),
         ])),
+        StructField("txn", StructType([
+            StructField("appId", StringType()),
+            StructField("version", LongType()),
+        ])),
     ])
-    none_row = {"protocol": None, "metaData": None, "add": None}
+    none_row = {"protocol": None, "metaData": None, "add": None, "txn": None}
     rows = [
         {**none_row, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {**none_row, "metaData": {
@@ -490,6 +509,10 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             "dataChange": False,
         }}
         for _, a in sorted(adds.items())
+    ]
+    rows += [
+        {**none_row, "txn": {"appId": app, "version": int(v)}}
+        for app, v in sorted((txns or {}).items())
     ]
     fs, _, _ = _fs_and_path(spark, log_dir)
     tmp_dir = f"{log_dir}/.checkpoint-{version:020d}.tmp"
@@ -523,7 +546,9 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
 
 def write_delta(df: DataFrame, path: str, mode: str = "append",
                 partition_by: list[str] | None = None,
-                checkpoint_interval: int | None = 10) -> int:
+                checkpoint_interval: int | None = 10,
+                txn_app_id: str | None = None,
+                txn_version: int | None = None) -> int:
     """Write a commit to a Delta-protocol table WITHOUT delta-spark jars
     — the write half of the interop bridge (read half:
     :func:`read_delta`), so engine output is consumable by any Delta
@@ -553,6 +578,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     ``checkpoint_interval=None`` disables (pure-JSON logs are valid
     Delta at any version count).
 
+    Idempotent streaming commits — Delta's ``txn`` action: pass
+    ``txn_app_id`` + ``txn_version`` (the micro-batch id) and a commit
+    whose ``txn_version`` is ≤ the appId's recorded watermark is
+    SKIPPED (returns the current latest version, writes nothing) — the
+    protocol's own exactly-once contract for ``foreachBatch`` sinks
+    replaying after a crash. Watermarks survive log pruning through
+    checkpoints (one ``txn`` row per appId, like Delta's own).
+
     Returns the committed version number.
     """
     import time
@@ -564,11 +597,22 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     mode = mode.lower()
     if mode not in ("append", "overwrite"):
         raise VersionedTableError(f"write_delta: unsupported mode {mode!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise VersionedTableError(
+            "write_delta: txn_app_id and txn_version come together"
+        )
     fs, jlog, _ = _fs_and_path(spark, log_dir)
 
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     if fs.exists(jlog) and _list_log(spark, log_dir):
-        meta, live, latest = _replay_state(spark, path)
+        meta, live, latest, txns = _replay_state(spark, path)
+        if (
+            txn_app_id is not None
+            and txn_app_id in txns
+            and int(txn_version) <= txns[txn_app_id]
+        ):
+            return latest  # replayed micro-batch: already committed
         next_v = latest + 1
         part_cols = list(meta.get("partitionColumns") or [])
         if partition_by is not None and list(partition_by) != part_cols:
@@ -654,6 +698,10 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
     if emit_meta:
         actions.append({"metaData": meta})
+    if txn_app_id is not None:
+        actions.append({"txn": {"appId": txn_app_id,
+                                "version": int(txn_version),
+                                "lastUpdated": now_ms}})
     if mode == "overwrite":
         actions.extend(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
@@ -661,9 +709,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         )
     actions.extend({"add": a} for a in new_adds)
     _commit_delta_log(spark, log_dir, next_v, "\n".join(json.dumps(a) for a in actions))
+    if txn_app_id is not None:
+        txns = {**txns, txn_app_id: int(txn_version)}
     if checkpoint_interval and next_v > 0 and next_v % checkpoint_interval == 0:
         state = {a["path"]: a for a in new_adds}
         if mode == "append":
             state = {**live, **state}
-        _write_checkpoint(spark, log_dir, next_v, meta, state)
+        _write_checkpoint(spark, log_dir, next_v, meta, state, txns)
     return next_v

@@ -457,7 +457,7 @@ def test_write_delta_checkpoint_interval_overwrite_and_size_carry(spark, tmp_pat
         spark.createDataFrame([(99, "o")], "id long, v string").coalesce(1),
         d, mode="overwrite", checkpoint_interval=2,
     )
-    meta4, adds4 = _replay_checkpoint(spark, log, 4, None)
+    meta4, adds4, _ = _replay_checkpoint(spark, log, 4, None)
     assert len(adds4) == 1  # pre-overwrite files are gone from the state
     assert all(a["size"] and a["size"] > 0 for a in adds4.values())
     assert _ids(read_delta(spark, d)) == [99]
@@ -471,11 +471,101 @@ def test_write_delta_checkpoint_interval_overwrite_and_size_carry(spark, tmp_pat
             spark.createDataFrame([(i, "y")], "id long, v string").coalesce(1),
             d, mode="append", checkpoint_interval=2,
         )
-    meta6, adds6 = _replay_checkpoint(spark, log, 6, None)
+    meta6, adds6, _ = _replay_checkpoint(spark, log, 6, None)
     assert len(adds6) == 3
     assert all(a["size"] and a["size"] > 0 for a in adds6.values())
     assert all(a["modificationTime"] is not None for a in adds6.values())
     assert _ids(read_delta(spark, d)) == [0, 1, 99]
+
+
+def test_write_delta_txn_idempotent_commits(spark, tmp_path):
+    """Delta's ``txn`` action: a commit whose (appId, version) is ≤ the
+    recorded watermark is skipped entirely — the protocol's exactly-once
+    contract for replayed streaming micro-batches — and the watermark
+    SURVIVES log pruning through the parquet checkpoint
+    (tables/delta_interop.py:write_delta)."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "txn_tab")
+
+    def batch(i):
+        return spark.createDataFrame([(i, f"b{i}")], "id long, v string").coalesce(1)
+
+    assert write_delta(batch(0), d, mode="overwrite",
+                       txn_app_id="app", txn_version=0) == 0
+    assert write_delta(batch(1), d, mode="append",
+                       txn_app_id="app", txn_version=1) == 1
+    # replayed micro-batch 1: skipped, no new version, no new data
+    assert write_delta(batch(1), d, mode="append",
+                       txn_app_id="app", txn_version=1) == 1
+    assert _ids(read_delta(spark, d)) == [0, 1]
+    # a DIFFERENT appId at the same version is independent
+    assert write_delta(batch(9), d, mode="append",
+                       txn_app_id="other", txn_version=1) == 2
+    # next batch commits normally
+    assert write_delta(batch(2), d, mode="append",
+                       txn_app_id="app", txn_version=2) == 3
+    assert _ids(read_delta(spark, d)) == [0, 1, 2, 9]
+    with pytest.raises(VersionedTableError, match="come together"):
+        write_delta(batch(3), d, txn_app_id="app")
+
+    # watermark survives checkpointing + pruned JSON: force a checkpoint
+    # at v4, delete every pre-checkpoint commit, then replay batch 2
+    write_delta(batch(4), d, mode="append", checkpoint_interval=1,
+                txn_app_id="app", txn_version=4)
+    log = os.path.join(d, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{4:020d}.checkpoint.parquet"))
+    for v in range(4):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert write_delta(batch(2), d, mode="append",
+                       txn_app_id="app", txn_version=2) == 4  # still skipped
+    assert _ids(read_delta(spark, d)) == [0, 1, 2, 4, 9]
+
+
+def test_stream_append_to_delta_exactly_once(spark, tmp_path):
+    """End-to-end streaming append into a Delta-protocol table: a real
+    file stream lands one protocol commit per micro-batch, the result
+    reads back complete through the independent reader, and a manually
+    replayed micro-batch is a no-op (streaming/events.py:
+    append_stream_batch_delta / stream_append_to_delta)."""
+    import glob
+    import shutil
+
+    from sql_based_etl_spark.streaming.events import (
+        append_stream_batch_delta,
+        stream_append_to_delta,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    frames = []
+    for i in range(3):
+        stage = str(tmp_path / f"s{i}")
+        df = spark.createDataFrame(
+            [(i * 10 + j, f"r{i}") for j in range(3)], "id long, v string"
+        )
+        frames.append(df)
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(in_dir / f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    out = str(tmp_path / "delta_sink")
+    stream = (
+        spark.readStream.schema(frames[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    q = stream_append_to_delta(stream, out, app_id="sink_test")
+    q.processAllAvailable()
+    q.stop()
+    expect = sorted(i * 10 + j for i in range(3) for j in range(3))
+    assert _ids(read_delta(spark, out)) == expect
+    # crash-replay of the last micro-batch: write_delta's txn watermark
+    # makes it a no-op
+    assert append_stream_batch_delta(frames[2], 2, out, "sink_test") is False
+    assert _ids(read_delta(spark, out)) == expect
 
 
 def test_delta_load_stage_routes_protocol_delta(spark, tmp_path):
