@@ -544,6 +544,56 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
         out.close()
 
 
+def _stage_data_files(df: DataFrame, path: str,
+                      part_cols: list[str]) -> list[dict]:
+    """Write ``df`` as parquet into a dot-prefixed staging dir
+    (invisible to Delta readers — log listing matches data paths only),
+    move the files into the table root preserving hive partition dirs,
+    and return their ``add`` actions (``partitionValues`` parsed back
+    from the dir names, ``__HIVE_DEFAULT_PARTITION__`` → null)."""
+    import uuid
+
+    spark = df.sparkSession
+    fs, _, _ = _fs_and_path(spark, path)
+    staging = f"{path}/.staging-{uuid.uuid4().hex[:12]}"
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+
+    jstag = _fs_and_path(spark, staging)[1]
+    new_adds: list[dict] = []
+    it = fs.listFiles(jstag, True)
+    staging_prefix = fs.getFileStatus(jstag).getPath().toString().rstrip("/") + "/"
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(staging_prefix):]
+        if not rel.endswith(".parquet") or rel.startswith("_"):
+            continue
+        dst = _fs_and_path(spark, f"{path}/{rel}")[1]
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(st.getPath(), dst):
+            raise VersionedTableError(f"write_delta: cannot move {rel} into {path}")
+        pv: dict[str, str | None] = {}
+        for seg in rel.split("/")[:-1]:
+            k, _, v = seg.partition("=")
+            pv[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__"
+                else urllib.parse.unquote(v)
+            )
+        dst_st = fs.getFileStatus(dst)
+        new_adds.append({
+            "path": urllib.parse.quote(rel, safe="/="),
+            "partitionValues": {c: pv.get(c) for c in part_cols},
+            "size": int(dst_st.getLen()),
+            "modificationTime": int(dst_st.getModificationTime()),
+            "dataChange": True,
+        })
+    fs.delete(jstag, True)
+    return new_adds
+
+
 def write_delta(df: DataFrame, path: str, mode: str = "append",
                 partition_by: list[str] | None = None,
                 checkpoint_interval: int | None = 10,
@@ -646,44 +696,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             "createdTime": int(time.time() * 1000),
         }
 
-    # stage the data files with a normal parquet write, then move them
-    # into the table root (dot-prefix keeps readers blind to the staging)
-    staging = f"{path}/.staging-{uuid.uuid4().hex[:12]}"
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(staging)
-
-    jstag = _fs_and_path(spark, staging)[1]
-    new_adds: list[dict] = []
-    it = fs.listFiles(jstag, True)
-    staging_prefix = fs.getFileStatus(jstag).getPath().toString().rstrip("/") + "/"
-    while it.hasNext():
-        st = it.next()
-        full = st.getPath().toString()
-        rel = full[len(staging_prefix):]
-        if not rel.endswith(".parquet") or rel.startswith("_"):
-            continue
-        dst = _fs_and_path(spark, f"{path}/{rel}")[1]
-        fs.mkdirs(dst.getParent())
-        if not fs.rename(st.getPath(), dst):
-            raise VersionedTableError(f"write_delta: cannot move {rel} into {path}")
-        pv: dict[str, str | None] = {}
-        for seg in rel.split("/")[:-1]:
-            k, _, v = seg.partition("=")
-            pv[k] = (
-                None if v == "__HIVE_DEFAULT_PARTITION__"
-                else urllib.parse.unquote(v)
-            )
-        dst_st = fs.getFileStatus(dst)
-        new_adds.append({
-            "path": urllib.parse.quote(rel, safe="/="),
-            "partitionValues": {c: pv.get(c) for c in part_cols},
-            "size": int(dst_st.getLen()),
-            "modificationTime": int(dst_st.getModificationTime()),
-            "dataChange": True,
-        })
-    fs.delete(jstag, True)
+    new_adds = _stage_data_files(df, path, part_cols)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
@@ -717,3 +730,98 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             state = {**live, **state}
         _write_checkpoint(spark, log_dir, next_v, meta, state, txns)
     return next_v
+
+
+def compact_delta(spark: SparkSession, path: str,
+                  target_files: int = 1) -> int:
+    """OPTIMIZE-style bin-packing compaction of a bridge Delta table —
+    the maintenance op the streaming sink NEEDS: one commit per
+    micro-batch means one small file per micro-batch, and scan cost
+    grows with file count, not data. Reads the live snapshot, rewrites
+    it as ``target_files`` files (per partition directory when the
+    table is partitioned), and commits ``remove``(old) + ``add``(new)
+    with ``dataChange: false`` — the protocol's marker that the commit
+    reorganizes bytes without changing rows, which is what lets
+    streaming readers skip it (see :func:`read_delta_appends`).
+
+    Schema, metaData and txn watermarks are untouched; the commit races
+    through the same exclusive-claim protocol as any other. Returns the
+    committed version."""
+    import time
+
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    meta, live, latest, _ = _replay_state(spark, path)
+    if not live:
+        raise VersionedTableError(f"compact_delta: nothing to compact at {path}")
+    part_cols = list(meta.get("partitionColumns") or [])
+    df = _snapshot_df(spark, path, meta, live).repartition(target_files)
+    new_adds = _stage_data_files(df, path, part_cols)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "OPTIMIZE",
+            "operationParameters": {"targetFiles": str(target_files)},
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+    }]
+    actions.extend(
+        {"remove": {"path": p, "deletionTimestamp": now_ms,
+                    "dataChange": False}}
+        for p in sorted(live)
+    )
+    for a in new_adds:
+        actions.append({"add": {**a, "dataChange": False}})
+    _commit_delta_log(spark, log_dir, latest + 1,
+                      "\n".join(json.dumps(a) for a in actions))
+    return latest + 1
+
+
+def read_delta_appends(spark: SparkSession, path: str,
+                       since_version: int) -> DataFrame:
+    """Incremental consumption of an append-only bridge table: the rows
+    in files ADDED by commits ``(since_version, latest]`` — the source
+    half of the streaming story (the sink half is
+    ``streaming/events.py:stream_append_to_delta``). A consumer stores
+    the last version it processed and pulls only the delta each cycle,
+    never rescanning the table — the same offset contract as Delta's
+    own streaming source.
+
+    Semantics match that source's defaults: ``dataChange: false``
+    commits (compaction — :func:`compact_delta`) are INVISIBLE (their
+    adds are reorganized old rows, not new data); a ``dataChange: true``
+    remove (overwrite/delete) raises — the table is no longer
+    append-only and a file-level reader cannot represent row deletion.
+    Returns an empty frame when already caught up."""
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    logs = _list_log(spark, log_dir)
+    meta, _, latest, _ = _replay_state(spark, path)
+    if since_version > latest:
+        raise VersionedTableError(
+            f"read_delta_appends: since_version {since_version} is beyond "
+            f"latest commit {latest} at {path}"
+        )
+    new_adds: dict[str, dict] = {}
+    for v in range(since_version + 1, latest + 1):
+        if v not in logs:
+            raise VersionedTableError(
+                f"read_delta_appends: commit {v} missing at {log_dir} — "
+                "cannot reconstruct the append stream"
+            )
+        for line in _read_text(spark, logs[v]).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                if action["add"].get("dataChange", True):
+                    new_adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action and action["remove"].get("dataChange", True):
+                raise VersionedTableError(
+                    f"read_delta_appends: commit {v} removes data "
+                    f"({action['remove']['path']!r}) — table is not "
+                    "append-only past since_version; re-read the full "
+                    "snapshot instead"
+                )
+    return _snapshot_df(spark, path, meta, new_adds)

@@ -568,6 +568,61 @@ def test_stream_append_to_delta_exactly_once(spark, tmp_path):
     assert _ids(read_delta(spark, out)) == expect
 
 
+def test_compact_delta_and_incremental_appends(spark, tmp_path):
+    """compact_delta bin-packs a many-small-files sink table with a
+    dataChange:false OPTIMIZE commit (rows identical, file count drops,
+    schema/txn state untouched); read_delta_appends consumes only the
+    NEW rows since an offset, sees through compaction, and fails loudly
+    when the table stops being append-only
+    (tables/delta_interop.py:compact_delta / read_delta_appends)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        read_delta_appends,
+        write_delta,
+    )
+
+    d = str(tmp_path / "opt_tab")
+    for i in range(4):  # 4 commits, 1 file each — the sink shape
+        write_delta(
+            spark.createDataFrame([(i, f"r{i}")], "id long, v string").coalesce(1),
+            d, mode="append", txn_app_id="sink", txn_version=i,
+        )
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) == 4
+
+    # incremental pull: rows added after commit 1 = batches 2 and 3
+    assert _ids(read_delta_appends(spark, d, since_version=1)) == [2, 3]
+    assert read_delta_appends(spark, d, since_version=3).count() == 0
+
+    v_opt = compact_delta(spark, d, target_files=1)
+    assert _ids(read_delta(spark, d)) == [0, 1, 2, 3]  # rows unchanged
+    # live snapshot now reads ONE file (old ones are tombstoned)
+    log0 = open(os.path.join(d, "_delta_log", f"{v_opt:020d}.json")).read()
+    acts = [json.loads(x) for x in log0.splitlines()]
+    assert all(not a["remove"]["dataChange"] for a in acts if "remove" in a)
+    assert all(not a["add"]["dataChange"] for a in acts if "add" in a)
+    # compaction is INVISIBLE to the append stream (dataChange:false)…
+    assert read_delta_appends(spark, d, since_version=3).count() == 0
+    # …and txn watermarks survived it: replaying batch 3 is still a no-op
+    assert write_delta(
+        spark.createDataFrame([(3, "r3")], "id long, v string"),
+        d, mode="append", txn_app_id="sink", txn_version=3,
+    ) == v_opt
+    # appends after compaction keep flowing
+    write_delta(
+        spark.createDataFrame([(9, "r9")], "id long, v string").coalesce(1),
+        d, mode="append", txn_app_id="sink", txn_version=4,
+    )
+    assert _ids(read_delta_appends(spark, d, since_version=v_opt)) == [9]
+
+    # an overwrite breaks append-only: the incremental reader refuses
+    write_delta(
+        spark.createDataFrame([(100, "x")], "id long, v string").coalesce(1),
+        d, mode="overwrite",
+    )
+    with pytest.raises(VersionedTableError, match="not append-only"):
+        read_delta_appends(spark, d, since_version=v_opt)
+
+
 def test_delta_load_stage_routes_protocol_delta(spark, tmp_path):
     """DeltaLakeLoad with options.protocol=delta writes the actual
     transaction-log format; DeltaLakeExtract's bridge reads it back."""
