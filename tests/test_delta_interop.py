@@ -568,6 +568,58 @@ def test_stream_append_to_delta_exactly_once(spark, tmp_path):
     assert _ids(read_delta(spark, out)) == expect
 
 
+def test_stream_append_to_delta_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume: a streaming delta sink stopped mid-stream and
+    restarted from the SAME checkpointLocation re-offers the engine's
+    replayed batch ids — write_delta's txn watermark plus Spark's own
+    offset tracking must land every input row exactly once
+    (streaming/events.py:stream_append_to_delta)."""
+    import glob
+    import shutil
+
+    from sql_based_etl_spark.streaming.events import stream_append_to_delta
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "id long, v string"
+
+    def land(i):
+        stage = str(tmp_path / f"s{i}")
+        spark.createDataFrame(
+            [(i * 10 + j, f"r{i}") for j in range(2)], schema
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(in_dir / f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir))
+        )
+        return stream_append_to_delta(stream, out, app_id="restart_test",
+                                      checkpoint=ckpt)
+
+    land(0)
+    land(1)
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # "crash"
+    assert _ids(read_delta(spark, out)) == [0, 1, 10, 11]
+
+    land(2)
+    q2 = start()  # resume from the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    # batches 0/1 were not re-ingested; batch 2 landed exactly once
+    assert _ids(read_delta(spark, out)) == [0, 1, 10, 11, 20, 21]
+
+
 def test_compact_delta_and_incremental_appends(spark, tmp_path):
     """compact_delta bin-packs a many-small-files sink table with a
     dataChange:false OPTIMIZE commit (rows identical, file count drops,
