@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "sim_semantic_dedup",
     "text_bloom_decontaminate",
+    "text_lm_perplexity",
 ]
 
 
