@@ -90,19 +90,35 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     version = opts.get("versionAsOf")
     ts = opts.get("timestampAsOf")
     rel = opts.get("relativeVersion")
+    # One selector contract for ALL routes (bridge, library,
+    # VersionedTable): at most one of versionAsOf / timestampAsOf /
+    # relativeVersion. Without this the library route silently let
+    # relativeVersion overwrite an also-provided versionAsOf while the
+    # bridge raised — same config, different behavior per route.
+    if sum(x is not None for x in (version, ts, rel)) > 1:
+        from sql_based_etl_spark.engine.pipeline import StageError
+
+        raise StageError(
+            "DeltaLakeExtract: pass at most one of options.versionAsOf / "
+            "options.timestampAsOf / options.relativeVersion"
+        )
     from sql_based_etl_spark.tables import delta_interop
 
     if delta_interop.is_delta_dir(ctx.spark, conf["inputURI"]):
         if delta_interop.delta_available():
             reader = ctx.spark.read.format("delta")
-            if rel is not None:
+            if rel is not None or ts is not None:
+                # resolve BOTH selectors through the bridge's log
+                # resolution so the library route shares the bridge's
+                # contract: delta-spark has no relativeVersion at all,
+                # and its timestampAsOf rejects the epoch-seconds form
+                # the bridge and VersionedTable accept.
                 version = delta_interop._resolve_log_version(  # noqa: SLF001
-                    ctx.spark, conf["inputURI"], None, int(rel)
+                    ctx.spark, conf["inputURI"], ts,
+                    int(rel) if rel is not None else None,
                 )
             if version is not None:
                 reader = reader.option("versionAsOf", int(version))
-            elif ts is not None:
-                reader = reader.option("timestampAsOf", ts)
             return reader.load(conf["inputURI"])
         return delta_interop.read_delta(
             ctx.spark, conf["inputURI"],

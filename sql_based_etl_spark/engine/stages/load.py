@@ -26,13 +26,17 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
         # so external Delta tooling can consume the table directly
         from sql_based_etl_spark.tables.delta_interop import write_delta
 
+        # distinguish 'absent' (default 10) from an explicit 0 / "0"
+        # (the natural 'disable checkpointing' spelling → None)
         cpi = opts.get("checkpointInterval")
         write_delta(
             df.repartition(int(n)) if n else df,
             conf["outputURI"],
             mode=str(conf.get("saveMode", "Overwrite")).lower(),
             partition_by=conf.get("partitionBy"),
-            checkpoint_interval=int(cpi) if cpi else 10,
+            checkpoint_interval=(
+                10 if cpi is None else (int(cpi) or None)
+            ),
         )
         return None
     t = VersionedTable(ctx.spark, conf["outputURI"])
@@ -217,7 +221,41 @@ def versioned_table_maintenance(ctx: PipelineContext, conf: dict) -> DataFrame |
     conf: ``inputURI``; optional ``restore`` {``version`` |
     ``relativeVersion``}, ``compact`` {``smallFileBytes``,
     ``numPartitions``} and ``vacuum`` {``retainVersions``} blocks —
-    any subset, executed in that order (restore → compact → vacuum)."""
+    any subset, executed in that order (restore → compact → vacuum).
+
+    When ``inputURI`` holds a REAL Delta table (a ``_delta_log``
+    exists) the same blocks route to the bridge's maintenance ops:
+    ``compact.numPartitions`` → :func:`compact_delta` target file
+    count, ``vacuum.retentionHours`` (default 168) →
+    :func:`vacuum_delta` (``retainVersions`` has no Delta meaning —
+    Delta retention is time-based; ``vacuum.enforceRetentionCheck:
+    false`` permits sub-168h windows). ``restore`` raises: the bridge
+    writes no re-point commits, use time-travel reads instead."""
+    from sql_based_etl_spark.tables import delta_interop
+
+    if delta_interop.is_delta_dir(ctx.spark, conf["inputURI"]):
+        if conf.get("restore") is not None:
+            raise StageError(
+                "VersionedTableMaintenance: restore is not supported on "
+                "Delta-bridge tables (read with versionAsOf / "
+                "timestampAsOf and rewrite instead)"
+            )
+        c = conf.get("compact")
+        if c is not None:
+            delta_interop.compact_delta(
+                ctx.spark, conf["inputURI"],
+                target_files=int(c.get("numPartitions", 1)),
+            )
+        v = conf.get("vacuum")
+        if v is not None:
+            delta_interop.vacuum_delta(
+                ctx.spark, conf["inputURI"],
+                retention_hours=float(v.get("retentionHours", 168.0)),
+                enforce_retention_check=str(
+                    v.get("enforceRetentionCheck", True)
+                ).lower() != "false",
+            )
+        return None
     t = VersionedTable(ctx.spark, conf["inputURI"])
     r = conf.get("restore")
     if r is not None:
@@ -315,9 +353,13 @@ def validated_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     # audit costs a full data write plus two junk versions (bad version
     # + restore) — or a dangling table on a first-ever write.
     compile_expectations(conf.get("expectations"), label)
+    # case-INSENSITIVE, matching Spark's default analyzer resolution
+    # in check_expectations — a case-mismatched name that validates
+    # fine post-commit must not be rejected pre-write
+    have = {c.lower() for c in df.columns}
     missing = sorted({
         e["column"] for e in conf.get("expectations")
-        if e.get("column") and e["column"] not in df.columns
+        if e.get("column") and e["column"].lower() not in have
     })
     if missing:
         raise StageError(

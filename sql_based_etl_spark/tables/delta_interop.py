@@ -138,21 +138,22 @@ def _replay_checkpoint(
     # protocol-required, but be tolerant of sparse hand-built logs) so
     # a LATER checkpoint built on top of this state keeps the add
     # fields external Delta readers require.
-    add_fields = set(cp.schema["add"].dataType.fieldNames())
-    opt = [
-        F.col(f"add.{f}").alias(f) if f in add_fields
-        else F.lit(None).cast("long").alias(f)
-        for f in ("size", "modificationTime")
-    ]
-    for r in (
-        cp.filter(F.col("add.path").isNotNull())
-        .select("add.path", "add.partitionValues", *opt)
-        .collect()
-    ):
-        adds[r["path"]] = {"path": r["path"],
-                           "partitionValues": dict(r["partitionValues"] or {}),
-                           "size": r["size"],
-                           "modificationTime": r["modificationTime"]}
+    if "add" in cols:  # absent in a checkpoint of an empty table
+        add_fields = set(cp.schema["add"].dataType.fieldNames())
+        opt = [
+            F.col(f"add.{f}").alias(f) if f in add_fields
+            else F.lit(None).cast("long").alias(f)
+            for f in ("size", "modificationTime")
+        ]
+        for r in (
+            cp.filter(F.col("add.path").isNotNull())
+            .select("add.path", "add.partitionValues", *opt)
+            .collect()
+        ):
+            adds[r["path"]] = {"path": r["path"],
+                               "partitionValues": dict(r["partitionValues"] or {}),
+                               "size": r["size"],
+                               "modificationTime": r["modificationTime"]}
     # streaming-writer watermarks survive log pruning through the
     # checkpoint, exactly like Delta's own (bounded: one row per appId)
     txns: dict[str, int] = {}
@@ -324,10 +325,28 @@ def _snapshot_df(
             return rel
         return posixpath.join(path, rel)
 
+    def _read(files: list[str]) -> DataFrame:
+        # DataFrameReader resolves file existence eagerly (its file
+        # index lists paths up front), so a snapshot whose data files
+        # were physically deleted — time travel past a VACUUM — fails
+        # HERE, not mid-job; re-raise with the actual cause named.
+        # Zero cost on the happy path: no extra existence probes.
+        try:
+            return spark.read.schema(data_schema).parquet(*files)
+        except Exception as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "does not exist" in msg.lower():
+                raise VersionedTableError(
+                    f"Delta snapshot at {path} references data files that "
+                    "no longer exist — the version predates a VACUUM "
+                    f"(retention window) and cannot be read: {msg.splitlines()[0]}"
+                ) from e
+            raise
+
     if not adds:
         return spark.createDataFrame([], schema)
     if not part_cols:
-        return spark.read.schema(data_schema).parquet(*[_abs(a["path"]) for a in adds.values()])
+        return _read([_abs(a["path"]) for a in adds.values()])
 
     # group files by identical partitionValues, inject the partition
     # columns as typed literals per group (NULL for Delta's
@@ -339,7 +358,7 @@ def _snapshot_df(
         groups.setdefault(key, []).append(_abs(a["path"]))
     out: DataFrame | None = None
     for key, files in sorted(groups.items()):
-        df = spark.read.schema(data_schema).parquet(*files)
+        df = _read(files)
         for c, raw in zip(part_cols, key):
             lit = (
                 F.lit(None) if raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
@@ -485,13 +504,24 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             StructField("size", LongType()),
             StructField("modificationTime", LongType()),
             StructField("dataChange", BooleanType()),
+            StructField("stats", StringType()),
+        ])),
+        # the spec describes the checkpoint schema as the union of
+        # action schemas; strict external readers select `remove`
+        # even though a reconciled checkpoint never carries one —
+        # an always-null column keeps those selects valid
+        StructField("remove", StructType([
+            StructField("path", StringType()),
+            StructField("deletionTimestamp", LongType()),
+            StructField("dataChange", BooleanType()),
         ])),
         StructField("txn", StructType([
             StructField("appId", StringType()),
             StructField("version", LongType()),
         ])),
     ])
-    none_row = {"protocol": None, "metaData": None, "add": None, "txn": None}
+    none_row = {"protocol": None, "metaData": None, "add": None,
+                "remove": None, "txn": None}
     rows = [
         {**none_row, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {**none_row, "metaData": {
@@ -507,6 +537,7 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             "size": a.get("size"),
             "modificationTime": a.get("modificationTime"),
             "dataChange": False,
+            "stats": a.get("stats"),
         }}
         for _, a in sorted(adds.items())
     ]
@@ -776,6 +807,97 @@ def compact_delta(spark: SparkSession, path: str,
     _commit_delta_log(spark, log_dir, latest + 1,
                       "\n".join(json.dumps(a) for a in actions))
     return latest + 1
+
+
+def vacuum_delta(spark: SparkSession, path: str,
+                 retention_hours: float = 168.0,
+                 enforce_retention_check: bool = True,
+                 dry_run: bool = False) -> list[str]:
+    """Physically delete ``remove``-tombstoned data files of a bridge
+    Delta table — the storage-reclamation half of the streaming-sink +
+    OPTIMIZE story: one commit per micro-batch plus periodic
+    :func:`compact_delta` emits tombstones forever, and without VACUUM
+    the table's disk footprint only ever grows.
+
+    Semantics mirror Delta's own VACUUM: a file is deleted iff it is
+    (a) NOT referenced by the latest snapshot and (b) its tombstone's
+    ``deletionTimestamp`` is older than ``retention_hours``. Time
+    travel to any version still inside retention keeps working (its
+    files haven't been touched); time travel to a version whose files
+    were vacuumed fails loudly at read time (:func:`_snapshot_df`
+    names the VACUUM as the cause rather than surfacing a bare
+    path-not-found). Tombstones are gathered from the surviving JSON
+    log only — commits pruned below a checkpoint are by construction
+    older than the checkpoint and their non-live files are *also*
+    vacuum candidates, but the bridge deliberately deletes only what
+    it can prove was tombstoned (never "anything unreferenced", which
+    would race in-flight writers' staged files).
+
+    ``retention_hours < 168`` raises unless
+    ``enforce_retention_check=False`` (Delta's own guard: a reader or
+    in-flight committer may still reference recent files). ``dry_run``
+    returns the candidate list without deleting. A ``commitInfo``-only
+    VACUUM commit records the operation in the log (replay ignores it;
+    it is observability, exactly like Delta's VACUUM START/END pair).
+
+    Returns the table-relative paths of the deleted (or, dry-run,
+    deletable) files. Driver-side cost is O(tombstones) — bounded by
+    log length, the same order as the replay VACUUM already does."""
+    import time
+
+    if retention_hours < 168.0 and enforce_retention_check:
+        raise VersionedTableError(
+            f"vacuum_delta: retention {retention_hours}h is below the "
+            "168h safety floor — concurrent readers/writers may still "
+            "reference recent files; pass enforce_retention_check=False "
+            "to override (test/maintenance contexts only)"
+        )
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    logs = _list_log(spark, log_dir)
+    _, live, latest, _ = _replay_state(spark, path)
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
+
+    tombstones: dict[str, int] = {}
+    for v in sorted(logs):
+        for line in _read_text(spark, logs[v]).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "remove" in action:
+                r = action["remove"]
+                tombstones[r["path"]] = int(r.get("deletionTimestamp") or 0)
+            elif "add" in action:
+                # re-added later ⇒ the old tombstone no longer governs
+                tombstones.pop(action["add"]["path"], None)
+
+    fs, _, _ = _fs_and_path(spark, path)
+    deleted: list[str] = []
+    for rel in sorted(tombstones):
+        if rel in live or tombstones[rel] > cutoff_ms:
+            continue
+        target = urllib.parse.unquote(rel)
+        if "://" in target or target.startswith("/"):
+            jfile = _fs_and_path(spark, target)[1]
+        else:
+            jfile = _fs_and_path(spark, f"{path}/{target}")[1]
+        if fs.exists(jfile):
+            if not dry_run:
+                fs.delete(jfile, False)
+            deleted.append(rel)
+    if not dry_run:
+        _commit_delta_log(
+            spark, log_dir, latest + 1,
+            json.dumps({"commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "VACUUM END",
+                "operationParameters": {
+                    "retentionDurationHours": str(retention_hours)},
+                "operationMetrics": {"numDeletedFiles": str(len(deleted))},
+                "engineInfo": "sql-based-etl-spark delta bridge",
+            }}),
+        )
+    return deleted
 
 
 def read_delta_appends(spark: SparkSession, path: str,

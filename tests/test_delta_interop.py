@@ -693,3 +693,215 @@ def test_delta_load_stage_routes_protocol_delta(spark, tmp_path):
         {"type": "DeltaLakeExtract", "inputURI": out, "outputView": "delta_stage_out"},
     ])
     assert _ids(ctx.spark.table("delta_stage_out")) == list(range(4))
+
+
+def test_vacuum_delta_reclaims_tombstoned_files(spark, tmp_path):
+    """vacuum_delta physically deletes exactly the remove-tombstoned
+    files older than retention: the latest snapshot is untouched
+    (hash-identical rows), time travel inside retention keeps working,
+    time travel to a vacuumed version fails LOUDLY naming the VACUUM,
+    and the 168h retention floor guards against concurrent readers
+    (tables/delta_interop.py:vacuum_delta)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "vac_tab")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, f"r{i}")], "id long, v string").coalesce(1),
+            d, mode="append",
+        )
+    write_delta(  # overwrite tombstones all three appended files
+        spark.createDataFrame([(7, "x"), (8, "y")], "id long, v string").coalesce(1),
+        d, mode="overwrite",
+    )
+    compact_delta(spark, d, target_files=1)  # tombstones the overwrite file(s)
+
+    live_before = _ids(read_delta(spark, d))
+    n_files_before = len(glob.glob(os.path.join(d, "*.parquet")))
+    assert n_files_before >= 5  # 3 appends + overwrite + compacted
+
+    # retention floor: sub-168h without the override raises
+    with pytest.raises(VersionedTableError, match="168h"):
+        vacuum_delta(spark, d, retention_hours=0)
+
+    # inside retention nothing qualifies: all tombstones are seconds old
+    assert vacuum_delta(spark, d, retention_hours=168.0, dry_run=True) == []
+    assert _ids(read_delta(spark, d, version=2)) == [0, 1, 2]  # time travel OK
+
+    # dry run past retention lists candidates but deletes nothing
+    cands = vacuum_delta(spark, d, retention_hours=0,
+                         enforce_retention_check=False, dry_run=True)
+    assert len(cands) == n_files_before - 1
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) == n_files_before
+
+    deleted = vacuum_delta(spark, d, retention_hours=0,
+                           enforce_retention_check=False)
+    assert sorted(deleted) == sorted(cands)
+    # exactly the live compacted file survives; snapshot rows identical
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    assert _ids(read_delta(spark, d)) == live_before == [7, 8]
+    # the VACUUM commit is observability only — replay still works,
+    # and a fresh append after vacuum keeps flowing
+    write_delta(
+        spark.createDataFrame([(9, "z")], "id long, v string").coalesce(1),
+        d, mode="append",
+    )
+    assert _ids(read_delta(spark, d)) == [7, 8, 9]
+    # time travel PAST the vacuum fails loudly, naming the cause
+    with pytest.raises(VersionedTableError, match="VACUUM"):
+        read_delta(spark, d, version=1).collect()
+
+
+def test_vacuum_delta_respects_readded_paths(spark, tmp_path):
+    """A path removed then re-ADDED later is live again — vacuum must
+    not delete it even though a tombstone for it exists in the log."""
+    from sql_based_etl_spark.tables.delta_interop import vacuum_delta
+
+    d = str(tmp_path / "vac_readd")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", [0, 1])
+    _log(d, 0, _PROTOCOL, _meta(), _add("f0.parquet"))
+    _log(d, 1, {"remove": {"path": "f0.parquet", "dataChange": True,
+                           "deletionTimestamp": 1}})
+    _log(d, 2, _add("f0.parquet"))  # re-added: live again
+    assert vacuum_delta(spark, d, retention_hours=0,
+                        enforce_retention_check=False, dry_run=True) == []
+    assert _ids(read_delta(spark, d)) == [0, 1]
+
+
+def test_bridge_checkpoint_schema_is_action_union(spark, tmp_path):
+    """The emitted classic checkpoint carries the spec's union-of-action
+    schema: a top-level nullable `remove` column and `add.stats`, so
+    strict external readers that select those columns succeed
+    (tables/delta_interop.py:_write_checkpoint)."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "cp_schema")
+    for i in range(11):  # v10 triggers the checkpoint
+        write_delta(
+            spark.createDataFrame([(i, "a")], "id long, v string").coalesce(1),
+            d, mode="append",
+        )
+    cp_path = os.path.join(d, "_delta_log", f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(cp_path)
+    cp = spark.read.parquet(cp_path)
+    cols = set(cp.columns)
+    assert {"protocol", "metaData", "add", "remove", "txn"} <= cols
+    # a strict reader's select of remove fields and add.stats is valid
+    assert cp.select("remove.path", "remove.deletionTimestamp",
+                     "add.stats").count() == cp.count()
+    assert cp.filter(F.col("remove.path").isNotNull()).count() == 0
+
+
+def test_replay_checkpoint_without_add_column(spark, tmp_path):
+    """An externally-written checkpoint of an EMPTY table has no `add`
+    column at all; replay must treat adds as empty, not KeyError
+    (tables/delta_interop.py:_replay_checkpoint)."""
+    d = str(tmp_path / "cp_empty")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    _log(d, 0, _PROTOCOL, _meta())
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None},
+        {"protocol": None,
+         "metaData": {"id": "m", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": SCHEMA_STRING,
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+    ]
+    from pyspark.sql.types import (IntegerType, LongType, MapType,
+                                   StringType, StructField, StructType)
+    from pyspark.sql.types import ArrayType
+    schema = StructType([
+        StructField("protocol", StructType([
+            StructField("minReaderVersion", IntegerType()),
+            StructField("minWriterVersion", IntegerType())])),
+        StructField("metaData", StructType([
+            StructField("id", StringType()),
+            StructField("format", StructType([
+                StructField("provider", StringType()),
+                StructField("options", MapType(StringType(), StringType()))])),
+            StructField("schemaString", StringType()),
+            StructField("partitionColumns", ArrayType(StringType())),
+            StructField("configuration", MapType(StringType(), StringType())),
+            StructField("createdTime", LongType())])),
+    ])
+    tmp = os.path.join(str(tmp_path), "cp_build")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(log, f"{0:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": 2}))
+    # force the checkpoint replay path: drop the JSON commit
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    df = read_delta(spark, d)
+    assert df.count() == 0
+    assert df.columns == ["id", "v"]
+
+
+def test_delta_load_checkpoint_interval_zero_disables(spark, tmp_path):
+    """DeltaLakeLoad options.checkpointInterval: 0 disables
+    checkpointing (the natural 'disable' spelling must not silently
+    become the default 10 — engine/stages/load.py)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    d = str(tmp_path / "cpi_zero")
+    spark.createDataFrame([(1, "a")], "id long, v string").createOrReplaceTempView(
+        "cpi_src")
+    for _ in range(11):  # crosses v10, the default trigger point
+        Pipeline(spark).run([
+            {"type": "DeltaLakeLoad", "inputView": "cpi_src",
+             "outputURI": d, "saveMode": "Append",
+             "options": {"protocol": "delta", "checkpointInterval": 0}},
+        ])
+    log = os.path.join(d, "_delta_log")
+    assert not os.path.exists(os.path.join(log, "_last_checkpoint"))
+    assert not glob.glob(os.path.join(log, "*.checkpoint.parquet"))
+
+
+def test_delta_extract_rejects_multiple_selectors(spark, delta_dir):
+    """The stage validates the one-selector contract BEFORE routing, so
+    bridge and library routes behave identically
+    (engine/stages/extract.py:versioned_table_extract)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline, StageError
+
+    with pytest.raises(StageError, match="at most one"):
+        Pipeline(spark).run([
+            {"type": "DeltaLakeExtract", "inputURI": delta_dir,
+             "outputView": "multi_sel",
+             "options": {"versionAsOf": 1, "relativeVersion": -1}},
+        ])
+
+
+def test_maintenance_stage_routes_delta_bridge(spark, tmp_path):
+    """VersionedTableMaintenance on a real _delta_log dir routes
+    compact → compact_delta and vacuum → vacuum_delta; restore raises
+    (engine/stages/load.py:versioned_table_maintenance)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline, StageError
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "maint_delta")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, "a")], "id long, v string").coalesce(1),
+            d, mode="append",
+        )
+    Pipeline(spark).run([
+        {"type": "VersionedTableMaintenance", "inputURI": d,
+         "compact": {"numPartitions": 1},
+         "vacuum": {"retentionHours": 0, "enforceRetentionCheck": "false"}},
+    ])
+    assert _ids(read_delta(spark, d)) == [0, 1, 2]
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    with pytest.raises(StageError, match="restore is not supported"):
+        Pipeline(spark).run([
+            {"type": "VersionedTableMaintenance", "inputURI": d,
+             "restore": {"relativeVersion": -1}},
+        ])

@@ -670,6 +670,17 @@ def test_validated_load_config_errors_cost_no_write(spark, tmp_path):
             ])
         # the config error fired before any data/table write
         assert not os.path.exists(uri)
+    # case-mismatched names resolve (Spark's analyzer is
+    # case-insensitive by default; the pre-write guard must match it)
+    uri_ci = str(tmp_path / "wap_ci")
+    Pipeline(spark).run([
+        {"type": "SQLTransform", "outputView": "cfg_ci",
+         "sql": "SELECT 1 AS K"},
+        {"type": "ValidatedLoad", "name": "ci", "inputView": "cfg_ci",
+         "outputURI": uri_ci,
+         "expectations": [{"column": "k", "notNull": True}]},
+    ])
+    assert os.path.exists(uri_ci)
 
 
 def test_bloom_filter_columns_written_to_parquet(spark, tmp_path):
