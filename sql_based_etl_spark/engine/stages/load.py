@@ -22,9 +22,29 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
     n = conf.get("numPartitions")
     opts = conf.get("options", {}) or {}
     if str(opts.get("protocol", "")).lower() == "delta":
-        # emit the actual Delta transaction-log format (no jars needed)
-        # so external Delta tooling can consume the table directly
-        from sql_based_etl_spark.tables.delta_interop import write_delta
+        # emit the actual Delta transaction-log format so external
+        # tooling can consume the table directly: through the
+        # delta-spark library when its jars are importable (mirroring
+        # the read route), else through the no-jar bridge.
+        # options.forceBridge=true pins the bridge in jar-ful
+        # environments (both write valid Delta).
+        from sql_based_etl_spark.tables.delta_interop import (
+            delta_available,
+            write_delta,
+        )
+
+        if delta_available() and str(
+                opts.get("forceBridge", False)).lower() != "true":
+            writer = (
+                (df.repartition(int(n)) if n else df)
+                .write.format("delta")
+                .mode(str(conf.get("saveMode", "Overwrite")).lower())
+            )
+            part_cols = conf.get("partitionBy")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.save(conf["outputURI"])
+            return None
 
         # distinguish 'absent' (default 10) from an explicit 0 / "0"
         # (the natural 'disable checkpointing' spelling → None)

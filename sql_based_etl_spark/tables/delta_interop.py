@@ -25,10 +25,12 @@ is the ecosystem bridge between the two:
   the real library where it exists (the sandbox has none, so the
   bridge is the tested path).
 
-Honest limits (fail-loud, never wrong-answer): reader features beyond
-protocol ``minReaderVersion`` 1 that change data interpretation —
-deletion vectors, column mapping — raise instead of returning rows
-that ignore them. Log replay happens driver-side over metadata only;
+Reader features: NAME-mode column mapping is supported (physical
+column names from the schemaString field metadata, mapped back to
+logical — reads only; writes to mapped tables fail loudly). Honest
+limits (fail-loud, never wrong-answer): data-interpretation features
+the bridge does not implement — deletion vectors, id-mode column
+mapping — raise instead of returning rows that ignore them. Log replay happens driver-side over metadata only;
 at very large file counts (millions of adds) a production reader
 would replay the checkpoint distributed — the checkpoint parquet here
 is read through Spark already, only the surviving file LIST is
@@ -90,22 +92,59 @@ def _list_log(spark: SparkSession, log_dir: str) -> dict[int, str]:
 
 def _check_protocol(action: dict) -> None:
     p = action["protocol"]
-    if p.get("minReaderVersion", 1) > 1 or p.get("readerFeatures"):
+    reader_v = p.get("minReaderVersion", 1)
+    features = set(p.get("readerFeatures") or [])
+    # reader v2's only data-interpretation change is column mapping,
+    # which the bridge honors in name mode (_check_metadata rejects id
+    # mode); v3 tables are readable iff every listed reader feature is
+    # one the bridge implements
+    if reader_v > 3 or (reader_v == 3 and features - {"columnMapping"}):
         raise VersionedTableError(
-            "Delta reader features beyond protocol v1 are not supported by "
-            f"the no-jar bridge (got {p}); install delta-spark to read this "
-            "table (deletion vectors / column mapping change data "
-            "interpretation and must not be silently ignored)"
+            "Delta reader features beyond what the no-jar bridge "
+            f"implements (got {p}); install delta-spark to read this "
+            "table (e.g. deletion vectors change data interpretation "
+            "and must not be silently ignored)"
         )
 
 
 def _check_metadata(meta: dict) -> None:
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    if mode != "none":
+    if mode not in ("none", "name"):
+        # name mode is readable from public metadata alone — physical
+        # names ride the schemaString field metadata (_snapshot_df maps
+        # them back to logical); id mode needs parquet field-id
+        # resolution and stays fail-loud
         raise VersionedTableError(
             f"Delta column mapping mode {mode!r} is not supported by the "
             "no-jar bridge; install delta-spark"
         )
+
+
+def _physical_schema_json(node):
+    """Recursively rename every struct field in a schemaString JSON node
+    to its ``delta.columnMapping.physicalName`` — the on-disk parquet
+    column names of a name-mode column-mapped table (the logical names
+    live only in the log). Fail-loud when a field lacks the mapping."""
+    if isinstance(node, dict) and node.get("type") == "struct":
+        fields = []
+        for f in node["fields"]:
+            phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            if not phys:
+                raise VersionedTableError(
+                    "Delta column mapping mode 'name' but field "
+                    f"{f.get('name')!r} has no "
+                    "delta.columnMapping.physicalName metadata"
+                )
+            fields.append({**f, "name": phys,
+                           "type": _physical_schema_json(f["type"]),
+                           "metadata": {}})
+        return {"type": "struct", "fields": fields}
+    if isinstance(node, dict) and node.get("type") == "array":
+        return {**node, "elementType": _physical_schema_json(node["elementType"])}
+    if isinstance(node, dict) and node.get("type") == "map":
+        return {**node, "keyType": _physical_schema_json(node["keyType"]),
+                "valueType": _physical_schema_json(node["valueType"])}
+    return node
 
 
 def _replay_checkpoint(
@@ -314,9 +353,32 @@ def _snapshot_df(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
+    mapped = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none") == "name"
+    # name-mode column mapping: parquet files (and partitionValues
+    # keys) use PHYSICAL names; the logical names exist only in the
+    # log's schemaString metadata. Read with the physical schema, then
+    # one final positional struct cast renames every level back to
+    # logical (struct casts match by position, and the two schemas are
+    # structurally identical by construction).
+    phys = (StructType.fromJson(
+        _physical_schema_json(json.loads(meta["schemaString"])))
+        if mapped else schema)
+    log2phys = {lf.name: pf.name for lf, pf in zip(schema.fields, phys.fields)}
+    part_cols = list(meta.get("partitionColumns") or [])  # logical names
+    data_schema = StructType([
+        pf for lf, pf in zip(schema.fields, phys.fields)
+        if lf.name not in part_cols
+    ])
     by_type = {f.name: f.dataType for f in schema.fields}
+
+    def _to_logical(df: DataFrame) -> DataFrame:
+        if not mapped:
+            return df
+        return df.select(*[
+            F.col(log2phys[lf.name]).cast(lf.dataType).alias(lf.name)
+            for lf in schema.fields
+        ])
 
     def _abs(rel: str) -> str:
         # add.path is URL-encoded and relative unless absolute
@@ -346,28 +408,30 @@ def _snapshot_df(
     if not adds:
         return spark.createDataFrame([], schema)
     if not part_cols:
-        return _read([_abs(a["path"]) for a in adds.values()])
+        return _to_logical(_read([_abs(a["path"]) for a in adds.values()]))
 
-    # group files by identical partitionValues, inject the partition
-    # columns as typed literals per group (NULL for Delta's
+    # group files by identical partitionValues (keyed by PHYSICAL name
+    # when column-mapped — the writer requirement), inject the
+    # partition columns as typed literals per group (NULL for Delta's
     # __HIVE_DEFAULT_PARTITION__ / missing entries), then union
     groups: dict[tuple, list[str]] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(log2phys[c]) for c in part_cols)
         groups.setdefault(key, []).append(_abs(a["path"]))
     out: DataFrame | None = None
-    for key, files in sorted(groups.items()):
+    for key, files in sorted(groups.items(),
+                             key=lambda kv: tuple(x or "" for x in kv[0])):
         df = _read(files)
         for c, raw in zip(part_cols, key):
             lit = (
                 F.lit(None) if raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
                 else F.lit(raw)
             )
-            df = df.withColumn(c, lit.cast(by_type[c]))
-        df = df.select(*[f.name for f in schema.fields])
+            df = df.withColumn(log2phys[c], lit.cast(by_type[c]))
+        df = df.select(*[log2phys[f.name] for f in schema.fields])
         out = df if out is None else out.unionByName(df)
-    return out
+    return _to_logical(out)
 
 
 # --- export / import ----------------------------------------------------
@@ -688,6 +752,16 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     txns: dict[str, int] = {}
     if fs.exists(jlog) and _list_log(spark, log_dir):
         meta, live, latest, txns = _replay_state(spark, path)
+        if (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none") != "none":
+            # the bridge READS name-mode tables (physical→logical in
+            # _snapshot_df) but writes only unmapped ones — emitting
+            # logical-named parquet into a physical-named table would
+            # corrupt it silently
+            raise VersionedTableError(
+                "write_delta: column-mapped tables are read-only through "
+                "the bridge; install delta-spark to write this table"
+            )
         if (
             txn_app_id is not None
             and txn_app_id in txns
@@ -783,6 +857,12 @@ def compact_delta(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     meta, live, latest, _ = _replay_state(spark, path)
+    if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none") != "none":
+        raise VersionedTableError(
+            "compact_delta: column-mapped tables are read-only through "
+            "the bridge; install delta-spark to compact this table"
+        )
     if not live:
         raise VersionedTableError(f"compact_delta: nothing to compact at {path}")
     part_cols = list(meta.get("partitionColumns") or [])

@@ -321,6 +321,60 @@ def test_library_read_route_when_jars_present(spark, tmp_path):
     assert _ids(ctx.views["lib_v0"]) == list(range(4))
 
 
+@pytest.mark.skipif(not delta_available(), reason="delta-spark jars absent "
+                    "(the sandbox default); README documents the matrix")
+def test_library_write_route_when_jars_present(spark, tmp_path):
+    """When delta-spark IS importable, DeltaLakeLoad protocol=delta
+    routes through the real ``df.write.format("delta")`` (mirroring the
+    read route), the bridge reads it back, and options.forceBridge
+    pins the bridge (engine/stages/load.py:versioned_table_load)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+
+    t = str(tmp_path / "lib_write")
+    spark.range(5).select(F.col("id"), F.lit("w").alias("v")).createOrReplaceTempView(
+        "lib_write_in")
+    Pipeline(spark).run([
+        {"type": "DeltaLakeLoad", "inputView": "lib_write_in",
+         "outputURI": t, "options": {"protocol": "delta"}},
+    ])
+    assert is_delta_dir(spark, t)
+    # library-written table reads back through BOTH routes
+    assert _ids(spark.read.format("delta").load(t)) == list(range(5))
+    assert _ids(read_delta(spark, t)) == list(range(5))
+    # forceBridge pins the bridge writer even with jars present
+    t2 = str(tmp_path / "lib_write_forced")
+    Pipeline(spark).run([
+        {"type": "DeltaLakeLoad", "inputView": "lib_write_in",
+         "outputURI": t2,
+         "options": {"protocol": "delta", "forceBridge": True}},
+    ])
+    log0 = open(os.path.join(t2, "_delta_log", f"{0:020d}.json")).read()
+    assert "sql-based-etl-spark delta bridge" in log0
+    assert _ids(spark.read.format("delta").load(t2)) == list(range(5))
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark jars absent "
+                    "(the sandbox default); README documents the matrix")
+def test_library_reads_past_bridge_checkpoint(spark, tmp_path):
+    """delta-spark must be able to consume a BRIDGE-written parquet
+    checkpoint (the README matrix claims checkpoint interop): read a
+    table whose _last_checkpoint points at a bridge checkpoint, with
+    the pre-checkpoint JSON tail pruned so the library HAS to use it."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    t = str(tmp_path / "lib_cp")
+    for i in range(11):  # v10 triggers the bridge checkpoint
+        write_delta(
+            spark.createDataFrame([(i, "c")], "id long, v string").coalesce(1),
+            t, mode="append",
+        )
+    log = os.path.join(t, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    for v in range(10):  # prune the tail: the checkpoint is the only source
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert _ids(spark.read.format("delta").load(t)) == list(range(11))
+
+
 def test_delta_available_reflects_sandbox():
     # the sandbox ships no delta-spark; the bridge is the tested path
     assert delta_available() is False
@@ -905,3 +959,93 @@ def test_maintenance_stage_routes_delta_bridge(spark, tmp_path):
             {"type": "VersionedTableMaintenance", "inputURI": d,
              "restore": {"relativeVersion": -1}},
         ])
+
+
+def _cm_schema_string() -> str:
+    """schemaString of a name-mode column-mapped table: logical names
+    in the field names, physical names in the field metadata (the
+    public protocol's column-mapping encoding)."""
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName": phys}}
+    nested = {"type": "struct", "fields": [
+        fld("lat", "double", "col-aaa", 3),
+        fld("lon", "double", "col-bbb", 4),
+    ]}
+    return json.dumps({"type": "struct", "fields": [
+        fld("id", "long", "col-111", 1),
+        fld("v", "string", "col-222", 2),
+        fld("geo", nested, "col-333", 5),
+        fld("day", "string", "col-444", 6),
+    ]})
+
+
+def test_read_delta_name_mode_column_mapping(spark, tmp_path):
+    """Name-mode column mapping reads through the bridge: parquet files
+    and partitionValues carry PHYSICAL names; the returned frame has
+    the LOGICAL schema, nested structs included. Writes to the mapped
+    table stay fail-loud (tables/delta_interop.py:_physical_schema_json
+    / _snapshot_df / write_delta)."""
+    from sql_based_etl_spark.tables.delta_interop import compact_delta, write_delta
+
+    d = str(tmp_path / "cm_tab")
+    os.makedirs(d)
+    # physical-named data files (partition col col-444 NOT in the file)
+    tmp = os.path.join(d, "__tmp")
+    spark.createDataFrame(
+        [(1, "a", (1.5, 2.5)), (2, "b", (3.5, 4.5))],
+        "`col-111` long, `col-222` string, "
+        "`col-333` struct<`col-aaa`: double, `col-bbb`: double>",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(d, "d1.parquet"))
+    shutil.rmtree(tmp)
+
+    meta = {"metaData": {
+        "id": "cm-tab", "format": {"provider": "parquet", "options": {}},
+        "schemaString": _cm_schema_string(),
+        "partitionColumns": ["day"],  # logical name
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "6"},
+    }}
+    proto = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    _log(d, 0, proto, meta,
+         {"add": {"path": "d1.parquet",
+                  "partitionValues": {"col-444": "2024-01-01"},  # physical key
+                  "size": 1, "modificationTime": 0, "dataChange": True}})
+
+    df = read_delta(spark, d)
+    assert df.columns == ["id", "v", "geo", "day"]
+    assert df.schema["geo"].dataType.fieldNames() == ["lat", "lon"]
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].v == "a" and rows[1].geo.lat == 1.5 and rows[1].geo.lon == 2.5
+    assert rows[2].day == "2024-01-01"
+
+    # reader-features form (v3) with only columnMapping also reads
+    _log(d, 1, {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                             "readerFeatures": ["columnMapping"],
+                             "writerFeatures": ["columnMapping"]}})
+    assert read_delta(spark, d).count() == 2
+    # …but an unimplemented reader feature still fails loudly
+    _log(d, 2, {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                             "readerFeatures": ["deletionVectors"]}})
+    with pytest.raises(VersionedTableError, match="bridge"):
+        read_delta(spark, d)
+    os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
+
+    # id-mode stays fail-loud
+    d2 = str(tmp_path / "cm_id")
+    os.makedirs(d2)
+    meta_id = json.loads(json.dumps(meta))
+    meta_id["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _log(d2, 0, proto, meta_id)
+    with pytest.raises(VersionedTableError, match="'id'"):
+        read_delta(spark, d2)
+
+    # the bridge never WRITES mapped tables (silent corruption otherwise)
+    with pytest.raises(VersionedTableError, match="read-only"):
+        write_delta(spark.createDataFrame([(3, "c")], "id long, v string"),
+                    d, mode="append")
+    with pytest.raises(VersionedTableError, match="read-only"):
+        compact_delta(spark, d)
