@@ -27,10 +27,14 @@ is the ecosystem bridge between the two:
 
 Reader features: NAME-mode column mapping is supported (physical
 column names from the schemaString field metadata, mapped back to
-logical — reads only; writes to mapped tables fail loudly). Honest
-limits (fail-loud, never wrong-answer): data-interpretation features
-the bridge does not implement — deletion vectors, id-mode column
-mapping — raise instead of returning rows that ignore them. Log replay happens driver-side over metadata only;
+logical) and DELETION VECTORS are supported (the public roaring-bitmap
+format decoded driver-side — bounded by the descriptor's sizeInBytes —
+and applied distributed as a ``_metadata.row_index`` anti-join). Both
+are reads only; writes/compaction/vacuum of mapped or DV-bearing
+tables fail loudly. Honest limits (fail-loud, never wrong-answer):
+data-interpretation features the bridge does not implement — id-mode
+column mapping, v2 checkpoints beyond classic parquet — raise instead
+of returning rows that ignore them. Log replay happens driver-side over metadata only;
 at very large file counts (millions of adds) a production reader
 would replay the checkpoint distributed — the checkpoint parquet here
 is read through Spark already, only the surviving file LIST is
@@ -97,12 +101,16 @@ def _check_protocol(action: dict) -> None:
     # reader v2's only data-interpretation change is column mapping,
     # which the bridge honors in name mode (_check_metadata rejects id
     # mode); v3 tables are readable iff every listed reader feature is
-    # one the bridge implements
-    if reader_v > 3 or (reader_v == 3 and features - {"columnMapping"}):
+    # one the bridge implements — name-mode column mapping and deletion
+    # vectors (decoded from the public roaring format, applied as a
+    # row_index anti-join). Anything else stays fail-loud.
+    if reader_v > 3 or (
+        reader_v == 3 and features - {"columnMapping", "deletionVectors"}
+    ):
         raise VersionedTableError(
             "Delta reader features beyond what the no-jar bridge "
             f"implements (got {p}); install delta-spark to read this "
-            "table (e.g. deletion vectors change data interpretation "
+            "table (unknown reader features change data interpretation "
             "and must not be silently ignored)"
         )
 
@@ -147,11 +155,216 @@ def _physical_schema_json(node):
     return node
 
 
+# --- deletion vectors (reads) -------------------------------------------
+#
+# The public Delta DV format (PROTOCOL.md "Deletion Vectors"): an `add`
+# may carry a `deletionVector` descriptor marking row indexes of the
+# parquet file as deleted. The payload is a RoaringBitmapArray in
+# "portable" serialization — 4-byte LE magic 1681511377, 8-byte LE
+# bitmap count, then per bitmap a 4-byte LE key (the high 32 bits of
+# the row index) + a standard 32-bit RoaringBitmap (little-endian
+# portable spec: cookie 12346/12347, array/bitmap/run containers).
+# Storage: inline in the log (storageType "i", Z85-encoded), or a
+# `deletion_vector_<uuid>.bin` file (storageType "u": Z85-encoded UUID
+# with optional random prefix; "p": absolute path) framed as
+# [4-byte BE dataSize][payload][4-byte BE CRC-32]. All decoded
+# driver-side: descriptors are log metadata and a DV is small by
+# design (sizeInBytes rides the descriptor); the row-level filter
+# itself runs distributed as an anti-join on `_metadata.row_index`.
+
+_Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_IDX = {c: i for i, c in enumerate(_Z85)}
+
+
+def _z85_decode(s: str) -> bytes:
+    """ZeroMQ Z85 decode (Delta's encoding for inline DVs and DV-file
+    UUIDs). Python 3.11 has no ``base64.z85decode``; 5 chars → 4 bytes,
+    big-endian base-85."""
+    if len(s) % 5:
+        raise VersionedTableError(
+            f"deletion vector: Z85 payload length {len(s)} is not a "
+            "multiple of 5"
+        )
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i:i + 5]:
+            if c not in _Z85_IDX:
+                raise VersionedTableError(
+                    f"deletion vector: invalid Z85 character {c!r}"
+                )
+            v = v * 85 + _Z85_IDX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _read_bytes(spark: SparkSession, path: str) -> bytes:
+    fs, jpath, jvm = _fs_and_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _roaring32(data: bytes, pos: int):
+    """Decode one 32-bit RoaringBitmap (portable little-endian spec) at
+    ``pos``; returns (sorted uint32 values as int64 ndarray, new pos)."""
+    import numpy as np
+
+    cookie = int.from_bytes(data[pos:pos + 4], "little")
+    if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE: run containers possible
+        size = (cookie >> 16) + 1
+        nrb = (size + 7) // 8
+        run_bits = data[pos + 4:pos + 4 + nrb]
+        pos += 4 + nrb
+        has_offsets = size >= 4  # NO_OFFSET_THRESHOLD
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        run_bits = b""
+        pos += 8
+        has_offsets = True
+    else:
+        raise VersionedTableError(
+            f"deletion vector: unrecognized RoaringBitmap cookie {cookie}"
+        )
+    keys, cards = [], []
+    for _ in range(size):
+        keys.append(int.from_bytes(data[pos:pos + 2], "little"))
+        cards.append(int.from_bytes(data[pos + 2:pos + 4], "little") + 1)
+        pos += 4
+    if has_offsets:
+        pos += 4 * size  # read sequentially; offsets are redundant
+    chunks = []
+    for i in range(size):
+        base = keys[i] << 16
+        if run_bits and (run_bits[i // 8] >> (i % 8)) & 1:
+            n_runs = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+            runs = np.frombuffer(data, dtype="<u2", count=n_runs * 2,
+                                 offset=pos).reshape(-1, 2)
+            pos += 4 * n_runs
+            vals = (np.concatenate([
+                np.arange(int(s), int(s) + int(ln) + 1, dtype=np.int64)
+                for s, ln in runs
+            ]) if n_runs else np.empty(0, np.int64))
+        elif cards[i] <= 4096:  # array container
+            vals = np.frombuffer(data, dtype="<u2", count=cards[i],
+                                 offset=pos).astype(np.int64)
+            pos += 2 * cards[i]
+        else:  # bitmap container: 1024 × uint64 LE = 8192 bytes
+            bits = np.frombuffer(data, dtype=np.uint8, count=8192, offset=pos)
+            pos += 8192
+            vals = np.nonzero(
+                np.unpackbits(bits, bitorder="little"))[0].astype(np.int64)
+        chunks.append(vals + base)
+    out = (np.concatenate(chunks) if chunks else np.empty(0, np.int64))
+    return out, pos
+
+
+def _roaring_array_indexes(data: bytes):
+    """Decode a Delta RoaringBitmapArray payload to a sorted int64
+    ndarray of deleted row indexes."""
+    import numpy as np
+
+    if len(data) < 12:
+        raise VersionedTableError("deletion vector: payload too short")
+    magic = int.from_bytes(data[0:4], "little")
+    if magic != 1681511377:
+        raise VersionedTableError(
+            f"deletion vector: bad RoaringBitmapArray magic {magic}"
+        )
+    n = int.from_bytes(data[4:12], "little")
+    pos, parts = 12, []
+    for _ in range(n):
+        key = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        vals, pos = _roaring32(data, pos)
+        parts.append(vals + (key << 32))
+    if pos != len(data):
+        raise VersionedTableError(
+            f"deletion vector: {len(data) - pos} trailing bytes after "
+            "RoaringBitmapArray decode"
+        )
+    return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def _dv_row_indexes(spark: SparkSession, table_path: str, dv: dict):
+    """Resolve a ``deletionVector`` descriptor to the deleted row
+    indexes of its data file (sorted int64 ndarray). Fail-loud on any
+    framing/CRC/cardinality mismatch — a half-applied DV is silent row
+    resurrection."""
+    import uuid as uuid_mod
+    import zlib
+
+    st = dv.get("storageType")
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        payload = _z85_decode(dv["pathOrInlineDv"])
+        if len(payload) != size:
+            raise VersionedTableError(
+                f"deletion vector: inline payload is {len(payload)} bytes, "
+                f"descriptor says {size}"
+            )
+    elif st in ("u", "p"):
+        if st == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, tail = enc[:-20], enc[-20:]
+            u = uuid_mod.UUID(bytes=_z85_decode(tail))
+            fpath = (f"{table_path}/{prefix + '/' if prefix else ''}"
+                     f"deletion_vector_{u}.bin")
+        else:
+            fpath = dv["pathOrInlineDv"]
+        raw = _read_bytes(spark, fpath)
+        off = int(dv["offset"])
+        data_size = int.from_bytes(raw[off:off + 4], "big")
+        if data_size != size:
+            raise VersionedTableError(
+                f"deletion vector: framed dataSize {data_size} != "
+                f"descriptor sizeInBytes {size} at {fpath}"
+            )
+        payload = raw[off + 4:off + 4 + size]
+        crc = int.from_bytes(raw[off + 4 + size:off + 8 + size], "big")
+        if (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+            raise VersionedTableError(
+                f"deletion vector: CRC-32 mismatch at {fpath} offset {off}"
+            )
+    else:
+        raise VersionedTableError(
+            f"deletion vector: unrecognized storageType {st!r}"
+        )
+    idx = _roaring_array_indexes(payload)
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(idx):
+        raise VersionedTableError(
+            f"deletion vector: decoded {len(idx)} deleted rows, "
+            f"descriptor cardinality says {card}"
+        )
+    return idx
+
+
+def _dv_uid(dv: dict | None) -> str:
+    """The descriptor's unique id — Delta keys file actions by
+    (path, DV uid) so that the remove(old DV)+add(new DV) pair of an
+    in-place delete reconciles regardless of within-commit order."""
+    if not dv:
+        return ""
+    uid = f"{dv.get('storageType', '')}{dv.get('pathOrInlineDv', '')}"
+    if dv.get("offset") is not None:
+        uid += f"@{dv['offset']}"
+    return uid
+
+
+def _fkey(file_action: dict) -> str:
+    return file_action["path"] + "\x00" + _dv_uid(file_action.get("deletionVector"))
+
+
 def _replay_checkpoint(
     spark: SparkSession, log_dir: str, cp_version: int, parts: int | None
 ) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
     """Active state as of a checkpoint:
-    ``(metaData, {path: add}, {txn appId: version})``."""
+    ``(metaData, {(path, DV id) key: add}, {txn appId: version})``."""
     if parts:
         paths = [
             f"{log_dir}/{cp_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
@@ -184,15 +397,22 @@ def _replay_checkpoint(
             else F.lit(None).cast("long").alias(f)
             for f in ("size", "modificationTime")
         ]
+        dv_col = (
+            [F.col("add.deletionVector").alias("deletionVector")]
+            if "deletionVector" in add_fields else []
+        )
         for r in (
             cp.filter(F.col("add.path").isNotNull())
-            .select("add.path", "add.partitionValues", *opt)
+            .select("add.path", "add.partitionValues", *opt, *dv_col)
             .collect()
         ):
-            adds[r["path"]] = {"path": r["path"],
-                               "partitionValues": dict(r["partitionValues"] or {}),
-                               "size": r["size"],
-                               "modificationTime": r["modificationTime"]}
+            a = {"path": r["path"],
+                 "partitionValues": dict(r["partitionValues"] or {}),
+                 "size": r["size"],
+                 "modificationTime": r["modificationTime"]}
+            if dv_col and r["deletionVector"] is not None:
+                a["deletionVector"] = r["deletionVector"].asDict()
+            adds[_fkey(a)] = a
     # streaming-writer watermarks survive log pruning through the
     # checkpoint, exactly like Delta's own (bounded: one row per appId)
     txns: dict[str, int] = {}
@@ -334,9 +554,13 @@ def _replay_state(
             elif "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
-                adds[action["add"]["path"]] = action["add"]
+                # keyed by (path, DV uid): an in-place delete commits
+                # remove(path, old DV) + add(path, new DV) and the spec
+                # leaves within-commit action order undefined — keying
+                # by path alone would let the remove clobber the add
+                adds[_fkey(action["add"])] = action["add"]
             elif "remove" in action:
-                adds.pop(action["remove"]["path"], None)
+                adds.pop(_fkey(action["remove"]), None)
             elif "txn" in action:
                 txns[action["txn"]["appId"]] = int(action["txn"]["version"])
     if meta is None:
@@ -405,24 +629,53 @@ def _snapshot_df(
                 ) from e
             raise
 
+    def _read_adds(alist: list[dict]) -> DataFrame:
+        """Read a list of add actions: one multi-file scan for files
+        without a deletion vector, plus — per DV'd file — a scan whose
+        rows are filtered by an anti-join of ``_metadata.row_index``
+        against the decoded deleted-index set (the filter itself runs
+        distributed; only the bitmap — sizeInBytes-bounded, it rides
+        the descriptor — is decoded driver-side)."""
+        plain = [_abs(a["path"]) for a in alist if not a.get("deletionVector")]
+        parts = [_read(plain)] if plain else []
+        for a in alist:
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            import pandas as pd
+
+            idx = _dv_row_indexes(spark, path, dv)
+            deleted = spark.createDataFrame(
+                pd.DataFrame({"__dv_row_index": idx.astype("int64")}))
+            parts.append(
+                _read([_abs(a["path"])])
+                .withColumn("__dv_row_index", F.col("_metadata.row_index"))
+                .join(deleted, "__dv_row_index", "left_anti")
+                .drop("__dv_row_index")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     if not adds:
         return spark.createDataFrame([], schema)
     if not part_cols:
-        return _to_logical(_read([_abs(a["path"]) for a in adds.values()]))
+        return _to_logical(_read_adds(list(adds.values())))
 
     # group files by identical partitionValues (keyed by PHYSICAL name
     # when column-mapped — the writer requirement), inject the
     # partition columns as typed literals per group (NULL for Delta's
     # __HIVE_DEFAULT_PARTITION__ / missing entries), then union
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[dict]] = {}
     for a in adds.values():
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(log2phys[c]) for c in part_cols)
-        groups.setdefault(key, []).append(_abs(a["path"]))
+        groups.setdefault(key, []).append(a)
     out: DataFrame | None = None
-    for key, files in sorted(groups.items(),
+    for key, alist in sorted(groups.items(),
                              key=lambda kv: tuple(x or "" for x in kv[0])):
-        df = _read(files)
+        df = _read_adds(alist)
         for c, raw in zip(part_cols, key):
             lit = (
                 F.lit(None) if raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
@@ -762,6 +1015,15 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 "write_delta: column-mapped tables are read-only through "
                 "the bridge; install delta-spark to write this table"
             )
+        if any(a.get("deletionVector") for a in live.values()):
+            # overwrite tombstones and checkpoint emission would have
+            # to round-trip DV descriptors the bridge never writes —
+            # readable, but read-only
+            raise VersionedTableError(
+                "write_delta: tables with live deletion vectors are "
+                "read-only through the bridge; install delta-spark to "
+                "write this table"
+            )
         if (
             txn_app_id is not None
             and txn_app_id in txns
@@ -822,15 +1084,16 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                                 "lastUpdated": now_ms}})
     if mode == "overwrite":
         actions.extend(
-            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
-            for p in sorted(live)
+            {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
+                        "dataChange": True}}
+            for a in sorted(live.values(), key=lambda a: a["path"])
         )
     actions.extend({"add": a} for a in new_adds)
     _commit_delta_log(spark, log_dir, next_v, "\n".join(json.dumps(a) for a in actions))
     if txn_app_id is not None:
         txns = {**txns, txn_app_id: int(txn_version)}
     if checkpoint_interval and next_v > 0 and next_v % checkpoint_interval == 0:
-        state = {a["path"]: a for a in new_adds}
+        state = {_fkey(a): a for a in new_adds}
         if mode == "append":
             state = {**live, **state}
         _write_checkpoint(spark, log_dir, next_v, meta, state, txns)
@@ -863,6 +1126,12 @@ def compact_delta(spark: SparkSession, path: str,
             "compact_delta: column-mapped tables are read-only through "
             "the bridge; install delta-spark to compact this table"
         )
+    if any(a.get("deletionVector") for a in live.values()):
+        raise VersionedTableError(
+            "compact_delta: tables with live deletion vectors are "
+            "read-only through the bridge; install delta-spark to "
+            "compact this table"
+        )
     if not live:
         raise VersionedTableError(f"compact_delta: nothing to compact at {path}")
     part_cols = list(meta.get("partitionColumns") or [])
@@ -878,9 +1147,9 @@ def compact_delta(spark: SparkSession, path: str,
         }
     }]
     actions.extend(
-        {"remove": {"path": p, "deletionTimestamp": now_ms,
+        {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
                     "dataChange": False}}
-        for p in sorted(live)
+        for a in sorted(live.values(), key=lambda a: a["path"])
     )
     for a in new_adds:
         actions.append({"add": {**a, "dataChange": False}})
@@ -946,15 +1215,26 @@ def vacuum_delta(spark: SparkSession, path: str,
             action = json.loads(line)
             if "remove" in action:
                 r = action["remove"]
+                if r.get("deletionVector"):
+                    # a DV'd remove means the FILE may still be live
+                    # under a newer DV, and the DV .bin files need
+                    # reference-counted reclamation the bridge doesn't
+                    # do — read-only
+                    raise VersionedTableError(
+                        "vacuum_delta: tables using deletion vectors are "
+                        "read-only through the bridge; install "
+                        "delta-spark to vacuum this table"
+                    )
                 tombstones[r["path"]] = int(r.get("deletionTimestamp") or 0)
             elif "add" in action:
                 # re-added later ⇒ the old tombstone no longer governs
                 tombstones.pop(action["add"]["path"], None)
 
+    live_paths = {a["path"] for a in live.values()}
     fs, _, _ = _fs_and_path(spark, path)
     deleted: list[str] = []
     for rel in sorted(tombstones):
-        if rel in live or tombstones[rel] > cutoff_ms:
+        if rel in live_paths or tombstones[rel] > cutoff_ms:
             continue
         target = urllib.parse.unquote(rel)
         if "://" in target or target.startswith("/"):
@@ -1017,6 +1297,12 @@ def read_delta_appends(spark: SparkSession, path: str,
                 continue
             action = json.loads(line)
             if "add" in action:
+                if action["add"].get("deletionVector"):
+                    raise VersionedTableError(
+                        f"read_delta_appends: commit {v} attaches a "
+                        "deletion vector — row-level deletes are not "
+                        "append-only; re-read the full snapshot instead"
+                    )
                 if action["add"].get("dataChange", True):
                     new_adds[action["add"]["path"]] = action["add"]
             elif "remove" in action and action["remove"].get("dataChange", True):

@@ -160,9 +160,10 @@ def test_read_delta_rejects_unsupported_reader_features(spark, tmp_path):
     os.makedirs(d)
     _write_datafile(spark, d, "f0.parquet", [1])
     _log(d, 0, {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                             "readerFeatures": ["deletionVectors"]}},
+                             "readerFeatures": ["v2Checkpoint"]}},
          _meta(), _add("f0.parquet"))
-    with pytest.raises(VersionedTableError, match="not supported"):
+    with pytest.raises(VersionedTableError,
+                       match="beyond what the no-jar bridge implements"):
         read_delta(spark, d)
 
 
@@ -1029,7 +1030,7 @@ def test_read_delta_name_mode_column_mapping(spark, tmp_path):
     assert read_delta(spark, d).count() == 2
     # …but an unimplemented reader feature still fails loudly
     _log(d, 2, {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                             "readerFeatures": ["deletionVectors"]}})
+                             "readerFeatures": ["v2Checkpoint"]}})
     with pytest.raises(VersionedTableError, match="bridge"):
         read_delta(spark, d)
     os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
@@ -1049,3 +1050,256 @@ def test_read_delta_name_mode_column_mapping(spark, tmp_path):
                     d, mode="append")
     with pytest.raises(VersionedTableError, match="read-only"):
         compact_delta(spark, d)
+
+
+# --- deletion vectors (public roaring format, reads) ---------------------
+
+_DV_PROTOCOL = {"protocol": {
+    "minReaderVersion": 3, "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}}
+
+_Z85_AL = ("0123456789abcdefghijklmnopqrstuvwxyz"
+           "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+
+
+def _z85_encode(b: bytes) -> str:
+    assert len(b) % 4 == 0
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_AL[v % 85])
+            v //= 85
+        out += reversed(chunk)
+    return "".join(out)
+
+
+def _roaring_portable(values: list[int]) -> bytes:
+    """32-bit roaring, cookie 12346 (no run containers): array
+    containers <=4096 values, bitmap containers above — built straight
+    from the public spec, independent of the bridge's decoder."""
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(values):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    out = bytearray((12346).to_bytes(4, "little"))
+    out += len(by_key).to_bytes(4, "little")
+    for k, vs in sorted(by_key.items()):
+        out += k.to_bytes(2, "little") + (len(vs) - 1).to_bytes(2, "little")
+    pos = 4 + 4 + 4 * len(by_key) + 4 * len(by_key)
+    sizes = [2 * len(vs) if len(vs) <= 4096 else 8192
+             for _, vs in sorted(by_key.items())]
+    for s in sizes:
+        out += pos.to_bytes(4, "little")
+        pos += s
+    for _, vs in sorted(by_key.items()):
+        if len(vs) <= 4096:
+            for v in vs:
+                out += v.to_bytes(2, "little")
+        else:
+            bits = bytearray(8192)
+            for v in vs:
+                bits[v // 8] |= 1 << (v % 8)
+            out += bits
+    return bytes(out)
+
+
+def _dv_payload(row_indexes: list[int]) -> bytes:
+    by_hi: dict[int, list[int]] = {}
+    for r in sorted(row_indexes):
+        by_hi.setdefault(r >> 32, []).append(r & 0xFFFFFFFF)
+    out = bytearray((1681511377).to_bytes(4, "little"))
+    out += len(by_hi).to_bytes(8, "little")
+    for hi, lows in sorted(by_hi.items()):
+        out += hi.to_bytes(4, "little")
+        out += _roaring_portable(lows)
+    return bytes(out)
+
+
+def _add_dv(path: str, dv: dict, pv: dict | None = None) -> dict:
+    a = _add(path, pv)
+    a["add"]["deletionVector"] = dv
+    return a
+
+
+def _inline_dv(rows: list[int]) -> dict:
+    payload = _dv_payload(rows)
+    return {"storageType": "i", "pathOrInlineDv": _z85_encode(payload),
+            "sizeInBytes": len(payload), "cardinality": len(rows)}
+
+
+def _disk_dv(table_dir: str, rows: list[int], prefix: str = "") -> dict:
+    import uuid
+    import zlib
+
+    payload = _dv_payload(rows)
+    u = uuid.uuid4()
+    d = os.path.join(table_dir, prefix) if prefix else table_dir
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(b"\x01")  # format version
+        fh.write(len(payload).to_bytes(4, "big"))
+        fh.write(payload)
+        fh.write((zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big"))
+    return {"storageType": "u",
+            "pathOrInlineDv": prefix + _z85_encode(u.bytes),
+            "offset": 1, "sizeInBytes": len(payload),
+            "cardinality": len(rows)}
+
+
+def test_read_delta_inline_deletion_vector(spark, tmp_path):
+    d = str(tmp_path / "dvi")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(10)))
+    _log(d, 0, _DV_PROTOCOL, _meta(),
+         _add_dv("f0.parquet", _inline_dv([1, 3])))
+    assert _ids(read_delta(spark, d)) == [0, 2, 4, 5, 6, 7, 8, 9]
+
+
+def test_read_delta_ondisk_deletion_vector(spark, tmp_path):
+    d = str(tmp_path / "dvu")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(10)))
+    dv = _disk_dv(d, [2, 5, 7], prefix="ab")
+    _log(d, 0, _DV_PROTOCOL, _meta(), _add_dv("f0.parquet", dv))
+    assert _ids(read_delta(spark, d)) == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_dv_reconciliation_keyed_by_path_and_dv(spark, tmp_path):
+    # an in-place delete commits add(path, new DV) + remove(path, old
+    # DV); within-commit order is undefined, so the add is written
+    # FIRST here — path-only keying would let the remove clobber it
+    d = str(tmp_path / "dvk")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(6)))
+    _log(d, 0, _DV_PROTOCOL, _meta(), _add("f0.parquet"))
+    _log(d, 1,
+         _add_dv("f0.parquet", _inline_dv([1, 4])),
+         {"remove": {"path": "f0.parquet", "deletionTimestamp": 1,
+                     "dataChange": True}})
+    assert _ids(read_delta(spark, d)) == [0, 2, 3, 5]
+    # time travel to v0 still sees every row
+    assert _ids(read_delta(spark, d, version=0)) == [0, 1, 2, 3, 4, 5]
+
+
+def test_dv_bitmap_container_large_cardinality(spark, tmp_path):
+    d = str(tmp_path / "dvbig")
+    os.makedirs(d)
+    n = 6000
+    _write_datafile(spark, d, "f0.parquet", list(range(n)))
+    deleted = list(range(500, 5000))  # 4500 > 4096 -> bitmap container
+    _log(d, 0, _DV_PROTOCOL, _meta(),
+         _add_dv("f0.parquet", _inline_dv(deleted)))
+    got = _ids(read_delta(spark, d))
+    assert got == list(range(500)) + list(range(5000, n))
+
+
+def test_dv_run_container_cookie_12347(spark, tmp_path):
+    # hand-built run-container bitmap: rows 10..100 deleted as one run
+    d = str(tmp_path / "dvrun")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(120)))
+    rb = bytearray((12347 | (0 << 16)).to_bytes(4, "little"))  # size=1
+    rb += b"\x01"                       # run bitset: container 0 is runs
+    rb += (0).to_bytes(2, "little")     # key
+    rb += (90).to_bytes(2, "little")    # cardinality-1 = 91-1
+    rb += (1).to_bytes(2, "little")     # n_runs
+    rb += (10).to_bytes(2, "little")    # start
+    rb += (90).to_bytes(2, "little")    # length (inclusive span 10..100)
+    payload = bytearray((1681511377).to_bytes(4, "little"))
+    payload += (1).to_bytes(8, "little")
+    payload += (0).to_bytes(4, "little")
+    payload += rb
+    # the on-disk route needs no Z85 multiple-of-4 padding
+    import uuid
+    import zlib
+
+    true = bytes(payload)
+    u = uuid.uuid4()
+    with open(os.path.join(d, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(len(true).to_bytes(4, "big"))
+        fh.write(true)
+        fh.write((zlib.crc32(true) & 0xFFFFFFFF).to_bytes(4, "big"))
+    dv = {"storageType": "u", "pathOrInlineDv": _z85_encode(u.bytes),
+          "offset": 1, "sizeInBytes": len(true), "cardinality": 91}
+    _log(d, 0, _DV_PROTOCOL, _meta(), _add_dv("f0.parquet", dv))
+    got = _ids(read_delta(spark, d))
+    assert got == list(range(10)) + list(range(101, 120))
+
+
+def test_dv_partitioned_table(spark, tmp_path):
+    d = str(tmp_path / "dvpart")
+    os.makedirs(d)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+    ]})
+    _write_datafile(spark, d, "k=1/f0.parquet", [1, 2, 3])
+    _write_datafile(spark, d, "k=2/f1.parquet", [4, 5, 6])
+    _log(d, 0, _DV_PROTOCOL,
+         _meta(schema, partition_cols=["k"]),
+         _add_dv("k=1/f0.parquet", _inline_dv([0, 1]), pv={"k": "1"}),
+         _add("k=2/f1.parquet", pv={"k": "2"}))
+    df = read_delta(spark, d)
+    rows = sorted((r["id"], r["k"]) for r in df.collect())
+    assert rows == [(3, 1), (4, 2), (5, 2), (6, 2)]
+
+
+def test_dv_crc_mismatch_fails_loud(spark, tmp_path):
+    d = str(tmp_path / "dvcrc")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(4)))
+    dv = _disk_dv(d, [1])
+    # corrupt one payload byte in the .bin
+    binf = glob.glob(os.path.join(d, "deletion_vector_*.bin"))[0]
+    raw = bytearray(open(binf, "rb").read())
+    raw[6] ^= 0xFF
+    open(binf, "wb").write(bytes(raw))
+    _log(d, 0, _DV_PROTOCOL, _meta(), _add_dv("f0.parquet", dv))
+    with pytest.raises(VersionedTableError, match="CRC-32|magic|cookie"):
+        read_delta(spark, d).collect()
+
+
+def test_dv_cardinality_mismatch_fails_loud(spark, tmp_path):
+    d = str(tmp_path / "dvcard")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(4)))
+    dv = _inline_dv([1, 2])
+    dv["cardinality"] = 3
+    _log(d, 0, _DV_PROTOCOL, _meta(), _add_dv("f0.parquet", dv))
+    with pytest.raises(VersionedTableError, match="cardinality"):
+        read_delta(spark, d).collect()
+
+
+def test_dv_tables_are_read_only_through_bridge(spark, tmp_path):
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        read_delta_appends,
+        vacuum_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "dvro")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(4)))
+    _log(d, 0, _DV_PROTOCOL, _meta(),
+         _add_dv("f0.parquet", _inline_dv([1, 2])))
+    df = spark.createDataFrame([(9, "r9")], "id long, v string")
+    with pytest.raises(VersionedTableError, match="read-only"):
+        write_delta(df, d, mode="append")
+    with pytest.raises(VersionedTableError, match="read-only"):
+        compact_delta(spark, d)
+    with pytest.raises(VersionedTableError, match="append-only"):
+        read_delta_appends(spark, d, since_version=-1)
+    # vacuum trips on the DV'd remove tombstone
+    _log(d, 1, _add_dv("f0.parquet", _inline_dv([0, 1, 2, 3])),
+         {"remove": {"path": "f0.parquet", "deletionTimestamp": 1,
+                     "dataChange": True,
+                     "deletionVector": _inline_dv([1, 2])}})
+    with pytest.raises(VersionedTableError, match="read-only"):
+        vacuum_delta(spark, d, retention_hours=0.0,
+                     enforce_retention_check=False)

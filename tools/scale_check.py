@@ -1,22 +1,33 @@
 #!/usr/bin/env python
-"""Opt-in scale audit: does the dedup chain scale sub-quadratically?
+"""Opt-in scale audit: do the heavy chains scale sub-quadratically?
 
-Runs the full near-dup chain — MinHash-LSH pair generation → connected
-components → quality-aware canonical survivors — at sf0.01 and sf0.1 on
-a deliberately small ``local[4]`` (so parallelism can't hide work
-growth) and checks that wall time grows SUB-QUADRATICALLY in the data
-size. The sf0.01 DuckDB oracle can prove the answer right but cannot
-see an accidental all-pairs blowup: a cartesian that sneaks into the
-pair path is ~100× more work at 10× the rows, and this is the harness
-that catches it.
+Runs each audited chain at sf0.01 and sf0.1 on a deliberately small
+``local[4]`` (so parallelism can't hide work growth) and checks that
+wall time grows SUB-QUADRATICALLY in the data size. The sf0.01 DuckDB
+oracle can prove the answer right but cannot see an accidental
+all-pairs blowup: a cartesian that sneaks into a pair path is ~100×
+more work at 10× the rows, and this is the harness that catches it.
 
-Pass criterion: t(sf0.1) / t(sf0.01) < RATIO_MAX (default 30). The
-ideal is ~10× (linear in rows); fixed per-job overhead at sf0.01 pulls
-the observed ratio well below that; a quadratic operator pushes it
-toward 100×. 30 separates the regimes with a wide margin on a noisy
-shared host.
+Audited chains (the three places an accidental quadratic could hide):
+- ``dedup_chain``: MinHash-LSH pair generation → connected components
+  → quality-aware canonical survivors (the full near-dup pipeline).
+- ``ann_chain``: k-means Lloyd pivot training → IVF top-k self-probe
+  (the graded ``sim_ann_ivf_trained`` path; a broken cell assignment
+  degenerates into brute-force all-pairs).
+- ``substring_spans``: positioned 8-gram extraction → global gram
+  count → lag/cumsum island merge (the graded
+  ``dedup_substring_spans`` path; gram explosion or a self-join on
+  doc_id would blow up here).
 
-Usage:  python tools/scale_check.py        # exits 1 on failure
+Pass criterion per chain: t(sf0.1) / t(sf0.01) < RATIO_MAX (default
+30). The ideal is ~10× (linear in rows); fixed per-job overhead at
+sf0.01 pulls the observed ratio well below that; a quadratic operator
+pushes it toward 100×. 30 separates the regimes with a wide margin on
+a noisy shared host.
+
+Usage:  python tools/scale_check.py              # all chains
+        python tools/scale_check.py dedup_chain  # one chain
+Exits 1 if any audited chain exceeds RATIO_MAX.
 Committed readings live in PLANS.md (§ scale audit).
 """
 
@@ -34,22 +45,45 @@ if _REPO_ROOT not in sys.path:
 RATIO_MAX = float(os.environ.get("SCALE_CHECK_RATIO_MAX", "30"))
 
 
-def run_chain(spark, sf_dir: str) -> float:
-    """One timed end-to-end dedup chain at ``sf_dir`` (forced with the
-    JVM noop sink, like bench.py)."""
+def dedup_chain(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     from sql_based_etl_spark.operators.dedup import minhash_lsh_pairs
     from sql_based_etl_spark.operators.graph import canonical_survivors
     from sql_based_etl_spark.queries._util import load
 
-    t0 = time.perf_counter()
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
-    survivors = canonical_survivors(
+    return canonical_survivors(
         docs.withColumn("__q", F.length("text")), pairs, quality_col="__q"
     ).drop("__q")
-    survivors.write.format("noop").mode("overwrite").save()
+
+
+def ann_chain(spark, sf_dir: str):
+    # the exact graded path: Lloyd training + trained-IVF self-probe
+    from sql_based_etl_spark.queries import QUERIES
+
+    return QUERIES["sim_ann_ivf_trained"](spark, sf_dir)
+
+
+def substring_spans(spark, sf_dir: str):
+    from sql_based_etl_spark.queries import QUERIES
+
+    return QUERIES["dedup_substring_spans"](spark, sf_dir)
+
+
+CHAINS = {
+    "dedup_chain": dedup_chain,
+    "ann_chain": ann_chain,
+    "substring_spans": substring_spans,
+}
+
+
+def run_chain(spark, sf_dir: str, fn) -> float:
+    """One timed end-to-end chain at ``sf_dir`` (forced with the JVM
+    noop sink, like bench.py)."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -57,23 +91,29 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
     from sql_based_etl_spark.session import get_spark
 
+    names = sys.argv[1:] or list(CHAINS)
     spark = get_spark(app_name="scale_check", master="local[4]",
                       shuffle_partitions=8)
-    run_chain(spark, "/root/testdata/sf0.001")  # warmup: JIT/codegen
-    t_small = min(run_chain(spark, "/root/testdata/sf0.01") for _ in range(2))
-    t_big = run_chain(spark, "/root/testdata/sf0.1")
-    ratio = t_big / t_small
-    ok = ratio < RATIO_MAX
-    print(json.dumps({
-        "metric": "dedup_chain_scale_ratio",
-        "t_sf0_01": round(t_small, 2),
-        "t_sf0_1": round(t_big, 2),
-        "ratio": round(ratio, 1),
-        "ratio_max": RATIO_MAX,
-        "ok": ok,
-    }))
+    all_ok = True
+    for name in names:
+        fn = CHAINS[name]
+        run_chain(spark, "/root/testdata/sf0.001", fn)  # warmup: JIT/codegen
+        t_small = min(run_chain(spark, "/root/testdata/sf0.01", fn)
+                      for _ in range(2))
+        t_big = run_chain(spark, "/root/testdata/sf0.1", fn)
+        ratio = t_big / t_small
+        ok = ratio < RATIO_MAX
+        all_ok = all_ok and ok
+        print(json.dumps({
+            "metric": f"{name}_scale_ratio",
+            "t_sf0_01": round(t_small, 2),
+            "t_sf0_1": round(t_big, 2),
+            "ratio": round(ratio, 1),
+            "ratio_max": RATIO_MAX,
+            "ok": ok,
+        }))
     spark.stop()
-    return 0 if ok else 1
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
