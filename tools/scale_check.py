@@ -61,15 +61,15 @@ def dedup_chain(spark, sf_dir: str):
 
 def ann_chain(spark, sf_dir: str):
     # the exact graded path: Lloyd training + trained-IVF self-probe
-    from sql_based_etl_spark.queries import QUERIES
+    from sql_based_etl_spark.queries import all_queries
 
-    return QUERIES["sim_ann_ivf_trained"](spark, sf_dir)
+    return all_queries()["sim_ann_ivf_trained"](spark, sf_dir)
 
 
 def substring_spans(spark, sf_dir: str):
-    from sql_based_etl_spark.queries import QUERIES
+    from sql_based_etl_spark.queries import all_queries
 
-    return QUERIES["dedup_substring_spans"](spark, sf_dir)
+    return all_queries()["dedup_substring_spans"](spark, sf_dir)
 
 
 CHAINS = {
