@@ -145,3 +145,58 @@ ORACLES["mm_resize"] = """
            coalesce(r.m, md5('')) AS resized_md5
     FROM base b LEFT JOIN resampled r USING (doc_id)
 """
+
+
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV round trip, exactly oracle-checked: deterministic PCM16
+    synthesis from ``doc_id`` (operators/multimodal.py:synth_wav — the
+    encoder writes the RIFF container with ``struct``, independent of
+    the decoder) → the pure-stdlib RIFF/WAVE parser
+    (operators/audiocodecs.py:decode_wav_bytes) → exact integer
+    statistics. DuckDB reproduces the decoded stats analytically from
+    the synthesis law, so a decoder that mis-parses the container,
+    drops frames, or mixes channels hash-mismatches."""
+    from sql_based_etl_spark.operators.multimodal import decode_audio, synth_wav
+
+    wav = synth_wav(load(spark, sf_dir, "documents"))
+    return decode_audio(wav).select(
+        "doc_id", "sample_rate", "n_channels", "n_frames",
+        "duration_us", "peak", "sum_abs",
+    )
+
+
+QUERIES["mm_decode_audio"] = mm_decode_audio
+
+# the synthesis law (multimodal.py:synth_wav) replayed analytically:
+# channels = 1 + id%2, frames = 64 + id%191, rate 8000,
+# sample[c,i] = ((id*31 + i*17 + c*7) % 2001) - 1000 — all integer
+# arithmetic, so parity is bit-for-bit
+ORACLES["mm_decode_audio"] = """
+    WITH par AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS n_ch,
+               64 + doc_id % 191 AS frames
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, n_ch, frames,
+               unnest(generate_series(0, CAST(frames * n_ch - 1 AS BIGINT)))
+                   AS k
+        FROM par
+    ),
+    s AS (
+        SELECT doc_id, n_ch, frames,
+               ((doc_id * 31 + (k // n_ch) * 17 + (k % n_ch) * 7) % 2001)
+                   - 1000 AS v
+        FROM ex
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n_ch AS INTEGER) AS n_channels,
+           CAST(frames AS INTEGER) AS n_frames,
+           CAST(frames * 1000000 // 8000 AS BIGINT) AS duration_us,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+    FROM s
+    GROUP BY doc_id, n_ch, frames
+"""
