@@ -25,16 +25,19 @@ is the ecosystem bridge between the two:
   the real library where it exists (the sandbox has none, so the
   bridge is the tested path).
 
-Reader features: NAME-mode column mapping is supported (physical
-column names from the schemaString field metadata, mapped back to
-logical) and DELETION VECTORS are supported (the public roaring-bitmap
-format decoded driver-side — bounded by the descriptor's sizeInBytes —
-and applied distributed as a ``_metadata.row_index`` anti-join). Both
-are reads only; writes/compaction/vacuum of mapped or DV-bearing
-tables fail loudly. Honest limits (fail-loud, never wrong-answer):
-data-interpretation features the bridge does not implement — id-mode
-column mapping, v2 checkpoints beyond classic parquet — raise instead
-of returning rows that ignore them. Log replay happens driver-side over metadata only;
+Reader features: COLUMN MAPPING is supported in both modes (name mode
+via physical column names from the schemaString field metadata mapped
+back to logical; id mode via parquet field-id resolution — the
+``delta.columnMapping.id`` rides the read schema as
+``parquet.field.id``) and DELETION VECTORS are supported (the public
+roaring-bitmap format decoded driver-side — bounded by the
+descriptor's sizeInBytes — and applied distributed as a
+``_metadata.row_index`` anti-join). All are reads only;
+writes/compaction/vacuum of mapped or DV-bearing tables fail loudly.
+Honest limits (fail-loud, never wrong-answer): data-interpretation
+features the bridge does not implement — v2 checkpoints beyond
+classic parquet, in-commit timestamps — raise instead of returning
+rows that ignore them. Log replay happens driver-side over metadata only;
 at very large file counts (millions of adds) a production reader
 would replay the checkpoint distributed — the checkpoint parquet here
 is read through Spark already, only the surviving file LIST is
@@ -117,41 +120,61 @@ def _check_protocol(action: dict) -> None:
 
 def _check_metadata(meta: dict) -> None:
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "name"):
-        # name mode is readable from public metadata alone — physical
-        # names ride the schemaString field metadata (_snapshot_df maps
-        # them back to logical); id mode needs parquet field-id
-        # resolution and stays fail-loud
+    if mode not in ("none", "name", "id"):
+        # both mapping modes are readable from public metadata alone:
+        # name mode via the physicalName schemaString metadata, id mode
+        # via parquet field-id resolution (the columnMapping.id rides
+        # the read schema as parquet.field.id — _snapshot_df)
         raise VersionedTableError(
             f"Delta column mapping mode {mode!r} is not supported by the "
             "no-jar bridge; install delta-spark"
         )
 
 
-def _physical_schema_json(node):
+def _physical_schema_json(node, with_field_ids: bool = False):
     """Recursively rename every struct field in a schemaString JSON node
     to its ``delta.columnMapping.physicalName`` — the on-disk parquet
-    column names of a name-mode column-mapped table (the logical names
-    live only in the log). Fail-loud when a field lacks the mapping."""
+    column names of a column-mapped table (the logical names live only
+    in the log). With ``with_field_ids`` (id mode) each field also
+    carries its ``delta.columnMapping.id`` as ``parquet.field.id``
+    metadata, which Spark's parquet reader resolves against the files'
+    field ids when ``spark.sql.parquet.fieldId.read.enabled`` is on —
+    id mode's contract is that the ID, not the name, identifies the
+    column. Fail-loud when a field lacks its mapping."""
     if isinstance(node, dict) and node.get("type") == "struct":
         fields = []
         for f in node["fields"]:
-            phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            md = f.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName")
             if not phys:
                 raise VersionedTableError(
-                    "Delta column mapping mode 'name' but field "
+                    "Delta column mapping is on but field "
                     f"{f.get('name')!r} has no "
                     "delta.columnMapping.physicalName metadata"
                 )
+            new_md = {}
+            if with_field_ids:
+                fid = md.get("delta.columnMapping.id")
+                if fid is None:
+                    raise VersionedTableError(
+                        "Delta column mapping mode 'id' but field "
+                        f"{f.get('name')!r} has no delta.columnMapping.id "
+                        "metadata"
+                    )
+                new_md = {"parquet.field.id": int(fid)}
             fields.append({**f, "name": phys,
-                           "type": _physical_schema_json(f["type"]),
-                           "metadata": {}})
+                           "type": _physical_schema_json(
+                               f["type"], with_field_ids),
+                           "metadata": new_md})
         return {"type": "struct", "fields": fields}
     if isinstance(node, dict) and node.get("type") == "array":
-        return {**node, "elementType": _physical_schema_json(node["elementType"])}
+        return {**node, "elementType": _physical_schema_json(
+            node["elementType"], with_field_ids)}
     if isinstance(node, dict) and node.get("type") == "map":
-        return {**node, "keyType": _physical_schema_json(node["keyType"]),
-                "valueType": _physical_schema_json(node["valueType"])}
+        return {**node,
+                "keyType": _physical_schema_json(node["keyType"], with_field_ids),
+                "valueType": _physical_schema_json(
+                    node["valueType"], with_field_ids)}
     return node
 
 
@@ -577,16 +600,25 @@ def _snapshot_df(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapped = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none") == "name"
-    # name-mode column mapping: parquet files (and partitionValues
-    # keys) use PHYSICAL names; the logical names exist only in the
-    # log's schemaString metadata. Read with the physical schema, then
-    # one final positional struct cast renames every level back to
-    # logical (struct casts match by position, and the two schemas are
-    # structurally identical by construction).
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    mapped = mode in ("name", "id")
+    # column mapping: parquet files (and partitionValues keys) use
+    # PHYSICAL names; the logical names exist only in the log's
+    # schemaString metadata. Read with the physical schema, then one
+    # final positional struct cast renames every level back to logical
+    # (struct casts match by position, and the two schemas are
+    # structurally identical by construction). In id mode the physical
+    # schema additionally carries parquet.field.id metadata and the
+    # scan resolves columns by the files' field ids, not names — the
+    # fieldId.read conf below only changes behavior for schemas that
+    # carry that metadata, so enabling it session-wide is inert for
+    # every other read.
+    if mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys = (StructType.fromJson(
-        _physical_schema_json(json.loads(meta["schemaString"])))
+        _physical_schema_json(json.loads(meta["schemaString"]),
+                              with_field_ids=mode == "id"))
         if mapped else schema)
     log2phys = {lf.name: pf.name for lf, pf in zip(schema.fields, phys.fields)}
     part_cols = list(meta.get("partitionColumns") or [])  # logical names

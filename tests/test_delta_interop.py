@@ -1035,15 +1035,6 @@ def test_read_delta_name_mode_column_mapping(spark, tmp_path):
         read_delta(spark, d)
     os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
 
-    # id-mode stays fail-loud
-    d2 = str(tmp_path / "cm_id")
-    os.makedirs(d2)
-    meta_id = json.loads(json.dumps(meta))
-    meta_id["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
-    _log(d2, 0, proto, meta_id)
-    with pytest.raises(VersionedTableError, match="'id'"):
-        read_delta(spark, d2)
-
     # the bridge never WRITES mapped tables (silent corruption otherwise)
     with pytest.raises(VersionedTableError, match="read-only"):
         write_delta(spark.createDataFrame([(3, "c")], "id long, v string"),
@@ -1303,3 +1294,64 @@ def test_dv_tables_are_read_only_through_bridge(spark, tmp_path):
     with pytest.raises(VersionedTableError, match="read-only"):
         vacuum_delta(spark, d, retention_hours=0.0,
                      enforce_retention_check=False)
+
+
+def test_read_delta_id_mode_column_mapping(spark, tmp_path):
+    """Id-mode column mapping reads through the bridge: resolution is
+    by parquet FIELD ID, not name — the data file's column names here
+    deliberately match NEITHER the logical nor the physical names, so
+    only id-based matching can produce the rows
+    (tables/delta_interop.py:_physical_schema_json with_field_ids)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = str(tmp_path / "idm")
+    os.makedirs(d)
+    tmp = os.path.join(d, "__tmp")
+    file_schema = StructType([
+        StructField("renamed_x", LongType(), True, {"parquet.field.id": 1}),
+        StructField("renamed_y", StringType(), True, {"parquet.field.id": 2}),
+    ])
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame([(1, "a"), (2, "b")], file_schema).coalesce(
+        1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(d, "d1.parquet"))
+    shutil.rmtree(tmp)
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_string = json.dumps({"type": "struct", "fields": [
+        fld("id", "long", "col-111", 1),
+        fld("v", "string", "col-222", 2),
+        fld("day", "string", "col-444", 3),
+    ]})
+    meta = {"metaData": {
+        "id": "idm-tab", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": ["day"],
+        "configuration": {"delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "3"},
+    }}
+    _log(d, 0, {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta,
+         {"add": {"path": "d1.parquet",
+                  "partitionValues": {"col-444": "2024-02-02"},  # physical key
+                  "size": 1, "modificationTime": 0, "dataChange": True}})
+
+    df = read_delta(spark, d)
+    assert df.columns == ["id", "v", "day"]
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].v == "a" and rows[2].v == "b"
+    assert rows[1].day == "2024-02-02"
+
+    # a field missing its columnMapping.id fails loudly, never nulls
+    bad = json.loads(schema_string)
+    del bad["fields"][1]["metadata"]["delta.columnMapping.id"]
+    meta_bad = json.loads(json.dumps(meta))
+    meta_bad["metaData"]["schemaString"] = json.dumps(bad)
+    _log(d, 1, meta_bad)
+    with pytest.raises(VersionedTableError, match="delta.columnMapping.id"):
+        read_delta(spark, d).collect()
