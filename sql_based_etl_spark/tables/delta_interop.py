@@ -34,10 +34,12 @@ roaring-bitmap format decoded driver-side — bounded by the
 descriptor's sizeInBytes — and applied distributed as a
 ``_metadata.row_index`` anti-join). All are reads only;
 writes/compaction/vacuum of mapped or DV-bearing tables fail loudly.
-Honest limits (fail-loud, never wrong-answer): data-interpretation
-features the bridge does not implement — v2 checkpoints beyond
-classic parquet, in-commit timestamps — raise instead of returning
-rows that ignore them. Log replay happens driver-side over metadata only;
+Timestamp time travel honors ``commitInfo.inCommitTimestamp`` when
+the table writes it (the ICT writer feature), falling back to
+commit-file mtimes otherwise — the spec's rule. Honest limits
+(fail-loud, never wrong-answer): data-interpretation reader features
+the bridge does not implement — e.g. v2 checkpoints beyond classic
+parquet — raise instead of returning rows that ignore them. Log replay happens driver-side over metadata only;
 at very large file counts (millions of adds) a production reader
 would replay the checkpoint distributed — the checkpoint parquet here
 is read through Spark already, only the surviving file LIST is
@@ -490,10 +492,16 @@ def _resolve_log_version(spark: SparkSession, path: str,
     version from the transaction log alone.
 
     ``timestampAsOf`` uses the commit FILE's modification time — the
-    Delta protocol's own rule for timestamp-based time travel (absent
-    the in-commit-timestamp table feature, which raises at protocol
-    check anyway). Commits pruned below a checkpoint cannot be
-    timestamp-resolved and fail loudly rather than guess."""
+    Delta protocol's default rule for timestamp-based time travel —
+    UNLESS the table writes in-commit timestamps (the
+    ``inCommitTimestamp`` writer feature, detected from the latest
+    commit's ``commitInfo``): then each commit's
+    ``commitInfo.inCommitTimestamp`` governs, with per-commit mtime
+    fallback for commits older than the feature's enablement, exactly
+    the spec's rule. The ICT path reads O(commits) small JSON files —
+    the same order vacuum already pays — and only when the latest
+    commit proves ICT is in use. Commits pruned below a checkpoint
+    cannot be timestamp-resolved and fail loudly rather than guess."""
     from sql_based_etl_spark.tables.versioned import parse_timestamp_cutoff
 
     log_dir = f"{path.rstrip('/')}/_delta_log"
@@ -513,11 +521,31 @@ def _resolve_log_version(spark: SparkSession, path: str,
         return versions[idx]
     cutoff_ms = parse_timestamp_cutoff(timestamp) * 1000.0
     fs, _, _ = _fs_and_path(spark, log_dir)
-    eligible = [
-        v for v in versions
-        if fs.getFileStatus(_fs_and_path(spark, logs[v])[1]).getModificationTime()
-        <= cutoff_ms
-    ]
+
+    def _ict_ms(v: int) -> int | None:
+        for line in _read_text(spark, logs[v]).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                ts = action["commitInfo"].get("inCommitTimestamp")
+                return int(ts) if ts is not None else None
+        return None
+
+    def _mtime_ms(v: int) -> int:
+        return fs.getFileStatus(
+            _fs_and_path(spark, logs[v])[1]).getModificationTime()
+
+    ict_in_use = _ict_ms(versions[-1]) is not None
+
+    def _ts_of(v: int) -> int:
+        if ict_in_use:
+            t = _ict_ms(v)
+            if t is not None:
+                return t  # pre-enablement commits fall back to mtime
+        return _mtime_ms(v)
+
+    eligible = [v for v in versions if _ts_of(v) <= cutoff_ms]
     if not eligible:
         raise VersionedTableError(
             f"no Delta commit at or before {timestamp!r} at {log_dir} "

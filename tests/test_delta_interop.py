@@ -1355,3 +1355,34 @@ def test_read_delta_id_mode_column_mapping(spark, tmp_path):
     _log(d, 1, meta_bad)
     with pytest.raises(VersionedTableError, match="delta.columnMapping.id"):
         read_delta(spark, d).collect()
+
+
+def test_timestamp_travel_honors_in_commit_timestamps(spark, tmp_path):
+    """Tables writing the inCommitTimestamp writer feature time-travel
+    by commitInfo.inCommitTimestamp, NOT commit-file mtime (the spec's
+    rule once ICT is enabled); commits predating the enablement fall
+    back to mtime (tables/delta_interop.py:_resolve_log_version)."""
+    d = str(tmp_path / "ict")
+    os.makedirs(d)
+    for i in range(3):
+        _write_datafile(spark, d, f"f{i}.parquet", [i])
+    t0 = 1_600_000_000
+    # v0 predates ICT (no inCommitTimestamp); v1/v2 carry ICT values
+    # DELIBERATELY contradicting the files' mtimes
+    _log(d, 0, _PROTOCOL, _meta(), _add("f0.parquet"))
+    _log(d, 1, {"commitInfo": {"inCommitTimestamp": (t0 + 500) * 1000}},
+         _add("f1.parquet"))
+    _log(d, 2, {"commitInfo": {"inCommitTimestamp": (t0 + 900) * 1000}},
+         _add("f2.parquet"))
+    log = os.path.join(d, "_delta_log")
+    for v in range(3):  # mtimes all pinned EARLY: mtime rule would say v2
+        os.utime(os.path.join(log, f"{v:020d}.json"), (t0 + 10 * v,) * 2)
+
+    # cutoff between v1's and v2's ICT → v1 (mtime rule would give v2)
+    assert _ids(read_delta(spark, d, timestamp=t0 + 600)) == [0, 1]
+    # cutoff before v1's ICT but after v0's mtime → v0 (mtime fallback)
+    assert _ids(read_delta(spark, d, timestamp=t0 + 100)) == [0]
+    # cutoff after everything → v2
+    assert _ids(read_delta(spark, d, timestamp=t0 + 10**6)) == [0, 1, 2]
+    with pytest.raises(VersionedTableError, match="at or before"):
+        read_delta(spark, d, timestamp=t0 - 1)
