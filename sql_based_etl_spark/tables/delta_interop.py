@@ -34,12 +34,14 @@ roaring-bitmap format decoded driver-side — bounded by the
 descriptor's sizeInBytes — and applied distributed as a
 ``_metadata.row_index`` anti-join). All are reads only;
 writes/compaction/vacuum of mapped or DV-bearing tables fail loudly.
-Timestamp time travel honors ``commitInfo.inCommitTimestamp`` when
-the table writes it (the ICT writer feature), falling back to
-commit-file mtimes otherwise — the spec's rule. Honest limits
-(fail-loud, never wrong-answer): data-interpretation reader features
-the bridge does not implement — e.g. v2 checkpoints beyond classic
-parquet — raise instead of returning rows that ignore them. Log replay happens driver-side over metadata only;
+All three public checkpoint layouts replay (classic single-file,
+classic multipart, V2 manifest + ``_sidecars``), and timestamp time
+travel honors ``commitInfo.inCommitTimestamp`` when the table writes
+it (the ICT writer feature), falling back to commit-file mtimes
+otherwise — the spec's rule. Honest limits (fail-loud,
+never-wrong-answer): reader features beyond
+{columnMapping, deletionVectors, v2Checkpoint} raise instead of
+returning rows that ignore them. Log replay happens driver-side over metadata only;
 at very large file counts (millions of adds) a production reader
 would replay the checkpoint distributed — the checkpoint parquet here
 is read through Spark already, only the surviving file LIST is
@@ -110,7 +112,8 @@ def _check_protocol(action: dict) -> None:
     # vectors (decoded from the public roaring format, applied as a
     # row_index anti-join). Anything else stays fail-loud.
     if reader_v > 3 or (
-        reader_v == 3 and features - {"columnMapping", "deletionVectors"}
+        reader_v == 3
+        and features - {"columnMapping", "deletionVectors", "v2Checkpoint"}
     ):
         raise VersionedTableError(
             "Delta reader features beyond what the no-jar bridge "
@@ -385,21 +388,11 @@ def _fkey(file_action: dict) -> str:
     return file_action["path"] + "\x00" + _dv_uid(file_action.get("deletionVector"))
 
 
-def _replay_checkpoint(
-    spark: SparkSession, log_dir: str, cp_version: int, parts: int | None
-) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
-    """Active state as of a checkpoint:
-    ``(metaData, {(path, DV id) key: add}, {txn appId: version})``."""
-    if parts:
-        paths = [
-            f"{log_dir}/{cp_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
-            for i in range(parts)
-        ]
-    else:
-        paths = [f"{log_dir}/{cp_version:020d}.checkpoint.parquet"]
-    cp = spark.read.parquet(*paths)
-    meta: dict | None = None
-    adds: dict[str, dict] = {}
+def _collect_checkpoint_df(cp, meta: dict | None, adds: dict[str, dict],
+                           txns: dict[str, int]) -> tuple[dict | None, list[str]]:
+    """Fold one checkpoint-shaped DataFrame (classic/multipart parts, a
+    v2 manifest, or v2 sidecars) into the replay state; returns the
+    (possibly updated) metaData and any ``sidecarFile`` paths found."""
     cols = set(cp.columns)
     if "protocol" in cols:
         for r in cp.filter(F.col("protocol.minReaderVersion").isNotNull()).collect():
@@ -407,14 +400,13 @@ def _replay_checkpoint(
     if "metaData" in cols:
         metas = cp.filter(F.col("metaData.id").isNotNull()).collect()
         if metas:
-            m = metas[-1]["metaData"].asDict(recursive=True)
-            meta = m
+            meta = metas[-1]["metaData"].asDict(recursive=True)
     # only the surviving file list is collected (checkpoints already
-    # contain reconciled state: no remove tombstones needed for reads).
-    # size/modificationTime ride along (when the checkpoint has them —
-    # protocol-required, but be tolerant of sparse hand-built logs) so
-    # a LATER checkpoint built on top of this state keeps the add
-    # fields external Delta readers require.
+    # contain reconciled state: remove entries are vacuum tombstones,
+    # not reads). size/modificationTime ride along (when the checkpoint
+    # has them — protocol-required, but be tolerant of sparse
+    # hand-built logs) so a LATER checkpoint built on top of this state
+    # keeps the add fields external Delta readers require.
     if "add" in cols:  # absent in a checkpoint of an empty table
         add_fields = set(cp.schema["add"].dataType.fieldNames())
         opt = [
@@ -440,12 +432,93 @@ def _replay_checkpoint(
             adds[_fkey(a)] = a
     # streaming-writer watermarks survive log pruning through the
     # checkpoint, exactly like Delta's own (bounded: one row per appId)
-    txns: dict[str, int] = {}
     if "txn" in cols:
         for r in cp.filter(F.col("txn.appId").isNotNull()).select(
             "txn.appId", "txn.version"
         ).collect():
             txns[r["appId"]] = int(r["version"])
+    sidecars: list[str] = []
+    if "sidecarFile" in cols:
+        for r in cp.filter(F.col("sidecarFile.path").isNotNull()).select(
+            "sidecarFile.path"
+        ).collect():
+            sidecars.append(r["path"])
+    return meta, sidecars
+
+
+def _replay_checkpoint(
+    spark: SparkSession, log_dir: str, cp_version: int, parts: int | None
+) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
+    """Active state as of a checkpoint:
+    ``(metaData, {(path, DV id) key: add}, {txn appId: version})``.
+
+    Handles all three public checkpoint layouts: classic single-file
+    ``%020d.checkpoint.parquet``, classic multipart
+    ``…checkpoint.<i>.<n>.parquet``, and V2
+    ``…checkpoint.<uniqueId>.{parquet|json}`` manifests whose file
+    actions live in the manifest itself and/or in ``sidecarFile``
+    parquet files under ``_delta_log/_sidecars/``."""
+    meta: dict | None = None
+    adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    sidecars: list[str] = []
+    fs, _, _ = _fs_and_path(spark, log_dir)
+
+    if parts:
+        paths = [
+            f"{log_dir}/{cp_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+            for i in range(parts)
+        ]
+        meta, _ = _collect_checkpoint_df(
+            spark.read.parquet(*paths), meta, adds, txns)
+        return meta, adds, txns
+
+    classic = f"{log_dir}/{cp_version:020d}.checkpoint.parquet"
+    if fs.exists(_fs_and_path(spark, classic)[1]):
+        meta, sidecars = _collect_checkpoint_df(
+            spark.read.parquet(classic), meta, adds, txns)
+    else:
+        # V2: <version>.checkpoint.<uniqueId>.{parquet|json}; any one
+        # manifest for the version is complete by the spec
+        prefix = f"{cp_version:020d}.checkpoint."
+        names = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(_fs_and_path(spark, log_dir)[1])
+            if st.getPath().getName().startswith(prefix)
+            and st.getPath().getName().endswith((".parquet", ".json"))
+        )
+        if not names:
+            raise VersionedTableError(
+                f"_last_checkpoint points at version {cp_version} but no "
+                f"checkpoint file exists at {log_dir}"
+            )
+        name = names[0]
+        if name.endswith(".json"):
+            for line in _read_text(spark, f"{log_dir}/{name}").splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    _check_protocol(action)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    adds[_fkey(action["add"])] = action["add"]
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = int(action["txn"]["version"])
+                elif "sidecarFile" in action:
+                    sidecars.append(action["sidecarFile"]["path"])
+        else:
+            meta, sidecars = _collect_checkpoint_df(
+                spark.read.parquet(f"{log_dir}/{name}"), meta, adds, txns)
+
+    if sidecars:
+        sc_paths = [
+            p if "://" in p or p.startswith("/") else f"{log_dir}/_sidecars/{p}"
+            for p in sidecars
+        ]
+        meta, _ = _collect_checkpoint_df(
+            spark.read.parquet(*sc_paths), meta, adds, txns)
     return meta, adds, txns
 
 

@@ -160,7 +160,7 @@ def test_read_delta_rejects_unsupported_reader_features(spark, tmp_path):
     os.makedirs(d)
     _write_datafile(spark, d, "f0.parquet", [1])
     _log(d, 0, {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                             "readerFeatures": ["v2Checkpoint"]}},
+                             "readerFeatures": ["someFutureFeature"]}},
          _meta(), _add("f0.parquet"))
     with pytest.raises(VersionedTableError,
                        match="beyond what the no-jar bridge implements"):
@@ -1030,7 +1030,7 @@ def test_read_delta_name_mode_column_mapping(spark, tmp_path):
     assert read_delta(spark, d).count() == 2
     # …but an unimplemented reader feature still fails loudly
     _log(d, 2, {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                             "readerFeatures": ["v2Checkpoint"]}})
+                             "readerFeatures": ["someFutureFeature"]}})
     with pytest.raises(VersionedTableError, match="bridge"):
         read_delta(spark, d)
     os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
@@ -1386,3 +1386,165 @@ def test_timestamp_travel_honors_in_commit_timestamps(spark, tmp_path):
     assert _ids(read_delta(spark, d, timestamp=t0 + 10**6)) == [0, 1, 2]
     with pytest.raises(VersionedTableError, match="at or before"):
         read_delta(spark, d, timestamp=t0 - 1)
+
+
+# --- v2 checkpoints (manifest + sidecars) ---------------------------------
+
+_V2_PROTOCOL = {"protocol": {
+    "minReaderVersion": 3, "minWriterVersion": 7,
+    "readerFeatures": ["v2Checkpoint"],
+    "writerFeatures": ["v2Checkpoint"],
+}}
+
+
+def _write_v2_manifest_parquet(spark, log_dir: str, version: int,
+                               sidecar_names: list[str],
+                               inline_adds: list[str] | None = None) -> None:
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("checkpointMetadata", StructType([
+            StructField("version", LongType()),
+        ])),
+        StructField("protocol", StructType([
+            StructField("minReaderVersion", IntegerType()),
+            StructField("minWriterVersion", IntegerType()),
+            StructField("readerFeatures", ArrayType(StringType())),
+            StructField("writerFeatures", ArrayType(StringType())),
+        ])),
+        StructField("metaData", StructType([
+            StructField("id", StringType()),
+            StructField("schemaString", StringType()),
+            StructField("partitionColumns", ArrayType(StringType())),
+            StructField("configuration", MapType(StringType(), StringType())),
+        ])),
+        StructField("add", StructType([
+            StructField("path", StringType()),
+            StructField("partitionValues", MapType(StringType(), StringType())),
+            StructField("size", LongType()),
+            StructField("modificationTime", LongType()),
+        ])),
+        StructField("sidecarFile", StructType([
+            StructField("path", StringType()),
+            StructField("sizeInBytes", LongType()),
+        ])),
+    ])
+    none = {k: None for k in ("checkpointMetadata", "protocol", "metaData",
+                              "add", "sidecarFile")}
+    rows = [
+        {**none, "checkpointMetadata": {"version": version}},
+        {**none, "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["v2Checkpoint"],
+                              "writerFeatures": ["v2Checkpoint"]}},
+        {**none, "metaData": {"id": "v2-tab",
+                              "schemaString": SCHEMA_STRING,
+                              "partitionColumns": [],
+                              "configuration": {}}},
+    ]
+    rows += [{**none, "sidecarFile": {"path": p, "sizeInBytes": 1}}
+             for p in sidecar_names]
+    rows += [{**none, "add": {"path": p, "partitionValues": {},
+                              "size": 1, "modificationTime": 0}}
+             for p in (inline_adds or [])]
+    tmp = os.path.join(log_dir, "__cp_tmp")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(
+        log_dir, f"{version:020d}.checkpoint.{'a' * 8}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def _write_sidecar(spark, log_dir: str, name: str, paths: list[str]) -> None:
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("add", StructType([
+            StructField("path", StringType()),
+            StructField("partitionValues", MapType(StringType(), StringType())),
+            StructField("size", LongType()),
+            StructField("modificationTime", LongType()),
+        ])),
+        StructField("remove", StructType([
+            StructField("path", StringType()),
+            StructField("deletionTimestamp", LongType()),
+        ])),
+    ])
+    rows = [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0}, "remove": None} for p in paths]
+    sdir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sdir, exist_ok=True)
+    tmp = os.path.join(sdir, "__tmp")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(sdir, name))
+    shutil.rmtree(tmp)
+
+
+def test_read_delta_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 checkpoint replay: the manifest carries protocol/metaData and
+    sidecarFile pointers; the add actions live in _sidecars parquet.
+    Pre-checkpoint JSON commits are pruned, so only the v2 path can
+    reconstruct the snapshot (delta_interop.py:_replay_checkpoint)."""
+    d = str(tmp_path / "v2cp")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    for i in range(3):
+        _write_datafile(spark, d, f"f{i}.parquet", [i * 10, i * 10 + 1])
+    _write_sidecar(spark, log, "sc-1.parquet", ["f0.parquet"])
+    _write_sidecar(spark, log, "sc-2.parquet", ["f1.parquet"])
+    _write_v2_manifest_parquet(spark, log, 10,
+                               ["sc-1.parquet", "sc-2.parquet"])
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 10, "sizeInBytes": 1}))
+    # JSON tail past the checkpoint still applies
+    _log(d, 11, _add("f2.parquet"))
+
+    assert _ids(read_delta(spark, d)) == [0, 1, 10, 11, 20, 21]
+    assert _ids(read_delta(spark, d, version=10)) == [0, 1, 10, 11]
+
+
+def test_read_delta_v2_checkpoint_json_manifest(spark, tmp_path):
+    """V2 JSON-manifest form with inline file actions (no sidecars)."""
+    d = str(tmp_path / "v2json")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    _write_datafile(spark, d, "f0.parquet", [1, 2])
+    actions = [
+        {"checkpointMetadata": {"version": 10}},
+        _V2_PROTOCOL,
+        _meta(),
+        _add("f0.parquet"),
+    ]
+    with open(os.path.join(log, f"{10:020d}.checkpoint.bbbbbbbb.json"),
+              "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 10}))
+    assert _ids(read_delta(spark, d)) == [1, 2]
+
+
+def test_last_checkpoint_dangling_fails_loud(spark, tmp_path):
+    d = str(tmp_path / "v2miss")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    _write_datafile(spark, d, "f0.parquet", [1])
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 10}))
+    with pytest.raises(VersionedTableError, match="no checkpoint file"):
+        read_delta(spark, d)
