@@ -1548,3 +1548,66 @@ def test_last_checkpoint_dangling_fails_loud(spark, tmp_path):
         fh.write(json.dumps({"version": 10}))
     with pytest.raises(VersionedTableError, match="no checkpoint file"):
         read_delta(spark, d)
+
+
+# --- change data feed (bridge table_changes) -------------------------------
+
+
+def test_read_delta_changes_cdc_add_remove(spark, tmp_path):
+    """CDF over a hand-built log: insert derivation from dataChange
+    adds, faithful _change_data rows where the commit wrote cdc
+    actions, delete derivation from dataChange removes; each stamped
+    with the commit version and the ICT/mtime timestamp
+    (tables/delta_interop.py:read_delta_changes)."""
+    from sql_based_etl_spark.tables.delta_interop import read_delta_changes
+
+    d = str(tmp_path / "cdf")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", [1, 2])
+    # hand-built _change_data file for commit 1 (an update pair)
+    tmp = os.path.join(d, "__tmp")
+    spark.createDataFrame(
+        [(2, "r2", "update_preimage"), (2, "R2!", "update_postimage")],
+        "id long, v string, _change_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(os.path.join(d, "_change_data"))
+    shutil.move(part, os.path.join(d, "_change_data", "c1.parquet"))
+    shutil.rmtree(tmp)
+
+    meta = _meta()
+    meta["metaData"]["configuration"] = {"delta.enableChangeDataFeed": "true"}
+    _log(d, 0, _PROTOCOL, meta, _add("f0.parquet"))
+    _log(d, 1,
+         {"commitInfo": {"inCommitTimestamp": 1_700_000_000_000}},
+         {"cdc": {"path": "_change_data/c1.parquet", "partitionValues": {},
+                  "size": 1, "dataChange": False}})
+    _log(d, 2, {"remove": {"path": "f0.parquet", "deletionTimestamp": 5,
+                           "dataChange": True}})
+
+    ch = read_delta_changes(spark, d, 0)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in ch.collect()
+    )
+    assert rows == [
+        (0, "insert", 1, "r1"),
+        (0, "insert", 2, "r2"),
+        (1, "update_postimage", 2, "R2!"),
+        (1, "update_preimage", 2, "r2"),
+        (2, "delete", 1, "r1"),
+        (2, "delete", 2, "r2"),
+    ]
+    # ICT stamps commit 1; windowed range restricts
+    ts = {r["_commit_version"]: r["_commit_timestamp_ms"] for r in ch.collect()}
+    assert ts[1] == 1_700_000_000_000
+    only1 = read_delta_changes(spark, d, 1, 1)
+    assert sorted(r["_change_type"] for r in only1.collect()) == [
+        "update_postimage", "update_preimage"]
+
+
+def test_read_delta_changes_requires_cdf_enabled(spark, delta_dir):
+    from sql_based_etl_spark.tables.delta_interop import read_delta_changes
+
+    with pytest.raises(VersionedTableError, match="enableChangeDataFeed"):
+        read_delta_changes(spark, delta_dir, 0)
