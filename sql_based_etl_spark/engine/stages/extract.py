@@ -105,6 +105,26 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     from sql_based_etl_spark.tables import delta_interop
 
     if delta_interop.is_delta_dir(ctx.spark, conf["inputURI"]):
+        changes = opts.get("changesStartingVersion")
+        if changes is not None:
+            # CDF consumption: rows as they changed in
+            # [changesStartingVersion, changesEndingVersion] with
+            # _change_type/_commit_version/_commit_timestamp_ms — the
+            # Delta-table twin of the versioned table's change feed
+            # (delta_interop.read_delta_changes). Selectors are
+            # mutually exclusive with snapshot time travel.
+            if sum(x is not None for x in (version, ts, rel)):
+                from sql_based_etl_spark.engine.pipeline import StageError
+
+                raise StageError(
+                    "DeltaLakeExtract: options.changesStartingVersion "
+                    "cannot be combined with snapshot time-travel options"
+                )
+            ev = opts.get("changesEndingVersion")
+            return delta_interop.read_delta_changes(
+                ctx.spark, conf["inputURI"], int(changes),
+                int(ev) if ev is not None else None,
+            )
         if delta_interop.delta_available():
             reader = ctx.spark.read.format("delta")
             if rel is not None or ts is not None:

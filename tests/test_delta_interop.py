@@ -1611,3 +1611,33 @@ def test_read_delta_changes_requires_cdf_enabled(spark, delta_dir):
 
     with pytest.raises(VersionedTableError, match="enableChangeDataFeed"):
         read_delta_changes(spark, delta_dir, 0)
+
+
+def test_delta_extract_stage_cdf_options(spark, tmp_path):
+    """DeltaLakeExtract options.changesStartingVersion routes to the
+    bridge's CDF reader (engine/stages/extract.py)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline, StageError
+
+    d = str(tmp_path / "cdfstage")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", [1, 2])
+    meta = _meta()
+    meta["metaData"]["configuration"] = {"delta.enableChangeDataFeed": "true"}
+    _log(d, 0, _PROTOCOL, meta, _add("f0.parquet"))
+    _log(d, 1, {"remove": {"path": "f0.parquet", "deletionTimestamp": 1,
+                           "dataChange": True}})
+
+    ctx = Pipeline(spark).run([
+        {"type": "DeltaLakeExtract", "inputURI": d, "outputView": "ch",
+         "options": {"changesStartingVersion": 0,
+                     "changesEndingVersion": 1}},
+    ])
+    rows = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                  for r in ctx.views["ch"].collect())
+    assert rows == [(0, "insert", 1), (0, "insert", 2),
+                    (1, "delete", 1), (1, "delete", 2)]
+    with pytest.raises(StageError, match="cannot be combined"):
+        Pipeline(spark).run([
+            {"type": "DeltaLakeExtract", "inputURI": d, "outputView": "x",
+             "options": {"changesStartingVersion": 0, "versionAsOf": 1}},
+        ])
