@@ -85,7 +85,16 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     times, the Delta protocol's own rule; the delta-spark library has
     no relativeVersion, so it is resolved to a versionAsOf through the
     bridge's log listing first). ``filters`` data skipping needs the
-    manifest and stays VersionedTable-only."""
+    manifest and stays VersionedTable-only.
+
+    CDF: ``options.changesStartingVersion`` (+ optional
+    ``changesEndingVersion``) returns the change feed instead of a
+    snapshot. It deliberately pins the BRIDGE reader on every route —
+    delta-spark's ``readChangeFeed`` emits a differently-named/typed
+    timestamp column (``_commit_timestamp`` timestamp vs the bridge's
+    exact ``_commit_timestamp_ms`` long), and a pipeline whose output
+    schema changes when jars appear is the route-divergence trap the
+    time-travel selectors above were cured of."""
     opts = conf.get("options", {}) or {}
     version = opts.get("versionAsOf")
     ts = opts.get("timestampAsOf")
