@@ -128,3 +128,27 @@ def test_decode_audio_arrow_path(spark):
         assert r["duration_us"] == frames * 1_000_000 // 8000
         assert r["peak"] == int(np.abs(s).max())
         assert r["sum_abs"] == int(np.abs(s).sum())
+
+
+def test_wav_roundtrip_property():
+    """Property: any int16 (frames, channels) block round-trips through
+    encode_wav_bytes → decode_wav_bytes bit-exactly. Pure-python."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=40),   # frames
+        st.integers(min_value=1, max_value=4),    # channels
+        st.integers(min_value=1000, max_value=96000),  # rate
+        st.randoms(use_true_random=False),
+    )
+    def check(frames, n_ch, rate, rnd):
+        s = np.array(
+            [[rnd.randint(-32768, 32767) for _ in range(n_ch)]
+             for _ in range(frames)], dtype=np.int16)
+        got_rate, out = decode_wav_bytes(encode_wav_bytes(s, rate))
+        assert got_rate == rate
+        assert out.tolist() == s.tolist()
+
+    check()

@@ -1641,3 +1641,110 @@ def test_delta_extract_stage_cdf_options(spark, tmp_path):
             {"type": "DeltaLakeExtract", "inputURI": d, "outputView": "x",
              "options": {"changesStartingVersion": 0, "versionAsOf": 1}},
         ])
+
+
+def test_dv_roaring_roundtrip_property():
+    """Property: any index set round-trips through the test-side
+    spec encoder and the bridge decoder — including multi-key 64-bit
+    values and bucket-boundary indexes. Pure-python (no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sql_based_etl_spark.tables.delta_interop import _roaring_array_indexes
+
+    idx_strategy = st.sets(
+        st.one_of(
+            st.integers(min_value=0, max_value=200_000),          # dense low
+            st.integers(min_value=(1 << 16) - 3, max_value=(1 << 16) + 3),
+            st.integers(min_value=(1 << 32) - 3, max_value=(1 << 32) + 3),
+            st.integers(min_value=0, max_value=(1 << 33)),        # multi-key
+        ),
+        max_size=400,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(idx_strategy)
+    def check(vals):
+        got = _roaring_array_indexes(_dv_payload(sorted(vals)))
+        assert sorted(got.tolist()) == sorted(vals)
+
+    check()
+
+
+def test_dv_bitmap_container_boundary_4097():
+    """4097 values in one 16-bit bucket forces the bitmap container
+    exactly at the array/bitmap boundary."""
+    from sql_based_etl_spark.tables.delta_interop import _roaring_array_indexes
+
+    vals = list(range(4097))
+    got = _roaring_array_indexes(_dv_payload(vals))
+    assert got.tolist() == vals
+
+
+def test_checkpoint_carried_deletion_vector(spark, tmp_path):
+    """An externally-written checkpoint whose add actions carry
+    deletionVector descriptors replays with the DV applied
+    (delta_interop.py:_collect_checkpoint_df dv_col path)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = str(tmp_path / "cpdv")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    _write_datafile(spark, d, "f0.parquet", list(range(8)))
+    dv = _inline_dv([2, 5])
+
+    schema = StructType([
+        StructField("protocol", StructType([
+            StructField("minReaderVersion", IntegerType()),
+            StructField("minWriterVersion", IntegerType()),
+        ])),
+        StructField("metaData", StructType([
+            StructField("id", StringType()),
+            StructField("schemaString", StringType()),
+            StructField("partitionColumns", StringType()),
+            StructField("configuration", MapType(StringType(), StringType())),
+        ])),
+        StructField("add", StructType([
+            StructField("path", StringType()),
+            StructField("partitionValues", MapType(StringType(), StringType())),
+            StructField("size", LongType()),
+            StructField("modificationTime", LongType()),
+            StructField("deletionVector", StructType([
+                StructField("storageType", StringType()),
+                StructField("pathOrInlineDv", StringType()),
+                StructField("offset", IntegerType()),
+                StructField("sizeInBytes", IntegerType()),
+                StructField("cardinality", LongType()),
+            ])),
+        ])),
+    ])
+    none = {"protocol": None, "metaData": None, "add": None}
+    rows = [
+        {**none, "protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {**none, "metaData": {"id": "x", "schemaString": SCHEMA_STRING,
+                              "partitionColumns": None, "configuration": {}}},
+        {**none, "add": {"path": "f0.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "deletionVector": {
+                             "storageType": "i",
+                             "pathOrInlineDv": dv["pathOrInlineDv"],
+                             "offset": None,
+                             "sizeInBytes": dv["sizeInBytes"],
+                             "cardinality": dv["cardinality"]}}},
+    ]
+    tmp = os.path.join(log, "__tmp")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    shutil.rmtree(tmp)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 10}))
+    assert _ids(read_delta(spark, d)) == [0, 1, 3, 4, 6, 7]
