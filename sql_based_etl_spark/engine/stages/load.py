@@ -57,6 +57,9 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
             checkpoint_interval=(
                 10 if cpi is None else (int(cpi) or None)
             ),
+            # CREATE-time table properties (metaData.configuration),
+            # e.g. {"delta.enableChangeDataFeed": "true"}
+            properties=opts.get("tableProperties"),
         )
         return None
     t = VersionedTable(ctx.spark, conf["outputURI"])

@@ -1079,7 +1079,8 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 partition_by: list[str] | None = None,
                 checkpoint_interval: int | None = 10,
                 txn_app_id: str | None = None,
-                txn_version: int | None = None) -> int:
+                txn_version: int | None = None,
+                properties: dict[str, str] | None = None) -> int:
     """Write a commit to a Delta-protocol table WITHOUT delta-spark jars
     — the write half of the interop bridge (read half:
     :func:`read_delta`), so engine output is consumable by any Delta
@@ -1157,6 +1158,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 "read-only through the bridge; install delta-spark to "
                 "write this table"
             )
+        if properties is not None and dict(properties) != dict(
+                meta.get("configuration") or {}):
+            raise VersionedTableError(
+                "write_delta: table properties are settable at CREATE "
+                "only (silently ignoring a properties change would be "
+                "worse than refusing); the table has "
+                f"{meta.get('configuration') or {}}"
+            )
         if (
             txn_app_id is not None
             and txn_app_id in txns
@@ -1192,7 +1201,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
             "partitionColumns": part_cols,
-            "configuration": {},
+            # table properties land in metaData.configuration — e.g.
+            # delta.enableChangeDataFeed=true turns on CDF derivation
+            # for every reader of this table (read_delta_changes and
+            # delta-spark's table_changes alike). Settable at CREATE
+            # only: changing properties later is an ALTER the bridge
+            # deliberately does not model.
+            "configuration": dict(properties or {}),
             "createdTime": int(time.time() * 1000),
         }
 

@@ -1748,3 +1748,38 @@ def test_checkpoint_carried_deletion_vector(spark, tmp_path):
     with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps({"version": 10}))
     assert _ids(read_delta(spark, d)) == [0, 1, 3, 4, 6, 7]
+
+
+def test_write_delta_properties_cdf_roundtrip(spark, tmp_path):
+    """CREATE-time table properties land in metaData.configuration —
+    enabling delta.enableChangeDataFeed on a bridge-WRITTEN table makes
+    its own history consumable through read_delta_changes (insert and
+    delete derivation from the writer's dataChange actions)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "wprops")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    write_delta(df1, d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    write_delta(df2, d, mode="append")
+    write_delta(df2, d, mode="overwrite")  # removes v0+v1 files, adds v2
+
+    ch = read_delta_changes(spark, d, 0)
+    rows = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                  for r in ch.collect())
+    assert rows == [
+        (0, "insert", 1), (0, "insert", 2),
+        (1, "insert", 3),
+        (2, "delete", 1), (2, "delete", 2), (2, "delete", 3),
+        (2, "insert", 3),
+    ]
+    # properties are CREATE-only: a later change fails loudly
+    with pytest.raises(VersionedTableError, match="CREATE"):
+        write_delta(df2, d, mode="append", properties={"x": "y"})
+    # passing the SAME properties again is a no-op, not an error
+    write_delta(df2, d, mode="append",
+                properties={"delta.enableChangeDataFeed": "true"})
