@@ -113,8 +113,20 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
         )
     from sql_based_etl_spark.tables import delta_interop
 
+    changes = opts.get("changesStartingVersion")
+    if changes is not None and not delta_interop.is_delta_dir(
+            ctx.spark, conf["inputURI"]):
+        # a consumer expecting _change_type rows must never silently
+        # receive a plain full snapshot instead
+        from sql_based_etl_spark.engine.pipeline import StageError
+
+        raise StageError(
+            "DeltaLakeExtract: options.changesStartingVersion requires a "
+            f"Delta table (no _delta_log at {conf['inputURI']}); the "
+            "versioned table's change feed is the "
+            "VersionedTableChangesExtract stage"
+        )
     if delta_interop.is_delta_dir(ctx.spark, conf["inputURI"]):
-        changes = opts.get("changesStartingVersion")
         if changes is not None:
             # CDF consumption: rows as they changed in
             # [changesStartingVersion, changesEndingVersion] with

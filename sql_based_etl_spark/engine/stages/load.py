@@ -33,7 +33,12 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
             write_delta,
         )
 
-        if delta_available() and str(
+        # tableProperties pins the bridge: delta-spark's DataFrameWriter
+        # has no portable per-write table-properties surface, and a
+        # config that creates a CDF-enabled table in one environment
+        # but a plain table where jars exist is exactly the per-route
+        # divergence the extract selectors were cured of
+        if delta_available() and not opts.get("tableProperties") and str(
                 opts.get("forceBridge", False)).lower() != "true":
             writer = (
                 (df.repartition(int(n)) if n else df)
@@ -265,12 +270,27 @@ def versioned_table_maintenance(ctx: PipelineContext, conf: dict) -> DataFrame |
             )
         c = conf.get("compact")
         if c is not None:
+            if "smallFileBytes" in c:
+                # versioned-table-only knob: dropping the user's explicit
+                # threshold on the floor would silently change behavior
+                # (restore on this route raises for the same reason)
+                raise StageError(
+                    "VersionedTableMaintenance: compact.smallFileBytes has "
+                    "no Delta-bridge meaning (compact_delta bin-packs "
+                    "everything); remove it or use compact.numPartitions"
+                )
             delta_interop.compact_delta(
                 ctx.spark, conf["inputURI"],
                 target_files=int(c.get("numPartitions", 1)),
             )
         v = conf.get("vacuum")
         if v is not None:
+            if "retainVersions" in v:
+                raise StageError(
+                    "VersionedTableMaintenance: vacuum.retainVersions has "
+                    "no Delta-bridge meaning (Delta retention is "
+                    "time-based); use vacuum.retentionHours"
+                )
             delta_interop.vacuum_delta(
                 ctx.spark, conf["inputURI"],
                 retention_hours=float(v.get("retentionHours", 168.0)),

@@ -73,8 +73,10 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
-                raise AudioDecodeError(f"fmt chunk too short ({size} bytes)")
+            if size < 16 or len(body) < 16:
+                raise AudioDecodeError(
+                    f"fmt chunk too short ({min(size, len(body))} bytes)"
+                )
             tag, n_ch, rate, _brate, _align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
@@ -94,14 +96,23 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
     if n_ch < 1 or rate < 1:
         raise AudioDecodeError(f"bad fmt fields (channels={n_ch}, rate={rate})")
 
+    def _whole(width: int) -> None:
+        if len(payload) % width:
+            raise AudioDecodeError(
+                f"data chunk length {len(payload)} is not a multiple of "
+                f"the {width}-byte sample size"
+            )
+
     if tag == 3:  # IEEE float
         if bits != 32:
             raise NotImplementedError(f"IEEE-float WAV at {bits} bits")
+        _whole(4)
         flat = np.frombuffer(payload, dtype="<f4")
     elif tag == 1:  # integer PCM
         if bits == 8:  # unsigned by spec; recenter to signed
             flat = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
         elif bits == 16:
+            _whole(2)
             flat = np.frombuffer(payload, dtype="<i2").astype(np.int32)
         elif bits == 24:  # packed 3-byte LE; sign-extend via uint32 shift
             if len(payload) % 3:
@@ -113,6 +124,7 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
             flat = u.astype(np.int32)
             flat = np.where(flat >= 1 << 23, flat - (1 << 24), flat)
         elif bits == 32:
+            _whole(4)
             flat = np.frombuffer(payload, dtype="<i4").astype(np.int32)
         else:
             raise NotImplementedError(f"integer PCM at {bits} bits")

@@ -174,7 +174,10 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
 
     import numpy as np
 
-    from sql_based_etl_spark.operators.audiocodecs import decode_wav_bytes
+    from sql_based_etl_spark.operators.audiocodecs import (
+        AudioDecodeError,
+        decode_wav_bytes,
+    )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,6 +186,16 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
                                    "sum_abs", "sample_md5")}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 rate, s = decode_wav_bytes(bytes(payload))
+                if not np.issubdtype(s.dtype, np.integer):
+                    # float32 WAVs decode fine, but these columns are
+                    # EXACT integer statistics — truncating floats
+                    # would be silently-wrong peak/sum_abs, the one
+                    # thing this stack never does
+                    raise AudioDecodeError(
+                        "decode_audio computes integer sample statistics; "
+                        "IEEE-float WAV needs a float feature stage "
+                        "(decode_wav_bytes returns its samples directly)"
+                    )
                 frames, n_ch = s.shape
                 a = np.abs(s.astype(np.int64))
                 out["doc_id"].append(doc_id)

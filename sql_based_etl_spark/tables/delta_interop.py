@@ -223,6 +223,11 @@ def _z85_decode(s: str) -> bytes:
                     f"deletion vector: invalid Z85 character {c!r}"
                 )
             v = v * 85 + _Z85_IDX[c]
+        if v > 0xFFFFFFFF:  # 85^5-1 > 2^32-1: group overflows 4 bytes
+            raise VersionedTableError(
+                f"deletion vector: Z85 group {s[i:i + 5]!r} decodes above "
+                "2^32-1 — corrupted payload"
+            )
         out += v.to_bytes(4, "big")
     return bytes(out)
 

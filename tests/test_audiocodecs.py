@@ -152,3 +152,30 @@ def test_wav_roundtrip_property():
         assert out.tolist() == s.tolist()
 
     check()
+
+
+def test_truncated_fmt_and_misaligned_payloads_fail_as_decode_errors():
+    # file ends mid-fmt: declared size 16 but fewer body bytes present
+    raw = _wav(b"")
+    cut = raw[:raw.index(b"fmt ") + 12]
+    with pytest.raises(AudioDecodeError, match="fmt chunk too short"):
+        decode_wav_bytes(cut)
+    # payload length not a multiple of the sample size — AudioDecodeError,
+    # never a bare numpy/struct error escaping the documented contract
+    with pytest.raises(AudioDecodeError, match="not a multiple"):
+        decode_wav_bytes(_wav(b"\x00", bits=16))
+    with pytest.raises(AudioDecodeError, match="not a multiple"):
+        decode_wav_bytes(_wav(b"\x00\x00\x00", tag=3, bits=32))
+
+
+def test_decode_audio_rejects_float_wav(spark):
+    """Integer statistics must never be silently computed from
+    truncated float samples (multimodal.py:decode_audio)."""
+    from sql_based_etl_spark.operators.multimodal import decode_audio
+
+    fl = np.array([0.5, -0.25], dtype="<f4")
+    raw = _wav(fl.tobytes(), tag=3, bits=32)
+    df = spark.createDataFrame([(1, bytearray(raw))],
+                               "doc_id long, payload binary")
+    with pytest.raises(Exception, match="integer sample statistics"):
+        decode_audio(df).collect()

@@ -1783,3 +1783,39 @@ def test_write_delta_properties_cdf_roundtrip(spark, tmp_path):
     # passing the SAME properties again is a no-op, not an error
     write_delta(df2, d, mode="append",
                 properties={"delta.enableChangeDataFeed": "true"})
+
+
+def test_z85_overflow_group_fails_loud():
+    from sql_based_etl_spark.tables.delta_interop import _z85_decode
+
+    with pytest.raises(VersionedTableError, match="2\\^32-1"):
+        _z85_decode("#####")  # 85^5-1 > 2^32-1
+
+
+def test_stage_guards_for_cdf_and_maintenance(spark, tmp_path):
+    """Route-mismatch options fail loudly: changesStartingVersion on a
+    non-Delta path, and versioned-table-only maintenance knobs on a
+    Delta-bridge table."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline, StageError
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    vt = str(tmp_path / "plainvt")
+    with pytest.raises(StageError, match="requires a Delta table"):
+        Pipeline(spark).run([
+            {"type": "DeltaLakeExtract", "inputURI": vt, "outputView": "x",
+             "options": {"changesStartingVersion": 0}},
+        ])
+
+    d = str(tmp_path / "dmaint")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"),
+                d, mode="overwrite")
+    with pytest.raises(StageError, match="smallFileBytes"):
+        Pipeline(spark).run([
+            {"type": "VersionedTableMaintenance", "inputURI": d,
+             "compact": {"smallFileBytes": 1024}},
+        ])
+    with pytest.raises(StageError, match="retainVersions"):
+        Pipeline(spark).run([
+            {"type": "VersionedTableMaintenance", "inputURI": d,
+             "vacuum": {"retainVersions": 3}},
+        ])
