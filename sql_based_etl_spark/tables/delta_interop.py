@@ -106,11 +106,11 @@ def _check_protocol(action: dict) -> None:
     reader_v = p.get("minReaderVersion", 1)
     features = set(p.get("readerFeatures") or [])
     # reader v2's only data-interpretation change is column mapping,
-    # which the bridge honors in name mode (_check_metadata rejects id
-    # mode); v3 tables are readable iff every listed reader feature is
-    # one the bridge implements — name-mode column mapping and deletion
-    # vectors (decoded from the public roaring format, applied as a
-    # row_index anti-join). Anything else stays fail-loud.
+    # which the bridge honors in BOTH modes (_check_metadata); v3
+    # tables are readable iff every listed reader feature is one the
+    # bridge implements — column mapping, deletion vectors (decoded
+    # from the public roaring format, applied as a row_index
+    # anti-join), and v2 checkpoints. Anything else stays fail-loud.
     if reader_v > 3 or (
         reader_v == 3
         and features - {"columnMapping", "deletionVectors", "v2Checkpoint"}
@@ -393,15 +393,20 @@ def _fkey(file_action: dict) -> str:
     return file_action["path"] + "\x00" + _dv_uid(file_action.get("deletionVector"))
 
 
-def _collect_checkpoint_df(cp, meta: dict | None, adds: dict[str, dict],
-                           txns: dict[str, int]) -> tuple[dict | None, list[str]]:
+def _collect_checkpoint_df(cp, meta: dict | None, proto: dict | None,
+                           adds: dict[str, dict], txns: dict[str, int],
+                           ) -> tuple[dict | None, dict | None, list[str]]:
     """Fold one checkpoint-shaped DataFrame (classic/multipart parts, a
     v2 manifest, or v2 sidecars) into the replay state; returns the
-    (possibly updated) metaData and any ``sidecarFile`` paths found."""
+    (possibly updated) metaData, protocol, and any ``sidecarFile``
+    paths found."""
     cols = set(cp.columns)
     if "protocol" in cols:
         for r in cp.filter(F.col("protocol.minReaderVersion").isNotNull()).collect():
-            _check_protocol({"protocol": r["protocol"].asDict()})
+            p = {k: v for k, v in r["protocol"].asDict().items()
+                 if v is not None}
+            _check_protocol({"protocol": p})
+            proto = p
     if "metaData" in cols:
         metas = cp.filter(F.col("metaData.id").isNotNull()).collect()
         if metas:
@@ -448,14 +453,15 @@ def _collect_checkpoint_df(cp, meta: dict | None, adds: dict[str, dict],
             "sidecarFile.path"
         ).collect():
             sidecars.append(r["path"])
-    return meta, sidecars
+    return meta, proto, sidecars
 
 
 def _replay_checkpoint(
     spark: SparkSession, log_dir: str, cp_version: int, parts: int | None
-) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
+) -> tuple[dict | None, dict[str, dict], dict[str, int], dict | None]:
     """Active state as of a checkpoint:
-    ``(metaData, {(path, DV id) key: add}, {txn appId: version})``.
+    ``(metaData, {(path, DV id) key: add}, {txn appId: version},
+    protocol)``.
 
     Handles all three public checkpoint layouts: classic single-file
     ``%020d.checkpoint.parquet``, classic multipart
@@ -463,7 +469,10 @@ def _replay_checkpoint(
     ``…checkpoint.<uniqueId>.{parquet|json}`` manifests whose file
     actions live in the manifest itself and/or in ``sidecarFile``
     parquet files under ``_delta_log/_sidecars/``."""
+    import re as _re
+
     meta: dict | None = None
+    proto: dict | None = None
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
     sidecars: list[str] = []
@@ -474,28 +483,35 @@ def _replay_checkpoint(
             f"{log_dir}/{cp_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
             for i in range(parts)
         ]
-        meta, _ = _collect_checkpoint_df(
-            spark.read.parquet(*paths), meta, adds, txns)
-        return meta, adds, txns
+        meta, proto, _ = _collect_checkpoint_df(
+            spark.read.parquet(*paths), meta, proto, adds, txns)
+        return meta, adds, txns, proto
 
     classic = f"{log_dir}/{cp_version:020d}.checkpoint.parquet"
     if fs.exists(_fs_and_path(spark, classic)[1]):
-        meta, sidecars = _collect_checkpoint_df(
-            spark.read.parquet(classic), meta, adds, txns)
+        meta, proto, sidecars = _collect_checkpoint_df(
+            spark.read.parquet(classic), meta, proto, adds, txns)
     else:
         # V2: <version>.checkpoint.<uniqueId>.{parquet|json}; any one
-        # manifest for the version is complete by the spec
+        # manifest for the version is complete by the spec. Multipart
+        # part files (…checkpoint.<i>.<n>.parquet) are NOT manifests —
+        # folding a single part as complete state would silently drop
+        # the other parts' adds, so they are excluded and a pointer
+        # that lost its `parts` field fails loudly instead.
         prefix = f"{cp_version:020d}.checkpoint."
+        multipart = _re.compile(r"\.checkpoint\.\d{10}\.\d{10}\.parquet$")
         names = sorted(
             st.getPath().getName()
             for st in fs.listStatus(_fs_and_path(spark, log_dir)[1])
             if st.getPath().getName().startswith(prefix)
             and st.getPath().getName().endswith((".parquet", ".json"))
+            and not multipart.search(st.getPath().getName())
         )
         if not names:
             raise VersionedTableError(
                 f"_last_checkpoint points at version {cp_version} but no "
-                f"checkpoint file exists at {log_dir}"
+                f"usable checkpoint file exists at {log_dir} (a multipart "
+                "checkpoint needs its `parts` field in _last_checkpoint)"
             )
         name = names[0]
         if name.endswith(".json"):
@@ -505,6 +521,7 @@ def _replay_checkpoint(
                 action = json.loads(line)
                 if "protocol" in action:
                     _check_protocol(action)
+                    proto = action["protocol"]
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
@@ -514,17 +531,18 @@ def _replay_checkpoint(
                 elif "sidecarFile" in action:
                     sidecars.append(action["sidecarFile"]["path"])
         else:
-            meta, sidecars = _collect_checkpoint_df(
-                spark.read.parquet(f"{log_dir}/{name}"), meta, adds, txns)
+            meta, proto, sidecars = _collect_checkpoint_df(
+                spark.read.parquet(f"{log_dir}/{name}"), meta, proto,
+                adds, txns)
 
     if sidecars:
         sc_paths = [
             p if "://" in p or p.startswith("/") else f"{log_dir}/_sidecars/{p}"
             for p in sidecars
         ]
-        meta, _ = _collect_checkpoint_df(
-            spark.read.parquet(*sc_paths), meta, adds, txns)
-    return meta, adds, txns
+        meta, proto, _ = _collect_checkpoint_df(
+            spark.read.parquet(*sc_paths), meta, proto, adds, txns)
+    return meta, adds, txns, proto
 
 
 def _last_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, int | None] | None:
@@ -559,7 +577,7 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None,
         )
     if timestamp is not None or relative_version is not None:
         version = _resolve_log_version(spark, path, timestamp, relative_version)
-    meta, adds, _, _ = _replay_state(spark, path, version)
+    meta, adds, _, _, _ = _replay_state(spark, path, version)
     return _snapshot_df(spark, path, meta, adds)
 
 
@@ -635,17 +653,19 @@ def _resolve_log_version(spark: SparkSession, path: str,
 
 def _replay_state(
     spark: SparkSession, path: str, version: int | None = None
-) -> tuple[dict, dict[str, dict], int, dict[str, int]]:
+) -> tuple[dict, dict[str, dict], int, dict[str, int], dict | None]:
     """Replay the transaction log to ``(metaData, {path: add},
-    resolved_version, {txn appId: version})`` — shared by the reader
-    and the writer (the writer needs the live file set for overwrite
-    tombstones, the current schema for append drift checks, and the
-    txn watermarks for idempotent streaming commits)."""
+    resolved_version, {txn appId: version}, protocol)`` — shared by the
+    reader and the writer (the writer needs the live file set for
+    overwrite tombstones, the current schema for append drift checks,
+    the txn watermarks for idempotent streaming commits, and the
+    protocol for the writer-feature gate + checkpoint emission)."""
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
 
     meta: dict | None = None
+    proto: dict | None = None
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
     start = 0
@@ -655,7 +675,8 @@ def _replay_state(
         # (cheaper for small tables and exercises nothing extra)
         0 not in logs or cp[0] >= 10
     ):
-        meta, adds, txns = _replay_checkpoint(spark, log_dir, cp[0], cp[1])
+        meta, adds, txns, proto = _replay_checkpoint(
+            spark, log_dir, cp[0], cp[1])
         start = cp[0] + 1
 
     latest = max(logs) if logs else -1
@@ -680,6 +701,7 @@ def _replay_state(
             action = json.loads(line)
             if "protocol" in action:
                 _check_protocol(action)
+                proto = action["protocol"]
             elif "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
@@ -695,7 +717,7 @@ def _replay_state(
     if meta is None:
         raise VersionedTableError(f"Delta log at {log_dir} has no metaData action")
     _check_metadata(meta)
-    return meta, adds, version, txns
+    return meta, adds, version, txns, proto
 
 
 def _snapshot_df(
@@ -883,35 +905,69 @@ def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
     version must be created at most once — and a racing committer loses
     LOUDLY on every FS type. Dot-prefixed temp/claim names are invisible
     to Delta readers (log listing matches ``%020d.json`` only)."""
+    import time as _time
+
     fs, _, _ = _fs_and_path(spark, log_dir)
     name = f"{version:020d}.json"
     jdir = _fs_and_path(spark, log_dir)[1]
     fs.mkdirs(jdir)
+    final = _fs_and_path(spark, f"{log_dir}/{name}")[1]
     tmp = _fs_and_path(spark, f"{log_dir}/.{name}.tmp")[1]
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(data.encode("utf-8")))
     finally:
         out.close()
-    claim = _fs_and_path(spark, f"{log_dir}/.{name}.claim")[1]
-    try:
-        fs.create(claim, False).close()
-    except Exception as e:  # Py4J-wrapped java.io exceptions
+    if fs.exists(final):  # committed while we staged: lose loudly
         fs.delete(tmp, False)
-        jcls = e.java_exception.getClass().getName() if hasattr(e, "java_exception") else ""
-        if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+        raise VersionedTableError(
+            f"concurrent Delta commit detected for version {version} at "
+            f"{log_dir}: the log entry already exists"
+        )
+    claim = _fs_and_path(spark, f"{log_dir}/.{name}.claim")[1]
+
+    def _claim_once() -> bool:
+        try:
+            fs.create(claim, False).close()
+            return True
+        except Exception as e:  # Py4J-wrapped java.io exceptions
+            jcls = (e.java_exception.getClass().getName()
+                    if hasattr(e, "java_exception") else "")
+            if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+                return False
+            fs.delete(tmp, False)
+            raise
+
+    if not _claim_once():
+        # an in-flight writer renames within milliseconds of claiming;
+        # a claim with no final file after 60s belongs to a CRASHED
+        # writer — without this recovery the version (and thus the
+        # whole table) would be write-dead forever
+        age_ms = (_time.time() * 1000.0
+                  - fs.getFileStatus(claim).getModificationTime())
+        if fs.exists(final) or age_ms < 60_000 or not (
+            fs.delete(claim, False) and _claim_once()
+        ):
+            fs.delete(tmp, False)
             raise VersionedTableError(
                 f"concurrent Delta commit detected for version {version} at "
                 f"{log_dir}: another writer claimed it first"
-            ) from e
-        raise
-    if not fs.rename(tmp, _fs_and_path(spark, f"{log_dir}/{name}")[1]):
+            )
+    if not fs.rename(tmp, final):
+        # dest exists ⇒ a racer won after stale-claim recovery: at most
+        # one rename ever succeeds, so losing here is loud and safe
+        fs.delete(claim, False)
+        fs.delete(tmp, False)
         raise VersionedTableError(f"cannot commit Delta log {name} at {log_dir}")
+    # success: the final file now arbitrates this version; dropping the
+    # claim keeps the log dir from accumulating one dotfile per commit
+    fs.delete(claim, False)
 
 
 def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
                       meta: dict, adds: dict[str, dict],
-                      txns: dict[str, int] | None = None) -> None:
+                      txns: dict[str, int] | None = None,
+                      proto: dict | None = None) -> None:
     """Emit ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` for the
     reconciled state after commit ``version`` — Delta's reader
     optimization: without it every reader of a long-lived table (e.g. a
@@ -944,6 +1000,8 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
         StructField("protocol", StructType([
             StructField("minReaderVersion", IntegerType()),
             StructField("minWriterVersion", IntegerType()),
+            StructField("readerFeatures", ArrayType(StringType())),
+            StructField("writerFeatures", ArrayType(StringType())),
         ])),
         StructField("metaData", StructType([
             StructField("id", StringType()),
@@ -977,8 +1035,17 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
     ])
     none_row = {"protocol": None, "metaData": None, "add": None,
                 "remove": None, "txn": None}
+    p = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
     rows = [
-        {**none_row, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        # the checkpoint must restate the TABLE'S protocol — emitting a
+        # hardcoded 1/2 for a table whose log claims more would
+        # downgrade it for every reader replaying from the checkpoint
+        {**none_row, "protocol": {
+            "minReaderVersion": p.get("minReaderVersion", 1),
+            "minWriterVersion": p.get("minWriterVersion", 2),
+            "readerFeatures": p.get("readerFeatures"),
+            "writerFeatures": p.get("writerFeatures"),
+        }},
         {**none_row, "metaData": {
             k: meta.get(k)
             for k in ("id", "format", "schemaString", "partitionColumns",
@@ -1080,6 +1147,85 @@ def _stage_data_files(df: DataFrame, path: str,
     return new_adds
 
 
+# Writer features the bridge's write shapes (blind appends, full
+# overwrites, dataChange:false compaction) can honor — each entry is
+# backed by a concrete config/schema check in _check_writer_allowed;
+# anything else (rowTracking, inCommitTimestamp, icebergCompat*,
+# v2Checkpoint, domainMetadata, clustering, …) fails loudly because the
+# bridge cannot uphold its write-side obligations.
+_BRIDGE_WRITER_FEATURES = {
+    "appendOnly",        # delta.appendOnly gates overwrite below
+    "invariants",        # per-field delta.invariants gates below
+    "checkConstraints",  # delta.constraints.* gates below
+    "changeDataFeed",    # blind appends / full overwrites derive CDF
+                         # from add/remove actions per the spec
+    "columnMapping",     # mapped tables are already read-only
+    "deletionVectors",   # live DVs are already read-only
+    "timestampNtz",      # type-level; schema copied verbatim
+    "generatedColumns",  # per-field generationExpression gates below
+    "identityColumns",   # per-field delta.identity.* gates below
+}
+
+
+def _walk_schema_fields(node):
+    if isinstance(node, dict) and node.get("type") == "struct":
+        for f in node.get("fields", []):
+            yield f
+            yield from _walk_schema_fields(f.get("type"))
+    elif isinstance(node, dict) and node.get("type") == "array":
+        yield from _walk_schema_fields(node.get("elementType"))
+    elif isinstance(node, dict) and node.get("type") == "map":
+        yield from _walk_schema_fields(node.get("keyType"))
+        yield from _walk_schema_fields(node.get("valueType"))
+
+
+def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
+    """The write-side twin of :func:`_check_protocol`: refuse to commit
+    to a table whose writer protocol imposes obligations the bridge
+    cannot uphold — delta-spark refuses such writes too, and a bridge
+    that appended anyway would silently break the table's invariants
+    (``mode`` is append / overwrite / compact)."""
+    p = proto or {}
+    wv = int(p.get("minWriterVersion", 2))
+    feats = set(p.get("writerFeatures") or [])
+    unknown = feats - _BRIDGE_WRITER_FEATURES
+    if (wv == 7 and unknown) or wv > 7:
+        raise VersionedTableError(
+            "write: table requires writer features the bridge cannot "
+            f"honor ({sorted(unknown) if unknown else f'minWriterVersion {wv}'}); "
+            "install delta-spark to write this table"
+        )
+    conf = meta.get("configuration") or {}
+    if (str(conf.get("delta.appendOnly", "false")).lower() == "true"
+            and mode == "overwrite"):
+        raise VersionedTableError(
+            "write: delta.appendOnly=true forbids removing data; only "
+            "appends (and dataChange:false compaction) are allowed"
+        )
+    if any(k.startswith("delta.constraints.") for k in conf):
+        raise VersionedTableError(
+            "write: table has CHECK constraints the bridge cannot "
+            "validate; install delta-spark to write this table"
+        )
+    for f in _walk_schema_fields(json.loads(meta["schemaString"])):
+        md = f.get("metadata") or {}
+        if "delta.invariants" in md:
+            raise VersionedTableError(
+                f"write: column {f.get('name')!r} carries an invariant "
+                "the bridge cannot validate; install delta-spark"
+            )
+        if "delta.generationExpression" in md:
+            raise VersionedTableError(
+                f"write: column {f.get('name')!r} is a generated column "
+                "the bridge cannot compute; install delta-spark"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise VersionedTableError(
+                f"write: column {f.get('name')!r} is an identity column "
+                "the bridge cannot allocate; install delta-spark"
+            )
+
+
 def write_delta(df: DataFrame, path: str, mode: str = "append",
                 partition_by: list[str] | None = None,
                 checkpoint_interval: int | None = 10,
@@ -1142,8 +1288,17 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
 
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
-    if fs.exists(jlog) and _list_log(spark, log_dir):
-        meta, live, latest, txns = _replay_state(spark, path)
+    proto: dict | None = None
+    # a checkpoint-only log (every JSON commit pruned by external
+    # cleanup) is still an EXISTING table: treating it as new would
+    # commit an invisible version 0 that replay (which prefers the
+    # checkpoint) never reads — silent data loss
+    if fs.exists(jlog) and (
+        _list_log(spark, log_dir)
+        or _last_checkpoint(spark, log_dir) is not None
+    ):
+        meta, live, latest, txns, proto = _replay_state(spark, path)
+        _check_writer_allowed(proto, meta, mode)
         if (meta.get("configuration") or {}).get(
                 "delta.columnMapping.mode", "none") != "none":
             # the bridge READS name-mode tables (physical→logical in
@@ -1201,6 +1356,19 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         next_v = 0
         part_cols = list(partition_by or [])
         emit_meta = True
+        # the protocol must CLAIM what the table's properties require:
+        # delta.enableChangeDataFeed is gated behind writer version 4
+        # (the changeDataFeed feature) — a v2 claim would let external
+        # writers run row-rewriting DML without emitting cdc actions,
+        # making the property's promise unenforceable downstream
+        proto = {
+            "minReaderVersion": 1,
+            "minWriterVersion": (
+                4 if str((properties or {}).get(
+                    "delta.enableChangeDataFeed", "false")).lower() == "true"
+                else 2
+            ),
+        }
         meta = {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
@@ -1228,7 +1396,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         }
     }]
     if next_v == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append({"protocol": proto})
     if emit_meta:
         actions.append({"metaData": meta})
     if txn_app_id is not None:
@@ -1236,9 +1404,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                                 "version": int(txn_version),
                                 "lastUpdated": now_ms}})
     if mode == "overwrite":
+        # partitionValues/size ride the tombstone (the spec's shape, and
+        # what lets read_delta_changes inject REAL partition values into
+        # derived delete rows instead of NULLs)
         actions.extend(
             {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
-                        "dataChange": True}}
+                        "dataChange": True,
+                        "partitionValues": dict(a.get("partitionValues") or {}),
+                        "size": a.get("size")}}
             for a in sorted(live.values(), key=lambda a: a["path"])
         )
     actions.extend({"add": a} for a in new_adds)
@@ -1249,7 +1422,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         state = {_fkey(a): a for a in new_adds}
         if mode == "append":
             state = {**live, **state}
-        _write_checkpoint(spark, log_dir, next_v, meta, state, txns)
+        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto)
     return next_v
 
 
@@ -1272,7 +1445,8 @@ def compact_delta(spark: SparkSession, path: str,
 
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
-    meta, live, latest, _ = _replay_state(spark, path)
+    meta, live, latest, _, proto = _replay_state(spark, path)
+    _check_writer_allowed(proto, meta, "compact")
     if (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none") != "none":
         raise VersionedTableError(
@@ -1301,7 +1475,9 @@ def compact_delta(spark: SparkSession, path: str,
     }]
     actions.extend(
         {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
-                    "dataChange": False}}
+                    "dataChange": False,
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": a.get("size")}}
         for a in sorted(live.values(), key=lambda a: a["path"])
     )
     for a in new_adds:
@@ -1357,7 +1533,7 @@ def vacuum_delta(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
-    _, live, latest, _ = _replay_state(spark, path)
+    _, live, latest, _, _ = _replay_state(spark, path)
     cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
 
     tombstones: dict[str, int] = {}
@@ -1432,7 +1608,7 @@ def read_delta_appends(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
-    meta, _, latest, _ = _replay_state(spark, path)
+    meta, _, latest, _, _ = _replay_state(spark, path)
     if since_version > latest:
         raise VersionedTableError(
             f"read_delta_appends: since_version {since_version} is beyond "
@@ -1449,6 +1625,15 @@ def read_delta_appends(spark: SparkSession, path: str,
             if not line.strip():
                 continue
             action = json.loads(line)
+            if "metaData" in action and (
+                action["metaData"].get("schemaString") != meta["schemaString"]
+            ):
+                raise VersionedTableError(
+                    f"read_delta_appends: commit {v} changes the table "
+                    "schema — reading its files with the latest schema "
+                    "would silently null/drop columns; re-read the full "
+                    "snapshot instead"
+                )
             if "add" in action:
                 if action["add"].get("deletionVector"):
                     raise VersionedTableError(
@@ -1496,7 +1681,7 @@ def read_delta_changes(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
-    meta, _, latest, _ = _replay_state(spark, path)
+    meta, _, latest, _, _ = _replay_state(spark, path)
     conf = meta.get("configuration") or {}
     if str(conf.get("delta.enableChangeDataFeed", "false")).lower() != "true":
         raise VersionedTableError(
@@ -1514,6 +1699,15 @@ def read_delta_changes(spark: SparkSession, path: str,
             f"read_delta_changes: starting_version {starting_version} > "
             f"ending_version {end}"
         )
+    if starting_version < 0 or end > latest:
+        raise VersionedTableError(
+            f"read_delta_changes: range [{starting_version}, {end}] is "
+            f"outside the table's commits [0, {latest}]"
+        )
+    if end != latest:
+        # the reference schema for the range is the schema AS OF its
+        # end — a later schema change must not poison earlier windows
+        meta = _replay_state(spark, path, end)[0]
 
     schema_json = json.loads(meta["schemaString"])
     cdc_meta = {**meta, "schemaString": json.dumps({
@@ -1545,6 +1739,16 @@ def read_delta_changes(spark: SparkSession, path: str,
             if not line.strip():
                 continue
             action = json.loads(line)
+            if "metaData" in action and (
+                action["metaData"].get("schemaString") != meta["schemaString"]
+            ):
+                raise VersionedTableError(
+                    f"read_delta_changes: commit {v} changes the table "
+                    "schema — change rows from older commits cannot be "
+                    "read with the latest schema (delta-spark refuses "
+                    "CDF ranges across schema changes for the same "
+                    "reason); split the range at the schema change"
+                )
             if "cdc" in action:
                 cdcs[action["cdc"]["path"]] = action["cdc"]
             elif "add" in action and action["add"].get("dataChange", True):

@@ -193,34 +193,60 @@ class VersionedTable:
         on completion anyway — readers never see partial JSON).
 
         Crash recovery: a writer that dies between claim and rename
-        leaves ``.{name}.claim`` with no manifest; the version is then
-        unclaimable until the stale claim is deleted (the same manual
-        unlock any lock-file protocol needs). If the manifest EXISTS,
-        the commit completed and the claim is just its tombstone."""
+        leaves ``.{name}.claim`` with no manifest. An in-flight writer
+        renames within milliseconds, so a claim older than 60s with no
+        manifest belongs to a crashed writer and is reclaimed — without
+        that rule the version (and the table) would be write-dead until
+        a manual unlock. After a successful rename the claim is
+        deleted: the manifest file itself then arbitrates the version
+        (a racer that re-claims later loses on the rename, which never
+        overwrites an existing destination)."""
         fs = self._fs()
         fs.mkdirs(self._jpath("_meta"))
+        final = self._jpath("_meta", name)
         tmp = self._jpath("_meta", f".{name}.tmp")
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(data.encode("utf-8")))
         finally:
             out.close()
-        claim = self._jpath("_meta", f".{name}.claim")
-        try:
-            fs.create(claim, False).close()
-        except Exception as e:  # Py4J-wrapped java.io exceptions
+        if fs.exists(final):  # committed while we staged: lose loudly
             fs.delete(tmp, False)
-            jcls = ""
-            if hasattr(e, "java_exception"):
-                jcls = e.java_exception.getClass().getName()
-            if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+            raise VersionedTableError(
+                f"concurrent commit detected for {name} at {self.path}: "
+                "the manifest already exists"
+            )
+        claim = self._jpath("_meta", f".{name}.claim")
+
+        def _claim_once() -> bool:
+            try:
+                fs.create(claim, False).close()
+                return True
+            except Exception as e:  # Py4J-wrapped java.io exceptions
+                jcls = ""
+                if hasattr(e, "java_exception"):
+                    jcls = e.java_exception.getClass().getName()
+                if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+                    return False
+                fs.delete(tmp, False)
+                raise
+
+        if not _claim_once():
+            age_ms = (time.time() * 1000.0
+                      - fs.getFileStatus(claim).getModificationTime())
+            if fs.exists(final) or age_ms < 60_000 or not (
+                fs.delete(claim, False) and _claim_once()
+            ):
+                fs.delete(tmp, False)
                 raise VersionedTableError(
                     f"concurrent commit detected for {name} at {self.path}: "
                     "another writer claimed this version first"
-                ) from e
-            raise
-        if not fs.rename(tmp, self._jpath("_meta", name)):
+                )
+        if not fs.rename(tmp, final):
+            fs.delete(claim, False)
+            fs.delete(tmp, False)
             raise VersionedTableError(f"cannot commit manifest {name} at {self.path}")
+        fs.delete(claim, False)
 
     # --- metadata ---------------------------------------------------------
 

@@ -512,7 +512,7 @@ def test_write_delta_checkpoint_interval_overwrite_and_size_carry(spark, tmp_pat
         spark.createDataFrame([(99, "o")], "id long, v string").coalesce(1),
         d, mode="overwrite", checkpoint_interval=2,
     )
-    meta4, adds4, _ = _replay_checkpoint(spark, log, 4, None)
+    meta4, adds4, _, _ = _replay_checkpoint(spark, log, 4, None)
     assert len(adds4) == 1  # pre-overwrite files are gone from the state
     assert all(a["size"] and a["size"] > 0 for a in adds4.values())
     assert _ids(read_delta(spark, d)) == [99]
@@ -526,7 +526,7 @@ def test_write_delta_checkpoint_interval_overwrite_and_size_carry(spark, tmp_pat
             spark.createDataFrame([(i, "y")], "id long, v string").coalesce(1),
             d, mode="append", checkpoint_interval=2,
         )
-    meta6, adds6, _ = _replay_checkpoint(spark, log, 6, None)
+    meta6, adds6, _, _ = _replay_checkpoint(spark, log, 6, None)
     assert len(adds6) == 3
     assert all(a["size"] and a["size"] > 0 for a in adds6.values())
     assert all(a["modificationTime"] is not None for a in adds6.values())
@@ -1546,7 +1546,7 @@ def test_last_checkpoint_dangling_fails_loud(spark, tmp_path):
     _write_datafile(spark, d, "f0.parquet", [1])
     with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps({"version": 10}))
-    with pytest.raises(VersionedTableError, match="no checkpoint file"):
+    with pytest.raises(VersionedTableError, match="no usable checkpoint"):
         read_delta(spark, d)
 
 
@@ -1819,3 +1819,173 @@ def test_stage_guards_for_cdf_and_maintenance(spark, tmp_path):
             {"type": "VersionedTableMaintenance", "inputURI": d,
              "vacuum": {"retainVersions": 3}},
         ])
+
+
+# --- writer-protocol gate + commit robustness (review round 2) -----------
+
+
+def test_writer_protocol_gate(spark, tmp_path):
+    """The write-side twin of the reader feature check: tables whose
+    writer protocol imposes obligations the bridge cannot uphold are
+    read-only (delta_interop.py:_check_writer_allowed)."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    df = spark.createDataFrame([(9, "x")], "id long, v string")
+
+    # unknown writer feature (rowTracking) refuses any write
+    d1 = str(tmp_path / "wg1")
+    os.makedirs(d1)
+    _write_datafile(spark, d1, "f0.parquet", [1])
+    _log(d1, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                              "writerFeatures": ["rowTracking"]}},
+         _meta(), _add("f0.parquet"))
+    with pytest.raises(VersionedTableError, match="rowTracking"):
+        write_delta(df, d1, mode="append")
+
+    # delta.appendOnly forbids overwrite but allows append
+    d2 = str(tmp_path / "wg2")
+    os.makedirs(d2)
+    _write_datafile(spark, d2, "f0.parquet", [1])
+    m = _meta()
+    m["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+    _log(d2, 0, _PROTOCOL, m, _add("f0.parquet"))
+    with pytest.raises(VersionedTableError, match="appendOnly"):
+        write_delta(df, d2, mode="overwrite")
+    write_delta(df, d2, mode="append")
+    assert _ids(read_delta(spark, d2)) == [1, 9]
+
+    # column invariants the bridge cannot validate refuse writes
+    d3 = str(tmp_path / "wg3")
+    os.makedirs(d3)
+    _write_datafile(spark, d3, "f0.parquet", [1])
+    inv = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.invariants":
+                      '{"expression":{"expression":"id > 0"}}'}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    _log(d3, 0, _PROTOCOL, _meta(inv), _add("f0.parquet"))
+    with pytest.raises(VersionedTableError, match="invariant"):
+        write_delta(df, d3, mode="append")
+
+    # CHECK constraints likewise
+    d4 = str(tmp_path / "wg4")
+    os.makedirs(d4)
+    _write_datafile(spark, d4, "f0.parquet", [1])
+    m4 = _meta()
+    m4["metaData"]["configuration"] = {
+        "delta.constraints.positive": "id > 0"}
+    _log(d4, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+         m4, _add("f0.parquet"))
+    with pytest.raises(VersionedTableError, match="CHECK constraints"):
+        write_delta(df, d4, mode="append")
+
+
+def test_cdf_partitioned_deletes_carry_partition_values(spark, tmp_path):
+    """Overwrite tombstones carry partitionValues, so CDF delete rows
+    on partitioned tables report REAL partition values, not NULLs."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "cdfpart")
+    df1 = spark.createDataFrame([(1, "a", 1), (2, "b", 2)],
+                                "id long, v string, k int")
+    write_delta(df1, d, mode="overwrite", partition_by=["k"],
+                properties={"delta.enableChangeDataFeed": "true"})
+    write_delta(spark.createDataFrame([(3, "c", 1)],
+                                      "id long, v string, k int"),
+                d, mode="overwrite")
+    ch = read_delta_changes(spark, d, 1, 1)
+    deletes = sorted((r["id"], r["k"]) for r in ch.collect()
+                     if r["_change_type"] == "delete")
+    assert deletes == [(1, 1), (2, 2)]  # real k values, not NULL
+
+
+def test_write_to_checkpoint_only_log_resumes_not_clobbers(spark, tmp_path):
+    """A table whose JSON commits were all pruned (checkpoint-only log)
+    is an EXISTING table: an append must land at checkpoint_version+1,
+    not commit an invisible version 0."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "cponly")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    _write_datafile(spark, d, "f0.parquet", [1, 2])
+    actions = [{"checkpointMetadata": {"version": 12}}, _PROTOCOL,
+               _meta(), _add("f0.parquet")]
+    with open(os.path.join(log, f"{12:020d}.checkpoint.cccccccc.json"),
+              "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 12}))
+
+    v = write_delta(spark.createDataFrame([(3, "c")], "id long, v string"),
+                    d, mode="append")
+    assert v == 13
+    assert _ids(read_delta(spark, d)) == [1, 2, 3]
+
+
+def test_stale_claim_recovery_and_cleanup(spark, tmp_path):
+    """A claim file left by a CRASHED writer (old mtime, no final log
+    entry) no longer bricks the version; a FRESH claim still loses
+    loudly; successful commits clean their claim up."""
+    import time as _t
+
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "claims")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_delta(df, d, mode="overwrite")
+    log = os.path.join(d, "_delta_log")
+    assert not [f for f in os.listdir(log) if f.endswith(".claim")]
+
+    # stale claim for the NEXT version: recovered after the 60s window
+    stale = os.path.join(log, f".{1:020d}.json.claim")
+    open(stale, "w").close()
+    os.utime(stale, (_t.time() - 120,) * 2)
+    assert write_delta(df, d, mode="append") == 1
+
+    # fresh claim: treated as an in-flight writer, loses loudly
+    fresh = os.path.join(log, f".{2:020d}.json.claim")
+    open(fresh, "w").close()
+    with pytest.raises(VersionedTableError, match="concurrent"):
+        write_delta(df, d, mode="append")
+
+
+def test_cdf_create_claims_writer_version_4(spark, tmp_path):
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "cdfproto")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"),
+                d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    first = open(os.path.join(d, "_delta_log", f"{0:020d}.json")).read()
+    protos = [json.loads(ln)["protocol"] for ln in first.splitlines()
+              if "protocol" in ln]
+    assert protos[0]["minWriterVersion"] == 4
+
+
+def test_changes_and_appends_schema_drift_fail_loud(spark, tmp_path):
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta_appends,
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "drift")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"),
+                d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    write_delta(spark.createDataFrame([(2, 9)], "id long, w long"),
+                d, mode="overwrite")  # schema change at v1
+    with pytest.raises(VersionedTableError, match="schema"):
+        read_delta_changes(spark, d, 0)
+    with pytest.raises(VersionedTableError, match="schema"):
+        read_delta_appends(spark, d, since_version=-1)
+    # range before the change still reads
+    assert read_delta_changes(spark, d, 0, 0).count() == 1
+    # out-of-range asks fail with the accurate message
+    with pytest.raises(VersionedTableError, match="outside the table"):
+        read_delta_changes(spark, d, 0, 99)

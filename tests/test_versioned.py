@@ -550,9 +550,13 @@ def test_conflicting_commit_fails_loudly(spark, table):
 
 
 def test_stale_claim_blocks_version_until_cleared(spark, table):
-    """A writer that dies between claim and publish leaves a claim with
-    no manifest; the version stays unclaimable (fail-loud, never
-    silent reuse) until the stale claim is deleted."""
+    """A FRESH claim (an in-flight writer) blocks the version
+    fail-loud; a claim older than 60s with no manifest belongs to a
+    CRASHED writer and is reclaimed automatically — the table never
+    stays write-dead."""
+    import os as _os
+    import time as _t
+
     table.write(spark.range(3).toDF("id"))
     fs = table._fs()
     fs.create(table._jpath("_meta", ".v00000002.json.claim"), False).close()
@@ -562,6 +566,14 @@ def test_stale_claim_blocks_version_until_cleared(spark, table):
     fs.delete(table._jpath("_meta", ".v00000002.json.claim"), False)
     table._write_text_atomic("v00000002.json", stub)
     assert table.manifest(2)["operation"] == "W"
+    # crashed-writer recovery: a >60s-old claim with no manifest is
+    # reclaimed without manual intervention
+    stale = _os.path.join(table.path, "_meta", ".v00000003.json.claim")
+    open(stale, "w").close()
+    _os.utime(stale, (_t.time() - 120,) * 2)
+    stub3 = '{"version": 3, "operation": "R", "files": [], "schema": {}}'
+    table._write_text_atomic("v00000003.json", stub3)
+    assert table.manifest(3)["operation"] == "R"
 
 
 def test_timestamp_as_of_time_travel(spark, table):
