@@ -277,3 +277,66 @@ ORACLES["q_scd2_point_in_time"] = f"""
     WHERE e.ts >= CAST(m.valid_from AS TIMESTAMP)
       AND (m.valid_to IS NULL OR e.ts < CAST(m.valid_to AS TIMESTAMP))
 """
+
+
+def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge Change-Data-Feed round trip, exactly oracle-checked:
+    create a CDF-enabled Delta table (write bridge,
+    ``delta.enableChangeDataFeed`` at CREATE) from the even-half of an
+    ``orders`` sample, overwrite it with the odd-half, then consume
+    ``read_delta_changes(0)`` — v0 must derive inserts, v1 must derive
+    deletes (the even rows, with the table's real values) plus inserts
+    (the odd rows). Integer aggregates per (version, change type) make
+    parity bit-for-bit; DuckDB replays the commit algebra directly from
+    ``orders`` (tables/delta_interop.py:read_delta_changes)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q_delta_cdf_")
+    _TEMP_TABLE_DIRS.append(root)
+    d = f"{root}/t"
+    write_delta(base.filter(F.col("o_orderkey") % 100 == 0), d,
+                mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    write_delta(base.filter(F.col("o_orderkey") % 100 != 0), d,
+                mode="overwrite")
+    return (
+        read_delta_changes(spark, d, 0)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )
+
+
+QUERIES["q_delta_cdf"] = q_delta_cdf
+
+# the commit algebra replayed from `orders` directly: v0 inserts the
+# even-half, v1 deletes the even-half and inserts the odd-half
+ORACLES["q_delta_cdf"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    ev AS (SELECT * FROM base WHERE o_orderkey % 100 = 0),
+    od AS (SELECT * FROM base WHERE o_orderkey % 100 <> 0)
+    SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM ev
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM ev
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM od
+    ORDER BY _commit_version, _change_type
+"""
