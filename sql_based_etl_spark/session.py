@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # parquet scans resolve columns by FIELD ID whenever the read
+        # schema carries parquet.field.id metadata (inert otherwise) —
+        # required by the Delta bridge for id-mode column-mapped tables
+        # (tables/delta_interop.py:_snapshot_df). Set here, at session
+        # construction, so reading such a table is not a hidden session
+        # mutation; the bridge fail-louds if a foreign session lacks it.
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -335,11 +335,24 @@ def _dv_row_indexes(spark: SparkSession, table_path: str, dv: dict):
     size = int(dv["sizeInBytes"])
     if st == "i":
         payload = _z85_decode(dv["pathOrInlineDv"])
-        if len(payload) != size:
+        # delta-spark's Base85Codec zero-pads the serialized bitmap to a
+        # multiple of 4 at encode and truncates to sizeInBytes at decode
+        # (Base85Codec.decodeBytes(encoded, outputLength)) — an inline DV
+        # whose roaring serialization is not 4-aligned (e.g. an array
+        # container holding an odd number of 2-byte values) legitimately
+        # decodes LONGER than sizeInBytes. Truncate to match; only a
+        # SHORT payload is a framing error.
+        if len(payload) < size:
             raise VersionedTableError(
                 f"deletion vector: inline payload is {len(payload)} bytes, "
                 f"descriptor says {size}"
             )
+        if any(payload[size:]):
+            raise VersionedTableError(
+                "deletion vector: non-zero Z85 pad bytes past sizeInBytes "
+                f"({len(payload) - size} trailing bytes)"
+            )
+        payload = payload[:size]
     elif st in ("u", "p"):
         if st == "u":
             enc = dv["pathOrInlineDv"]
@@ -738,12 +751,21 @@ def _snapshot_df(
     # (struct casts match by position, and the two schemas are
     # structurally identical by construction). In id mode the physical
     # schema additionally carries parquet.field.id metadata and the
-    # scan resolves columns by the files' field ids, not names — the
-    # fieldId.read conf below only changes behavior for schemas that
-    # carry that metadata, so enabling it session-wide is inert for
-    # every other read.
-    if mode == "id":
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    # scan resolves columns by the files' field ids, not names — that
+    # requires spark.sql.parquet.fieldId.read.enabled, which session.py
+    # sets at CONSTRUCTION time (a read path must not silently mutate
+    # shared session conf: the setting changes resolution semantics for
+    # every other field-id-carrying parquet read in the session and
+    # would outlive this call). Foreign sessions without it fail loudly
+    # with the remediation named.
+    if mode == "id" and str(spark.conf.get(
+            "spark.sql.parquet.fieldId.read.enabled", "false")).lower() != "true":
+        raise VersionedTableError(
+            f"Delta table at {path} uses id-mode column mapping, which "
+            "requires spark.sql.parquet.fieldId.read.enabled=true at "
+            "session construction (sql_based_etl_spark.session.get_spark "
+            "sets it); refusing to mutate the running session's conf"
+        )
     phys = (StructType.fromJson(
         _physical_schema_json(json.loads(meta["schemaString"]),
                               with_field_ids=mode == "id"))
@@ -898,70 +920,37 @@ def is_delta_dir(spark: SparkSession, path: str) -> bool:
 
 def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
                       data: str) -> None:
-    """Commit ``_delta_log/%020d.json`` with the same exclusive-claim
-    protocol as VersionedTable manifests (versioned.py:_write_text_atomic):
-    temp write → conditional-create claim → winner-only rename. Delta's
-    own correctness contract is exactly this — the log entry for a
-    version must be created at most once — and a racing committer loses
-    LOUDLY on every FS type. Dot-prefixed temp/claim names are invisible
-    to Delta readers (log listing matches ``%020d.json`` only)."""
-    import time as _time
-
-    fs, _, _ = _fs_and_path(spark, log_dir)
+    """Commit ``_delta_log/%020d.json`` via ONE conditional create of
+    the final file (the same protocol as VersionedTable manifests,
+    versioned.py:_write_text_atomic — see its docstring for the full
+    FS-semantics discussion). Delta's correctness contract is exactly
+    put-if-absent on the log entry, and the final file itself is the
+    arbiter: a rename-last protocol cannot provide at-most-once because
+    POSIX ``rename(2)`` silently replaces an existing destination, so a
+    writer pausing past any staleness window could clobber a committed
+    entry. Conditional create makes the loser raise at creation time on
+    every FS type. A writer crashing BEFORE the create leaves nothing
+    behind (next committer proceeds); crashing mid-write leaves a
+    truncated entry that fails JSON-parse loudly — never silent."""
+    fs, jdir, _ = _fs_and_path(spark, log_dir)
     name = f"{version:020d}.json"
-    jdir = _fs_and_path(spark, log_dir)[1]
     fs.mkdirs(jdir)
     final = _fs_and_path(spark, f"{log_dir}/{name}")[1]
-    tmp = _fs_and_path(spark, f"{log_dir}/.{name}.tmp")[1]
-    out = fs.create(tmp, True)
+    try:
+        out = fs.create(final, False)  # conditional create: loser raises
+    except Exception as e:  # Py4J-wrapped java.io exceptions
+        jcls = (e.java_exception.getClass().getName()
+                if hasattr(e, "java_exception") else "")
+        if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+            raise VersionedTableError(
+                f"concurrent Delta commit detected for version {version} at "
+                f"{log_dir}: the log entry already exists"
+            ) from None
+        raise
     try:
         out.write(bytearray(data.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(final):  # committed while we staged: lose loudly
-        fs.delete(tmp, False)
-        raise VersionedTableError(
-            f"concurrent Delta commit detected for version {version} at "
-            f"{log_dir}: the log entry already exists"
-        )
-    claim = _fs_and_path(spark, f"{log_dir}/.{name}.claim")[1]
-
-    def _claim_once() -> bool:
-        try:
-            fs.create(claim, False).close()
-            return True
-        except Exception as e:  # Py4J-wrapped java.io exceptions
-            jcls = (e.java_exception.getClass().getName()
-                    if hasattr(e, "java_exception") else "")
-            if "AlreadyExists" in jcls or "already exists" in str(e).lower():
-                return False
-            fs.delete(tmp, False)
-            raise
-
-    if not _claim_once():
-        # an in-flight writer renames within milliseconds of claiming;
-        # a claim with no final file after 60s belongs to a CRASHED
-        # writer — without this recovery the version (and thus the
-        # whole table) would be write-dead forever
-        age_ms = (_time.time() * 1000.0
-                  - fs.getFileStatus(claim).getModificationTime())
-        if fs.exists(final) or age_ms < 60_000 or not (
-            fs.delete(claim, False) and _claim_once()
-        ):
-            fs.delete(tmp, False)
-            raise VersionedTableError(
-                f"concurrent Delta commit detected for version {version} at "
-                f"{log_dir}: another writer claimed it first"
-            )
-    if not fs.rename(tmp, final):
-        # dest exists ⇒ a racer won after stale-claim recovery: at most
-        # one rename ever succeeds, so losing here is loud and safe
-        fs.delete(claim, False)
-        fs.delete(tmp, False)
-        raise VersionedTableError(f"cannot commit Delta log {name} at {log_dir}")
-    # success: the final file now arbitrates this version; dropping the
-    # claim keeps the log dir from accumulating one dotfile per commit
-    fs.delete(claim, False)
 
 
 def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
@@ -1439,8 +1428,8 @@ def compact_delta(spark: SparkSession, path: str,
     streaming readers skip it (see :func:`read_delta_appends`).
 
     Schema, metaData and txn watermarks are untouched; the commit races
-    through the same exclusive-claim protocol as any other. Returns the
-    committed version."""
+    through the same conditional-create protocol as any other. Returns
+    the committed version."""
     import time
 
     path = path.rstrip("/")
@@ -1784,9 +1773,22 @@ def read_delta_changes(spark: SparkSession, path: str,
                 _snapshot_df(spark, path, meta, adds)
                 .withColumn("_change_type", F.lit("insert"))))
         if removes:
-            # removes carry no partitionValues guarantee pre-protocol-v4
-            # writers, but Delta requires them when CDF is on; read the
-            # removed files' rows as deletes
+            # the spec lets a remove omit partitionValues when
+            # extendedFileMetadata is false (external writers emit
+            # these); _snapshot_df would then inject NULL partition
+            # columns into the delete rows — a silent wrong answer on
+            # this module's own fail-loud contract. Enforce here.
+            part_cols = (meta or {}).get("partitionColumns") or []
+            for r in removes.values():
+                pv = r.get("partitionValues")
+                if part_cols and (pv is None
+                                  or any(c not in pv for c in part_cols)):
+                    raise VersionedTableError(
+                        f"read_delta_changes: commit {v} removes "
+                        f"{r.get('path')!r} without partitionValues for "
+                        f"partition columns {part_cols} — delete rows "
+                        "cannot be reconstructed; install delta-spark"
+                    )
             _emit(_stamp(
                 _snapshot_df(spark, path, meta, removes)
                 .withColumn("_change_type", F.lit("delete"))))

@@ -17,7 +17,7 @@ A manifest lists the **files** composing its snapshot — copy-on-write
 at file granularity, like Delta/Iceberg: a version may reference files
 written by earlier versions. Readers list ``_meta`` and take the
 highest N; a reader never sees a half-written version because the
-manifest is committed (create temp + rename) only after the data files
+manifest is committed (one conditional create) only after the data files
 are fully written. Single-writer semantics (matching the reference's
 Argo DAG, scd2-job-scheduler.yaml:47-48: merges are serialized behind
 their dependencies).
@@ -26,11 +26,12 @@ All metadata I/O goes through the Hadoop FileSystem API (via the JVM
 gateway), so a table can live on any Hadoop-supported filesystem —
 ``file://`` locally, ``hdfs://``/``s3a://`` on a cluster (the
 reference's tables are on S3, scd2-job.ipynb:42,167). Manifest commit
-is an exclusive-claim protocol (see ``_write_text_atomic``): two
-writers racing to the same version number get optimistic-concurrency
-semantics on EVERY FS type — the loser's commit raises instead of
-silently overwriting (pytest-pinned), including object stores, where
-the claim maps to a conditional PUT on Hadoop ≥ 3.4.1 S3A.
+is one conditional create of the final file (see
+``_write_text_atomic``): two writers racing to the same version number
+get optimistic-concurrency semantics on EVERY FS type — the loser's
+commit raises instead of silently overwriting (pytest-pinned),
+including object stores, where the create maps to a conditional PUT on
+Hadoop ≥ 3.4.1 S3A.
 
 Scale posture: MERGE joins the source against only the target files
 that contain matching rows (detected with one semi-join over
@@ -176,77 +177,53 @@ class VersionedTable:
             stream.close()
 
     def _write_text_atomic(self, name: str, data: str) -> None:
-        """Commit ``_meta/<name>`` exclusively: temp write → exclusive
-        claim → rename.
+        """Commit ``_meta/<name>`` exclusively via ONE conditional
+        create of the final file: ``fs.create(final, overwrite=False)``.
 
-        The claim is ``fs.create(claim_path, overwrite=False)`` — the
-        FileSystem contract's conditional create. Exactly one of two
-        racing committers wins it on every FS type: local/HDFS raise
-        ``FileAlreadyExistsException`` on the second create, and S3A
-        maps it to a conditional PUT (``If-None-Match``) on Hadoop ≥
-        3.4.1 (older S3A does HEAD-then-PUT, leaving a millisecond
-        race — front with a lock service there, the pre-conditional-put
-        Delta-on-S3 pattern). The loser RAISES instead of silently
-        overwriting — no last-writer-wins on any store. The final
-        rename is winner-only, so its non-atomicity on object stores no
-        longer matters (and an S3 copy publishes the object atomically
-        on completion anyway — readers never see partial JSON).
+        The final file itself arbitrates the version — there is no
+        temp/claim/rename dance, because rename cannot provide
+        at-most-once: POSIX ``rename(2)`` (Hadoop RawLocalFileSystem
+        delegates to it) silently REPLACES an existing destination, so
+        any rename-last protocol lets a writer that paused past a
+        staleness window wake up and clobber a committed manifest —
+        a silent lost commit. Conditional create has no such wake-up
+        hole: the loser raises at creation time, full stop.
 
-        Crash recovery: a writer that dies between claim and rename
-        leaves ``.{name}.claim`` with no manifest. An in-flight writer
-        renames within milliseconds, so a claim older than 60s with no
-        manifest belongs to a crashed writer and is reclaimed — without
-        that rule the version (and the table) would be write-dead until
-        a manual unlock. After a successful rename the claim is
-        deleted: the manifest file itself then arbitrates the version
-        (a racer that re-claims later loses on the rename, which never
-        overwrites an existing destination)."""
+        Atomicity of the conditional create: HDFS/ABFS arbitrate at the
+        namenode/service (exact); S3A maps it to a conditional PUT
+        (``If-None-Match``) on Hadoop ≥ 3.4.1 (older S3A does
+        HEAD-then-PUT — front with a lock service there, the
+        pre-conditional-put Delta-on-S3 pattern); raw local FS
+        checks-then-creates, a microsecond window vs the unbounded
+        pause window rename-based protocols carry. The loser RAISES on
+        every store — no last-writer-wins anywhere.
+
+        Crash recovery: a writer that dies BEFORE the create leaves
+        nothing behind — the next committer of this version proceeds
+        normally (no write-dead version, no stale-claim reclaim rule to
+        get wrong). A writer that dies mid-write leaves a truncated
+        manifest that fails JSON-parse LOUDLY on the next read — a
+        narrow window (one buffered write of the whole payload), and
+        loud, never silent."""
         fs = self._fs()
         fs.mkdirs(self._jpath("_meta"))
         final = self._jpath("_meta", name)
-        tmp = self._jpath("_meta", f".{name}.tmp")
-        out = fs.create(tmp, True)
+        try:
+            out = fs.create(final, False)  # conditional create: loser raises
+        except Exception as e:  # Py4J-wrapped java.io exceptions
+            jcls = ""
+            if hasattr(e, "java_exception"):
+                jcls = e.java_exception.getClass().getName()
+            if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+                raise VersionedTableError(
+                    f"concurrent commit detected for {name} at {self.path}: "
+                    "the manifest already exists"
+                ) from None
+            raise
         try:
             out.write(bytearray(data.encode("utf-8")))
         finally:
             out.close()
-        if fs.exists(final):  # committed while we staged: lose loudly
-            fs.delete(tmp, False)
-            raise VersionedTableError(
-                f"concurrent commit detected for {name} at {self.path}: "
-                "the manifest already exists"
-            )
-        claim = self._jpath("_meta", f".{name}.claim")
-
-        def _claim_once() -> bool:
-            try:
-                fs.create(claim, False).close()
-                return True
-            except Exception as e:  # Py4J-wrapped java.io exceptions
-                jcls = ""
-                if hasattr(e, "java_exception"):
-                    jcls = e.java_exception.getClass().getName()
-                if "AlreadyExists" in jcls or "already exists" in str(e).lower():
-                    return False
-                fs.delete(tmp, False)
-                raise
-
-        if not _claim_once():
-            age_ms = (time.time() * 1000.0
-                      - fs.getFileStatus(claim).getModificationTime())
-            if fs.exists(final) or age_ms < 60_000 or not (
-                fs.delete(claim, False) and _claim_once()
-            ):
-                fs.delete(tmp, False)
-                raise VersionedTableError(
-                    f"concurrent commit detected for {name} at {self.path}: "
-                    "another writer claimed this version first"
-                )
-        if not fs.rename(tmp, final):
-            fs.delete(claim, False)
-            fs.delete(tmp, False)
-            raise VersionedTableError(f"cannot commit manifest {name} at {self.path}")
-        fs.delete(claim, False)
 
     # --- metadata ---------------------------------------------------------
 

@@ -439,20 +439,25 @@ def test_write_delta_partitioned_and_drift(spark, tmp_path):
 
 def test_write_delta_concurrent_commit_loses_loudly(spark, tmp_path):
     """Two writers racing to the same log version: the loser raises
-    (Delta's put-if-absent contract via the exclusive-claim commit)."""
+    (Delta's put-if-absent contract via conditional create of the
+    final log entry — the entry file itself is the arbiter; losing
+    NEVER replaces the winner's committed content)."""
     from sql_based_etl_spark.tables.delta_interop import _commit_delta_log, write_delta
 
     t = str(tmp_path / "wdc")
     df = spark.range(3).select(F.col("id"), F.lit("a").alias("v"))
     write_delta(df, t, mode="overwrite")
-    # a racer mid-commit holds the claim for version 1 but has not
-    # published 1.json yet — our commit to the same version must lose
-    open(os.path.join(t, "_delta_log", f".{1:020d}.json.claim"), "w").close()
+    # a racer publishes version 1 between our snapshot read and our
+    # commit — our commit to the same version must lose loudly, and the
+    # racer's entry must survive byte-for-byte (no rename-replace hole)
+    racer = json.dumps({"commitInfo": {"operation": "RACER"}})
+    _commit_delta_log(spark, f"{t}/_delta_log", 1, racer)
     with pytest.raises(VersionedTableError, match="concurrent Delta commit"):
-        write_delta(df, t, mode="append")
-    # a racer that FINISHED v1 is not a conflict: we commit v2 on top
-    os.remove(os.path.join(t, "_delta_log", f".{1:020d}.json.claim"))
-    _commit_delta_log(spark, f"{t}/_delta_log", 1, json.dumps({"commitInfo": {}}))
+        _commit_delta_log(spark, f"{t}/_delta_log", 1,
+                          json.dumps({"commitInfo": {"operation": "LOSER"}}))
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json")) as f:
+        assert f.read() == racer
+    # a racer that FINISHED v1 is not a conflict for v2: we commit on top
     assert write_delta(df, t, mode="append") == 2
 
 
@@ -1158,6 +1163,43 @@ def test_read_delta_ondisk_deletion_vector(spark, tmp_path):
     assert _ids(read_delta(spark, d)) == [0, 1, 3, 4, 6, 8, 9]
 
 
+def test_read_delta_inline_dv_unaligned_payload(spark, tmp_path):
+    """An inline DV whose serialized roaring bitmap is NOT a multiple of
+    4 bytes (three deleted rows → an array container with an odd value
+    count): delta-spark's Base85Codec zero-pads to 4-alignment at encode
+    and truncates to sizeInBytes at decode, so the Z85 payload decodes
+    LONGER than sizeInBytes on a perfectly valid table. The bridge must
+    truncate to match — the aligned fixtures elsewhere masked this."""
+    d = str(tmp_path / "dvpad")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(10)))
+    payload = _dv_payload([1, 4, 7])
+    assert len(payload) % 4 != 0, "fixture must exercise the unaligned case"
+    pad = (-len(payload)) % 4
+    dv = {"storageType": "i",
+          "pathOrInlineDv": _z85_encode(payload + b"\x00" * pad),
+          "sizeInBytes": len(payload), "cardinality": 3}
+    _log(d, 0, _DV_PROTOCOL, _meta(), _add_dv("f0.parquet", dv))
+    assert _ids(read_delta(spark, d)) == [0, 2, 3, 5, 6, 8, 9]
+
+
+def test_read_delta_inline_dv_nonzero_pad_rejected(spark, tmp_path):
+    """Bytes past sizeInBytes must be ZERO pad — non-zero tail means a
+    corrupt descriptor or payload, and truncating it silently would be
+    row resurrection; still fail-loud."""
+    d = str(tmp_path / "dvbadpad")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(10)))
+    payload = _dv_payload([1, 4, 7])
+    pad = (-len(payload)) % 4 or 4
+    dv = {"storageType": "i",
+          "pathOrInlineDv": _z85_encode(payload + b"\x7f" * pad),
+          "sizeInBytes": len(payload), "cardinality": 3}
+    _log(d, 0, _DV_PROTOCOL, _meta(), _add_dv("f0.parquet", dv))
+    with pytest.raises(VersionedTableError, match="pad bytes"):
+        read_delta(spark, d).collect()
+
+
 def test_dv_reconciliation_keyed_by_path_and_dv(spark, tmp_path):
     # an in-place delete commits add(path, new DV) + remove(path, old
     # DV); within-commit order is undefined, so the add is written
@@ -1355,6 +1397,19 @@ def test_read_delta_id_mode_column_mapping(spark, tmp_path):
     _log(d, 1, meta_bad)
     with pytest.raises(VersionedTableError, match="delta.columnMapping.id"):
         read_delta(spark, d).collect()
+
+    # id-mode resolution DEPENDS on fieldId.read; a session without it
+    # (session.py sets it at construction) must fail loudly instead of
+    # the bridge silently mutating shared session conf from a read path
+    os.remove(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    try:
+        with pytest.raises(VersionedTableError,
+                           match="fieldId.read.enabled"):
+            read_delta(spark, d)
+    finally:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    assert _ids(read_delta(spark, d)) == [1, 2]
 
 
 def test_timestamp_travel_honors_in_commit_timestamps(spark, tmp_path):
@@ -1611,6 +1666,38 @@ def test_read_delta_changes_requires_cdf_enabled(spark, delta_dir):
 
     with pytest.raises(VersionedTableError, match="enableChangeDataFeed"):
         read_delta_changes(spark, delta_dir, 0)
+
+
+def test_read_delta_changes_remove_without_partition_values_fails_loudly(
+        spark, tmp_path):
+    """On a PARTITIONED table, a dataChange remove lacking
+    partitionValues (legal when extendedFileMetadata is false —
+    external writers emit these) must fail loudly: deriving delete
+    rows through the snapshot reader would silently inject NULL
+    partition-column values — a wrong answer. A remove that DOES carry
+    them still derives deletes correctly."""
+    from sql_based_etl_spark.tables.delta_interop import read_delta_changes
+
+    d = str(tmp_path / "cdfpv")
+    os.makedirs(d)
+    _write_datafile(spark, d, "v=a/f0.parquet", [1, 2])
+    _write_datafile(spark, d, "v=b/f1.parquet", [3])
+    meta = _meta(partition_cols=["v"])
+    meta["metaData"]["configuration"] = {"delta.enableChangeDataFeed": "true"}
+    _log(d, 0, _PROTOCOL, meta,
+         _add("v=a/f0.parquet", pv={"v": "a"}),
+         _add("v=b/f1.parquet", pv={"v": "b"}))
+    # the compliant remove: partitionValues present → real delete rows
+    _log(d, 1, {"remove": {"path": "v=b/f1.parquet", "dataChange": True,
+                           "partitionValues": {"v": "b"}}})
+    ch = read_delta_changes(spark, d, 1, 1)
+    assert [(r["id"], r["v"], r["_change_type"]) for r in ch.collect()] == [
+        (3, "b", "delete")]
+    # the non-compliant remove: no partitionValues on a partitioned
+    # table → loud error naming the file, never NULL-valued deletes
+    _log(d, 2, {"remove": {"path": "v=a/f0.parquet", "dataChange": True}})
+    with pytest.raises(VersionedTableError, match="without partitionValues"):
+        read_delta_changes(spark, d, 2, 2).collect()
 
 
 def test_delta_extract_stage_cdf_options(spark, tmp_path):
@@ -1927,30 +2014,35 @@ def test_write_to_checkpoint_only_log_resumes_not_clobbers(spark, tmp_path):
     assert _ids(read_delta(spark, d)) == [1, 2, 3]
 
 
-def test_stale_claim_recovery_and_cleanup(spark, tmp_path):
-    """A claim file left by a CRASHED writer (old mtime, no final log
-    entry) no longer bricks the version; a FRESH claim still loses
-    loudly; successful commits clean their claim up."""
-    import time as _t
+def test_crashed_writer_leaves_no_residue_and_truncation_is_loud(spark, tmp_path):
+    """Crash-recovery contract of the conditional-create commit: a
+    writer that dies BEFORE creating the log entry leaves NOTHING
+    behind (no claim/tmp dotfiles, no write-dead version — the next
+    committer just proceeds); a writer that dies MID-WRITE leaves a
+    truncated entry that fails loudly on read, never a silent wrong
+    answer."""
+    from sql_based_etl_spark.tables.delta_interop import read_delta, write_delta
 
-    from sql_based_etl_spark.tables.delta_interop import write_delta
-
-    d = str(tmp_path / "claims")
+    d = str(tmp_path / "crash")
     df = spark.createDataFrame([(1, "a")], "id long, v string")
     write_delta(df, d, mode="overwrite")
     log = os.path.join(d, "_delta_log")
-    assert not [f for f in os.listdir(log) if f.endswith(".claim")]
-
-    # stale claim for the NEXT version: recovered after the 60s window
-    stale = os.path.join(log, f".{1:020d}.json.claim")
-    open(stale, "w").close()
-    os.utime(stale, (_t.time() - 120,) * 2)
+    # no protocol residue (claim/tmp dotfiles), ever — dies-before-create
+    # leaves nothing; Hadoop LocalFileSystem .crc checksum sidecars are
+    # the FS's own integrity artifacts, not protocol state
+    assert [f for f in os.listdir(log)
+            if f.startswith(".") and not f.endswith(".crc")] == []
     assert write_delta(df, d, mode="append") == 1
 
-    # fresh claim: treated as an in-flight writer, loses loudly
-    fresh = os.path.join(log, f".{2:020d}.json.claim")
-    open(fresh, "w").close()
-    with pytest.raises(VersionedTableError, match="concurrent"):
+    # mid-write crash: a truncated (half-written JSON) entry for the
+    # next version is a LOUD read failure and a LOUD commit conflict
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as f:
+        f.write('{"add": {"path": "x.parquet", "si')
+    with pytest.raises(Exception):
+        read_delta(spark, d).collect()
+    # the next writer fails loudly too: replaying the log to find the
+    # next version hits the truncated JSON before it could ever commit
+    with pytest.raises(Exception):
         write_delta(df, d, mode="append")
 
 

@@ -531,9 +531,10 @@ def test_restore_via_maintenance_stage(spark, table):
 
 def test_conflicting_commit_fails_loudly(spark, table):
     """Two writers racing to the same version number: exactly one wins
-    the exclusive claim (a conditional create, atomic on every FS type,
-    not a rename); the loser RAISES instead of silently overwriting —
-    no last-writer-wins anywhere, including object stores."""
+    the conditional create of the manifest itself (atomic on every FS
+    type, not a rename); the loser RAISES instead of silently
+    overwriting — no last-writer-wins anywhere, including object
+    stores, and the winner's content survives byte-for-byte."""
     from sql_based_etl_spark.tables.versioned import VersionedTable
 
     table.write(spark.range(3).toDF("id"))
@@ -549,31 +550,30 @@ def test_conflicting_commit_fails_loudly(spark, table):
     assert table.manifest(2)["operation"] == "A"
 
 
-def test_stale_claim_blocks_version_until_cleared(spark, table):
-    """A FRESH claim (an in-flight writer) blocks the version
-    fail-loud; a claim older than 60s with no manifest belongs to a
-    CRASHED writer and is reclaimed automatically — the table never
-    stays write-dead."""
+def test_crashed_writer_never_bricks_the_version(spark, table):
+    """Crash-recovery contract of the conditional-create commit: a
+    writer dying BEFORE the create leaves nothing behind — no claim
+    dotfiles, no write-dead version, no staleness clock whose expiry
+    could let a paused writer silently replace a committed manifest.
+    The version stays immediately committable by the next writer."""
     import os as _os
-    import time as _t
 
     table.write(spark.range(3).toDF("id"))
-    fs = table._fs()
-    fs.create(table._jpath("_meta", ".v00000002.json.claim"), False).close()
+    # no protocol residue (claim/tmp dotfiles) after a successful commit
+    # (.crc files are Hadoop LocalFileSystem checksum sidecars, not ours)
+    meta = _os.path.join(table.path, "_meta")
+    assert [f for f in _os.listdir(meta)
+            if f.startswith(".") and not f.endswith(".crc")] == []
+    # the next version is immediately committable (nothing to reclaim)
     stub = '{"version": 2, "operation": "W", "files": [], "schema": {}}'
-    with pytest.raises(VersionedTableError, match="concurrent commit"):
-        table._write_text_atomic("v00000002.json", stub)
-    fs.delete(table._jpath("_meta", ".v00000002.json.claim"), False)
     table._write_text_atomic("v00000002.json", stub)
     assert table.manifest(2)["operation"] == "W"
-    # crashed-writer recovery: a >60s-old claim with no manifest is
-    # reclaimed without manual intervention
-    stale = _os.path.join(table.path, "_meta", ".v00000003.json.claim")
-    open(stale, "w").close()
-    _os.utime(stale, (_t.time() - 120,) * 2)
-    stub3 = '{"version": 3, "operation": "R", "files": [], "schema": {}}'
-    table._write_text_atomic("v00000003.json", stub3)
-    assert table.manifest(3)["operation"] == "R"
+    # a mid-write crash (truncated manifest) is a LOUD commit conflict
+    # for the next writer of that version, never a silent overwrite
+    with open(_os.path.join(meta, "v00000003.json"), "w") as f:
+        f.write('{"version": 3, "opera')
+    with pytest.raises(VersionedTableError, match="concurrent commit"):
+        table._write_text_atomic("v00000003.json", stub)
 
 
 def test_timestamp_as_of_time_travel(spark, table):
