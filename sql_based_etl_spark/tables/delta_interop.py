@@ -57,7 +57,11 @@ import urllib.parse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_based_etl_spark.tables.versioned import VersionedTable, VersionedTableError
+from sql_based_etl_spark.tables.versioned import (
+    VersionedTable,
+    VersionedTableError,
+    publish_text_exclusive,
+)
 
 
 def delta_available() -> bool:
@@ -528,10 +532,7 @@ def _replay_checkpoint(
             )
         name = names[0]
         if name.endswith(".json"):
-            for line in _read_text(spark, f"{log_dir}/{name}").splitlines():
-                if not line.strip():
-                    continue
-                action = json.loads(line)
+            for action in _log_actions(spark, f"{log_dir}/{name}"):
                 if "protocol" in action:
                     _check_protocol(action)
                     proto = action["protocol"]
@@ -632,10 +633,7 @@ def _resolve_log_version(spark: SparkSession, path: str,
     fs, _, _ = _fs_and_path(spark, log_dir)
 
     def _ict_ms(v: int) -> int | None:
-        for line in _read_text(spark, logs[v]).splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
+        for action in _log_actions(spark, logs[v]):
             if "commitInfo" in action:
                 ts = action["commitInfo"].get("inCommitTimestamp")
                 return int(ts) if ts is not None else None
@@ -708,10 +706,7 @@ def _replay_state(
     for v in range(start, version + 1):
         if v not in logs:
             raise VersionedTableError(f"Delta log missing commit {v} at {log_dir}")
-        for line in _read_text(spark, logs[v]).splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
+        for action in _log_actions(spark, logs[v]):
             if "protocol" in action:
                 _check_protocol(action)
                 proto = action["protocol"]
@@ -920,37 +915,46 @@ def is_delta_dir(spark: SparkSession, path: str) -> bool:
 
 def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
                       data: str) -> None:
-    """Commit ``_delta_log/%020d.json`` via ONE conditional create of
-    the final file (the same protocol as VersionedTable manifests,
-    versioned.py:_write_text_atomic — see its docstring for the full
-    FS-semantics discussion). Delta's correctness contract is exactly
-    put-if-absent on the log entry, and the final file itself is the
-    arbiter: a rename-last protocol cannot provide at-most-once because
-    POSIX ``rename(2)`` silently replaces an existing destination, so a
-    writer pausing past any staleness window could clobber a committed
-    entry. Conditional create makes the loser raise at creation time on
-    every FS type. A writer crashing BEFORE the create leaves nothing
-    behind (next committer proceeds); crashing mid-write leaves a
-    truncated entry that fails JSON-parse loudly — never silent."""
-    fs, jdir, _ = _fs_and_path(spark, log_dir)
-    name = f"{version:020d}.json"
-    fs.mkdirs(jdir)
-    final = _fs_and_path(spark, f"{log_dir}/{name}")[1]
-    try:
-        out = fs.create(final, False)  # conditional create: loser raises
-    except Exception as e:  # Py4J-wrapped java.io exceptions
-        jcls = (e.java_exception.getClass().getName()
-                if hasattr(e, "java_exception") else "")
-        if "AlreadyExists" in jcls or "already exists" in str(e).lower():
+    """Commit ``_delta_log/%020d.json`` via
+    :func:`versioned.publish_text_exclusive` — the same protocol as
+    VersionedTable manifests (see its docstring for the full
+    FS-semantics discussion): full temp write + no-overwrite
+    ``FileContext.rename`` on rename-capable stores (the reference
+    Delta ``HDFSLogStore`` pattern — readers can never see a truncated
+    log entry, and the loser of a version race raises at rename time),
+    ONE conditional create of the final object on object stores (where
+    a PUT already materializes whole at close — ``If-None-Match`` on
+    Hadoop ≥ 3.4.1 S3A, the ``S3DynamoDBLogStore``-obsoleting path).
+    Delta's correctness contract is exactly put-if-absent on the log
+    entry, and no route here lets a paused writer wake up and clobber
+    a committed entry, nor a crash leave a truncated entry behind."""
+    publish_text_exclusive(spark, log_dir, f"{version:020d}.json", data,
+                           what="Delta log entry")
+
+
+def _log_actions(spark: SparkSession, path: str):
+    """Yield the action dicts of one ``_delta_log`` JSON entry.
+
+    The publish protocol (:func:`_commit_delta_log`) makes a
+    listed-but-truncated entry impossible on every supported store, so
+    a parse failure is external corruption or a non-atomic FOREIGN
+    writer's crash remnant — the error names the exact file and the
+    manual remediation instead of surfacing a bare JSONDecodeError."""
+    txt = _read_text(spark, path)
+    for i, line in enumerate(txt.splitlines(), start=1):
+        if not line.strip():
+            continue
+        try:
+            yield json.loads(line)
+        except ValueError as e:
             raise VersionedTableError(
-                f"concurrent Delta commit detected for version {version} at "
-                f"{log_dir}: the log entry already exists"
+                f"unparsable Delta log entry {path} (line {i}): {e}. "
+                "The bridge publishes log entries atomically, so a "
+                "truncated entry is a foreign writer's crash remnant or "
+                "external corruption; if this is the newest entry, delete "
+                "that %020d.json file to restore the table — the commit "
+                "it claims to record never completed."
             ) from None
-        raise
-    try:
-        out.write(bytearray(data.encode("utf-8")))
-    finally:
-        out.close()
 
 
 def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
@@ -1527,10 +1531,7 @@ def vacuum_delta(spark: SparkSession, path: str,
 
     tombstones: dict[str, int] = {}
     for v in sorted(logs):
-        for line in _read_text(spark, logs[v]).splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
+        for action in _log_actions(spark, logs[v]):
             if "remove" in action:
                 r = action["remove"]
                 if r.get("deletionVector"):
@@ -1610,10 +1611,7 @@ def read_delta_appends(spark: SparkSession, path: str,
                 f"read_delta_appends: commit {v} missing at {log_dir} — "
                 "cannot reconstruct the append stream"
             )
-        for line in _read_text(spark, logs[v]).splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
+        for action in _log_actions(spark, logs[v]):
             if "metaData" in action and (
                 action["metaData"].get("schemaString") != meta["schemaString"]
             ):
@@ -1724,10 +1722,7 @@ def read_delta_changes(spark: SparkSession, path: str,
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
         ts_ms = None
-        for line in _read_text(spark, logs[v]).splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
+        for action in _log_actions(spark, logs[v]):
             if "metaData" in action and (
                 action["metaData"].get("schemaString") != meta["schemaString"]
             ):

@@ -17,21 +17,22 @@ A manifest lists the **files** composing its snapshot — copy-on-write
 at file granularity, like Delta/Iceberg: a version may reference files
 written by earlier versions. Readers list ``_meta`` and take the
 highest N; a reader never sees a half-written version because the
-manifest is committed (one conditional create) only after the data files
-are fully written. Single-writer semantics (matching the reference's
-Argo DAG, scd2-job-scheduler.yaml:47-48: merges are serialized behind
-their dependencies).
+manifest is published atomically (full temp write + no-overwrite
+rename on rename-capable stores; one conditional PUT on object stores,
+where the object materializes whole at close) and only after the data
+files are fully written. Single-writer semantics (matching the
+reference's Argo DAG, scd2-job-scheduler.yaml:47-48: merges are
+serialized behind their dependencies).
 
 All metadata I/O goes through the Hadoop FileSystem API (via the JVM
 gateway), so a table can live on any Hadoop-supported filesystem —
 ``file://`` locally, ``hdfs://``/``s3a://`` on a cluster (the
 reference's tables are on S3, scd2-job.ipynb:42,167). Manifest commit
-is one conditional create of the final file (see
-``_write_text_atomic``): two writers racing to the same version number
-get optimistic-concurrency semantics on EVERY FS type — the loser's
-commit raises instead of silently overwriting (pytest-pinned),
-including object stores, where the create maps to a conditional PUT on
-Hadoop ≥ 3.4.1 S3A.
+goes through :func:`publish_text_exclusive`: two writers racing to the
+same version number get optimistic-concurrency semantics on EVERY FS
+type — the loser's commit raises instead of silently overwriting
+(pytest-pinned), including object stores, where the create maps to a
+conditional PUT on Hadoop ≥ 3.4.1 S3A.
 
 Scale posture: MERGE joins the source against only the target files
 that contain matching rows (detected with one semi-join over
@@ -61,6 +62,169 @@ from pyspark.sql import functions as F
 
 class VersionedTableError(RuntimeError):
     pass
+
+
+# Object stores where rename is a non-atomic copy+delete but a created
+# object is invisible until close (one atomic PUT) — there the
+# conditional create of the final object is both the arbiter and the
+# atomic publish. Everywhere else (file/hdfs/abfs/viewfs/...) rename is
+# atomic and FileContext.rename(Rename.NONE) is put-if-absent.
+_OBJECT_STORE_SCHEMES = {"s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "obs", "wasb", "wasbs"}
+_STALE_TEMP_SECONDS = 3600.0
+
+
+def _is_already_exists(e: Exception) -> bool:
+    jcls = ""
+    if hasattr(e, "java_exception"):
+        try:
+            jcls = e.java_exception.getClass().getName()
+        except Exception:
+            jcls = ""
+    return "AlreadyExists" in jcls or "already exists" in str(e).lower()
+
+
+def publish_text_exclusive(spark: SparkSession, dir_path: str, name: str,
+                           data: str, *, what: str = "manifest") -> None:
+    """Publish ``data`` at ``<dir_path>/<name>`` with BOTH at-most-once
+    arbitration (two writers racing the same name: exactly one wins, the
+    loser RAISES — never last-writer-wins) and atomic visibility (a
+    reader that can list the final name can parse it in full — never a
+    truncated entry).
+
+    Route 1 — rename-capable stores (``file://``, ``hdfs://``, ABFS,
+    viewfs; anything with an ``AbstractFileSystem`` binding that is not
+    a copy+delete object store): write the full payload to a
+    dot-prefixed temp in the same directory (invisible to version
+    listings, which match ``v*.json`` / ``%020d.json``), close it, then
+    publish via ``FileContext.rename(src, dst, Options.Rename.NONE)`` —
+    the reference Delta ``HDFSLogStore`` pattern. On HDFS the
+    no-overwrite rename is arbitrated at the namenode (exact
+    put-if-absent); on the local FS it is an existence check followed
+    by an atomic ``rename(2)`` (a microsecond code window, vs. the
+    unbounded pause window the old staleness-reclaim protocol carried —
+    and with NO reclaim rule here, nothing ever deletes a live writer's
+    in-flight file, so the wake-up-and-clobber hole cannot reopen).
+    Readers can never observe a partial final file because the final
+    name only ever appears via rename of a fully-written, closed temp.
+    A crash at ANY point leaves at worst an orphan dot-temp — never a
+    truncated final entry, never a bricked version; orphans are swept
+    opportunistically after ``_STALE_TEMP_SECONDS`` by later commits.
+
+    Route 2 — object stores (and schemes with no ``FileContext``
+    binding): ONE conditional create of the final object itself (S3A
+    maps it to ``If-None-Match`` conditional PUT on Hadoop ≥ 3.4.1;
+    older S3A does HEAD-then-PUT — front with a lock service there, the
+    pre-conditional-put Delta-on-S3 pattern). Visibility is already
+    atomic there — the object materializes fully-formed at close; a
+    crash mid-write uploads nothing. A non-crash write/close failure
+    deletes the final object before re-raising, so a transient IO error
+    cannot leave a truncated entry behind.
+
+    Net: on every supported store, a listed final entry is a complete
+    entry, and the loser of a version race raises at publish time."""
+    import uuid
+
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    jdir = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = jdir.getFileSystem(conf)
+    fs.mkdirs(jdir)
+    final = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{name}")
+    scheme = (fs.getUri().getScheme() or "file").lower()
+    payload = bytearray(data.encode("utf-8"))
+
+    fc = None
+    if scheme not in _OBJECT_STORE_SCHEMES:
+        try:
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri(), conf)
+        except Exception:
+            fc = None  # no AbstractFileSystem binding — fall through to route 2
+
+    if fc is None:
+        # Route 2: conditional create of the final object.
+        try:
+            out = fs.create(final, False)  # put-if-absent: loser raises
+        except Exception as e:  # Py4J-wrapped java.io exceptions
+            if _is_already_exists(e):
+                raise VersionedTableError(
+                    f"concurrent commit detected for {what} {name} at "
+                    f"{dir_path}: the entry already exists"
+                ) from None
+            raise
+        try:
+            try:
+                out.write(payload)
+            finally:
+                out.close()
+        except Exception:
+            # ADVICE r6: a transient IO failure must not leave a
+            # truncated final entry that bricks the version — remove it
+            # before surfacing the error (on S3A nothing was uploaded;
+            # the delete is a no-op there).
+            try:
+                fs.delete(final, False)
+            except Exception:
+                pass
+            raise
+        return
+
+    # Route 1: full temp write, then no-overwrite rename publish.
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{dir_path}/.{name}.{uuid.uuid4().hex}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+    except Exception:
+        try:
+            fs.delete(tmp, False)
+        except Exception:
+            pass
+        raise
+    gw = spark.sparkContext._gateway  # noqa: SLF001
+    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(rename_enum, 1)
+    opts[0] = rename_enum.NONE
+    try:
+        fc.rename(tmp, final, opts)
+    except Exception as e:
+        try:
+            fs.delete(tmp, False)
+        except Exception:
+            pass
+        if _is_already_exists(e):
+            raise VersionedTableError(
+                f"concurrent commit detected for {what} {name} at "
+                f"{dir_path}: the entry already exists"
+            ) from None
+        raise
+    _sweep_stale_temps(fs, jdir)
+
+
+def _sweep_stale_temps(fs, jdir) -> None:
+    """Best-effort reclamation of crashed writers' orphan dot-temps.
+
+    Only files matching the publish temp shape (``.<name>.<hex>.tmp``)
+    and older than ``_STALE_TEMP_SECONDS`` are touched — a LIVE writer's
+    temp is at most seconds old (one buffered write of a small JSON
+    payload), so unlike the removed claim-reclaim protocol this can
+    never delete an entry another writer is about to publish: the temp
+    is private to its writer (uuid-suffixed) and deleting it after the
+    rename has happened is a no-op on the published final file."""
+    try:
+        cutoff_ms = (time.time() - _STALE_TEMP_SECONDS) * 1000.0
+        for st in fs.listStatus(jdir):
+            n = st.getPath().getName()
+            if (n.startswith(".") and n.endswith(".tmp")
+                    and st.getModificationTime() < cutoff_ms):
+                try:
+                    fs.delete(st.getPath(), False)
+                except Exception:
+                    pass
+    except Exception:
+        pass
 
 
 def parse_timestamp_cutoff(timestamp: float | str) -> float:
@@ -177,53 +341,16 @@ class VersionedTable:
             stream.close()
 
     def _write_text_atomic(self, name: str, data: str) -> None:
-        """Commit ``_meta/<name>`` exclusively via ONE conditional
-        create of the final file: ``fs.create(final, overwrite=False)``.
-
-        The final file itself arbitrates the version — there is no
-        temp/claim/rename dance, because rename cannot provide
-        at-most-once: POSIX ``rename(2)`` (Hadoop RawLocalFileSystem
-        delegates to it) silently REPLACES an existing destination, so
-        any rename-last protocol lets a writer that paused past a
-        staleness window wake up and clobber a committed manifest —
-        a silent lost commit. Conditional create has no such wake-up
-        hole: the loser raises at creation time, full stop.
-
-        Atomicity of the conditional create: HDFS/ABFS arbitrate at the
-        namenode/service (exact); S3A maps it to a conditional PUT
-        (``If-None-Match``) on Hadoop ≥ 3.4.1 (older S3A does
-        HEAD-then-PUT — front with a lock service there, the
-        pre-conditional-put Delta-on-S3 pattern); raw local FS
-        checks-then-creates, a microsecond window vs the unbounded
-        pause window rename-based protocols carry. The loser RAISES on
-        every store — no last-writer-wins anywhere.
-
-        Crash recovery: a writer that dies BEFORE the create leaves
-        nothing behind — the next committer of this version proceeds
-        normally (no write-dead version, no stale-claim reclaim rule to
-        get wrong). A writer that dies mid-write leaves a truncated
-        manifest that fails JSON-parse LOUDLY on the next read — a
-        narrow window (one buffered write of the whole payload), and
-        loud, never silent."""
-        fs = self._fs()
-        fs.mkdirs(self._jpath("_meta"))
-        final = self._jpath("_meta", name)
-        try:
-            out = fs.create(final, False)  # conditional create: loser raises
-        except Exception as e:  # Py4J-wrapped java.io exceptions
-            jcls = ""
-            if hasattr(e, "java_exception"):
-                jcls = e.java_exception.getClass().getName()
-            if "AlreadyExists" in jcls or "already exists" in str(e).lower():
-                raise VersionedTableError(
-                    f"concurrent commit detected for {name} at {self.path}: "
-                    "the manifest already exists"
-                ) from None
-            raise
-        try:
-            out.write(bytearray(data.encode("utf-8")))
-        finally:
-            out.close()
+        """Commit ``_meta/<name>`` via :func:`publish_text_exclusive`:
+        full temp write + ``FileContext.rename(Rename.NONE)`` publish on
+        rename-capable stores (atomic visibility — a reader never sees a
+        half-written manifest — AND put-if-absent arbitration), ONE
+        conditional create of the final object on object stores (where a
+        PUT is already atomic at close). The loser of a version race
+        raises on every store; a crash at any point leaves at worst an
+        invisible orphan dot-temp, never a truncated manifest."""
+        publish_text_exclusive(self.spark, f"{self.path}/_meta", name, data,
+                               what="manifest")
 
     # --- metadata ---------------------------------------------------------
 
@@ -243,7 +370,23 @@ class VersionedTable:
         return bool(self.versions())
 
     def manifest(self, version: int) -> dict:
-        return json.loads(self._read_text(self._jpath("_meta", f"v{version:08d}.json")))
+        name = f"v{version:08d}.json"
+        txt = self._read_text(self._jpath("_meta", name))
+        try:
+            return json.loads(txt)
+        except ValueError as e:
+            # The publish protocol makes a listed-but-truncated manifest
+            # impossible on every supported store (see
+            # publish_text_exclusive), so this is external corruption or
+            # a foreign writer's crash remnant. Name the file and the
+            # remediation instead of a bare JSONDecodeError.
+            raise VersionedTableError(
+                f"unparsable manifest {self.path}/_meta/{name}: {e}. "
+                "Manifests are published atomically, so this file was "
+                "corrupted externally or written by a non-atomic foreign "
+                "writer; if it is the newest version, delete it to restore "
+                "the table — a commit it claims to record never completed."
+            ) from None
 
     def latest_version(self) -> int:
         vs = self.versions()

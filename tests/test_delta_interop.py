@@ -439,9 +439,9 @@ def test_write_delta_partitioned_and_drift(spark, tmp_path):
 
 def test_write_delta_concurrent_commit_loses_loudly(spark, tmp_path):
     """Two writers racing to the same log version: the loser raises
-    (Delta's put-if-absent contract via conditional create of the
-    final log entry — the entry file itself is the arbiter; losing
-    NEVER replaces the winner's committed content)."""
+    (Delta's put-if-absent contract via the atomic publish —
+    no-overwrite rename on rename-capable stores, conditional create
+    on object stores; losing NEVER replaces the winner's content)."""
     from sql_based_etl_spark.tables.delta_interop import _commit_delta_log, write_delta
 
     t = str(tmp_path / "wdc")
@@ -452,13 +452,39 @@ def test_write_delta_concurrent_commit_loses_loudly(spark, tmp_path):
     # racer's entry must survive byte-for-byte (no rename-replace hole)
     racer = json.dumps({"commitInfo": {"operation": "RACER"}})
     _commit_delta_log(spark, f"{t}/_delta_log", 1, racer)
-    with pytest.raises(VersionedTableError, match="concurrent Delta commit"):
+    with pytest.raises(VersionedTableError, match="concurrent commit detected for Delta log entry"):
         _commit_delta_log(spark, f"{t}/_delta_log", 1,
                           json.dumps({"commitInfo": {"operation": "LOSER"}}))
     with open(os.path.join(t, "_delta_log", f"{1:020d}.json")) as f:
         assert f.read() == racer
     # a racer that FINISHED v1 is not a conflict for v2: we commit on top
     assert write_delta(df, t, mode="append") == 2
+
+
+def test_unparsable_log_entry_names_file_and_remediation(spark, tmp_path):
+    """A truncated/unparsable log entry (external corruption or a
+    foreign writer's crash remnant — the bridge's atomic publish cannot
+    produce one) fails the read with the exact file path and the manual
+    remediation in the message, never a bare JSONDecodeError, and
+    in-flight publish dot-temps in _delta_log never break reads."""
+    from sql_based_etl_spark.tables.delta_interop import read_delta, write_delta
+
+    t = str(tmp_path / "corrupt_tail")
+    df = spark.range(3).select(F.col("id"), F.lit("a").alias("v"))
+    write_delta(df, t, mode="overwrite")
+    write_delta(df, t, mode="append")
+    # an in-flight publish temp is invisible to the log listing
+    with open(os.path.join(t, "_delta_log", f".{2:020d}.json.abc.tmp"), "w") as f:
+        f.write('{"commitInfo": {"opera')
+    assert read_delta(spark, t).count() == 6
+    # a truncated FINAL entry fails loudly with file + remediation
+    bad = os.path.join(t, "_delta_log", f"{2:020d}.json")
+    with open(bad, "w") as f:
+        f.write('{"add": {"path": "x.parquet", "partitionVal')
+    with pytest.raises(VersionedTableError, match="unparsable Delta log entry") as ei:
+        read_delta(spark, t).count()
+    assert f"{2:020d}.json" in str(ei.value)
+    assert "delete" in str(ei.value)
 
 
 def test_write_delta_emits_checkpoint_and_survives_log_corruption(spark, tmp_path):

@@ -3,6 +3,8 @@ merge, file-additive append, Hadoop-FS metadata, URI handling."""
 
 from __future__ import annotations
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -531,10 +533,10 @@ def test_restore_via_maintenance_stage(spark, table):
 
 def test_conflicting_commit_fails_loudly(spark, table):
     """Two writers racing to the same version number: exactly one wins
-    the conditional create of the manifest itself (atomic on every FS
-    type, not a rename); the loser RAISES instead of silently
-    overwriting — no last-writer-wins anywhere, including object
-    stores, and the winner's content survives byte-for-byte."""
+    the put-if-absent publish (no-overwrite FileContext.rename on
+    rename-capable stores, conditional create on object stores); the
+    loser RAISES instead of silently overwriting — no last-writer-wins
+    anywhere, and the winner's content survives byte-for-byte."""
     from sql_based_etl_spark.tables.versioned import VersionedTable
 
     table.write(spark.range(3).toDF("id"))
@@ -551,11 +553,12 @@ def test_conflicting_commit_fails_loudly(spark, table):
 
 
 def test_crashed_writer_never_bricks_the_version(spark, table):
-    """Crash-recovery contract of the conditional-create commit: a
-    writer dying BEFORE the create leaves nothing behind — no claim
-    dotfiles, no write-dead version, no staleness clock whose expiry
-    could let a paused writer silently replace a committed manifest.
-    The version stays immediately committable by the next writer."""
+    """Crash-recovery contract of the publish protocol: a writer
+    dying before the rename leaves at worst an orphan dot-temp
+    (invisible to listings, swept later) — no write-dead version, no
+    reclaim rule whose expiry could let a paused writer silently
+    replace a committed manifest. The version stays immediately
+    committable by the next writer."""
     import os as _os
 
     table.write(spark.range(3).toDF("id"))
@@ -574,6 +577,72 @@ def test_crashed_writer_never_bricks_the_version(spark, table):
         f.write('{"version": 3, "opera')
     with pytest.raises(VersionedTableError, match="concurrent commit"):
         table._write_text_atomic("v00000003.json", stub)
+
+
+def test_publish_temps_invisible_and_stale_temps_swept(spark, table):
+    """ADVICE r7 protocol: in-flight publish temps are dot-prefixed and
+    never appear in version listings or break reads; a crashed writer's
+    orphan temp older than the staleness bound is reclaimed by a later
+    commit, while a FRESH temp (a live writer's) is never touched."""
+    import os as _os
+
+    from sql_based_etl_spark.tables.versioned import _STALE_TEMP_SECONDS
+
+    table.write(spark.range(3).toDF("id"))
+    meta = _os.path.join(table.path, "_meta")
+    stale = _os.path.join(meta, ".v00000002.json.deadbeef.tmp")
+    fresh = _os.path.join(meta, ".v00000002.json.cafebabe.tmp")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write('{"version": 2, "partial')
+    old = time.time() - _STALE_TEMP_SECONDS - 60
+    _os.utime(stale, (old, old))
+    # temps are invisible: listings and reads unaffected
+    assert table.versions() == [0]
+    assert table.read().count() == 3
+    # a later commit sweeps ONLY the stale orphan
+    table.write(spark.range(5).toDF("id"), mode="append")
+    assert not _os.path.exists(stale)
+    assert _os.path.exists(fresh)
+    assert table.versions() == [0, 1]
+
+
+def test_unparsable_manifest_names_file_and_remediation(spark, table):
+    """An unparsable manifest (external corruption — the publish
+    protocol cannot produce one) raises VersionedTableError naming the
+    exact file and the manual remediation, not a bare JSONDecodeError."""
+    import os as _os
+
+    table.write(spark.range(3).toDF("id"))
+    bad = _os.path.join(table.path, "_meta", "v00000002.json")
+    with open(bad, "w") as f:
+        f.write('{"version": 2, "opera')
+    with pytest.raises(VersionedTableError, match="unparsable manifest") as ei:
+        table.manifest(2)
+    assert "v00000002.json" in str(ei.value)
+    assert "delete" in str(ei.value)
+
+
+def test_object_store_route_conditional_create(spark, table, monkeypatch):
+    """The object-store publish route (conditional create of the final
+    object, no rename) — exercised on the local FS by forcing the
+    scheme into the object-store set. Publishes correctly, loser of a
+    race raises, and no temp files are involved."""
+    import os as _os
+
+    from sql_based_etl_spark.tables import versioned as vmod
+
+    table.write(spark.range(3).toDF("id"))
+    monkeypatch.setattr(
+        vmod, "_OBJECT_STORE_SCHEMES", vmod._OBJECT_STORE_SCHEMES | {"file"})
+    stub = '{"version": 2, "operation": "OS", "files": [], "schema": {}}'
+    table._write_text_atomic("v00000002.json", stub)
+    assert table.manifest(2)["operation"] == "OS"
+    with pytest.raises(VersionedTableError, match="concurrent commit"):
+        table._write_text_atomic("v00000002.json", stub)
+    meta = _os.path.join(table.path, "_meta")
+    assert [f for f in _os.listdir(meta)
+            if f.startswith(".") and f.endswith(".tmp")] == []
 
 
 def test_timestamp_as_of_time_travel(spark, table):
