@@ -124,13 +124,35 @@ def versioned_table_merge_load(ctx: PipelineContext, conf: dict) -> DataFrame | 
     """S4 ``DeltaLakeMergeLoad`` (scd2-job.ipynb:337-354): MERGE a source
     view into the target table. Config shape mirrors the reference:
     ``condition`` (:344), ``whenMatchedUpdate.condition/values``
-    (:345-350), ``whenNotMatchedByTargetInsert`` (:353)."""
+    (:345-350), ``whenNotMatchedByTargetInsert`` (:353).
+
+    Target routing matches the extract/load stages: a ``_delta_log``
+    directory routes to the bridge's :func:`merge_delta` (file-granular
+    copy-on-write ``remove``+``add`` commit; real ``cdc`` actions when
+    the table has CDF enabled), anything else to
+    :meth:`VersionedTable.merge` — so the reference's S4 workhorse runs
+    against the engine's own Delta output as well as its native
+    tables."""
+    from sql_based_etl_spark.tables.delta_interop import is_delta_dir, merge_delta
+
     df = ctx.view(conf["inputView"])
+    wmu = conf.get("whenMatchedUpdate") or {}
+    n = conf.get("numPartitions")
+    if is_delta_dir(ctx.spark, conf["outputURI"]):
+        merge_delta(
+            source=df,
+            path=conf["outputURI"],
+            condition=conf["condition"],
+            when_matched_update=wmu.get("values"),
+            matched_condition=wmu.get("condition"),
+            insert_not_matched="whenNotMatchedByTargetInsert" in conf,
+            num_partitions=int(n) if n else None,
+            validate_unique_match=bool(conf.get("validateUniqueMatch", True)),
+        )
+        return None
     t = VersionedTable(ctx.spark, conf["outputURI"])
     if not t.exists():
         raise StageError(f"merge target does not exist: {conf['outputURI']}")
-    wmu = conf.get("whenMatchedUpdate") or {}
-    n = conf.get("numPartitions")
     t.merge(
         source=df,
         condition=conf["condition"],

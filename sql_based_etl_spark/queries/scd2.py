@@ -320,6 +320,97 @@ def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_delta_cdf"] = q_delta_cdf
 
+def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge MERGE round trip, exactly oracle-checked (VERDICT r6 ask
+    #1): create a CDF-enabled bridge Delta table from an ``orders``
+    sample, MERGE a source that updates the even-hundred keys (gated by
+    a matched condition on custkey parity) and inserts brand-new keys,
+    then read BOTH the post-merge snapshot and the merge commit's
+    change feed. The cdc actions the merge emits must show exactly the
+    gated updates (pre+post image) and the inserts — matched-but-
+    untouched rows and carried rows must not appear, even though their
+    files were rewritten. DuckDB replays the merge algebra directly
+    from ``orders`` (tables/delta_interop.py:merge_delta)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    target0 = base.filter(F.col("o_orderkey") % 50 == 0)
+    src = (
+        target0.filter(F.col("o_orderkey") % 100 == 0)   # match → update
+        .unionByName(base.filter(F.col("o_orderkey") % 50 == 25))  # insert
+    )
+    root = tempfile.mkdtemp(prefix="q_delta_merge_")
+    _TEMP_TABLE_DIRS.append(root)
+    d = f"{root}/t"
+    write_delta(target0, d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    merge_delta(
+        src, d,
+        condition="target.o_orderkey = source.o_orderkey",
+        when_matched_update={"o_custkey": "source.o_custkey + 1000000"},
+        matched_condition="source.o_custkey % 2 = 0",
+    )
+    snap = (
+        read_delta(spark, d)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum("o_custkey").cast("bigint").alias("sum_custkey"))
+        .select(F.lit("snapshot").alias("part"),
+                F.lit("all").alias("change"), "n_rows", "sum_custkey")
+    )
+    cdf = (
+        read_delta_changes(spark, d, starting_version=1)
+        .groupBy(F.col("_change_type").alias("change"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum("o_custkey").cast("bigint").alias("sum_custkey"))
+        .select(F.lit("cdf").alias("part"), "change", "n_rows", "sum_custkey")
+    )
+    return snap.unionByName(cdf).orderBy("part", "change")
+
+
+QUERIES["q_delta_merge"] = q_delta_merge
+
+# the merge algebra replayed from `orders` directly: matched = %100
+# keys, updated = matched AND even custkey (+1e6), inserted = %50=25
+ORACLES["q_delta_merge"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey FROM orders
+    ),
+    tgt AS (SELECT * FROM base WHERE o_orderkey % 50 = 0),
+    upd AS (SELECT * FROM tgt WHERE o_orderkey % 100 = 0 AND o_custkey % 2 = 0),
+    ins AS (SELECT * FROM base WHERE o_orderkey % 50 = 25),
+    snap AS (
+        SELECT t.o_orderkey,
+               t.o_custkey + CASE WHEN u.o_orderkey IS NOT NULL
+                                  THEN 1000000 ELSE 0 END AS o_custkey
+        FROM tgt t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        UNION ALL
+        SELECT o_orderkey, o_custkey FROM ins
+    )
+    SELECT 'snapshot' AS part, 'all' AS change,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM snap
+    UNION ALL
+    SELECT 'cdf', 'insert', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM ins
+    UNION ALL
+    SELECT 'cdf', 'update_preimage', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM upd
+    UNION ALL
+    SELECT 'cdf', 'update_postimage', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey + 1000000) AS BIGINT) FROM upd
+    ORDER BY part, change
+"""
+
+
 # the commit algebra replayed from `orders` directly: v0 inserts the
 # even-half, v1 deletes the even-half and inserts the odd-half
 ORACLES["q_delta_cdf"] = """

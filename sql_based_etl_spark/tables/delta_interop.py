@@ -1091,12 +1091,18 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
 
 
 def _stage_data_files(df: DataFrame, path: str,
-                      part_cols: list[str]) -> list[dict]:
+                      part_cols: list[str],
+                      subdir: str | None = None) -> list[dict]:
     """Write ``df`` as parquet into a dot-prefixed staging dir
     (invisible to Delta readers — log listing matches data paths only),
     move the files into the table root preserving hive partition dirs,
     and return their ``add`` actions (``partitionValues`` parsed back
-    from the dir names, ``__HIVE_DEFAULT_PARTITION__`` → null)."""
+    from the dir names, ``__HIVE_DEFAULT_PARTITION__`` → null).
+
+    ``subdir`` relocates the published files under ``<path>/<subdir>/``
+    with paths recorded relative to the TABLE root — the shape change
+    data files need (``_change_data/...``, underscore-prefixed so plain
+    parquet scans of the table root never see them)."""
     import uuid
 
     spark = df.sparkSession
@@ -1117,10 +1123,6 @@ def _stage_data_files(df: DataFrame, path: str,
         rel = full[len(staging_prefix):]
         if not rel.endswith(".parquet") or rel.startswith("_"):
             continue
-        dst = _fs_and_path(spark, f"{path}/{rel}")[1]
-        fs.mkdirs(dst.getParent())
-        if not fs.rename(st.getPath(), dst):
-            raise VersionedTableError(f"write_delta: cannot move {rel} into {path}")
         pv: dict[str, str | None] = {}
         for seg in rel.split("/")[:-1]:
             k, _, v = seg.partition("=")
@@ -1128,6 +1130,12 @@ def _stage_data_files(df: DataFrame, path: str,
                 None if v == "__HIVE_DEFAULT_PARTITION__"
                 else urllib.parse.unquote(v)
             )
+        if subdir:
+            rel = f"{subdir}/{rel}"
+        dst = _fs_and_path(spark, f"{path}/{rel}")[1]
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(st.getPath(), dst):
+            raise VersionedTableError(f"write_delta: cannot move {rel} into {path}")
         dst_st = fs.getFileStatus(dst)
         new_adds.append({
             "path": urllib.parse.quote(rel, safe="/="),
@@ -1151,7 +1159,8 @@ _BRIDGE_WRITER_FEATURES = {
     "invariants",        # per-field delta.invariants gates below
     "checkConstraints",  # delta.constraints.* gates below
     "changeDataFeed",    # blind appends / full overwrites derive CDF
-                         # from add/remove actions per the spec
+                         # from add/remove actions per the spec;
+                         # merge_delta emits REAL cdc actions
     "columnMapping",     # mapped tables are already read-only
     "deletionVectors",   # live DVs are already read-only
     "timestampNtz",      # type-level; schema copied verbatim
@@ -1190,7 +1199,7 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
         )
     conf = meta.get("configuration") or {}
     if (str(conf.get("delta.appendOnly", "false")).lower() == "true"
-            and mode == "overwrite"):
+            and mode in ("overwrite", "merge")):
         raise VersionedTableError(
             "write: delta.appendOnly=true forbids removing data; only "
             "appends (and dataChange:false compaction) are allowed"
@@ -1415,6 +1424,208 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         state = {_fkey(a): a for a in new_adds}
         if mode == "append":
             state = {**live, **state}
+        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto)
+    return next_v
+
+
+def merge_delta(source: DataFrame, path: str, condition: str,
+                when_matched_update: dict[str, object] | None = None,
+                matched_condition: str | None = None,
+                insert_not_matched: bool = True,
+                num_partitions: int | None = None,
+                validate_unique_match: bool = True,
+                checkpoint_interval: int | None = 10) -> int:
+    """Delta-style ``MERGE INTO`` a bridge Delta table — the write-side
+    op that lets the reference's S4 workhorse (``DeltaLakeMergeLoad``,
+    scd2-job.ipynb:337-354) target the very Delta tables the bridge
+    writes. Same config surface as :meth:`VersionedTable.merge` (the
+    branch semantics are literally shared —
+    :func:`~sql_based_etl_spark.tables.versioned.build_merge_annotated`).
+
+    Physical shape (copy-on-write at file granularity, the same plan
+    that keeps VersionedTable merges 100 TB-viable):
+
+    1. one semi-join over ``input_file_name()`` finds the live files
+       containing condition-matched rows — everything else is untouched
+       (no tombstone, no rewrite; a merge touching 1 of N files
+       rewrites ~1 file);
+    2. only those files join the source (full-outer) and are rewritten
+       with the update / insert branches applied — a source row
+       matching nothing in the matched subset matches nothing globally,
+       so insert routing over the subset is exact;
+    3. the commit is ``remove`` (matched files, ``dataChange: true``,
+       partitionValues + size riding the tombstone) + ``add`` (rewritten
+       files) through the same atomic put-if-absent publish as every
+       bridge commit — a racing committer loses loudly.
+
+    Change data feed: when the table has
+    ``delta.enableChangeDataFeed=true``, the commit carries REAL ``cdc``
+    actions (``_change_data/`` parquet with ``_change_type`` ∈
+    {update_preimage, update_postimage, insert}) — the spec's writer
+    obligation for row-level DML, and what keeps external CDF readers
+    from deriving whole-file delete+insert churn out of the rewrite.
+    A merge that updates and inserts NOTHING commits nothing and
+    returns the current version — rewriting files byte-identically
+    would be pure churn (and a CDF lie).
+
+    Write-side gates (same fail-loud contract as :func:`write_delta`):
+    column-mapped tables, tables with live deletion vectors, appendOnly
+    tables, and writer features the bridge cannot honor all raise.
+
+    Returns the committed version (or the unchanged current version for
+    a no-op merge)."""
+    import time
+
+    from pyspark.sql.types import StructType
+
+    from sql_based_etl_spark.engine.sql_compat import coerce_condition_for_types
+    from sql_based_etl_spark.tables.versioned import build_merge_annotated
+
+    spark = source.sparkSession
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    meta, live, latest, txns, proto = _replay_state(spark, path)
+    _check_writer_allowed(proto, meta, "merge")
+    if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none") != "none":
+        raise VersionedTableError(
+            "merge_delta: column-mapped tables are read-only through "
+            "the bridge; install delta-spark to merge into this table"
+        )
+    if any(a.get("deletionVector") for a in live.values()):
+        raise VersionedTableError(
+            "merge_delta: tables with live deletion vectors are "
+            "read-only through the bridge; install delta-spark to "
+            "merge into this table"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    t_cols = [f.name for f in schema.fields]
+    cdf = str((meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed", "false")).lower() == "true"
+
+    # Spark-4 compat: rewrite boolean literals compared to non-boolean
+    # columns (scd2-job.ipynb:346's `target.iscurrent = true` against an
+    # INTEGER column) — needed here because the condition drives the
+    # matched-file semi-join too, not just the merge branches.
+    dtmap = {"target": {f.name: f.dataType.simpleString() for f in schema.fields},
+             "source": dict(source.dtypes)}
+    condition = coerce_condition_for_types(condition, dtmap)
+
+    def _norm_uri(p: str) -> str:
+        u = urllib.parse.urlparse(p)
+        return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
+
+    matched_keys: list[str] = []
+    if live:
+        abs2key = {}
+        for k, a in live.items():
+            rel = urllib.parse.unquote(a["path"])
+            absolute = rel if "://" in rel or rel.startswith("/") else posixpath.join(path, rel)
+            abs2key[_norm_uri(absolute)] = k
+        tagged = (
+            _snapshot_df(spark, path, meta, live)
+            .withColumn("__file", F.input_file_name())
+            .alias("target")
+        )
+        hit = (
+            tagged.join(source.alias("source"), F.expr(condition), "left_semi")
+            .select("__file").distinct().collect()
+        )
+        for r in hit:
+            key = abs2key.get(_norm_uri(r["__file"]))
+            if key is None:
+                raise VersionedTableError(
+                    f"merge_delta: matched file {r['__file']!r} does not "
+                    f"map back to a live add action at {path}"
+                )
+            matched_keys.append(key)
+        matched_keys.sort()
+    matched = {k: live[k] for k in matched_keys}
+
+    subset = _snapshot_df(spark, path, meta, matched)
+    annotated = build_merge_annotated(
+        subset, source, condition,
+        when_matched_update=when_matched_update,
+        matched_condition=matched_condition,
+        insert_not_matched=insert_not_matched,
+        validate_unique_match=validate_unique_match,
+    )
+    # One persist, three consumers (change counts, data files, cdc
+    # files) — the cached slice is exactly the rewritten subset, the
+    # same bytes about to be written, so this re-runs the full-outer
+    # join once instead of thrice; bounded by matched files + source,
+    # never the whole table.
+    annotated = annotated.persist()
+    try:
+        counts = annotated.agg(
+            F.sum(F.col("__updated").cast("long")).alias("u"),
+            F.sum(F.col("__inserted").cast("long")).alias("i"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n_upd, n_ins = int(counts["u"] or 0), int(counts["i"] or 0)
+        if n_upd == 0 and n_ins == 0:
+            # nothing changed: a byte-identical rewrite would be churn
+            # for every downstream (and force fabricated CDF) — no-op
+            return latest
+
+        result = annotated.select(*t_cols)
+        if num_partitions:
+            result = result.repartition(int(num_partitions))
+        new_adds = _stage_data_files(result, path, part_cols)
+
+        cdc_adds: list[dict] = []
+        if cdf:
+            pre = annotated.filter("__updated").select(*[
+                F.col(f"__pre_{c}").alias(c) for c in t_cols
+            ]).withColumn("_change_type", F.lit("update_preimage"))
+            post = annotated.filter("__updated").select(*t_cols) \
+                .withColumn("_change_type", F.lit("update_postimage"))
+            ins = annotated.filter("__inserted").select(*t_cols) \
+                .withColumn("_change_type", F.lit("insert"))
+            cdc_adds = _stage_data_files(
+                pre.unionByName(post).unionByName(ins),
+                path, part_cols, subdir="_change_data")
+    finally:
+        annotated.unpersist()
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "MERGE",
+            "operationParameters": {"predicate": condition},
+            "operationMetrics": {
+                "numTargetRowsUpdated": str(n_upd),
+                "numTargetRowsInserted": str(n_ins),
+                "numTargetFilesRemoved": str(len(matched)),
+                "numTargetFilesAdded": str(len(new_adds)),
+            },
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+    }]
+    actions.extend(
+        {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": a.get("size")}}
+        for a in sorted(matched.values(), key=lambda a: a["path"])
+    )
+    actions.extend({"add": a} for a in new_adds)
+    actions.extend(
+        # AddCDCFile: dataChange is false by definition — cdc files are
+        # invisible to snapshot readers, visible only to CDF readers
+        {"cdc": {"path": a["path"],
+                 "partitionValues": dict(a.get("partitionValues") or {}),
+                 "size": a.get("size"), "dataChange": False}}
+        for a in cdc_adds
+    )
+    next_v = latest + 1
+    _commit_delta_log(spark, log_dir, next_v,
+                      "\n".join(json.dumps(a) for a in actions))
+    if checkpoint_interval and next_v % checkpoint_interval == 0:
+        state = {k: a for k, a in live.items() if k not in matched}
+        state.update({_fkey(a): a for a in new_adds})
         _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto)
     return next_v
 

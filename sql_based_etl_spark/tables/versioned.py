@@ -317,6 +317,116 @@ def _file_may_match(col_stats: dict | None, op: str, val: object) -> bool:
         return True  # incomparable literal type — never prune on it
 
 
+def build_merge_annotated(
+    subset: DataFrame,
+    source: DataFrame,
+    condition: str,
+    when_matched_update: dict[str, object] | None = None,
+    matched_condition: str | None = None,
+    insert_not_matched: bool = True,
+    validate_unique_match: bool = True,
+) -> DataFrame:
+    """The engine-agnostic MERGE core, shared by
+    :meth:`VersionedTable.merge` and the Delta bridge's
+    :func:`~sql_based_etl_spark.tables.delta_interop.merge_delta` —
+    both stores prune to the matched files first and hand ONLY that
+    subset here, so one implementation carries the reference's update /
+    insert semantics (scd2-job.ipynb:337-354) for every target format.
+
+    ``subset`` is the matched slice of the target (full target schema);
+    ``condition`` must already be Spark-4-coerced by the caller (it also
+    drives the caller's matched-file semi-join, so coercion lives
+    there). Returns one row per output row of the rewritten slice —
+    kept / updated target rows plus (when ``insert_not_matched``)
+    unmatched source rows — with, for every target column ``c``:
+
+    - ``c``: the POST-merge value (update / insert branch applied,
+      cast to the target dtype — Delta coerces update and insert
+      expressions to the target column type, and the reference relies
+      on it: boolean ``false`` lands in the integer ``iscurrent``
+      column, scd2-job.ipynb:144,349);
+    - ``__pre_<c>``: the PRE-merge target value (NULL on insert rows) —
+      what a CDF writer needs for ``update_preimage`` rows;
+
+    plus boolean markers ``__updated`` (matched AND the matched
+    condition held AND there are update expressions) and ``__inserted``
+    (source row with no target match). Callers that only need the data
+    rows ``select`` the target columns; CDF-emitting callers derive
+    change rows from the markers without re-running the join."""
+    from sql_based_etl_spark.engine.sql_compat import (  # circular-free
+        coerce_condition_for_types,
+    )
+
+    t_cols = subset.columns
+    t_dtypes = dict(subset.dtypes)
+    dtmap = {"target": t_dtypes, "source": dict(source.dtypes)}
+    if matched_condition:
+        matched_condition = coerce_condition_for_types(matched_condition, dtmap)
+
+    t = subset.alias("target").withColumn("__t", F.lit(1))
+    s = source.alias("source").withColumn("__s", F.lit(1))
+    joined = t.join(s, F.expr(condition), "full_outer")
+
+    if validate_unique_match:
+        # Delta always errors when one target row matches several source
+        # rows (the update would be ambiguous) — fail-loud by default to
+        # match that; opt out only when the extra job is provably wasted.
+        key = [F.col(f"target.{c}") for c in t_cols]
+        dup = (
+            joined.filter(F.col("__t").isNotNull() & F.col("__s").isNotNull())
+            .groupBy(*key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise VersionedTableError(
+                "merge: multiple source rows match a single target row"
+            )
+
+    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    update_gate = matched & (
+        F.expr(matched_condition) if matched_condition else F.lit(True)
+    )
+
+    # Config values arrive as parsed JSON — `"iscurrent": false` is a
+    # Python bool (scd2-job.ipynb:349) — so render non-strings as SQL
+    # literals before F.expr ever sees them.
+    upd = {k: _sql_literal(v) for k, v in (when_matched_update or {}).items()}
+    out_cols, pre_cols = [], []
+    for c in t_cols:
+        dtype = t_dtypes[c]
+        keep = F.col(f"target.{c}")
+        if c in upd:
+            updated = F.when(update_gate, F.expr(upd[c]).cast(dtype)).otherwise(keep)
+        else:
+            updated = keep
+        # source-only rows → insert branch: map source columns by name,
+        # falling back to NULL for target-only columns.
+        if insert_not_matched and c in source.columns:
+            ins = F.col(f"source.{c}").cast(dtype)
+        else:
+            ins = F.lit(None).cast(dtype)
+        out_cols.append(
+            F.when(F.col("__t").isNotNull(), updated).otherwise(ins).alias(c)
+        )
+        pre_cols.append(keep.alias(f"__pre_{c}"))
+
+    result = joined
+    if not insert_not_matched:
+        result = result.filter(F.col("__t").isNotNull())
+    return result.select(
+        *out_cols,
+        *pre_cols,
+        # a matched row whose matched_condition evaluates NULL keeps its
+        # old values (SQL WHEN semantics) — the marker must say False,
+        # not NULL, so CDF derivation filters stay two-valued
+        F.coalesce(update_gate & F.lit(bool(upd)), F.lit(False)).alias("__updated"),
+        F.col("__t").isNull().alias("__inserted"),
+    )
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -1027,63 +1137,13 @@ class VersionedTable:
         else:
             subset = self.spark.createDataFrame([], target_full.schema)
 
-        t = subset.alias("target").withColumn("__t", F.lit(1))
-        s = source.alias("source").withColumn("__s", F.lit(1))
-        joined = t.join(s, F.expr(condition), "full_outer")
-
-        if validate_unique_match:
-            # Delta always errors when one target row matches several source
-            # rows (the update would be ambiguous) — fail-loud by default to
-            # match that; opt out only when the extra job is provably wasted.
-            key = [F.col(f"target.{c}") for c in t_cols]
-            dup = (
-                joined.filter(F.col("__t").isNotNull() & F.col("__s").isNotNull())
-                .groupBy(*key)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise VersionedTableError(
-                    "merge: multiple source rows match a single target row"
-                )
-
-        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-        update_gate = matched & (
-            F.expr(matched_condition) if matched_condition else F.lit(True)
-        )
-
-        out_cols = []
-        # Config values arrive as parsed JSON — `"iscurrent": false` is a
-        # Python bool (scd2-job.ipynb:349) — so render non-strings as SQL
-        # literals before F.expr ever sees them.
-        upd = {k: _sql_literal(v) for k, v in (when_matched_update or {}).items()}
-        for c in t_cols:
-            # Delta coerces update/insert expressions to the target column
-            # type (the reference relies on this: boolean `false` lands in
-            # the integer `iscurrent` column, scd2-job.ipynb:144,349) —
-            # cast each branch to the target dtype.
-            dtype = t_dtypes[c]
-            keep = F.col(f"target.{c}")
-            if c in upd:
-                updated = F.when(update_gate, F.expr(upd[c]).cast(dtype)).otherwise(keep)
-            else:
-                updated = keep
-            # source-only rows → insert branch: map source columns by name,
-            # falling back to NULL for target-only columns.
-            if insert_not_matched and c in source.columns:
-                ins = F.col(f"source.{c}").cast(dtype)
-            else:
-                ins = F.lit(None).cast(dtype)
-            out_cols.append(
-                F.when(F.col("__t").isNotNull(), updated).otherwise(ins).alias(c)
-            )
-
-        result = joined
-        if not insert_not_matched:
-            result = result.filter(F.col("__t").isNotNull())
-        result = result.select(*out_cols)
+        result = build_merge_annotated(
+            subset, source, condition,
+            when_matched_update=when_matched_update,
+            matched_condition=matched_condition,
+            insert_not_matched=insert_not_matched,
+            validate_unique_match=validate_unique_match,
+        ).select(*t_cols)
 
         new_v = cur_v + 1
         new_files = self._write_data_files(result, new_v, num_partitions)

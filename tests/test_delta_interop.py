@@ -761,6 +761,135 @@ def test_compact_delta_and_incremental_appends(spark, tmp_path):
         read_delta_appends(spark, d, since_version=v_opt)
 
 
+def test_merge_delta_partitioned_and_file_granular(spark, tmp_path):
+    """merge_delta on a partitioned bridge table: only files holding
+    condition-matched rows are tombstoned (copy-on-write at file
+    granularity), rewritten rows land in the right hive partition even
+    when the UPDATE moves a row across partitions, and the snapshot
+    matches the merge semantics."""
+    from sql_based_etl_spark.tables.delta_interop import merge_delta, write_delta
+
+    d = str(tmp_path / "m_part")
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "fr", 30), (4, "fr", 40)],
+        "id long, lang string, score long")
+    write_delta(df.repartition("lang"), d, mode="overwrite", partition_by=["lang"])
+
+    src = spark.createDataFrame([(2, "de", 21), (9, "it", 90)],
+                                "id long, lang string, score long")
+    v = merge_delta(
+        src, d,
+        condition="target.id = source.id",
+        when_matched_update={"lang": "source.lang", "score": "source.score"},
+    )
+    assert v == 1
+    snap = {(r.id, r.lang, r.score) for r in read_delta(spark, d).collect()}
+    assert snap == {(1, "en", 10), (2, "de", 21), (3, "fr", 30),
+                    (4, "fr", 40), (9, "it", 90)}
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    removes = [a["remove"] for a in acts if "remove" in a]
+    adds = [a["add"] for a in acts if "add" in a]
+    # only the en partition file matched — fr carried by reference
+    assert all(r["partitionValues"] == {"lang": "en"} for r in removes)
+    assert all("lang=fr" not in r["path"] for r in removes)
+    # rewritten rows landed in the partitions their NEW values dictate
+    assert {a["partitionValues"]["lang"] for a in adds} == {"en", "de", "it"}
+    # physical layout is hive-style under the table root
+    assert glob.glob(os.path.join(d, "lang=de", "*.parquet"))
+
+
+def test_merge_delta_cdf_emits_exact_cdc(spark, tmp_path):
+    """A merge into a CDF-enabled table carries REAL cdc actions
+    (_change_data/ parquet, dataChange:false): the change feed shows
+    exactly the gated updates (pre+post image) and inserts — rows that
+    were matched-but-unchanged or merely carried through the file
+    rewrite must NOT appear, even though their files were removed and
+    re-added with dataChange:true."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "m_cdf")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    write_delta(df.coalesce(1), d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+
+    src = spark.createDataFrame([(1, "A"), (2, "b"), (4, "D")], "id long, v string")
+    merge_delta(
+        src, d,
+        condition="target.id = source.id",
+        when_matched_update={"v": "source.v"},
+        matched_condition="target.v <> source.v",  # id=2 matched, unchanged
+    )
+    changes = {(r.id, r.v, r._change_type)
+               for r in read_delta_changes(spark, d, starting_version=1).collect()}
+    assert changes == {(1, "a", "update_preimage"), (1, "A", "update_postimage"),
+                       (4, "D", "insert")}
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    cdcs = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdcs and all(a["path"].startswith("_change_data/") for a in cdcs)
+    assert all(a["dataChange"] is False for a in cdcs)
+    # cdc files are invisible to snapshot readers (underscore prefix +
+    # log-driven reads): the snapshot has no _change_type column and 4 rows
+    snap = read_delta(spark, d)
+    assert "_change_type" not in snap.columns and snap.count() == 4
+
+
+def test_merge_delta_gates_noop_and_checkpoint(spark, tmp_path):
+    """Write-side gates: appendOnly and live-DV tables refuse a merge;
+    ambiguous multi-source matches raise; a merge that changes nothing
+    commits NOTHING (returns the current version — a byte-identical
+    rewrite would be churn and a CDF lie); checkpoint_interval emits a
+    checkpoint on the merge commit like any other bridge write."""
+    from sql_based_etl_spark.tables.delta_interop import merge_delta, write_delta
+
+    src = spark.createDataFrame([(0, "X")], "id long, v string")
+
+    ao = str(tmp_path / "ao")
+    write_delta(spark.createDataFrame([(0, "a")], "id long, v string"), ao,
+                mode="overwrite", properties={"delta.appendOnly": "true"})
+    with pytest.raises(VersionedTableError, match="appendOnly"):
+        merge_delta(src, ao, condition="target.id = source.id",
+                    when_matched_update={"v": "source.v"})
+
+    dv = str(tmp_path / "dvtab")
+    os.makedirs(dv)
+    _write_datafile(spark, dv, "f0.parquet", [0, 1, 2])
+    _log(dv, 0, _DV_PROTOCOL, _meta(), _add_dv("f0.parquet", _inline_dv([1, 3])))
+    with pytest.raises(VersionedTableError, match="deletion vectors"):
+        merge_delta(src, dv, condition="target.id = source.id",
+                    when_matched_update={"v": "source.v"})
+
+    d = str(tmp_path / "m_basic")
+    write_delta(spark.createDataFrame([(0, "a"), (1, "b")], "id long, v string"),
+                d, mode="overwrite")
+    dup = spark.createDataFrame([(0, "X"), (0, "Y")], "id long, v string")
+    with pytest.raises(VersionedTableError, match="multiple source rows"):
+        merge_delta(dup, d, condition="target.id = source.id",
+                    when_matched_update={"v": "source.v"})
+
+    # no-op: source matches nothing and insert branch disabled
+    miss = spark.createDataFrame([(99, "z")], "id long, v string")
+    assert merge_delta(miss, d, condition="target.id = source.id",
+                       when_matched_update={"v": "source.v"},
+                       insert_not_matched=False) == 0
+    assert not os.path.exists(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+
+    # checkpoint on the merge commit itself
+    v = merge_delta(src, d, condition="target.id = source.id",
+                    when_matched_update={"v": "source.v"},
+                    checkpoint_interval=1)
+    assert v == 1
+    assert os.path.exists(os.path.join(d, "_delta_log", "_last_checkpoint"))
+    assert glob.glob(os.path.join(d, "_delta_log", "*.checkpoint.parquet"))
+    snap = {(r.id, r.v) for r in read_delta(spark, d).collect()}
+    assert snap == {(0, "X"), (1, "b")}
+
+
 def test_delta_load_stage_routes_protocol_delta(spark, tmp_path):
     """DeltaLakeLoad with options.protocol=delta writes the actual
     transaction-log format; DeltaLakeExtract's bridge reads it back."""

