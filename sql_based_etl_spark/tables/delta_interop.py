@@ -1090,6 +1090,36 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
         out.close()
 
 
+def _project_to_physical(df: DataFrame, meta: dict,
+                         mapping_mode: str) -> tuple[DataFrame, list[str]]:
+    """The write-side inverse of ``_snapshot_df``'s logical→physical
+    projection: rename every column (nested levels via a positional
+    struct cast — the two schemas are structurally identical by
+    construction) to its ``delta.columnMapping.physicalName`` so the
+    staged parquet matches the table's on-disk naming. In ``id`` mode
+    the physical schema carries ``parquet.field.id`` metadata, which
+    Spark's parquet writer stamps into the files
+    (``spark.sql.parquet.fieldId.write.enabled`` defaults true) — id
+    mode's contract that the ID, not the name, identifies the column
+    holds for the appended files too. Returns the physical frame and
+    the PHYSICAL partition column names (``partitionValues`` keys are
+    physical on mapped tables — the reader requirement)."""
+    from pyspark.sql.types import StructType
+
+    schema_json = json.loads(meta["schemaString"])
+    logical = StructType.fromJson(schema_json)
+    phys = StructType.fromJson(_physical_schema_json(
+        schema_json, with_field_ids=mapping_mode == "id"))
+    cols = []
+    for lf, pf in zip(logical.fields, phys.fields):
+        c = F.col(lf.name).cast(pf.dataType)
+        cols.append(c.alias(pf.name, metadata=dict(pf.metadata))
+                    if pf.metadata else c.alias(pf.name))
+    log2phys = {lf.name: pf.name for lf, pf in zip(logical.fields, phys.fields)}
+    part_phys = [log2phys[c] for c in (meta.get("partitionColumns") or [])]
+    return df.select(*cols), part_phys
+
+
 def _stage_data_files(df: DataFrame, path: str,
                       part_cols: list[str],
                       subdir: str | None = None) -> list[dict]:
@@ -1301,24 +1331,30 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     ):
         meta, live, latest, txns, proto = _replay_state(spark, path)
         _check_writer_allowed(proto, meta, mode)
-        if (meta.get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none") != "none":
-            # the bridge READS name-mode tables (physical→logical in
-            # _snapshot_df) but writes only unmapped ones — emitting
-            # logical-named parquet into a physical-named table would
-            # corrupt it silently
+        mapping_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none")
+        if mapping_mode != "none" and mode != "append":
+            # a blind APPEND to a mapped table is protocol-safe — the
+            # new files just need the reader's logical→physical
+            # projection run in reverse (_project_to_physical below).
+            # Overwrite stays fail-loud: a schema change on overwrite
+            # would have to allocate fresh physical names / field ids,
+            # an ALTER the bridge deliberately does not model.
             raise VersionedTableError(
-                "write_delta: column-mapped tables are read-only through "
-                "the bridge; install delta-spark to write this table"
+                "write_delta: column-mapped tables accept only blind "
+                "appends through the bridge; install delta-spark to "
+                "overwrite this table"
             )
-        if any(a.get("deletionVector") for a in live.values()):
-            # overwrite tombstones and checkpoint emission would have
-            # to round-trip DV descriptors the bridge never writes —
-            # readable, but read-only
+        has_dv = any(a.get("deletionVector") for a in live.values())
+        if has_dv and mode != "append":
+            # a blind APPEND adds files only — no existing file action
+            # is touched, so live DVs are preserved verbatim. Overwrite
+            # stays fail-loud: its tombstones would have to round-trip
+            # DV descriptors the bridge never writes.
             raise VersionedTableError(
-                "write_delta: tables with live deletion vectors are "
-                "read-only through the bridge; install delta-spark to "
-                "write this table"
+                "write_delta: tables with live deletion vectors accept "
+                "only blind appends through the bridge; install "
+                "delta-spark to overwrite this table"
             )
         if properties is not None and dict(properties) != dict(
                 meta.get("configuration") or {}):
@@ -1358,6 +1394,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         next_v = 0
         part_cols = list(partition_by or [])
         emit_meta = True
+        mapping_mode, has_dv = "none", False
         # the protocol must CLAIM what the table's properties require:
         # delta.enableChangeDataFeed is gated behind writer version 4
         # (the changeDataFeed feature) — a v2 claim would let external
@@ -1386,7 +1423,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             "createdTime": int(time.time() * 1000),
         }
 
-    new_adds = _stage_data_files(df, path, part_cols)
+    if mapping_mode != "none":
+        # mapped tables store data (and partitionValues keys) under
+        # PHYSICAL names — the reader's projection run in reverse
+        stage_df, stage_parts = _project_to_physical(df, meta, mapping_mode)
+    else:
+        stage_df, stage_parts = df, part_cols
+    new_adds = _stage_data_files(stage_df, path, stage_parts)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
@@ -1420,7 +1463,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     _commit_delta_log(spark, log_dir, next_v, "\n".join(json.dumps(a) for a in actions))
     if txn_app_id is not None:
         txns = {**txns, txn_app_id: int(txn_version)}
-    if checkpoint_interval and next_v > 0 and next_v % checkpoint_interval == 0:
+    if (checkpoint_interval and next_v > 0
+            and next_v % checkpoint_interval == 0 and not has_dv):
+        # DV-bearing state is deliberately NOT checkpointed: the
+        # checkpoint row schema has no deletionVector struct, and a
+        # checkpoint that drops descriptors would silently resurrect
+        # deleted rows for every reader that trusts it. Pure-JSON logs
+        # are valid Delta at any version count, so appends to DV
+        # tables simply keep replaying JSON.
         state = {_fkey(a): a for a in new_adds}
         if mode == "append":
             state = {**live, **state}
@@ -1489,14 +1539,15 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     if (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none") != "none":
         raise VersionedTableError(
-            "merge_delta: column-mapped tables are read-only through "
-            "the bridge; install delta-spark to merge into this table"
+            "merge_delta: column-mapped tables accept only blind "
+            "appends through the bridge; install delta-spark to merge "
+            "into this table"
         )
     if any(a.get("deletionVector") for a in live.values()):
         raise VersionedTableError(
-            "merge_delta: tables with live deletion vectors are "
-            "read-only through the bridge; install delta-spark to "
-            "merge into this table"
+            "merge_delta: tables with live deletion vectors accept "
+            "only blind appends through the bridge; install delta-spark "
+            "to merge into this table"
         )
     part_cols = list(meta.get("partitionColumns") or [])
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1654,14 +1705,15 @@ def compact_delta(spark: SparkSession, path: str,
     if (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none") != "none":
         raise VersionedTableError(
-            "compact_delta: column-mapped tables are read-only through "
-            "the bridge; install delta-spark to compact this table"
+            "compact_delta: column-mapped tables accept only blind "
+            "appends through the bridge; install delta-spark to "
+            "compact this table"
         )
     if any(a.get("deletionVector") for a in live.values()):
         raise VersionedTableError(
-            "compact_delta: tables with live deletion vectors are "
-            "read-only through the bridge; install delta-spark to "
-            "compact this table"
+            "compact_delta: tables with live deletion vectors accept "
+            "only blind appends through the bridge; install delta-spark "
+            "to compact this table"
         )
     if not live:
         raise VersionedTableError(f"compact_delta: nothing to compact at {path}")

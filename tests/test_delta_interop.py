@@ -1195,11 +1195,30 @@ def test_read_delta_name_mode_column_mapping(spark, tmp_path):
         read_delta(spark, d)
     os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
 
-    # the bridge never WRITES mapped tables (silent corruption otherwise)
-    with pytest.raises(VersionedTableError, match="read-only"):
-        write_delta(spark.createDataFrame([(3, "c")], "id long, v string"),
-                    d, mode="append")
-    with pytest.raises(VersionedTableError, match="read-only"):
+    # blind APPEND runs the reader's projection in reverse: the staged
+    # parquet carries PHYSICAL names (nested included), partitionValues
+    # keys are physical, and the logical read sees the new rows
+    batch = spark.createDataFrame(
+        [(3, "c", (9.5, 8.5), "2024-01-02")],
+        "id long, v string, geo struct<lat: double, lon: double>, day string")
+    assert write_delta(batch, d, mode="append") == 2
+    back = read_delta(spark, d)
+    assert back.count() == 3
+    r3 = back.filter("id = 3").collect()[0]
+    assert (r3.v, r3.geo.lat, r3.geo.lon, r3.day) == ("c", 9.5, 8.5, "2024-01-02")
+    import pyarrow.parquet as pq
+
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{2:020d}.json")).read().splitlines()]
+    add = [a["add"] for a in acts if "add" in a][0]
+    assert add["partitionValues"] == {"col-444": "2024-01-02"}  # physical key
+    file_schema = pq.read_schema(os.path.join(d, add["path"]))
+    assert set(file_schema.names) == {"col-111", "col-222", "col-333"}
+    assert [f.name for f in file_schema.field("col-333").type] == ["col-aaa", "col-bbb"]
+    # overwrite and compaction stay fail-loud on mapped tables
+    with pytest.raises(VersionedTableError, match="blind appends"):
+        write_delta(batch, d, mode="overwrite")
+    with pytest.raises(VersionedTableError, match="blind appends"):
         compact_delta(spark, d)
 
 
@@ -1463,7 +1482,12 @@ def test_dv_cardinality_mismatch_fails_loud(spark, tmp_path):
         read_delta(spark, d).collect()
 
 
-def test_dv_tables_are_read_only_through_bridge(spark, tmp_path):
+def test_dv_tables_accept_blind_appends_only(spark, tmp_path):
+    """Blind appends to a DV-bearing table are protocol-safe (files are
+    only added; live DVs are untouched) and the snapshot after an
+    append is exactly (old minus DV'd rows) + new rows. Everything that
+    would have to round-trip DV descriptors — overwrite, compaction,
+    vacuum, checkpoint emission — stays fail-loud / skipped."""
     from sql_based_etl_spark.tables.delta_interop import (
         compact_delta,
         read_delta_appends,
@@ -1477,14 +1501,19 @@ def test_dv_tables_are_read_only_through_bridge(spark, tmp_path):
     _log(d, 0, _DV_PROTOCOL, _meta(),
          _add_dv("f0.parquet", _inline_dv([1, 2])))
     df = spark.createDataFrame([(9, "r9")], "id long, v string")
-    with pytest.raises(VersionedTableError, match="read-only"):
-        write_delta(df, d, mode="append")
-    with pytest.raises(VersionedTableError, match="read-only"):
+    # checkpoint_interval=1 would fire at v1 — it must be skipped on a
+    # DV table (the checkpoint schema cannot carry the descriptors)
+    assert write_delta(df, d, mode="append", checkpoint_interval=1) == 1
+    assert _ids(read_delta(spark, d)) == [0, 3, 9]  # DV'd 1,2 still gone
+    assert not os.path.exists(os.path.join(d, "_delta_log", "_last_checkpoint"))
+    with pytest.raises(VersionedTableError, match="blind appends"):
+        write_delta(df, d, mode="overwrite")
+    with pytest.raises(VersionedTableError, match="blind appends"):
         compact_delta(spark, d)
     with pytest.raises(VersionedTableError, match="append-only"):
         read_delta_appends(spark, d, since_version=-1)
     # vacuum trips on the DV'd remove tombstone
-    _log(d, 1, _add_dv("f0.parquet", _inline_dv([0, 1, 2, 3])),
+    _log(d, 2, _add_dv("f0.parquet", _inline_dv([0, 1, 2, 3])),
          {"remove": {"path": "f0.parquet", "deletionTimestamp": 1,
                      "dataChange": True,
                      "deletionVector": _inline_dv([1, 2])}})
@@ -1565,6 +1594,64 @@ def test_read_delta_id_mode_column_mapping(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     assert _ids(read_delta(spark, d)) == [1, 2]
+
+
+def test_id_mode_blind_append_stamps_field_ids(spark, tmp_path):
+    """Blind append to an id-mode mapped table: the staged parquet
+    carries the PHYSICAL names AND the parquet field ids (id mode's
+    contract is that the ID identifies the column), so both the bridge
+    and any id-resolving reader see the appended rows."""
+    import pyarrow.parquet as pq
+
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "idm_app")
+    os.makedirs(d)
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_string = json.dumps({"type": "struct", "fields": [
+        fld("id", "long", "col-111", 1),
+        fld("v", "string", "col-222", 2),
+    ]})
+    meta = {"metaData": {
+        "id": "idm-app", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string, "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "2"},
+    }}
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    seed_schema = StructType([
+        StructField("col-111", LongType(), True, {"parquet.field.id": 1}),
+        StructField("col-222", StringType(), True, {"parquet.field.id": 2}),
+    ])
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    tmp = os.path.join(d, "__tmp")
+    spark.createDataFrame([(1, "a")], seed_schema).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                os.path.join(d, "seed.parquet"))
+    shutil.rmtree(tmp)
+    _log(d, 0, {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta, _add("seed.parquet"))
+
+    assert write_delta(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        d, mode="append") == 1
+    back = read_delta(spark, d)
+    assert {(r.id, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    add = [a["add"] for a in acts if "add" in a][0]
+    file_schema = pq.read_schema(os.path.join(d, add["path"]))
+    assert set(file_schema.names) == {"col-111", "col-222"}
+    ids = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+           for f in file_schema}
+    assert ids == {"col-111": b"1", "col-222": b"2"}
 
 
 def test_timestamp_travel_honors_in_commit_timestamps(spark, tmp_path):
