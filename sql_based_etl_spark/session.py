@@ -88,6 +88,26 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # delta-spark activation (README § pinned library recipe): when the
+    # matching pip package is installed (`import delta` succeeds), wire
+    # the SQL extension + catalog and let delta's own helper put the
+    # jars on the classpath — the library read/write routes in
+    # extract.py/load.py then prefer the library automatically. Inert
+    # in jar-less environments (this sandbox): the bridge carries
+    # everything.
+    try:
+        from delta import configure_spark_with_delta_pip
+    except ImportError:
+        configure_spark_with_delta_pip = None
+    if configure_spark_with_delta_pip is not None:
+        builder = (
+            builder
+            .config("spark.sql.extensions",
+                    "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        )
+        builder = configure_spark_with_delta_pip(builder)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

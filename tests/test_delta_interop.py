@@ -298,7 +298,8 @@ def test_delta_lake_extract_stage_routes_to_bridge(spark, delta_dir):
 
 
 @pytest.mark.skipif(not delta_available(), reason="delta-spark jars absent "
-                    "(the sandbox default); README documents the matrix")
+                    "(the sandbox default); README § pinned library recipe "
+                    "gives the exact pip pin that activates this test")
 def test_library_read_route_when_jars_present(spark, tmp_path):
     """When delta-spark IS importable, DeltaLakeExtract routes a
     ``_delta_log`` directory to the library reader (the preferred
@@ -323,7 +324,8 @@ def test_library_read_route_when_jars_present(spark, tmp_path):
 
 
 @pytest.mark.skipif(not delta_available(), reason="delta-spark jars absent "
-                    "(the sandbox default); README documents the matrix")
+                    "(the sandbox default); README § pinned library recipe "
+                    "gives the exact pip pin that activates this test")
 def test_library_write_route_when_jars_present(spark, tmp_path):
     """When delta-spark IS importable, DeltaLakeLoad protocol=delta
     routes through the real ``df.write.format("delta")`` (mirroring the
@@ -355,7 +357,8 @@ def test_library_write_route_when_jars_present(spark, tmp_path):
 
 
 @pytest.mark.skipif(not delta_available(), reason="delta-spark jars absent "
-                    "(the sandbox default); README documents the matrix")
+                    "(the sandbox default); README § pinned library recipe "
+                    "gives the exact pip pin that activates this test")
 def test_library_reads_past_bridge_checkpoint(spark, tmp_path):
     """delta-spark must be able to consume a BRIDGE-written parquet
     checkpoint (the README matrix claims checkpoint interop): read a
