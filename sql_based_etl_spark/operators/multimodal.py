@@ -11,8 +11,9 @@ real: RIFF/WAVE integer PCM (8/16/24/32-bit) and IEEE float32
 payload source the graded round-trip query uses. ``decode_features``
 keeps the deterministic byte-level feature stub (works on ANY
 payload, image or not). Only formats whose codecs are genuinely
-external remain ``NotImplementedError`` integration points: JPEG/GIF
-inside ``decode_image``, compressed audio (FLAC/OGG/MP3/ADPCM) inside
+external remain ``NotImplementedError`` integration points:
+progressive JPEG / GIF inside ``decode_image`` (baseline sequential
+JPEG decodes natively), compressed audio (FLAC/OGG/MP3/ADPCM) inside
 ``decode_audio``, and video in ``sample_frames``.
 
 Scale posture: binary payloads ride parquet column chunks; metadata
@@ -117,7 +118,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
     row-at-a-time UDF) and the hot arithmetic inside each decode is
     numpy over the whole raster. Fail-loud: malformed bytes of a
     supported format raise ``ImageDecodeError``; formats that genuinely
-    need external codecs (JPEG, GIF, video) raise
+    need external codecs (progressive JPEG, GIF, video) raise
     ``NotImplementedError`` — the remaining honest integration points."""
     import hashlib
 

@@ -98,6 +98,198 @@ def encode_png(px: np.ndarray, filters: list[int] | None = None) -> bytes:
 # --- decoder unit tests --------------------------------------------------
 
 
+# --- test-side baseline JPEG encoder (ITU-T T.81 applied forward) -------
+#
+# Written from the spec's encoder procedures (F.1): forward 8x8 DCT,
+# quantization, zigzag, DC-difference + run/size AC Huffman coding with
+# byte stuffing — independent of the decoder's code. Huffman tables are
+# MINIMAL VALID tables (12 DC symbols at length 4; all 162 standard AC
+# run/size symbols at length 8), not the Annex K defaults: any table
+# carried in the file's own DHT is legal, and short fixed lengths keep
+# the encoder obviously correct. Quant table of all-ones makes the
+# round trip near-lossless (DCT rounding only), so the decoder is
+# tested to tight pixel tolerances rather than "looks plausible".
+
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = bytes(range(12))
+_JPEG_AC_VALS = bytes([0x00, 0xF0] + [(r << 4) | s
+                                      for r in range(16)
+                                      for s in range(1, 11)])
+_JPEG_AC_BITS = [0] * 16
+_JPEG_AC_BITS[7] = len(_JPEG_AC_VALS)  # all symbols at code length 8
+
+
+def _jpeg_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def align(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _jpeg_fdct_block(block: np.ndarray) -> np.ndarray:
+    c = np.array([
+        [(np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+         * np.cos((2 * n + 1) * k * np.pi / 16) for n in range(8)]
+        for k in range(8)
+    ])
+    return c @ (block.astype(np.float64) - 128.0) @ c.T
+
+
+def _jpeg_pad(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % mh), (0, (-w) % mw)), mode="edge")
+
+
+def _jpeg_encode_block(zz, pred, dc_codes, ac_codes, bw) -> int:
+    diff = int(zz[0]) - pred
+    t = int(diff if diff >= 0 else -diff).bit_length()
+    length, code = dc_codes[t]
+    bw.put(code, length)
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            bw.put(code, length)
+            run -= 16
+        s = int(v if v >= 0 else -v).bit_length()
+        length, code = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_codes[0x00]
+        bw.put(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(px: np.ndarray, subsample: bool = False,
+                quant: int = 1, restart_interval: int = 0) -> bytes:
+    h, w, c = px.shape
+    if c == 3:  # JFIF RGB -> YCbCr
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+        subsample = False
+    if subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        ev = [_jpeg_pad(p, 2, 2) for p in planes]
+        planes = [planes[0]] + [
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4
+            for p in ev[1:]
+        ]
+    else:
+        samp = [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = [_jpeg_pad(np.clip(np.round(p), 0, 255),
+                        8 * mcuy * vs, 8 * mcux * hs)
+              for p, (hs, vs) in zip(planes, samp)]
+
+    q = np.full(64, quant, dtype=np.int64)
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    chunks = []
+    preds = [0] * len(planes)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.align()
+                chunks.append(bytes(bw.out))
+                chunks.append(bytes([
+                    0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)]))
+                bw = _JpegBitWriter()
+                preds = [0] * len(planes)
+            for ci, (plane, (hs, vs)) in enumerate(zip(padded, samp)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        f = _jpeg_fdct_block(plane[y0:y0 + 8, x0:x0 + 8])
+                        zz = np.round(
+                            f.reshape(-1)[_JPEG_ZZ] / q).astype(np.int64)
+                        preds[ci] = _jpeg_encode_block(
+                            zz, preds[ci], dc_codes, ac_codes, bw)
+            n_mcu += 1
+    bw.align()
+    chunks.append(bytes(bw.out))
+    entropy = b"".join(chunks)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q[_np_argsort_identity()]))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, (hs, vs) in enumerate(samp):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _np_argsort_identity():
+    # the DQT payload is in ZIGZAG order; an all-equal table is its own
+    # zigzag, so identity order is correct for the uniform tables used here
+    return np.arange(64)
+
+
 def test_netpbm_binary_and_ascii_bit_exact():
     px = _rng_pixels(5, 7, 3)
     for ascii_form in (False, True):
@@ -130,10 +322,92 @@ def test_png_all_filters_and_color_types_bit_exact():
             assert np.array_equal(got, px), (c, filters)
 
 
+def test_jpeg_444_round_trip_near_lossless():
+    """4:4:4 RGB with all-ones quant tables: the only loss is DCT
+    coefficient rounding, so pixels come back within a tight bound —
+    and dimensions that are NOT block multiples exercise the crop."""
+    px = _rng_pixels(24, 17, 3, seed=11)
+    fmt, got = decode_image_bytes(encode_jpeg(px))
+    assert fmt == "jpeg"
+    assert got.shape == (24, 17, 3)
+    err = np.abs(got.astype(np.int32) - px.astype(np.int32))
+    # fdct round + idct round + RGB<->YCbCr float rounding: tiny bound
+    assert err.max() <= 6, err.max()
+    assert err.mean() < 1.5
+
+
+def test_jpeg_flat_grayscale_is_exact():
+    """A flat single-component image is DC-only: quant 1 dequantizes to
+    exactly 8*(v-128), the IDCT returns the constant exactly — byte-
+    for-byte equality, no tolerance."""
+    for v in (0, 7, 128, 130, 255):
+        px = np.full((16, 24, 1), v, dtype=np.uint8)
+        fmt, got = decode_image_bytes(encode_jpeg(px))
+        assert fmt == "jpeg"
+        assert got.shape == (16, 24, 1)
+        assert np.array_equal(got, px), v
+
+
+def test_jpeg_420_subsampled_constant_color_exact():
+    """4:2:0 chroma subsampling: a constant-color image survives the
+    downsample/upsample exactly, and the decoder reassembles the
+    2x2-sampled MCU geometry (Y 16x16, chroma 8x8) correctly even at
+    non-MCU-multiple dimensions."""
+    px = np.zeros((20, 13, 3), dtype=np.uint8)
+    px[:, :] = (200, 80, 40)
+    fmt, got = decode_image_bytes(encode_jpeg(px, subsample=True))
+    assert fmt == "jpeg"
+    assert got.shape == (20, 13, 3)
+    err = np.abs(got.astype(np.int32) - px.astype(np.int32))
+    assert err.max() <= 2, err.max()
+    # gradient + subsampling: luma detail survives, bounded chroma blur
+    grad = np.zeros((20, 13, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.linspace(0, 255, 13, dtype=np.uint8)[None, :]
+    grad[:, :, 1] = np.linspace(255, 0, 20, dtype=np.uint8)[:, None]
+    grad[:, :, 2] = 90
+    _, got2 = decode_image_bytes(encode_jpeg(grad, subsample=True))
+    err2 = np.abs(got2.astype(np.int32) - grad.astype(np.int32))
+    assert err2.mean() < 12  # chroma halved: bounded, not exact
+
+
+def test_jpeg_restart_markers_and_quant_scaling():
+    """DRI/RSTn: a multi-MCU image encoded with restart_interval=2
+    decodes identically to the same image without restarts (predictor
+    resets + byte realignment round-trip); a coarser quant table
+    degrades smoothly instead of corrupting."""
+    px = _rng_pixels(16, 40, 3, seed=13)
+    plain = decode_image_bytes(encode_jpeg(px))[1]
+    rst = decode_image_bytes(encode_jpeg(px, restart_interval=2))[1]
+    assert np.array_equal(plain, rst)
+    coarse = decode_image_bytes(encode_jpeg(px, quant=16))[1]
+    err = np.abs(coarse.astype(np.int32) - px.astype(np.int32))
+    assert err.mean() < 16  # quantization loss, not corruption
+
+
+def test_jpeg_honest_boundaries():
+    """Progressive (SOF2) and other non-baseline SOFs stay
+    NotImplementedError naming the remediation; malformed baseline
+    bytes fail loudly as ImageDecodeError."""
+    good = encode_jpeg(_rng_pixels(8, 8, 3))
+    sof_at = good.index(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_image_bytes(bytes(prog))
+    lossless = bytearray(good)
+    lossless[sof_at + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="external codec"):
+        decode_image_bytes(bytes(lossless))
+    with pytest.raises(ImageDecodeError):
+        decode_image_bytes(good[:len(good) // 2])  # truncated entropy
+    with pytest.raises(ImageDecodeError, match="SOS"):
+        decode_image_bytes(b"\xff\xd8\xff\xd9")  # no scan at all
+
+
 def test_decoders_fail_loud():
     px = _rng_pixels(2, 2, 3)
-    with pytest.raises(NotImplementedError, match="external codec"):
-        decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ImageDecodeError):
+        decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg")  # mangled JPEG
     with pytest.raises(ImageDecodeError, match="raster"):
         decode_image_bytes(encode_ppm(px)[:-1])  # truncated raster
     with pytest.raises(ImageDecodeError, match="compression"):
@@ -155,21 +429,24 @@ def test_decoders_fail_loud():
 def test_decode_image_through_spark(spark):
     from sql_based_etl_spark.operators.multimodal import decode_image
 
+    jpeg_px = np.full((9, 6, 1), 130, dtype=np.uint8)  # flat = exact
     imgs = {
         1: ("ppm", _rng_pixels(4, 4, 3, seed=1)),
         2: ("bmp", _rng_pixels(3, 5, 3, seed=2)),
         3: ("png", _rng_pixels(5, 3, 4, seed=3)),
         4: ("pgm", _rng_pixels(2, 8, 1, seed=4)),
+        5: ("jpeg", jpeg_px),
     }
     enc = {1: encode_ppm(imgs[1][1]), 2: encode_bmp(imgs[2][1]),
            3: encode_png(imgs[3][1], [0, 1, 2, 3, 4]),
-           4: encode_ppm(imgs[4][1])}
+           4: encode_ppm(imgs[4][1]),
+           5: encode_jpeg(jpeg_px)}
     df = spark.createDataFrame(
         [(i, bytearray(b)) for i, b in enc.items()],
         "doc_id long, payload binary",
     ).repartition(2)
     got = {r.doc_id: r for r in decode_image(df).collect()}
-    assert len(got) == 4
+    assert len(got) == 5
     for i, (fmt, px) in imgs.items():
         r = got[i]
         h, w, c = px.shape
