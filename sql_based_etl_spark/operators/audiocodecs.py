@@ -3,11 +3,12 @@
 Companion to :mod:`.imagecodecs` — the audio half of the codec gap.
 WAV is decodable from its public specification (the RIFF container
 layout and the WAVEFORMAT ``fmt `` chunk) with nothing beyond
-``struct`` + numpy: integer PCM at 8 (unsigned), 16, 24 and 32 bits
-and IEEE float32, mono or multichannel. Compressed codecs (ADPCM,
-MP3-in-WAV, …) are genuinely external and stay honest
-``NotImplementedError`` integration points, exactly like JPEG on the
-image side.
+``struct`` + numpy: integer PCM at 8 (unsigned), 16, 24 and 32 bits,
+IEEE float32, and IMA/DVI ADPCM (format tag 0x11 — the public
+step-table state machine), mono or multichannel. Codecs that are
+genuinely external (MP3-in-WAV, proprietary ADPCM variants, FLAC/OGG
+containers) stay honest ``NotImplementedError`` integration points,
+exactly like progressive JPEG on the image side.
 
 These functions run INSIDE the Arrow ``mapInPandas`` batch path
 (multimodal.decode_audio): bytes in, (rate/channels/frames, integer
@@ -18,7 +19,8 @@ stack.
 Format reference: the RIFF/WAVE container layout (chunk id + LE size,
 word-aligned chunk padding) and the ``fmt `` fields (wFormatTag 1 =
 integer PCM / 3 = IEEE float, nChannels, nSamplesPerSec,
-wBitsPerSample), all public documents.
+wBitsPerSample, nBlockAlign for the ADPCM block layout), plus the
+IMA ADPCM reference algorithm — all public documents.
 """
 
 from __future__ import annotations
@@ -66,7 +68,7 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
     # walk the chunk list: id(4) + size(4 LE) + payload (+ pad byte to
     # word alignment), per the RIFF spec
     pos = 12
-    fmt_chunk: tuple[int, int, int, int] | None = None
+    fmt_chunk: tuple[int, int, int, int, int] | None = None
     payload: bytes | None = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -77,10 +79,10 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
                 raise AudioDecodeError(
                     f"fmt chunk too short ({min(size, len(body))} bytes)"
                 )
-            tag, n_ch, rate, _brate, _align, bits = struct.unpack_from(
+            tag, n_ch, rate, _brate, align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            fmt_chunk = (tag, n_ch, rate, bits)
+            fmt_chunk = (tag, n_ch, rate, bits, align)
         elif cid == b"data":
             if len(body) < size:
                 raise AudioDecodeError(
@@ -92,7 +94,7 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
         raise AudioDecodeError("no fmt chunk")
     if payload is None:
         raise AudioDecodeError("no data chunk")
-    tag, n_ch, rate, bits = fmt_chunk
+    tag, n_ch, rate, bits, block_align = fmt_chunk
     if n_ch < 1 or rate < 1:
         raise AudioDecodeError(f"bad fmt fields (channels={n_ch}, rate={rate})")
 
@@ -128,9 +130,14 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
             flat = np.frombuffer(payload, dtype="<i4").astype(np.int32)
         else:
             raise NotImplementedError(f"integer PCM at {bits} bits")
+    elif tag == 0x11:  # IMA/DVI ADPCM (public algorithm + WAVE mapping)
+        if bits != 4:
+            raise AudioDecodeError(f"IMA ADPCM must be 4-bit, got {bits}")
+        flat = _decode_ima_adpcm(payload, n_ch, block_align)
     else:
         raise NotImplementedError(
-            f"WAV format tag {tag} (compressed codecs are external)"
+            f"WAV format tag {tag} (compressed codecs beyond IMA ADPCM "
+            "are external)"
         )
     if flat.size % n_ch:
         raise AudioDecodeError(
@@ -162,3 +169,90 @@ def encode_wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
         b"data", struct.pack("<I", len(payload)),
     ])
     return hdr + payload
+
+
+# --- IMA/DVI ADPCM (WAVE format tag 0x11) --------------------------------
+#
+# The one compressed WAV codec whose algorithm is a small public state
+# machine rather than an external library: 4-bit nibbles drive a
+# step-size table walk with a per-channel (predictor, step index)
+# state. WAVE maps it onto fixed-size blocks of nBlockAlign bytes: a
+# 4-byte per-channel header (initial int16 predictor, step index,
+# reserved byte) whose predictor IS the block's first output sample,
+# then nibble words interleaved per channel in 4-byte groups. Decoding
+# is per-nibble Python (correctness-grade, like the JPEG entropy
+# loop); everything around it stays numpy.
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+
+_IMA_INDEX_DELTA = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition (public reference algorithm)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + int(_IMA_INDEX_DELTA[nibble & 7])))
+    return pred, index
+
+
+def _decode_ima_adpcm(payload: bytes, n_ch: int,
+                      block_align: int) -> np.ndarray:
+    if block_align < 4 * n_ch or block_align % (4 * n_ch):
+        raise AudioDecodeError(
+            f"IMA ADPCM nBlockAlign {block_align} invalid for "
+            f"{n_ch} channel(s) (needs a multiple of {4 * n_ch})"
+        )
+    if len(payload) % block_align:
+        raise AudioDecodeError(
+            f"IMA ADPCM data length {len(payload)} is not a multiple of "
+            f"nBlockAlign {block_align}"
+        )
+    samples_per_block = (block_align - 4 * n_ch) * 2 // n_ch + 1
+    out: list[list[int]] = []  # interleaved frames
+    for b0 in range(0, len(payload), block_align):
+        block = payload[b0:b0 + block_align]
+        preds, idxs = [], []
+        for c in range(n_ch):
+            pred, index, _rsvd = struct.unpack_from("<hBB", block, 4 * c)
+            if index > 88:
+                raise AudioDecodeError(
+                    f"IMA ADPCM step index {index} out of range")
+            preds.append(pred)
+            idxs.append(index)
+        frames = [[0] * n_ch for _ in range(samples_per_block)]
+        for c in range(n_ch):
+            frames[0][c] = preds[c]
+        # nibble words: per channel, 4 bytes (8 nibbles) at a time,
+        # channels interleaved; low nibble first within each byte
+        body = block[4 * n_ch:]
+        n_words = len(body) // (4 * n_ch)
+        for wgroup in range(n_words):
+            for c in range(n_ch):
+                word = body[(wgroup * n_ch + c) * 4:
+                            (wgroup * n_ch + c) * 4 + 4]
+                for bi, byte in enumerate(word):
+                    for half, nib in ((0, byte & 0x0F), (1, byte >> 4)):
+                        s = 1 + wgroup * 8 + bi * 2 + half
+                        preds[c], idxs[c] = _ima_step(
+                            preds[c], idxs[c], nib)
+                        frames[s][c] = preds[c]
+        out.extend(frames)
+    return np.array(out, dtype=np.int32).reshape(-1)

@@ -6,10 +6,12 @@ formats are decodable from their public specifications with nothing
 beyond the stdlib + numpy — netpbm (PPM/PGM, both binary and ASCII),
 uncompressed BMP (BITMAPINFOHEADER, 24/32-bit), PNG (via ``zlib``,
 all five scanline filters, 8-bit depth, grayscale/RGB and their alpha
-variants), and BASELINE JPEG (sequential DCT, Huffman — SOF0/SOF1,
-any chroma sampling, restart markers). Progressive JPEG, GIF and
-video stay honest ``NotImplementedError`` integration points — their
-codecs are genuinely external.
+variants), BASELINE JPEG (sequential DCT, Huffman — SOF0/SOF1,
+any chroma sampling, restart markers), and GIF (LZW, global/local
+color tables, interlace, GIF89a transparency; first frame of
+animations — frame EXTRACTION stays a ``sample_frames`` concern).
+Progressive JPEG and video stay honest ``NotImplementedError``
+integration points — their codecs are genuinely external.
 
 These functions run INSIDE the Arrow ``mapInPandas`` batch path
 (multimodal.decode_image): bytes in, (geometry, channel means, pixel
@@ -20,10 +22,12 @@ Format references: the netpbm format specs (P2/P3/P5/P6 headers,
 ``#`` comments, maxval), the BMP file-format layout
 (BITMAPFILEHEADER/BITMAPINFOHEADER, 4-byte row padding, bottom-up BGR
 rows), the PNG specification (chunk layout, IHDR fields, filter
-types 0-4 incl. the Paeth predictor), and ITU-T T.81 (JPEG marker
+types 0-4 incl. the Paeth predictor), ITU-T T.81 (JPEG marker
 segments, canonical Huffman construction from BITS/HUFFVAL, the
-EXTEND procedure, zigzag order, the 8×8 DCT basis). All public
-documents.
+EXTEND procedure, zigzag order, the 8×8 DCT basis), and the GIF89a
+specification (logical screen/image descriptors, LZW with variable
+code width, interlace pass order, graphic-control transparency). All
+public documents.
 """
 
 from __future__ import annotations
@@ -61,7 +65,7 @@ def decode_image_bytes(data: bytes) -> tuple[str, np.ndarray]:
     ``uint8`` array of shape (height, width, channels). Raises
     :class:`ImageDecodeError` for malformed supported formats and
     ``NotImplementedError`` for formats that need external codecs
-    (progressive JPEG, GIF) or are unrecognized."""
+    (progressive JPEG, video containers) or are unrecognized."""
     fmt = sniff_format(bytes(data))
     if fmt in ("ppm", "pgm"):
         return fmt, _decode_netpbm(bytes(data))
@@ -71,9 +75,11 @@ def decode_image_bytes(data: bytes) -> tuple[str, np.ndarray]:
         return fmt, _decode_png(bytes(data))
     if fmt == "jpeg":
         return fmt, _decode_jpeg(bytes(data))
+    if fmt == "gif":
+        return fmt, _decode_gif(bytes(data))
     raise NotImplementedError(
         f"image format {fmt!r} needs an external codec (supported "
-        "without one: PPM/PGM, uncompressed BMP, PNG, baseline JPEG)"
+        "without one: PPM/PGM, uncompressed BMP, PNG, baseline JPEG, GIF)"
     )
 
 
@@ -547,3 +553,145 @@ def _decode_jpeg_scan(data: bytes, pos: int, frame, scan, qt, huff,
         y + 1.772 * cb,
     ], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- GIF (LZW-compressed indexed color — GIF87a/GIF89a) ------------------
+#
+# Decodes the first image frame: logical screen descriptor, global or
+# local color table, the GIF flavor of LZW (variable code width 3..12
+# bits, clear/end codes), optional row interlacing, and the GIF89a
+# graphic-control transparency index (emitted as an alpha channel).
+# Later frames of an animation are deliberately out of scope for the
+# still-image path — frame EXTRACTION belongs to sample_frames, and a
+# first-frame decode is what every thumbnail/feature pipeline needs.
+
+
+def _gif_need(data: bytes, pos: int, n: int, what: str) -> None:
+    if pos + n > len(data):
+        raise ImageDecodeError(f"gif: truncated in {what}")
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("gif: bad signature")
+    _gif_need(data, 6, 7, "logical screen descriptor")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        _gif_need(data, pos, 3 * n, "global color table")
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            _gif_need(data, pos, 3, "extension header")
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                _gif_need(data, pos, 5, "graphic control")
+                gflags = data[pos + 1]
+                if gflags & 1:
+                    transparent = data[pos + 4]
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+                _gif_need(data, pos, 1, "extension sub-blocks")
+            pos += 1
+            continue
+        if b != 0x2C:  # image descriptor
+            raise ImageDecodeError(f"gif: unexpected block 0x{b:02X}")
+        _gif_need(data, pos, 10, "image descriptor")
+        _ix, _iy, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        ct = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            _gif_need(data, pos, 3 * n, "local color table")
+            ct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ImageDecodeError("gif: no color table")
+        _gif_need(data, pos, 2, "LZW header")
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while data[pos]:
+            ln = data[pos]
+            _gif_need(data, pos, 1 + ln + 1, "image sub-blocks")
+            chunks.append(data[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw(b"".join(chunks), min_code, w * h)
+        grid = np.array(idx, dtype=np.int32).reshape(h, w)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                     + [*range(2, h, 4)] + [*range(1, h, 2)])
+            deinter = np.empty_like(grid)
+            deinter[np.array(order, dtype=np.int64)] = grid
+            grid = deinter
+        if grid.max() >= len(ct):
+            raise ImageDecodeError("gif: pixel index outside color table")
+        rgb = ct[grid]
+        if transparent is not None:
+            alpha = np.where(grid == transparent, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])
+        return rgb
+    raise ImageDecodeError("gif: no image descriptor")
+
+
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first bit packing, variable code width from
+    ``min_code``+1 up to 12 bits, CLEAR resets the dictionary, EOI
+    terminates. Classic table-as-list decode (public algorithm)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = prev = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code + 1
+        prev = -1
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out[:npix]
+            if prev < 0:
+                if code >= len(table) or not table[code]:
+                    raise ImageDecodeError("gif: bad first LZW code")
+                entry = table[code]
+            elif code < len(table) and table[code]:
+                entry = table[code]
+                table.append(table[prev] + [entry[0]])
+            elif code == len(table):  # the KwKwK case
+                entry = table[prev] + [table[prev][0]]
+                table.append(entry)
+            else:
+                raise ImageDecodeError("gif: LZW code out of range")
+            out.extend(entry)
+            prev = code
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= npix:
+                return out[:npix]
+    if len(out) < npix:
+        raise ImageDecodeError(
+            f"gif: LZW stream yielded {len(out)} pixels, need {npix}")
+    return out[:npix]

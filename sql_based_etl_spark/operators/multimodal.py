@@ -3,17 +3,19 @@ metadata, with decode / feature-extraction as Arrow-batched Pandas
 stages over ``mapInPandas``.
 
 ``decode_image`` is a REAL decoder: netpbm (PPM/PGM), uncompressed
-BMP and PNG are decodable from their public specs with the stdlib
-alone (operators/imagecodecs.py), and it runs them through the same
-Arrow batch path as everything else. ``decode_audio`` is likewise
-real: RIFF/WAVE integer PCM (8/16/24/32-bit) and IEEE float32
+BMP, PNG, baseline JPEG and GIF are decodable from their public specs
+with the stdlib alone (operators/imagecodecs.py), and it runs them
+through the same Arrow batch path as everything else. ``decode_audio``
+is likewise real: RIFF/WAVE integer PCM (8/16/24/32-bit), IEEE
+float32 and IMA ADPCM
 (operators/audiocodecs.py), with ``synth_wav`` as the deterministic
 payload source the graded round-trip query uses. ``decode_features``
 keeps the deterministic byte-level feature stub (works on ANY
 payload, image or not). Only formats whose codecs are genuinely
 external remain ``NotImplementedError`` integration points:
 progressive JPEG / GIF inside ``decode_image`` (baseline sequential
-JPEG decodes natively), compressed audio (FLAC/OGG/MP3/ADPCM) inside
+JPEG decodes natively; GIF decodes natively too), compressed audio
+(FLAC/OGG/MP3 — IMA ADPCM decodes natively) inside
 ``decode_audio``, and video in ``sample_frames``.
 
 Scale posture: binary payloads ride parquet column chunks; metadata
@@ -108,8 +110,9 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
     """REAL image decode through the same Arrow ``mapInPandas`` path as
     :func:`decode_features` — pure-stdlib codecs
     (operators/imagecodecs.py): netpbm PPM/PGM (binary + ASCII),
-    uncompressed 24/32-bit BMP, and PNG via ``zlib`` with all five
-    scanline filters. Emits geometry + mean pixel value + an md5 of the
+    uncompressed 24/32-bit BMP, PNG via ``zlib`` with all five
+    scanline filters, baseline JPEG, and GIF (LZW).
+    Emits geometry + mean pixel value + an md5 of the
     decoded pixel bytes per image — pixels never leave the executor
     (digests-only-to-driver, like the rest of the multimodal stack).
 
@@ -118,7 +121,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
     row-at-a-time UDF) and the hot arithmetic inside each decode is
     numpy over the whole raster. Fail-loud: malformed bytes of a
     supported format raise ``ImageDecodeError``; formats that genuinely
-    need external codecs (progressive JPEG, GIF, video) raise
+    need external codecs (progressive JPEG, video) raise
     ``NotImplementedError`` — the remaining honest integration points."""
     import hashlib
 

@@ -179,3 +179,140 @@ def test_decode_audio_rejects_float_wav(spark):
                                "doc_id long, payload binary")
     with pytest.raises(Exception, match="integer sample statistics"):
         decode_audio(df).collect()
+
+
+# --- IMA/DVI ADPCM (format tag 0x11) -------------------------------------
+#
+# Test-side ENCODER written forward from the public reference
+# algorithm: the standard quantizer tracks the decoder's reconstruction
+# internally, so the decoder's output must equal the encoder's internal
+# reference EXACTLY (integer equality), with the original signal only
+# approximated (4-bit residual).
+
+_T_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_T_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_encode_nibble(sample, pred, index):
+    step = _T_STEPS[index]
+    diff = sample - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    # reconstruct exactly as the decoder will
+    d = step >> 3
+    if nib & 1:
+        d += step >> 2
+    if nib & 2:
+        d += step >> 1
+    if nib & 4:
+        d += step
+    if nib & 8:
+        d = -d
+    pred = max(-32768, min(32767, pred + d))
+    index = max(0, min(88, index + _T_INDEX[nib & 7]))
+    return nib, pred, index
+
+
+def encode_ima_adpcm_wav(samples: np.ndarray, rate: int,
+                         block_align: int) -> tuple[bytes, np.ndarray]:
+    """Encode (frames, channels) int16 as an IMA ADPCM WAV; returns
+    (bytes, reference) where reference is the decoder-exact
+    reconstruction."""
+    frames, n_ch = samples.shape
+    spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+    assert frames % spb == 0, "test fixture must fill whole blocks"
+    data = bytearray()
+    ref = np.zeros_like(samples, dtype=np.int32)
+    idxs = [0] * n_ch
+    for b0 in range(0, frames, spb):
+        preds = [int(samples[b0, c]) for c in range(n_ch)]
+        for c in range(n_ch):
+            data += struct.pack("<hBB", preds[c], idxs[c], 0)
+            ref[b0, c] = preds[c]
+        nibbles = [[] for _ in range(n_ch)]
+        for s in range(1, spb):
+            for c in range(n_ch):
+                nib, preds[c], idxs[c] = _ima_encode_nibble(
+                    int(samples[b0 + s, c]), preds[c], idxs[c])
+                nibbles[c].append(nib)
+                ref[b0 + s, c] = preds[c]
+        n_words = (spb - 1 + 7) // 8
+        for w in range(n_words):
+            for c in range(n_ch):
+                grp = nibbles[c][w * 8:w * 8 + 8] + [0] * 8
+                for k in range(0, 8, 2):
+                    data += bytes([grp[k] | (grp[k + 1] << 4)])
+    block = block_align
+    hdr = b"".join([
+        b"RIFF", struct.pack("<I", 4 + 8 + 20 + 8 + len(data)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHHHH", 20, 0x11, n_ch, rate,
+                             rate * block // spb, block, 4, 2, spb),
+        b"data", struct.pack("<I", len(data)),
+    ])
+    return hdr + bytes(data), ref
+
+
+def test_ima_adpcm_mono_decoder_matches_reference_exactly():
+    rng = np.random.RandomState(5)
+    # 2 blocks of 505 samples at block_align 256 (mono)
+    spb = (256 - 4) * 2 + 1
+    t = np.arange(2 * spb)
+    sig = (8000 * np.sin(t / 9.0) + rng.randint(-500, 500, t.size)).astype(
+        np.int16)[:, None]
+    raw, ref = encode_ima_adpcm_wav(sig, 8000, 256)
+    rate, got = decode_wav_bytes(raw)
+    assert rate == 8000
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref)  # bit-exact vs the state machine
+    # and a faithful approximation of the original (4-bit residual)
+    err = np.abs(got.astype(np.int64) - sig.astype(np.int64))
+    assert np.median(err) < 256
+
+
+def test_ima_adpcm_stereo_interleave_exact():
+    rng = np.random.RandomState(6)
+    spb = (128 - 8) * 2 // 2 + 1  # block_align 128, 2 channels
+    n = 3 * spb
+    sig = np.stack([
+        (6000 * np.sin(np.arange(n) / 7.0)).astype(np.int16),
+        rng.randint(-2000, 2000, n).astype(np.int16),
+    ], axis=1)
+    raw, ref = encode_ima_adpcm_wav(sig, 16000, 128)
+    rate, got = decode_wav_bytes(raw)
+    assert rate == 16000 and got.shape == (n, 2)
+    assert np.array_equal(got, ref)
+
+
+def test_ima_adpcm_fail_loud():
+    sig = np.zeros(((256 - 4) * 2 + 1, 1), dtype=np.int16)
+    raw, _ = encode_ima_adpcm_wav(sig, 8000, 256)
+    # truncated mid-block: not a multiple of nBlockAlign
+    with pytest.raises(AudioDecodeError, match="nBlockAlign"):
+        cut = bytearray(raw[:-10])
+        at = cut.index(b"data")
+        struct.pack_into("<I", cut, at + 4, len(cut) - at - 8)
+        decode_wav_bytes(bytes(cut))
+    # corrupt step index beyond 88 fails loudly
+    bad = bytearray(raw)
+    at = bad.index(b"data") + 8
+    bad[at + 2] = 99  # step index byte of the first block header
+    with pytest.raises(AudioDecodeError, match="step index"):
+        decode_wav_bytes(bytes(bad))

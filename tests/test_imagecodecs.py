@@ -322,6 +322,122 @@ def test_png_all_filters_and_color_types_bit_exact():
             assert np.array_equal(got, px), (c, filters)
 
 
+# --- test-side GIF encoder (GIF89a spec applied forward) ----------------
+
+
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes: list[tuple[int, int]] = []
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    codes.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        # width grows one code LATER than the table crosses 2^width —
+        # the decoder adds its mirror entry only after reading the next
+        # code, so it bumps at exactly that point
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = (int(px),)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for value, w_ in codes:
+        acc |= value << nbits
+        nbits += w_
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray,
+               interlace: bool = False, transparent: int | None = None,
+               local_ct: bool = False) -> bytes:
+    h, w = idx.shape
+    k = 0
+    while (2 << k) < len(palette):
+        k += 1
+    pal = np.zeros((2 << k, 3), dtype=np.uint8)
+    pal[:len(palette)] = palette
+    min_code = max(2, k + 1)
+    out = bytearray(b"GIF89a")
+    gct_flag = 0x00 if local_ct else (0x80 | k)
+    out += struct.pack("<HHBBB", w, h, gct_flag, 0, 0)
+    if not local_ct:
+        out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    iflags = (0x40 if interlace else 0) | ((0x80 | k) if local_ct else 0)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, iflags)
+    if local_ct:
+        out += pal.tobytes()
+    rows = idx
+    if interlace:
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        rows = idx[np.array(order)]
+    out += bytes([min_code])
+    lzw = _gif_lzw_encode(rows.reshape(-1), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_round_trips_exact():
+    """GIF is lossless indexed color: global/local color tables,
+    interlaced row order, and GIF89a transparency all round-trip
+    byte-exactly through the LZW decoder."""
+    rng = np.random.RandomState(3)
+    palette = rng.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    idx = rng.randint(0, 7, size=(13, 9)).astype(np.uint8)
+    for interlace in (False, True):
+        for local_ct in (False, True):
+            fmt, got = decode_image_bytes(
+                encode_gif(idx, palette, interlace=interlace,
+                           local_ct=local_ct))
+            assert fmt == "gif"
+            assert np.array_equal(got, palette[idx]), (interlace, local_ct)
+    # transparency: alpha 0 exactly at the transparent index
+    fmt, got = decode_image_bytes(encode_gif(idx, palette, transparent=3))
+    assert got.shape == (13, 9, 4)
+    assert np.array_equal(got[:, :, :3], palette[idx])
+    assert np.array_equal(got[:, :, 3] == 0, idx == 3)
+    # a 200-color image exercises width growth past 8->9 bits
+    big_pal = rng.randint(0, 256, size=(200, 3)).astype(np.uint8)
+    big_idx = rng.randint(0, 200, size=(40, 37)).astype(np.uint8)
+    fmt, got = decode_image_bytes(encode_gif(big_idx, big_pal))
+    assert np.array_equal(got, big_pal[big_idx])
+
+
+def test_gif_fails_loud():
+    rng = np.random.RandomState(4)
+    palette = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, size=(6, 6)).astype(np.uint8)
+    good = encode_gif(idx, palette)
+    with pytest.raises(ImageDecodeError):
+        decode_image_bytes(good[:20])  # truncated before image data
+    with pytest.raises(ImageDecodeError, match="LZW"):
+        bad = bytearray(good)
+        bad[-8] ^= 0xFF  # corrupt a byte inside the LZW stream
+        decode_image_bytes(bytes(bad))
+
+
 def test_jpeg_444_round_trip_near_lossless():
     """4:4:4 RGB with all-ones quant tables: the only loss is DCT
     coefficient rounding, so pixels come back within a tight bound —
