@@ -138,22 +138,11 @@ def versioned_table_merge_load(ctx: PipelineContext, conf: dict) -> DataFrame | 
     df = ctx.view(conf["inputView"])
     wmu = conf.get("whenMatchedUpdate") or {}
     n = conf.get("numPartitions")
-    if is_delta_dir(ctx.spark, conf["outputURI"]):
-        merge_delta(
-            source=df,
-            path=conf["outputURI"],
-            condition=conf["condition"],
-            when_matched_update=wmu.get("values"),
-            matched_condition=wmu.get("condition"),
-            insert_not_matched="whenNotMatchedByTargetInsert" in conf,
-            num_partitions=int(n) if n else None,
-            validate_unique_match=bool(conf.get("validateUniqueMatch", True)),
-        )
-        return None
-    t = VersionedTable(ctx.spark, conf["outputURI"])
-    if not t.exists():
-        raise StageError(f"merge target does not exist: {conf['outputURI']}")
-    t.merge(
+    # delete clauses (delta-spark's full MERGE surface): a present-but-
+    # empty block means unconditional; a `condition` key gates it
+    wmd = conf.get("whenMatchedDelete")
+    nmbs = conf.get("whenNotMatchedBySourceDelete")
+    kwargs = dict(
         source=df,
         condition=conf["condition"],
         when_matched_update=wmu.get("values"),
@@ -161,7 +150,18 @@ def versioned_table_merge_load(ctx: PipelineContext, conf: dict) -> DataFrame | 
         insert_not_matched="whenNotMatchedByTargetInsert" in conf,
         num_partitions=int(n) if n else None,
         validate_unique_match=bool(conf.get("validateUniqueMatch", True)),
+        when_matched_delete=(
+            (wmd.get("condition") or "true") if wmd is not None else None),
+        when_not_matched_by_source_delete=(
+            (nmbs.get("condition") or "true") if nmbs is not None else None),
     )
+    if is_delta_dir(ctx.spark, conf["outputURI"]):
+        merge_delta(path=conf["outputURI"], **kwargs)
+        return None
+    t = VersionedTable(ctx.spark, conf["outputURI"])
+    if not t.exists():
+        raise StageError(f"merge target does not exist: {conf['outputURI']}")
+    t.merge(**kwargs)
     return None
 
 

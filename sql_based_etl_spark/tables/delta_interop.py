@@ -1484,7 +1484,9 @@ def merge_delta(source: DataFrame, path: str, condition: str,
                 insert_not_matched: bool = True,
                 num_partitions: int | None = None,
                 validate_unique_match: bool = True,
-                checkpoint_interval: int | None = 10) -> int:
+                checkpoint_interval: int | None = 10,
+                when_matched_delete: str | None = None,
+                when_not_matched_by_source_delete: str | None = None) -> int:
     """Delta-style ``MERGE INTO`` a bridge Delta table — the write-side
     op that lets the reference's S4 workhorse (``DeltaLakeMergeLoad``,
     scd2-job.ipynb:337-354) target the very Delta tables the bridge
@@ -1514,9 +1516,17 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     {update_preimage, update_postimage, insert}) — the spec's writer
     obligation for row-level DML, and what keeps external CDF readers
     from deriving whole-file delete+insert churn out of the rewrite.
-    A merge that updates and inserts NOTHING commits nothing and
-    returns the current version — rewriting files byte-identically
+    A merge that updates, deletes and inserts NOTHING commits nothing
+    and returns the current version — rewriting files byte-identically
     would be pure churn (and a CDF lie).
+
+    Delete clauses (delta-spark's full MERGE surface): see
+    :func:`~sql_based_etl_spark.tables.versioned.build_merge_annotated`
+    — ``when_matched_delete`` runs before the update clause (the
+    op='D'-first CDC-apply shape); ``when_not_matched_by_source_delete``
+    inspects every target row and therefore widens the rewrite set to
+    ALL live files, the same full-table cost delta-spark pays for it.
+    Deleted rows appear in the change feed as ``delete`` rows.
 
     Write-side gates (same fail-loud contract as :func:`write_delta`):
     column-mapped tables, tables with live deletion vectors, appendOnly
@@ -1568,7 +1578,9 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
 
     matched_keys: list[str] = []
-    if live:
+    if live and when_not_matched_by_source_delete:
+        matched_keys = sorted(live)  # clause touches every target row
+    elif live:
         abs2key = {}
         for k, a in live.items():
             rel = urllib.parse.unquote(a["path"])
@@ -1601,6 +1613,8 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         matched_condition=matched_condition,
         insert_not_matched=insert_not_matched,
         validate_unique_match=validate_unique_match,
+        when_matched_delete=when_matched_delete,
+        when_not_matched_by_source_delete=when_not_matched_by_source_delete,
     )
     # One persist, three consumers (change counts, data files, cdc
     # files) — the cached slice is exactly the rewritten subset, the
@@ -1612,15 +1626,17 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         counts = annotated.agg(
             F.sum(F.col("__updated").cast("long")).alias("u"),
             F.sum(F.col("__inserted").cast("long")).alias("i"),
+            F.sum(F.col("__deleted").cast("long")).alias("d"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
-        n_upd, n_ins = int(counts["u"] or 0), int(counts["i"] or 0)
-        if n_upd == 0 and n_ins == 0:
+        n_upd, n_ins, n_del = (int(counts["u"] or 0), int(counts["i"] or 0),
+                               int(counts["d"] or 0))
+        if n_upd == 0 and n_ins == 0 and n_del == 0:
             # nothing changed: a byte-identical rewrite would be churn
             # for every downstream (and force fabricated CDF) — no-op
             return latest
 
-        result = annotated.select(*t_cols)
+        result = annotated.filter(~F.col("__deleted")).select(*t_cols)
         if num_partitions:
             result = result.repartition(int(num_partitions))
         new_adds = _stage_data_files(result, path, part_cols)
@@ -1634,8 +1650,11 @@ def merge_delta(source: DataFrame, path: str, condition: str,
                 .withColumn("_change_type", F.lit("update_postimage"))
             ins = annotated.filter("__inserted").select(*t_cols) \
                 .withColumn("_change_type", F.lit("insert"))
+            dels = annotated.filter("__deleted").select(*[
+                F.col(f"__pre_{c}").alias(c) for c in t_cols
+            ]).withColumn("_change_type", F.lit("delete"))
             cdc_adds = _stage_data_files(
-                pre.unionByName(post).unionByName(ins),
+                pre.unionByName(post).unionByName(ins).unionByName(dels),
                 path, part_cols, subdir="_change_data")
     finally:
         annotated.unpersist()
@@ -1649,6 +1668,7 @@ def merge_delta(source: DataFrame, path: str, condition: str,
             "operationMetrics": {
                 "numTargetRowsUpdated": str(n_upd),
                 "numTargetRowsInserted": str(n_ins),
+                "numTargetRowsDeleted": str(n_del),
                 "numTargetFilesRemoved": str(len(matched)),
                 "numTargetFilesAdded": str(len(new_adds)),
             },

@@ -325,6 +325,8 @@ def build_merge_annotated(
     matched_condition: str | None = None,
     insert_not_matched: bool = True,
     validate_unique_match: bool = True,
+    when_matched_delete: str | None = None,
+    when_not_matched_by_source_delete: str | None = None,
 ) -> DataFrame:
     """The engine-agnostic MERGE core, shared by
     :meth:`VersionedTable.merge` and the Delta bridge's
@@ -349,10 +351,25 @@ def build_merge_annotated(
       what a CDF writer needs for ``update_preimage`` rows;
 
     plus boolean markers ``__updated`` (matched AND the matched
-    condition held AND there are update expressions) and ``__inserted``
-    (source row with no target match). Callers that only need the data
-    rows ``select`` the target columns; CDF-emitting callers derive
-    change rows from the markers without re-running the join."""
+    condition held AND there are update expressions), ``__inserted``
+    (source row with no target match), and ``__deleted``. Callers take
+    the data rows with ``.filter(~F.col("__deleted")).select(t_cols)``;
+    CDF-emitting callers derive change rows from the markers without
+    re-running the join.
+
+    Delete clauses (the CDC-apply idiom, delta-spark's MERGE surface):
+
+    - ``when_matched_delete``: SQL condition (``"true"`` for
+      unconditional) — matched rows satisfying it are DELETED.
+      Evaluated BEFORE the update clause, the op='D'-first CDC shape:
+      a row captured by the delete condition never reaches the update
+      branch.
+    - ``when_not_matched_by_source_delete``: SQL condition over
+      ``target.*`` — target rows with NO source match satisfying it
+      are deleted (reconciliation deletes). NOTE for file-pruning
+      callers: this clause inspects every target row, so the matched-
+      file prune must widen to ALL files when it is present — the same
+      full-table cost delta-spark pays for this clause."""
     from sql_based_etl_spark.engine.sql_compat import (  # circular-free
         coerce_condition_for_types,
     )
@@ -362,6 +379,12 @@ def build_merge_annotated(
     dtmap = {"target": t_dtypes, "source": dict(source.dtypes)}
     if matched_condition:
         matched_condition = coerce_condition_for_types(matched_condition, dtmap)
+    if when_matched_delete:
+        when_matched_delete = coerce_condition_for_types(
+            when_matched_delete, dtmap)
+    if when_not_matched_by_source_delete:
+        when_not_matched_by_source_delete = coerce_condition_for_types(
+            when_not_matched_by_source_delete, dtmap)
 
     t = subset.alias("target").withColumn("__t", F.lit(1))
     s = source.alias("source").withColumn("__s", F.lit(1))
@@ -386,7 +409,16 @@ def build_merge_annotated(
             )
 
     matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-    update_gate = matched & (
+    delete_gate = F.lit(False)
+    if when_matched_delete:
+        delete_gate = F.coalesce(
+            matched & F.expr(when_matched_delete), F.lit(False))
+    if when_not_matched_by_source_delete:
+        by_source_gate = F.coalesce(
+            F.col("__t").isNotNull() & F.col("__s").isNull()
+            & F.expr(when_not_matched_by_source_delete), F.lit(False))
+        delete_gate = delete_gate | by_source_gate
+    update_gate = matched & ~delete_gate & (
         F.expr(matched_condition) if matched_condition else F.lit(True)
     )
 
@@ -424,6 +456,7 @@ def build_merge_annotated(
         # not NULL, so CDF derivation filters stay two-valued
         F.coalesce(update_gate & F.lit(bool(upd)), F.lit(False)).alias("__updated"),
         F.col("__t").isNull().alias("__inserted"),
+        delete_gate.alias("__deleted"),
     )
 
 
@@ -1082,9 +1115,18 @@ class VersionedTable:
         insert_not_matched: bool = True,
         num_partitions: int | None = None,
         validate_unique_match: bool = True,
+        when_matched_delete: str | None = None,
+        when_not_matched_by_source_delete: str | None = None,
     ) -> int:
         """Delta-style ``MERGE INTO`` (DeltaLakeMergeLoad parity,
-        scd2-job.ipynb:337-354).
+        scd2-job.ipynb:337-354), plus delta-spark's delete clauses
+        (``when_matched_delete`` — evaluated before the update clause,
+        the op='D'-first CDC shape — and
+        ``when_not_matched_by_source_delete`` for reconciliation
+        deletes; see :func:`build_merge_annotated`). The
+        not-matched-by-source clause inspects every target row, so it
+        widens the rewrite set to ALL files — the same full-table cost
+        delta-spark pays for it.
 
         ``condition`` / ``matched_condition`` / update values are SQL
         expressions over ``source.*`` and ``target.*`` aliases — exactly
@@ -1120,7 +1162,10 @@ class VersionedTable:
         if matched_condition:
             matched_condition = coerce_condition_for_types(matched_condition, dtmap)
         all_files = self.files(cur_v)
-        matched_files = self._matched_files(source, condition) if all_files else []
+        if when_not_matched_by_source_delete:
+            matched_files = list(all_files)  # clause touches every row
+        else:
+            matched_files = self._matched_files(source, condition) if all_files else []
         carried = [f for f in all_files if f not in set(matched_files)]
 
         target_full = self.read()
@@ -1143,7 +1188,9 @@ class VersionedTable:
             matched_condition=matched_condition,
             insert_not_matched=insert_not_matched,
             validate_unique_match=validate_unique_match,
-        ).select(*t_cols)
+            when_matched_delete=when_matched_delete,
+            when_not_matched_by_source_delete=when_not_matched_by_source_delete,
+        ).filter(~F.col("__deleted")).select(*t_cols)
 
         new_v = cur_v + 1
         new_files = self._write_data_files(result, new_v, num_partitions)

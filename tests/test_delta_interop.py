@@ -893,6 +893,92 @@ def test_merge_delta_gates_noop_and_checkpoint(spark, tmp_path):
     assert snap == {(0, "X"), (1, "b")}
 
 
+def test_merge_delta_delete_clauses(spark, tmp_path):
+    """delta-spark's full MERGE surface: whenMatchedDelete runs before
+    the update clause (op='D'-first CDC apply), and
+    whenNotMatchedBySourceDelete reconciles away target rows absent
+    from the source (widening the rewrite to all files); the change
+    feed shows the deletes with preimage values."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "m_del")
+    df = spark.createDataFrame(
+        [(1, "a", "U"), (2, "b", "U"), (3, "c", "U"), (4, "d", "U")],
+        "id long, v string, op string")
+    write_delta(df.coalesce(2), d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+
+    # CDC batch: update 1, delete 2, insert 9; id 3,4 untouched by source
+    src = spark.createDataFrame(
+        [(1, "A", "U"), (2, "b", "D"), (9, "Z", "U")],
+        "id long, v string, op string")
+    merge_delta(
+        src, d,
+        condition="target.id = source.id",
+        when_matched_delete="source.op = 'D'",
+        when_matched_update={"v": "source.v"},
+        matched_condition="target.v <> source.v",
+    )
+    snap = {(r.id, r.v) for r in read_delta(spark, d).collect()}
+    assert snap == {(1, "A"), (3, "c"), (4, "d"), (9, "Z")}
+    changes = {(r.id, r.v, r._change_type)
+               for r in read_delta_changes(spark, d, 1, 1).collect()}
+    assert changes == {(1, "a", "update_preimage"), (1, "A", "update_postimage"),
+                       (2, "b", "delete"), (9, "Z", "insert")}
+
+    # reconciliation: delete every target row the source no longer has
+    keep = spark.createDataFrame([(1, "A", "U"), (3, "c", "U")],
+                                 "id long, v string, op string")
+    merge_delta(
+        keep, d,
+        condition="target.id = source.id",
+        when_not_matched_by_source_delete="true",
+        insert_not_matched=False,
+    )
+    snap = {(r.id, r.v) for r in read_delta(spark, d).collect()}
+    assert snap == {(1, "A"), (3, "c")}
+    changes = {(r.id, r._change_type)
+               for r in read_delta_changes(spark, d, 2, 2).collect()}
+    assert changes == {(4, "delete"), (9, "delete")}
+
+
+def test_versioned_merge_delete_clauses(spark, tmp_path):
+    """The same delete clauses through VersionedTable.merge (shared
+    build_merge_annotated core) and the DeltaLakeMergeLoad stage config
+    (whenMatchedDelete / whenNotMatchedBySourceDelete blocks)."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "v_del"))
+    t.write(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"))
+    src = spark.createDataFrame([(1, "A", "U"), (2, "b", "D")],
+                                "id long, v string, op string")
+    src.createOrReplaceTempView("v_del_src")
+    Pipeline(spark).run([{
+        "type": "DeltaLakeMergeLoad", "inputView": "v_del_src",
+        "outputURI": str(tmp_path / "v_del"),
+        "condition": "target.id = source.id",
+        "whenMatchedDelete": {"condition": "source.op = 'D'"},
+        "whenMatchedUpdate": {"condition": "source.op = 'U'",
+                              "values": {"v": "source.v"}},
+    }])
+    snap = {(r.id, r.v) for r in t.read().collect()}
+    assert snap == {(1, "A"), (3, "c")}
+    # reconciliation via the direct API
+    t.merge(
+        source=spark.createDataFrame([(1,)], "id long"),
+        condition="target.id = source.id",
+        when_not_matched_by_source_delete="true",
+        insert_not_matched=False,
+    )
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "A")}
+
+
 def test_delta_load_stage_routes_protocol_delta(spark, tmp_path):
     """DeltaLakeLoad with options.protocol=delta writes the actual
     transaction-log format; DeltaLakeExtract's bridge reads it back."""
