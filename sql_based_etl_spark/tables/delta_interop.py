@@ -1011,6 +1011,17 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             StructField("modificationTime", LongType()),
             StructField("dataChange", BooleanType()),
             StructField("stats", StringType()),
+            # live deletion vectors must survive the checkpoint — a
+            # checkpoint that dropped a descriptor would resurrect the
+            # deleted rows for every reader that trusts it (the spec's
+            # DeletionVectorDescriptor shape)
+            StructField("deletionVector", StructType([
+                StructField("storageType", StringType()),
+                StructField("pathOrInlineDv", StringType()),
+                StructField("offset", IntegerType()),
+                StructField("sizeInBytes", IntegerType()),
+                StructField("cardinality", LongType()),
+            ])),
         ])),
         # the spec describes the checkpoint schema as the union of
         # action schemas; strict external readers select `remove`
@@ -1045,6 +1056,17 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
                       "configuration", "createdTime")
         }},
     ]
+    def _dv_struct(a: dict) -> dict | None:
+        dv = a.get("deletionVector")
+        if not dv:
+            return None
+        off = dv.get("offset")
+        return {"storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": int(off) if off is not None else None,
+                "sizeInBytes": int(dv["sizeInBytes"]),
+                "cardinality": int(dv["cardinality"])}
+
     rows += [
         {**none_row, "add": {
             "path": a["path"],
@@ -1053,6 +1075,7 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             "modificationTime": a.get("modificationTime"),
             "dataChange": False,
             "stats": a.get("stats"),
+            "deletionVector": _dv_struct(a),
         }}
         for _, a in sorted(adds.items())
     ]
@@ -1464,13 +1487,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     if txn_app_id is not None:
         txns = {**txns, txn_app_id: int(txn_version)}
     if (checkpoint_interval and next_v > 0
-            and next_v % checkpoint_interval == 0 and not has_dv):
-        # DV-bearing state is deliberately NOT checkpointed: the
-        # checkpoint row schema has no deletionVector struct, and a
-        # checkpoint that drops descriptors would silently resurrect
-        # deleted rows for every reader that trusts it. Pure-JSON logs
-        # are valid Delta at any version count, so appends to DV
-        # tables simply keep replaying JSON.
+            and next_v % checkpoint_interval == 0):
+        # live deletion vectors ride the checkpoint's
+        # add.deletionVector struct (the spec's descriptor shape), so
+        # DV-table appends checkpoint like any other write — a
+        # descriptor-dropping checkpoint would resurrect deleted rows
         state = {_fkey(a): a for a in new_adds}
         if mode == "append":
             state = {**live, **state}

@@ -1574,9 +1574,11 @@ def test_dv_cardinality_mismatch_fails_loud(spark, tmp_path):
 def test_dv_tables_accept_blind_appends_only(spark, tmp_path):
     """Blind appends to a DV-bearing table are protocol-safe (files are
     only added; live DVs are untouched) and the snapshot after an
-    append is exactly (old minus DV'd rows) + new rows. Everything that
-    would have to round-trip DV descriptors — overwrite, compaction,
-    vacuum, checkpoint emission — stays fail-loud / skipped."""
+    append is exactly (old minus DV'd rows) + new rows. The checkpoint
+    carries the DV descriptor in add.deletionVector (proven by reading
+    THROUGH the checkpoint with the pre-checkpoint log pruned).
+    Everything that would have to rewrite descriptors — overwrite,
+    compaction, vacuum — stays fail-loud."""
     from sql_based_etl_spark.tables.delta_interop import (
         compact_delta,
         read_delta_appends,
@@ -1590,17 +1592,19 @@ def test_dv_tables_accept_blind_appends_only(spark, tmp_path):
     _log(d, 0, _DV_PROTOCOL, _meta(),
          _add_dv("f0.parquet", _inline_dv([1, 2])))
     df = spark.createDataFrame([(9, "r9")], "id long, v string")
-    # checkpoint_interval=1 would fire at v1 — it must be skipped on a
-    # DV table (the checkpoint schema cannot carry the descriptors)
     assert write_delta(df, d, mode="append", checkpoint_interval=1) == 1
     assert _ids(read_delta(spark, d)) == [0, 3, 9]  # DV'd 1,2 still gone
-    assert not os.path.exists(os.path.join(d, "_delta_log", "_last_checkpoint"))
+    assert os.path.exists(os.path.join(d, "_delta_log", "_last_checkpoint"))
+    with pytest.raises(VersionedTableError, match="append-only"):
+        read_delta_appends(spark, d, since_version=-1)
+    # prune the JSON below the checkpoint: a descriptor-dropping
+    # checkpoint would now resurrect ids 1,2 — it must not
+    os.remove(os.path.join(d, "_delta_log", f"{0:020d}.json"))
+    assert _ids(read_delta(spark, d)) == [0, 3, 9]
     with pytest.raises(VersionedTableError, match="blind appends"):
         write_delta(df, d, mode="overwrite")
     with pytest.raises(VersionedTableError, match="blind appends"):
         compact_delta(spark, d)
-    with pytest.raises(VersionedTableError, match="append-only"):
-        read_delta_appends(spark, d, since_version=-1)
     # vacuum trips on the DV'd remove tombstone
     _log(d, 2, _add_dv("f0.parquet", _inline_dv([0, 1, 2, 3])),
          {"remove": {"path": "f0.parquet", "deletionTimestamp": 1,
