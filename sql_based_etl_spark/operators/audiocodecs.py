@@ -4,8 +4,9 @@ Companion to :mod:`.imagecodecs` — the audio half of the codec gap.
 WAV is decodable from its public specification (the RIFF container
 layout and the WAVEFORMAT ``fmt `` chunk) with nothing beyond
 ``struct`` + numpy: integer PCM at 8 (unsigned), 16, 24 and 32 bits,
-IEEE float32, and IMA/DVI ADPCM (format tag 0x11 — the public
-step-table state machine), mono or multichannel. Codecs that are
+IEEE float32, IMA/DVI ADPCM (format tag 0x11 — the public
+step-table state machine) and Microsoft ADPCM (tag 0x02 — the
+published two-tap predictor), mono or multichannel. Codecs that are
 genuinely external (MP3-in-WAV, proprietary ADPCM variants, FLAC/OGG
 containers) stay honest ``NotImplementedError`` integration points,
 exactly like progressive JPEG on the image side.
@@ -20,7 +21,7 @@ Format reference: the RIFF/WAVE container layout (chunk id + LE size,
 word-aligned chunk padding) and the ``fmt `` fields (wFormatTag 1 =
 integer PCM / 3 = IEEE float, nChannels, nSamplesPerSec,
 wBitsPerSample, nBlockAlign for the ADPCM block layout), plus the
-IMA ADPCM reference algorithm — all public documents.
+IMA and Microsoft ADPCM reference algorithms — all public documents.
 """
 
 from __future__ import annotations
@@ -134,10 +135,14 @@ def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
         if bits != 4:
             raise AudioDecodeError(f"IMA ADPCM must be 4-bit, got {bits}")
         flat = _decode_ima_adpcm(payload, n_ch, block_align)
+    elif tag == 0x02:  # Microsoft ADPCM (public algorithm + WAVE mapping)
+        if bits != 4:
+            raise AudioDecodeError(f"MS ADPCM must be 4-bit, got {bits}")
+        flat = _decode_ms_adpcm(payload, n_ch, block_align)
     else:
         raise NotImplementedError(
-            f"WAV format tag {tag} (compressed codecs beyond IMA ADPCM "
-            "are external)"
+            f"WAV format tag {tag} (compressed codecs beyond IMA/MS "
+            "ADPCM are external)"
         )
     if flat.size % n_ch:
         raise AudioDecodeError(
@@ -254,5 +259,71 @@ def _decode_ima_adpcm(payload: bytes, n_ch: int,
                         preds[c], idxs[c] = _ima_step(
                             preds[c], idxs[c], nib)
                         frames[s][c] = preds[c]
+        out.extend(frames)
+    return np.array(out, dtype=np.int32).reshape(-1)
+
+
+# --- Microsoft ADPCM (WAVE format tag 0x0002) ----------------------------
+#
+# The other published ADPCM-in-WAVE mapping: a per-block two-tap linear
+# predictor chosen from seven fixed coefficient pairs, a per-nibble
+# adaptive delta, and a block header carrying (predictor index, initial
+# delta, the two seed samples) per channel — the seeds ARE the block's
+# first two output samples. Nibbles are high-half first, channels
+# interleaved per nibble. Per-nibble Python (correctness-grade), numpy
+# around it.
+
+_MS_COEFS = [(256, 0), (512, -256), (0, 64), (192, 64),
+             (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _decode_ms_adpcm(payload: bytes, n_ch: int,
+                     block_align: int) -> np.ndarray:
+    hdr = 7 * n_ch
+    if block_align <= hdr:
+        raise AudioDecodeError(
+            f"MS ADPCM nBlockAlign {block_align} too small for "
+            f"{n_ch} channel(s) ({hdr}-byte header)"
+        )
+    if len(payload) % block_align:
+        raise AudioDecodeError(
+            f"MS ADPCM data length {len(payload)} is not a multiple of "
+            f"nBlockAlign {block_align}"
+        )
+    out: list[list[int]] = []
+    for b0 in range(0, len(payload), block_align):
+        block = payload[b0:b0 + block_align]
+        preds = [block[c] for c in range(n_ch)]
+        for c, p in enumerate(preds):
+            if p >= len(_MS_COEFS):
+                raise AudioDecodeError(
+                    f"MS ADPCM predictor index {p} out of range")
+        deltas = [struct.unpack_from("<h", block, n_ch + 2 * c)[0]
+                  for c in range(n_ch)]
+        s1 = [struct.unpack_from("<h", block, 3 * n_ch + 2 * c)[0]
+              for c in range(n_ch)]
+        s2 = [struct.unpack_from("<h", block, 5 * n_ch + 2 * c)[0]
+              for c in range(n_ch)]
+        frames = [list(s2), list(s1)]  # seeds are the first two outputs
+        coefs = [_MS_COEFS[p] for p in preds]
+        nibbles_per_frame = n_ch
+        body = block[hdr:]
+        frame: list[int] = []
+        ch = 0
+        for byte in body:
+            for nib in (byte >> 4, byte & 0x0F):  # high half first
+                signed = nib - 16 if nib >= 8 else nib
+                c1, c2 = coefs[ch]
+                pred = (s1[ch] * c1 + s2[ch] * c2) >> 8
+                new = max(-32768, min(32767, pred + signed * deltas[ch]))
+                s2[ch], s1[ch] = s1[ch], new
+                deltas[ch] = max(16, (_MS_ADAPT[nib] * deltas[ch]) >> 8)
+                frame.append(new)
+                ch += 1
+                if ch == nibbles_per_frame:
+                    frames.append(frame)
+                    frame, ch = [], 0
         out.extend(frames)
     return np.array(out, dtype=np.int32).reshape(-1)

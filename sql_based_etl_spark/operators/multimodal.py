@@ -7,7 +7,7 @@ BMP, PNG, baseline JPEG and GIF are decodable from their public specs
 with the stdlib alone (operators/imagecodecs.py), and it runs them
 through the same Arrow batch path as everything else. ``decode_audio``
 is likewise real: RIFF/WAVE integer PCM (8/16/24/32-bit), IEEE
-float32 and IMA ADPCM
+float32, IMA and MS ADPCM
 (operators/audiocodecs.py), with ``synth_wav`` as the deterministic
 payload source the graded round-trip query uses. ``decode_features``
 keeps the deterministic byte-level feature stub (works on ANY
@@ -15,7 +15,7 @@ payload, image or not). Only formats whose codecs are genuinely
 external remain ``NotImplementedError`` integration points:
 progressive JPEG / GIF inside ``decode_image`` (baseline sequential
 JPEG decodes natively; GIF decodes natively too), compressed audio
-(FLAC/OGG/MP3 — IMA ADPCM decodes natively) inside
+(FLAC/OGG/MP3 — IMA and MS ADPCM decode natively) inside
 ``decode_audio``, and video in ``sample_frames``.
 
 Scale posture: binary payloads ride parquet column chunks; metadata

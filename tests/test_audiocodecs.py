@@ -97,7 +97,7 @@ def test_fail_loud_contract():
     with pytest.raises(NotImplementedError, match="external codec"):
         decode_wav_bytes(b"fLaC" + b"\x00" * 16)
     with pytest.raises(NotImplementedError, match="format tag"):
-        decode_wav_bytes(_wav(b"\x00\x00", tag=2))  # ADPCM
+        decode_wav_bytes(_wav(b"\x00\x00", tag=85))  # MP3-in-WAV
     with pytest.raises(NotImplementedError, match="IEEE-float"):
         decode_wav_bytes(_wav(b"\x00" * 8, tag=3, bits=64))
     with pytest.raises(AudioDecodeError, match="no data chunk"):
@@ -316,3 +316,102 @@ def test_ima_adpcm_fail_loud():
     bad[at + 2] = 99  # step index byte of the first block header
     with pytest.raises(AudioDecodeError, match="step index"):
         decode_wav_bytes(bytes(bad))
+
+
+# --- Microsoft ADPCM (format tag 0x0002) ----------------------------------
+
+_MS_T_COEFS = [(256, 0), (512, -256), (0, 64), (192, 64),
+               (240, 0), (460, -208), (392, -232)]
+_MS_T_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+               768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def encode_ms_adpcm_wav(samples: np.ndarray, rate: int, block_align: int,
+                        predictor: int = 0) -> tuple[bytes, np.ndarray]:
+    """Spec-forward MS ADPCM encoder (quantize against the decoder's
+    own reconstruction); returns (bytes, decoder-exact reference)."""
+    frames, n_ch = samples.shape
+    spb = (block_align - 7 * n_ch) * 2 // n_ch + 2
+    assert frames % spb == 0, "test fixture must fill whole blocks"
+    c1, c2 = _MS_T_COEFS[predictor]
+    data = bytearray()
+    ref = np.zeros_like(samples, dtype=np.int32)
+    for b0 in range(0, frames, spb):
+        s2 = [int(samples[b0, c]) for c in range(n_ch)]
+        s1 = [int(samples[b0 + 1, c]) for c in range(n_ch)]
+        deltas = [64] * n_ch
+        data += bytes([predictor] * n_ch)
+        for c in range(n_ch):
+            data += struct.pack("<h", deltas[c])
+        for c in range(n_ch):
+            data += struct.pack("<h", s1[c])
+        for c in range(n_ch):
+            data += struct.pack("<h", s2[c])
+        for c in range(n_ch):
+            ref[b0, c] = s2[c]
+            ref[b0 + 1, c] = s1[c]
+        nibs: list[int] = []
+        for s in range(2, spb):
+            for c in range(n_ch):
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                err = int(samples[b0 + s, c]) - pred
+                q = max(-8, min(7, int(round(err / deltas[c]))))
+                nib = q & 0x0F
+                new = max(-32768, min(32767, pred + q * deltas[c]))
+                s2[c], s1[c] = s1[c], new
+                deltas[c] = max(16, (_MS_T_ADAPT[nib] * deltas[c]) >> 8)
+                ref[b0 + s, c] = new
+                nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            data += bytes([(nibs[i] << 4) | nibs[i + 1]])  # high half first
+    hdr = b"".join([
+        b"RIFF", struct.pack("<I", 4 + 8 + 18 + 8 + len(data)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHHH", 18, 0x02, n_ch, rate,
+                             rate, block_align, 4, 2),
+        b"data", struct.pack("<I", len(data)),
+    ])
+    return hdr + bytes(data), ref
+
+
+def test_ms_adpcm_mono_decoder_matches_reference_exactly():
+    rng = np.random.RandomState(9)
+    spb = (256 - 7) * 2 + 2  # 500 samples per 256-byte mono block
+    t = np.arange(2 * spb)
+    sig = (7000 * np.sin(t / 11.0) + rng.randint(-300, 300, t.size)).astype(
+        np.int16)[:, None]
+    raw, ref = encode_ms_adpcm_wav(sig, 8000, 256)
+    rate, got = decode_wav_bytes(raw)
+    assert rate == 8000 and got.shape == ref.shape
+    assert np.array_equal(got, ref)
+    err = np.abs(got.astype(np.int64) - sig.astype(np.int64))
+    assert np.median(err) < 512
+
+
+def test_ms_adpcm_stereo_and_predictors_exact():
+    rng = np.random.RandomState(10)
+    spb = (128 - 14) * 2 // 2 + 2  # 116 frames per 128-byte stereo block
+    n = 2 * spb
+    sig = np.stack([
+        (5000 * np.sin(np.arange(n) / 5.0)).astype(np.int16),
+        rng.randint(-3000, 3000, n).astype(np.int16),
+    ], axis=1)
+    for predictor in (0, 1, 4, 6):
+        raw, ref = encode_ms_adpcm_wav(sig, 22050, 128, predictor=predictor)
+        rate, got = decode_wav_bytes(raw)
+        assert rate == 22050 and got.shape == (n, 2)
+        assert np.array_equal(got, ref), predictor
+
+
+def test_ms_adpcm_fail_loud():
+    sig = np.zeros(((64 - 7) * 2 + 2, 1), dtype=np.int16)
+    raw, _ = encode_ms_adpcm_wav(sig, 8000, 64)
+    bad = bytearray(raw)
+    at = bad.index(b"data") + 8
+    bad[at] = 9  # predictor index out of range (valid: 0..6)
+    with pytest.raises(AudioDecodeError, match="predictor index"):
+        decode_wav_bytes(bytes(bad))
+    cut = bytearray(raw[:-5])
+    at = cut.index(b"data")
+    struct.pack_into("<I", cut, at + 4, len(cut) - at - 8)
+    with pytest.raises(AudioDecodeError, match="nBlockAlign"):
+        decode_wav_bytes(bytes(cut))
