@@ -6,11 +6,13 @@ formats are decodable from their public specifications with nothing
 beyond the stdlib + numpy — netpbm (PPM/PGM, both binary and ASCII),
 uncompressed BMP (BITMAPINFOHEADER, 24/32-bit), PNG (via ``zlib``,
 all five scanline filters, 8-bit depth, grayscale/RGB and their alpha
-variants), BASELINE JPEG (sequential DCT, Huffman — SOF0/SOF1,
-any chroma sampling, restart markers), and GIF (LZW, global/local
-color tables, interlace, GIF89a transparency; first frame of
-animations — frame EXTRACTION stays a ``sample_frames`` concern).
-Progressive JPEG and video stay honest ``NotImplementedError``
+variants), JPEG — both BASELINE sequential (SOF0/SOF1, any chroma
+sampling, restart markers) and PROGRESSIVE (SOF2: spectral selection
++ successive approximation, DC/AC first and refinement scans, EOB
+runs) — and GIF (LZW, global/local color tables, interlace, GIF89a
+transparency; first frame of animations — frame EXTRACTION stays a
+``sample_frames`` concern). Arithmetic/lossless/hierarchical JPEG,
+12-bit precision, and video stay honest ``NotImplementedError``
 integration points — their codecs are genuinely external.
 
 These functions run INSIDE the Arrow ``mapInPandas`` batch path
@@ -24,7 +26,8 @@ Format references: the netpbm format specs (P2/P3/P5/P6 headers,
 rows), the PNG specification (chunk layout, IHDR fields, filter
 types 0-4 incl. the Paeth predictor), ITU-T T.81 (JPEG marker
 segments, canonical Huffman construction from BITS/HUFFVAL, the
-EXTEND procedure, zigzag order, the 8×8 DCT basis), and the GIF89a
+EXTEND procedure, zigzag order, the 8×8 DCT basis, and annex G's
+progressive scan procedures), and the GIF89a
 specification (logical screen/image descriptors, LZW with variable
 code width, interlace pass order, graphic-control transparency). All
 public documents.
@@ -65,7 +68,8 @@ def decode_image_bytes(data: bytes) -> tuple[str, np.ndarray]:
     ``uint8`` array of shape (height, width, channels). Raises
     :class:`ImageDecodeError` for malformed supported formats and
     ``NotImplementedError`` for formats that need external codecs
-    (progressive JPEG, video containers) or are unrecognized."""
+    (arithmetic/lossless JPEG, video containers) or are
+    unrecognized."""
     fmt = sniff_format(bytes(data))
     if fmt in ("ppm", "pgm"):
         return fmt, _decode_netpbm(bytes(data))
@@ -79,7 +83,7 @@ def decode_image_bytes(data: bytes) -> tuple[str, np.ndarray]:
         return fmt, _decode_gif(bytes(data))
     raise NotImplementedError(
         f"image format {fmt!r} needs an external codec (supported "
-        "without one: PPM/PGM, uncompressed BMP, PNG, baseline JPEG, GIF)"
+        "without one: PPM/PGM, uncompressed BMP, PNG, JPEG, GIF)"
     )
 
 
@@ -382,12 +386,24 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
+    # truncated/corrupt containers misalign the marker walk in
+    # arbitrary ways; surface every such slip as the documented
+    # fail-loud error, never a bare IndexError/struct.error
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, struct.error) as e:
+        raise ImageDecodeError(f"jpeg: truncated or malformed: {e}") from None
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ImageDecodeError("jpeg: missing SOI")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
     restart_interval = 0
+    progressive = False
+    prog: _ProgressiveState | None = None
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -420,21 +436,20 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 huff[(tc, th)] = _HuffTable(bits, seg[p + 17:p + 17 + n])
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(
                     f"jpeg: {prec}-bit sample precision needs an external "
-                    "codec (baseline decoder handles 8-bit)")
+                    "codec (this decoder handles 8-bit)")
             comps = []
             for i in range(ncomp):
                 cid, sam, tq_i = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append((cid, sam >> 4, sam & 0xF, tq_i))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "jpeg: progressive (SOF2) needs an external codec "
-                "(baseline sequential decodes without one)")
+            progressive = marker == 0xC2
+            if progressive:
+                prog = _ProgressiveState(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -450,11 +465,231 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            return _decode_jpeg_scan(
-                data, pos + 2 + seglen, frame, scan, qt, huff,
-                restart_interval)
+            if not progressive:
+                return _decode_jpeg_scan(
+                    data, pos + 2 + seglen, frame, scan, qt, huff,
+                    restart_interval)
+            ss, se, ahal = (seg[1 + 2 * ns], seg[2 + 2 * ns],
+                            seg[3 + 2 * ns])
+            pos = prog.decode_scan(
+                data, pos + 2 + seglen, scan, ss, se,
+                ahal >> 4, ahal & 0xF, huff, restart_interval)
+            continue
         pos += 2 + seglen
+    if progressive:
+        return prog.finalize(qt, h=frame[0], w=frame[1])
     raise ImageDecodeError("jpeg: no SOS scan found")
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive JPEG (T.81 annex G):
+    every SOS deposits partial coefficients — DC/AC spectral bands at
+    decreasing successive-approximation bit positions — into
+    per-component buffers; :meth:`finalize` runs the shared
+    dequant+IDCT tail once, after EOI.
+
+    Scan kinds (G.2): DC first (``Ah=0``: Huffman diffs, stored
+    ``<< Al``), DC refinement (one raw bit per block into bit ``Al``),
+    AC first (single component, non-interleaved block order, EOB-run
+    coding across blocks), AC refinement (the correction-bit walk:
+    newly-significant coefficients arrive as ±``1<<Al`` while every
+    already-nonzero coefficient in the covered run consumes one
+    correction bit). Restart markers reset DC predictors and the
+    EOB run."""
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(hs for _, hs, _, _ in comps)
+        self.vmax = max(vs for _, _, vs, _ in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.geom: dict[int, tuple] = {}
+        self.coefs: dict[int, np.ndarray] = {}
+        for cid, hs, vs, tq in comps:
+            bwf, bhf = self.mcux * hs, self.mcuy * vs
+            # non-interleaved scans cover only the REAL blocks of the
+            # component (ceil of its scaled dimensions), not the MCU
+            # padding — T.81's data-unit counting rule
+            bwr = -(-(-(-w * hs // self.hmax)) // 8)
+            bhr = -(-(-(-h * vs // self.vmax)) // 8)
+            self.geom[cid] = (hs, vs, tq, bwf, bhf, bwr, bhr)
+            self.coefs[cid] = np.zeros((bwf * bhf, 64), dtype=np.int64)
+        self.eobrun = 0
+
+    def decode_scan(self, data: bytes, pos: int, scan, ss: int, se: int,
+                    ah: int, al: int, huff, restart_interval: int) -> int:
+        """Decode one SOS's entropy data; returns the position of the
+        next marker's 0xFF byte."""
+        for cs, _td, _ta in scan:
+            if cs not in self.geom:
+                raise ImageDecodeError(
+                    f"jpeg: SOS names unknown component {cs}")
+        reader = _BitReader(data, pos)
+        self.eobrun = 0
+        if ss == 0:
+            if se != 0:
+                raise ImageDecodeError(
+                    "jpeg: progressive DC scan must have Se=0")
+            self._dc_scan(reader, scan, ah, al, huff, restart_interval)
+        else:
+            if len(scan) != 1:
+                raise ImageDecodeError(
+                    "jpeg: progressive AC scans are single-component")
+            if se > 63 or ss > se:
+                raise ImageDecodeError(f"jpeg: bad spectral band {ss}..{se}")
+            self._ac_scan(reader, scan[0], ss, se, ah, al, huff,
+                          restart_interval)
+        if reader.marker is not None:
+            return reader.pos - 1  # _fill left pos AT the marker id byte
+        p = reader.pos
+        while p + 1 < len(data):
+            if data[p] == 0xFF and data[p + 1] != 0x00:
+                return p
+            p += 1
+        raise ImageDecodeError("jpeg: truncated after progressive scan")
+
+    def _dc_scan(self, reader, scan, ah, al, huff, ri) -> None:
+        pred = {cs: 0 for cs, _td, _ta in scan}
+        tables = {}
+        if ah == 0:
+            for cs, td, _ta in scan:
+                if (0, td) not in huff:
+                    raise ImageDecodeError("jpeg: SOS references undefined DHT")
+                tables[cs] = huff[(0, td)]
+
+        def one_block(cs, block):
+            if ah == 0:
+                t = reader.decode(tables[cs])
+                pred[cs] += _jpeg_extend(reader.receive(t), t)
+                block[0] = pred[cs] << al
+            else:  # refinement: one raw bit into bit position Al
+                block[0] |= reader.bit() << al
+
+        n = 0
+        if len(scan) == 1:
+            cs = scan[0][0]
+            hs, vs, _tq, bwf, _bhf, bwr, bhr = self.geom[cs]
+            for by in range(bhr):
+                for bx in range(bwr):
+                    if ri and n and n % ri == 0:
+                        reader.align_and_expect_rst(n // ri - 1)
+                        pred = {cs: 0}
+                    one_block(cs, self.coefs[cs][by * bwf + bx])
+                    n += 1
+            return
+        for my in range(self.mcuy):
+            for mx in range(self.mcux):
+                if ri and n and n % ri == 0:
+                    reader.align_and_expect_rst(n // ri - 1)
+                    pred = {c: 0 for c in pred}
+                for cs, _td, _ta in scan:
+                    hs, vs, _tq, bwf, _bhf, _bwr, _bhr = self.geom[cs]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            one_block(cs, self.coefs[cs][
+                                (my * vs + by) * bwf + (mx * hs + bx)])
+                n += 1
+
+    def _ac_scan(self, reader, comp, ss, se, ah, al, huff, ri) -> None:
+        cs, _td, ta = comp
+        if (1, ta) not in huff:
+            raise ImageDecodeError("jpeg: SOS references undefined DHT")
+        ac_t = huff[(1, ta)]
+        _hs, _vs, _tq, bwf, _bhf, bwr, bhr = self.geom[cs]
+        coefs = self.coefs[cs]
+        n = 0
+        for by in range(bhr):
+            for bx in range(bwr):
+                if ri and n and n % ri == 0:
+                    reader.align_and_expect_rst(n // ri - 1)
+                    self.eobrun = 0
+                block = coefs[by * bwf + bx]
+                if ah == 0:
+                    self._ac_first(reader, block, ss, se, al, ac_t)
+                else:
+                    self._ac_refine(reader, block, ss, se, al, ac_t)
+                n += 1
+
+    def _ac_first(self, reader, block, ss, se, al, ac_t) -> None:
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                self.eobrun = (1 << r) - 1
+                if r:
+                    self.eobrun += reader.receive(r)
+                return
+            k += r
+            if k > se:
+                raise ImageDecodeError("jpeg: AC run past band end")
+            block[k] = _jpeg_extend(reader.receive(s), s) << al
+            k += 1
+
+    def _ac_refine(self, reader, block, ss, se, al, ac_t) -> None:
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k: int) -> None:
+            # an already-nonzero coefficient consumes one correction
+            # bit; a 1-bit moves its magnitude toward full precision
+            if reader.bit() and (block[k] & p1) == 0:
+                block[k] += p1 if block[k] >= 0 else m1
+
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = reader.decode(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:  # EOB run starts (this block included)
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += reader.receive(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ImageDecodeError(
+                            "jpeg: AC refinement size must be 1")
+                    val = p1 if reader.bit() else m1
+                while k <= se:
+                    if block[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    block[k] = val
+                k += 1
+        if self.eobrun > 0:
+            # rest of this block's band: corrections only
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                k += 1
+            self.eobrun -= 1
+
+    def finalize(self, qt, h: int, w: int) -> np.ndarray:
+        order, bw, bh, samp, q_by = [], {}, {}, {}, {}
+        for cid, hs, vs, tq in self.comps:
+            if tq not in qt:
+                raise ImageDecodeError("jpeg: SOF references undefined DQT")
+            order.append(cid)
+            _hs, _vs, _tq, bwf, bhf, _bwr, _bhr = self.geom[cid]
+            bw[cid], bh[cid] = bwf, bhf
+            samp[cid] = (hs, vs)
+            q_by[cid] = qt[tq]
+        return _jpeg_finalize(order, self.coefs, q_by, bw, bh, samp,
+                              self.hmax, self.vmax, h, w)
 
 
 def _decode_jpeg_scan(data: bytes, pos: int, frame, scan, qt, huff,
@@ -519,11 +754,21 @@ def _decode_jpeg_scan(data: bytes, pos: int, frame, scan, qt, huff,
                             k += 1
             mcu_count += 1
 
-    # vectorized tail: dequant (zigzag order) → dezigzag → one batched
-    # IDCT per component → plane assembly → upsample → color transform
+    order = [cs for cs, *_ in plan]
+    samp = {cs: (hs, vs) for cs, hs, vs, *_ in plan}
+    q_by = {cs: q for cs, _hs, _vs, q, *_ in plan}
+    return _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax, h, w)
+
+
+def _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax,
+                   h, w) -> np.ndarray:
+    """The vectorized tail shared by the sequential and progressive
+    decoders: dequant (zigzag order) → dezigzag → one batched IDCT per
+    component → plane assembly → nearest-neighbor chroma upsampling →
+    crop → JFIF YCbCr→RGB (or single-plane grayscale)."""
     planes = {}
-    for cs, hs, vs, q, *_ in plan:
-        z = coefs[cs] * q[None, :]
+    for cs in order:
+        z = coefs[cs] * q_by[cs][None, :]
         blocks = np.zeros((z.shape[0], 64), dtype=np.float64)
         blocks[:, _ZIGZAG] = z
         blocks = blocks.reshape(-1, 8, 8)
@@ -531,18 +776,16 @@ def _decode_jpeg_scan(data: bytes, pos: int, frame, scan, qt, huff,
         px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
         plane = (px.reshape(bh[cs], bw[cs], 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh[cs] * 8, bw[cs] * 8))
-        # nearest-neighbor chroma upsampling to full resolution, then
-        # crop to the true image size
+        hs, vs = samp[cs]
         plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
                           hmax // hs, axis=1)
         planes[cs] = plane[:h, :w]
 
-    order = [cs for cs, *_ in plan]
     if len(order) == 1:
         return planes[order[0]][:, :, None]
     if len(order) != 3:
         raise NotImplementedError(
-            f"jpeg: {len(order)}-component scans (CMYK/unknown) need an "
+            f"jpeg: {len(order)}-component images (CMYK/unknown) need an "
             "external codec")
     y = planes[order[0]].astype(np.float64)
     cb = planes[order[1]].astype(np.float64) - 128.0

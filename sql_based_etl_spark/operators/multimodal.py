@@ -13,8 +13,8 @@ payload source the graded round-trip query uses. ``decode_features``
 keeps the deterministic byte-level feature stub (works on ANY
 payload, image or not). Only formats whose codecs are genuinely
 external remain ``NotImplementedError`` integration points:
-progressive JPEG / GIF inside ``decode_image`` (baseline sequential
-JPEG decodes natively; GIF decodes natively too), compressed audio
+arithmetic/lossless JPEG inside ``decode_image`` (baseline AND
+progressive JPEG plus GIF decode natively), compressed audio
 (FLAC/OGG/MP3 — IMA and MS ADPCM decode natively) inside
 ``decode_audio``, and video in ``sample_frames``.
 
@@ -111,7 +111,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
     :func:`decode_features` — pure-stdlib codecs
     (operators/imagecodecs.py): netpbm PPM/PGM (binary + ASCII),
     uncompressed 24/32-bit BMP, PNG via ``zlib`` with all five
-    scanline filters, baseline JPEG, and GIF (LZW).
+    scanline filters, JPEG (baseline and progressive), and GIF (LZW).
     Emits geometry + mean pixel value + an md5 of the
     decoded pixel bytes per image — pixels never leave the executor
     (digests-only-to-driver, like the rest of the multimodal stack).
@@ -121,7 +121,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
     row-at-a-time UDF) and the hot arithmetic inside each decode is
     numpy over the whole raster. Fail-loud: malformed bytes of a
     supported format raise ``ImageDecodeError``; formats that genuinely
-    need external codecs (progressive JPEG, video) raise
+    need external codecs (arithmetic/lossless JPEG, video) raise
     ``NotImplementedError`` — the remaining honest integration points."""
     import hashlib
 

@@ -121,7 +121,8 @@ _JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
 _JPEG_DC_VALS = bytes(range(12))
 _JPEG_AC_VALS = bytes([0x00, 0xF0] + [(r << 4) | s
                                       for r in range(16)
-                                      for s in range(1, 11)])
+                                      for s in range(1, 11)]
+                      + [r << 4 for r in range(1, 15)])  # EOBn (progressive)
 _JPEG_AC_BITS = [0] * 16
 _JPEG_AC_BITS[7] = len(_JPEG_AC_VALS)  # all symbols at code length 8
 
@@ -288,6 +289,249 @@ def _np_argsort_identity():
     # the DQT payload is in ZIGZAG order; an all-equal table is its own
     # zigzag, so identity order is correct for the uniform tables used here
     return np.arange(64)
+
+
+# --- test-side PROGRESSIVE JPEG encoder (T.81 annex G applied forward) ---
+#
+# Emits SOF2 with: one interleaved DC-first scan at Al=1 (point
+# transform — arithmetic shift per G.1.2.1), per-component AC-first
+# scans of the 1..63 band at Al=1 (sign-magnitude point transform per
+# G.1.2.2, EOB runs accumulated across blocks), a DC refinement scan
+# (raw bit 0 per block), and per-component AC refinement scans
+# (newly-significant ±1 symbols with interleaved correction bits and
+# EOB runs carrying buffered corrections) — every scan kind the
+# progressive decoder implements.
+
+
+def _jpeg_quantized_blocks(px, subsample, quant):
+    """Quantized zigzag coefficient grids per component, FULL MCU-padded
+    geometry (bhf x bwf blocks) plus the real block counts."""
+    h, w, c = px.shape
+    if c == 3:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+        subsample = False
+    if subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        ev = [_jpeg_pad(p, 2, 2) for p in planes]
+        planes = [planes[0]] + [
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4
+            for p in ev[1:]
+        ]
+    else:
+        samp = [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    q = np.full(64, quant, dtype=np.int64)
+    out = []
+    for p, (hs, vs) in zip(planes, samp):
+        plane = _jpeg_pad(np.clip(np.round(p), 0, 255),
+                          8 * mcuy * vs, 8 * mcux * hs)
+        bhf, bwf = mcuy * vs, mcux * hs
+        bwr = -(-(-(-w * hs // hmax)) // 8)
+        bhr = -(-(-(-h * vs // vmax)) // 8)
+        coefs = np.zeros((bhf * bwf, 64), dtype=np.int64)
+        for by in range(bhf):
+            for bx in range(bwf):
+                f = _jpeg_fdct_block(plane[by * 8:by * 8 + 8,
+                                           bx * 8:bx * 8 + 8])
+                coefs[by * bwf + bx] = np.round(
+                    f.reshape(-1)[_JPEG_ZZ] / q)
+        out.append((coefs, hs, vs, bwf, bhf, bwr, bhr))
+    return out, samp, hmax, vmax, mcux, mcuy, q
+
+
+def _emit_eobrun(bw, ac_codes, eobrun, bits):
+    if eobrun <= 0:
+        return
+    nbits = eobrun.bit_length() - 1
+    length, code = ac_codes[nbits << 4]
+    bw.put(code, length)
+    if nbits:
+        bw.put(eobrun - (1 << nbits), nbits)
+    for b in bits:
+        bw.put(b, 1)
+
+
+def encode_jpeg_progressive(px: np.ndarray, subsample: bool = False,
+                            quant: int = 1) -> bytes:
+    h, w, c = px.shape
+    comps, samp, hmax, vmax, mcux, mcuy, q = _jpeg_quantized_blocks(
+        px, subsample, quant)
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for i in comp_ids:
+            p += bytes([i + 1, 0x00])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (hs, vs) in enumerate(samp):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS)
+
+    # --- scan 1: DC first, all components interleaved, Al=1 ----------
+    out += sos_header(list(range(len(comps))), 0, 0, 0, 1)
+    bw = _JpegBitWriter()
+    preds = [0] * len(comps)
+    if len(comps) == 1:
+        coefs, hs, vs, bwf, bhf, bwr, bhr = comps[0]
+        for by in range(bhr):
+            for bx in range(bwr):
+                v = int(coefs[by * bwf + bx][0]) >> 1  # arithmetic
+                diff = v - preds[0]
+                preds[0] = v
+                t = int(abs(diff)).bit_length()
+                length, code = dc_codes[t]
+                bw.put(code, length)
+                if t:
+                    bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (coefs, hs, vs, bwf, bhf, _r, _h) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(coefs[(my * vs + by) * bwf
+                                          + (mx * hs + bx)][0]) >> 1
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = int(abs(diff)).bit_length()
+                            length, code = dc_codes[t]
+                            bw.put(code, length)
+                            if t:
+                                bw.put(diff if diff >= 0
+                                       else diff + (1 << t) - 1, t)
+    bw.align()
+    out += bytes(bw.out)
+
+    # --- AC first scans: per component, band 1..63, Al=1 --------------
+    for ci, (coefs, hs, vs, bwf, bhf, bwr, bhr) in enumerate(comps):
+        out += sos_header([ci], 1, 63, 0, 1)
+        bw = _JpegBitWriter()
+        eobrun = 0
+        for by in range(bhr):
+            for bx in range(bwr):
+                block = coefs[by * bwf + bx]
+                vals = [int(np.sign(block[k])) * (abs(int(block[k])) >> 1)
+                        for k in range(64)]
+                last = max((k for k in range(1, 64) if vals[k]), default=0)
+                if last == 0:
+                    eobrun += 1
+                    if eobrun == 4:  # exercise multi-block EOB runs
+                        _emit_eobrun(bw, ac_codes, eobrun, [])
+                        eobrun = 0
+                    continue
+                _emit_eobrun(bw, ac_codes, eobrun, [])
+                eobrun = 0
+                run = 0
+                for k in range(1, last + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_codes[0xF0]
+                        bw.put(code, length)
+                        run -= 16
+                    s = int(abs(v)).bit_length()
+                    length, code = ac_codes[(run << 4) | s]
+                    bw.put(code, length)
+                    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    eobrun = 1
+        _emit_eobrun(bw, ac_codes, eobrun, [])
+        bw.align()
+        out += bytes(bw.out)
+
+    # --- DC refinement: all components, Ah=1 Al=0 (one raw bit) ------
+    out += sos_header(list(range(len(comps))), 0, 0, 1, 0)
+    bw = _JpegBitWriter()
+    if len(comps) == 1:
+        coefs, hs, vs, bwf, bhf, bwr, bhr = comps[0]
+        for by in range(bhr):
+            for bx in range(bwr):
+                bw.put(int(coefs[by * bwf + bx][0]) & 1, 1)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for coefs, hs, vs, bwf, bhf, _r, _h in comps:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bw.put(int(coefs[(my * vs + by) * bwf
+                                             + (mx * hs + bx)][0]) & 1, 1)
+    bw.align()
+    out += bytes(bw.out)
+
+    # --- AC refinement scans: per component, Ah=1 Al=0 ----------------
+    for ci, (coefs, hs, vs, bwf, bhf, bwr, bhr) in enumerate(comps):
+        out += sos_header([ci], 1, 63, 1, 0)
+        bw = _JpegBitWriter()
+        eobrun, be = 0, []
+        for by in range(bhr):
+            for bx in range(bwr):
+                block = coefs[by * bwf + bx]
+                absv = [abs(int(block[k])) for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                run, br = 0, []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        _emit_eobrun(bw, ac_codes, eobrun, be)
+                        eobrun, be = 0, []
+                        length, code = ac_codes[0xF0]
+                        bw.put(code, length)
+                        run -= 16
+                        for b in br:
+                            bw.put(b, 1)
+                        br = []
+                    if t > 1:  # history: one correction bit (bit Al)
+                        br.append(t & 1)
+                        continue
+                    _emit_eobrun(bw, ac_codes, eobrun, be)
+                    eobrun, be = 0, []
+                    length, code = ac_codes[(run << 4) | 1]
+                    bw.put(code, length)
+                    bw.put(1 if block[k] > 0 else 0, 1)
+                    run = 0
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                if run > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 4:
+                        _emit_eobrun(bw, ac_codes, eobrun, be)
+                        eobrun, be = 0, []
+        _emit_eobrun(bw, ac_codes, eobrun, be)
+        bw.align()
+        out += bytes(bw.out)
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def test_netpbm_binary_and_ascii_bit_exact():
@@ -500,16 +744,70 @@ def test_jpeg_restart_markers_and_quant_scaling():
     assert err.mean() < 16  # quantization loss, not corruption
 
 
+def test_jpeg_progressive_444_matches_sequential():
+    """Progressive (SOF2) decode: DC-first at Al=1 + AC spectral band
+    at Al=1 + DC refinement + AC refinement reconstruct the EXACT same
+    quantized coefficients as the sequential encoding of the same
+    image, so the decoded pixels are byte-identical to the baseline
+    decode — the strongest cross-check available without an external
+    reference codec."""
+    px = _rng_pixels(24, 17, 3, seed=21)
+    seq = decode_image_bytes(encode_jpeg(px))[1]
+    fmt, prog = decode_image_bytes(encode_jpeg_progressive(px))
+    assert fmt == "jpeg"
+    assert prog.shape == (24, 17, 3)
+    assert np.array_equal(prog, seq)
+
+
+def test_jpeg_progressive_grayscale_and_subsampled():
+    gray = _rng_pixels(19, 23, 1, seed=22)
+    seq = decode_image_bytes(encode_jpeg(gray))[1]
+    prog = decode_image_bytes(encode_jpeg_progressive(gray))[1]
+    assert np.array_equal(prog, seq)
+    # 4:2:0: non-interleaved AC scans cover only the REAL chroma blocks
+    # while DC scans walk the padded MCU grid — the geometry split
+    color = np.zeros((20, 13, 3), dtype=np.uint8)
+    color[:, :, 0] = np.linspace(10, 240, 13, dtype=np.uint8)[None, :]
+    color[:, :, 1] = np.linspace(240, 10, 20, dtype=np.uint8)[:, None]
+    color[:, :, 2] = 77
+    seq = decode_image_bytes(encode_jpeg(color, subsample=True))[1]
+    prog = decode_image_bytes(
+        encode_jpeg_progressive(color, subsample=True))[1]
+    assert np.array_equal(prog, seq)
+
+
+def test_jpeg_progressive_refinement_bit_alignment():
+    """Adversarial AC-refinement shape: a long zero run (>16) with an
+    already-nonzero (history) coefficient embedded PAST the first
+    ZRL window, followed by a newly-significant coefficient — the case
+    where correction-bit bookkeeping between ZRL emission and the
+    decoder's walk must agree bit-for-bit. Built by planting exact
+    coefficients through a high-frequency pattern at coarse quant."""
+    rng = np.random.RandomState(23)
+    # many blocks with sparse large/small coefficients at varied
+    # positions: quant=8 makes most AC zero, values 1 (newly
+    # significant at Al=0), 2-3 (history with correction bits), and
+    # sign mixes — sweeping the run/history interleavings
+    px = (128 + 60 * np.sin(np.outer(np.arange(48), np.arange(41)) / 3.0)
+          + rng.randint(-20, 20, (48, 41))).clip(0, 255).astype(
+        np.uint8)[:, :, None]
+    seq = decode_image_bytes(encode_jpeg(px, quant=8))[1]
+    prog = decode_image_bytes(
+        encode_jpeg_progressive(px, quant=8))[1]
+    assert np.array_equal(prog, seq)
+
+
 def test_jpeg_honest_boundaries():
-    """Progressive (SOF2) and other non-baseline SOFs stay
-    NotImplementedError naming the remediation; malformed baseline
-    bytes fail loudly as ImageDecodeError."""
+    """Non-Huffman-DCT SOFs stay NotImplementedError naming the
+    remediation; malformed bytes fail loudly as ImageDecodeError —
+    including a baseline scan header mislabeled as progressive (a
+    sequential Ss..Se band is not a valid progressive DC scan)."""
     good = encode_jpeg(_rng_pixels(8, 8, 3))
     sof_at = good.index(b"\xff\xc0")
-    prog = bytearray(good)
-    prog[sof_at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_image_bytes(bytes(prog))
+    mislabeled = bytearray(good)
+    mislabeled[sof_at + 1] = 0xC2
+    with pytest.raises(ImageDecodeError, match="Se=0"):
+        decode_image_bytes(bytes(mislabeled))
     lossless = bytearray(good)
     lossless[sof_at + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="external codec"):
