@@ -5,8 +5,8 @@ Closes the "plumbing-complete, not feature-complete" codec gap
 formats are decodable from their public specifications with nothing
 beyond the stdlib + numpy — netpbm (PPM/PGM, both binary and ASCII),
 uncompressed BMP (BITMAPINFOHEADER, 24/32-bit), PNG (via ``zlib``,
-all five scanline filters, 8-bit depth, grayscale/RGB and their alpha
-variants), JPEG — both BASELINE sequential (SOF0/SOF1, any chroma
+all five scanline filters, 8-bit depth, grayscale/RGB/palette incl.
+tRNS transparency and Adam7 interlace), JPEG — both BASELINE sequential (SOF0/SOF1, any chroma
 sampling, restart markers) and PROGRESSIVE (SOF2: spectral selection
 + successive approximation, DC/AC first and refinement scans, EOB
 runs) — and GIF (LZW, global/local color tables, interlace, GIF89a
@@ -183,10 +183,17 @@ def _decode_bmp(data: bytes) -> np.ndarray:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per the PNG spec
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def _decode_png(data: bytes) -> np.ndarray:
     pos = 8
     ihdr: tuple | None = None
     idat = bytearray()
+    plte: np.ndarray | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4:pos + 8]
         chunk = data[pos + 8:pos + 8 + length]
@@ -196,6 +203,12 @@ def _decode_png(data: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", chunk)
         elif ctype == b"IDAT":
             idat += chunk
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ImageDecodeError("png: PLTE length not a multiple of 3")
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = bytes(chunk)
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + data + crc
@@ -204,16 +217,55 @@ def _decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
         raise ImageDecodeError(f"png: only bit depth 8 supported, got {depth}")
-    if color not in _PNG_CHANNELS:
-        raise ImageDecodeError(
-            f"png: color type {color} (palette) not supported"
-        )
+    if color == 3:
+        if plte is None:
+            raise ImageDecodeError("png: palette image without PLTE")
+        nch = 1
+    elif color in _PNG_CHANNELS:
+        nch = _PNG_CHANNELS[color]
+    else:
+        raise ImageDecodeError(f"png: unknown color type {color}")
     if comp != 0 or filt != 0:
         raise ImageDecodeError("png: unknown compression/filter method")
-    if interlace != 0:
-        raise ImageDecodeError("png: Adam7 interlace not supported")
-    nch = _PNG_CHANNELS[color]
+    if interlace not in (0, 1):
+        raise ImageDecodeError(f"png: unknown interlace method {interlace}")
     raw = zlib.decompress(bytes(idat))
+
+    if interlace == 0:
+        out = _png_unfilter_image(raw, h, w, nch).reshape(h, w, nch)
+    else:  # Adam7: seven independently-filtered sub-images
+        out = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (1 + pw * nch)
+            sub = _png_unfilter_image(raw[off:off + need], ph, pw, nch)
+            off += need
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        if off != len(raw):
+            raise ImageDecodeError(
+                f"png: Adam7 stream holds {len(raw)} bytes, consumed {off}")
+
+    if color != 3:
+        return out
+    idx = out[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ImageDecodeError("png: palette index outside PLTE")
+    rgb = plte[idx]
+    if trns is None:
+        return rgb
+    # tRNS for palette images: per-entry alpha, 255 for entries past it
+    alpha_lut = np.full(len(plte), 255, dtype=np.uint8)
+    alpha_lut[:len(trns)] = np.frombuffer(trns, np.uint8)[:len(plte)]
+    return np.dstack([rgb, alpha_lut[idx]])
+
+
+def _png_unfilter_image(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
+    """Reverse the five scanline filters over one (sub-)image's
+    filtered byte stream; returns (h, w*nch) reconstructed bytes."""
     stride = 1 + w * nch
     if len(raw) != stride * h:
         raise ImageDecodeError(
@@ -240,7 +292,7 @@ def _decode_png(data: bytes) -> np.ndarray:
             raise ImageDecodeError(f"png: unknown filter type {f} at row {r}")
         prev = np.asarray(rec, dtype=np.uint8)
         out[r] = prev
-    return out.reshape(h, w, nch)
+    return out
 
 
 def _unfilter_scan(line: np.ndarray, prev: np.ndarray, bpp: int,

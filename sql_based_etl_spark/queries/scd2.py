@@ -327,7 +327,8 @@ def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a matched condition on custkey parity) and inserts brand-new keys,
     then read BOTH the post-merge snapshot and the merge commit's
     change feed. The cdc actions the merge emits must show exactly the
-    gated updates (pre+post image) and the inserts — matched-but-
+    clause-ordered deletes (the delete condition runs before the update
+    clause), the gated updates (pre+post image) and the inserts — matched-but-
     untouched rows and carried rows must not appear, even though their
     files were rewritten. DuckDB replays the merge algebra directly
     from ``orders`` (tables/delta_interop.py:merge_delta)."""
@@ -344,7 +345,7 @@ def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target0 = base.filter(F.col("o_orderkey") % 50 == 0)
     src = (
-        target0.filter(F.col("o_orderkey") % 100 == 0)   # match → update
+        target0.filter(F.col("o_orderkey") % 100 == 0)   # match → update/delete
         .unionByName(base.filter(F.col("o_orderkey") % 50 == 25))  # insert
     )
     root = tempfile.mkdtemp(prefix="q_delta_merge_")
@@ -355,6 +356,7 @@ def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_delta(
         src, d,
         condition="target.o_orderkey = source.o_orderkey",
+        when_matched_delete="source.o_custkey % 10 = 3",  # runs FIRST
         when_matched_update={"o_custkey": "source.o_custkey + 1000000"},
         matched_condition="source.o_custkey % 2 = 0",
     )
@@ -378,19 +380,24 @@ def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_delta_merge"] = q_delta_merge
 
 # the merge algebra replayed from `orders` directly: matched = %100
-# keys, updated = matched AND even custkey (+1e6), inserted = %50=25
+# keys; delete clause (custkey%10=3) runs FIRST, then update gate
+# (even custkey, +1e6); inserted = %50=25
 ORACLES["q_delta_merge"] = """
     WITH base AS (
         SELECT o_orderkey, o_custkey FROM orders
     ),
     tgt AS (SELECT * FROM base WHERE o_orderkey % 50 = 0),
-    upd AS (SELECT * FROM tgt WHERE o_orderkey % 100 = 0 AND o_custkey % 2 = 0),
+    mt AS (SELECT * FROM tgt WHERE o_orderkey % 100 = 0),
+    del AS (SELECT * FROM mt WHERE o_custkey % 10 = 3),
+    upd AS (SELECT * FROM mt WHERE o_custkey % 10 <> 3 AND o_custkey % 2 = 0),
     ins AS (SELECT * FROM base WHERE o_orderkey % 50 = 25),
     snap AS (
         SELECT t.o_orderkey,
                t.o_custkey + CASE WHEN u.o_orderkey IS NOT NULL
                                   THEN 1000000 ELSE 0 END AS o_custkey
-        FROM tgt t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        FROM tgt t
+        LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM del)
         UNION ALL
         SELECT o_orderkey, o_custkey FROM ins
     )
@@ -399,14 +406,17 @@ ORACLES["q_delta_merge"] = """
            CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
     FROM snap
     UNION ALL
+    SELECT 'cdf', 'delete', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM del HAVING count(*) > 0
+    UNION ALL
     SELECT 'cdf', 'insert', CAST(count(*) AS BIGINT),
-           CAST(sum(o_custkey) AS BIGINT) FROM ins
+           CAST(sum(o_custkey) AS BIGINT) FROM ins HAVING count(*) > 0
     UNION ALL
     SELECT 'cdf', 'update_preimage', CAST(count(*) AS BIGINT),
-           CAST(sum(o_custkey) AS BIGINT) FROM upd
+           CAST(sum(o_custkey) AS BIGINT) FROM upd HAVING count(*) > 0
     UNION ALL
     SELECT 'cdf', 'update_postimage', CAST(count(*) AS BIGINT),
-           CAST(sum(o_custkey + 1000000) AS BIGINT) FROM upd
+           CAST(sum(o_custkey + 1000000) AS BIGINT) FROM upd HAVING count(*) > 0
     ORDER BY part, change
 """
 

@@ -95,6 +95,67 @@ def encode_png(px: np.ndarray, filters: list[int] | None = None) -> bytes:
             + chunk(b"IEND", b""))
 
 
+_T_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_filter_stream(px: np.ndarray, filters: list[int]) -> bytes:
+    """Forward-filter one (sub-)image; reuses encode_png's per-line math."""
+    h, w, c = px.shape
+    flat = px.reshape(h, w * c).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for r in range(h):
+        f = filters[r % len(filters)]
+        line = flat[r]
+        filt = np.zeros(w * c, dtype=np.int32)
+        for i in range(w * c):
+            a = int(line[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                    4: _paeth(a, b, cc)}[f]
+            filt[i] = (int(line[i]) - pred) & 0xFF
+        out += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = line
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def encode_png_adam7(px: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Adam7-interlaced PNG: seven independently filtered sub-images."""
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0]
+    stream = bytearray()
+    for x0, y0, dx, dy in _T_ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        stream += _png_filter_stream(sub, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
+                       trns: bytes | None = None) -> bytes:
+    h, w = idx.shape
+    stream = _png_filter_stream(idx[:, :, None], [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return (out + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b""))
+
+
 # --- decoder unit tests --------------------------------------------------
 
 
@@ -816,6 +877,45 @@ def test_jpeg_honest_boundaries():
         decode_image_bytes(good[:len(good) // 2])  # truncated entropy
     with pytest.raises(ImageDecodeError, match="SOS"):
         decode_image_bytes(b"\xff\xd8\xff\xd9")  # no scan at all
+
+
+def test_png_palette_and_trns_exact():
+    """Color type 3: PLTE-indexed pixels round-trip exactly; tRNS
+    entries become an alpha channel (255 for entries past the chunk)."""
+    rng = np.random.RandomState(31)
+    palette = rng.randint(0, 256, size=(11, 3)).astype(np.uint8)
+    idx = rng.randint(0, 11, size=(9, 14)).astype(np.uint8)
+    fmt, got = decode_image_bytes(encode_png_palette(idx, palette))
+    assert fmt == "png"
+    assert np.array_equal(got, palette[idx])
+    trns = bytes([255, 0, 128])  # entries 0..2; 3..10 default opaque
+    fmt, got = decode_image_bytes(encode_png_palette(idx, palette, trns))
+    assert got.shape == (9, 14, 4)
+    assert np.array_equal(got[:, :, :3], palette[idx])
+    expect_a = np.full(11, 255, dtype=np.uint8)
+    expect_a[:3] = [255, 0, 128]
+    assert np.array_equal(got[:, :, 3], expect_a[idx])
+    # index beyond the palette fails loudly
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 99
+    with pytest.raises(ImageDecodeError, match="PLTE"):
+        decode_image_bytes(encode_png_palette(bad_idx, palette))
+
+
+def test_png_adam7_interlace_exact():
+    """Adam7: seven independently filtered sub-images reassemble to the
+    original, across color types, filter mixes, and dimensions that
+    leave some passes empty."""
+    for c in (1, 2, 3, 4):
+        px = _rng_pixels(13, 10, c, seed=40 + c)
+        for filters in ([0], [0, 1, 2, 3, 4]):
+            fmt, got = decode_image_bytes(encode_png_adam7(px, filters))
+            assert fmt == "png"
+            assert np.array_equal(got, px), (c, filters)
+    # tiny image: several passes are empty
+    tiny = _rng_pixels(3, 2, 3, seed=50)
+    assert np.array_equal(
+        decode_image_bytes(encode_png_adam7(tiny))[1], tiny)
 
 
 def test_decoders_fail_loud():
