@@ -48,6 +48,8 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
             part_cols = conf.get("partitionBy")
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
+            if str(opts.get("mergeSchema", False)).lower() == "true":
+                writer = writer.option("mergeSchema", "true")
             writer.save(conf["outputURI"])
             return None
 
@@ -65,6 +67,8 @@ def versioned_table_load(ctx: PipelineContext, conf: dict) -> DataFrame | None:
             # CREATE-time table properties (metaData.configuration),
             # e.g. {"delta.enableChangeDataFeed": "true"}
             properties=opts.get("tableProperties"),
+            # same option name as the library route's DataFrameWriter
+            merge_schema=str(opts.get("mergeSchema", False)).lower() == "true",
         )
         return None
     t = VersionedTable(ctx.spark, conf["outputURI"])

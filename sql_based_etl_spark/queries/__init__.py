@@ -100,7 +100,7 @@ APPENDIX = [
     "stream_materialized_agg",  # streaming materialized view — stream sink + CDF refresh graded via stream_window_counts + q_scd2_changes machinery; equals-batch oracle-checked in pytest
     "text_lm_perplexity",  # CCNet bigram-LM quality scoring — count-join machinery graded via text_decontaminate + text_tfidf_topk's df join; integer-micros NLL oracle-checked in pytest
     "q_delta_cdf",  # bridge CDF round trip (CREATE-with-properties → overwrite → read_delta_changes) — delta write/read machinery graded via q_scd2_merge's pipeline; commit algebra oracle-checked here (full registry pytest)
-    "q_delta_merge",  # bridge MERGE round trip (copy-on-write remove+add, real cdc actions, matched-condition gating) — merge branch semantics graded via q_scd2_merge (shared build_merge_annotated); merge+CDF algebra oracle-checked here (full registry pytest)
+    "q_filter_project",  # projection + filter — graded by a dozen other rows (q01/q03/q06/every pushdown-asserted scan); displaced so q_delta_merge (the bridge-MERGE flagship) gets a driver-graded CORRECTNESS row
     "mm_decode_audio",  # WAV round trip (synth → RIFF/PCM parse → integer stats) — mapInPandas path graded via mm_decode_geometry; decode exactness oracle-checked here (full registry pytest) + codec edge cases pytest-pinned
 ]
 

@@ -164,13 +164,19 @@ def _physical_schema_json(node, with_field_ids: bool = False):
             new_md = {}
             if with_field_ids:
                 fid = md.get("delta.columnMapping.id")
-                if fid is None:
+                if fid is not None:
+                    new_md = {"parquet.field.id": int(fid)}
+                elif not (f.get("name", "").startswith("_")
+                          and phys == f.get("name")):
+                    # CDF virtual columns (_change_type) are stored
+                    # VERBATIM in cdc files with no field id — they
+                    # resolve by name even in id mode. Anything else
+                    # without an id is corrupt mapping metadata.
                     raise VersionedTableError(
                         "Delta column mapping mode 'id' but field "
                         f"{f.get('name')!r} has no delta.columnMapping.id "
                         "metadata"
                     )
-                new_md = {"parquet.field.id": int(fid)}
             fields.append({**f, "name": phys,
                            "type": _physical_schema_json(
                                f["type"], with_field_ids),
@@ -1143,6 +1149,187 @@ def _project_to_physical(df: DataFrame, meta: dict,
     return df.select(*cols), part_phys
 
 
+def _remove_action(a: dict, ts: int, data_change: bool) -> dict:
+    """A ``remove`` tombstone for a live ``add`` action.
+    partitionValues + size ride along (the spec's shape — what lets
+    read_delta_changes inject REAL partition values into derived
+    delete rows), and so does the file's ``deletionVector`` descriptor
+    when it carries one: file actions reconcile by (path, DV uid), so
+    a descriptor-less tombstone would fail to cancel the DV'd add and
+    the "removed" file would stay live in every replay."""
+    r = {"path": a["path"], "deletionTimestamp": ts,
+         "dataChange": data_change,
+         "partitionValues": dict(a.get("partitionValues") or {}),
+         "size": a.get("size")}
+    if a.get("deletionVector"):
+        r["deletionVector"] = a["deletionVector"]
+    return r
+
+
+def _max_column_id(meta: dict) -> int:
+    """The largest column-mapping field id the table has ever
+    allocated: the recorded ``delta.columnMapping.maxColumnId``
+    property, floored by the ids actually present in the schema (a
+    hand-built log may carry ids without the property — never reuse
+    an id that appears on disk)."""
+    conf = meta.get("configuration") or {}
+    try:
+        mx = int(conf.get("delta.columnMapping.maxColumnId", 0))
+    except (TypeError, ValueError):
+        mx = 0
+    for f in _walk_schema_fields(json.loads(meta["schemaString"])):
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if fid is not None:
+            mx = max(mx, int(fid))
+    return mx
+
+
+def _with_column_mapping(node, alloc: dict, old_node=None):
+    """Return a schemaString JSON node whose struct fields (all
+    nesting levels) carry column-mapping metadata. A field present —
+    by logical name, recursively — in ``old_node`` keeps its
+    physicalName/id VERBATIM (the mapping contract: the physical
+    identity of a surviving column never changes across schema
+    evolution, so old data files keep resolving); a new field gets a
+    fresh ``col-<uuid>`` physical name and the next never-used id
+    from ``alloc['max']`` (ids are never recycled, even for dropped
+    columns — a recycled id would make an old file's column resolve
+    as the new one)."""
+    import uuid as _uuid
+
+    if isinstance(node, dict) and node.get("type") == "struct":
+        old_fields = {}
+        if isinstance(old_node, dict) and old_node.get("type") == "struct":
+            old_fields = {f["name"]: f for f in old_node.get("fields", [])}
+        fields = []
+        for f in node["fields"]:
+            old_f = old_fields.get(f["name"])
+            md = dict(f.get("metadata") or {})
+            omd = (old_f or {}).get("metadata") or {}
+            if omd.get("delta.columnMapping.physicalName"):
+                md["delta.columnMapping.physicalName"] = \
+                    omd["delta.columnMapping.physicalName"]
+                md["delta.columnMapping.id"] = int(
+                    omd["delta.columnMapping.id"])
+            else:
+                alloc["max"] += 1
+                md["delta.columnMapping.id"] = alloc["max"]
+                md["delta.columnMapping.physicalName"] = f"col-{_uuid.uuid4()}"
+            fields.append({**f, "metadata": md,
+                           "type": _with_column_mapping(
+                               f["type"], alloc,
+                               (old_f or {}).get("type"))})
+        return {"type": "struct", "fields": fields}
+    if isinstance(node, dict) and node.get("type") == "array":
+        return {**node, "elementType": _with_column_mapping(
+            node["elementType"], alloc,
+            (old_node or {}).get("elementType")
+            if isinstance(old_node, dict) else None)}
+    if isinstance(node, dict) and node.get("type") == "map":
+        old_k = old_node.get("keyType") if isinstance(old_node, dict) else None
+        old_v = old_node.get("valueType") if isinstance(old_node, dict) else None
+        return {**node,
+                "keyType": _with_column_mapping(node["keyType"], alloc, old_k),
+                "valueType": _with_column_mapping(
+                    node["valueType"], alloc, old_v)}
+    return node
+
+
+def _evolve_mapped_meta(meta: dict, new_schema_json: dict) -> dict:
+    """A new ``metaData`` action for a column-mapped table whose
+    LOGICAL schema becomes ``new_schema_json``: surviving columns keep
+    their physical names and ids (matched by logical name through
+    :func:`_with_column_mapping`), new columns get freshly allocated
+    ones, and ``delta.columnMapping.maxColumnId`` advances to the
+    high-water mark — exactly the library writer's evolution shape, so
+    both the bridge reader and delta-spark resolve old and new files
+    alike. The table id is unchanged (same table, new schema)."""
+    alloc = {"max": _max_column_id(meta)}
+    mapped = _with_column_mapping(
+        new_schema_json, alloc, json.loads(meta["schemaString"]))
+    out = dict(meta)
+    out["schemaString"] = json.dumps(mapped)
+    out["configuration"] = {
+        **(meta.get("configuration") or {}),
+        "delta.columnMapping.maxColumnId": str(alloc["max"]),
+    }
+    return out
+
+
+_DELTA_STATS_SAFE = ("integer", "int", "bigint", "long", "smallint",
+                     "tinyint", "float", "double", "string", "boolean",
+                     "date")
+
+
+def _footer_stats_json(spark: SparkSession, path: str,
+                       adds: list[dict]) -> None:
+    """Attach Delta per-file ``stats`` JSON (numRecords / minValues /
+    maxValues / nullCount, top-level scalar columns) to each ``add``
+    in place, from the parquet footers the writer already produced —
+    driver-side pyarrow reads of KB-scale metadata, zero Spark jobs,
+    O(files) not O(rows). Column KEYS come straight from the footers,
+    so on column-mapped tables they are the physical names — the
+    spec's requirement. Timestamps are skipped (Spark's INT96 default
+    carries no footer stats; absent stats just mean a reader keeps the
+    file conservatively). Best-effort by design: a non-local URI or an
+    odd footer leaves the add without stats, never fails the commit."""
+    from urllib.parse import urlparse
+
+    p = urlparse(path)
+    if p.scheme not in ("", "file"):
+        return
+    root = p.path or path
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return
+    import datetime
+    import os
+
+    def _enc(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return None
+        return v
+
+    for a in adds:
+        try:
+            md = pq.read_metadata(
+                os.path.join(root, urllib.parse.unquote(a["path"])))
+            mins: dict = {}
+            maxs: dict = {}
+            nulls: dict = {}
+            for i in range(md.num_columns if md.num_row_groups else 0):
+                col = md.row_group(0).column(i)
+                name = col.path_in_schema
+                if "." in name:  # nested leaves: top-level scalars only
+                    continue
+                lo = hi = None
+                nn = 0
+                ok = True
+                for g in range(md.num_row_groups):
+                    c = md.row_group(g).column(i)
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                    nn += st.null_count or 0
+                if not ok or _enc(lo) is None or _enc(hi) is None:
+                    continue
+                mins[name] = _enc(lo)
+                maxs[name] = _enc(hi)
+                nulls[name] = nn
+            a["stats"] = json.dumps({
+                "numRecords": md.num_rows, "minValues": mins,
+                "maxValues": maxs, "nullCount": nulls,
+            })
+        except Exception:
+            continue  # stats are optional; the add stands without them
+
+
 def _stage_data_files(df: DataFrame, path: str,
                       part_cols: list[str],
                       subdir: str | None = None) -> list[dict]:
@@ -1214,8 +1401,14 @@ _BRIDGE_WRITER_FEATURES = {
     "changeDataFeed",    # blind appends / full overwrites derive CDF
                          # from add/remove actions per the spec;
                          # merge_delta emits REAL cdc actions
-    "columnMapping",     # mapped tables are already read-only
-    "deletionVectors",   # live DVs are already read-only
+    "columnMapping",     # all write shapes run through the reader's
+                         # logical→physical projection in reverse;
+                         # schema evolution reuses surviving ids and
+                         # allocates fresh ones (_evolve_mapped_meta)
+    "deletionVectors",   # appends leave live DVs untouched; rewrites
+                         # (overwrite/merge/compact) read THROUGH them
+                         # and their tombstones carry the descriptor,
+                         # so reconciliation by (path, DV uid) holds
     "timestampNtz",      # type-level; schema copied verbatim
     "generatedColumns",  # per-field generationExpression gates below
     "identityColumns",   # per-field delta.identity.* gates below
@@ -1286,7 +1479,8 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 checkpoint_interval: int | None = 10,
                 txn_app_id: str | None = None,
                 txn_version: int | None = None,
-                properties: dict[str, str] | None = None) -> int:
+                properties: dict[str, str] | None = None,
+                merge_schema: bool = False) -> int:
     """Write a commit to a Delta-protocol table WITHOUT delta-spark jars
     — the write half of the interop bridge (read half:
     :func:`read_delta`), so engine output is consumable by any Delta
@@ -1304,9 +1498,24 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     those dir names (``__HIVE_DEFAULT_PARTITION__`` → null).
 
     Fail-loud contract: append with a drifted schema raises (Delta's
-    own default — pass the evolved frame through overwrite semantics
-    instead); repartitioning of an existing table raises; concurrent
-    commits to the same version raise (see :func:`_commit_delta_log`).
+    own default) unless ``merge_schema=True``, which widens the table
+    schema with the batch's NEW columns — ``metaData`` is re-emitted
+    once with the same table id and the merged ``schemaString`` (type
+    changes always raise; a batch missing table columns is padded with
+    typed nulls), the library's ``mergeSchema`` shape. Repartitioning
+    of an existing table raises; concurrent commits to the same
+    version raise (see :func:`_commit_delta_log`).
+
+    Column-mapped tables (both modes) take every shape: appends and
+    overwrites run the reader's logical→physical projection in
+    reverse, and schema evolution (mergeSchema append / overwrite)
+    keeps surviving columns' physical names and field ids while
+    allocating fresh ones for new columns and advancing
+    ``delta.columnMapping.maxColumnId`` (:func:`_evolve_mapped_meta`).
+    Tables with live deletion vectors also take every shape: appends
+    leave the DVs untouched; overwrite tombstones carry each file's DV
+    descriptor so reconciliation by (path, DV uid) cancels the right
+    action.
 
     Every ``checkpoint_interval`` commits (Delta's own default, 10) the
     reconciled state is also published as a parquet checkpoint +
@@ -1356,29 +1565,6 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         _check_writer_allowed(proto, meta, mode)
         mapping_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none")
-        if mapping_mode != "none" and mode != "append":
-            # a blind APPEND to a mapped table is protocol-safe — the
-            # new files just need the reader's logical→physical
-            # projection run in reverse (_project_to_physical below).
-            # Overwrite stays fail-loud: a schema change on overwrite
-            # would have to allocate fresh physical names / field ids,
-            # an ALTER the bridge deliberately does not model.
-            raise VersionedTableError(
-                "write_delta: column-mapped tables accept only blind "
-                "appends through the bridge; install delta-spark to "
-                "overwrite this table"
-            )
-        has_dv = any(a.get("deletionVector") for a in live.values())
-        if has_dv and mode != "append":
-            # a blind APPEND adds files only — no existing file action
-            # is touched, so live DVs are preserved verbatim. Overwrite
-            # stays fail-loud: its tombstones would have to round-trip
-            # DV descriptors the bridge never writes.
-            raise VersionedTableError(
-                "write_delta: tables with live deletion vectors accept "
-                "only blind appends through the bridge; install "
-                "delta-spark to overwrite this table"
-            )
         if properties is not None and dict(properties) != dict(
                 meta.get("configuration") or {}):
             raise VersionedTableError(
@@ -1400,24 +1586,80 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 f"write_delta: table is partitioned by {part_cols}, "
                 f"got partition_by={list(partition_by)}"
             )
+        emit_meta = False
         if mode == "append":
             from pyspark.sql.types import StructType
 
             existing = StructType.fromJson(json.loads(meta["schemaString"]))
             have = {f.name: f.dataType.simpleString() for f in existing.fields}
             got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-            if have != got:
+            if have != got and not merge_schema:
                 raise VersionedTableError(
                     f"write_delta: append schema drift (table {have}, "
-                    f"batch {got}); write with mode='overwrite' to replace"
+                    f"batch {got}); pass merge_schema=True to add "
+                    "columns, or write with mode='overwrite' to replace"
                 )
-        emit_meta = mode == "overwrite"  # schema may legitimately change
-        meta["schemaString"] = df.schema.json() if mode == "overwrite" else meta["schemaString"]
+            if have != got:
+                conflicts = {c: (have[c], got[c]) for c in have
+                             if c in got and have[c] != got[c]}
+                if conflicts:
+                    raise VersionedTableError(
+                        "write_delta: mergeSchema cannot change column "
+                        f"types ({conflicts}); a silent type change "
+                        "would corrupt every older file"
+                    )
+                new_fields = [f for f in df.schema.fields
+                              if f.name not in have]
+                if new_fields:
+                    # widen the table schema: old field JSON verbatim
+                    # (its metadata — column-mapping identities included
+                    # — must survive), new fields appended; metaData is
+                    # re-emitted ONCE with the SAME table id (the
+                    # library writer's mergeSchema shape), so readers of
+                    # older versions are untouched
+                    old_json = json.loads(meta["schemaString"])
+                    new_jsons = [f.jsonValue() for f in new_fields]
+                    meta = dict(meta)
+                    if mapping_mode != "none":
+                        alloc = {"max": _max_column_id(meta)}
+                        new_jsons = _with_column_mapping(
+                            {"type": "struct", "fields": new_jsons}, alloc
+                        )["fields"]
+                        meta["configuration"] = {
+                            **(meta.get("configuration") or {}),
+                            "delta.columnMapping.maxColumnId": str(alloc["max"]),
+                        }
+                    meta["schemaString"] = json.dumps({
+                        "type": "struct",
+                        "fields": old_json["fields"] + new_jsons,
+                    })
+                    emit_meta = True
+                # a batch missing table columns is also legal under
+                # mergeSchema: pad with typed nulls so the staged files
+                # carry the full merged schema (nulls are RLE-free in
+                # parquet; a self-describing file beats relying on
+                # reader-side missing-column fill)
+                merged = StructType.fromJson(json.loads(meta["schemaString"]))
+                df = df.select(*[
+                    (F.col(f.name) if f.name in got
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in merged.fields
+                ])
+        else:  # overwrite: schema may legitimately change
+            emit_meta = True
+            meta = dict(meta)
+            if mapping_mode != "none":
+                # surviving columns keep their physical identity, new
+                # ones get freshly allocated names/ids, maxColumnId
+                # advances — the library's overwriteSchema shape
+                meta = _evolve_mapped_meta(meta, json.loads(df.schema.json()))
+            else:
+                meta["schemaString"] = df.schema.json()
     else:
         next_v = 0
         part_cols = list(partition_by or [])
         emit_meta = True
-        mapping_mode, has_dv = "none", False
+        mapping_mode = "none"
         # the protocol must CLAIM what the table's properties require:
         # delta.enableChangeDataFeed is gated behind writer version 4
         # (the changeDataFeed feature) — a v2 claim would let external
@@ -1472,14 +1714,8 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                                 "version": int(txn_version),
                                 "lastUpdated": now_ms}})
     if mode == "overwrite":
-        # partitionValues/size ride the tombstone (the spec's shape, and
-        # what lets read_delta_changes inject REAL partition values into
-        # derived delete rows instead of NULLs)
         actions.extend(
-            {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                        "partitionValues": dict(a.get("partitionValues") or {}),
-                        "size": a.get("size")}}
+            {"remove": _remove_action(a, now_ms, True)}
             for a in sorted(live.values(), key=lambda a: a["path"])
         )
     actions.extend({"add": a} for a in new_adds)
@@ -1549,9 +1785,20 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     ALL live files, the same full-table cost delta-spark pays for it.
     Deleted rows appear in the change feed as ``delete`` rows.
 
+    Column-mapped tables (both modes) merge like any other: the match
+    and branch semantics run over LOGICAL names (the snapshot read
+    projects physical→logical), and the rewritten data + cdc files are
+    projected back to physical names before staging. Tables with live
+    deletion vectors merge too: the snapshot read filters DV'd rows
+    (a deleted row is not matchable — the library's semantics), the
+    rewrite materializes the DV (dead rows are physically dropped from
+    the rewritten files, which carry no DV), and each tombstone carries
+    the removed file's DV descriptor so reconciliation by
+    (path, DV uid) cancels the right action.
+
     Write-side gates (same fail-loud contract as :func:`write_delta`):
-    column-mapped tables, tables with live deletion vectors, appendOnly
-    tables, and writer features the bridge cannot honor all raise.
+    appendOnly tables and writer features the bridge cannot honor
+    raise.
 
     Returns the committed version (or the unchanged current version for
     a no-op merge)."""
@@ -1567,19 +1814,8 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     log_dir = f"{path}/_delta_log"
     meta, live, latest, txns, proto = _replay_state(spark, path)
     _check_writer_allowed(proto, meta, "merge")
-    if (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none") != "none":
-        raise VersionedTableError(
-            "merge_delta: column-mapped tables accept only blind "
-            "appends through the bridge; install delta-spark to merge "
-            "into this table"
-        )
-    if any(a.get("deletionVector") for a in live.values()):
-        raise VersionedTableError(
-            "merge_delta: tables with live deletion vectors accept "
-            "only blind appends through the bridge; install delta-spark "
-            "to merge into this table"
-        )
+    mapping_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
     part_cols = list(meta.get("partitionColumns") or [])
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     t_cols = [f.name for f in schema.fields]
@@ -1660,23 +1896,40 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         result = annotated.filter(~F.col("__deleted")).select(*t_cols)
         if num_partitions:
             result = result.repartition(int(num_partitions))
-        new_adds = _stage_data_files(result, path, part_cols)
+        if mapping_mode != "none":
+            # rewritten files (and their partitionValues keys) must
+            # carry PHYSICAL names, same as every other file of the
+            # mapped table — the reader's projection run in reverse
+            stage_df, stage_parts = _project_to_physical(
+                result, meta, mapping_mode)
+        else:
+            stage_df, stage_parts = result, part_cols
+        new_adds = _stage_data_files(stage_df, path, stage_parts)
 
         cdc_adds: list[dict] = []
         if cdf:
-            pre = annotated.filter("__updated").select(*[
+            def _cdc(rows: DataFrame, ctype: str) -> DataFrame:
+                # cdc parquet stores the table's data columns under the
+                # same (physical, on mapped tables) names as data files;
+                # _change_type is not a table column and is stored
+                # verbatim — the library's shape
+                if mapping_mode != "none":
+                    rows, _ = _project_to_physical(rows, meta, mapping_mode)
+                return rows.withColumn("_change_type", F.lit(ctype))
+
+            pre = _cdc(annotated.filter("__updated").select(*[
                 F.col(f"__pre_{c}").alias(c) for c in t_cols
-            ]).withColumn("_change_type", F.lit("update_preimage"))
-            post = annotated.filter("__updated").select(*t_cols) \
-                .withColumn("_change_type", F.lit("update_postimage"))
-            ins = annotated.filter("__inserted").select(*t_cols) \
-                .withColumn("_change_type", F.lit("insert"))
-            dels = annotated.filter("__deleted").select(*[
+            ]), "update_preimage")
+            post = _cdc(annotated.filter("__updated").select(*t_cols),
+                        "update_postimage")
+            ins = _cdc(annotated.filter("__inserted").select(*t_cols),
+                       "insert")
+            dels = _cdc(annotated.filter("__deleted").select(*[
                 F.col(f"__pre_{c}").alias(c) for c in t_cols
-            ]).withColumn("_change_type", F.lit("delete"))
+            ]), "delete")
             cdc_adds = _stage_data_files(
                 pre.unionByName(post).unionByName(ins).unionByName(dels),
-                path, part_cols, subdir="_change_data")
+                path, stage_parts, subdir="_change_data")
     finally:
         annotated.unpersist()
 
@@ -1697,10 +1950,7 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         }
     }]
     actions.extend(
-        {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                    "partitionValues": dict(a.get("partitionValues") or {}),
-                    "size": a.get("size")}}
+        {"remove": _remove_action(a, now_ms, True)}
         for a in sorted(matched.values(), key=lambda a: a["path"])
     )
     actions.extend({"add": a} for a in new_adds)
@@ -1723,58 +1973,90 @@ def merge_delta(source: DataFrame, path: str, condition: str,
 
 
 def compact_delta(spark: SparkSession, path: str,
-                  target_files: int = 1) -> int:
-    """OPTIMIZE-style bin-packing compaction of a bridge Delta table —
-    the maintenance op the streaming sink NEEDS: one commit per
-    micro-batch means one small file per micro-batch, and scan cost
-    grows with file count, not data. Reads the live snapshot, rewrites
-    it as ``target_files`` files (per partition directory when the
-    table is partitioned), and commits ``remove``(old) + ``add``(new)
-    with ``dataChange: false`` — the protocol's marker that the commit
-    reorganizes bytes without changing rows, which is what lets
-    streaming readers skip it (see :func:`read_delta_appends`).
+                  target_files: int = 1,
+                  cluster_by: list[str] | None = None,
+                  cluster_method: str = "zorder") -> int:
+    """OPTIMIZE-style rewrite of a bridge Delta table — bin-packing
+    compaction, and with ``cluster_by`` the OPTIMIZE ZORDER analogue.
+    Bin-packing is the maintenance op the streaming sink NEEDS: one
+    commit per micro-batch means one small file per micro-batch, and
+    scan cost grows with file count, not data. Reads the live
+    snapshot, rewrites it as ``target_files`` files (per partition
+    directory when the table is partitioned), and commits
+    ``remove``(old) + ``add``(new) with ``dataChange: false`` — the
+    protocol's marker that the commit reorganizes bytes without
+    changing rows, which is what lets streaming readers skip it (see
+    :func:`read_delta_appends`).
+
+    ``cluster_by`` + ``cluster_method='zorder'`` (default) clusters the
+    rewrite on an interleaved-bit key
+    (:func:`~sql_based_etl_spark.tables.versioned.zorder_key` — the
+    same machinery as VersionedTable's clustered writes), narrowing
+    per-file min/max ranges on EVERY clustered column at once;
+    ``'range'`` range-partitions + sorts for leading-column locality.
+    Either way each ``add`` carries Delta per-file ``stats`` JSON
+    (footer-derived, driver-side, O(files)) so library readers — and
+    anything else that honors add.stats — actually skip files on those
+    columns. This is what gives a long-lived BRIDGE table the same
+    multi-dimensional skipping the engine's own format gets from
+    ``cluster_method='zorder'`` writes.
+
+    Column-mapped tables are rewritten through the reader's
+    logical→physical projection run in reverse (clustering operates on
+    LOGICAL names; staged files and stats keys carry physical ones).
+    Files with live deletion vectors are rewritten WITHOUT their dead
+    rows — the DV is materialized and the tombstone carries its
+    descriptor, the library OPTIMIZE's behavior — which stays
+    ``dataChange: false`` because the logical row set is unchanged.
 
     Schema, metaData and txn watermarks are untouched; the commit races
     through the same conditional-create protocol as any other. Returns
     the committed version."""
     import time
 
+    from sql_based_etl_spark.tables.versioned import zorder_key
+
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     meta, live, latest, _, proto = _replay_state(spark, path)
     _check_writer_allowed(proto, meta, "compact")
-    if (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none") != "none":
-        raise VersionedTableError(
-            "compact_delta: column-mapped tables accept only blind "
-            "appends through the bridge; install delta-spark to "
-            "compact this table"
-        )
-    if any(a.get("deletionVector") for a in live.values()):
-        raise VersionedTableError(
-            "compact_delta: tables with live deletion vectors accept "
-            "only blind appends through the bridge; install delta-spark "
-            "to compact this table"
-        )
+    mapping_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
     if not live:
         raise VersionedTableError(f"compact_delta: nothing to compact at {path}")
     part_cols = list(meta.get("partitionColumns") or [])
-    df = _snapshot_df(spark, path, meta, live).repartition(target_files)
-    new_adds = _stage_data_files(df, path, part_cols)
+    df = _snapshot_df(spark, path, meta, live)
+    if cluster_by and cluster_method == "zorder":
+        out_cols = list(df.columns)
+        df, zkey = zorder_key(df, cluster_by)
+        df = (df.repartitionByRange(target_files, zkey)
+              .sortWithinPartitions(zkey).select(*out_cols))
+    elif cluster_by:
+        df = (df.repartitionByRange(target_files, *cluster_by)
+              .sortWithinPartitions(*cluster_by))
+    else:
+        df = df.repartition(target_files)
+    if mapping_mode != "none":
+        stage_df, stage_parts = _project_to_physical(df, meta, mapping_mode)
+    else:
+        stage_df, stage_parts = df, part_cols
+    new_adds = _stage_data_files(stage_df, path, stage_parts)
+    _footer_stats_json(spark, path, new_adds)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
         "commitInfo": {
             "timestamp": now_ms,
             "operation": "OPTIMIZE",
-            "operationParameters": {"targetFiles": str(target_files)},
+            "operationParameters": {
+                "targetFiles": str(target_files),
+                **({"zOrderBy": json.dumps(list(cluster_by))}
+                   if cluster_by else {}),
+            },
             "engineInfo": "sql-based-etl-spark delta bridge",
         }
     }]
     actions.extend(
-        {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
-                    "dataChange": False,
-                    "partitionValues": dict(a.get("partitionValues") or {}),
-                    "size": a.get("size")}}
+        {"remove": _remove_action(a, now_ms, False)}
         for a in sorted(live.values(), key=lambda a: a["path"])
     )
     for a in new_adds:
@@ -1838,16 +2120,14 @@ def vacuum_delta(spark: SparkSession, path: str,
         for action in _log_actions(spark, logs[v]):
             if "remove" in action:
                 r = action["remove"]
-                if r.get("deletionVector"):
-                    # a DV'd remove means the FILE may still be live
-                    # under a newer DV, and the DV .bin files need
-                    # reference-counted reclamation the bridge doesn't
-                    # do — read-only
-                    raise VersionedTableError(
-                        "vacuum_delta: tables using deletion vectors are "
-                        "read-only through the bridge; install "
-                        "delta-spark to vacuum this table"
-                    )
+                # a DV'd remove is an ordinary tombstone for the PARQUET
+                # file: whether the path is still live under a newer DV
+                # is exactly what the live_paths check below decides
+                # (actions reconcile by (path, DV uid), but a path has
+                # at most one live action at a time). The DV .bin files
+                # themselves are never reclaimed by the bridge —
+                # deliberately conservative: a leaked KB-scale bitmap
+                # beats reference-counting it wrongly.
                 tombstones[r["path"]] = int(r.get("deletionTimestamp") or 0)
             elif "add" in action:
                 # re-added later ⇒ the old tombstone no longer governs
@@ -1964,10 +2244,12 @@ def read_delta_changes(spark: SparkSession, path: str,
     rule as timestamp time travel (``commitInfo.inCommitTimestamp``
     when written, else commit-file mtime).
 
-    Fail-loud: the table must have ``delta.enableChangeDataFeed=true``;
-    column-mapped tables and DV-carrying adds without cdc actions raise
-    (the add/remove derivation would fabricate row churn); commits
-    pruned below a checkpoint cannot be change-read.
+    Column-mapped tables read through the same logical←physical
+    projection as snapshots (cdc files store physical data-column
+    names + a verbatim ``_change_type``). Fail-loud: the table must
+    have ``delta.enableChangeDataFeed=true``; DV-carrying adds without
+    cdc actions raise (the add/remove derivation would fabricate row
+    churn); commits pruned below a checkpoint cannot be change-read.
     """
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
@@ -1979,11 +2261,7 @@ def read_delta_changes(spark: SparkSession, path: str,
             f"read_delta_changes: delta.enableChangeDataFeed is not set on "
             f"{path} — the log records no change data"
         )
-    if conf.get("delta.columnMapping.mode", "none") != "none":
-        raise VersionedTableError(
-            "read_delta_changes: column-mapped tables are not supported by "
-            "the bridge's CDF reader; install delta-spark"
-        )
+    mapping_mode = conf.get("delta.columnMapping.mode", "none")
     end = latest if ending_version is None else int(ending_version)
     if starting_version > end:
         raise VersionedTableError(
@@ -2001,11 +2279,16 @@ def read_delta_changes(spark: SparkSession, path: str,
         meta = _replay_state(spark, path, end)[0]
 
     schema_json = json.loads(meta["schemaString"])
+    # _change_type is stored VERBATIM in cdc files (it is not a table
+    # column); on mapped tables it rides the physical projection with
+    # a passthrough physicalName and resolves by name even in id mode
+    ct_md = ({"delta.columnMapping.physicalName": "_change_type"}
+             if mapping_mode != "none" else {})
     cdc_meta = {**meta, "schemaString": json.dumps({
         "type": "struct",
         "fields": schema_json["fields"] + [
             {"name": "_change_type", "type": "string",
-             "nullable": True, "metadata": {}}
+             "nullable": True, "metadata": ct_md}
         ],
     })}
     fs, _, _ = _fs_and_path(spark, log_dir)

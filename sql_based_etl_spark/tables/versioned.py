@@ -460,6 +460,60 @@ def build_merge_annotated(
     )
 
 
+def zorder_key(df: DataFrame, cols: list[str],
+               bits: int = 16) -> tuple[DataFrame, str]:
+    """Append an interleaved-bit Z-order key column over ``cols``
+    (shared by :meth:`VersionedTable.write`'s clustered rewrites and
+    the Delta bridge's OPTIMIZE ZORDER).
+
+    Each column is min-max scaled to a ``bits``-bit code (one 1-row
+    aggregate, broadcast — no sort, no window; skewed distributions
+    get uneven codes but pruning stays correct, just less selective —
+    rank-based codes would need a global sort), then the codes' bits
+    interleave LSB-first. Clustering on the key gives every clustered
+    column a ~|range|^(1/k) per-file span, so data skipping works on
+    ANY of them, not only the leading one as in lexicographic range
+    clustering. Numeric and timestamp columns only."""
+    from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    nums = []
+    for c in cols:
+        t = types[c]
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            nums.append(F.unix_micros(F.col(c).cast("timestamp")).cast("double"))
+        elif isinstance(t, NumericType):
+            nums.append(F.col(c).cast("double"))
+        else:
+            raise VersionedTableError(
+                f"zorder clustering needs numeric/timestamp columns; "
+                f"{c!r} is {t.simpleString()}"
+            )
+    bounds = df.agg(*[
+        a for i, num in enumerate(nums)
+        for a in (F.min(num).alias(f"__zmn_{i}"), F.max(num).alias(f"__zmx_{i}"))
+    ])
+    df = df.crossJoin(F.broadcast(bounds))
+    top = (1 << bits) - 1
+    codes = []
+    for i, num in enumerate(nums):
+        rng = F.col(f"__zmx_{i}") - F.col(f"__zmn_{i}")
+        code = F.when(
+            (rng <= 0) | rng.isNull() | num.isNull(), F.lit(0)
+        ).otherwise(
+            F.floor((num - F.col(f"__zmn_{i}")) / rng * F.lit(float(top)))
+        ).cast("long")
+        codes.append(code)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, code in enumerate(codes):
+            bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(codes) + i))
+    df = df.withColumn("__zkey", z)
+    return df.drop(*[c for c in df.columns
+                     if c.startswith("__zmn_") or c.startswith("__zmx_")]), "__zkey"
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -651,54 +705,7 @@ class VersionedTable:
     _ZORDER_BITS = 16
 
     def _zorder_key(self, df: DataFrame, cols: list[str]) -> tuple[DataFrame, str]:
-        """Append an interleaved-bit Z-order key column over ``cols``.
-
-        Each column is min-max scaled to a ``_ZORDER_BITS``-bit code
-        (one 1-row aggregate, broadcast — no sort, no window; skewed
-        distributions get uneven codes but pruning stays correct, just
-        less selective — rank-based codes would need a global sort),
-        then the codes' bits interleave LSB-first. Clustering on the
-        key gives every clustered column a ~|range|^(1/k) per-file
-        span, so data skipping works on ANY of them, not only the
-        leading one as in lexicographic range clustering. Numeric and
-        timestamp columns only."""
-        from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
-
-        types = {f.name: f.dataType for f in df.schema.fields}
-        nums = []
-        for c in cols:
-            t = types[c]
-            if isinstance(t, (TimestampType, TimestampNTZType)):
-                nums.append(F.unix_micros(F.col(c).cast("timestamp")).cast("double"))
-            elif isinstance(t, NumericType):
-                nums.append(F.col(c).cast("double"))
-            else:
-                raise VersionedTableError(
-                    f"zorder clustering needs numeric/timestamp columns; "
-                    f"{c!r} is {t.simpleString()}"
-                )
-        bounds = df.agg(*[
-            a for i, num in enumerate(nums)
-            for a in (F.min(num).alias(f"__zmn_{i}"), F.max(num).alias(f"__zmx_{i}"))
-        ])
-        df = df.crossJoin(F.broadcast(bounds))
-        top = (1 << self._ZORDER_BITS) - 1
-        codes = []
-        for i, num in enumerate(nums):
-            rng = F.col(f"__zmx_{i}") - F.col(f"__zmn_{i}")
-            code = F.when(
-                (rng <= 0) | rng.isNull() | num.isNull(), F.lit(0)
-            ).otherwise(
-                F.floor((num - F.col(f"__zmn_{i}")) / rng * F.lit(float(top)))
-            ).cast("long")
-            codes.append(code)
-        z = F.lit(0).cast("long")
-        for b in range(self._ZORDER_BITS):
-            for i, code in enumerate(codes):
-                bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
-                z = z.bitwiseOR(F.shiftleft(bit, b * len(codes) + i))
-        df = df.withColumn("__zkey", z)
-        return df.drop(*[c for c in df.columns if c.startswith("__zmn_") or c.startswith("__zmx_")]), "__zkey"
+        return zorder_key(df, cols, self._ZORDER_BITS)
 
     def _write_data_files(self, df: DataFrame, version: int,
                           num_partitions: int | None,

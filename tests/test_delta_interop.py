@@ -843,10 +843,10 @@ def test_merge_delta_cdf_emits_exact_cdc(spark, tmp_path):
 
 
 def test_merge_delta_gates_noop_and_checkpoint(spark, tmp_path):
-    """Write-side gates: appendOnly and live-DV tables refuse a merge;
-    ambiguous multi-source matches raise; a merge that changes nothing
-    commits NOTHING (returns the current version — a byte-identical
-    rewrite would be churn and a CDF lie); checkpoint_interval emits a
+    """Write-side gates: appendOnly tables refuse a merge; ambiguous
+    multi-source matches raise; a merge that changes nothing commits
+    NOTHING (returns the current version — a byte-identical rewrite
+    would be churn and a CDF lie); checkpoint_interval emits a
     checkpoint on the merge commit like any other bridge write."""
     from sql_based_etl_spark.tables.delta_interop import merge_delta, write_delta
 
@@ -857,14 +857,6 @@ def test_merge_delta_gates_noop_and_checkpoint(spark, tmp_path):
                 mode="overwrite", properties={"delta.appendOnly": "true"})
     with pytest.raises(VersionedTableError, match="appendOnly"):
         merge_delta(src, ao, condition="target.id = source.id",
-                    when_matched_update={"v": "source.v"})
-
-    dv = str(tmp_path / "dvtab")
-    os.makedirs(dv)
-    _write_datafile(spark, dv, "f0.parquet", [0, 1, 2])
-    _log(dv, 0, _DV_PROTOCOL, _meta(), _add_dv("f0.parquet", _inline_dv([1, 3])))
-    with pytest.raises(VersionedTableError, match="deletion vectors"):
-        merge_delta(src, dv, condition="target.id = source.id",
                     when_matched_update={"v": "source.v"})
 
     d = str(tmp_path / "m_basic")
@@ -1304,11 +1296,21 @@ def test_read_delta_name_mode_column_mapping(spark, tmp_path):
     file_schema = pq.read_schema(os.path.join(d, add["path"]))
     assert set(file_schema.names) == {"col-111", "col-222", "col-333"}
     assert [f.name for f in file_schema.field("col-333").type] == ["col-aaa", "col-bbb"]
-    # overwrite and compaction stay fail-loud on mapped tables
-    with pytest.raises(VersionedTableError, match="blind appends"):
-        write_delta(batch, d, mode="overwrite")
-    with pytest.raises(VersionedTableError, match="blind appends"):
-        compact_delta(spark, d)
+    # overwrite keeps the surviving columns' physical identity: same
+    # schema in, the new metaData's schemaString carries the SAME
+    # physical names / ids, and the physical read round-trips
+    assert write_delta(batch, d, mode="overwrite") == 3
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{3:020d}.json")).read().splitlines()]
+    new_meta = [a["metaData"] for a in acts if "metaData" in a][0]
+    phys = {f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in json.loads(new_meta["schemaString"])["fields"]}
+    assert phys == {"id": "col-111", "v": "col-222",
+                    "geo": "col-333", "day": "col-444"}
+    assert _ids(read_delta(spark, d)) == [3]
+    # and compaction rewrites through the reverse projection too
+    compact_delta(spark, d, target_files=1)
+    assert _ids(read_delta(spark, d)) == [3]
 
 
 # --- deletion vectors (public roaring format, reads) ---------------------
@@ -1571,18 +1573,14 @@ def test_dv_cardinality_mismatch_fails_loud(spark, tmp_path):
         read_delta(spark, d).collect()
 
 
-def test_dv_tables_accept_blind_appends_only(spark, tmp_path):
+def test_dv_tables_blind_appends_and_checkpoint(spark, tmp_path):
     """Blind appends to a DV-bearing table are protocol-safe (files are
     only added; live DVs are untouched) and the snapshot after an
     append is exactly (old minus DV'd rows) + new rows. The checkpoint
     carries the DV descriptor in add.deletionVector (proven by reading
-    THROUGH the checkpoint with the pre-checkpoint log pruned).
-    Everything that would have to rewrite descriptors — overwrite,
-    compaction, vacuum — stays fail-loud."""
+    THROUGH the checkpoint with the pre-checkpoint log pruned)."""
     from sql_based_etl_spark.tables.delta_interop import (
-        compact_delta,
         read_delta_appends,
-        vacuum_delta,
         write_delta,
     )
 
@@ -1601,18 +1599,96 @@ def test_dv_tables_accept_blind_appends_only(spark, tmp_path):
     # checkpoint would now resurrect ids 1,2 — it must not
     os.remove(os.path.join(d, "_delta_log", f"{0:020d}.json"))
     assert _ids(read_delta(spark, d)) == [0, 3, 9]
-    with pytest.raises(VersionedTableError, match="blind appends"):
-        write_delta(df, d, mode="overwrite")
-    with pytest.raises(VersionedTableError, match="blind appends"):
-        compact_delta(spark, d)
-    # vacuum trips on the DV'd remove tombstone
-    _log(d, 2, _add_dv("f0.parquet", _inline_dv([0, 1, 2, 3])),
-         {"remove": {"path": "f0.parquet", "deletionTimestamp": 1,
-                     "dataChange": True,
-                     "deletionVector": _inline_dv([1, 2])}})
-    with pytest.raises(VersionedTableError, match="read-only"):
-        vacuum_delta(spark, d, retention_hours=0.0,
-                     enforce_retention_check=False)
+
+
+def test_dv_tables_overwrite_compact_vacuum(spark, tmp_path):
+    """Overwrite and OPTIMIZE on a DV-bearing table: the tombstone of a
+    DV'd file carries its descriptor (file actions reconcile by
+    (path, DV uid) — a descriptor-less remove would fail to cancel the
+    DV'd add), compaction MATERIALIZES the DV (dead rows physically
+    dropped, new files carry no DV, dataChange stays false because the
+    logical row set is unchanged), and vacuum reclaims the tombstoned
+    parquet once past retention."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    # --- compaction materializes the DV ---
+    d = str(tmp_path / "dvopt")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", list(range(4)))
+    _write_datafile(spark, d, "f1.parquet", [10, 11])
+    _log(d, 0, _DV_PROTOCOL, _meta(),
+         _add_dv("f0.parquet", _inline_dv([1, 2])), _add("f1.parquet"))
+    assert compact_delta(spark, d, target_files=1) == 1
+    assert _ids(read_delta(spark, d)) == [0, 3, 10, 11]
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    removes = {r["remove"]["path"]: r["remove"] for r in acts if "remove" in r}
+    assert removes["f0.parquet"]["deletionVector"]["cardinality"] == 2
+    assert "deletionVector" not in removes["f1.parquet"]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert all(not a.get("deletionVector") for a in adds)
+    assert all(a["dataChange"] is False for a in adds)
+    # time travel to v0 still applies the DV
+    assert _ids(read_delta(spark, d, version=0)) == [0, 3, 10, 11]
+
+    # --- overwrite tombstones carry the descriptor; vacuum reclaims ---
+    d2 = str(tmp_path / "dvow")
+    os.makedirs(d2)
+    _write_datafile(spark, d2, "f0.parquet", list(range(4)))
+    _log(d2, 0, _DV_PROTOCOL, _meta(),
+         _add_dv("f0.parquet", _inline_dv([1, 2])))
+    df = spark.createDataFrame([(7, "r7")], "id long, v string")
+    assert write_delta(df, d2, mode="overwrite") == 1
+    assert _ids(read_delta(spark, d2)) == [7]
+    acts = [json.loads(x) for x in open(
+        os.path.join(d2, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    rm = [a["remove"] for a in acts if "remove" in a][0]
+    assert rm["path"] == "f0.parquet" and rm["deletionVector"]["cardinality"] == 2
+    gone = vacuum_delta(spark, d2, retention_hours=0.0,
+                        enforce_retention_check=False)
+    assert gone == ["f0.parquet"]
+    assert not os.path.exists(os.path.join(d2, "f0.parquet"))
+    assert _ids(read_delta(spark, d2)) == [7]  # live snapshot untouched
+
+
+def test_dv_table_merge_materializes_and_skips_dead_rows(spark, tmp_path):
+    """MERGE into a DV-bearing table: a DV'd (deleted) row is NOT
+    matchable — a source row keyed to it routes to INSERT, not update
+    (the library's semantics); the rewrite of a matched DV'd file
+    physically drops its dead rows and the new files carry no DV; the
+    tombstone carries the descriptor; untouched files stay untouched."""
+    from sql_based_etl_spark.tables.delta_interop import merge_delta
+
+    d = str(tmp_path / "dvmerge")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", [0, 1, 2, 3])   # DV kills 1,2
+    _write_datafile(spark, d, "f1.parquet", [10, 11])       # untouched
+    _log(d, 0, _DV_PROTOCOL, _meta(),
+         _add_dv("f0.parquet", _inline_dv([1, 2])), _add("f1.parquet"))
+    # source: id=0 updates a live row; id=1 hits only the DV-DEAD row →
+    # must insert; id=99 inserts plainly
+    src = spark.createDataFrame(
+        [(0, "upd0"), (1, "ins1"), (99, "ins99")], "id long, v string")
+    v = merge_delta(
+        src, d, "target.id = source.id",
+        when_matched_update={"v": "source.v"},
+    )
+    assert v == 1
+    back = {r.id: r.v for r in read_delta(spark, d).collect()}
+    assert back == {0: "upd0", 1: "ins1", 3: "r3",
+                    10: "r10", 11: "r11", 99: "ins99"}
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    removes = [a["remove"] for a in acts if "remove" in a]
+    # only the matched file is tombstoned, descriptor riding along
+    assert [r["path"] for r in removes] == ["f0.parquet"]
+    assert removes[0]["deletionVector"]["cardinality"] == 2
+    assert all(not a["add"].get("deletionVector")
+               for a in acts if "add" in a)
 
 
 def test_read_delta_id_mode_column_mapping(spark, tmp_path):
@@ -2416,3 +2492,272 @@ def test_changes_and_appends_schema_drift_fail_loud(spark, tmp_path):
     # out-of-range asks fail with the accurate message
     with pytest.raises(VersionedTableError, match="outside the table"):
         read_delta_changes(spark, d, 0, 99)
+
+
+# --- round-8: mapped-table DML, schema evolution, OPTIMIZE ZORDER --------
+
+
+def _mapped_table(spark, tmp_path, name="cmt", mode="name",
+                  properties=None) -> str:
+    """A name-/id-mode column-mapped table BUILT BY HAND (physical-named
+    data file + protocol/metaData log), so the write-side tests run
+    against the shape external writers actually produce, not one the
+    bridge wrote itself."""
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    tmp = os.path.join(d, "__tmp")
+    w = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "`col-1` long, `col-2` string, `col-3` long")
+    if mode == "id":
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        w = spark.createDataFrame(w.collect(), StructType([
+            StructField("col-1", LongType(), True, {"parquet.field.id": 1}),
+            StructField("col-2", StringType(), True, {"parquet.field.id": 2}),
+            StructField("col-3", LongType(), True, {"parquet.field.id": 3}),
+        ]))
+    w.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(d, "d0.parquet"))
+    shutil.rmtree(tmp)
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_string = json.dumps({"type": "struct", "fields": [
+        fld("id", "long", "col-1", 1),
+        fld("v", "string", "col-2", 2),
+        fld("n", "long", "col-3", 3),
+    ]})
+    _log(d, 0,
+         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["columnMapping"],
+                       "writerFeatures": ["columnMapping"]}},
+         {"metaData": {
+             "id": "cmt-tab", "format": {"provider": "parquet", "options": {}},
+             "schemaString": schema_string, "partitionColumns": [],
+             "configuration": {"delta.columnMapping.mode": mode,
+                               "delta.columnMapping.maxColumnId": "3",
+                               **(properties or {})},
+         }},
+         _add("d0.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_mapped_table_merge_both_modes(spark, tmp_path, mode):
+    """MERGE into a column-mapped table (both modes): match + branches
+    run over LOGICAL names, rewritten files carry PHYSICAL names, and
+    the logical read round-trips (delta_interop.py:merge_delta)."""
+    import pyarrow.parquet as pq
+
+    from sql_based_etl_spark.tables.delta_interop import merge_delta
+
+    d = _mapped_table(spark, tmp_path, name=f"cmt_{mode}", mode=mode)
+    src = spark.createDataFrame([(2, "B2", 99), (5, "new5", 55)],
+                                "id long, v string, n long")
+    v = merge_delta(
+        src, d, "target.id = source.id",
+        when_matched_update={"v": "source.v", "n": "source.n"},
+    )
+    assert v == 1
+    back = {r.id: (r.v, r.n) for r in read_delta(spark, d).collect()}
+    assert back == {1: ("a", 10), 2: ("B2", 99), 5: ("new5", 55)}
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    add = [a["add"] for a in acts if "add" in a][0]
+    file_schema = pq.read_schema(os.path.join(d, add["path"]))
+    assert set(file_schema.names) == {"col-1", "col-2", "col-3"}
+    if mode == "id":
+        assert file_schema.field("col-2").metadata.get(
+            b"PARQUET:field_id") == b"2"
+
+
+def test_mapped_table_merge_cdf_physical_cdc_files(spark, tmp_path):
+    """On a mapped CDF table the cdc parquet stores PHYSICAL data-column
+    names plus a verbatim _change_type — and read_delta_changes maps
+    them back to logical for the consumer."""
+    import pyarrow.parquet as pq
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta_changes,
+    )
+
+    d = _mapped_table(spark, tmp_path, name="cmtcdf",
+                      properties={"delta.enableChangeDataFeed": "true"})
+    src = spark.createDataFrame([(1, "A1", 11)], "id long, v string, n long")
+    merge_delta(src, d, "target.id = source.id",
+                when_matched_update={"v": "source.v", "n": "source.n"},
+                insert_not_matched=False)
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc, "CDF table must emit real cdc actions"
+    names = set(pq.read_schema(os.path.join(d, cdc[0]["path"])).names)
+    assert names == {"col-1", "col-2", "col-3", "_change_type"}
+    changes = {(r["_change_type"], r["id"]): (r["v"], r["n"])
+               for r in read_delta_changes(spark, d, 1).collect()}
+    assert changes[("update_preimage", 1)] == ("a", 10)
+    assert changes[("update_postimage", 1)] == ("A1", 11)
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_mapped_overwrite_schema_evolution(spark, tmp_path, mode):
+    """Overwrite with a CHANGED logical schema on a mapped table:
+    surviving columns keep physicalName/id verbatim, the new column
+    gets a fresh col-<uuid> name and id=maxColumnId+1, and the
+    configuration's maxColumnId advances (_evolve_mapped_meta)."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = _mapped_table(spark, tmp_path, name=f"cmow_{mode}", mode=mode)
+    df = spark.createDataFrame([(7, "x", True)], "id long, v string, flag boolean")
+    assert write_delta(df, d, mode="overwrite") == 1
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    meta = [a["metaData"] for a in acts if "metaData" in a][0]
+    fields = {f["name"]: f["metadata"]
+              for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["id"]["delta.columnMapping.physicalName"] == "col-1"
+    assert fields["v"]["delta.columnMapping.physicalName"] == "col-2"
+    assert fields["id"]["delta.columnMapping.id"] == 1
+    new_phys = fields["flag"]["delta.columnMapping.physicalName"]
+    assert new_phys.startswith("col-") and len(new_phys) > 20
+    assert fields["flag"]["delta.columnMapping.id"] == 4
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+    row = read_delta(spark, d).collect()[0]
+    assert (row.id, row.v, row.flag) == (7, "x", True)
+    # dropped column col-3's id (3) is never reused
+    df2 = spark.createDataFrame([(8, "y", False, 1.5)],
+                                "id long, v string, flag boolean, score double")
+    write_delta(df2, d, mode="overwrite")
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{2:020d}.json")).read().splitlines()]
+    meta2 = [a["metaData"] for a in acts if "metaData" in a][0]
+    f2 = {f["name"]: f["metadata"]
+          for f in json.loads(meta2["schemaString"])["fields"]}
+    assert f2["flag"]["delta.columnMapping.physicalName"] == new_phys
+    assert f2["score"]["delta.columnMapping.id"] == 5
+
+
+def test_write_delta_merge_schema_append(spark, tmp_path):
+    """mergeSchema appends: a batch with a NEW column widens the table
+    schema (metaData re-emitted once, SAME table id), a batch MISSING
+    table columns is padded with typed nulls, a type change always
+    raises, and plain drifted appends still fail loud."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "ms")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"),
+                d, mode="overwrite")
+    tid = json.loads([ln for ln in open(
+        os.path.join(d, "_delta_log", f"{0:020d}.json")).read().splitlines()
+        if "metaData" in ln][0])["metaData"]["id"]
+    drifted = spark.createDataFrame([(2, "b", 5.0)],
+                                    "id long, v string, score double")
+    with pytest.raises(VersionedTableError, match="merge_schema=True"):
+        write_delta(drifted, d, mode="append")
+    assert write_delta(drifted, d, mode="append", merge_schema=True) == 1
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert len(metas) == 1 and metas[0]["id"] == tid
+    assert [f["name"] for f in
+            json.loads(metas[0]["schemaString"])["fields"]] == [
+                "id", "v", "score"]
+    # a batch missing 'v' pads it with NULL, no further metaData
+    short = spark.createDataFrame([(3, 7.5)], "id long, score double")
+    assert write_delta(short, d, mode="append", merge_schema=True) == 2
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{2:020d}.json")).read().splitlines()]
+    assert not any("metaData" in a for a in acts)
+    back = {r.id: (r.v, r.score) for r in read_delta(spark, d).collect()}
+    assert back == {1: ("a", None), 2: ("b", 5.0), 3: (None, 7.5)}
+    # old versions read with the OLD schema
+    assert read_delta(spark, d, version=0).columns == ["id", "v"]
+    # type change still refuses, even under mergeSchema
+    bad = spark.createDataFrame([("x", "y")], "id string, v string")
+    with pytest.raises(VersionedTableError, match="type"):
+        write_delta(bad, d, mode="append", merge_schema=True)
+
+
+def test_mapped_merge_schema_append_allocates_ids(spark, tmp_path):
+    """mergeSchema append on a MAPPED table: the new column gets a
+    fresh physical name/id, surviving columns' identities are
+    untouched, and maxColumnId advances — then the logical read sees
+    old rows with NULL in the new column."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = _mapped_table(spark, tmp_path, name="cmms")
+    batch = spark.createDataFrame([(9, "z", 90, "extra")],
+                                  "id long, v string, n long, tag string")
+    assert write_delta(batch, d, mode="append", merge_schema=True) == 1
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    meta = [a["metaData"] for a in acts if "metaData" in a][0]
+    fields = {f["name"]: f["metadata"]
+              for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["id"]["delta.columnMapping.physicalName"] == "col-1"
+    assert fields["tag"]["delta.columnMapping.id"] == 4
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+    back = {r.id: (r.v, r.n, r.tag) for r in read_delta(spark, d).collect()}
+    assert back == {1: ("a", 10, None), 2: ("b", 20, None),
+                    9: ("z", 90, "extra")}
+
+
+def test_compact_delta_zorder_narrows_stats_on_every_column(spark, tmp_path):
+    """Bridge OPTIMIZE ZORDER (compact_delta cluster_by): after the
+    clustered rewrite every add carries Delta per-file stats JSON whose
+    min/max ranges narrow on BOTH clustered columns — the bridge-table
+    twin of test_zorder_clustering_skips_on_every_column. Range
+    clustering only narrows the leading column; z-order must narrow
+    both."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        write_delta,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("rowid"),
+        (F.col("id") % 100).alias("a"),
+        F.floor(F.col("id") / 200).alias("b"),
+    )
+
+    def spans(d, version):
+        acts = [json.loads(x) for x in open(os.path.join(
+            d, "_delta_log", f"{version:020d}.json")).read().splitlines()]
+        adds = [a["add"] for a in acts if "add" in a]
+        assert all("stats" in a for a in adds)
+        out = {"a": [], "b": []}
+        for a in adds:
+            st = json.loads(a["stats"])
+            assert st["numRecords"] > 0
+            for c in ("a", "b"):
+                out[c].append(st["maxValues"][c] - st["minValues"][c])
+        return {c: sum(v) / len(v) for c, v in out.items()}, len(adds)
+
+    dz = str(tmp_path / "zo")
+    write_delta(df, dz, mode="overwrite")
+    assert compact_delta(spark, dz, target_files=16,
+                         cluster_by=["a", "b"]) == 1
+    z_spans, zn = spans(dz, 1)
+
+    dr = str(tmp_path / "rng")
+    write_delta(df, dr, mode="overwrite")
+    assert compact_delta(spark, dr, target_files=16,
+                         cluster_by=["a", "b"], cluster_method="range") == 1
+    r_spans, rn = spans(dr, 1)
+
+    assert zn == rn == 16
+    # leading column: both layouts narrow well below the full span (99)
+    assert z_spans["a"] < 99 and r_spans["a"] < 99
+    # second column: z-order narrows (full span 99); range clustering
+    # leaves b covering essentially the whole range in every file
+    assert z_spans["b"] < 99 * 0.6
+    assert r_spans["b"] > 99 * 0.9
+    # the rewrite changed no rows
+    got = read_delta(spark, dz)
+    assert got.count() == 20_000
+    assert got.agg(F.sum("rowid")).collect()[0][0] == sum(range(20_000))

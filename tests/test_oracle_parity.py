@@ -46,7 +46,7 @@ def test_graded_window_composition():
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf_trained",
         "sim_cosine_dup_lsh", "stream_near_dedup",
-        "q_scd2_merge", "q_scd2_changes", "q_intersect_except",
+        "q_scd2_merge", "q_scd2_changes", "q_delta_merge", "q_intersect_except",
         "dedup_clusters", "text_decontaminate",
         "text_repetition_stats", "split_hash_assign",
     ]
