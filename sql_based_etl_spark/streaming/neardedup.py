@@ -71,14 +71,14 @@ def near_dedup_batch(
     replay/restart contract is directly testable, mirroring
     ``append_stream_batch``)."""
     spark = batch_df.sparkSession
-    # detach the batch from the streaming plan: foreachBatch DataFrames
-    # execute under IncrementalExecution, which plans WITHOUT adaptive
-    # execution — every small shuffle downstream would run at the full
-    # static partition count (measured 10× wall-clock on this pipeline).
-    # An eager localCheckpoint rebases the lineage onto materialized
-    # partitions, so everything below replans as ordinary AQE batch jobs.
-    batch_df = batch_df.localCheckpoint(eager=True)
-    if batch_df.isEmpty():  # post-checkpoint: metadata-cheap on materialized partitions
+    # No lineage detach: an eager localCheckpoint here (the round-3
+    # workaround for AQE-less IncrementalExecution planning, then
+    # measured 10× wall-clock without it) is wall-clock-NEUTRAL on
+    # PySpark 4.1 (A/B min-of-series 32.6s vs 32.9s at sf0.1 — see
+    # PLANS.md round-8 reading), and on a real cluster it would pin
+    # every micro-batch's partitions in executor storage and trade
+    # lineage-based recovery for executor-loss fragility. Deleted.
+    if batch_df.isEmpty():
         return
     new_hashed = hashed_shingle_rows(batch_df, id_col, text_col, n).persist()
     new_bands = minhash_bands_from_hashes(new_hashed)
