@@ -49,6 +49,25 @@ def sniff_audio(data: bytes) -> str:
     return "unknown"
 
 
+def decode_audio_bytes(data: bytes) -> tuple[int, np.ndarray]:
+    """Container-routing decode: WAV (PCM / IMA+MS ADPCM) through
+    :func:`decode_wav_bytes`, FLAC through the pure-stdlib lossless
+    codec (``flaccodec.decode_flac_bytes`` — full subframe/Rice/stereo
+    surface, CRC + MD5 verified). Remaining containers (ogg, mp3) stay
+    the external-codec integration point."""
+    data = bytes(data)
+    fmt = sniff_audio(data)
+    if fmt == "wav":
+        return decode_wav_bytes(data)
+    if fmt == "flac":
+        from sql_based_etl_spark.operators.flaccodec import decode_flac_bytes
+        return decode_flac_bytes(data)
+    raise NotImplementedError(
+        f"audio container {fmt!r} needs an external codec "
+        "(RIFF/WAVE and FLAC decode stdlib-side)"
+    )
+
+
 def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
     """Decode WAV bytes to ``(sample_rate, samples)`` where ``samples``
     has shape (frames, channels): int32 for integer PCM (8-bit

@@ -165,9 +165,10 @@ AUDIO_SCHEMA = (
 def decode_audio(df: DataFrame, id_col: str = "doc_id",
                  payload_col: str = "payload") -> DataFrame:
     """REAL audio decode through the same Arrow ``mapInPandas`` path as
-    :func:`decode_image` — the pure-stdlib RIFF/WAVE codec
-    (operators/audiocodecs.py): integer PCM 8/16/24/32-bit and IEEE
-    float32, mono or multichannel. Emits container facts
+    :func:`decode_image` — the pure-stdlib codecs
+    (operators/audiocodecs.py): RIFF/WAVE integer PCM 8/16/24/32-bit,
+    IMA/MS ADPCM, IEEE float32, and FLAC (operators/flaccodec.py),
+    mono or multichannel. Emits container facts
     (rate/channels/frames), exact integer statistics (``duration_us``
     in integer microseconds, ``peak`` = max |sample|, ``sum_abs`` =
     Σ|sample| in int64 — both engine-reproducible, unlike float RMS)
@@ -180,7 +181,7 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
 
     from sql_based_etl_spark.operators.audiocodecs import (
         AudioDecodeError,
-        decode_wav_bytes,
+        decode_audio_bytes,
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -189,7 +190,7 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
                                    "n_frames", "duration_us", "peak",
                                    "sum_abs", "sample_md5")}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                rate, s = decode_wav_bytes(bytes(payload))
+                rate, s = decode_audio_bytes(bytes(payload))
                 if not np.issubdtype(s.dtype, np.integer):
                     # float32 WAVs decode fine, but these columns are
                     # EXACT integer statistics — truncating floats
@@ -258,11 +259,143 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_synth, "doc_id bigint, payload binary")
 
 
+def synth_flac(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The :func:`synth_wav` sample law in a FLAC container — same
+    deterministic PCM (channels = 1 + id%2, frames = 64 + id%191,
+    sample[c, i] = ((id*31 + i*17 + c*7) % 2001) - 1000 at 8 kHz),
+    losslessly compressed by the independent FLAC encoder
+    (operators/flaccodec.py:encode_flac_bytes), with the stereo ids
+    taking the mid/side decorrelation path. Decoding through
+    :func:`decode_audio` must therefore reproduce mm_decode_audio's
+    oracle bit-for-bit — a round trip that proves compression,
+    decorrelation and reconstruction all at once."""
+    import numpy as np
+
+    from sql_based_etl_spark.operators.flaccodec import encode_flac_bytes
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n_ch = 1 + d % 2
+                frames = 64 + d % 191
+                i = np.arange(frames, dtype=np.int64)[:, None]
+                c = np.arange(n_ch, dtype=np.int64)[None, :]
+                s = ((d * 31 + i * 17 + c * 7) % 2001) - 1000
+                ids.append(d)
+                blobs.append(encode_flac_bytes(
+                    s, 8000, stereo="mid-side" if n_ch == 2 else None))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "payload": blobs,
+            })
+
+    return df.select(id_col).mapInPandas(_synth, "doc_id bigint, payload binary")
+
+
+VIDEO_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, fps_millis int, "
+    "pix_sum bigint, pix_max int, frame_md5 string"
+)
+
+
+def decode_video(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload",
+                 every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling through the same Arrow ``mapInPandas``
+    path as :func:`decode_image` / :func:`decode_audio`: the pure-stdlib
+    AVI container codec (operators/videocodecs.py) walks the RIFF tree
+    and decodes every ``every_n``-th uncompressed BI_RGB frame. One
+    output row per sampled frame — container facts (geometry,
+    integer-millis fps) plus exact integer pixel statistics and a frame
+    md5; pixels never leave the executor. Fail-loud: malformed
+    containers raise ``VideoDecodeError``; compressed streams (MJPEG,
+    …) raise ``NotImplementedError`` naming the codec — the external
+    decoder integration point."""
+    import hashlib
+
+    import numpy as np
+
+    from sql_based_etl_spark.operators.videocodecs import decode_avi_frames
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
+                                   "fps_millis", "pix_sum", "pix_max",
+                                   "frame_md5")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                fps, frames = decode_avi_frames(bytes(payload), every_n)
+                for idx, rgb in frames:
+                    h, w, _ = rgb.shape
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["fps_millis"].append(int(round(fps * 1000)))
+                    out["pix_sum"].append(int(rgb.astype(np.int64).sum()))
+                    out["pix_max"].append(int(rgb.max(initial=0)))
+                    out["frame_md5"].append(
+                        hashlib.md5(np.ascontiguousarray(rgb).tobytes())
+                        .hexdigest())
+            yield pd.DataFrame({
+                "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
+                "frame_idx": np.asarray(out["frame_idx"], dtype=np.int32),
+                "width": np.asarray(out["width"], dtype=np.int32),
+                "height": np.asarray(out["height"], dtype=np.int32),
+                "fps_millis": np.asarray(out["fps_millis"], dtype=np.int32),
+                "pix_sum": np.asarray(out["pix_sum"], dtype=np.int64),
+                "pix_max": np.asarray(out["pix_max"], dtype=np.int32),
+                "frame_md5": out["frame_md5"],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, VIDEO_SCHEMA)
+
+
+def synth_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AVI synthesis from ``doc_id`` — the video analogue
+    of :func:`synth_wav`: every id yields a small uncompressed AVI whose
+    geometry, frame count and pixels are pure integer functions of the
+    id, so a SQL oracle reproduces the decoded statistics analytically
+    (queries/multimodal.py:mm_decode_video). Law: frames = 2 + id%4,
+    w = 8 + (id%3)*4, h = 4 + (id%2)*3, fps 10,
+    pixel[f, y, x, c] = (id*13 + f*7 + y*5 + x*3 + c*11) % 256."""
+    import numpy as np
+
+    from sql_based_etl_spark.operators.videocodecs import encode_avi_bytes
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 2 + d % 4
+                w = 8 + (d % 3) * 4
+                h = 4 + (d % 2) * 3
+                f = np.arange(n, dtype=np.int64)[:, None, None, None]
+                y = np.arange(h, dtype=np.int64)[None, :, None, None]
+                x = np.arange(w, dtype=np.int64)[None, None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, None, :]
+                px = (d * 13 + f * 7 + y * 5 + x * 3 + c * 11) % 256
+                ids.append(d)
+                blobs.append(encode_avi_bytes(px.astype(np.uint8), fps=10))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "payload": blobs,
+            })
+
+    return df.select(id_col).mapInPandas(_synth, "doc_id bigint, payload binary")
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload",
                   every_n: int = 30) -> DataFrame:
-    """Video frame sampling — requires ffmpeg/pyav; integration point only."""
+    """Video frame sampling over arbitrary containers: uncompressed AVI
+    decodes natively (:func:`decode_video`); everything else (mp4/mkv,
+    compressed streams) needs ffmpeg/pyav — integration point only."""
     raise NotImplementedError(
-        "sample_frames needs a video codec (pyav/ffmpeg) on the executors"
+        "sample_frames needs a video codec (pyav/ffmpeg) on the executors "
+        "for non-AVI containers; uncompressed AVI decodes natively via "
+        "decode_video"
     )
 
 

@@ -102,6 +102,8 @@ APPENDIX = [
     "q_delta_cdf",  # bridge CDF round trip (CREATE-with-properties → overwrite → read_delta_changes) — delta write/read machinery graded via q_scd2_merge's pipeline; commit algebra oracle-checked here (full registry pytest)
     "q_filter_project",  # projection + filter — graded by a dozen other rows (q01/q03/q06/every pushdown-asserted scan); displaced so q_delta_merge (the bridge-MERGE flagship) gets a driver-graded CORRECTNESS row
     "mm_decode_audio",  # WAV round trip (synth → RIFF/PCM parse → integer stats) — mapInPandas path graded via mm_decode_geometry; decode exactness oracle-checked here (full registry pytest) + codec edge cases pytest-pinned
+    "mm_decode_flac",  # FLAC round trip (lossless compress → bit-exact decode, MD5-verified) — mapInPandas path graded via mm_decode_geometry; codec exactness oracle-checked here (full registry pytest) + every subframe/stereo path pytest-pinned
+    "mm_decode_video",  # AVI round trip (synth → RIFF tree walk → per-frame integer pixel stats) — mapInPandas path graded via mm_decode_geometry; container parse exactness oracle-checked here (full registry pytest) + codec edge cases pytest-pinned
 ]
 
 

@@ -200,3 +200,88 @@ ORACLES["mm_decode_audio"] = """
     FROM s
     GROUP BY doc_id, n_ch, frames
 """
+
+
+def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI round trip, exactly oracle-checked: deterministic
+    uncompressed-AVI synthesis from ``doc_id``
+    (operators/multimodal.py:synth_avi — the encoder composes the RIFF
+    tree with ``struct``, independent of the decoder) → the pure-stdlib
+    container parser (operators/videocodecs.py:decode_avi_frames)
+    sampling every 2nd frame → exact integer pixel statistics per
+    frame. DuckDB reproduces them analytically from the synthesis law,
+    so a decoder that mis-walks chunks, flips rows the wrong way, or
+    swaps BGR/RGB hash-mismatches."""
+    from sql_based_etl_spark.operators.multimodal import decode_video, synth_avi
+
+    avi = synth_avi(load(spark, sf_dir, "documents"))
+    return decode_video(avi, every_n=2).select(
+        "doc_id", "frame_idx", "width", "height", "fps_millis",
+        "pix_sum", "pix_max",
+    )
+
+
+QUERIES["mm_decode_video"] = mm_decode_video
+
+# the synthesis law (multimodal.py:synth_avi) replayed analytically:
+# frames = 2 + id%4, w = 8 + (id%3)*4, h = 4 + (id%2)*3, fps 10,
+# pixel[f,y,x,c] = (id*13 + f*7 + y*5 + x*3 + c*11) % 256; the query
+# samples every 2nd frame — all integer arithmetic, parity bit-for-bit
+ORACLES["mm_decode_video"] = """
+    WITH par AS (
+        SELECT doc_id,
+               2 + doc_id % 4 AS n,
+               8 + (doc_id % 3) * 4 AS w,
+               4 + (doc_id % 2) * 3 AS h
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, CAST(n - 1 AS BIGINT), 2)) AS f
+        FROM par
+    ),
+    px AS (
+        SELECT doc_id, w, h, f,
+               (doc_id * 13 + f * 7
+                + ((k // 3) // w) * 5 + ((k // 3) % w) * 3
+                + (k % 3) * 11) % 256 AS v
+        FROM (
+            SELECT doc_id, w, h, f,
+                   unnest(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT)))
+                       AS k
+            FROM fr
+        )
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(10000 AS INTEGER) AS fps_millis,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(max(v) AS INTEGER) AS pix_max
+    FROM px
+    GROUP BY doc_id, f, w, h
+"""
+
+
+def mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC round trip, exactly oracle-checked: the mm_decode_audio
+    PCM law losslessly compressed by the independent FLAC encoder
+    (operators/multimodal.py:synth_flac — stereo ids ride mid/side
+    decorrelation) → the pure-stdlib FLAC decoder
+    (operators/flaccodec.py: fixed/LPC subframes, Rice residuals,
+    CRC-8/16 + STREAMINFO MD5 verified) → the same exact integer
+    statistics. Identical oracle to mm_decode_audio: a codec that
+    reconstructs even one sample wrongly hash-mismatches (and fails the
+    container's own MD5 first)."""
+    from sql_based_etl_spark.operators.multimodal import decode_audio, synth_flac
+
+    flac = synth_flac(load(spark, sf_dir, "documents"))
+    return decode_audio(flac).select(
+        "doc_id", "sample_rate", "n_channels", "n_frames",
+        "duration_us", "peak", "sum_abs",
+    )
+
+
+QUERIES["mm_decode_flac"] = mm_decode_flac
+ORACLES["mm_decode_flac"] = ORACLES["mm_decode_audio"]
