@@ -576,7 +576,8 @@ def _last_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, int | None
 
 def read_delta(spark: SparkSession, path: str, version: int | None = None,
                timestamp: float | str | None = None,
-               relative_version: int | None = None) -> DataFrame:
+               relative_version: int | None = None,
+               where: list[tuple] | None = None) -> DataFrame:
     """Read a Delta table snapshot without delta-spark jars.
 
     Time travel, mirroring the versioned table's surface: ``version``
@@ -588,6 +589,18 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None,
     :class:`VersionedTableError` for non-Delta paths, missing versions,
     or tables using reader features the bridge cannot honor (see
     module docstring).
+
+    ``where`` is a conjunction of ``(logical_column, op, literal)``
+    triples, op one of ``= < <= > >= "is null" "is not null"`` (the
+    null tests take ``None`` as the literal). Semantically identical to
+    ``read_delta(...).filter(...)``; operationally it ALSO prunes whole
+    files driver-side from each ``add``'s per-file ``stats`` JSON and
+    partition values before any data file is opened
+    (:func:`_prune_adds_by_stats`) — on a 100 TB table behind an object
+    store, a selective predicate touches only the files it can live in
+    instead of listing-and-scanning everything. The predicate is then
+    still applied as a Spark filter, so files kept conservatively
+    (missing stats, non-prunable types) never leak rows.
     """
     selectors = [s for s in (version, timestamp, relative_version) if s is not None]
     if len(selectors) > 1:
@@ -595,10 +608,39 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None,
             "read_delta: pass at most one of version / timestamp / "
             "relative_version"
         )
+    if where:
+        norm = []
+        for t in where:
+            if len(t) == 2 and t[1] in ("is null", "is not null"):
+                t = (t[0], t[1], None)  # null tests take no literal
+            if len(t) != 3 or t[1] not in _WHERE_OPS:
+                raise VersionedTableError(
+                    f"read_delta: malformed where conjunct {t!r} — want "
+                    f"(column, op, literal) with op in {_WHERE_OPS}"
+                )
+            norm.append(tuple(t))
+        where = norm
     if timestamp is not None or relative_version is not None:
         version = _resolve_log_version(spark, path, timestamp, relative_version)
     meta, adds, _, _, _ = _replay_state(spark, path, version)
-    return _snapshot_df(spark, path, meta, adds)
+    if where:
+        adds = _prune_adds_by_stats(meta, adds, list(where))
+    df = _snapshot_df(spark, path, meta, adds)
+    if where:
+        cond = None
+        for c, op, lit in where:
+            col = F.col(c)
+            if op == "is null":
+                e = col.isNull()
+            elif op == "is not null":
+                e = col.isNotNull()
+            else:
+                e = {"=": col == F.lit(lit), "<": col < F.lit(lit),
+                     "<=": col <= F.lit(lit), ">": col > F.lit(lit),
+                     ">=": col >= F.lit(lit)}[op]
+            cond = e if cond is None else cond & e
+        df = df.filter(cond)
+    return df
 
 
 def _resolve_log_version(spark: SparkSession, path: str,
@@ -1261,6 +1303,178 @@ _DELTA_STATS_SAFE = ("integer", "int", "bigint", "long", "smallint",
                      "date")
 
 
+# comparison ops the stats pruner (and read_delta's `where` residual
+# filter) understand; None marks the null tests, which take no literal
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "is null", "is not null")
+
+# schemaString type names whose stats/partition values prune safely.
+# Deliberately absent: timestamps (footer-stat formats vary across
+# writers — ISO-with-zone vs naive — and a wrong lexicographic compare
+# would DROP FILES; the residual Spark filter still applies, the file
+# just isn't skipped) and decimals (float coercion could mis-prune at
+# the boundary).
+_PRUNE_INT = ("byte", "short", "integer", "long")
+_PRUNE_FLOAT = ("float", "double")
+_PRUNE_STR = ("string", "date")
+
+
+def _prune_coerce(typ: str, v):
+    """Coerce a stats / partitionValues / user literal to the single
+    comparable Python type for ``typ`` — or None when it can't be
+    compared safely (which makes the pruner keep the file)."""
+    import datetime
+    if v is None or isinstance(v, bool) and typ != "boolean":
+        return None
+    try:
+        if typ in _PRUNE_INT:
+            return int(v)
+        if typ in _PRUNE_FLOAT:
+            return float(v)
+        if typ in _PRUNE_STR:
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()
+            return v if isinstance(v, str) else None
+        if typ == "boolean":
+            if isinstance(v, bool):
+                return v
+            return str(v).lower() == "true" if isinstance(v, str) else None
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
+                         where: list[tuple]) -> dict[str, dict]:
+    """Driver-side file pruning for :func:`read_delta`'s ``where``:
+    drop every ``add`` whose per-file ``stats`` JSON (or partition
+    values) PROVE no row can satisfy the conjunction — the same
+    data-skipping a library reader derives from ``add.stats``, done
+    before a single data file is opened. At 100 TB this is the
+    difference between listing-and-scanning every object and touching
+    only the files a selective predicate can live in.
+
+    Soundness contract (why external writers' stats are safe to trust):
+    ``minValues[c]`` is a LOWER bound on the file's true min and
+    ``maxValues[c]`` an UPPER bound on its true max — exact for the
+    bridge's own footer-derived stats, and still bounds under the
+    library's string truncation (a truncated min is a prefix ≤ the
+    value; a truncated max gets its last char incremented). Files with
+    deletion vectors keep valid bounds too (stats describe a superset
+    of the live rows). Anything unprovable — missing stats, a column
+    the stats don't cover, a type outside the prune-safe set — keeps
+    the file; the residual Spark filter preserves semantics."""
+    schema = json.loads(meta["schemaString"])
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    info: dict[str, tuple[str, str | None]] = {}
+    for f in schema["fields"]:
+        md = f.get("metadata") or {}
+        phys = (md.get("delta.columnMapping.physicalName", f["name"])
+                if mode != "none" else f["name"])
+        typ = f["type"] if isinstance(f["type"], str) else None
+        info[f["name"]] = (phys, typ)
+    part_cols = set(meta.get("partitionColumns") or [])
+
+    def _op_holds(v, op: str, lit) -> bool:
+        if op == "=":
+            return v == lit
+        if op == "<":
+            return v < lit
+        if op == "<=":
+            return v <= lit
+        if op == ">":
+            return v > lit
+        return v >= lit  # ">="
+
+    def _may_match(a: dict) -> bool:
+        st = None
+        if a.get("stats"):
+            try:
+                st = json.loads(a["stats"])
+            except (TypeError, ValueError):
+                st = None
+        n = st.get("numRecords") if st else None
+        pv = a.get("partitionValues") or {}
+        for c, op, lit in where:
+            phys, typ = info.get(c, (c, None))
+            if c in part_cols:
+                raw = pv.get(phys)
+                isnull = raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
+                if op == "is null":
+                    if not isnull:
+                        return False
+                elif op == "is not null":
+                    if isnull:
+                        return False
+                else:
+                    if isnull:
+                        return False  # NULL never satisfies a comparison
+                    v = _prune_coerce(typ, raw)
+                    li = _prune_coerce(typ, lit)
+                    if v is None or li is None:
+                        continue
+                    try:
+                        if not _op_holds(v, op, li):
+                            return False
+                    except TypeError:
+                        continue
+                continue
+            if st is None:
+                continue
+            nc = (st.get("nullCount") or {}).get(phys)
+            if op == "is null":
+                if nc == 0:
+                    return False
+                continue
+            if op == "is not null":
+                if n is not None and nc is not None and nc == n:
+                    return False
+                continue
+            if n is not None and nc is not None and nc == n:
+                return False  # every value NULL: no comparison matches
+            if typ == "boolean" and op != "=":
+                continue  # ordering on booleans: not worth proving
+            li = _prune_coerce(typ, lit)
+            if li is None:
+                continue
+            mn = _prune_coerce(typ, (st.get("minValues") or {}).get(phys))
+            mx = _prune_coerce(typ, (st.get("maxValues") or {}).get(phys))
+            try:
+                if op in (">", ">=") and mx is not None:
+                    if mx < li or (op == ">" and mx == li):
+                        return False
+                elif op in ("<", "<=") and mn is not None:
+                    if mn > li or (op == "<" and mn == li):
+                        return False
+                elif op == "=":
+                    if (mx is not None and mx < li) or \
+                       (mn is not None and mn > li):
+                        return False
+            except TypeError:
+                continue
+        return True
+
+    return {p: a for p, a in adds.items() if _may_match(a)}
+
+
+def _drop_empty_adds(adds: list[dict]) -> list[dict]:
+    """Drop staged files whose footer stats prove zero records — Spark's
+    non-partitioned writer emits a rowless part-00000 whenever partition
+    0 is empty, and on an append-per-micro-batch table those dead files
+    compound into pure scan/listing overhead. Conservative: an add
+    without stats (non-local URI, odd footer) is kept, and if EVERY add
+    is empty the list is returned unchanged (an intentionally-empty
+    commit still needs its files)."""
+    def _n(a):
+        try:
+            return json.loads(a["stats"])["numRecords"] if a.get("stats") else None
+        except (KeyError, TypeError, ValueError):
+            return None
+
+    nonempty = [a for a in adds if _n(a) != 0]
+    return nonempty if nonempty else adds
+
+
 def _footer_stats_json(spark: SparkSession, path: str,
                        adds: list[dict]) -> None:
     """Attach Delta per-file ``stats`` JSON (numRecords / minValues /
@@ -1307,21 +1521,28 @@ def _footer_stats_json(spark: SparkSession, path: str,
                     continue
                 lo = hi = None
                 nn = 0
-                ok = True
+                minmax_ok = nulls_ok = True
                 for g in range(md.num_row_groups):
                     c = md.row_group(g).column(i)
                     st = c.statistics
+                    if st is None or st.null_count is None:
+                        nulls_ok = False
+                    else:
+                        nn += st.null_count
                     if st is None or not st.has_min_max:
-                        ok = False
-                        break
+                        # an all-null row group has no min/max but its
+                        # null_count (above) is still the skipping
+                        # currency for IS [NOT] NULL pruning
+                        minmax_ok = False
+                        continue
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                    nn += st.null_count or 0
-                if not ok or _enc(lo) is None or _enc(hi) is None:
+                if nulls_ok:
+                    nulls[name] = nn
+                if not minmax_ok or _enc(lo) is None or _enc(hi) is None:
                     continue
                 mins[name] = _enc(lo)
                 maxs[name] = _enc(hi)
-                nulls[name] = nn
             a["stats"] = json.dumps({
                 "numRecords": md.num_rows, "minValues": mins,
                 "maxValues": maxs, "nullCount": nulls,
@@ -1695,6 +1916,8 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     else:
         stage_df, stage_parts = df, part_cols
     new_adds = _stage_data_files(stage_df, path, stage_parts)
+    _footer_stats_json(spark, path, new_adds)
+    new_adds = _drop_empty_adds(new_adds)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
@@ -1905,6 +2128,8 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         else:
             stage_df, stage_parts = result, part_cols
         new_adds = _stage_data_files(stage_df, path, stage_parts)
+        _footer_stats_json(spark, path, new_adds)
+        new_adds = _drop_empty_adds(new_adds)
 
         cdc_adds: list[dict] = []
         if cdf:
@@ -2042,6 +2267,7 @@ def compact_delta(spark: SparkSession, path: str,
         stage_df, stage_parts = df, part_cols
     new_adds = _stage_data_files(stage_df, path, stage_parts)
     _footer_stats_json(spark, path, new_adds)
+    new_adds = _drop_empty_adds(new_adds)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
         "commitInfo": {

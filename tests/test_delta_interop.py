@@ -2761,3 +2761,148 @@ def test_compact_delta_zorder_narrows_stats_on_every_column(spark, tmp_path):
     got = read_delta(spark, dz)
     assert got.count() == 20_000
     assert got.agg(F.sum("rowid")).collect()[0][0] == sum(range(20_000))
+
+
+# --- per-file stats on every write + where-pruned reads ------------------
+
+
+def test_every_bridge_write_carries_stats(spark, tmp_path):
+    """write_delta (create/append/overwrite) and merge_delta attach
+    footer-derived Delta per-file stats JSON to every data add — the
+    skipping currency library readers (and read_delta's own `where`
+    pruning) spend. cdc adds carry none (the library's shape)."""
+    from sql_based_etl_spark.tables.delta_interop import merge_delta, write_delta
+
+    d = str(tmp_path / "st")
+
+    def adds_of(v):
+        acts = [json.loads(x) for x in open(os.path.join(
+            d, "_delta_log", f"{v:020d}.json")).read().splitlines()]
+        return ([a["add"] for a in acts if "add" in a],
+                [a["cdc"] for a in acts if "cdc" in a])
+
+    write_delta(spark.createDataFrame(
+        [(1, "alpha"), (4, None)], "id long, v string").coalesce(1),
+        d, mode="overwrite")
+    adds, _ = adds_of(0)
+    sts = [json.loads(a["stats"]) for a in adds]
+    assert sum(s["numRecords"] for s in sts) == 2
+    assert min(s["minValues"]["id"] for s in sts) == 1
+    assert max(s["maxValues"]["id"] for s in sts) == 4
+    assert sum(s["nullCount"]["v"] for s in sts) == 1
+    assert sum(s["nullCount"]["id"] for s in sts) == 0
+    assert min(s["minValues"].get("v", "alpha") for s in sts) == "alpha"
+
+    write_delta(spark.createDataFrame([(9, "z")], "id long, v string"),
+                d, mode="append")
+    adds, _ = adds_of(1)
+    # Spark's writer emits a rowless part-00000 when partition 0 is
+    # empty; the bridge drops those dead files at commit time
+    assert len(adds) == 1
+    assert json.loads(adds[0]["stats"])["maxValues"]["id"] == 9
+
+    merge_delta(spark.createDataFrame([(1, "A1")], "id long, v string"),
+                d, "target.id = source.id",
+                when_matched_update={"v": "source.v"})
+    adds, _ = adds_of(2)
+    assert all("stats" in a for a in adds)
+
+
+def test_read_delta_where_prunes_and_filters(spark, tmp_path):
+    """read_delta(where=...): result identical to .filter(...), and the
+    snapshot's inputFiles show whole files pruned driver-side from
+    add.stats — on id ranges (zorder-compacted files) and on partition
+    values — before any data file is opened."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    # 8 z-ordered files over id 0..9999 → a tight id range lives in few
+    d = str(tmp_path / "wp")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("m"))
+    write_delta(df, d, mode="overwrite")
+    compact_delta(spark, d, target_files=8, cluster_by=["id"])
+    full = read_delta(spark, d)
+    assert len(full.inputFiles()) == 8
+    got = read_delta(spark, d, where=[("id", ">=", 9000)])
+    assert len(got.inputFiles()) < 8
+    assert _ids(got) == list(range(9000, 10_000))
+    # conjunction: both conjuncts prune/filter
+    got = read_delta(spark, d, where=[("id", "<", 1000), ("m", "=", 3)])
+    assert len(got.inputFiles()) < 8
+    assert _ids(got) == [i for i in range(1000) if i % 7 == 3]
+
+    # partition pruning straight from partitionValues — no stats needed
+    dp = str(tmp_path / "wpp")
+    pdf = spark.createDataFrame(
+        [(1, "us"), (2, "us"), (3, "eu"), (4, None)],
+        "id long, region string")
+    write_delta(pdf, dp, mode="overwrite", partition_by=["region"])
+    got = read_delta(spark, dp, where=[("region", "=", "us")])
+    assert all("region=us" in f for f in got.inputFiles())
+    assert _ids(got) == [1, 2]
+    got = read_delta(spark, dp, where=[("region", "is null")])
+    assert _ids(got) == [4]
+    # empty result: every file pruned, schema intact
+    got = read_delta(spark, dp, where=[("region", "=", "apac")])
+    assert got.count() == 0 and got.columns == ["id", "region"]
+
+    # malformed conjuncts fail loudly
+    with pytest.raises(VersionedTableError, match="malformed"):
+        read_delta(spark, dp, where=[("region", "like", "u%")])
+
+
+def test_prune_adds_by_stats_soundness(spark):
+    """The pruner's conservative contract, directly: truncated string
+    bounds stay bounds, all-null columns kill comparisons, missing
+    stats / non-prunable types / DV'd files are KEPT, null tests use
+    nullCount."""
+    from sql_based_etl_spark.tables.delta_interop import _prune_adds_by_stats
+
+    meta = {
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+        ]}),
+        "partitionColumns": [],
+        "configuration": {},
+    }
+
+    def add(path, stats=None, dv=False):
+        a = {"path": path, "partitionValues": {}, "size": 1}
+        if stats is not None:
+            a["stats"] = json.dumps(stats)
+        if dv:
+            a["deletionVector"] = {"storageType": "i", "pathOrInlineDv": "x",
+                                   "sizeInBytes": 1, "cardinality": 1}
+        return {path: a}
+
+    full = {"numRecords": 10, "minValues": {"id": 0, "s": "abc"},
+            "maxValues": {"id": 5, "s": "abd"},  # library-truncated max
+            "nullCount": {"id": 0, "s": 0}}
+    adds = add("a", full)
+    # inside the range: kept; outside: pruned
+    assert _prune_adds_by_stats(meta, adds, [("id", "<=", 0)])
+    assert not _prune_adds_by_stats(meta, adds, [("id", ">", 5)])
+    assert not _prune_adds_by_stats(meta, adds, [("id", "<", 0)])
+    # "abczzz" truncated to max "abd": a probe at "abczz" must be KEPT
+    assert _prune_adds_by_stats(meta, adds, [("s", "=", "abczz")])
+    assert not _prune_adds_by_stats(meta, adds, [("s", ">=", "abe")])
+    # all-null column: any comparison pruned, is-null kept, is-not-null pruned
+    nulls = {"numRecords": 3, "minValues": {}, "maxValues": {},
+             "nullCount": {"id": 3}}
+    assert not _prune_adds_by_stats(meta, add("b", nulls), [("id", "=", 1)])
+    assert _prune_adds_by_stats(meta, add("b", nulls), [("id", "is null", None)])
+    assert not _prune_adds_by_stats(
+        meta, add("b", nulls), [("id", "is not null", None)])
+    # zero nulls: is-null pruned
+    assert not _prune_adds_by_stats(meta, adds, [("id", "is null", None)])
+    # missing stats, timestamp conjuncts, DV'd files: all conservatively kept
+    assert _prune_adds_by_stats(meta, add("c"), [("id", "=", 99)])
+    assert _prune_adds_by_stats(meta, adds, [("ts", ">=", "2025-01-01")])
+    assert _prune_adds_by_stats(
+        meta, add("d", full, dv=True), [("id", "=", 3)])
