@@ -7,6 +7,32 @@ from pyspark.sql import DataFrame
 from sql_based_etl_spark.engine.pipeline import PipelineContext
 from sql_based_etl_spark.tables.versioned import VersionedTable
 
+
+def _filters_to_column(filters):
+    """``options.filters`` conjuncts as one Spark Column — the residual
+    predicate the delta-spark library route applies (its own file
+    skipping derives from the filter; the bridge and VersionedTable
+    routes prune driver-side from stats instead)."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for f in filters:
+        c, op = f[0], f[1]
+        lit = f[2] if len(f) > 2 else None
+        col = F.col(c)
+        if op == "is null":
+            e = col.isNull()
+        elif op == "is not null":
+            e = col.isNotNull()
+        elif op == "in":
+            e = col.isin(list(lit))
+        else:
+            e = {"=": col == F.lit(lit), "<": col < F.lit(lit),
+                 "<=": col <= F.lit(lit), ">": col > F.lit(lit),
+                 ">=": col >= F.lit(lit)}[op]
+        cond = e if cond is None else cond & e
+    return cond
+
 _DELIMITERS = {"Comma": ",", "Tab": "\t", "Pipe": "|", "Semicolon": ";"}
 
 
@@ -84,8 +110,11 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
     (the bridge resolves timestamps from commit-file modification
     times, the Delta protocol's own rule; the delta-spark library has
     no relativeVersion, so it is resolved to a versionAsOf through the
-    bridge's log listing first). ``filters`` data skipping needs the
-    manifest and stays VersionedTable-only.
+    bridge's log listing first). ``filters`` works on all three routes
+    with identical semantics: VersionedTable prunes from manifest
+    stats, the bridge prunes driver-side from ``add.stats`` + partition
+    values (read_delta's ``where``), the library applies the predicate
+    and does its own stats skipping.
 
     CDF: ``options.changesStartingVersion`` (+ optional
     ``changesEndingVersion``) returns the change feed instead of a
@@ -146,6 +175,7 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
                 ctx.spark, conf["inputURI"], int(changes),
                 int(ev) if ev is not None else None,
             )
+        filters = opts.get("filters")
         if delta_interop.delta_available():
             reader = ctx.spark.read.format("delta")
             if rel is not None or ts is not None:
@@ -160,12 +190,18 @@ def versioned_table_extract(ctx: PipelineContext, conf: dict) -> DataFrame:
                 )
             if version is not None:
                 reader = reader.option("versionAsOf", int(version))
-            return reader.load(conf["inputURI"])
+            df = reader.load(conf["inputURI"])
+            if filters:
+                # same semantics as the bridge's where=: the library
+                # does its own stats skipping from the filter
+                df = df.filter(_filters_to_column(filters))
+            return df
         return delta_interop.read_delta(
             ctx.spark, conf["inputURI"],
             version=int(version) if version is not None else None,
             timestamp=ts,
             relative_version=int(rel) if rel is not None else None,
+            where=[tuple(f) for f in filters] if filters else None,
         )
     t = VersionedTable(ctx.spark, conf["inputURI"])
     rel = opts.get("relativeVersion")

@@ -634,6 +634,8 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None,
                 e = col.isNull()
             elif op == "is not null":
                 e = col.isNotNull()
+            elif op == "in":
+                e = col.isin(list(lit))
             else:
                 e = {"=": col == F.lit(lit), "<": col < F.lit(lit),
                      "<=": col <= F.lit(lit), ">": col > F.lit(lit),
@@ -1304,8 +1306,10 @@ _DELTA_STATS_SAFE = ("integer", "int", "bigint", "long", "smallint",
 
 
 # comparison ops the stats pruner (and read_delta's `where` residual
-# filter) understand; None marks the null tests, which take no literal
-_WHERE_OPS = ("=", "<", "<=", ">", ">=", "is null", "is not null")
+# filter) understand — the same set VersionedTable.read's `filters`
+# takes, so DeltaLakeExtract passes options.filters to either route
+# unchanged; the null tests take no literal
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "in", "is null", "is not null")
 
 # schemaString type names whose stats/partition values prune safely.
 # Deliberately absent: timestamps (footer-stat formats vary across
@@ -1406,6 +1410,13 @@ def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
                 elif op == "is not null":
                     if isnull:
                         return False
+                elif op == "in":
+                    if isnull:
+                        return False
+                    v = _prune_coerce(typ, raw)
+                    lits = [_prune_coerce(typ, x) for x in lit]
+                    if v is not None and None not in lits and v not in lits:
+                        return False
                 else:
                     if isnull:
                         return False  # NULL never satisfies a comparison
@@ -1432,13 +1443,24 @@ def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
                 continue
             if n is not None and nc is not None and nc == n:
                 return False  # every value NULL: no comparison matches
-            if typ == "boolean" and op != "=":
+            if typ == "boolean" and op not in ("=", "in"):
                 continue  # ordering on booleans: not worth proving
+            mn = _prune_coerce(typ, (st.get("minValues") or {}).get(phys))
+            mx = _prune_coerce(typ, (st.get("maxValues") or {}).get(phys))
+            if op == "in":
+                lits = [_prune_coerce(typ, x) for x in lit]
+                if None in lits:
+                    continue
+                try:
+                    if mn is not None and mx is not None and \
+                            all(x < mn or x > mx for x in lits):
+                        return False
+                except TypeError:
+                    pass
+                continue
             li = _prune_coerce(typ, lit)
             if li is None:
                 continue
-            mn = _prune_coerce(typ, (st.get("minValues") or {}).get(phys))
-            mx = _prune_coerce(typ, (st.get("maxValues") or {}).get(phys))
             try:
                 if op in (">", ">=") and mx is not None:
                     if mx < li or (op == ">" and mx == li):

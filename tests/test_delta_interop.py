@@ -2906,3 +2906,36 @@ def test_prune_adds_by_stats_soundness(spark):
     assert _prune_adds_by_stats(meta, adds, [("ts", ">=", "2025-01-01")])
     assert _prune_adds_by_stats(
         meta, add("d", full, dv=True), [("id", "=", 3)])
+
+
+def test_extract_stage_filters_prune_on_bridge_route(spark, tmp_path):
+    """DeltaLakeExtract options.filters on a REAL Delta table: the
+    bridge route prunes whole files from add.stats driver-side (same
+    conjunct grammar as the VersionedTable route, `in` included) and
+    the rows match a plain filter."""
+    from sql_based_etl_spark.engine.pipeline import Pipeline
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "xf")
+    df = spark.range(4000).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    write_delta(df, d, mode="overwrite")
+    compact_delta(spark, d, target_files=8, cluster_by=["id"])
+
+    ctx = Pipeline(spark).run([
+        {"type": "DeltaLakeExtract", "inputURI": d, "outputView": "xf",
+         "options": {"filters": [["id", ">=", 3600]]}},
+    ])
+    got = ctx.spark.table("xf")
+    assert len(got.inputFiles()) < 8
+    assert sorted(r.id for r in got.collect()) == list(range(3600, 4000))
+
+    # `in` prunes too: values outside every file's [min,max] drop files
+    few = read_delta(spark, d, where=[("id", "in", [5, 3999])])
+    assert len(few.inputFiles()) < 8
+    assert sorted(r.id for r in few.collect()) == [5, 3999]
+    none = read_delta(spark, d, where=[("id", "in", [99999])])
+    assert none.count() == 0
