@@ -62,6 +62,100 @@ def _find_list(data: bytes, start: int, end: int, list_type: bytes):
     return None
 
 
+# JPEG default Huffman tables, transcribed from ITU-T T.81 (JPEG)
+# Tables K.3-K.6. MJPEG streams are allowed to omit the DHT segment and
+# assume exactly these; a decoder without them cannot read camera-style
+# DHT-less MJPEG. (Known-good cross-check: with the K.5 BITS below, the
+# luminance-AC EOB symbol 0x00 lands at code length 4 with code 1010 —
+# the spec's worked example.)
+_K_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+_K_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+_K_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+_K_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+
+def standard_dht_segment() -> bytes:
+    """One DHT marker segment holding all four T.81 Annex K default
+    tables (DC/AC × luma/chroma) — what gets spliced into a DHT-less
+    MJPEG frame before decoding."""
+    payload = b""
+    for tc, th, (bits, vals) in ((0, 0, _K_DC_LUMA), (1, 0, _K_AC_LUMA),
+                                 (0, 1, _K_DC_CHROMA), (1, 1, _K_AC_CHROMA)):
+        assert sum(bits) == len(vals)
+        payload += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _mjpeg_with_tables(jpeg: bytes) -> bytes:
+    """An MJPEG frame is a baseline JPEG that MAY omit its DHT segment
+    (the format's rule: Annex K default tables are then implied). Walk
+    the marker segments up to SOS; if no DHT appears, splice the
+    standard tables in front of the first SOS."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise VideoDecodeError("MJPEG chunk without a JPEG SOI marker")
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise VideoDecodeError(f"MJPEG frame: bad marker at {pos}")
+        marker = jpeg[pos + 1]
+        if marker == 0xC4:
+            return jpeg                  # carries its own tables
+        if marker == 0xDA:               # SOS: entropy data starts
+            return jpeg[:pos] + standard_dht_segment() + jpeg[pos:]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        pos += 2 + seglen
+    raise VideoDecodeError("MJPEG frame without an SOS segment")
+
+
 def decode_avi_frames(data: bytes, every_n: int = 1) -> tuple[float, list]:
     """Decode an uncompressed AVI: ``(fps, [(frame_idx, rgb_array)])``
     for every ``every_n``-th video frame, each frame a ``(h, w, 3)``
@@ -98,6 +192,7 @@ def decode_avi_frames(data: bytes, every_n: int = 1) -> tuple[float, list]:
     stream_no = -1
     fps = 0.0
     w = h = None
+    mjpeg = False
     pos = h_start
     n_seen = 0
     while True:
@@ -126,14 +221,15 @@ def decode_avi_frames(data: bytes, every_n: int = 1) -> tuple[float, list]:
                 raise VideoDecodeError(f"BITMAPINFOHEADER too short ({fsize})")
             (_bi_size, w, h, _planes, bitcount, compression) = \
                 struct.unpack_from("<IiiHHI", data, fb)
-            if compression != 0:
+            mjpeg = struct.pack("<I", compression) in (b"MJPG", b"mjpg")
+            if compression != 0 and not mjpeg:
                 fourcc = struct.pack("<I", compression)
                 raise NotImplementedError(
                     "AVI compressed video stream "
                     f"(biCompression {fourcc!r}) needs an external codec; "
-                    "only uncompressed BI_RGB decodes natively"
+                    "uncompressed BI_RGB and MJPG decode natively"
                 )
-            if bitcount != 24:
+            if compression == 0 and bitcount != 24:
                 raise NotImplementedError(
                     f"AVI DIB at {bitcount} bpp; only 24-bit BI_RGB "
                     "decodes natively"
@@ -159,23 +255,67 @@ def decode_avi_frames(data: bytes, every_n: int = 1) -> tuple[float, list]:
         if not (fcc[:2] == prefix and fcc[2:4] in (b"db", b"dc")):
             continue
         if idx % every_n == 0:
-            if size < stride * height:
-                raise VideoDecodeError(
-                    f"frame {idx} chunk holds {size} bytes, "
-                    f"DIB geometry needs {stride * height}"
+            if mjpeg:
+                from sql_based_etl_spark.operators.imagecodecs import (
+                    decode_image_bytes,
                 )
-            rows = np.frombuffer(
-                data, dtype=np.uint8, count=stride * height, offset=body
-            ).reshape(height, stride)[:, : w * 3].reshape(height, w, 3)
-            if bottom_up:
-                rows = rows[::-1]
-            frames.append((idx, rows[..., ::-1].copy()))  # BGR → RGB
+
+                jpeg = _mjpeg_with_tables(bytes(data[body:body + size]))
+                _, px = decode_image_bytes(jpeg)
+                if px.ndim == 2:          # grayscale JPEG → 3 channels
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                if px.shape[1] != w or px.shape[0] != height:
+                    raise VideoDecodeError(
+                        f"MJPEG frame {idx} is {px.shape[1]}x{px.shape[0]}, "
+                        f"strf promises {w}x{height}"
+                    )
+                frames.append((idx, px))  # JPEG is top-down RGB already
+            else:
+                if size < stride * height:
+                    raise VideoDecodeError(
+                        f"frame {idx} chunk holds {size} bytes, "
+                        f"DIB geometry needs {stride * height}"
+                    )
+                rows = np.frombuffer(
+                    data, dtype=np.uint8, count=stride * height, offset=body
+                ).reshape(height, stride)[:, : w * 3].reshape(height, w, 3)
+                if bottom_up:
+                    rows = rows[::-1]
+                frames.append((idx, rows[..., ::-1].copy()))  # BGR → RGB
         idx += 1
     if total_frames and idx != total_frames:
         raise VideoDecodeError(
             f"avih promises {total_frames} frames, movi holds {idx}"
         )
     return fps, frames
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], w: int, h: int,
+                     fps: int = 10) -> bytes:
+    """Build an MJPEG AVI (one JPEG per ``00dc`` chunk, biCompression
+    ``'MJPG'``) from pre-encoded JPEG bytes — the camera-style container
+    the MJPEG decode path reads."""
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(list_type: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", list_type + payload)
+
+    n = len(jpeg_frames)
+    buf_size = max((len(j) for j in jpeg_frames), default=0)
+    avih = struct.pack("<10I16x", 1_000_000 // fps, buf_size * fps, 0,
+                       0x10, n, 0, 1, buf_size, w, h)
+    strh = struct.pack("<4s4sIHHIIIIIIII4H", b"vids", b"MJPG", 0, 0, 0, 0,
+                       1, fps, 0, n, buf_size, 0xFFFFFFFF, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                       struct.unpack("<I", b"MJPG")[0],
+                       buf_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_avi_bytes(frames: np.ndarray, fps: int = 10) -> bytes:

@@ -59,8 +59,8 @@ def test_avi_malformed_fails_loud():
 def test_avi_compressed_and_odd_depth_name_the_format():
     good = bytearray(encode_avi_bytes(np.zeros((2, 4, 4, 3), dtype=np.uint8)))
     i = bytes(good).find(b"strf")
-    struct.pack_into("<I", good, i + 8 + 16, struct.unpack("<I", b"MJPG")[0])
-    with pytest.raises(NotImplementedError, match="MJPG"):
+    struct.pack_into("<I", good, i + 8 + 16, struct.unpack("<I", b"cvid")[0])
+    with pytest.raises(NotImplementedError, match="cvid"):
         decode_avi_frames(bytes(good))
     good = bytearray(encode_avi_bytes(np.zeros((2, 4, 4, 3), dtype=np.uint8)))
     i = bytes(good).find(b"strf")
@@ -97,3 +97,73 @@ def test_decode_video_operator_exact(spark):
             px = (d * 13 + f * 7 + y * 5 + x * 3 + c * 11) % 256
             expect[(d, f)] = (w, h, 10_000, int(px.sum()), int(px.max()))
     assert got == expect
+
+
+# --- MJPEG (JPEG-in-AVI, with and without DHT) ---------------------------
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Remove every DHT segment — the shape camera MJPEG writes, where
+    the T.81 Annex K default tables are implied."""
+    import struct as _s
+
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:
+            out += jpeg[pos:]
+            return bytes(out)
+        (seglen,) = _s.unpack_from(">H", jpeg, pos + 2)
+        if marker != 0xC4:
+            out += jpeg[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+    raise AssertionError("no SOS")
+
+
+def test_mjpeg_avi_matches_direct_jpeg_decode():
+    from tests.test_imagecodecs import _rng_pixels, encode_jpeg
+
+    from sql_based_etl_spark.operators.imagecodecs import decode_image_bytes
+    from sql_based_etl_spark.operators.videocodecs import encode_avi_mjpeg
+
+    w, h = 16, 8
+    jpegs = [encode_jpeg(_rng_pixels(h, w, 3, seed=s)) for s in (1, 2, 3)]
+    fps, frames = decode_avi_frames(encode_avi_mjpeg(jpegs, w, h, fps=15))
+    assert fps == 15.0 and [i for i, _ in frames] == [0, 1, 2]
+    for (i, px), j in zip(frames, jpegs):
+        assert np.array_equal(px, decode_image_bytes(j)[1])
+
+
+def test_mjpeg_dhtless_uses_annex_k_tables(monkeypatch):
+    """Encode with the REAL Annex K luminance tables, strip the DHT
+    segments (camera MJPEG's shape), wrap in an AVI: the decoder must
+    splice the standard tables back in and reproduce the with-DHT
+    decode bit-for-bit. A wrong byte anywhere in the transcribed K.3/K.5
+    constants breaks the Huffman prefix property or the decode equality."""
+    import tests.test_imagecodecs as tj
+    from sql_based_etl_spark.operators import videocodecs as vc
+    from sql_based_etl_spark.operators.imagecodecs import decode_image_bytes
+
+    monkeypatch.setattr(tj, "_JPEG_DC_BITS", vc._K_DC_LUMA[0])
+    monkeypatch.setattr(tj, "_JPEG_DC_VALS", bytes(vc._K_DC_LUMA[1]))
+    monkeypatch.setattr(tj, "_JPEG_AC_BITS", vc._K_AC_LUMA[0])
+    monkeypatch.setattr(tj, "_JPEG_AC_VALS", bytes(vc._K_AC_LUMA[1]))
+    w, h = 16, 16
+    full = tj.encode_jpeg(tj._rng_pixels(h, w, 3, seed=11))
+    bare = _strip_dht(full)
+    assert b"\xff\xc4" not in bare[: bare.find(b"\xff\xda")]
+    avi = vc.encode_avi_mjpeg([bare], w, h)
+    _, frames = decode_avi_frames(avi)
+    assert np.array_equal(frames[0][1], decode_image_bytes(full)[1])
+
+
+def test_mjpeg_geometry_lie_fails_loud():
+    from tests.test_imagecodecs import _rng_pixels, encode_jpeg
+
+    from sql_based_etl_spark.operators.videocodecs import encode_avi_mjpeg
+
+    j = encode_jpeg(_rng_pixels(8, 16, 3, seed=4))
+    avi = encode_avi_mjpeg([j], 32, 8)  # strf promises the wrong width
+    with pytest.raises(VideoDecodeError, match="strf promises"):
+        decode_avi_frames(avi)
