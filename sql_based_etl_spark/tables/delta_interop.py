@@ -963,6 +963,35 @@ def is_delta_dir(spark: SparkSession, path: str) -> bool:
 # --- write bridge -------------------------------------------------------
 
 
+def _next_ict(spark: SparkSession, log_dir: str, meta: dict,
+              prev_version: int | None, now_ms: int) -> int | None:
+    """The ``commitInfo.inCommitTimestamp`` this commit must carry —
+    or None when the table doesn't enable ICT. The writer obligation
+    (the reason ICT is a writer FEATURE, not just a property) is
+    monotonicity: strictly greater than the previous commit's ICT, so
+    timestamp time travel stays well-ordered even when wall clocks
+    step backwards between writers. Previous ICT is read from the
+    prior commit's JSON when it survives; a checkpoint-pruned
+    predecessor falls back to the wall clock (its mtime governed reads
+    anyway, per the read rule in :func:`_resolve_log_version`)."""
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.enableInCommitTimestamps",
+                    "false")).lower() != "true":
+        return None
+    prev = None
+    if prev_version is not None and prev_version >= 0:
+        p = f"{log_dir}/{prev_version:020d}.json"
+        try:
+            for a in _log_actions(spark, p):
+                if "commitInfo" in a:
+                    t = a["commitInfo"].get("inCommitTimestamp")
+                    prev = int(t) if t is not None else None
+                    break
+        except VersionedTableError:
+            prev = None
+    return max(now_ms, prev + 1 if prev is not None else 0)
+
+
 def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
                       data: str) -> None:
     """Commit ``_delta_log/%020d.json`` via
@@ -1634,9 +1663,9 @@ def _stage_data_files(df: DataFrame, path: str,
 # Writer features the bridge's write shapes (blind appends, full
 # overwrites, dataChange:false compaction) can honor — each entry is
 # backed by a concrete config/schema check in _check_writer_allowed;
-# anything else (rowTracking, inCommitTimestamp, icebergCompat*,
-# v2Checkpoint, domainMetadata, clustering, …) fails loudly because the
-# bridge cannot uphold its write-side obligations.
+# anything else (rowTracking, icebergCompat*, v2Checkpoint,
+# domainMetadata, clustering, …) fails loudly because the bridge
+# cannot uphold its write-side obligations.
 _BRIDGE_WRITER_FEATURES = {
     "appendOnly",        # delta.appendOnly gates overwrite below
     "invariants",        # per-field delta.invariants gates below
@@ -1655,6 +1684,10 @@ _BRIDGE_WRITER_FEATURES = {
     "timestampNtz",      # type-level; schema copied verbatim
     "generatedColumns",  # per-field generationExpression gates below
     "identityColumns",   # per-field delta.identity.* gates below
+    "inCommitTimestamp", # every commit carries a monotonically
+                         # increasing commitInfo.inCommitTimestamp as
+                         # its FIRST action (_next_ict); the read side
+                         # already resolves timestamp travel through it
 }
 
 
@@ -1907,15 +1940,29 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         # delta.enableChangeDataFeed is gated behind writer version 4
         # (the changeDataFeed feature) — a v2 claim would let external
         # writers run row-rewriting DML without emitting cdc actions,
-        # making the property's promise unenforceable downstream
-        proto = {
-            "minReaderVersion": 1,
-            "minWriterVersion": (
-                4 if str((properties or {}).get(
-                    "delta.enableChangeDataFeed", "false")).lower() == "true"
-                else 2
-            ),
-        }
+        # making the property's promise unenforceable downstream.
+        # delta.enableInCommitTimestamps is a table FEATURE (writer v7
+        # + explicit writerFeatures, legacy capabilities listed per the
+        # spec's upgrade rule) — an unclaiming protocol would let
+        # external writers commit without the monotonic timestamp.
+        cdf_on = str((properties or {}).get(
+            "delta.enableChangeDataFeed", "false")).lower() == "true"
+        ict_on = str((properties or {}).get(
+            "delta.enableInCommitTimestamps", "false")).lower() == "true"
+        if ict_on:
+            proto = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    {"appendOnly", "invariants", "inCommitTimestamp"}
+                    | ({"changeDataFeed"} if cdf_on else set())
+                ),
+            }
+        else:
+            proto = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 4 if cdf_on else 2,
+            }
         meta = {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
@@ -1950,6 +1997,10 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             "engineInfo": "sql-based-etl-spark delta bridge",
         }
     }]
+    ict = _next_ict(spark, log_dir, meta,
+                    next_v - 1 if next_v else None, now_ms)
+    if ict is not None:
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
     if next_v == 0:
         actions.append({"protocol": proto})
     if emit_meta:
@@ -2196,6 +2247,9 @@ def merge_delta(source: DataFrame, path: str, condition: str,
             "engineInfo": "sql-based-etl-spark delta bridge",
         }
     }]
+    ict = _next_ict(spark, log_dir, meta, latest, now_ms)
+    if ict is not None:
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
     actions.extend(
         {"remove": _remove_action(a, now_ms, True)}
         for a in sorted(matched.values(), key=lambda a: a["path"])
@@ -2303,6 +2357,9 @@ def compact_delta(spark: SparkSession, path: str,
             "engineInfo": "sql-based-etl-spark delta bridge",
         }
     }]
+    ict = _next_ict(spark, log_dir, meta, latest, now_ms)
+    if ict is not None:
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
     actions.extend(
         {"remove": _remove_action(a, now_ms, False)}
         for a in sorted(live.values(), key=lambda a: a["path"])
@@ -2360,7 +2417,7 @@ def vacuum_delta(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
-    _, live, latest, _, _ = _replay_state(spark, path)
+    meta, live, latest, _, _ = _replay_state(spark, path)
     cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
 
     tombstones: dict[str, int] = {}
@@ -2397,17 +2454,20 @@ def vacuum_delta(spark: SparkSession, path: str,
                 fs.delete(jfile, False)
             deleted.append(rel)
     if not dry_run:
-        _commit_delta_log(
-            spark, log_dir, latest + 1,
-            json.dumps({"commitInfo": {
-                "timestamp": int(time.time() * 1000),
-                "operation": "VACUUM END",
-                "operationParameters": {
-                    "retentionDurationHours": str(retention_hours)},
-                "operationMetrics": {"numDeletedFiles": str(len(deleted))},
-                "engineInfo": "sql-based-etl-spark delta bridge",
-            }}),
-        )
+        now_ms = int(time.time() * 1000)
+        ci = {
+            "timestamp": now_ms,
+            "operation": "VACUUM END",
+            "operationParameters": {
+                "retentionDurationHours": str(retention_hours)},
+            "operationMetrics": {"numDeletedFiles": str(len(deleted))},
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+        ict = _next_ict(spark, log_dir, meta, latest, now_ms)
+        if ict is not None:
+            ci["inCommitTimestamp"] = ict
+        _commit_delta_log(spark, log_dir, latest + 1,
+                          json.dumps({"commitInfo": ci}))
     return deleted
 
 

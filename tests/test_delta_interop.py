@@ -2939,3 +2939,65 @@ def test_extract_stage_filters_prune_on_bridge_route(spark, tmp_path):
     assert sorted(r.id for r in few.collect()) == [5, 3999]
     none = read_delta(spark, d, where=[("id", "in", [99999])])
     assert none.count() == 0
+
+
+def test_ict_tables_write_monotonic_timestamps(spark, tmp_path):
+    """In-commit timestamps, write side: a table created with
+    delta.enableInCommitTimestamps claims the v7 writer feature, every
+    commit (write / merge / OPTIMIZE / vacuum) carries a monotonically
+    increasing commitInfo.inCommitTimestamp as its FIRST action, and an
+    externally-written ICT table takes bridge appends whose ICT exceeds
+    the predecessor's even when the wall clock reads earlier."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        merge_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "ict")
+    write_delta(spark.createDataFrame([(0, "a")], "id long, v string"), d,
+                mode="overwrite",
+                properties={"delta.enableInCommitTimestamps": "true"})
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{0:020d}.json")).read().splitlines()]
+    proto = [a["protocol"] for a in acts if "protocol" in a][0]
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+
+    write_delta(spark.createDataFrame([(1, "b")], "id long, v string"), d)
+    merge_delta(spark.createDataFrame([(1, "B")], "id long, v string"),
+                d, "target.id = source.id",
+                when_matched_update={"v": "source.v"})
+    compact_delta(spark, d, target_files=1)
+    vacuum_delta(spark, d, retention_hours=0.0,
+                 enforce_retention_check=False, dry_run=False)
+
+    icts = []
+    for v in range(5):
+        lines = open(os.path.join(
+            d, "_delta_log", f"{v:020d}.json")).read().splitlines()
+        first = json.loads(lines[0])
+        assert "commitInfo" in first, f"v{v}: commitInfo must lead"
+        icts.append(first["commitInfo"]["inCommitTimestamp"])
+    assert all(b > a for a, b in zip(icts, icts[1:])), icts
+
+    # wall clock stepping backwards cannot break monotonicity: an
+    # external predecessor commit carries a FUTURE ict
+    d2 = str(tmp_path / "ict2")
+    os.makedirs(d2)
+    _write_datafile(spark, d2, "f0.parquet", [0])
+    future = int((__import__("time").time() + 3600) * 1000)
+    meta = _meta()
+    meta["metaData"]["configuration"] = {
+        "delta.enableInCommitTimestamps": "true"}
+    _log(d2, 0,
+         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": ["inCommitTimestamp"]}},
+         {"commitInfo": {"inCommitTimestamp": future}},
+         meta, _add("f0.parquet"))
+    write_delta(spark.createDataFrame([(9, "z")], "id long, v string"), d2)
+    first = json.loads(open(os.path.join(
+        d2, "_delta_log", f"{1:020d}.json")).read().splitlines()[0])
+    assert first["commitInfo"]["inCommitTimestamp"] == future + 1
+    assert _ids(read_delta(spark, d2)) == [0, 9]
