@@ -455,6 +455,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
     restart_interval = 0
     progressive = False
+    lossless = False
+    prec = 8
     prog: _ProgressiveState | None = None
     pos = 2
     while pos + 4 <= len(data):
@@ -488,12 +490,16 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 huff[(tc, th)] = _HuffTable(bits, seg[p + 17:p + 17 + n])
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            lossless = marker == 0xC3
+            if not lossless and prec != 8:
                 raise NotImplementedError(
                     f"jpeg: {prec}-bit sample precision needs an external "
-                    "codec (this decoder handles 8-bit)")
+                    "codec (this decoder handles 8-bit DCT modes)")
+            if lossless and not 2 <= prec <= 16:
+                raise ImageDecodeError(f"jpeg: lossless precision {prec}")
             comps = []
             for i in range(ncomp):
                 cid, sam, tq_i = struct.unpack_from(">BBB", seg, 6 + 3 * i)
@@ -502,11 +508,11 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             progressive = marker == 0xC2
             if progressive:
                 prog = _ProgressiveState(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: SOF marker 0x{marker:02X} (lossless/arithmetic/"
-                "differential) needs an external codec")
+                f"jpeg: SOF marker 0x{marker:02X} (arithmetic/"
+                "differential/hierarchical) needs an external codec")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — header, then entropy-coded data
@@ -517,6 +523,12 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0xF))
+            if lossless:
+                predictor = seg[1 + 2 * ns]          # Ss field
+                pt = seg[3 + 2 * ns] & 0xF           # Al field
+                return _decode_jpeg_lossless_scan(
+                    data, pos + 2 + seglen, frame, scan, huff,
+                    restart_interval, predictor, pt, prec)
             if not progressive:
                 return _decode_jpeg_scan(
                     data, pos + 2 + seglen, frame, scan, qt, huff,
@@ -810,6 +822,79 @@ def _decode_jpeg_scan(data: bytes, pos: int, frame, scan, qt, huff,
     samp = {cs: (hs, vs) for cs, hs, vs, *_ in plan}
     q_by = {cs: q for cs, _hs, _vs, q, *_ in plan}
     return _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax, h, w)
+
+
+def _decode_jpeg_lossless_scan(data: bytes, pos: int, frame, scan, huff,
+                               restart_interval: int, predictor: int,
+                               pt: int, prec: int) -> np.ndarray:
+    """Lossless JPEG (T.81 SOF3, process 14): per-sample Huffman-coded
+    differences against one of the seven spatial predictors, arithmetic
+    modulo 2^16. Covers the shape DNG/DICOM actually use: 2-16 bit
+    precision, 1..4 non-subsampled components interleaved in one scan,
+    restart intervals (prediction resets to the start-of-scan default),
+    point transform (decoded value shifted left by Pt). Subsampled
+    lossless is legal-but-unseen and fails loudly."""
+    h, w, comps = frame
+    if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+        raise NotImplementedError(
+            "jpeg: subsampled lossless scan needs an external codec")
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "jpeg: non-interleaved multi-scan lossless needs an "
+            "external codec")
+    if not 1 <= predictor <= 7:
+        raise ImageDecodeError(f"jpeg: lossless predictor {predictor}")
+    order = [cs for cs, _, _ in scan]
+    by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    tables = {}
+    for cs, td, _ in scan:
+        if (0, td) not in huff:
+            raise ImageDecodeError("jpeg: SOS references undefined DHT")
+        tables[cs] = huff[(0, td)]
+    ncomp = len(comps)
+    out = np.zeros((h, w, ncomp), dtype=np.int64)
+    default = 1 << (prec - pt - 1)
+    reader = _BitReader(data, pos)
+    n_rst = 0
+    since_rst = 0
+    reset = [True] * ncomp                 # next sample takes the default
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and since_rst == restart_interval:
+                reader.align_and_expect_rst(n_rst)
+                n_rst = (n_rst + 1) % 8
+                since_rst = 0
+                reset = [True] * ncomp
+            for cs in order:
+                ci = by_id[cs]
+                t = reader.decode(tables[cs])
+                if t == 16:
+                    diff = 32768           # the spec's special category
+                elif t:
+                    diff = _jpeg_extend(reader.receive(t), t)
+                else:
+                    diff = 0
+                if reset[ci]:
+                    px = default
+                    reset[ci] = False
+                elif y == 0:
+                    px = out[0, x - 1, ci]
+                elif x == 0:
+                    px = out[y - 1, 0, ci]
+                else:
+                    ra = out[y, x - 1, ci]
+                    rb = out[y - 1, x, ci]
+                    rc = out[y - 1, x - 1, ci]
+                    px = {1: ra, 2: rb, 3: rc,
+                          4: ra + rb - rc,
+                          5: ra + ((rb - rc) >> 1),
+                          6: rb + ((ra - rc) >> 1),
+                          7: (ra + rb) >> 1}[predictor]
+                out[y, x, ci] = (px + diff) & 0xFFFF
+            since_rst += 1
+    out = (out << pt) & 0xFFFF
+    arr = out.astype(np.uint16 if prec > 8 else np.uint8)
+    return arr[:, :, 0] if ncomp == 1 else arr
 
 
 def _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax,

@@ -869,10 +869,17 @@ def test_jpeg_honest_boundaries():
     mislabeled[sof_at + 1] = 0xC2
     with pytest.raises(ImageDecodeError, match="Se=0"):
         decode_image_bytes(bytes(mislabeled))
-    lossless = bytearray(good)
-    lossless[sof_at + 1] = 0xC3
+    # a baseline file mislabeled SOF3: its scan header's Ss=0 is not a
+    # valid lossless predictor — fail-loud, not a garbage image
+    mislabeled_ll = bytearray(good)
+    mislabeled_ll[sof_at + 1] = 0xC3
+    with pytest.raises(ImageDecodeError, match="predictor 0"):
+        decode_image_bytes(bytes(mislabeled_ll))
+    # genuinely-unsupported processes still name the remediation
+    differential = bytearray(good)
+    differential[sof_at + 1] = 0xC7
     with pytest.raises(NotImplementedError, match="external codec"):
-        decode_image_bytes(bytes(lossless))
+        decode_image_bytes(bytes(differential))
     with pytest.raises(ImageDecodeError):
         decode_image_bytes(good[:len(good) // 2])  # truncated entropy
     with pytest.raises(ImageDecodeError, match="SOS"):
@@ -967,3 +974,119 @@ def test_decode_image_through_spark(spark):
         assert (r.format, r.width, r.height, r.n_channels) == (fmt, w, h, c)
         assert r.pixel_md5 == hashlib.md5(px.tobytes()).hexdigest()
         assert r.mean_pixel == round(float(px.mean()), 6)
+
+
+# --- test-side LOSSLESS JPEG encoder (T.81 process 14 applied forward) ---
+
+
+def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4, pt: int = 0,
+                         prec: int = 8, restart_interval: int = 0) -> bytes:
+    """SOF3 lossless JPEG: per-sample predictive differences, Huffman
+    category + extend bits, modulo-2^16 arithmetic — mirrors the spec's
+    prediction rules (first sample / first row / first column /
+    restart-reset) independently of the decoder."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ncomp = px.shape
+    v = (px.astype(np.int64) >> pt)
+
+    bits = [0] * 16
+    bits[4] = 17                       # all 17 categories at length 5
+    vals = bytes(range(17))
+    codes = _jpeg_codes(bits, vals)
+
+    bw = _JpegBitWriter()
+    chunks = []
+    default = 1 << (prec - pt - 1)
+    n_rst = 0
+    since = 0
+    reset = [True] * ncomp
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and since == restart_interval:
+                bw.align()
+                chunks.append(bytes(bw.out))
+                chunks.append(bytes([0xFF, 0xD0 + (n_rst % 8)]))
+                bw = _JpegBitWriter()
+                n_rst += 1
+                since = 0
+                reset = [True] * ncomp
+            for ci in range(ncomp):
+                if reset[ci]:
+                    pred = default
+                    reset[ci] = False
+                elif y == 0:
+                    pred = v[0, x - 1, ci]
+                elif x == 0:
+                    pred = v[y - 1, 0, ci]
+                else:
+                    ra, rb, rc = (v[y, x - 1, ci], v[y - 1, x, ci],
+                                  v[y - 1, x - 1, ci])
+                    pred = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                            5: ra + ((rb - rc) >> 1),
+                            6: rb + ((ra - rc) >> 1),
+                            7: (ra + rb) >> 1}[predictor]
+                d = ((int(v[y, x, ci]) - int(pred) + 32768) & 0xFFFF) - 32768
+                if d == -32768:
+                    t = 16             # special category, no extend bits
+                    length, code = codes[t]
+                    bw.put(code, length)
+                else:
+                    t = abs(d).bit_length()
+                    length, code = codes[t]
+                    bw.put(code, length)
+                    if t:
+                        bw.put(d if d >= 0 else d + (1 << t) - 1, t)
+            since += 1
+    bw.align()
+    chunks.append(bytes(bw.out))
+    entropy = b"".join(chunks)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + vals)
+    sof = struct.pack(">BHHB", prec, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_jpeg_lossless_round_trip_every_predictor(predictor):
+    px = _rng_pixels(9, 13, 3, seed=predictor)
+    fmt, out = decode_image_bytes(encode_jpeg_lossless(px, predictor))
+    assert fmt == "jpeg"
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, px)
+
+
+def test_jpeg_lossless_gray_16bit_and_point_transform():
+    rng = np.random.default_rng(20)
+    deep = rng.integers(0, 1 << 14, size=(7, 11), dtype=np.uint16)
+    _, out = decode_image_bytes(encode_jpeg_lossless(deep, prec=14))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, deep)
+    # point transform: low bits dropped at encode, restored as zeros
+    px = _rng_pixels(6, 6, 1, seed=3)[:, :, 0]
+    _, out = decode_image_bytes(encode_jpeg_lossless(px, pt=2))
+    assert np.array_equal(out, (px >> 2) << 2)
+
+
+def test_jpeg_lossless_restart_interval():
+    px = _rng_pixels(8, 8, 1, seed=5)[:, :, 0]
+    data = encode_jpeg_lossless(px, predictor=1, restart_interval=16)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data
+    _, out = decode_image_bytes(data)
+    assert np.array_equal(out, px)
