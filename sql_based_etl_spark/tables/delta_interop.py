@@ -1668,8 +1668,8 @@ def _stage_data_files(df: DataFrame, path: str,
 # cannot uphold its write-side obligations.
 _BRIDGE_WRITER_FEATURES = {
     "appendOnly",        # delta.appendOnly gates overwrite below
-    "invariants",        # per-field delta.invariants gates below
-    "checkConstraints",  # delta.constraints.* gates below
+    "invariants",        # ENFORCED per batch (_enforce_write_obligations)
+    "checkConstraints",  # ENFORCED per batch (_enforce_write_obligations)
     "changeDataFeed",    # blind appends / full overwrites derive CDF
                          # from add/remove actions per the spec;
                          # merge_delta emits REAL cdc actions
@@ -1682,7 +1682,8 @@ _BRIDGE_WRITER_FEATURES = {
                          # and their tombstones carry the descriptor,
                          # so reconciliation by (path, DV uid) holds
     "timestampNtz",      # type-level; schema copied verbatim
-    "generatedColumns",  # per-field generationExpression gates below
+    "generatedColumns",  # computed when omitted, validated when supplied
+                         # (_enforce_write_obligations)
     "identityColumns",   # per-field delta.identity.* gates below
     "inCommitTimestamp", # every commit carries a monotonically
                          # increasing commitInfo.inCommitTimestamp as
@@ -1726,28 +1727,89 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
             "write: delta.appendOnly=true forbids removing data; only "
             "appends (and dataChange:false compaction) are allowed"
         )
-    if any(k.startswith("delta.constraints.") for k in conf):
-        raise VersionedTableError(
-            "write: table has CHECK constraints the bridge cannot "
-            "validate; install delta-spark to write this table"
-        )
+    # CHECK constraints, invariants and generated columns are ENFORCED
+    # at write time (_enforce_write_obligations), not refused — the
+    # remaining refusal here is identity columns, whose high-water-mark
+    # allocation protocol the bridge does not implement
     for f in _walk_schema_fields(json.loads(meta["schemaString"])):
         md = f.get("metadata") or {}
-        if "delta.invariants" in md:
-            raise VersionedTableError(
-                f"write: column {f.get('name')!r} carries an invariant "
-                "the bridge cannot validate; install delta-spark"
-            )
-        if "delta.generationExpression" in md:
-            raise VersionedTableError(
-                f"write: column {f.get('name')!r} is a generated column "
-                "the bridge cannot compute; install delta-spark"
-            )
         if any(k.startswith("delta.identity.") for k in md):
             raise VersionedTableError(
                 f"write: column {f.get('name')!r} is an identity column "
                 "the bridge cannot allocate; install delta-spark"
             )
+
+
+def _enforce_write_obligations(df: DataFrame, meta: dict) -> DataFrame:
+    """Uphold the table's write-side data obligations the way the
+    library writer does — in ONE validation pass over the batch:
+
+    - ``delta.constraints.<name>`` CHECK constraints (Spark SQL
+      predicates over logical column names) must hold on every row;
+    - column ``delta.invariants`` (the legacy per-field JSON carrying a
+      SQL expression) must hold on every row;
+    - non-nullable schema fields reject NULLs;
+    - ``delta.generationExpression`` columns are COMPUTED when the
+      batch omits them and VALIDATED (value must equal the expression)
+      when it supplies them — delta-spark's exact contract.
+
+    Any violation raises :class:`VersionedTableError` naming the
+    constraint/column; the single `agg` keeps the cost at one scan of
+    the batch regardless of how many obligations the table carries."""
+    import json as _json
+
+    schema = _json.loads(meta["schemaString"])
+    conf = meta.get("configuration") or {}
+    checks: list[tuple[str, object]] = []
+    for k in sorted(conf):
+        if k.startswith("delta.constraints."):
+            name = k[len("delta.constraints."):]
+            checks.append((f"CHECK constraint {name!r} ({conf[k]})",
+                           F.expr(conf[k])))
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        col = f["name"]
+        if not f.get("nullable", True):
+            checks.append((f"column {col!r} is non-nullable",
+                           F.col(col).isNotNull()))
+        if "delta.invariants" in md:
+            inv = md["delta.invariants"]
+            if isinstance(inv, str):
+                inv = _json.loads(inv)
+            expr_sql = (inv.get("expression") or {}).get("expression")
+            if not expr_sql:
+                raise VersionedTableError(
+                    f"write: column {col!r} carries an invariant in a "
+                    "shape the bridge cannot parse; install delta-spark"
+                )
+            checks.append((f"invariant on {col!r} ({expr_sql})",
+                           F.expr(expr_sql)))
+        if "delta.generationExpression" in md:
+            gen = md["delta.generationExpression"]
+            if col in df.columns:
+                checks.append((
+                    f"generated column {col!r} must equal {gen}",
+                    F.col(col).eqNullSafe(F.expr(gen))))
+            else:
+                df = df.withColumn(col, F.expr(gen))
+    if not checks:
+        return df
+    # SQL-standard CHECK semantics: a row violates only when the
+    # predicate is definitively FALSE — a NULL result passes (the
+    # non-nullable check above is what rejects NULLs where they matter)
+    counts = df.agg(*[
+        F.sum(F.when(cond.cast("boolean").eqNullSafe(F.lit(False)),
+                     1).otherwise(0)).alias(f"__viol_{i}")
+        for i, (_, cond) in enumerate(checks)
+    ]).collect()[0]
+    for i, (what, _) in enumerate(checks):
+        n = counts[f"__viol_{i}"]
+        if n:
+            raise VersionedTableError(
+                f"write: {n} row(s) violate {what}; the batch was not "
+                "committed"
+            )
+    return df
 
 
 def write_delta(df: DataFrame, path: str, mode: str = "append",
@@ -1841,6 +1903,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         _check_writer_allowed(proto, meta, mode)
         mapping_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none")
+        # a batch may legitimately omit generated columns (the library
+        # writer computes them) — compute BEFORE the schema-drift check
+        # so the omission doesn't read as drift
+        for f_ in json.loads(meta["schemaString"]).get("fields", []):
+            gen_ = (f_.get("metadata") or {}).get("delta.generationExpression")
+            if gen_ and f_["name"] not in df.columns:
+                df = df.withColumn(f_["name"], F.expr(gen_))
         if properties is not None and dict(properties) != dict(
                 meta.get("configuration") or {}):
             raise VersionedTableError(
@@ -1978,6 +2047,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             "createdTime": int(time.time() * 1000),
         }
 
+    df = _enforce_write_obligations(df, meta)
     if mapping_mode != "none":
         # mapped tables store data (and partitionValues keys) under
         # PHYSICAL names — the reader's projection run in reverse
@@ -2190,6 +2260,11 @@ def merge_delta(source: DataFrame, path: str, condition: str,
             return latest
 
         result = annotated.filter(~F.col("__deleted")).select(*t_cols)
+        # merge keeps every table column, so obligations VALIDATE here
+        # (a merge that would leave a generated column inconsistent with
+        # its expression refuses, naming the column — include it in the
+        # update map to keep it consistent; the library recomputes it)
+        result = _enforce_write_obligations(result, meta)
         if num_partitions:
             result = result.repartition(int(num_partitions))
         if mapping_mode != "none":

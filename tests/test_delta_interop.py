@@ -3001,3 +3001,65 @@ def test_ict_tables_write_monotonic_timestamps(spark, tmp_path):
         d2, "_delta_log", f"{1:020d}.json")).read().splitlines()[0])
     assert first["commitInfo"]["inCommitTimestamp"] == future + 1
     assert _ids(read_delta(spark, d2)) == [0, 9]
+
+
+def test_write_obligations_enforced_not_refused(spark, tmp_path):
+    """CHECK constraints / invariants / non-nullable fields /
+    generated columns: the bridge now UPHOLDS the library writer's
+    obligations in one validation pass instead of refusing the table —
+    violating batches raise naming the constraint, clean batches
+    commit, omitted generated columns are computed, supplied-but-wrong
+    ones refuse; merges validate their rewritten rows too."""
+    from sql_based_etl_spark.tables.delta_interop import merge_delta, write_delta
+
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {
+            "delta.invariants": json.dumps(
+                {"expression": {"expression": "v >= 0"}})}},
+        {"name": "v2", "type": "long", "nullable": True, "metadata": {
+            "delta.generationExpression": "v * 2"}},
+    ]})
+    d = str(tmp_path / "oblig")
+    os.makedirs(d)
+    meta = {"metaData": {
+        "id": "ob-1", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string, "partitionColumns": [],
+        "configuration": {"delta.constraints.small": "id < 100"},
+    }}
+    _log(d, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+         meta)
+
+    # clean batch, generated column omitted → computed
+    ok = spark.createDataFrame([(1, 5)], "id long, v long")
+    assert write_delta(ok, d, mode="append") == 1
+    back = {r.id: (r.v, r.v2) for r in read_delta(spark, d).collect()}
+    assert back == {1: (5, 10)}
+    # CHECK constraint violation names the constraint
+    with pytest.raises(VersionedTableError, match="small"):
+        write_delta(spark.createDataFrame([(500, 1)], "id long, v long"), d)
+    # invariant violation names the column expression
+    with pytest.raises(VersionedTableError, match="v >= 0"):
+        write_delta(spark.createDataFrame([(2, -1)], "id long, v long"), d)
+    # non-nullable NULL refuses
+    with pytest.raises(VersionedTableError, match="non-nullable"):
+        write_delta(spark.createDataFrame([(None, 3)], "id long, v long"), d)
+    # supplied-but-inconsistent generated column refuses
+    bad_gen = spark.createDataFrame([(3, 4, 9)], "id long, v long, v2 long")
+    with pytest.raises(VersionedTableError, match="generated column"):
+        write_delta(bad_gen, d, mode="append")
+    # a consistent supplied value commits
+    good_gen = spark.createDataFrame([(3, 4, 8)], "id long, v long, v2 long")
+    assert write_delta(good_gen, d, mode="append") == 2
+    # merge validates the rewritten rows: an update that breaks the
+    # invariant refuses, one that keeps obligations commits
+    src_bad = spark.createDataFrame([(1, -7, -14)],
+                                    "id long, v long, v2 long")
+    with pytest.raises(VersionedTableError, match="v >= 0"):
+        merge_delta(src_bad, d, "target.id = source.id",
+                    when_matched_update={"v": "source.v", "v2": "source.v2"})
+    src_ok = spark.createDataFrame([(1, 7, 14)], "id long, v long, v2 long")
+    merge_delta(src_ok, d, "target.id = source.id",
+                when_matched_update={"v": "source.v", "v2": "source.v2"})
+    back = {r.id: (r.v, r.v2) for r in read_delta(spark, d).collect()}
+    assert back == {1: (7, 14), 3: (4, 8)}
