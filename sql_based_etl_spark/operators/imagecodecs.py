@@ -11,9 +11,11 @@ sampling, restart markers) and PROGRESSIVE (SOF2: spectral selection
 + successive approximation, DC/AC first and refinement scans, EOB
 runs) — and GIF (LZW, global/local color tables, interlace, GIF89a
 transparency; first frame of animations — frame EXTRACTION stays a
-``sample_frames`` concern). Arithmetic/lossless/hierarchical JPEG,
-12-bit precision, and video stay honest ``NotImplementedError``
-integration points — their codecs are genuinely external.
+``sample_frames`` concern). JPEG also covers LOSSLESS (SOF3, all seven
+predictors, 2-16 bit) and 12-bit grayscale sequential. Arithmetic and
+hierarchical JPEG, 12-bit color, and non-AVI video stay honest
+``NotImplementedError`` integration points — their codecs are
+genuinely external.
 
 These functions run INSIDE the Arrow ``mapInPandas`` batch path
 (multimodal.decode_image): bytes in, (geometry, channel means, pixel
@@ -65,10 +67,11 @@ def sniff_format(data: bytes) -> str:
 
 def decode_image_bytes(data: bytes) -> tuple[str, np.ndarray]:
     """Decode image bytes to ``(format, pixels)`` where ``pixels`` is a
-    ``uint8`` array of shape (height, width, channels). Raises
+    ``uint8`` array of shape (height, width, channels) — ``uint16``
+    for deep-bit lossless/12-bit JPEG. Raises
     :class:`ImageDecodeError` for malformed supported formats and
     ``NotImplementedError`` for formats that need external codecs
-    (arithmetic/lossless JPEG, video containers) or are
+    (arithmetic/hierarchical JPEG, video containers) or are
     unrecognized."""
     fmt = sniff_format(bytes(data))
     if fmt in ("ppm", "pgm"):
@@ -494,10 +497,13 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             lossless = marker == 0xC3
-            if not lossless and prec != 8:
+            if not lossless and prec not in (8, 12):
                 raise NotImplementedError(
                     f"jpeg: {prec}-bit sample precision needs an external "
-                    "codec (this decoder handles 8-bit DCT modes)")
+                    "codec (DCT modes decode at 8 and 12 bits)")
+            if marker == 0xC2 and prec != 8:
+                raise NotImplementedError(
+                    "jpeg: 12-bit progressive needs an external codec")
             if lossless and not 2 <= prec <= 16:
                 raise ImageDecodeError(f"jpeg: lossless precision {prec}")
             comps = []
@@ -532,7 +538,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             if not progressive:
                 return _decode_jpeg_scan(
                     data, pos + 2 + seglen, frame, scan, qt, huff,
-                    restart_interval)
+                    restart_interval, prec)
             ss, se, ahal = (seg[1 + 2 * ns], seg[2 + 2 * ns],
                             seg[3 + 2 * ns])
             pos = prog.decode_scan(
@@ -757,7 +763,7 @@ class _ProgressiveState:
 
 
 def _decode_jpeg_scan(data: bytes, pos: int, frame, scan, qt, huff,
-                      restart_interval: int) -> np.ndarray:
+                      restart_interval: int, prec: int = 8) -> np.ndarray:
     h, w, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
@@ -821,7 +827,8 @@ def _decode_jpeg_scan(data: bytes, pos: int, frame, scan, qt, huff,
     order = [cs for cs, *_ in plan]
     samp = {cs: (hs, vs) for cs, hs, vs, *_ in plan}
     q_by = {cs: q for cs, _hs, _vs, q, *_ in plan}
-    return _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax, h, w)
+    return _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax,
+                          h, w, prec)
 
 
 def _decode_jpeg_lossless_scan(data: bytes, pos: int, frame, scan, huff,
@@ -898,11 +905,13 @@ def _decode_jpeg_lossless_scan(data: bytes, pos: int, frame, scan, huff,
 
 
 def _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax,
-                   h, w) -> np.ndarray:
+                   h, w, prec: int = 8) -> np.ndarray:
     """The vectorized tail shared by the sequential and progressive
     decoders: dequant (zigzag order) → dezigzag → one batched IDCT per
     component → plane assembly → nearest-neighbor chroma upsampling →
     crop → JFIF YCbCr→RGB (or single-plane grayscale)."""
+    level, top = 1 << (prec - 1), (1 << prec) - 1
+    dtype = np.uint16 if prec > 8 else np.uint8
     planes = {}
     for cs in order:
         z = coefs[cs] * q_by[cs][None, :]
@@ -910,7 +919,7 @@ def _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax,
         blocks[:, _ZIGZAG] = z
         blocks = blocks.reshape(-1, 8, 8)
         px = np.einsum("kb,nbc,cl->nkl", _DCT_C.T, blocks, _DCT_C)
-        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        px = np.clip(np.round(px) + level, 0, top).astype(dtype)
         plane = (px.reshape(bh[cs], bw[cs], 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh[cs] * 8, bw[cs] * 8))
         hs, vs = samp[cs]
@@ -920,6 +929,10 @@ def _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax,
 
     if len(order) == 1:
         return planes[order[0]][:, :, None]
+    if prec > 8:
+        raise NotImplementedError(
+            "jpeg: 12-bit color (YCbCr at extended precision) needs an "
+            "external codec; 12-bit decodes grayscale")
     if len(order) != 3:
         raise NotImplementedError(
             f"jpeg: {len(order)}-component images (CMYK/unknown) need an "

@@ -178,11 +178,11 @@ _JPEG_ZZ = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
-_JPEG_DC_VALS = bytes(range(12))
+_JPEG_DC_BITS = [0, 0, 0, 0, 17] + [0] * 11   # categories 0-16 at length 5
+_JPEG_DC_VALS = bytes(range(17))
 _JPEG_AC_VALS = bytes([0x00, 0xF0] + [(r << 4) | s
                                       for r in range(16)
-                                      for s in range(1, 11)]
+                                      for s in range(1, 15)]
                       + [r << 4 for r in range(1, 15)])  # EOBn (progressive)
 _JPEG_AC_BITS = [0] * 16
 _JPEG_AC_BITS[7] = len(_JPEG_AC_VALS)  # all symbols at code length 8
@@ -220,13 +220,13 @@ class _JpegBitWriter:
             self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
 
 
-def _jpeg_fdct_block(block: np.ndarray) -> np.ndarray:
+def _jpeg_fdct_block(block: np.ndarray, level: float = 128.0) -> np.ndarray:
     c = np.array([
         [(np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
          * np.cos((2 * n + 1) * k * np.pi / 16) for n in range(8)]
         for k in range(8)
     ])
-    return c @ (block.astype(np.float64) - 128.0) @ c.T
+    return c @ (block.astype(np.float64) - level) @ c.T
 
 
 def _jpeg_pad(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
@@ -264,8 +264,10 @@ def _jpeg_encode_block(zz, pred, dc_codes, ac_codes, bw) -> int:
 
 
 def encode_jpeg(px: np.ndarray, subsample: bool = False,
-                quant: int = 1, restart_interval: int = 0) -> bytes:
+                quant: int = 1, restart_interval: int = 0,
+                prec: int = 8) -> bytes:
     h, w, c = px.shape
+    assert prec == 8 or c == 1, "extended precision is grayscale-only"
     if c == 3:  # JFIF RGB -> YCbCr
         r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
         planes = [
@@ -288,7 +290,8 @@ def encode_jpeg(px: np.ndarray, subsample: bool = False,
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    padded = [_jpeg_pad(np.clip(np.round(p), 0, 255),
+    top = (1 << prec) - 1
+    padded = [_jpeg_pad(np.clip(np.round(p), 0, top),
                         8 * mcuy * vs, 8 * mcux * hs)
               for p, (hs, vs) in zip(planes, samp)]
 
@@ -313,7 +316,8 @@ def encode_jpeg(px: np.ndarray, subsample: bool = False,
                     for bx in range(hs):
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
-                        f = _jpeg_fdct_block(plane[y0:y0 + 8, x0:x0 + 8])
+                        f = _jpeg_fdct_block(plane[y0:y0 + 8, x0:x0 + 8],
+                                             level=float(1 << (prec - 1)))
                         zz = np.round(
                             f.reshape(-1)[_JPEG_ZZ] / q).astype(np.int64)
                         preds[ci] = _jpeg_encode_block(
@@ -328,7 +332,7 @@ def encode_jpeg(px: np.ndarray, subsample: bool = False,
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q[_np_argsort_identity()]))
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    sof = struct.pack(">BHHB", prec, h, w, len(planes))
     for i, (hs, vs) in enumerate(samp):
         sof += bytes([i + 1, (hs << 4) | vs, 0])
     out += seg(0xC0, sof)
@@ -1090,3 +1094,24 @@ def test_jpeg_lossless_restart_interval():
     assert b"\xff\xd0" in data or b"\xff\xd1" in data
     _, out = decode_image_bytes(data)
     assert np.array_equal(out, px)
+
+
+def test_jpeg_12bit_grayscale_sequential():
+    """12-bit DCT JPEG (the DICOM shape): quant=1 makes the transform
+    near-lossless, so decode must land within DCT rounding of the
+    source at 12-bit scale — and the output dtype widens to uint16."""
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 1 << 12, size=(1, 16, 1)).astype(np.float64)
+    px = np.repeat(base, 16, axis=0)        # smooth columns: tiny residuals
+    data = encode_jpeg(px.astype(np.int64), prec=12)
+    fmt, out = decode_image_bytes(data)
+    assert fmt == "jpeg" and out.dtype == np.uint16
+    assert out.shape == (16, 16, 1)
+    assert np.max(np.abs(out.astype(np.int64) - px.astype(np.int64))) <= 2
+    # 12-bit COLOR still names the external boundary
+    rgb = _rng_pixels(8, 8, 3, seed=2).astype(np.int64)
+    sof_patch = bytearray(encode_jpeg(rgb))
+    i = sof_patch.index(b"\xff\xc0")
+    sof_patch[i + 4] = 12                   # lie: precision 12, 3 comps
+    with pytest.raises((NotImplementedError, ImageDecodeError)):
+        decode_image_bytes(bytes(sof_patch))
