@@ -418,6 +418,7 @@ def _fkey(file_action: dict) -> str:
 
 def _collect_checkpoint_df(cp, meta: dict | None, proto: dict | None,
                            adds: dict[str, dict], txns: dict[str, int],
+                           domains: dict[str, str] | None = None,
                            ) -> tuple[dict | None, dict | None, list[str]]:
     """Fold one checkpoint-shaped DataFrame (classic/multipart parts, a
     v2 manifest, or v2 sidecars) into the replay state; returns the
@@ -444,8 +445,10 @@ def _collect_checkpoint_df(cp, meta: dict | None, proto: dict | None,
         add_fields = set(cp.schema["add"].dataType.fieldNames())
         opt = [
             F.col(f"add.{f}").alias(f) if f in add_fields
-            else F.lit(None).cast("long").alias(f)
-            for f in ("size", "modificationTime")
+            else F.lit(None).cast(t).alias(f)
+            for f, t in (("size", "long"), ("modificationTime", "long"),
+                         ("stats", "string"), ("baseRowId", "long"),
+                         ("defaultRowCommitVersion", "long"))
         ]
         dv_col = (
             [F.col("add.deletionVector").alias("deletionVector")]
@@ -460,6 +463,9 @@ def _collect_checkpoint_df(cp, meta: dict | None, proto: dict | None,
                  "partitionValues": dict(r["partitionValues"] or {}),
                  "size": r["size"],
                  "modificationTime": r["modificationTime"]}
+            for extra in ("stats", "baseRowId", "defaultRowCommitVersion"):
+                if r[extra] is not None:
+                    a[extra] = r[extra]
             if dv_col and r["deletionVector"] is not None:
                 a["deletionVector"] = r["deletionVector"].asDict()
             adds[_fkey(a)] = a
@@ -470,6 +476,17 @@ def _collect_checkpoint_df(cp, meta: dict | None, proto: dict | None,
             "txn.appId", "txn.version"
         ).collect():
             txns[r["appId"]] = int(r["version"])
+    # named metadata domains (delta.rowTracking et al.) survive the
+    # checkpoint — dropping one would reset a high watermark
+    if domains is not None and "domainMetadata" in cols:
+        for r in cp.filter(F.col("domainMetadata.domain").isNotNull()).select(
+            "domainMetadata.domain", "domainMetadata.configuration",
+            "domainMetadata.removed"
+        ).collect():
+            if r["removed"]:
+                domains.pop(r["domain"], None)
+            else:
+                domains[r["domain"]] = r["configuration"]
     sidecars: list[str] = []
     if "sidecarFile" in cols:
         for r in cp.filter(F.col("sidecarFile.path").isNotNull()).select(
@@ -481,7 +498,8 @@ def _collect_checkpoint_df(cp, meta: dict | None, proto: dict | None,
 
 def _replay_checkpoint(
     spark: SparkSession, log_dir: str, cp_version: int, parts: int | None
-) -> tuple[dict | None, dict[str, dict], dict[str, int], dict | None]:
+) -> tuple[dict | None, dict[str, dict], dict[str, int], dict | None,
+           dict[str, str]]:
     """Active state as of a checkpoint:
     ``(metaData, {(path, DV id) key: add}, {txn appId: version},
     protocol)``.
@@ -498,6 +516,7 @@ def _replay_checkpoint(
     proto: dict | None = None
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
+    domains: dict[str, str] = {}
     sidecars: list[str] = []
     fs, _, _ = _fs_and_path(spark, log_dir)
 
@@ -507,13 +526,13 @@ def _replay_checkpoint(
             for i in range(parts)
         ]
         meta, proto, _ = _collect_checkpoint_df(
-            spark.read.parquet(*paths), meta, proto, adds, txns)
-        return meta, adds, txns, proto
+            spark.read.parquet(*paths), meta, proto, adds, txns, domains)
+        return meta, adds, txns, proto, domains
 
     classic = f"{log_dir}/{cp_version:020d}.checkpoint.parquet"
     if fs.exists(_fs_and_path(spark, classic)[1]):
         meta, proto, sidecars = _collect_checkpoint_df(
-            spark.read.parquet(classic), meta, proto, adds, txns)
+            spark.read.parquet(classic), meta, proto, adds, txns, domains)
     else:
         # V2: <version>.checkpoint.<uniqueId>.{parquet|json}; any one
         # manifest for the version is complete by the spec. Multipart
@@ -548,12 +567,18 @@ def _replay_checkpoint(
                     adds[_fkey(action["add"])] = action["add"]
                 elif "txn" in action:
                     txns[action["txn"]["appId"]] = int(action["txn"]["version"])
+                elif "domainMetadata" in action:
+                    dm = action["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm.get("configuration")
                 elif "sidecarFile" in action:
                     sidecars.append(action["sidecarFile"]["path"])
         else:
             meta, proto, sidecars = _collect_checkpoint_df(
                 spark.read.parquet(f"{log_dir}/{name}"), meta, proto,
-                adds, txns)
+                adds, txns, domains)
 
     if sidecars:
         sc_paths = [
@@ -561,8 +586,8 @@ def _replay_checkpoint(
             for p in sidecars
         ]
         meta, proto, _ = _collect_checkpoint_df(
-            spark.read.parquet(*sc_paths), meta, proto, adds, txns)
-    return meta, adds, txns, proto
+            spark.read.parquet(*sc_paths), meta, proto, adds, txns, domains)
+    return meta, adds, txns, proto, domains
 
 
 def _last_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, int | None] | None:
@@ -622,7 +647,7 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None,
         where = norm
     if timestamp is not None or relative_version is not None:
         version = _resolve_log_version(spark, path, timestamp, relative_version)
-    meta, adds, _, _, _ = _replay_state(spark, path, version)
+    meta, adds, _, _, _, _ = _replay_state(spark, path, version)
     if where:
         adds = _prune_adds_by_stats(meta, adds, list(where))
     df = _snapshot_df(spark, path, meta, adds)
@@ -714,13 +739,16 @@ def _resolve_log_version(spark: SparkSession, path: str,
 
 def _replay_state(
     spark: SparkSession, path: str, version: int | None = None
-) -> tuple[dict, dict[str, dict], int, dict[str, int], dict | None]:
+) -> tuple[dict, dict[str, dict], int, dict[str, int], dict | None,
+           dict[str, str]]:
     """Replay the transaction log to ``(metaData, {path: add},
-    resolved_version, {txn appId: version}, protocol)`` — shared by the
-    reader and the writer (the writer needs the live file set for
-    overwrite tombstones, the current schema for append drift checks,
-    the txn watermarks for idempotent streaming commits, and the
-    protocol for the writer-feature gate + checkpoint emission)."""
+    resolved_version, {txn appId: version}, protocol, {domain:
+    configuration})`` — shared by the reader and the writer (the writer
+    needs the live file set for overwrite tombstones, the current
+    schema for append drift checks, the txn watermarks for idempotent
+    streaming commits, the protocol for the writer-feature gate +
+    checkpoint emission, and the named metadata domains for
+    rowTracking's high watermark)."""
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
@@ -729,6 +757,7 @@ def _replay_state(
     proto: dict | None = None
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
+    domains: dict[str, str] = {}
     start = 0
     cp = _last_checkpoint(spark, log_dir)
     if cp is not None and (version is None or cp[0] <= version) and (
@@ -736,7 +765,7 @@ def _replay_state(
         # (cheaper for small tables and exercises nothing extra)
         0 not in logs or cp[0] >= 10
     ):
-        meta, adds, txns, proto = _replay_checkpoint(
+        meta, adds, txns, proto, domains = _replay_checkpoint(
             spark, log_dir, cp[0], cp[1])
         start = cp[0] + 1
 
@@ -772,10 +801,16 @@ def _replay_state(
                 adds.pop(_fkey(action["remove"]), None)
             elif "txn" in action:
                 txns[action["txn"]["appId"]] = int(action["txn"]["version"])
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration")
     if meta is None:
         raise VersionedTableError(f"Delta log at {log_dir} has no metaData action")
     _check_metadata(meta)
-    return meta, adds, version, txns, proto
+    return meta, adds, version, txns, proto, domains
 
 
 def _snapshot_df(
@@ -963,6 +998,143 @@ def is_delta_dir(spark: SparkSession, path: str) -> bool:
 # --- write bridge -------------------------------------------------------
 
 
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _assign_row_ids(proto: dict | None, domains: dict[str, str],
+                    new_adds: list[dict],
+                    commit_version: int) -> dict | None:
+    """When the table claims the ``rowTracking`` writer feature, stamp
+    every new ``add`` with a fresh ``baseRowId`` range (and this
+    commit's ``defaultRowCommitVersion``) and return the
+    ``domainMetadata`` action advancing ``rowIdHighWaterMark`` — the
+    write obligation that keeps fresh row ids unique for the table's
+    lifetime. Ranges are sized by the adds' footer-derived
+    ``numRecords``; a rowTracking table whose files can't be
+    footer-read fails loudly rather than guessing (an overlapping
+    range would alias two rows' ids forever)."""
+    feats = set((proto or {}).get("writerFeatures") or [])
+    if "rowTracking" not in feats:
+        return None
+    hwm = -1
+    raw = domains.get(_ROW_TRACKING_DOMAIN)
+    if raw:
+        try:
+            hwm = int(json.loads(raw)["rowIdHighWaterMark"])
+        except (KeyError, TypeError, ValueError) as e:
+            raise VersionedTableError(
+                f"rowTracking domain metadata unparsable ({raw!r}): {e}"
+            ) from None
+    for a in new_adds:
+        try:
+            n = json.loads(a["stats"])["numRecords"]
+        except (KeyError, TypeError, ValueError):
+            raise VersionedTableError(
+                "write: rowTracking needs per-file row counts to allocate "
+                f"baseRowId ranges, and {a['path']!r} has no readable "
+                "footer stats (non-local staging URI?)"
+            ) from None
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = commit_version
+        hwm += int(n)
+    return {"domainMetadata": {
+        "domain": _ROW_TRACKING_DOMAIN,
+        "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+        "removed": False,
+    }}
+
+
+def _identity_columns(meta: dict) -> list[dict]:
+    """Top-level identity columns: ``[{name, start, step, hwm,
+    explicit}]`` from the schema's ``delta.identity.*`` field
+    metadata (nested identity columns are not a thing — Delta only
+    allows them at the top level)."""
+    out = []
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        hwm = md.get("delta.identity.highWaterMark")
+        out.append({
+            "name": f["name"],
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": int(md.get("delta.identity.step", 1)),
+            "hwm": int(hwm) if hwm is not None else None,
+            "explicit": str(md.get("delta.identity.allowExplicitInsert",
+                                   "false")).lower() == "true",
+        })
+    return out
+
+
+def _generate_identity(df: DataFrame, ident: dict) -> DataFrame:
+    """Assign fresh identity values for a batch that omits the column:
+    ``last_handed_out + step * (1 + monotonically_increasing_id())`` —
+    unique multiples of ``step`` offset by ``start``, allocated with NO
+    extra job and NO shuffle. The spec allows gaps (and the partition-id
+    high bits of the monotonic id create them), which is exactly the
+    trade the library writer makes for distributed allocation; the high
+    watermark advances to the real max via the staged files' footer
+    stats (:func:`_advance_identity_hwm`)."""
+    base = ident["hwm"] if ident["hwm"] is not None         else ident["start"] - ident["step"]
+    return df.withColumn(
+        ident["name"],
+        (F.lit(base)
+         + F.lit(ident["step"])
+         * (F.monotonically_increasing_id() + 1)).cast("long"))
+
+
+def _advance_identity_hwm(meta: dict, idents: list[dict],
+                          new_adds: list[dict]) -> dict | None:
+    """The updated ``metaData`` action (same table id) recording each
+    identity column's new ``delta.identity.highWaterMark`` after a
+    write — the farthest value in step direction across the staged
+    files' footer stats. Returns None when nothing moved. A write that
+    produced files without readable stats fails loudly: a stale
+    watermark would hand the same identity out twice."""
+    moved = False
+    schema = json.loads(meta["schemaString"])
+    for ident in idents:
+        ext = None
+        for a in new_adds:
+            try:
+                st = json.loads(a["stats"])
+                v = (st["maxValues"] if ident["step"] > 0
+                     else st["minValues"]).get(ident["name"])
+                n = st.get("numRecords", 0)
+            except (KeyError, TypeError, ValueError):
+                raise VersionedTableError(
+                    f"write: identity column {ident['name']!r} needs "
+                    f"footer stats to advance its high watermark, and "
+                    f"{a['path']!r} has none (non-local staging URI?)"
+                ) from None
+            if n and v is None:
+                raise VersionedTableError(
+                    f"write: identity column {ident['name']!r} has no "
+                    f"min/max stats in {a['path']!r}; cannot advance the "
+                    "high watermark safely"
+                )
+            if v is not None:
+                ext = v if ext is None else (
+                    max(ext, v) if ident["step"] > 0 else min(ext, v))
+        if ext is None:
+            continue
+        cur = ident["hwm"]
+        better = cur is None or (ext > cur if ident["step"] > 0 else ext < cur)
+        if better:
+            for f in schema["fields"]:
+                if f["name"] == ident["name"]:
+                    f["metadata"] = {
+                        **(f.get("metadata") or {}),
+                        "delta.identity.highWaterMark": int(ext),
+                    }
+            moved = True
+    if not moved:
+        return None
+    out = dict(meta)
+    out["schemaString"] = json.dumps(schema)
+    return out
+
+
 def _next_ict(spark: SparkSession, log_dir: str, meta: dict,
               prev_version: int | None, now_ms: int) -> int | None:
     """The ``commitInfo.inCommitTimestamp`` this commit must carry —
@@ -1039,7 +1211,8 @@ def _log_actions(spark: SparkSession, path: str):
 def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
                       meta: dict, adds: dict[str, dict],
                       txns: dict[str, int] | None = None,
-                      proto: dict | None = None) -> None:
+                      proto: dict | None = None,
+                      domains: dict[str, str] | None = None) -> None:
     """Emit ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` for the
     reconciled state after commit ``version`` — Delta's reader
     optimization: without it every reader of a long-lived table (e.g. a
@@ -1090,6 +1263,11 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             StructField("modificationTime", LongType()),
             StructField("dataChange", BooleanType()),
             StructField("stats", StringType()),
+            # row-tracking identity must survive the checkpoint — a
+            # reader reconstructing row ids from a checkpoint that
+            # dropped baseRowId would renumber every row
+            StructField("baseRowId", LongType()),
+            StructField("defaultRowCommitVersion", LongType()),
             # live deletion vectors must survive the checkpoint — a
             # checkpoint that dropped a descriptor would resurrect the
             # deleted rows for every reader that trusts it (the spec's
@@ -1115,9 +1293,16 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             StructField("appId", StringType()),
             StructField("version", LongType()),
         ])),
+        # named metadata domains (rowTracking high watermark, foreign
+        # writers' domains) must survive log pruning like txn watermarks
+        StructField("domainMetadata", StructType([
+            StructField("domain", StringType()),
+            StructField("configuration", StringType()),
+            StructField("removed", BooleanType()),
+        ])),
     ])
     none_row = {"protocol": None, "metaData": None, "add": None,
-                "remove": None, "txn": None}
+                "remove": None, "txn": None, "domainMetadata": None}
     p = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
     rows = [
         # the checkpoint must restate the TABLE'S protocol — emitting a
@@ -1154,6 +1339,8 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
             "modificationTime": a.get("modificationTime"),
             "dataChange": False,
             "stats": a.get("stats"),
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
             "deletionVector": _dv_struct(a),
         }}
         for _, a in sorted(adds.items())
@@ -1161,6 +1348,12 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
     rows += [
         {**none_row, "txn": {"appId": app, "version": int(v)}}
         for app, v in sorted((txns or {}).items())
+    ]
+    rows += [
+        {**none_row, "domainMetadata": {
+            "domain": dom, "configuration": conf, "removed": False,
+        }}
+        for dom, conf in sorted((domains or {}).items())
     ]
     fs, _, _ = _fs_and_path(spark, log_dir)
     tmp_dir = f"{log_dir}/.checkpoint-{version:020d}.tmp"
@@ -1689,6 +1882,13 @@ _BRIDGE_WRITER_FEATURES = {
                          # increasing commitInfo.inCommitTimestamp as
                          # its FIRST action (_next_ict); the read side
                          # already resolves timestamp travel through it
+    "domainMetadata",    # named domains replay + survive checkpoints;
+                         # the bridge writes only delta.rowTracking,
+                         # preserves every other domain verbatim
+    "rowTracking",       # fresh baseRowId ranges + high-watermark
+                         # domain on every add (_assign_row_ids);
+                         # rewrites of ENABLED tables refuse (stable
+                         # ids need materialization — see gate below)
 }
 
 
@@ -1727,17 +1927,31 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
             "write: delta.appendOnly=true forbids removing data; only "
             "appends (and dataChange:false compaction) are allowed"
         )
+    if (str(conf.get("delta.enableRowTracking", "false")).lower() == "true"
+            and mode in ("merge", "compact")):
+        raise VersionedTableError(
+            "write: delta.enableRowTracking=true promises STABLE row ids "
+            "across rewrites, which requires materializing row-id columns "
+            f"into rewritten files — the bridge cannot do that for {mode}; "
+            "install delta-spark (appends and full overwrites work: fresh "
+            "ids are correct there)"
+        )
     # CHECK constraints, invariants and generated columns are ENFORCED
-    # at write time (_enforce_write_obligations), not refused — the
-    # remaining refusal here is identity columns, whose high-water-mark
-    # allocation protocol the bridge does not implement
-    for f in _walk_schema_fields(json.loads(meta["schemaString"])):
-        md = f.get("metadata") or {}
-        if any(k.startswith("delta.identity.") for k in md):
-            raise VersionedTableError(
-                f"write: column {f.get('name')!r} is an identity column "
-                "the bridge cannot allocate; install delta-spark"
-            )
+    # at write time (_enforce_write_obligations); identity columns are
+    # allocated on append/overwrite (_identity_columns +
+    # _advance_identity_hwm) — only MERGE keeps the refusal (allocation
+    # inside a copy-on-write rewrite would have to distinguish
+    # surviving values from fresh inserts row-by-row)
+    if mode == "merge":
+        for f in _walk_schema_fields(json.loads(meta["schemaString"])):
+            md = f.get("metadata") or {}
+            if any(k.startswith("delta.identity.") for k in md):
+                raise VersionedTableError(
+                    f"write: column {f.get('name')!r} is an identity "
+                    "column; the bridge allocates identities on "
+                    "append/overwrite but not inside MERGE — install "
+                    "delta-spark for identity-table merges"
+                )
 
 
 def _enforce_write_obligations(df: DataFrame, meta: dict) -> DataFrame:
@@ -1899,17 +2113,27 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         _list_log(spark, log_dir)
         or _last_checkpoint(spark, log_dir) is not None
     ):
-        meta, live, latest, txns, proto = _replay_state(spark, path)
+        meta, live, latest, txns, proto, domains = _replay_state(spark, path)
         _check_writer_allowed(proto, meta, mode)
         mapping_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none")
-        # a batch may legitimately omit generated columns (the library
-        # writer computes them) — compute BEFORE the schema-drift check
-        # so the omission doesn't read as drift
+        # a batch may legitimately omit generated and identity columns
+        # (the library writer computes/allocates them) — fill BEFORE the
+        # schema-drift check so the omission doesn't read as drift
         for f_ in json.loads(meta["schemaString"]).get("fields", []):
             gen_ = (f_.get("metadata") or {}).get("delta.generationExpression")
             if gen_ and f_["name"] not in df.columns:
                 df = df.withColumn(f_["name"], F.expr(gen_))
+        idents = _identity_columns(meta)
+        for ident in idents:
+            if ident["name"] not in df.columns:
+                df = _generate_identity(df, ident)
+            elif not ident["explicit"]:
+                raise VersionedTableError(
+                    f"write: identity column {ident['name']!r} is "
+                    "GENERATED ALWAYS (allowExplicitInsert=false); omit "
+                    "it from the batch and the bridge allocates it"
+                )
         if properties is not None and dict(properties) != dict(
                 meta.get("configuration") or {}):
             raise VersionedTableError(
@@ -2000,11 +2224,32 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 meta = _evolve_mapped_meta(meta, json.loads(df.schema.json()))
             else:
                 meta["schemaString"] = df.schema.json()
+            if idents:
+                # a data overwrite must not silently strip a surviving
+                # column's identity definition (the batch's StructType
+                # carries no delta.identity.* metadata)
+                new_schema = json.loads(meta["schemaString"])
+                by_name = {i["name"]: i for i in idents}
+                for f_ in new_schema["fields"]:
+                    ident = by_name.get(f_["name"])
+                    if ident:
+                        f_["metadata"] = {
+                            **(f_.get("metadata") or {}),
+                            "delta.identity.start": ident["start"],
+                            "delta.identity.step": ident["step"],
+                            "delta.identity.allowExplicitInsert":
+                                ident["explicit"],
+                            **({"delta.identity.highWaterMark": ident["hwm"]}
+                               if ident["hwm"] is not None else {}),
+                        }
+                meta["schemaString"] = json.dumps(new_schema)
     else:
         next_v = 0
         part_cols = list(partition_by or [])
         emit_meta = True
         mapping_mode = "none"
+        domains = {}
+        idents = []
         # the protocol must CLAIM what the table's properties require:
         # delta.enableChangeDataFeed is gated behind writer version 4
         # (the changeDataFeed feature) — a v2 claim would let external
@@ -2057,6 +2302,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     new_adds = _stage_data_files(stage_df, path, stage_parts)
     _footer_stats_json(spark, path, new_adds)
     new_adds = _drop_empty_adds(new_adds)
+    if idents:
+        upd = _advance_identity_hwm(meta, idents, new_adds)
+        if upd is not None:
+            meta = upd
+            emit_meta = True
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
@@ -2079,6 +2329,10 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         actions.append({"txn": {"appId": txn_app_id,
                                 "version": int(txn_version),
                                 "lastUpdated": now_ms}})
+    rt = _assign_row_ids(proto, domains, new_adds, next_v)
+    if rt is not None:
+        actions.append(rt)
+        domains[_ROW_TRACKING_DOMAIN] = rt["domainMetadata"]["configuration"]
     if mode == "overwrite":
         actions.extend(
             {"remove": _remove_action(a, now_ms, True)}
@@ -2097,7 +2351,8 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         state = {_fkey(a): a for a in new_adds}
         if mode == "append":
             state = {**live, **state}
-        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto)
+        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
+                          domains)
     return next_v
 
 
@@ -2178,7 +2433,7 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     spark = source.sparkSession
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
-    meta, live, latest, txns, proto = _replay_state(spark, path)
+    meta, live, latest, txns, proto, domains = _replay_state(spark, path)
     _check_writer_allowed(proto, meta, "merge")
     mapping_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
@@ -2325,6 +2580,10 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     ict = _next_ict(spark, log_dir, meta, latest, now_ms)
     if ict is not None:
         actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    rt = _assign_row_ids(proto, domains, new_adds, latest + 1)
+    if rt is not None:
+        actions.append(rt)
+        domains[_ROW_TRACKING_DOMAIN] = rt["domainMetadata"]["configuration"]
     actions.extend(
         {"remove": _remove_action(a, now_ms, True)}
         for a in sorted(matched.values(), key=lambda a: a["path"])
@@ -2344,7 +2603,8 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     if checkpoint_interval and next_v % checkpoint_interval == 0:
         state = {k: a for k, a in live.items() if k not in matched}
         state.update({_fkey(a): a for a in new_adds})
-        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto)
+        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
+                          domains)
     return next_v
 
 
@@ -2394,7 +2654,7 @@ def compact_delta(spark: SparkSession, path: str,
 
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
-    meta, live, latest, _, proto = _replay_state(spark, path)
+    meta, live, latest, _, proto, domains = _replay_state(spark, path)
     _check_writer_allowed(proto, meta, "compact")
     mapping_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
@@ -2435,6 +2695,10 @@ def compact_delta(spark: SparkSession, path: str,
     ict = _next_ict(spark, log_dir, meta, latest, now_ms)
     if ict is not None:
         actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    rt = _assign_row_ids(proto, domains, new_adds, latest + 1)
+    if rt is not None:
+        actions.append(rt)
+        domains[_ROW_TRACKING_DOMAIN] = rt["domainMetadata"]["configuration"]
     actions.extend(
         {"remove": _remove_action(a, now_ms, False)}
         for a in sorted(live.values(), key=lambda a: a["path"])
@@ -2492,7 +2756,7 @@ def vacuum_delta(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
-    meta, live, latest, _, _ = _replay_state(spark, path)
+    meta, live, latest, _, _, _ = _replay_state(spark, path)
     cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
 
     tombstones: dict[str, int] = {}
@@ -2565,7 +2829,7 @@ def read_delta_appends(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
-    meta, _, latest, _, _ = _replay_state(spark, path)
+    meta, _, latest, _, _, _ = _replay_state(spark, path)
     if since_version > latest:
         raise VersionedTableError(
             f"read_delta_appends: since_version {since_version} is beyond "
@@ -2637,7 +2901,7 @@ def read_delta_changes(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
-    meta, _, latest, _, _ = _replay_state(spark, path)
+    meta, _, latest, _, _, _ = _replay_state(spark, path)
     conf = meta.get("configuration") or {}
     if str(conf.get("delta.enableChangeDataFeed", "false")).lower() != "true":
         raise VersionedTableError(
