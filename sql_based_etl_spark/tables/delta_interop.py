@@ -1889,6 +1889,10 @@ _BRIDGE_WRITER_FEATURES = {
                          # domain on every add (_assign_row_ids);
                          # rewrites of ENABLED tables refuse (stable
                          # ids need materialization — see gate below)
+    "clustering",        # liquid clustering: a non-clustering writer's
+                         # obligation is preserving the delta.clustering
+                         # domain (generic now); compact_delta picks the
+                         # clustering columns up automatically
 }
 
 
@@ -2660,6 +2664,21 @@ def compact_delta(spark: SparkSession, path: str,
         "delta.columnMapping.mode", "none")
     if not live:
         raise VersionedTableError(f"compact_delta: nothing to compact at {path}")
+    if cluster_by is None:
+        # liquid-clustered tables record their clustering columns in the
+        # delta.clustering domain — OPTIMIZE on such a table clusters by
+        # them without being told (the library's behavior)
+        raw = domains.get("delta.clustering")
+        if raw:
+            try:
+                cols = json.loads(raw).get("clusteringColumns") or []
+            except (TypeError, ValueError):
+                cols = []
+            flat = [c[0] if isinstance(c, list) else c
+                    for c in cols
+                    if not isinstance(c, list) or len(c) == 1]
+            if flat and len(flat) == len(cols):
+                cluster_by = flat
     part_cols = list(meta.get("partitionColumns") or [])
     df = _snapshot_df(spark, path, meta, live)
     if cluster_by and cluster_method == "zorder":

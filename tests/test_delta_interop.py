@@ -3229,3 +3229,44 @@ def test_identity_columns_allocated_on_append(spark, tmp_path):
                 d2, mode="overwrite")
     rows = {r.v: r.ident for r in read_delta(spark, d2).collect()}
     assert set(rows) == {"g"} and rows["g"] > 500
+
+
+def test_clustered_table_appends_and_auto_optimize(spark, tmp_path):
+    """Liquid-clustered tables (writer feature `clustering`): appends
+    are accepted (the non-clustering writer's obligation is preserving
+    the delta.clustering domain, which rides replay + checkpoints), and
+    compact_delta with no cluster_by picks the recorded clustering
+    columns up automatically — every rewritten add carries stats whose
+    ranges narrow on the clustered column."""
+    from sql_based_etl_spark.tables.delta_interop import compact_delta, write_delta
+
+    d = str(tmp_path / "liquid")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", [5, 1, 9])
+    _log(d, 0,
+         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": ["clustering", "domainMetadata"]}},
+         _meta(),
+         {"domainMetadata": {"domain": "delta.clustering",
+                             "configuration": json.dumps(
+                                 {"clusteringColumns": [["id"]]}),
+                             "removed": False}},
+         _add("f0.parquet"))
+    write_delta(spark.createDataFrame([(7, "x"), (2, "y")],
+                                      "id long, v string"), d)
+    assert _ids(read_delta(spark, d)) == [1, 2, 5, 7, 9]
+    v = compact_delta(spark, d, target_files=2)
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{v:020d}.json")).read().splitlines()]
+    ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
+    assert json.loads(ci["operationParameters"]["zOrderBy"]) == ["id"]
+    adds = [a["add"] for a in acts if "add" in a]
+    spans = sorted(
+        (json.loads(a["stats"])["minValues"]["id"],
+         json.loads(a["stats"])["maxValues"]["id"]) for a in adds)
+    # clustered rewrite: the two files cover disjoint id ranges
+    assert spans[0][1] <= spans[1][0]
+    # the clustering domain survived the rewrite commit's replay
+    from sql_based_etl_spark.tables.delta_interop import _replay_state
+    domains = _replay_state(spark, d)[5]
+    assert "delta.clustering" in domains
