@@ -2330,14 +2330,14 @@ def test_writer_protocol_gate(spark, tmp_path):
 
     df = spark.createDataFrame([(9, "x")], "id long, v string")
 
-    # unknown writer feature (clustering) refuses any write
+    # unknown writer feature (icebergCompatV2) refuses any write
     d1 = str(tmp_path / "wg1")
     os.makedirs(d1)
     _write_datafile(spark, d1, "f0.parquet", [1])
     _log(d1, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
-                              "writerFeatures": ["clustering"]}},
+                              "writerFeatures": ["icebergCompatV2"]}},
          _meta(), _add("f0.parquet"))
-    with pytest.raises(VersionedTableError, match="clustering"):
+    with pytest.raises(VersionedTableError, match="icebergCompatV2"):
         write_delta(df, d1, mode="append")
 
     # delta.appendOnly forbids overwrite but allows append
