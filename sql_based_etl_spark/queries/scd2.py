@@ -441,3 +441,79 @@ ORACLES["q_delta_cdf"] = """
            CAST(sum(o_custkey) AS BIGINT) FROM od
     ORDER BY _commit_version, _change_type
 """
+
+
+def q_delta_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned bridge read, exactly oracle-checked: write an
+    ``orders`` sample to a bridge Delta table, OPTIMIZE ZORDER it on
+    (o_orderkey, o_custkey) so every rewritten add carries footer
+    stats, then read back through ``read_delta(where=...)`` — the
+    conjunction prunes whole files driver-side from add.stats before
+    the scan AND applies as the residual filter, so the aggregate must
+    equal DuckDB running the same predicate over ``orders`` directly
+    (tables/delta_interop.py:_prune_adds_by_stats). A pruner that
+    drops a file it shouldn't loses rows here; one that skips nothing
+    still passes — correctness and the skipping are separately pinned
+    (the skipping by tests/test_delta_interop.py's inputFiles
+    assertions)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .filter(F.col("o_orderkey") % 10 == 0)
+    )
+    root = tempfile.mkdtemp(prefix="q_delta_prune_")
+    _TEMP_TABLE_DIRS.append(root)
+    d = f"{root}/t"
+    write_delta(base, d, mode="overwrite")
+    compact_delta(spark, d, target_files=8,
+                  cluster_by=["o_orderkey", "o_custkey"])
+    hi = read_delta(spark, d, where=[
+        ("o_orderkey", ">=", 15000), ("o_orderstatus", "=", "O"),
+    ])
+    lo = read_delta(spark, d, where=[
+        ("o_orderkey", "<", 15000), ("o_custkey", ">", 500),
+    ])
+    def agg(df, part):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+            F.min("o_orderkey").cast("bigint").alias("min_okey"),
+            F.max("o_orderkey").cast("bigint").alias("max_okey"),
+        ).select(F.lit(part).alias("part"), "n_rows", "sum_custkey",
+                 "min_okey", "max_okey")
+    return agg(hi, "hi").unionByName(agg(lo, "lo")).orderBy("part")
+
+
+QUERIES["q_delta_prune"] = q_delta_prune
+
+# the pruned reads replayed over `orders` directly: same sample, same
+# conjunctions — file skipping must be invisible to the result
+ORACLES["q_delta_prune"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    hi AS (
+        SELECT CAST('hi' AS VARCHAR) AS part,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+               CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+               CAST(max(o_orderkey) AS BIGINT) AS max_okey
+        FROM base WHERE o_orderkey >= 15000 AND o_orderstatus = 'O'
+    ),
+    lo AS (
+        SELECT CAST('lo' AS VARCHAR) AS part,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+               CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+               CAST(max(o_orderkey) AS BIGINT) AS max_okey
+        FROM base WHERE o_orderkey < 15000 AND o_custkey > 500
+    )
+    SELECT * FROM hi UNION ALL SELECT * FROM lo ORDER BY part
+"""
