@@ -418,7 +418,19 @@ def minhash_lsh_pairs_incremental(
     # probes (semi-join first — counting every historical bucket would
     # scan state the batch never touches)
     probed = new_bands.select("band", "key").distinct().persist()
-    probed_all = all_bands.join(F.broadcast(probed), ["band", "key"], "leftsemi")
+    # consumed TWICE (the hot-bucket count broadcast, then the candidate
+    # join's build side) in SEPARATE jobs — broadcast exchanges each run
+    # their own job, so ReuseExchange cannot dedupe the two scans and
+    # without a persist the old-corpus banding (shingle+md5+minhash over
+    # the whole index) runs once per consumer. That recompute was the
+    # documented bimodal 6.7s/9.6s swing on this path: whether the
+    # second scan got a warm page cache decided the mode. The persisted
+    # slice is post-semi-join (probed buckets only, ≪ index) and
+    # int+string-key rows, so the cache is small and the second
+    # consumer always reads it instead of re-banding the index.
+    probed_all = all_bands.join(
+        F.broadcast(probed), ["band", "key"], "leftsemi"
+    ).persist()
     hot = (
         probed_all.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("__c"))

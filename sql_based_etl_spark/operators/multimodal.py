@@ -306,13 +306,15 @@ def decode_video(df: DataFrame, id_col: str = "doc_id",
     """REAL video frame sampling through the same Arrow ``mapInPandas``
     path as :func:`decode_image` / :func:`decode_audio`: the pure-stdlib
     AVI container codec (operators/videocodecs.py) walks the RIFF tree
-    and decodes every ``every_n``-th uncompressed BI_RGB frame. One
+    and decodes every ``every_n``-th frame — uncompressed BI_RGB
+    natively, and MJPEG through the stdlib JPEG decoder (DHT-less
+    camera frames via the T.81 Annex-K tables). One
     output row per sampled frame — container facts (geometry,
     integer-millis fps) plus exact integer pixel statistics and a frame
     md5; pixels never leave the executor. Fail-loud: malformed
-    containers raise ``VideoDecodeError``; compressed streams (MJPEG,
-    …) raise ``NotImplementedError`` naming the codec — the external
-    decoder integration point."""
+    containers raise ``VideoDecodeError``; non-MJPEG compressed
+    fourccs (cinepak, h264, …) raise ``NotImplementedError`` naming
+    the codec — the external decoder integration point."""
     import hashlib
 
     import numpy as np
@@ -389,9 +391,9 @@ def synth_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def sample_frames(df: DataFrame, payload_col: str = "payload",
                   every_n: int = 30) -> DataFrame:
-    """Video frame sampling over arbitrary containers: uncompressed AVI
-    decodes natively (:func:`decode_video`); everything else (mp4/mkv,
-    compressed streams) needs ffmpeg/pyav — integration point only."""
+    """Video frame sampling over arbitrary containers: uncompressed and
+    MJPEG AVI decode natively (:func:`decode_video`); everything else
+    (mp4/mkv, other codecs) needs ffmpeg/pyav — integration point only."""
     raise NotImplementedError(
         "sample_frames needs a video codec (pyav/ffmpeg) on the executors "
         "for non-AVI containers; uncompressed AVI decodes natively via "

@@ -7,11 +7,14 @@ Covers the uncompressed path end-to-end: a writer
 (``avih`` + ``strl`` with ``strh``/``strf``), ``movi`` with ``00db``
 DIB frames, and an ``idx1`` index — and a reader
 (:func:`decode_avi_frames`) that walks the RIFF tree, validates the
-headers, and returns frames as RGB numpy arrays. Compressed streams
-(``biCompression != 0``: MJPEG, cinepak, …) and bit depths other than
-24 stay honest ``NotImplementedError`` integration points — the
-*container* logic (the scale-relevant plumbing: chunk walking, frame
-sampling, geometry) is real either way.
+headers, and returns frames as RGB numpy arrays. MJPEG streams
+(``biCompression == 'MJPG'``) also decode natively — each ``00dc``
+chunk runs through the stdlib JPEG decoder (imagecodecs.py), with
+DHT-less camera frames spliced against the T.81 Annex-K tables.
+Other compressed fourccs (cinepak, h264, …) and uncompressed bit
+depths other than 24 stay honest ``NotImplementedError`` integration
+points — the *container* logic (the scale-relevant plumbing: chunk
+walking, frame sampling, geometry) is real either way.
 
 Reference parity: the reference treats video as opaque binary with
 typed metadata; frame sampling there shells out to an external decoder.

@@ -99,9 +99,10 @@ APPENDIX = [
     "q_scd2_point_in_time",  # SCD2 consumer join — interval machinery graded via q_range_join/q_asof_join over the graded q_scd2_merge state; oracle-checked in pytest
     "stream_materialized_agg",  # streaming materialized view — stream sink + CDF refresh graded via stream_window_counts + q_scd2_changes machinery; equals-batch oracle-checked in pytest
     "text_lm_perplexity",  # CCNet bigram-LM quality scoring — count-join machinery graded via text_decontaminate + text_tfidf_topk's df join; integer-micros NLL oracle-checked in pytest
-    "q_delta_prune",  # stats-pruned bridge read (where= conjunction vs add.stats) — filter semantics graded via the relational rows; prune-never-drops-rows oracle-checked here (full registry pytest) + actual file skipping pinned by inputFiles pytest
-    "q_delta_cdf",  # bridge CDF round trip (CREATE-with-properties → overwrite → read_delta_changes) — delta write/read machinery graded via q_scd2_merge's pipeline; commit algebra oracle-checked here (full registry pytest)
     "q_filter_project",  # projection + filter — graded by a dozen other rows (q01/q03/q06/every pushdown-asserted scan); displaced so q_delta_merge (the bridge-MERGE flagship) gets a driver-graded CORRECTNESS row
+    "q_outer_join_count",  # left-outer join + count — outer-join machinery graded via q13_order_count_distribution's pytest oracle + the conditional-agg shape via q_pivot; displaced so q_delta_prune (stats-pruned bridge read) gets a driver-graded row
+    "q_percentiles",  # exact percentile aggregates — the int-micros exact-arithmetic machinery is graded via q01_pricing_summary + q_running_total; percentile semantics stay oracle-checked here (full registry pytest); displaced so q_delta_cdf (bridge CDF round trip) gets a driver-graded row
+    "dedup_canonical",  # canonical-survivor selection — the connected-components core is graded via dedup_clusters; the min-id survivor join stays oracle-checked here (full registry pytest); displaced so q_delta_delete (the DV-delete flagship) gets a driver-graded row
     "mm_decode_audio",  # WAV round trip (synth → RIFF/PCM parse → integer stats) — mapInPandas path graded via mm_decode_geometry; decode exactness oracle-checked here (full registry pytest) + codec edge cases pytest-pinned
     "mm_decode_flac",  # FLAC round trip (lossless compress → bit-exact decode, MD5-verified) — mapInPandas path graded via mm_decode_geometry; codec exactness oracle-checked here (full registry pytest) + every subframe/stereo path pytest-pinned
     "mm_decode_video",  # AVI round trip (synth → RIFF tree walk → per-frame integer pixel stats) — mapInPandas path graded via mm_decode_geometry; container parse exactness oracle-checked here (full registry pytest) + codec edge cases pytest-pinned

@@ -517,3 +517,73 @@ ORACLES["q_delta_prune"] = """
     )
     SELECT * FROM hi UNION ALL SELECT * FROM lo ORDER BY part
 """
+
+
+def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE round trip, exactly oracle-checked: write
+    an ``orders`` sample to a DV-enabled bridge Delta table (CDF on),
+    ``delete_delta`` a custkey predicate — the data files stay
+    byte-untouched; the commit attaches roaring-bitmap DV descriptors —
+    then read the post-delete snapshot, the pre-delete snapshot via
+    time travel, and the delete commit's change feed. DuckDB replays
+    the anti-filter directly from ``orders``
+    (tables/delta_interop.py:delete_delta). The files-untouched /
+    sidecar-exists physical claims are pinned by
+    tests/test_delta_interop.py; this row grades the SEMANTICS."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q_delta_delete_")
+    _TEMP_TABLE_DIRS.append(root)
+    d = f"{root}/t"
+    write_delta(base.repartition(4), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true",
+                            "delta.enableChangeDataFeed": "true"})
+    delete_delta(spark, d, "o_custkey % 10 = 3")
+
+    def agg(df, part):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        ).select(F.lit(part).alias("part"), "n_rows", "sum_custkey")
+
+    return (
+        agg(read_delta(spark, d), "post")
+        .unionByName(agg(read_delta(spark, d, version=0), "pre"))
+        .unionByName(agg(
+            read_delta_changes(spark, d, starting_version=1)
+            .filter(F.col("_change_type") == "delete"), "cdf_del"))
+        .orderBy("part")
+    )
+
+
+QUERIES["q_delta_delete"] = q_delta_delete
+
+# the delete algebra replayed from `orders` directly: pre = the %25
+# sample, deleted = custkey%10=3 of it, post = the anti-filter
+ORACLES["q_delta_delete"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 25 = 0
+    )
+    SELECT 'cdf_del' AS part, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM base WHERE o_custkey % 10 = 3
+    UNION ALL
+    SELECT 'post', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM base WHERE o_custkey % 10 <> 3
+    UNION ALL
+    SELECT 'pre', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM base
+    ORDER BY part
+"""

@@ -29,11 +29,13 @@ Reader features: COLUMN MAPPING is supported in both modes (name mode
 via physical column names from the schemaString field metadata mapped
 back to logical; id mode via parquet field-id resolution — the
 ``delta.columnMapping.id`` rides the read schema as
-``parquet.field.id``) and DELETION VECTORS are supported (the public
-roaring-bitmap format decoded driver-side — bounded by the
-descriptor's sizeInBytes — and applied distributed as a
-``_metadata.row_index`` anti-join). All are reads only;
-writes/compaction/vacuum of mapped or DV-bearing tables fail loudly.
+``parquet.field.id``) and DELETION VECTORS are supported BOTH WAYS:
+reads decode the public roaring-bitmap format driver-side — bounded
+by the descriptor's sizeInBytes — and apply it distributed as a
+``_metadata.row_index`` anti-join; writes (:func:`delete_delta`)
+serialize the same format, so a row-level DELETE on a DV-enabled
+table touches no data-file bytes. Mapped and DV-bearing tables take
+every write shape (append/overwrite/merge/delete/compact).
 All three public checkpoint layouts replay (classic single-file,
 classic multipart, V2 manifest + ``_sidecars``), and timestamp time
 travel honors ``commitInfo.inCommitTimestamp`` when the table writes
@@ -51,6 +53,7 @@ collected.
 from __future__ import annotations
 
 import json
+import logging
 import posixpath
 import urllib.parse
 
@@ -62,6 +65,8 @@ from sql_based_etl_spark.tables.versioned import (
     VersionedTableError,
     publish_text_exclusive,
 )
+
+_log = logging.getLogger("sql_based_etl_spark.delta_interop")
 
 
 def delta_available() -> bool:
@@ -166,12 +171,19 @@ def _physical_schema_json(node, with_field_ids: bool = False):
                 fid = md.get("delta.columnMapping.id")
                 if fid is not None:
                     new_md = {"parquet.field.id": int(fid)}
-                elif not (f.get("name", "").startswith("_")
+                elif not (f.get("name") in ("_change_type",
+                                            "_commit_version",
+                                            "_commit_timestamp")
                           and phys == f.get("name")):
-                    # CDF virtual columns (_change_type) are stored
-                    # VERBATIM in cdc files with no field id — they
-                    # resolve by name even in id mode. Anything else
-                    # without an id is corrupt mapping metadata.
+                    # ONLY the CDF virtual columns (_change_type, and
+                    # the injected _commit_version/_commit_timestamp)
+                    # are stored VERBATIM in cdc files with no field
+                    # id — they resolve by name even in id mode. Any
+                    # OTHER field without an id — including a real
+                    # user column that happens to start with '_' — is
+                    # corrupt mapping metadata and must fail loudly
+                    # rather than silently resolve by name (which
+                    # would read nulls from uuid-named parquet).
                     raise VersionedTableError(
                         "Delta column mapping mode 'id' but field "
                         f"{f.get('name')!r} has no delta.columnMapping.id "
@@ -242,6 +254,25 @@ def _z85_decode(s: str) -> bytes:
     return bytes(out)
 
 
+def _z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85 encode — the inverse of :func:`_z85_decode`, used to
+    encode a DV file's UUID into the descriptor's ``pathOrInlineDv``
+    (16 bytes → 20 chars). Input must be a multiple of 4 bytes."""
+    if len(data) % 4:
+        raise VersionedTableError(
+            f"Z85 encode needs a multiple of 4 bytes, got {len(data)}"
+        )
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
 def _read_bytes(spark: SparkSession, path: str) -> bytes:
     fs, jpath, jvm = _fs_and_path(spark, path)
     stream = fs.open(jpath)
@@ -249,6 +280,15 @@ def _read_bytes(spark: SparkSession, path: str) -> bytes:
         return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
+
+
+def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    fs, jpath, _ = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
 
 
 def _roaring32(data: bytes, pos: int):
@@ -331,6 +371,75 @@ def _roaring_array_indexes(data: bytes):
             "RoaringBitmapArray decode"
         )
     return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def _roaring32_serialize(vals) -> bytes:
+    """Serialize sorted distinct uint32 values (int64 ndarray) as one
+    32-bit RoaringBitmap in the portable little-endian format — the
+    exact inverse of :func:`_roaring32`, and readable by any spec
+    RoaringBitmap implementation (delta-spark's included). Always the
+    no-run-container layout (cookie 12346): array containers for
+    cardinality ≤ 4096, bitmap containers above — valid roaring at any
+    density, just without the run optimization, which a reader never
+    requires."""
+    import struct
+
+    import numpy as np
+
+    keys = (vals >> 16).astype(np.int64)
+    uk, starts = np.unique(keys, return_index=True)
+    ends = np.append(starts[1:], len(vals))
+    size = len(uk)
+    header = struct.pack("<iI", 12346, size)
+    desc = b"".join(
+        struct.pack("<HH", int(k), int(e - s - 1))
+        for k, s, e in zip(uk, starts, ends)
+    )
+    payloads: list[bytes] = []
+    for s, e in zip(starts, ends):
+        low = (vals[s:e] & 0xFFFF).astype("<u2")
+        if e - s <= 4096:
+            payloads.append(low.tobytes())
+        else:
+            bits = np.zeros(65536, dtype=bool)
+            bits[low] = True
+            payloads.append(
+                np.packbits(bits, bitorder="little").tobytes())
+    # offset header: byte position of each container from the start of
+    # this bitmap's serialization (present whenever cookie == 12346)
+    pos = 8 + 8 * size
+    offs = []
+    for p in payloads:
+        offs.append(pos)
+        pos += len(p)
+    return (header + desc
+            + b"".join(struct.pack("<I", o) for o in offs)
+            + b"".join(payloads))
+
+
+def _roaring_array_serialize(idx) -> bytes:
+    """Serialize sorted distinct int64 row indexes as a Delta
+    RoaringBitmapArray (portable) — the exact inverse of
+    :func:`_roaring_array_indexes`: 4-byte LE magic, 8-byte LE bitmap
+    count, then per high-32-bit key a 4-byte LE key + one 32-bit
+    roaring bitmap of the low 32 bits."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.int64)
+    if len(idx) and int(idx[0]) < 0:
+        raise VersionedTableError(
+            "deletion vector: negative row index cannot be serialized"
+        )
+    high = idx >> 32
+    uk, starts = np.unique(high, return_index=True)
+    ends = np.append(starts[1:], len(idx))
+    out = [struct.pack("<iq", 1681511377, len(uk))]
+    for k, s, e in zip(uk, starts, ends):
+        out.append(struct.pack("<I", int(k)))
+        out.append(_roaring32_serialize(idx[s:e] & 0xFFFFFFFF))
+    return b"".join(out)
 
 
 def _dv_row_indexes(spark: SparkSession, table_path: str, dv: dict):
@@ -814,9 +923,21 @@ def _replay_state(
 
 
 def _snapshot_df(
-    spark: SparkSession, path: str, meta: dict, adds: dict[str, dict]
+    spark: SparkSession, path: str, meta: dict, adds: dict[str, dict],
+    tag_rows: bool = False,
 ) -> DataFrame:
-    """Materialize a replayed snapshot state as a DataFrame."""
+    """Materialize a replayed snapshot state as a DataFrame.
+
+    ``tag_rows`` appends two physical-address columns to every row —
+    ``__file`` (the scan's ``_metadata.file_path``) and ``__ridx``
+    (``_metadata.row_index``, the row's physical position in its
+    parquet file) — captured AT THE SCAN, before unions/projections
+    strip the hidden metadata column. This is the currency of
+    row-level DML: :func:`delete_delta` turns matched ``__ridx`` sets
+    into deletion-vector bitmaps keyed by ``__file``. Rows already
+    dead under a live DV are filtered before tagging consumers see
+    them, so a second delete on the same file unions indexes with the
+    existing DV rather than resurrecting anything."""
     path = path.rstrip("/")
     from pyspark.sql.types import StructType
 
@@ -858,13 +979,15 @@ def _snapshot_df(
     ])
     by_type = {f.name: f.dataType for f in schema.fields}
 
+    tag_cols = ["__file", "__ridx"] if tag_rows else []
+
     def _to_logical(df: DataFrame) -> DataFrame:
         if not mapped:
             return df
         return df.select(*[
             F.col(log2phys[lf.name]).cast(lf.dataType).alias(lf.name)
             for lf in schema.fields
-        ])
+        ], *tag_cols)
 
     def _abs(rel: str) -> str:
         # add.path is URL-encoded and relative unless absolute
@@ -880,7 +1003,14 @@ def _snapshot_df(
         # HERE, not mid-job; re-raise with the actual cause named.
         # Zero cost on the happy path: no extra existence probes.
         try:
-            return spark.read.schema(data_schema).parquet(*files)
+            df = spark.read.schema(data_schema).parquet(*files)
+            if tag_rows:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__file"),
+                    F.col("_metadata.row_index").alias("__ridx"),
+                )
+            return df
         except Exception as e:
             msg = str(e)
             if "PATH_NOT_FOUND" in msg or "does not exist" in msg.lower():
@@ -911,7 +1041,10 @@ def _snapshot_df(
                 pd.DataFrame({"__dv_row_index": idx.astype("int64")}))
             parts.append(
                 _read([_abs(a["path"])])
-                .withColumn("__dv_row_index", F.col("_metadata.row_index"))
+                .withColumn(
+                    "__dv_row_index",
+                    F.col("__ridx") if tag_rows
+                    else F.col("_metadata.row_index"))
                 .join(deleted, "__dv_row_index", "left_anti")
                 .drop("__dv_row_index")
             )
@@ -921,7 +1054,10 @@ def _snapshot_df(
         return out
 
     if not adds:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        for c, t in zip(tag_cols, ("string", "long")):
+            empty = empty.withColumn(c, F.lit(None).cast(t))
+        return empty
     if not part_cols:
         return _to_logical(_read_adds(list(adds.values())))
 
@@ -944,7 +1080,7 @@ def _snapshot_df(
                 else F.lit(raw)
             )
             df = df.withColumn(log2phys[c], lit.cast(by_type[c]))
-        df = df.select(*[log2phys[f.name] for f in schema.fields])
+        df = df.select(*[log2phys[f.name] for f in schema.fields], *tag_cols)
         out = df if out is None else out.unionByName(df)
     return _to_logical(out)
 
@@ -1143,14 +1279,20 @@ def _next_ict(spark: SparkSession, log_dir: str, meta: dict,
     monotonicity: strictly greater than the previous commit's ICT, so
     timestamp time travel stays well-ordered even when wall clocks
     step backwards between writers. Previous ICT is read from the
-    prior commit's JSON when it survives; a checkpoint-pruned
-    predecessor falls back to the wall clock (its mtime governed reads
-    anyway, per the read rule in :func:`_resolve_log_version`)."""
+    prior commit's JSON when it survives; when it doesn't (pruned
+    below a checkpoint by external log cleanup), the new ICT is
+    floored at the newest log-dir mtime + 1 — NOT the bare wall clock,
+    which could have stepped backwards past the predecessor's ICT and
+    broken strict monotonicity. The mtime is the same ordering
+    authority the read side falls back to for ICT-less commits
+    (:func:`_resolve_log_version`), so the floor keeps writer emission
+    and reader resolution consistent."""
     conf = meta.get("configuration") or {}
     if str(conf.get("delta.enableInCommitTimestamps",
                     "false")).lower() != "true":
         return None
     prev = None
+    floor = 0
     if prev_version is not None and prev_version >= 0:
         p = f"{log_dir}/{prev_version:020d}.json"
         try:
@@ -1161,7 +1303,16 @@ def _next_ict(spark: SparkSession, log_dir: str, meta: dict,
                     break
         except VersionedTableError:
             prev = None
-    return max(now_ms, prev + 1 if prev is not None else 0)
+        if prev is None:
+            try:
+                fs, jlog, _ = _fs_and_path(spark, log_dir)
+                floor = max(
+                    (st.getModificationTime() for st in fs.listStatus(jlog)),
+                    default=0,
+                ) + 1
+            except Exception:
+                floor = 0
+    return max(now_ms, floor, prev + 1 if prev is not None else 0)
 
 
 def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
@@ -1873,7 +2024,9 @@ _BRIDGE_WRITER_FEATURES = {
     "deletionVectors",   # appends leave live DVs untouched; rewrites
                          # (overwrite/merge/compact) read THROUGH them
                          # and their tombstones carry the descriptor,
-                         # so reconciliation by (path, DV uid) holds
+                         # so reconciliation by (path, DV uid) holds;
+                         # delete_delta WRITES them (roaring sidecar +
+                         # remove/add of the same path)
     "timestampNtz",      # type-level; schema copied verbatim
     "generatedColumns",  # computed when omitted, validated when supplied
                          # (_enforce_write_obligations)
@@ -1926,7 +2079,7 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
         )
     conf = meta.get("configuration") or {}
     if (str(conf.get("delta.appendOnly", "false")).lower() == "true"
-            and mode in ("overwrite", "merge")):
+            and mode in ("overwrite", "merge", "delete")):
         raise VersionedTableError(
             "write: delta.appendOnly=true forbids removing data; only "
             "appends (and dataChange:false compaction) are allowed"
@@ -2267,14 +2420,25 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             "delta.enableChangeDataFeed", "false")).lower() == "true"
         ict_on = str((properties or {}).get(
             "delta.enableInCommitTimestamps", "false")).lower() == "true"
-        if ict_on:
+        # delta.enableDeletionVectors is a reader+writer FEATURE pair
+        # (reader v3 + writer v7): readers that don't decode DVs would
+        # resurrect deleted rows, so the claim is mandatory at CREATE
+        # for delete_delta to ever attach one.
+        dv_on = str((properties or {}).get(
+            "delta.enableDeletionVectors", "false")).lower() == "true"
+        if ict_on or dv_on:
+            wf = {"appendOnly", "invariants"}
+            if cdf_on:
+                wf.add("changeDataFeed")
+            if ict_on:
+                wf.add("inCommitTimestamp")
+            if dv_on:
+                wf.add("deletionVectors")
             proto = {
-                "minReaderVersion": 1,
+                "minReaderVersion": 3 if dv_on else 1,
                 "minWriterVersion": 7,
-                "writerFeatures": sorted(
-                    {"appendOnly", "invariants", "inCommitTimestamp"}
-                    | ({"changeDataFeed"} if cdf_on else set())
-                ),
+                **({"readerFeatures": ["deletionVectors"]} if dv_on else {}),
+                "writerFeatures": sorted(wf),
             }
         else:
             proto = {
@@ -2612,6 +2776,313 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     return next_v
 
 
+def _dv_encode_group(pdf):
+    """Grouped-map kernel for :func:`delete_delta`: one parquet file's
+    matched row indexes → one serialized RoaringBitmapArray. Runs
+    executor-side (Arrow lane), so the driver only ever receives the
+    COMPRESSED bitmaps — ≤2 bytes per deleted row (array containers)
+    and capped at 8 KiB per 64 Ki-row chunk (bitmap containers), never
+    the raw int64 index stream."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.unique(pdf["__ridx"].to_numpy(dtype=np.int64))
+    return pd.DataFrame({
+        "file": [pdf["__file"].iloc[0]],
+        "dv": [_roaring_array_serialize(idx)],
+        "card": [len(idx)],
+    })
+
+
+def delete_delta(spark: SparkSession, path: str, predicate: str,
+                 checkpoint_interval: int | None = 10) -> int:
+    """Row-level ``DELETE FROM <table> WHERE <predicate>`` on a bridge
+    Delta table — with DELETION-VECTOR writes when the table enables
+    them, copy-on-write otherwise.
+
+    Why DVs matter at 100 TB: a predicate deleting 0.1% of rows under
+    copy-on-write rewrites every TOUCHED FILE end-to-end — data moved
+    is proportional to touched-file bytes, not matched rows. With
+    ``delta.enableDeletionVectors=true`` the data files are left
+    BYTE-UNTOUCHED; the commit attaches a roaring-bitmap descriptor
+    per touched file (``remove``+``add`` of the SAME path, reconciled
+    by (path, DV uid) — the read side of this bridge has decoded these
+    since round 7, :func:`_dv_row_indexes`). Work is proportional to
+    matched rows: one filtered scan to find them, one KB-scale bitmap
+    sidecar write, one log commit.
+
+    Physical shape, DV route (the library writer's own):
+
+    1. one tagged snapshot scan (``_metadata.file_path`` +
+       ``row_index`` captured at the scan; the predicate is pushed
+       into it) finds matched rows; rows already dead under a live DV
+       are filtered out first, so re-deleting is impossible;
+    2. per-file row-index sets are serialized to roaring bitmaps
+       EXECUTOR-side (:func:`_dv_encode_group` — the driver collects
+       compressed bitmaps, never raw indexes), then unioned
+       driver-side with any existing DV of the same file;
+    3. all descriptors pack into ONE ``deletion_vector_<uuid>.bin``
+       (1-byte format version, then per DV: 4-byte BE size + payload +
+       4-byte BE CRC-32 — the framing :func:`_dv_row_indexes` already
+       validates), written BEFORE the log commit (an orphan sidecar
+       from a crashed commit is harmless);
+    4. the commit is ``remove``(path, old DV uid) + ``add``(same path,
+       new DV descriptor, ``tightBounds: false`` stats) per touched
+       file — a file whose union cardinality reaches its physical
+       ``numRecords`` is fully dead and gets ONLY the remove (the
+       library's shape; vacuum reclaims it after retention);
+    5. with ``delta.enableChangeDataFeed=true`` the deleted rows also
+       land as real ``cdc`` files (``_change_type='delete'``).
+
+    Copy-on-write route (DVs not enabled): the same tagged scan picks
+    the touched files; ONLY those are rewritten without their matched
+    rows (surviving = predicate not definitively TRUE — SQL DELETE
+    semantics: a NULL predicate keeps the row), committed as
+    ``remove``+``add`` with CDF delete rows when enabled. Untouched
+    files are never read past the pruned scan.
+
+    Row tracking: the DV route never rewrites a file, so
+    ``baseRowId``/``defaultRowCommitVersion`` ride the re-added action
+    verbatim and every surviving row keeps its id — no materialization
+    needed, enableRowTracking tables take DV deletes as-is. The
+    copy-on-write route on such tables refuses (stable ids would need
+    materialized row-id columns in the rewritten files).
+
+    Time travel: older versions replay the pre-delete (path, DV uid)
+    actions and see every row. Returns the committed version, or the
+    current version unchanged when nothing matches.
+
+    Delta-parity reference: delta-spark's ``DeleteCommand`` with
+    deletion vectors (scd2-job.ipynb:153's table format is Delta; this
+    is the write half of the DV support the reference ecosystem
+    expects)."""
+    import time
+    import uuid as uuid_mod
+    import zlib
+
+    import numpy as np
+
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    meta, live, latest, txns, proto, domains = _replay_state(spark, path)
+    _check_writer_allowed(proto, meta, "delete")
+    conf = meta.get("configuration") or {}
+    mapping_mode = conf.get("delta.columnMapping.mode", "none")
+    cdf = str(conf.get("delta.enableChangeDataFeed", "false")).lower() == "true"
+    dv_mode = str(conf.get("delta.enableDeletionVectors",
+                           "false")).lower() == "true"
+    if dv_mode:
+        feats = set((proto or {}).get("writerFeatures") or [])
+        rfeats = set((proto or {}).get("readerFeatures") or [])
+        if "deletionVectors" not in feats or (
+                int((proto or {}).get("minReaderVersion", 1)) >= 3
+                and "deletionVectors" not in rfeats):
+            raise VersionedTableError(
+                "delete_delta: delta.enableDeletionVectors=true but the "
+                "protocol does not claim the deletionVectors feature — "
+                "a bridge table carries the claim from CREATE; this log "
+                "was edited or written by a non-compliant engine"
+            )
+    if not dv_mode and str(conf.get("delta.enableRowTracking",
+                                    "false")).lower() == "true":
+        raise VersionedTableError(
+            "delete_delta: delta.enableRowTracking=true promises stable "
+            "row ids across rewrites; copy-on-write delete cannot keep "
+            "them — enable deletion vectors (DV deletes never rewrite "
+            "files, ids stay put) or install delta-spark"
+        )
+    if not live:
+        return latest
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    t_cols = [f.name for f in schema.fields]
+    part_cols = list(meta.get("partitionColumns") or [])
+
+    def _norm_uri(p: str) -> str:
+        u = urllib.parse.urlparse(p)
+        return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
+
+    abs2key: dict[str, str] = {}
+    for k, a in live.items():
+        rel = urllib.parse.unquote(a["path"])
+        absolute = (rel if "://" in rel or rel.startswith("/")
+                    else posixpath.join(path, rel))
+        abs2key[_norm_uri(absolute)] = k
+
+    tagged = _snapshot_df(spark, path, meta, live, tag_rows=True)
+    hits = tagged.filter(F.expr(predicate))  # TRUE only — NULL survives
+    per_file = (
+        hits.select("__file", "__ridx")
+        .groupBy("__file")
+        .applyInPandas(_dv_encode_group, "file string, dv binary, card long")
+        .collect()
+    )
+    if not per_file:
+        return latest  # nothing matched: committing would be pure churn
+    n_del = sum(int(r["card"]) for r in per_file)
+    matched: dict[str, dict] = {}
+    new_payloads: list[tuple[str, bytes, int]] = []  # (live key, payload, card)
+    for r in per_file:
+        key = abs2key.get(_norm_uri(r["file"]))
+        if key is None:
+            raise VersionedTableError(
+                f"delete_delta: matched file {r['file']!r} does not map "
+                f"back to a live add action at {path}"
+            )
+        matched[key] = live[key]
+        payload, card = bytes(r["dv"]), int(r["card"])
+        old_dv = live[key].get("deletionVector")
+        if old_dv:
+            old_idx = _dv_row_indexes(spark, path, old_dv)
+            new_idx = _roaring_array_indexes(payload)
+            union = np.union1d(old_idx, new_idx)
+            if len(union) != len(old_idx) + len(new_idx):
+                raise VersionedTableError(
+                    "delete_delta: new deletion indexes overlap the "
+                    f"file's live DV at {live[key]['path']!r} — the "
+                    "snapshot read failed to filter dead rows"
+                )
+            payload, card = _roaring_array_serialize(union), len(union)
+        new_payloads.append((key, payload, card))
+
+    cdc_adds: list[dict] = []
+    new_adds: list[dict] = []
+    removes: list[dict] = list(matched.values())
+    now_ms = int(time.time() * 1000)
+
+    if dv_mode:
+        # pack every descriptor into one sidecar; publish it before the
+        # log commit references it
+        buf = bytearray(b"\x01")
+        descs: list[tuple[str, dict | None]] = []
+        u = uuid_mod.uuid4()
+        for key, payload, card in new_payloads:
+            a = matched[key]
+            phys_rows = None
+            try:
+                phys_rows = json.loads(a["stats"])["numRecords"] if a.get(
+                    "stats") else None
+            except (KeyError, TypeError, ValueError):
+                phys_rows = None
+            if phys_rows is not None and card >= int(phys_rows):
+                descs.append((key, None))  # fully dead: remove only
+                continue
+            off = len(buf)
+            buf += len(payload).to_bytes(4, "big")
+            buf += payload
+            buf += (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+            descs.append((key, {
+                "storageType": "u",
+                "pathOrInlineDv": _z85_encode(u.bytes),
+                "offset": off,
+                "sizeInBytes": len(payload),
+                "cardinality": card,
+            }))
+        if any(d for _, d in descs):
+            _write_bytes(spark, f"{path}/deletion_vector_{u}.bin", bytes(buf))
+        for key, desc in descs:
+            if desc is None:
+                continue
+            a = dict(matched[key])
+            a["deletionVector"] = desc
+            a["dataChange"] = True
+            if a.get("stats"):
+                try:
+                    st = json.loads(a["stats"])
+                    st["tightBounds"] = False  # bounds now a superset
+                    a["stats"] = json.dumps(st)
+                except (TypeError, ValueError):
+                    pass
+            new_adds.append(a)
+        if cdf:
+            cdc_adds = _stage_cdc_delete(
+                hits, meta, mapping_mode, part_cols, path, t_cols)
+    else:
+        # copy-on-write: rewrite ONLY the touched files without their
+        # matched rows (NULL predicate keeps the row — SQL semantics)
+        sub = _snapshot_df(spark, path, meta, matched, tag_rows=False)
+        survivors = sub.filter(
+            ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        ).select(*t_cols)
+        if mapping_mode != "none":
+            stage_df, stage_parts = _project_to_physical(
+                survivors, meta, mapping_mode)
+        else:
+            stage_df, stage_parts = survivors, part_cols
+        new_adds = _stage_data_files(stage_df, path, stage_parts)
+        _footer_stats_json(spark, path, new_adds)
+        new_adds = _drop_empty_adds(new_adds)
+        if cdf:
+            cdc_adds = _stage_cdc_delete(
+                hits, meta, mapping_mode, part_cols, path, t_cols)
+
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "DELETE",
+            "operationParameters": {"predicate": predicate},
+            "operationMetrics": {
+                "numDeletedRows": str(n_del),
+                "numRemovedFiles": str(len(removes)),
+                "numAddedFiles": str(len(new_adds)),
+                "numDeletionVectorsAdded": str(
+                    len(new_adds) if dv_mode else 0),
+            },
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+    }]
+    ict = _next_ict(spark, log_dir, meta, latest, now_ms)
+    if ict is not None:
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    if not dv_mode:
+        rt = _assign_row_ids(proto, domains, new_adds, latest + 1)
+        if rt is not None:
+            actions.append(rt)
+            domains[_ROW_TRACKING_DOMAIN] = rt["domainMetadata"][
+                "configuration"]
+    # DV route: baseRowId/defaultRowCommitVersion ride the re-added
+    # action verbatim ({**matched[key]} copies them) — fresh assignment
+    # would break the stable-id promise the DV route exists to keep
+    actions.extend(
+        {"remove": _remove_action(a, now_ms, True)}
+        for a in sorted(removes, key=lambda a: a["path"])
+    )
+    actions.extend({"add": a} for a in new_adds)
+    actions.extend(
+        {"cdc": {"path": a["path"],
+                 "partitionValues": dict(a.get("partitionValues") or {}),
+                 "size": a.get("size"), "dataChange": False}}
+        for a in cdc_adds
+    )
+    next_v = latest + 1
+    _commit_delta_log(spark, log_dir, next_v,
+                      "\n".join(json.dumps(a) for a in actions))
+    if checkpoint_interval and next_v % checkpoint_interval == 0:
+        state = {k: a for k, a in live.items() if k not in matched}
+        state.update({_fkey(a): a for a in new_adds})
+        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
+                          domains)
+    return next_v
+
+
+def _stage_cdc_delete(hits: DataFrame, meta: dict, mapping_mode: str,
+                      part_cols: list[str], path: str,
+                      t_cols: list[str]) -> list[dict]:
+    """Stage the matched rows as ``_change_data/`` parquet with
+    ``_change_type='delete'`` — the CDF writer obligation shared by
+    both delete routes (same shape as :func:`merge_delta`'s cdc)."""
+    rows = hits.select(*t_cols)
+    if mapping_mode != "none":
+        rows, stage_parts = _project_to_physical(rows, meta, mapping_mode)
+    else:
+        stage_parts = part_cols
+    return _stage_data_files(
+        rows.withColumn("_change_type", F.lit("delete")),
+        path, stage_parts, subdir="_change_data")
+
+
 def compact_delta(spark: SparkSession, path: str,
                   target_files: int = 1,
                   cluster_by: list[str] | None = None,
@@ -2667,7 +3138,16 @@ def compact_delta(spark: SparkSession, path: str,
     if cluster_by is None:
         # liquid-clustered tables record their clustering columns in the
         # delta.clustering domain — OPTIMIZE on such a table clusters by
-        # them without being told (the library's behavior)
+        # them without being told (the library's behavior). The domain
+        # records PHYSICAL names (delta-spark's shape), so on a
+        # column-mapped table they must map back to logical names
+        # before clustering (the snapshot DataFrame exposes logical
+        # columns). Auto-pickup is best-effort by design: a column
+        # that cannot be resolved, or that isn't zorder-able (string
+        # clustering columns are legal liquid clustering; the bridge's
+        # zorder needs numeric/timestamp), degrades to plain bin-pack
+        # with a log line rather than crashing the maintenance op —
+        # an EXPLICIT cluster_by still fails loudly on bad columns.
         raw = domains.get("delta.clustering")
         if raw:
             try:
@@ -2678,7 +3158,33 @@ def compact_delta(spark: SparkSession, path: str,
                     for c in cols
                     if not isinstance(c, list) or len(c) == 1]
             if flat and len(flat) == len(cols):
-                cluster_by = flat
+                schema_fields = json.loads(meta["schemaString"]).get(
+                    "fields", [])
+                phys2logical = {
+                    (f.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName", f["name"]
+                    ): f["name"]
+                    for f in schema_fields
+                }
+                zorderable = {
+                    f["name"] for f in schema_fields
+                    if isinstance(f.get("type"), str)
+                    and (f["type"] in ("byte", "short", "integer", "long",
+                                       "float", "double", "timestamp",
+                                       "timestamp_ntz")
+                         or f["type"].startswith("decimal"))
+                }
+                resolved = [phys2logical.get(c) for c in flat]
+                if all(c is not None and c in zorderable for c in resolved):
+                    cluster_by = resolved
+                else:
+                    _log.info(
+                        "compact_delta: skipping auto-clustering at %s — "
+                        "recorded clustering columns %s resolve to %s, "
+                        "not all zorder-able; bin-packing only (pass "
+                        "cluster_by explicitly to override)",
+                        path, flat, resolved,
+                    )
     part_cols = list(meta.get("partitionColumns") or [])
     df = _snapshot_df(spark, path, meta, live)
     if cluster_by and cluster_method == "zorder":

@@ -2506,7 +2506,8 @@ def test_changes_and_appends_schema_drift_fail_loud(spark, tmp_path):
 
 
 def _mapped_table(spark, tmp_path, name="cmt", mode="name",
-                  properties=None) -> str:
+                  properties=None, extra_reader_features=(),
+                  extra_writer_features=()) -> str:
     """A name-/id-mode column-mapped table BUILT BY HAND (physical-named
     data file + protocol/metaData log), so the write-side tests run
     against the shape external writers actually produce, not one the
@@ -2541,8 +2542,10 @@ def _mapped_table(spark, tmp_path, name="cmt", mode="name",
     ]})
     _log(d, 0,
          {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["columnMapping"],
-                       "writerFeatures": ["columnMapping"]}},
+                       "readerFeatures": sorted(
+                           {"columnMapping", *extra_reader_features}),
+                       "writerFeatures": sorted(
+                           {"columnMapping", *extra_writer_features})}},
          {"metaData": {
              "id": "cmt-tab", "format": {"provider": "parquet", "options": {}},
              "schemaString": schema_string, "partitionColumns": [],
@@ -3270,3 +3273,200 @@ def test_clustered_table_appends_and_auto_optimize(spark, tmp_path):
     from sql_based_etl_spark.tables.delta_interop import _replay_state
     domains = _replay_state(spark, d)[5]
     assert "delta.clustering" in domains
+
+
+# --- deletion-vector WRITES (delete_delta) -------------------------------
+
+
+def _data_file_inventory(root: str) -> list[tuple[str, int, float]]:
+    """(name, size, mtime) of every data parquet under the table root —
+    the byte-untouched witness for DV deletes."""
+    out = []
+    for dp, _, fns in os.walk(root):
+        if "_delta_log" in dp or "_change_data" in dp:
+            continue
+        for f in fns:
+            if f.endswith(".parquet"):
+                p = os.path.join(dp, f)
+                out.append((f, os.path.getsize(p), os.path.getmtime(p)))
+    return sorted(out)
+
+
+def test_delete_delta_dv_leaves_files_untouched(spark, tmp_path):
+    """The headline DV property: delete 1% of rows → every data file
+    byte-identical on disk, exactly one roaring sidecar appears, the
+    snapshot drops exactly the matched rows, and time travel still
+    sees them."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"))
+    write_delta(df.repartition(4), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    before = _data_file_inventory(d)
+    v = delete_delta(spark, d, "id % 100 = 3")
+    assert v == 1
+    assert _data_file_inventory(d) == before, "DV delete rewrote data files"
+    bins = [f for f in os.listdir(d) if f.startswith("deletion_vector_")]
+    assert len(bins) == 1
+    assert read_delta(spark, d).count() == 9_900
+    assert read_delta(spark, d).filter("id % 100 = 3").count() == 0
+    assert read_delta(spark, d, version=0).count() == 10_000
+    # the commit's adds re-reference the SAME paths with descriptors
+    with open(os.path.join(d, "_delta_log", f"{1:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    adds = [a["add"] for a in actions if "add" in a]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert adds and len(adds) == len(removes)
+    assert {a["path"] for a in adds} == {r["path"] for r in removes}
+    for a in adds:
+        dv = a["deletionVector"]
+        assert dv["storageType"] == "u" and dv["cardinality"] > 0
+        st = json.loads(a["stats"])
+        assert st["tightBounds"] is False
+        assert st["numRecords"] > dv["cardinality"]  # physical count kept
+
+
+def test_delete_delta_second_delete_unions_dv(spark, tmp_path):
+    """A second delete on already-DV'd files must union indexes (no
+    resurrection, no double-count), and the DV descriptors must
+    round-trip through a parquet checkpoint."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(0, 5_000).select("id"), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    delete_delta(spark, d, "id % 10 = 1", checkpoint_interval=None)
+    v2 = delete_delta(spark, d, "id % 10 = 2", checkpoint_interval=2)
+    assert v2 == 2
+    # checkpoint written at v2: delete the JSON tail and re-read from
+    # the checkpoint alone — the DV descriptors must survive
+    assert os.path.exists(
+        os.path.join(d, "_delta_log", f"{2:020d}.checkpoint.parquet"))
+    os.remove(os.path.join(d, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+    os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
+    got = read_delta(spark, d)
+    assert got.count() == 4_000
+    assert got.filter("id % 10 in (1, 2)").count() == 0
+
+
+def test_delete_delta_full_file_death_removes_add(spark, tmp_path):
+    """A file whose every row matches gets ONLY a remove (no dead add
+    carrying a 100% DV) — the library's shape; vacuum can reclaim it."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        delete_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(0, 1_000).select(
+        "id", (F.col("id") < 500).cast("int").alias("half"))
+    write_delta(df.repartition("half"), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    delete_delta(spark, d, "half = 1")
+    _, live, _, _, _, _ = _replay_state(spark, d)
+    # the all-dead file(s) are gone from the live set; survivors carry
+    # no descriptor (their rows were untouched)
+    assert read_delta(spark, d).count() == 500
+    assert all(not a.get("deletionVector") or a["deletionVector"][
+        "cardinality"] < json.loads(a["stats"])["numRecords"]
+        for a in live.values())
+
+
+def test_delete_delta_cow_route_and_cdf(spark, tmp_path):
+    """Without delta.enableDeletionVectors the delete is copy-on-write:
+    ONLY touched files rewritten, survivors exact (NULL predicate keeps
+    the row), and CDF carries the deleted rows."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3 if i % 5 else None) for i in range(300)],
+        "id long, flag long")
+    write_delta(df.repartition(3), d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    v = delete_delta(spark, d, "flag = 1")
+    assert v == 1
+    got = read_delta(spark, d)
+    # flag IS NULL rows survive a `flag = 1` delete (SQL semantics)
+    assert got.filter("flag is null").count() == 60
+    assert got.filter("flag = 1").count() == 0
+    expected_survivors = sum(
+        1 for i in range(300) if not (i % 5 and i % 3 == 1))
+    assert got.count() == expected_survivors
+    dels = read_delta_changes(spark, d, starting_version=1)
+    assert dels.filter("_change_type = 'delete'").count() == (
+        300 - expected_survivors)
+    bins = [f for f in os.listdir(d) if f.startswith("deletion_vector_")]
+    assert not bins  # cow route writes no sidecars
+
+
+def test_delete_delta_dv_cdf_and_mapped_table(spark, tmp_path):
+    """DV deletes on a column-mapped (name mode) CDF table: predicate
+    over LOGICAL names, cdc files under physical names, snapshot + CDF
+    both exact."""
+    import pyarrow.parquet as pq
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        read_delta_changes,
+    )
+
+    d = _mapped_table(
+        spark, tmp_path, name="cmtdv",
+        properties={"delta.enableDeletionVectors": "true",
+                    "delta.enableChangeDataFeed": "true"},
+        extra_reader_features=("deletionVectors",),
+        extra_writer_features=("deletionVectors", "changeDataFeed"))
+    before = _data_file_inventory(d)
+    v = delete_delta(spark, d, "n >= 20")  # logical name in the predicate
+    assert v == 1
+    assert _data_file_inventory(d) == before
+    got = read_delta(spark, d)
+    assert {r.id for r in got.collect()} == {1}
+    dels = read_delta_changes(spark, d, starting_version=1)
+    rows = dels.filter("_change_type = 'delete'").collect()
+    assert {r.id for r in rows} == {2}
+    # cdc parquet stores PHYSICAL names + verbatim _change_type
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc
+    names = set(pq.read_schema(os.path.join(d, cdc[0]["path"])).names)
+    assert names == {"col-1", "col-2", "col-3", "_change_type"}
+
+
+def test_delete_delta_gates(spark, tmp_path):
+    """appendOnly refuses; rowTracking-without-DVs refuses (cow would
+    break stable ids) but rowTracking+DVs works with baseRowId carried
+    verbatim; a no-match delete commits nothing."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        delete_delta,
+        write_delta,
+    )
+
+    ao = str(tmp_path / "ao")
+    write_delta(spark.range(5).select("id"), ao, mode="overwrite",
+                properties={"delta.appendOnly": "true"})
+    with pytest.raises(VersionedTableError, match="appendOnly"):
+        delete_delta(spark, ao, "id = 1")
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(100).select("id"), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    v = delete_delta(spark, d, "id = -1")
+    assert v == 0  # no-op: nothing matched, nothing committed

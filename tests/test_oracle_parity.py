@@ -47,6 +47,7 @@ def test_graded_window_composition():
         "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf_trained",
         "sim_cosine_dup_lsh", "stream_near_dedup",
         "q_scd2_merge", "q_scd2_changes", "q_delta_merge", "q_intersect_except",
+        "q_delta_delete", "q_delta_prune", "q_delta_cdf",
         "dedup_clusters", "text_decontaminate",
         "text_repetition_stats", "split_hash_assign",
     ]
