@@ -925,6 +925,7 @@ def _replay_state(
 def _snapshot_df(
     spark: SparkSession, path: str, meta: dict, adds: dict[str, dict],
     tag_rows: bool = False,
+    extra_data_cols: list[str] | None = None,
 ) -> DataFrame:
     """Materialize a replayed snapshot state as a DataFrame.
 
@@ -937,7 +938,14 @@ def _snapshot_df(
     into deletion-vector bitmaps keyed by ``__file``. Rows already
     dead under a live DV are filtered before tagging consumers see
     them, so a second delete on the same file unions indexes with the
-    existing DV rather than resurrecting anything."""
+    existing DV rather than resurrecting anything.
+
+    ``extra_data_cols`` appends PHYSICAL-only long columns to the read
+    schema — columns that exist in (some) parquet files but not in the
+    table schema, reading NULL where a file lacks them. This is how
+    row tracking's materialized row-id / row-commit-version columns
+    are read (the spec stores them under config-recorded physical
+    names, invisible to ordinary readers)."""
     path = path.rstrip("/")
     from pyspark.sql.types import StructType
 
@@ -973,13 +981,18 @@ def _snapshot_df(
         if mapped else schema)
     log2phys = {lf.name: pf.name for lf, pf in zip(schema.fields, phys.fields)}
     part_cols = list(meta.get("partitionColumns") or [])  # logical names
-    data_schema = StructType([
-        pf for lf, pf in zip(schema.fields, phys.fields)
-        if lf.name not in part_cols
-    ])
+    from pyspark.sql.types import LongType, StructField
+
+    data_schema = StructType(
+        [pf for lf, pf in zip(schema.fields, phys.fields)
+         if lf.name not in part_cols]
+        + [StructField(c, LongType(), True)
+           for c in (extra_data_cols or [])]
+    )
     by_type = {f.name: f.dataType for f in schema.fields}
 
-    tag_cols = ["__file", "__ridx"] if tag_rows else []
+    tag_cols = (["__file", "__ridx"] if tag_rows else []) + list(
+        extra_data_cols or [])
 
     def _to_logical(df: DataFrame) -> DataFrame:
         if not mapped:
@@ -1055,8 +1068,9 @@ def _snapshot_df(
 
     if not adds:
         empty = spark.createDataFrame([], schema)
-        for c, t in zip(tag_cols, ("string", "long")):
-            empty = empty.withColumn(c, F.lit(None).cast(t))
+        for c in tag_cols:
+            empty = empty.withColumn(
+                c, F.lit(None).cast("string" if c == "__file" else "long"))
         return empty
     if not part_cols:
         return _to_logical(_read_adds(list(adds.values())))
@@ -1269,6 +1283,81 @@ def _advance_identity_hwm(meta: dict, idents: list[dict],
     out = dict(meta)
     out["schemaString"] = json.dumps(schema)
     return out
+
+
+_RT_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_RT_VER_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def _rt_materialized_cols(meta: dict) -> tuple[dict, str, str, bool]:
+    """The physical names of the row-tracking materialized columns —
+    from the table configuration when already recorded (a prior
+    rewrite named them), freshly allocated otherwise. Returns
+    (possibly-updated meta, row-id column, row-commit-version column,
+    changed) — ``changed`` means the caller must re-emit ``metaData``
+    so every future writer materializes into the SAME columns (the
+    spec's reason the names live in config, not convention)."""
+    import uuid
+
+    conf = dict(meta.get("configuration") or {})
+    changed = False
+    id_col = conf.get(_RT_ID_KEY)
+    ver_col = conf.get(_RT_VER_KEY)
+    if not id_col:
+        id_col = f"_row-id-col-{uuid.uuid4()}"
+        conf[_RT_ID_KEY] = id_col
+        changed = True
+    if not ver_col:
+        ver_col = f"_row-commit-version-col-{uuid.uuid4()}"
+        conf[_RT_VER_KEY] = ver_col
+        changed = True
+    if changed:
+        meta = {**meta, "configuration": conf}
+    return meta, id_col, ver_col, changed
+
+
+def _snapshot_with_row_ids(spark: SparkSession, path: str, meta: dict,
+                           adds: dict[str, dict], id_col: str,
+                           ver_col: str) -> DataFrame:
+    """The stable-row-id snapshot an ``enableRowTracking`` rewrite must
+    preserve: every row carries its CURRENT row id and row commit
+    version in ``id_col``/``ver_col`` — the spec's resolution rule
+    ``coalesce(materialized, baseRowId + row_index)`` /
+    ``coalesce(materialized, defaultRowCommitVersion)``. The per-add
+    (baseRowId, defaultRowCommitVersion) pairs join in by file BASENAME
+    (Spark part names carry per-file UUIDs; a collision — impossible in
+    practice — fails loudly rather than aliasing ids), broadcast, so
+    the resolution adds no shuffle to the rewrite."""
+    df = _snapshot_df(spark, path, meta, adds, tag_rows=True,
+                      extra_data_cols=[id_col, ver_col])
+    rows = []
+    seen: set[str] = set()
+    for a in adds.values():
+        base, dver = a.get("baseRowId"), a.get("defaultRowCommitVersion")
+        if base is None or dver is None:
+            raise VersionedTableError(
+                "rowTracking rewrite: live file "
+                f"{a['path']!r} has no baseRowId/defaultRowCommitVersion — "
+                "an enableRowTracking table must carry them on every add "
+                "(this log was written by a non-compliant engine)"
+            )
+        bn = posixpath.basename(urllib.parse.unquote(a["path"]))
+        if bn in seen:
+            raise VersionedTableError(
+                f"rowTracking rewrite: two live files share basename {bn!r}; "
+                "cannot resolve row ids by file"
+            )
+        seen.add(bn)
+        rows.append((bn, int(base), int(dver)))
+    map_df = spark.createDataFrame(rows, "__bn string, __base long, __dver long")
+    return (
+        df.withColumn("__bn", F.element_at(F.split("__file", "/"), -1))
+        .join(F.broadcast(map_df), "__bn")
+        .withColumn(id_col,
+                    F.coalesce(F.col(id_col), F.col("__base") + F.col("__ridx")))
+        .withColumn(ver_col, F.coalesce(F.col(ver_col), F.col("__dver")))
+        .drop("__bn", "__base", "__dver", "__file", "__ridx")
+    )
 
 
 def _next_ict(spark: SparkSession, log_dir: str, meta: dict,
@@ -1537,7 +1626,9 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
 
 
 def _project_to_physical(df: DataFrame, meta: dict,
-                         mapping_mode: str) -> tuple[DataFrame, list[str]]:
+                         mapping_mode: str,
+                         passthrough: tuple[str, ...] = (),
+                         ) -> tuple[DataFrame, list[str]]:
     """The write-side inverse of ``_snapshot_df``'s logical→physical
     projection: rename every column (nested levels via a positional
     struct cast — the two schemas are structurally identical by
@@ -1563,7 +1654,10 @@ def _project_to_physical(df: DataFrame, meta: dict,
                     if pf.metadata else c.alias(pf.name))
     log2phys = {lf.name: pf.name for lf, pf in zip(logical.fields, phys.fields)}
     part_phys = [log2phys[c] for c in (meta.get("partitionColumns") or [])]
-    return df.select(*cols), part_phys
+    # passthrough columns (row tracking's materialized row-id /
+    # row-commit-version columns) are PHYSICAL-only: they have no
+    # logical name to map, they ride verbatim into the staged files
+    return df.select(*cols, *[F.col(c) for c in passthrough]), part_phys
 
 
 def _remove_action(a: dict, ts: int, data_change: bool) -> dict:
@@ -2040,8 +2134,9 @@ _BRIDGE_WRITER_FEATURES = {
                          # preserves every other domain verbatim
     "rowTracking",       # fresh baseRowId ranges + high-watermark
                          # domain on every add (_assign_row_ids);
-                         # rewrites of ENABLED tables refuse (stable
-                         # ids need materialization — see gate below)
+                         # rewrites of ENABLED tables materialize
+                         # stable ids into the config-named columns
+                         # (_rt_materialized_cols/_snapshot_with_row_ids)
     "clustering",        # liquid clustering: a non-clustering writer's
                          # obligation is preserving the delta.clustering
                          # domain (generic now); compact_delta picks the
@@ -2084,31 +2179,15 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
             "write: delta.appendOnly=true forbids removing data; only "
             "appends (and dataChange:false compaction) are allowed"
         )
-    if (str(conf.get("delta.enableRowTracking", "false")).lower() == "true"
-            and mode in ("merge", "compact")):
-        raise VersionedTableError(
-            "write: delta.enableRowTracking=true promises STABLE row ids "
-            "across rewrites, which requires materializing row-id columns "
-            f"into rewritten files — the bridge cannot do that for {mode}; "
-            "install delta-spark (appends and full overwrites work: fresh "
-            "ids are correct there)"
-        )
-    # CHECK constraints, invariants and generated columns are ENFORCED
-    # at write time (_enforce_write_obligations); identity columns are
-    # allocated on append/overwrite (_identity_columns +
-    # _advance_identity_hwm) — only MERGE keeps the refusal (allocation
-    # inside a copy-on-write rewrite would have to distinguish
-    # surviving values from fresh inserts row-by-row)
-    if mode == "merge":
-        for f in _walk_schema_fields(json.loads(meta["schemaString"])):
-            md = f.get("metadata") or {}
-            if any(k.startswith("delta.identity.") for k in md):
-                raise VersionedTableError(
-                    f"write: column {f.get('name')!r} is an identity "
-                    "column; the bridge allocates identities on "
-                    "append/overwrite but not inside MERGE — install "
-                    "delta-spark for identity-table merges"
-                )
+    # delta.enableRowTracking=true rewrites (merge/compact/cow-delete)
+    # MATERIALIZE every surviving row's id + commit version into the
+    # config-named physical columns (_rt_materialized_cols /
+    # _snapshot_with_row_ids) — no refusal needed. CHECK constraints,
+    # invariants and generated columns are ENFORCED at write time
+    # (_enforce_write_obligations); identity columns are allocated on
+    # append/overwrite AND inside MERGE (inserted rows with a NULL
+    # identity get fresh values beyond the high watermark; GENERATED
+    # ALWAYS refuses a source that supplies the column — merge_delta).
 
 
 def _enforce_write_obligations(df: DataFrame, meta: dict) -> DataFrame:
@@ -2426,7 +2505,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         # for delete_delta to ever attach one.
         dv_on = str((properties or {}).get(
             "delta.enableDeletionVectors", "false")).lower() == "true"
-        if ict_on or dv_on:
+        # rowTracking rides domainMetadata (the high watermark lives in
+        # a domain) — the spec requires claiming both
+        rt_on = str((properties or {}).get(
+            "delta.enableRowTracking", "false")).lower() == "true"
+        if ict_on or dv_on or rt_on:
             wf = {"appendOnly", "invariants"}
             if cdf_on:
                 wf.add("changeDataFeed")
@@ -2434,6 +2517,8 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 wf.add("inCommitTimestamp")
             if dv_on:
                 wf.add("deletionVectors")
+            if rt_on:
+                wf |= {"rowTracking", "domainMetadata"}
             proto = {
                 "minReaderVersion": 3 if dv_on else 1,
                 "minWriterVersion": 7,
@@ -2608,8 +2693,42 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     part_cols = list(meta.get("partitionColumns") or [])
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     t_cols = [f.name for f in schema.fields]
-    cdf = str((meta.get("configuration") or {}).get(
-        "delta.enableChangeDataFeed", "false")).lower() == "true"
+    conf = meta.get("configuration") or {}
+    cdf = str(conf.get("delta.enableChangeDataFeed",
+                       "false")).lower() == "true"
+    # enableRowTracking: the rewrite must keep every surviving row's id
+    # — materialize (id, commit version) into the config-named physical
+    # columns. Updated rows get a NULL materialized version (their last
+    # modification IS this commit — add.defaultRowCommitVersion
+    # resolves it); inserted rows get NULL both (fresh = baseRowId +
+    # position). Carried rows keep both materialized.
+    rt_stable = str(conf.get("delta.enableRowTracking",
+                             "false")).lower() == "true"
+    rt_pass: list[str] = []
+    emit_meta = False
+    if rt_stable:
+        meta, rt_id, rt_ver, rt_changed = _rt_materialized_cols(meta)
+        emit_meta = emit_meta or rt_changed
+        rt_pass = [rt_id, rt_ver]
+    # identity columns inside MERGE: inserted rows with a NULL (or
+    # omitted) identity get fresh values beyond the high watermark —
+    # the same gap-tolerant allocation as appends; matched rows keep
+    # theirs. GENERATED ALWAYS refuses a source that supplies the
+    # column, and the update map must never touch one (the library's
+    # rule: identity values are immutable once assigned).
+    idents = _identity_columns(meta)
+    for ident in idents:
+        if not ident["explicit"] and ident["name"] in source.columns:
+            raise VersionedTableError(
+                f"merge_delta: identity column {ident['name']!r} is "
+                "GENERATED ALWAYS (allowExplicitInsert=false); omit it "
+                "from the source and the bridge allocates inserts"
+            )
+        if ident["name"] in (when_matched_update or {}):
+            raise VersionedTableError(
+                f"merge_delta: identity column {ident['name']!r} cannot "
+                "be updated — identity values are immutable once assigned"
+            )
 
     # Spark-4 compat: rewrite boolean literals compared to non-boolean
     # columns (scd2-job.ipynb:346's `target.iscurrent = true` against an
@@ -2652,7 +2771,9 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         matched_keys.sort()
     matched = {k: live[k] for k in matched_keys}
 
-    subset = _snapshot_df(spark, path, meta, matched)
+    subset = (_snapshot_with_row_ids(spark, path, meta, matched,
+                                     rt_id, rt_ver)
+              if rt_stable else _snapshot_df(spark, path, meta, matched))
     annotated = build_merge_annotated(
         subset, source, condition,
         when_matched_update=when_matched_update,
@@ -2682,7 +2803,27 @@ def merge_delta(source: DataFrame, path: str, condition: str,
             # for every downstream (and force fabricated CDF) — no-op
             return latest
 
-        result = annotated.filter(~F.col("__deleted")).select(*t_cols)
+        keep = annotated.filter(~F.col("__deleted"))
+        ident_by = {i["name"]: i for i in idents}
+        sel = []
+        for c in t_cols:
+            if c in ident_by:
+                ident = ident_by[c]
+                base = (ident["hwm"] if ident["hwm"] is not None
+                        else ident["start"] - ident["step"])
+                alloc = (F.lit(base) + F.lit(ident["step"])
+                         * (F.monotonically_increasing_id() + 1)).cast("long")
+                sel.append(
+                    F.when(F.col("__inserted") & F.col(c).isNull(), alloc)
+                    .otherwise(F.col(c)).alias(c))
+            else:
+                sel.append(F.col(c))
+        if rt_stable:
+            sel.append(F.col(rt_id))
+            sel.append(
+                F.when(F.col("__updated"), F.lit(None).cast("long"))
+                .otherwise(F.col(rt_ver)).alias(rt_ver))
+        result = keep.select(*sel)
         # merge keeps every table column, so obligations VALIDATE here
         # (a merge that would leave a generated column inconsistent with
         # its expression refuses, naming the column — include it in the
@@ -2690,17 +2831,31 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         result = _enforce_write_obligations(result, meta)
         if num_partitions:
             result = result.repartition(int(num_partitions))
+        else:
+            # default the rewrite width to the touched-file count: the
+            # full-outer join leaves spark.sql.shuffle.partitions output
+            # partitions, so a merge touching 1 of N files would emit
+            # shuffle-partition-many small files — file-count bloat that
+            # compounds per merge at 100 TB (round-9 audit: 1 removed →
+            # 8 added before this). Insert-heavy merges that legitimately
+            # grow the data should pass num_partitions explicitly.
+            result = result.coalesce(max(1, len(matched)))
         if mapping_mode != "none":
             # rewritten files (and their partitionValues keys) must
             # carry PHYSICAL names, same as every other file of the
             # mapped table — the reader's projection run in reverse
             stage_df, stage_parts = _project_to_physical(
-                result, meta, mapping_mode)
+                result, meta, mapping_mode, passthrough=tuple(rt_pass))
         else:
             stage_df, stage_parts = result, part_cols
         new_adds = _stage_data_files(stage_df, path, stage_parts)
         _footer_stats_json(spark, path, new_adds)
         new_adds = _drop_empty_adds(new_adds)
+        if idents:
+            upd = _advance_identity_hwm(meta, idents, new_adds)
+            if upd is not None:
+                meta = upd
+                emit_meta = True
 
         cdc_adds: list[dict] = []
         if cdf:
@@ -2748,6 +2903,10 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     ict = _next_ict(spark, log_dir, meta, latest, now_ms)
     if ict is not None:
         actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    if emit_meta:
+        # first rowTracking materialization records the column names in
+        # config; identity merges re-record the advanced high watermark
+        actions.append({"metaData": meta})
     rt = _assign_row_ids(proto, domains, new_adds, latest + 1)
     if rt is not None:
         actions.append(rt)
@@ -2883,14 +3042,17 @@ def delete_delta(spark: SparkSession, path: str, predicate: str,
                 "a bridge table carries the claim from CREATE; this log "
                 "was edited or written by a non-compliant engine"
             )
-    if not dv_mode and str(conf.get("delta.enableRowTracking",
-                                    "false")).lower() == "true":
-        raise VersionedTableError(
-            "delete_delta: delta.enableRowTracking=true promises stable "
-            "row ids across rewrites; copy-on-write delete cannot keep "
-            "them — enable deletion vectors (DV deletes never rewrite "
-            "files, ids stay put) or install delta-spark"
-        )
+    # enableRowTracking composes with both routes: the DV route never
+    # rewrites a file (ids stay put by construction); the cow route
+    # materializes survivors' (id, commit version) like compact does
+    rt_stable = str(conf.get("delta.enableRowTracking",
+                             "false")).lower() == "true"
+    rt_pass: list[str] = []
+    emit_meta = False
+    if rt_stable and not dv_mode:
+        meta, rt_id, rt_ver, rt_changed = _rt_materialized_cols(meta)
+        emit_meta = rt_changed
+        rt_pass = [rt_id, rt_ver]
     if not live:
         return latest
 
@@ -3001,14 +3163,18 @@ def delete_delta(spark: SparkSession, path: str, predicate: str,
                 hits, meta, mapping_mode, part_cols, path, t_cols)
     else:
         # copy-on-write: rewrite ONLY the touched files without their
-        # matched rows (NULL predicate keeps the row — SQL semantics)
-        sub = _snapshot_df(spark, path, meta, matched, tag_rows=False)
+        # matched rows (NULL predicate keeps the row — SQL semantics);
+        # on rowTracking tables survivors carry materialized ids
+        sub = (_snapshot_with_row_ids(spark, path, meta, matched,
+                                      rt_id, rt_ver)
+               if rt_stable else
+               _snapshot_df(spark, path, meta, matched, tag_rows=False))
         survivors = sub.filter(
             ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
-        ).select(*t_cols)
+        ).select(*t_cols, *rt_pass)
         if mapping_mode != "none":
             stage_df, stage_parts = _project_to_physical(
-                survivors, meta, mapping_mode)
+                survivors, meta, mapping_mode, passthrough=tuple(rt_pass))
         else:
             stage_df, stage_parts = survivors, part_cols
         new_adds = _stage_data_files(stage_df, path, stage_parts)
@@ -3036,6 +3202,9 @@ def delete_delta(spark: SparkSession, path: str, predicate: str,
     ict = _next_ict(spark, log_dir, meta, latest, now_ms)
     if ict is not None:
         actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    if emit_meta:
+        # first rowTracking materialization names the columns in config
+        actions.append({"metaData": meta})
     if not dv_mode:
         rt = _assign_row_ids(proto, domains, new_adds, latest + 1)
         if rt is not None:
@@ -3131,10 +3300,22 @@ def compact_delta(spark: SparkSession, path: str,
     log_dir = f"{path}/_delta_log"
     meta, live, latest, _, proto, domains = _replay_state(spark, path)
     _check_writer_allowed(proto, meta, "compact")
-    mapping_mode = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none")
+    conf = meta.get("configuration") or {}
+    mapping_mode = conf.get("delta.columnMapping.mode", "none")
     if not live:
         raise VersionedTableError(f"compact_delta: nothing to compact at {path}")
+    # enableRowTracking: OPTIMIZE moves bytes but not rows — every row
+    # keeps BOTH its id and its commit version, so both are
+    # materialized into the rewritten files (a compacted file's fresh
+    # baseRowId/defaultRowCommitVersion never resolve for these rows)
+    rt_stable = str(conf.get("delta.enableRowTracking",
+                             "false")).lower() == "true"
+    rt_pass: list[str] = []
+    emit_meta = False
+    if rt_stable:
+        meta, rt_id, rt_ver, rt_changed = _rt_materialized_cols(meta)
+        emit_meta = rt_changed
+        rt_pass = [rt_id, rt_ver]
     if cluster_by is None:
         # liquid-clustered tables record their clustering columns in the
         # delta.clustering domain — OPTIMIZE on such a table clusters by
@@ -3186,7 +3367,8 @@ def compact_delta(spark: SparkSession, path: str,
                         path, flat, resolved,
                     )
     part_cols = list(meta.get("partitionColumns") or [])
-    df = _snapshot_df(spark, path, meta, live)
+    df = (_snapshot_with_row_ids(spark, path, meta, live, rt_id, rt_ver)
+          if rt_stable else _snapshot_df(spark, path, meta, live))
     if cluster_by and cluster_method == "zorder":
         out_cols = list(df.columns)
         df, zkey = zorder_key(df, cluster_by)
@@ -3198,7 +3380,8 @@ def compact_delta(spark: SparkSession, path: str,
     else:
         df = df.repartition(target_files)
     if mapping_mode != "none":
-        stage_df, stage_parts = _project_to_physical(df, meta, mapping_mode)
+        stage_df, stage_parts = _project_to_physical(
+            df, meta, mapping_mode, passthrough=tuple(rt_pass))
     else:
         stage_df, stage_parts = df, part_cols
     new_adds = _stage_data_files(stage_df, path, stage_parts)
@@ -3220,6 +3403,9 @@ def compact_delta(spark: SparkSession, path: str,
     ict = _next_ict(spark, log_dir, meta, latest, now_ms)
     if ict is not None:
         actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    if emit_meta:
+        # first rowTracking materialization names the columns in config
+        actions.append({"metaData": meta})
     rt = _assign_row_ids(proto, domains, new_adds, latest + 1)
     if rt is not None:
         actions.append(rt)

@@ -13,6 +13,7 @@ import os
 import shutil
 
 import pytest
+from urllib.parse import unquote as urllib_unquote
 from pyspark.sql import functions as F
 
 from sql_based_etl_spark.tables.delta_interop import (
@@ -3137,7 +3138,11 @@ def test_row_tracking_assigns_fresh_ids_and_watermark(spark, tmp_path):
     adds = [a["add"] for a in acts_of(v) if "add" in a]
     assert all(a["baseRowId"] >= 7 for a in adds)
 
-    # enableRowTracking=true: merge/compact refuse, append still works
+    # enableRowTracking=true rewrites now MATERIALIZE instead of
+    # refusing (test_row_tracking_merge_keeps_ids_stable /
+    # test_row_tracking_compact_and_cow_delete_keep_ids). What must
+    # still fail loudly: a NON-COMPLIANT log — enableRowTracking with
+    # live adds that never got a baseRowId — cannot resolve stable ids.
     d2 = str(tmp_path / "rte")
     os.makedirs(d2)
     _write_datafile(spark, d2, "f0.parquet", [0])
@@ -3147,11 +3152,11 @@ def test_row_tracking_assigns_fresh_ids_and_watermark(spark, tmp_path):
          {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
                        "writerFeatures": ["rowTracking", "domainMetadata"]}},
          meta, _add("f0.parquet"))
-    with pytest.raises(VersionedTableError, match="STABLE row ids"):
+    with pytest.raises(VersionedTableError, match="baseRowId"):
         merge_delta(spark.createDataFrame([(0, "x")], "id long, v string"),
                     d2, "target.id = source.id",
                     when_matched_update={"v": "source.v"})
-    with pytest.raises(VersionedTableError, match="STABLE row ids"):
+    with pytest.raises(VersionedTableError, match="baseRowId"):
         compact_delta(spark, d2)
     write_delta(spark.createDataFrame([(5, "e")], "id long, v string"), d2)
     assert _ids(read_delta(spark, d2)) == [0, 5]
@@ -3470,3 +3475,166 @@ def test_delete_delta_gates(spark, tmp_path):
                 properties={"delta.enableDeletionVectors": "true"})
     v = delete_delta(spark, d, "id = -1")
     assert v == 0  # no-op: nothing matched, nothing committed
+
+
+# --- rowTracking rewrites (materialized row ids) --------------------------
+
+
+def _stable_ids(spark, d):
+    """(value-key → (row_id, row_commit_version)) via the spec's
+    resolution rule — what any rowTracking reader computes."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        _rt_materialized_cols,
+        _snapshot_with_row_ids,
+    )
+
+    meta, live, _, _, _, _ = _replay_state(spark, d)
+    meta, idc, vc, _ = _rt_materialized_cols(meta)
+    df = _snapshot_with_row_ids(spark, d, meta, live, idc, vc)
+    return {r["id"]: (r[idc], r[vc]) for r in df.collect()}
+
+
+def test_row_tracking_merge_keeps_ids_stable(spark, tmp_path):
+    """MERGE on an enableRowTracking table: carried and updated rows
+    keep their row ids across the rewrite (materialized into the
+    config-named columns), updated rows' commit version moves to the
+    merge commit, carried rows keep theirs, inserted rows get fresh
+    ids beyond the old watermark — and the watermark advances."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        merge_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, n long"),
+        d, mode="overwrite",
+        properties={"delta.enableRowTracking": "true"})
+    before = _stable_ids(spark, d)
+    assert {v for _, (v, _) in before.items()} == {0, 1, 2}
+    _, _, _, _, _, dom0 = _replay_state(spark, d)
+    hwm0 = json.loads(dom0["delta.rowTracking"])["rowIdHighWaterMark"]
+
+    src = spark.createDataFrame([(2, 200), (9, 90)], "id long, n long")
+    v = merge_delta(src, d, "target.id = source.id",
+                    when_matched_update={"n": "source.n"})
+    after = _stable_ids(spark, d)
+    # carried (1, 3) and updated (2) keep their ids
+    for k in (1, 2, 3):
+        assert after[k][0] == before[k][0], f"row {k} id changed"
+    # inserted row gets a fresh id beyond the old watermark
+    assert after[9][0] > hwm0
+    # commit versions: carried keep v0, updated + inserted move to v1
+    assert after[1][1] == 0 and after[3][1] == 0
+    assert after[2][1] == v and after[9][1] == v
+    # config records the materialized column names; the rewritten
+    # parquet physically contains them
+    import pyarrow.parquet as pq
+
+    meta, live, _, _, _, dom1 = _replay_state(spark, d)
+    conf = meta["configuration"]
+    idc = conf["delta.rowTracking.materializedRowIdColumnName"]
+    vc = conf["delta.rowTracking.materializedRowCommitVersionColumnName"]
+    names = set()
+    for a in live.values():
+        names |= set(pq.read_schema(
+            os.path.join(d, urllib_unquote(a["path"]))).names)
+    assert idc in names and vc in names
+    hwm1 = json.loads(dom1["delta.rowTracking"])["rowIdHighWaterMark"]
+    assert hwm1 > hwm0
+
+
+def test_row_tracking_compact_and_cow_delete_keep_ids(spark, tmp_path):
+    """OPTIMIZE and copy-on-write DELETE on an enableRowTracking table
+    preserve every surviving row's (id, commit version) exactly."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        delete_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(i, i * 10) for i in range(20)],
+                              "id long, n long").repartition(4),
+        d, mode="overwrite",
+        properties={"delta.enableRowTracking": "true"})
+    write_delta(
+        spark.createDataFrame([(i, i * 10) for i in range(20, 30)],
+                              "id long, n long"),
+        d, mode="append")
+    before = _stable_ids(spark, d)
+    assert len({rid for rid, _ in before.values()}) == 30  # all distinct
+
+    compact_delta(spark, d, target_files=1)
+    mid = _stable_ids(spark, d)
+    assert mid == before, "OPTIMIZE changed a row id or commit version"
+
+    delete_delta(spark, d, "id % 3 = 0")  # cow: no DVs enabled
+    after = _stable_ids(spark, d)
+    assert set(after) == {i for i in range(30) if i % 3}
+    for k, v in after.items():
+        assert v == before[k], f"cow delete changed row {k}: {v} != {before[k]}"
+
+
+def test_identity_merge_allocates_inserts(spark, tmp_path):
+    """MERGE on an identity table: matched rows keep their identity,
+    inserted rows (source omits the column) get fresh values beyond the
+    high watermark, the watermark re-records, updating an identity
+    column refuses, and GENERATED ALWAYS still refuses explicit source
+    values."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        write_delta,
+    )
+
+    def mk(name, explicit):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        schema_string = json.dumps({"type": "struct", "fields": [
+            {"name": "ident", "type": "long", "nullable": True, "metadata": {
+                "delta.identity.start": 100,
+                "delta.identity.step": 10,
+                "delta.identity.allowExplicitInsert": explicit}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ]})
+        _log(d, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+             {"metaData": {
+                 "id": f"idm-{name}",
+                 "format": {"provider": "parquet", "options": {}},
+                 "schemaString": schema_string, "partitionColumns": [],
+                 "configuration": {}}})
+        return d
+
+    d = mk("m_always", False)
+    write_delta(spark.createDataFrame([("a",), ("b",)], "v string"),
+                d, mode="append")
+    pre = {r.v: r.ident for r in read_delta(spark, d).collect()}
+    hwm = max(pre.values())
+
+    src = spark.createDataFrame([("a", 1), ("z", 2)], "v string, tag long")
+    merge_delta(src.select("v"), d, "target.v = source.v",
+                when_matched_update={"v": "source.v"})
+    post = {r.v: r.ident for r in read_delta(spark, d).collect()}
+    assert post["a"] == pre["a"] and post["b"] == pre["b"]
+    assert post["z"] > hwm and (post["z"] - 100) % 10 == 0
+    # watermark re-recorded in the merge commit's metaData
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{2:020d}.json")).read().splitlines()]
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert metas, "identity merge must re-emit metaData with the new hwm"
+    md = {f["name"]: f["metadata"] for f in
+          json.loads(metas[0]["schemaString"])["fields"]}
+    assert md["ident"]["delta.identity.highWaterMark"] == post["z"]
+
+    # identity columns are immutable: updating one refuses
+    with pytest.raises(VersionedTableError, match="immutable"):
+        merge_delta(src.select("v"), d, "target.v = source.v",
+                    when_matched_update={"ident": "999"})
+    # GENERATED ALWAYS still refuses a source that supplies the column
+    with pytest.raises(VersionedTableError, match="GENERATED ALWAYS"):
+        merge_delta(
+            spark.createDataFrame([(999, "q")], "ident long, v string"),
+            d, "target.v = source.v", when_matched_update={"v": "source.v"})
