@@ -1453,19 +1453,27 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
                       txns: dict[str, int] | None = None,
                       proto: dict | None = None,
                       domains: dict[str, str] | None = None) -> None:
-    """Emit ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` for the
-    reconciled state after commit ``version`` — Delta's reader
-    optimization: without it every reader of a long-lived table (e.g. a
+    """Emit the reconciled state after commit ``version`` as a
+    checkpoint + ``_last_checkpoint`` — Delta's reader optimization:
+    without it every reader of a long-lived table (e.g. a
     per-micro-batch streaming sink) replays an unbounded JSON log.
     Schema mirrors what :func:`_replay_checkpoint` consumes and what
-    delta-spark expects of a single-part classic checkpoint: one row per
-    action with exactly one of ``protocol``/``metaData``/``add`` set.
+    delta-spark expects: one row per action with exactly one action
+    struct set.
 
-    Written via a normal Spark parquet job into a dot-prefixed temp dir
-    (invisible to readers), renamed into place, then ``_last_checkpoint``
-    is overwritten — the same publication order Delta uses, so a crash
-    between the two leaves a valid table (readers just keep replaying
-    JSON until the pointer lands)."""
+    Layout follows the table's ``delta.checkpointPolicy``: classic
+    (default) is the single-file ``%020d.checkpoint.parquet``; ``v2``
+    emits the v2Checkpoint feature's layout — file actions in a
+    ``_delta_log/_sidecars/<uuid>.parquet`` sidecar, and a uuid-named
+    manifest (``%020d.checkpoint.<uuid>.parquet``) carrying protocol /
+    metaData / txn / domainMetadata plus the REQUIRED
+    ``checkpointMetadata`` action and the ``sidecarFile`` pointer.
+
+    Written via normal Spark parquet jobs into dot-prefixed temp dirs
+    (invisible to readers), renamed into place in dependency order
+    (sidecars → manifest → ``_last_checkpoint``) — the same publication
+    order Delta uses, so a crash at any point leaves a valid table
+    (readers just keep replaying JSON until the pointer lands)."""
     from pyspark.sql.types import (
         ArrayType,
         BooleanType,
@@ -1595,27 +1603,96 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
         }}
         for dom, conf in sorted((domains or {}).items())
     ]
-    fs, _, _ = _fs_and_path(spark, log_dir)
-    tmp_dir = f"{log_dir}/.checkpoint-{version:020d}.tmp"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp_dir)
-    jtmp = _fs_and_path(spark, tmp_dir)[1]
-    part = next(
-        st.getPath() for st in fs.listStatus(jtmp)
-        if st.getPath().getName().endswith(".parquet")
-    )
-    dest = _fs_and_path(
-        spark, f"{log_dir}/{version:020d}.checkpoint.parquet"
-    )[1]
-    # re-running a checkpoint is content-idempotent; replace, not race
-    if fs.exists(dest):
-        fs.delete(dest, False)
-    if not fs.rename(part, dest):
-        raise VersionedTableError(
-            f"cannot publish checkpoint for version {version} at {log_dir}"
+    def _publish_parquet(out_rows, out_schema, dest_rel: str) -> None:
+        """One single-file parquet published via temp-dir + rename —
+        re-running a checkpoint is content-idempotent; replace, not
+        race."""
+        fs, _, _ = _fs_and_path(spark, log_dir)
+        import uuid as _uuid
+
+        tmp_dir = f"{log_dir}/.cptmp-{_uuid.uuid4().hex[:12]}"
+        spark.createDataFrame(out_rows, out_schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp_dir)
+        jtmp = _fs_and_path(spark, tmp_dir)[1]
+        part = next(
+            st.getPath() for st in fs.listStatus(jtmp)
+            if st.getPath().getName().endswith(".parquet")
         )
-    fs.delete(jtmp, True)
+        dest = _fs_and_path(spark, f"{log_dir}/{dest_rel}")[1]
+        fs.mkdirs(dest.getParent())
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        if not fs.rename(part, dest):
+            raise VersionedTableError(
+                f"cannot publish checkpoint file {dest_rel} at {log_dir}"
+            )
+        fs.delete(jtmp, True)
+
+    v2 = str((meta.get("configuration") or {}).get(
+        "delta.checkpointPolicy", "classic")).lower() == "v2"
+    if not v2:
+        _publish_parquet(rows, schema,
+                         f"{version:020d}.checkpoint.parquet")
+    else:
+        # V2 layout (the spec's v2Checkpoint feature, which the reader
+        # side has replayed since round 6): file actions live in a
+        # SIDECAR parquet under _delta_log/_sidecars/, and the
+        # uuid-named manifest holds everything else plus the REQUIRED
+        # checkpointMetadata action and a sidecarFile pointer —
+        # sidecars publish BEFORE the manifest that references them,
+        # and the manifest before _last_checkpoint, so a crash at any
+        # point leaves a fully valid table.
+        import uuid as _uuid
+
+        from pyspark.sql.types import MapType as _Map
+        from pyspark.sql.types import StringType as _Str
+
+        file_fields = {"add", "remove"}
+        sidecar_schema = StructType(
+            [f for f in schema.fields if f.name in file_fields])
+        manifest_schema = StructType(
+            [f for f in schema.fields if f.name not in file_fields]
+            + [
+                StructField("checkpointMetadata", StructType([
+                    StructField("version", LongType()),
+                    StructField("tags", _Map(_Str(), _Str())),
+                ])),
+                StructField("sidecarFile", StructType([
+                    StructField("path", _Str()),
+                    StructField("sizeInBytes", LongType()),
+                    StructField("modificationTime", LongType()),
+                    StructField("tags", _Map(_Str(), _Str())),
+                ])),
+            ])
+        sc_none = {f.name: None for f in sidecar_schema.fields}
+        mf_none = {f.name: None for f in manifest_schema.fields}
+        file_rows = [
+            {**sc_none, **{k: v for k, v in r.items() if k in file_fields}}
+            for r in rows if any(r.get(k) for k in file_fields)
+        ]
+        other_rows = [
+            {**mf_none, **{k: v for k, v in r.items()
+                           if k in mf_none and v is not None}}
+            for r in rows if not any(r.get(k) for k in file_fields)
+        ]
+        sc_name = f"{_uuid.uuid4()}.parquet"
+        _publish_parquet(file_rows, sidecar_schema, f"_sidecars/{sc_name}")
+        fs0, _, _ = _fs_and_path(spark, log_dir)
+        sc_st = fs0.getFileStatus(
+            _fs_and_path(spark, f"{log_dir}/_sidecars/{sc_name}")[1])
+        other_rows.append({**mf_none, "checkpointMetadata": {
+            "version": version, "tags": None}})
+        other_rows.append({**mf_none, "sidecarFile": {
+            "path": sc_name,
+            "sizeInBytes": int(sc_st.getLen()),
+            "modificationTime": int(sc_st.getModificationTime()),
+            "tags": None,
+        }})
+        _publish_parquet(
+            other_rows, manifest_schema,
+            f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet")
+
+    fs, _, _ = _fs_and_path(spark, log_dir)
     out = fs.create(_fs_and_path(spark, f"{log_dir}/_last_checkpoint")[1], True)
     try:
         out.write(bytearray(json.dumps(
@@ -2141,6 +2218,11 @@ _BRIDGE_WRITER_FEATURES = {
                          # obligation is preserving the delta.clustering
                          # domain (generic now); compact_delta picks the
                          # clustering columns up automatically
+    "v2Checkpoint",      # delta.checkpointPolicy=v2 tables checkpoint
+                         # in the v2 layout (_write_checkpoint: sidecar
+                         # file actions + uuid-named manifest with
+                         # checkpointMetadata); the reader replays all
+                         # three public layouts since round 6
 }
 
 
@@ -2509,20 +2591,30 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         # a domain) — the spec requires claiming both
         rt_on = str((properties or {}).get(
             "delta.enableRowTracking", "false")).lower() == "true"
-        if ict_on or dv_on or rt_on:
+        # v2 checkpoints are a reader+writer feature pair: a reader
+        # that can't follow sidecarFile pointers would replay an
+        # incomplete file list
+        v2cp_on = str((properties or {}).get(
+            "delta.checkpointPolicy", "classic")).lower() == "v2"
+        if ict_on or dv_on or rt_on or v2cp_on:
             wf = {"appendOnly", "invariants"}
+            rf: set[str] = set()
             if cdf_on:
                 wf.add("changeDataFeed")
             if ict_on:
                 wf.add("inCommitTimestamp")
             if dv_on:
                 wf.add("deletionVectors")
+                rf.add("deletionVectors")
             if rt_on:
                 wf |= {"rowTracking", "domainMetadata"}
+            if v2cp_on:
+                wf.add("v2Checkpoint")
+                rf.add("v2Checkpoint")
             proto = {
-                "minReaderVersion": 3 if dv_on else 1,
+                "minReaderVersion": 3 if rf else 1,
                 "minWriterVersion": 7,
-                **({"readerFeatures": ["deletionVectors"]} if dv_on else {}),
+                **({"readerFeatures": sorted(rf)} if rf else {}),
                 "writerFeatures": sorted(wf),
             }
         else:
