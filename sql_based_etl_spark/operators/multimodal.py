@@ -401,6 +401,154 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     )
 
 
+AUDIO_CONTAINER_SCHEMA = (
+    "doc_id bigint, container string, channels int, sample_rate int, "
+    "n_units int, payload_units bigint, duration_micros bigint, "
+    "rate_metric bigint"
+)
+
+
+def synth_mp3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MPEG-1 Layer III frame-stream synthesis from
+    ``doc_id`` — the MP3 analogue of :func:`synth_avi`. Law:
+    bitrate index = 1 + id%14, rate index = id%3, mono = id%2,
+    frames = 3 + id%5, per-frame padding bit = (id+i)%2, a syncsafe
+    ID3v2 tag of (id%4)*17 junk bytes prepended. Payload bytes are
+    deterministic filler — the parser's claim is FRAMING (headers,
+    lengths, duration), not audio, the same honesty boundary as the
+    metadata-only video ops."""
+    from sql_based_etl_spark.operators.audiocontainers import synth_mp3_bytes
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                ids.append(d)
+                blobs.append(synth_mp3_bytes(
+                    n_frames=3 + d % 5, version=3,
+                    bitrate_index=1 + d % 14, rate_index=d % 3,
+                    mono=bool(d % 2),
+                    pad_law=lambda i, d=d: (d + i) % 2,
+                    id3_junk=(d % 4) * 17))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "payload": blobs,
+            })
+
+    return df.select(id_col).mapInPandas(_synth, "doc_id bigint, payload binary")
+
+
+def synth_ogg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic single-stream OGG/Vorbis synthesis from ``doc_id``
+    (identification-header page + CRC-stamped audio pages). Law:
+    channels = 1 + id%2, rate = [8000,16000,44100][id%3],
+    nominal bitrate = 64000 + 1000*(id%8), audio pages = 1 + id%3 with
+    granule (k+1)*(500 + id*37) and payload length 64 + 16*k."""
+    from sql_based_etl_spark.operators.audiocontainers import (
+        synth_ogg_vorbis_bytes,
+    )
+
+    rates = (8000, 16000, 44100)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n_audio = 1 + d % 3
+                ids.append(d)
+                blobs.append(synth_ogg_vorbis_bytes(
+                    channels=1 + d % 2, sample_rate=rates[d % 3],
+                    bitrate_nominal=64000 + 1000 * (d % 8),
+                    page_granules=[(k + 1) * (500 + d * 37)
+                                   for k in range(n_audio)]))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "payload": blobs,
+            })
+
+    return df.select(id_col).mapInPandas(_synth, "doc_id bigint, payload binary")
+
+
+def parse_audio_container(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """Container-level audio metadata through the Arrow ``mapInPandas``
+    lane — MP3 frame walking and OGG/Vorbis page walking
+    (operators/audiocontainers.py), sniffed per payload. One row per
+    document with EXACT integer facts: ``n_units`` = frames (mp3) /
+    pages (ogg), ``payload_units`` = frame bytes (mp3) / audio payload
+    bytes (ogg), ``rate_metric`` = bitrate-kbps sum over frames (mp3) /
+    nominal bitrate (ogg). Bytes never leave the executor; WAV/FLAC
+    payloads belong to :func:`decode_audio` (full decode), and unknown
+    containers fail loudly."""
+    from sql_based_etl_spark.operators.audiocodecs import (
+        AudioDecodeError,
+        sniff_audio,
+    )
+    from sql_based_etl_spark.operators.audiocontainers import (
+        parse_mp3_frames,
+        parse_ogg_vorbis,
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "container", "channels",
+                                   "sample_rate", "n_units",
+                                   "payload_units", "duration_micros",
+                                   "rate_metric")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                # ID3-prefixed mp3 sniffs as 'mp3' via the ID3 magic
+                kind = sniff_audio(data)
+                if kind == "unknown" and (len(data) >= 2
+                                          and data[0] == 0xFF
+                                          and data[1] & 0xE0 == 0xE0):
+                    kind = "mp3"
+                if kind == "mp3":
+                    r = parse_mp3_frames(data)
+                    row = (r["channels"], r["sample_rate"], r["n_frames"],
+                           r["frame_bytes"], r["duration_micros"],
+                           r["bitrate_kbps_sum"])
+                elif kind == "ogg":
+                    r = parse_ogg_vorbis(data)
+                    row = (r["channels"], r["sample_rate"], r["n_pages"],
+                           r["payload_bytes"], r["duration_micros"],
+                           r["bitrate_nominal"])
+                else:
+                    raise AudioDecodeError(
+                        f"parse_audio_container: {kind!r} payloads belong "
+                        "to decode_audio (wav/flac) or are unsupported")
+                out["doc_id"].append(int(doc_id))
+                out["container"].append(kind)
+                for k, v in zip(("channels", "sample_rate", "n_units",
+                                 "payload_units", "duration_micros",
+                                 "rate_metric"), row):
+                    out[k].append(int(v))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
+                "container": out["container"],
+                "channels": np.asarray(out["channels"], dtype=np.int32),
+                "sample_rate": np.asarray(out["sample_rate"], dtype=np.int32),
+                "n_units": np.asarray(out["n_units"], dtype=np.int32),
+                "payload_units": np.asarray(out["payload_units"],
+                                            dtype=np.int64),
+                "duration_micros": np.asarray(out["duration_micros"],
+                                              dtype=np.int64),
+                "rate_metric": np.asarray(out["rate_metric"],
+                                          dtype=np.int64),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _parse, AUDIO_CONTAINER_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_frame_bytes int, frame_md5 string"
 
 

@@ -106,6 +106,8 @@ APPENDIX = [
     "mm_decode_audio",  # WAV round trip (synth → RIFF/PCM parse → integer stats) — mapInPandas path graded via mm_decode_geometry; decode exactness oracle-checked here (full registry pytest) + codec edge cases pytest-pinned
     "mm_decode_flac",  # FLAC round trip (lossless compress → bit-exact decode, MD5-verified) — mapInPandas path graded via mm_decode_geometry; codec exactness oracle-checked here (full registry pytest) + every subframe/stereo path pytest-pinned
     "mm_decode_video",  # AVI round trip (synth → RIFF tree walk → per-frame integer pixel stats) — mapInPandas path graded via mm_decode_geometry; container parse exactness oracle-checked here (full registry pytest) + codec edge cases pytest-pinned
+    "mm_audio_mp3",  # MP3 frame walk (headers/ID3/frame-length law → duration/bitrate facts) — mapInPandas path graded via mm_decode_geometry; framing exactness oracle-checked here (full registry pytest) + fail-loud edges pytest-pinned
+    "mm_audio_ogg",  # OGG/Vorbis page walk (spec CRC-32 per page, granule-derived duration) — mapInPandas path graded via mm_decode_geometry; page framing oracle-checked here (full registry pytest) + fail-loud edges pytest-pinned
 ]
 
 

@@ -285,3 +285,104 @@ def mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mm_decode_flac"] = mm_decode_flac
 ORACLES["mm_decode_flac"] = ORACLES["mm_decode_audio"]
+
+
+def mm_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-walk round trip, exactly oracle-checked: deterministic
+    MPEG-1 Layer III synthesis from ``doc_id``
+    (operators/multimodal.py:synth_mp3 — valid headers + ID3v2 prefix,
+    independent of the parser) → the pure-stdlib frame walker
+    (operators/audiocontainers.py:parse_mp3_frames) → exact integer
+    container facts. DuckDB replays the synthesis law analytically
+    (bitrate/rate index tables, the Layer III frame-length formula,
+    the per-frame padding parity) — a parser that mis-sizes one frame
+    or mis-skips the ID3 tag hash-mismatches."""
+    from sql_based_etl_spark.operators.multimodal import (
+        parse_audio_container,
+        synth_mp3,
+    )
+
+    mp3 = synth_mp3(load(spark, sf_dir, "documents"))
+    return parse_audio_container(mp3).select(
+        "doc_id", "channels", "sample_rate", "n_units",
+        F.col("payload_units").alias("frame_bytes"),
+        "duration_micros",
+        F.col("rate_metric").alias("kbps_sum"),
+    )
+
+
+QUERIES["mm_audio_mp3"] = mm_audio_mp3
+
+# the synthesis law replayed analytically: kbps = V1L3 table[1+id%14],
+# rate = [44100,48000,32000][id%3], n = 3+id%5, frame bytes =
+# n*(144000*kbps//rate) + padding parity sum, duration =
+# n*1152*1e6//rate — all integer arithmetic
+ORACLES["mm_audio_mp3"] = """
+    WITH par AS (
+        SELECT doc_id,
+               3 + doc_id % 5 AS n,
+               list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                            CAST(1 + doc_id % 14 AS INT)) AS kbps,
+               list_extract([44100,48000,32000],
+                            CAST(1 + doc_id % 3 AS INT)) AS rate
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(2 - doc_id % 2 AS INTEGER) AS channels,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_units,
+           CAST(n * (144000 * kbps // rate)
+                + n // 2 + (n % 2) * (doc_id % 2) AS BIGINT) AS frame_bytes,
+           CAST(n * 1152 * 1000000 // rate AS BIGINT) AS duration_micros,
+           CAST(n * kbps AS BIGINT) AS kbps_sum
+    FROM par
+"""
+
+
+def mm_audio_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG/Vorbis page-walk round trip, exactly oracle-checked:
+    deterministic single-stream synthesis from ``doc_id``
+    (operators/multimodal.py:synth_ogg — identification header +
+    CRC-stamped pages, independent of the parser) → the page walker
+    (operators/audiocontainers.py:parse_ogg_vorbis, spec CRC-32
+    verified per page) → exact integer facts incl. the granule-derived
+    duration. DuckDB replays the law analytically."""
+    from sql_based_etl_spark.operators.multimodal import (
+        parse_audio_container,
+        synth_ogg,
+    )
+
+    ogg = synth_ogg(load(spark, sf_dir, "documents"))
+    return parse_audio_container(ogg).select(
+        "doc_id", "channels", "sample_rate",
+        F.col("n_units").alias("n_pages"),
+        F.col("payload_units").alias("audio_bytes"),
+        "duration_micros",
+        F.col("rate_metric").alias("bitrate_nominal"),
+    )
+
+
+QUERIES["mm_audio_ogg"] = mm_audio_ogg
+
+# law: channels = 1+id%2, rate = [8000,16000,44100][id%3], audio pages
+# na = 1+id%3 (total pages na+1), payload = sum(64+16k) = 64*na +
+# 16*na*(na-1)/2, last granule = na*(500+id*37), duration =
+# granule*1e6//rate, nominal bitrate = 64000+1000*(id%8)
+ORACLES["mm_audio_ogg"] = """
+    WITH par AS (
+        SELECT doc_id,
+               1 + doc_id % 3 AS na,
+               list_extract([8000,16000,44100],
+                            CAST(1 + doc_id % 3 AS INT)) AS rate
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(na + 1 AS INTEGER) AS n_pages,
+           CAST(64 * na + 16 * na * (na - 1) // 2 AS BIGINT) AS audio_bytes,
+           CAST(na * (500 + doc_id * 37) * 1000000 // rate AS BIGINT)
+               AS duration_micros,
+           CAST(64000 + 1000 * (doc_id % 8) AS BIGINT) AS bitrate_nominal
+    FROM par
+"""

@@ -415,3 +415,93 @@ def test_ms_adpcm_fail_loud():
     struct.pack_into("<I", cut, at + 4, len(cut) - at - 8)
     with pytest.raises(AudioDecodeError, match="nBlockAlign"):
         decode_wav_bytes(bytes(cut))
+
+
+# --- MP3 / OGG container parsers (operators/audiocontainers.py) ----------
+
+
+def test_mp3_frame_walk_round_trip():
+    """Every (version, rate, bitrate, channel, padding, ID3) shape the
+    synthesizer emits parses back to the exact analytic facts."""
+    from sql_based_etl_spark.operators.audiocontainers import (
+        _BITRATE_V1_L3,
+        _BITRATE_V2_L3,
+        _RATES,
+        parse_mp3_frames,
+        synth_mp3_bytes,
+    )
+
+    for ver, table in ((3, _BITRATE_V1_L3), (2, _BITRATE_V2_L3)):
+        for ri in range(3):
+            for bi in (1, 8, 14):
+                for mono in (True, False):
+                    data = synth_mp3_bytes(4, ver, bi, ri, mono, id3_junk=19)
+                    r = parse_mp3_frames(data)
+                    rate = _RATES[ver][ri]
+                    samples = 1152 if ver == 3 else 576
+                    assert r["n_frames"] == 4
+                    assert r["sample_rate"] == rate
+                    assert r["channels"] == (1 if mono else 2)
+                    assert r["bitrate_kbps_sum"] == 4 * table[bi]
+                    assert r["duration_micros"] == (
+                        4 * samples * 1_000_000 // rate)
+
+
+def test_mp3_fail_loud_edges():
+    """Bad sync, reserved indexes, truncation, mid-stream fact changes
+    and non-syncsafe ID3 lengths all raise naming the problem."""
+    import pytest
+
+    from sql_based_etl_spark.operators.audiocodecs import AudioDecodeError
+    from sql_based_etl_spark.operators.audiocontainers import (
+        parse_mp3_frames,
+        synth_mp3_bytes,
+    )
+
+    good = synth_mp3_bytes(3, 3, 5, 0, False)
+    b = bytearray(good)
+    b[0] = 0
+    with pytest.raises(AudioDecodeError, match="sync"):
+        parse_mp3_frames(bytes(b))
+    with pytest.raises(AudioDecodeError, match="claims"):
+        parse_mp3_frames(good[:-3])  # truncated final frame
+    # mid-stream rate change = corruption, not VBR
+    other = synth_mp3_bytes(1, 3, 5, 1, False)
+    with pytest.raises(AudioDecodeError, match="changed mid-file"):
+        parse_mp3_frames(good + other)
+    # VBR (bitrate index change only) is legal
+    vbr = synth_mp3_bytes(2, 3, 5, 0, False) + synth_mp3_bytes(2, 3, 9, 0, False)
+    assert parse_mp3_frames(vbr)["n_frames"] == 4
+    with pytest.raises(AudioDecodeError, match="syncsafe"):
+        parse_mp3_frames(b"ID3\x04\x00\x00\xff\xff\xff\xff" + good)
+
+
+def test_ogg_page_walk_round_trip_and_crc():
+    """Pages round-trip with the spec CRC verified; the final granule
+    drives the duration; payload corruption and sequence jumps raise."""
+    import pytest
+
+    from sql_based_etl_spark.operators.audiocodecs import AudioDecodeError
+    from sql_based_etl_spark.operators.audiocontainers import (
+        _ogg_crc,
+        parse_ogg_vorbis,
+        synth_ogg_vorbis_bytes,
+    )
+
+    data = synth_ogg_vorbis_bytes(2, 44100, 160000, [700, 1400, 99999])
+    r = parse_ogg_vorbis(data)
+    assert (r["channels"], r["sample_rate"], r["bitrate_nominal"]) == (
+        2, 44100, 160000)
+    assert r["n_pages"] == 4 and r["last_granule"] == 99999
+    assert r["duration_micros"] == 99999 * 1_000_000 // 44100
+    assert r["payload_bytes"] == (64 + 0) + (64 + 16) + (64 + 32)
+    assert _ogg_crc(b"") == 0
+    b = bytearray(data)
+    b[-1] ^= 0x55
+    with pytest.raises(AudioDecodeError, match="CRC"):
+        parse_ogg_vorbis(bytes(b))
+    # a large payload exercises multi-lacing (255-byte runs)
+    big = synth_ogg_vorbis_bytes(1, 8000, 64000, [123],
+                                 page_payload_len=lambda p: 700)
+    r2 = parse_ogg_vorbis(big)
+    assert r2["payload_bytes"] == 700 and r2["n_pages"] == 2
