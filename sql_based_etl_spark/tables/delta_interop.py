@@ -743,17 +743,7 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None,
             "relative_version"
         )
     if where:
-        norm = []
-        for t in where:
-            if len(t) == 2 and t[1] in ("is null", "is not null"):
-                t = (t[0], t[1], None)  # null tests take no literal
-            if len(t) != 3 or t[1] not in _WHERE_OPS:
-                raise VersionedTableError(
-                    f"read_delta: malformed where conjunct {t!r} — want "
-                    f"(column, op, literal) with op in {_WHERE_OPS}"
-                )
-            norm.append(tuple(t))
-        where = norm
+        where = _normalize_where(where)
     if timestamp is not None or relative_version is not None:
         version = _resolve_log_version(spark, path, timestamp, relative_version)
     meta, adds, _, _, _, _ = _replay_state(spark, path, version)
@@ -761,22 +751,61 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None,
         adds = _prune_adds_by_stats(meta, adds, list(where))
     df = _snapshot_df(spark, path, meta, adds)
     if where:
-        cond = None
-        for c, op, lit in where:
-            col = F.col(c)
-            if op == "is null":
-                e = col.isNull()
-            elif op == "is not null":
-                e = col.isNotNull()
-            elif op == "in":
-                e = col.isin(list(lit))
-            else:
-                e = {"=": col == F.lit(lit), "<": col < F.lit(lit),
-                     "<=": col <= F.lit(lit), ">": col > F.lit(lit),
-                     ">=": col >= F.lit(lit)}[op]
-            cond = e if cond is None else cond & e
-        df = df.filter(cond)
+        df = df.filter(_where_condition(where))
     return df
+
+
+def _normalize_where(where: list[tuple]) -> list[tuple]:
+    """Validate/normalize the ``(column, op, literal)`` conjunction
+    grammar shared by :func:`read_delta` and :func:`delete_delta`."""
+    norm = []
+    for t in where:
+        if len(t) == 2 and t[1] in ("is null", "is not null"):
+            t = (t[0], t[1], None)  # null tests take no literal
+        if len(t) != 3 or t[1] not in _WHERE_OPS:
+            raise VersionedTableError(
+                f"malformed where conjunct {t!r} — want "
+                f"(column, op, literal) with op in {_WHERE_OPS}"
+            )
+        norm.append(tuple(t))
+    return norm
+
+
+def _where_condition(where: list[tuple]):
+    """The Spark Column for a normalized conjunction."""
+    cond = None
+    for c, op, lit in where:
+        col = F.col(c)
+        if op == "is null":
+            e = col.isNull()
+        elif op == "is not null":
+            e = col.isNotNull()
+        elif op == "in":
+            e = col.isin(list(lit))
+        else:
+            e = {"=": col == F.lit(lit), "<": col < F.lit(lit),
+                 "<=": col <= F.lit(lit), ">": col > F.lit(lit),
+                 ">=": col >= F.lit(lit)}[op]
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def _where_sql(where: list[tuple]) -> str:
+    """Render a normalized conjunction as SQL (commitInfo display)."""
+    def _lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    parts = []
+    for c, op, lit in where:
+        if op in ("is null", "is not null"):
+            parts.append(f"{c} {op}")
+        elif op == "in":
+            parts.append(f"{c} in ({', '.join(_lit(x) for x in lit)})")
+        else:
+            parts.append(f"{c} {op} {_lit(lit)}")
+    return " AND ".join(parts)
 
 
 def _resolve_log_version(spark: SparkSession, path: str,
@@ -3045,11 +3074,21 @@ def _dv_encode_group(pdf):
     })
 
 
-def delete_delta(spark: SparkSession, path: str, predicate: str,
+def delete_delta(spark: SparkSession, path: str,
+                 predicate: str | list[tuple],
                  checkpoint_interval: int | None = 10) -> int:
     """Row-level ``DELETE FROM <table> WHERE <predicate>`` on a bridge
     Delta table — with DELETION-VECTOR writes when the table enables
     them, copy-on-write otherwise.
+
+    ``predicate`` is a Spark SQL string, or the same
+    ``(column, op, literal)`` conjunction grammar as
+    ``read_delta(where=...)`` — the triples form ALSO prunes candidate
+    files driver-side from per-file stats/partition values before any
+    data file opens, so a selective delete on a stats-carrying (e.g.
+    z-ordered) 100 TB table scans only the files the predicate can
+    live in, exactly like the pruned read. Files kept conservatively
+    never mis-delete: the full predicate still gates every row.
 
     Why DVs matter at 100 TB: a predicate deleting 0.1% of rows under
     copy-on-write rewrites every TOUCHED FILE end-to-end — data moved
@@ -3115,6 +3154,14 @@ def delete_delta(spark: SparkSession, path: str, predicate: str,
 
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
+    if isinstance(predicate, str):
+        triples = None
+        cond = F.expr(predicate)
+        pred_str = predicate
+    else:
+        triples = _normalize_where(predicate)
+        cond = _where_condition(triples)
+        pred_str = _where_sql(triples)
     meta, live, latest, txns, proto, domains = _replay_state(spark, path)
     _check_writer_allowed(proto, meta, "delete")
     conf = meta.get("configuration") or {}
@@ -3165,8 +3212,14 @@ def delete_delta(spark: SparkSession, path: str, predicate: str,
                     else posixpath.join(path, rel))
         abs2key[_norm_uri(absolute)] = k
 
-    tagged = _snapshot_df(spark, path, meta, live, tag_rows=True)
-    hits = tagged.filter(F.expr(predicate))  # TRUE only — NULL survives
+    # triples form: files provably excluded by stats/partition values
+    # never open — the candidate scan is proportional to matching
+    # files, not table size (the same _prune_adds_by_stats machinery
+    # the pruned read pins with an IO test)
+    scan_adds = (_prune_adds_by_stats(meta, live, list(triples))
+                 if triples else live)
+    tagged = _snapshot_df(spark, path, meta, scan_adds, tag_rows=True)
+    hits = tagged.filter(cond)  # TRUE only — NULL survives
     per_file = (
         hits.select("__file", "__ridx")
         .groupBy("__file")
@@ -3262,7 +3315,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str,
                if rt_stable else
                _snapshot_df(spark, path, meta, matched, tag_rows=False))
         survivors = sub.filter(
-            ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+            ~F.coalesce(cond.cast("boolean"), F.lit(False))
         ).select(*t_cols, *rt_pass)
         if mapping_mode != "none":
             stage_df, stage_parts = _project_to_physical(
@@ -3280,7 +3333,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str,
         "commitInfo": {
             "timestamp": now_ms,
             "operation": "DELETE",
-            "operationParameters": {"predicate": predicate},
+            "operationParameters": {"predicate": pred_str},
             "operationMetrics": {
                 "numDeletedRows": str(n_del),
                 "numRemovedFiles": str(len(removes)),

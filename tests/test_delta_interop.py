@@ -3697,3 +3697,45 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     _, _, _, _, proto, _ = _replay_state(spark, d)
     assert "v2Checkpoint" in (proto.get("readerFeatures") or [])
     assert "v2Checkpoint" in (proto.get("writerFeatures") or [])
+
+
+def test_delete_delta_triples_prune_candidate_files(spark, tmp_path):
+    """The triples predicate form prunes candidate files BEFORE any
+    data file opens: after z-ordering (per-file stats), a range delete
+    succeeds even when a non-candidate file's bytes are corrupted on
+    disk — proof the scan never opened it — and the commit touches
+    only the candidate file."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        compact_delta,
+        delete_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(0, 10_000).select(
+        "id", (F.col("id") % 5).alias("g")), d, mode="overwrite",
+        properties={"delta.enableDeletionVectors": "true"})
+    compact_delta(spark, d, target_files=8, cluster_by=["id"])
+    _, live, _, _, _, _ = _replay_state(spark, d)
+    # find the file whose id-range holds [0, 100) and corrupt another
+    lo_file, other = None, None
+    for a in live.values():
+        st = json.loads(a["stats"])
+        if int(st["minValues"]["id"]) == 0:
+            lo_file = a["path"]
+        elif int(st["minValues"]["id"]) >= 5_000:
+            other = a["path"]
+    assert lo_file and other
+    with open(os.path.join(d, urllib_unquote(other)), "wb") as fh:
+        fh.write(b"not parquet at all")  # poison a non-candidate file
+
+    v = delete_delta(spark, d, [("id", "<", 100)])
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{v:020d}.json")).read().splitlines()]
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    assert removed == {lo_file}, (
+        "a pruned range delete must touch only the candidate file")
+    ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
+    assert ci["operationParameters"]["predicate"] == "id < 100"
+    assert ci["operationMetrics"]["numDeletedRows"] == "100"
