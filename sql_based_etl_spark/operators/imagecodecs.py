@@ -12,10 +12,11 @@ sampling, restart markers) and PROGRESSIVE (SOF2: spectral selection
 runs) — and GIF (LZW, global/local color tables, interlace, GIF89a
 transparency; first frame of animations — frame EXTRACTION stays a
 ``sample_frames`` concern). JPEG also covers LOSSLESS (SOF3, all seven
-predictors, 2-16 bit) and 12-bit grayscale sequential. Arithmetic and
-hierarchical JPEG, 12-bit color, and non-AVI video stay honest
-``NotImplementedError`` integration points — their codecs are
-genuinely external.
+predictors, 2-16 bit) and 12-bit sequential in BOTH grayscale and
+color (the JFIF YCbCr transform generalized to the 2^prec chroma
+center). Arithmetic and hierarchical JPEG, 12-bit progressive, and
+non-AVI video stay honest ``NotImplementedError`` integration points —
+their codecs are genuinely external.
 
 These functions run INSIDE the Arrow ``mapInPandas`` batch path
 (multimodal.decode_image): bytes in, (geometry, channel means, pixel
@@ -68,7 +69,7 @@ def sniff_format(data: bytes) -> str:
 def decode_image_bytes(data: bytes) -> tuple[str, np.ndarray]:
     """Decode image bytes to ``(format, pixels)`` where ``pixels`` is a
     ``uint8`` array of shape (height, width, channels) — ``uint16``
-    for deep-bit lossless/12-bit JPEG. Raises
+    for deep-bit lossless/12-bit (grayscale or color) JPEG. Raises
     :class:`ImageDecodeError` for malformed supported formats and
     ``NotImplementedError`` for formats that need external codecs
     (arithmetic/hierarchical JPEG, video containers) or are
@@ -929,23 +930,23 @@ def _jpeg_finalize(order, coefs, q_by, bw, bh, samp, hmax, vmax,
 
     if len(order) == 1:
         return planes[order[0]][:, :, None]
-    if prec > 8:
-        raise NotImplementedError(
-            "jpeg: 12-bit color (YCbCr at extended precision) needs an "
-            "external codec; 12-bit decodes grayscale")
     if len(order) != 3:
         raise NotImplementedError(
             f"jpeg: {len(order)}-component images (CMYK/unknown) need an "
             "external codec")
+    # JFIF YCbCr→RGB at ANY sample precision: the transform
+    # coefficients are ratios (precision-free); only the chroma center
+    # and the clamp scale with 2^prec — 128/255 at 8 bits, 2048/4095 at
+    # 12 (the DICOM extended-precision color shape)
     y = planes[order[0]].astype(np.float64)
-    cb = planes[order[1]].astype(np.float64) - 128.0
-    cr = planes[order[2]].astype(np.float64) - 128.0
+    cb = planes[order[1]].astype(np.float64) - float(level)
+    cr = planes[order[2]].astype(np.float64) - float(level)
     rgb = np.stack([
         y + 1.402 * cr,
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, top).astype(dtype)
 
 
 # --- GIF (LZW-compressed indexed color — GIF87a/GIF89a) ------------------

@@ -267,13 +267,13 @@ def encode_jpeg(px: np.ndarray, subsample: bool = False,
                 quant: int = 1, restart_interval: int = 0,
                 prec: int = 8) -> bytes:
     h, w, c = px.shape
-    assert prec == 8 or c == 1, "extended precision is grayscale-only"
-    if c == 3:  # JFIF RGB -> YCbCr
+    if c == 3:  # JFIF RGB -> YCbCr (chroma centered at 2^(prec-1))
+        center = float(1 << (prec - 1))
         r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + center,
+            0.5 * r - 0.418688 * g - 0.081312 * b + center,
         ]
     else:
         planes = [px[:, :, 0].astype(np.float64)]
@@ -1108,10 +1108,19 @@ def test_jpeg_12bit_grayscale_sequential():
     assert fmt == "jpeg" and out.dtype == np.uint16
     assert out.shape == (16, 16, 1)
     assert np.max(np.abs(out.astype(np.int64) - px.astype(np.int64))) <= 2
-    # 12-bit COLOR still names the external boundary
-    rgb = _rng_pixels(8, 8, 3, seed=2).astype(np.int64)
-    sof_patch = bytearray(encode_jpeg(rgb))
-    i = sof_patch.index(b"\xff\xc0")
-    sof_patch[i + 4] = 12                   # lie: precision 12, 3 comps
-    with pytest.raises((NotImplementedError, ImageDecodeError)):
-        decode_image_bytes(bytes(sof_patch))
+
+
+def test_jpeg_12bit_color_sequential():
+    """12-bit COLOR DCT JPEG: the JFIF YCbCr transform generalized to
+    the 2^11 chroma center — smooth 12-bit RGB must round-trip within
+    DCT+colorspace rounding at 12-bit scale, dtype uint16, and the
+    decoded values must actually USE the extended range."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(256, 1 << 12, size=(1, 16, 3)).astype(np.float64)
+    px = np.repeat(base, 16, axis=0)        # smooth columns
+    data = encode_jpeg(px.astype(np.int64), prec=12)
+    fmt, out = decode_image_bytes(data)
+    assert fmt == "jpeg" and out.dtype == np.uint16
+    assert out.shape == (16, 16, 3)
+    assert np.max(np.abs(out.astype(np.int64) - px.astype(np.int64))) <= 8
+    assert int(out.max()) > 255             # extended range exercised
