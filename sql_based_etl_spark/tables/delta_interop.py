@@ -2817,6 +2817,24 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     conf = meta.get("configuration") or {}
     cdf = str(conf.get("delta.enableChangeDataFeed",
                        "false")).lower() == "true"
+    # fast path: a PURE-DELETE merge (delete clause only — no update
+    # map, no inserts, no by-source clause) on a DV-enabled table
+    # attaches deletion vectors instead of rewriting the matched files
+    # — the CDC delete-apply shape at 100 TB: work ∝ matched rows, not
+    # touched-file bytes, and row ids stay put without materialization
+    if (when_matched_delete is not None and when_matched_update is None
+            and not insert_not_matched
+            and when_not_matched_by_source_delete is None
+            and str(conf.get("delta.enableDeletionVectors",
+                             "false")).lower() == "true"
+            and "deletionVectors" in set(
+                (proto or {}).get("writerFeatures") or [])):
+        return _merge_delete_dv(
+            source, path, log_dir, meta, live, latest, txns, proto,
+            domains, condition, when_matched_delete,
+            validate_unique_match, checkpoint_interval, cdf,
+            mapping_mode, part_cols, t_cols, schema)
+
     # enableRowTracking: the rewrite must keep every surviving row's id
     # — materialize (id, commit version) into the config-named physical
     # columns. Updated rows get a NULL materialized version (their last
@@ -3074,6 +3092,223 @@ def _dv_encode_group(pdf):
     })
 
 
+def _dv_match_payloads(spark: SparkSession, path: str,
+                       live: dict[str, dict], hits: DataFrame,
+                       op: str):
+    """The shared row-level-DML core: a tagged ``hits`` frame
+    (``__file``/``__ridx`` + table columns) → per-file deletion
+    payloads. Encodes bitmaps executor-side (:func:`_dv_encode_group`),
+    maps each file back to its live add, and UNIONS with any existing
+    DV (overlap with live-DV indexes is a fail-loud invariant breach —
+    the snapshot read filters dead rows before consumers see them).
+    Returns ``(matched adds by key, [(key, payload, cardinality)],
+    n_deleted)`` or None when nothing matched."""
+    import numpy as np
+
+    def _norm_uri(p: str) -> str:
+        u = urllib.parse.urlparse(p)
+        return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
+
+    abs2key: dict[str, str] = {}
+    for k, a in live.items():
+        rel = urllib.parse.unquote(a["path"])
+        absolute = (rel if "://" in rel or rel.startswith("/")
+                    else posixpath.join(path, rel))
+        abs2key[_norm_uri(absolute)] = k
+
+    per_file = (
+        hits.select("__file", "__ridx")
+        .groupBy("__file")
+        .applyInPandas(_dv_encode_group, "file string, dv binary, card long")
+        .collect()
+    )
+    if not per_file:
+        return None
+    n_del = sum(int(r["card"]) for r in per_file)
+    matched: dict[str, dict] = {}
+    new_payloads: list[tuple[str, bytes, int]] = []
+    for r in per_file:
+        key = abs2key.get(_norm_uri(r["file"]))
+        if key is None:
+            raise VersionedTableError(
+                f"{op}: matched file {r['file']!r} does not map back to "
+                f"a live add action at {path}"
+            )
+        matched[key] = live[key]
+        payload, card = bytes(r["dv"]), int(r["card"])
+        old_dv = live[key].get("deletionVector")
+        if old_dv:
+            old_idx = _dv_row_indexes(spark, path, old_dv)
+            new_idx = _roaring_array_indexes(payload)
+            union = np.union1d(old_idx, new_idx)
+            if len(union) != len(old_idx) + len(new_idx):
+                raise VersionedTableError(
+                    f"{op}: new deletion indexes overlap the file's "
+                    f"live DV at {live[key]['path']!r} — the snapshot "
+                    "read failed to filter dead rows"
+                )
+            payload, card = _roaring_array_serialize(union), len(union)
+        new_payloads.append((key, payload, card))
+    return matched, new_payloads, n_del
+
+
+def _dv_new_adds(spark: SparkSession, path: str, matched: dict[str, dict],
+                 new_payloads: list[tuple[str, bytes, int]]) -> list[dict]:
+    """Pack every DV payload into ONE ``deletion_vector_<uuid>.bin``
+    (1-byte format version; per DV 4-byte BE size + payload + 4-byte BE
+    CRC-32), published BEFORE the log commit that references it, and
+    return the re-``add`` actions carrying the descriptors. A file
+    whose cardinality reaches its physical ``numRecords`` is fully dead
+    and gets NO add (its remove stands alone). Stats keep the physical
+    ``numRecords`` with ``tightBounds: false`` — bounds are now a
+    superset of live rows, which every stats consumer here treats
+    conservatively."""
+    import uuid as uuid_mod
+    import zlib
+
+    buf = bytearray(b"\x01")
+    descs: list[tuple[str, dict | None]] = []
+    u = uuid_mod.uuid4()
+    for key, payload, card in new_payloads:
+        a = matched[key]
+        try:
+            phys_rows = (json.loads(a["stats"])["numRecords"]
+                         if a.get("stats") else None)
+        except (KeyError, TypeError, ValueError):
+            phys_rows = None
+        if phys_rows is not None and card >= int(phys_rows):
+            descs.append((key, None))  # fully dead: remove only
+            continue
+        off = len(buf)
+        buf += len(payload).to_bytes(4, "big")
+        buf += payload
+        buf += (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        descs.append((key, {
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": len(payload),
+            "cardinality": card,
+        }))
+    if any(d for _, d in descs):
+        _write_bytes(spark, f"{path}/deletion_vector_{u}.bin", bytes(buf))
+    new_adds: list[dict] = []
+    for key, desc in descs:
+        if desc is None:
+            continue
+        a = dict(matched[key])
+        a["deletionVector"] = desc
+        a["dataChange"] = True
+        if a.get("stats"):
+            try:
+                st = json.loads(a["stats"])
+                st["tightBounds"] = False
+                a["stats"] = json.dumps(st)
+            except (TypeError, ValueError):
+                pass
+        new_adds.append(a)
+    return new_adds
+
+
+def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
+                     meta: dict, live: dict[str, dict], latest: int,
+                     txns: dict[str, int], proto: dict | None,
+                     domains: dict[str, str], condition: str,
+                     when_matched_delete: str,
+                     validate_unique_match: bool,
+                     checkpoint_interval: int | None, cdf: bool,
+                     mapping_mode: str, part_cols: list[str],
+                     t_cols: list[str], schema) -> int:
+    """:func:`merge_delta`'s pure-delete fast path on DV-enabled
+    tables: matched rows satisfying the delete clause become deletion
+    vectors — the data files are never rewritten. Semantics match the
+    slow path exactly: the delete gate is ``matched AND
+    when_matched_delete`` (NULL = not deleted), unique-match validation
+    errors like delta's, CDF tables get real ``cdc`` delete rows, and
+    a merge deleting nothing commits nothing. ``matched_condition``
+    gates only the (absent) update clause, so it is ignored — the slow
+    path's behavior too."""
+    import time
+
+    from sql_based_etl_spark.engine.sql_compat import (
+        coerce_condition_for_types,
+    )
+
+    spark = source.sparkSession
+    dtmap = {"target": {f.name: f.dataType.simpleString()
+                        for f in schema.fields},
+             "source": dict(source.dtypes)}
+    condition = coerce_condition_for_types(condition, dtmap)
+    wmd = coerce_condition_for_types(when_matched_delete, dtmap)
+    if not live:
+        return latest
+    tagged = _snapshot_df(spark, path, meta, live,
+                          tag_rows=True).alias("target")
+    pairs = tagged.join(source.alias("source"), F.expr(condition), "inner")
+    if validate_unique_match:
+        dup = (pairs.groupBy("__file", "__ridx").count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise VersionedTableError(
+                "merge: multiple source rows match a single target row"
+            )
+    hits = (
+        pairs.filter(F.coalesce(F.expr(wmd).cast("boolean"), F.lit(False)))
+        .select("__file", "__ridx",
+                *[F.col(f"target.{c}").alias(c) for c in t_cols])
+        .dropDuplicates(["__file", "__ridx"])
+    )
+    res = _dv_match_payloads(spark, path, live, hits, "merge_delta")
+    if res is None:
+        return latest  # nothing deleted: committing would be pure churn
+    matched, new_payloads, n_del = res
+    new_adds = _dv_new_adds(spark, path, matched, new_payloads)
+    cdc_adds = (_stage_cdc_delete(hits, meta, mapping_mode, part_cols,
+                                  path, t_cols) if cdf else [])
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "MERGE",
+            "operationParameters": {"predicate": condition},
+            "operationMetrics": {
+                "numTargetRowsUpdated": "0",
+                "numTargetRowsInserted": "0",
+                "numTargetRowsDeleted": str(n_del),
+                "numTargetFilesRemoved": str(len(matched)),
+                "numTargetFilesAdded": str(len(new_adds)),
+                "numTargetDeletionVectorsAdded": str(len(new_adds)),
+            },
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+    }]
+    ict = _next_ict(spark, log_dir, meta, latest, now_ms)
+    if ict is not None:
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    # no _assign_row_ids: the re-added files are byte-identical, their
+    # baseRowId/defaultRowCommitVersion ride the copied action verbatim
+    actions.extend(
+        {"remove": _remove_action(a, now_ms, True)}
+        for a in sorted(matched.values(), key=lambda a: a["path"])
+    )
+    actions.extend({"add": a} for a in new_adds)
+    actions.extend(
+        {"cdc": {"path": a["path"],
+                 "partitionValues": dict(a.get("partitionValues") or {}),
+                 "size": a.get("size"), "dataChange": False}}
+        for a in cdc_adds
+    )
+    next_v = latest + 1
+    _commit_delta_log(spark, log_dir, next_v,
+                      "\n".join(json.dumps(a) for a in actions))
+    if checkpoint_interval and next_v % checkpoint_interval == 0:
+        state = {k: a for k, a in live.items() if k not in matched}
+        state.update({_fkey(a): a for a in new_adds})
+        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
+                          domains)
+    return next_v
+
+
 def delete_delta(spark: SparkSession, path: str,
                  predicate: str | list[tuple],
                  checkpoint_interval: int | None = 10) -> int:
@@ -3147,10 +3382,6 @@ def delete_delta(spark: SparkSession, path: str,
     is the write half of the DV support the reference ecosystem
     expects)."""
     import time
-    import uuid as uuid_mod
-    import zlib
-
-    import numpy as np
 
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
@@ -3201,17 +3432,6 @@ def delete_delta(spark: SparkSession, path: str,
     t_cols = [f.name for f in schema.fields]
     part_cols = list(meta.get("partitionColumns") or [])
 
-    def _norm_uri(p: str) -> str:
-        u = urllib.parse.urlparse(p)
-        return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
-
-    abs2key: dict[str, str] = {}
-    for k, a in live.items():
-        rel = urllib.parse.unquote(a["path"])
-        absolute = (rel if "://" in rel or rel.startswith("/")
-                    else posixpath.join(path, rel))
-        abs2key[_norm_uri(absolute)] = k
-
     # triples form: files provably excluded by stats/partition values
     # never open — the candidate scan is proportional to matching
     # files, not table size (the same _prune_adds_by_stats machinery
@@ -3220,39 +3440,10 @@ def delete_delta(spark: SparkSession, path: str,
                  if triples else live)
     tagged = _snapshot_df(spark, path, meta, scan_adds, tag_rows=True)
     hits = tagged.filter(cond)  # TRUE only — NULL survives
-    per_file = (
-        hits.select("__file", "__ridx")
-        .groupBy("__file")
-        .applyInPandas(_dv_encode_group, "file string, dv binary, card long")
-        .collect()
-    )
-    if not per_file:
+    res = _dv_match_payloads(spark, path, live, hits, "delete_delta")
+    if res is None:
         return latest  # nothing matched: committing would be pure churn
-    n_del = sum(int(r["card"]) for r in per_file)
-    matched: dict[str, dict] = {}
-    new_payloads: list[tuple[str, bytes, int]] = []  # (live key, payload, card)
-    for r in per_file:
-        key = abs2key.get(_norm_uri(r["file"]))
-        if key is None:
-            raise VersionedTableError(
-                f"delete_delta: matched file {r['file']!r} does not map "
-                f"back to a live add action at {path}"
-            )
-        matched[key] = live[key]
-        payload, card = bytes(r["dv"]), int(r["card"])
-        old_dv = live[key].get("deletionVector")
-        if old_dv:
-            old_idx = _dv_row_indexes(spark, path, old_dv)
-            new_idx = _roaring_array_indexes(payload)
-            union = np.union1d(old_idx, new_idx)
-            if len(union) != len(old_idx) + len(new_idx):
-                raise VersionedTableError(
-                    "delete_delta: new deletion indexes overlap the "
-                    f"file's live DV at {live[key]['path']!r} — the "
-                    "snapshot read failed to filter dead rows"
-                )
-            payload, card = _roaring_array_serialize(union), len(union)
-        new_payloads.append((key, payload, card))
+    matched, new_payloads, n_del = res
 
     cdc_adds: list[dict] = []
     new_adds: list[dict] = []
@@ -3260,49 +3451,7 @@ def delete_delta(spark: SparkSession, path: str,
     now_ms = int(time.time() * 1000)
 
     if dv_mode:
-        # pack every descriptor into one sidecar; publish it before the
-        # log commit references it
-        buf = bytearray(b"\x01")
-        descs: list[tuple[str, dict | None]] = []
-        u = uuid_mod.uuid4()
-        for key, payload, card in new_payloads:
-            a = matched[key]
-            phys_rows = None
-            try:
-                phys_rows = json.loads(a["stats"])["numRecords"] if a.get(
-                    "stats") else None
-            except (KeyError, TypeError, ValueError):
-                phys_rows = None
-            if phys_rows is not None and card >= int(phys_rows):
-                descs.append((key, None))  # fully dead: remove only
-                continue
-            off = len(buf)
-            buf += len(payload).to_bytes(4, "big")
-            buf += payload
-            buf += (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
-            descs.append((key, {
-                "storageType": "u",
-                "pathOrInlineDv": _z85_encode(u.bytes),
-                "offset": off,
-                "sizeInBytes": len(payload),
-                "cardinality": card,
-            }))
-        if any(d for _, d in descs):
-            _write_bytes(spark, f"{path}/deletion_vector_{u}.bin", bytes(buf))
-        for key, desc in descs:
-            if desc is None:
-                continue
-            a = dict(matched[key])
-            a["deletionVector"] = desc
-            a["dataChange"] = True
-            if a.get("stats"):
-                try:
-                    st = json.loads(a["stats"])
-                    st["tightBounds"] = False  # bounds now a superset
-                    a["stats"] = json.dumps(st)
-                except (TypeError, ValueError):
-                    pass
-            new_adds.append(a)
+        new_adds = _dv_new_adds(spark, path, matched, new_payloads)
         if cdf:
             cdc_adds = _stage_cdc_delete(
                 hits, meta, mapping_mode, part_cols, path, t_cols)
@@ -3667,7 +3816,8 @@ def vacuum_delta(spark: SparkSession, path: str,
 
 
 def read_delta_appends(spark: SparkSession, path: str,
-                       since_version: int) -> DataFrame:
+                       since_version: int,
+                       ignore_deletes: bool = False) -> DataFrame:
     """Incremental consumption of an append-only bridge table: the rows
     in files ADDED by commits ``(since_version, latest]`` — the source
     half of the streaming story (the sink half is
@@ -3681,7 +3831,14 @@ def read_delta_appends(spark: SparkSession, path: str,
     adds are reorganized old rows, not new data); a ``dataChange: true``
     remove (overwrite/delete) raises — the table is no longer
     append-only and a file-level reader cannot represent row deletion.
-    Returns an empty frame when already caught up."""
+    ``ignore_deletes=True`` is the library source's ``ignoreDeletes``:
+    pure-delete commits (:func:`delete_delta` — removes, plus DV
+    re-adds of already-seen paths) are SKIPPED rather than fatal, for
+    consumers that only care about new rows; commits that both remove
+    and add NEW data (overwrites) still raise, exactly like the
+    library (that needs ``ignoreChanges``/CDF semantics, not a
+    file-level append reader). Returns an empty frame when already
+    caught up."""
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     logs = _list_log(spark, log_dir)
@@ -3698,6 +3855,8 @@ def read_delta_appends(spark: SparkSession, path: str,
                 f"read_delta_appends: commit {v} missing at {log_dir} — "
                 "cannot reconstruct the append stream"
             )
+        v_adds: list[dict] = []
+        v_removed: set[str] = set()
         for action in _log_actions(spark, logs[v]):
             if "metaData" in action and (
                 action["metaData"].get("schemaString") != meta["schemaString"]
@@ -3708,22 +3867,35 @@ def read_delta_appends(spark: SparkSession, path: str,
                     "would silently null/drop columns; re-read the full "
                     "snapshot instead"
                 )
-            if "add" in action:
-                if action["add"].get("deletionVector"):
-                    raise VersionedTableError(
-                        f"read_delta_appends: commit {v} attaches a "
-                        "deletion vector — row-level deletes are not "
-                        "append-only; re-read the full snapshot instead"
-                    )
-                if action["add"].get("dataChange", True):
-                    new_adds[action["add"]["path"]] = action["add"]
+            if "add" in action and action["add"].get("dataChange", True):
+                v_adds.append(action["add"])
             elif "remove" in action and action["remove"].get("dataChange", True):
+                v_removed.add(action["remove"]["path"])
+        if v_removed:
+            # pure-delete commit: removes only, or every add re-attaches
+            # a DV to a path removed in the SAME commit (delete_delta's
+            # DV shape) — no new rows exist in it
+            pure_delete = all(a["path"] in v_removed for a in v_adds)
+            if ignore_deletes and pure_delete:
+                continue
+            raise VersionedTableError(
+                f"read_delta_appends: commit {v} removes data — table is "
+                "not append-only past since_version; "
+                + ("its rewritten files may carry NEW rows, so "
+                   "ignore_deletes cannot skip it safely — re-read the "
+                   "full snapshot instead"
+                   if ignore_deletes else
+                   "pass ignore_deletes=True to skip pure-delete commits, "
+                   "or re-read the full snapshot")
+            )
+        for a in v_adds:
+            if a.get("deletionVector"):
                 raise VersionedTableError(
-                    f"read_delta_appends: commit {v} removes data "
-                    f"({action['remove']['path']!r}) — table is not "
-                    "append-only past since_version; re-read the full "
-                    "snapshot instead"
+                    f"read_delta_appends: commit {v} attaches a "
+                    "deletion vector — row-level deletes are not "
+                    "append-only; re-read the full snapshot instead"
                 )
+            new_adds[a["path"]] = a
     return _snapshot_df(spark, path, meta, new_adds)
 
 

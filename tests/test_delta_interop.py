@@ -3739,3 +3739,90 @@ def test_delete_delta_triples_prune_candidate_files(spark, tmp_path):
     ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
     assert ci["operationParameters"]["predicate"] == "id < 100"
     assert ci["operationMetrics"]["numDeletedRows"] == "100"
+
+
+def test_read_delta_appends_ignore_deletes(spark, tmp_path):
+    """ignore_deletes (the library source's ignoreDeletes): pure-delete
+    commits — DV deletes (remove+re-add of the SAME path) and full-file
+    removes — are skipped, later appends still flow, and a commit whose
+    rewritten files might carry new rows (overwrite) still raises."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        read_delta_appends,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(0, 1_000).select("id"), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    delete_delta(spark, d, "id % 10 = 1")            # v1: DV delete
+    write_delta(spark.range(1_000, 1_100).select("id"), d)  # v2: append
+    # default: the delete commit is fatal
+    with pytest.raises(VersionedTableError, match="ignore_deletes"):
+        read_delta_appends(spark, d, 0)
+    got = read_delta_appends(spark, d, 0, ignore_deletes=True)
+    assert sorted(r.id for r in got.collect()) == list(range(1_000, 1_100))
+    # an overwrite is NOT a pure delete: still fatal even when ignoring
+    write_delta(spark.range(5).select("id"), d, mode="overwrite")
+    with pytest.raises(VersionedTableError, match="NEW rows"):
+        read_delta_appends(spark, d, 0, ignore_deletes=True)
+
+
+def test_merge_pure_delete_uses_deletion_vectors(spark, tmp_path):
+    """A MERGE with only a delete clause on a DV-enabled table attaches
+    deletion vectors — data files byte-untouched — and its result
+    equals the copy-on-write slow path run on an identical table
+    without DVs. CDF delete rows flow; a no-match delete-merge commits
+    nothing; a merge WITH an update clause still takes the rewrite
+    path."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    base = spark.range(0, 2_000).select(
+        "id", (F.col("id") % 7).alias("grp"))
+    src = spark.range(0, 2_000, 3).select(
+        F.col("id"), (F.col("id") % 2).alias("parity"))
+
+    d_dv = str(tmp_path / "dv")
+    d_cow = str(tmp_path / "cow")
+    write_delta(base.repartition(4), d_dv, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true",
+                            "delta.enableChangeDataFeed": "true"})
+    write_delta(base.repartition(4), d_cow, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    before = _data_file_inventory(d_dv)
+
+    kw = dict(condition="target.id = source.id",
+              when_matched_delete="source.parity = 0",
+              insert_not_matched=False)
+    v1 = merge_delta(src, d_dv, **kw)
+    v2 = merge_delta(src, d_cow, **kw)
+    assert v1 == 1 and v2 == 1
+    assert _data_file_inventory(d_dv) == before, (
+        "pure-delete merge on a DV table must not rewrite data files")
+    got_dv = sorted(r.id for r in read_delta(spark, d_dv).collect())
+    got_cow = sorted(r.id for r in read_delta(spark, d_cow).collect())
+    assert got_dv == got_cow
+    expected = sorted(i for i in range(2_000)
+                      if not (i % 3 == 0 and (i % 2) == 0))
+    assert got_dv == expected
+    # DV descriptors in the merge commit; real cdc delete rows
+    acts = [json.loads(x) for x in open(os.path.join(
+        d_dv, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(a.get("deletionVector") for a in adds)
+    dels = read_delta_changes(spark, d_dv, starting_version=1)
+    assert dels.filter("_change_type = 'delete'").count() == (
+        2_000 - len(expected))
+    # no-match delete-merge: no commit
+    none_src = spark.createDataFrame([(-5, 0)], "id long, parity long")
+    assert merge_delta(none_src, d_dv, **kw) == 1
+    # an update clause forces the rewrite path (files change)
+    v3 = merge_delta(src, d_dv, condition="target.id = source.id",
+                     when_matched_update={"grp": "source.parity + 100"},
+                     insert_not_matched=False)
+    assert v3 == 2
+    assert _data_file_inventory(d_dv) != before
