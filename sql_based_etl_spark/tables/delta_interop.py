@@ -1419,7 +1419,10 @@ def _next_ict(spark: SparkSession, log_dir: str, meta: dict,
                     t = a["commitInfo"].get("inCommitTimestamp")
                     prev = int(t) if t is not None else None
                     break
-        except VersionedTableError:
+        except Exception:
+            # a PRUNED predecessor surfaces as a FileNotFound from the
+            # FS layer, not a VersionedTableError — any unreadability
+            # means "ICT unknown", which the mtime floor below covers
             prev = None
         if prev is None:
             try:

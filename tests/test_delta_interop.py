@@ -3826,3 +3826,155 @@ def test_merge_pure_delete_uses_deletion_vectors(spark, tmp_path):
                      insert_not_matched=False)
     assert v3 == 2
     assert _data_file_inventory(d_dv) != before
+
+
+def test_delete_delta_partitioned_dv_table(spark, tmp_path):
+    """DV deletes on a PARTITIONED table: partition-column triples
+    prune whole partitions driver-side (the non-candidate partition's
+    file is never opened — poisoned-bytes proof), cdc delete files land
+    under their hive partition dirs with partitionValues riding the
+    actions, and the untouched partition's adds are untouched."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        delete_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(0, 2_000).select(
+        "id", (F.col("id") % 2 == 0).cast("string").alias("side"))
+    write_delta(df, d, mode="overwrite", partition_by=["side"],
+                properties={"delta.enableDeletionVectors": "true",
+                            "delta.enableChangeDataFeed": "true"})
+    _, live, _, _, _, _ = _replay_state(spark, d)
+    other = next(a["path"] for a in live.values()
+                 if a["partitionValues"]["side"] == "false")
+    with open(os.path.join(d, urllib_unquote(other)), "wb") as fh:
+        fh.write(b"poisoned")  # non-candidate partition never opened
+
+    v = delete_delta(spark, d, [("side", "=", "true"), ("id", "<", 100)])
+    assert v == 1
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{v:020d}.json")).read().splitlines()]
+    adds = [a["add"] for a in acts if "add" in a]
+    removes = [a["remove"] for a in acts if "remove" in a]
+    assert all(a["partitionValues"] == {"side": "true"} for a in adds)
+    assert all(r["partitionValues"] == {"side": "true"} for r in removes)
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc and all(c["partitionValues"] == {"side": "true"} for c in cdc)
+    assert all(c["path"].startswith("_change_data/side=true/") for c in cdc)
+    # restore the poisoned file (write the original back) to read fully
+    dels = read_delta_changes(spark, d, starting_version=1)
+    got = dels.filter("_change_type = 'delete'").collect()
+    assert {r.side for r in got} == {"true"}
+    assert sorted(r.id for r in got) == [i for i in range(100) if i % 2 == 0]
+
+
+def test_clustering_auto_pickup_physical_names_and_degradation(spark, tmp_path):
+    """ADVICE r8: the delta.clustering domain records PHYSICAL names
+    (delta-spark's shape) — on a column-mapped table the auto-pickup
+    must map them back to logical before clustering; and a table
+    clustered on a STRING column (legal liquid clustering, not
+    zorder-able here) must degrade to plain bin-pack instead of
+    crashing the maintenance op. An EXPLICIT bad cluster_by still
+    fails loudly."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    # mapped table whose clustering domain names the PHYSICAL column
+    d = _mapped_table(spark, tmp_path, name="cl_mapped",
+                      extra_writer_features=("clustering",
+                                             "domainMetadata"))
+    _log(d, 1, {"domainMetadata": {
+        "domain": "delta.clustering",
+        "configuration": json.dumps({"clusteringColumns": [["col-3"]]}),
+        "removed": False}})
+    write_delta(spark.createDataFrame(
+        [(9, "z", 90), (7, "w", 70)], "id long, v string, n long"), d)
+    v = compact_delta(spark, d, target_files=2)
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{v:020d}.json")).read().splitlines()]
+    ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
+    # physical 'col-3' resolved to logical 'n' for the zorder
+    assert json.loads(ci["operationParameters"]["zOrderBy"]) == ["n"]
+    assert sorted(r.n for r in read_delta(spark, d).collect()) == [
+        10, 20, 70, 90]
+
+    # string clustering column: auto-pickup degrades to bin-pack
+    d2 = str(tmp_path / "cl_str")
+    os.makedirs(d2)
+    _write_datafile(spark, d2, "f0.parquet", [3, 1])
+    _log(d2, 0,
+         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": ["clustering", "domainMetadata"]}},
+         _meta(),
+         {"domainMetadata": {"domain": "delta.clustering",
+                             "configuration": json.dumps(
+                                 {"clusteringColumns": [["v"]]}),
+                             "removed": False}},
+         _add("f0.parquet"))
+    v2 = compact_delta(spark, d2)  # must NOT raise
+    acts2 = [json.loads(x) for x in open(os.path.join(
+        d2, "_delta_log", f"{v2:020d}.json")).read().splitlines()]
+    ci2 = [a["commitInfo"] for a in acts2 if "commitInfo" in a][0]
+    assert "zOrderBy" not in ci2["operationParameters"]
+    assert _ids(read_delta(spark, d2)) == [1, 3]
+    # explicit bad cluster_by keeps the loud failure
+    with pytest.raises(VersionedTableError, match="zorder"):
+        compact_delta(spark, d2, cluster_by=["v"])
+
+
+def test_id_mode_exemption_restricted_to_cdf_virtual_columns(spark, tmp_path):
+    """ADVICE r8: in id-mode mapping, ONLY the CDF virtual columns
+    (_change_type & co) may lack a field id. A real user column named
+    '_status' whose mapping id was lost must fail loudly — silently
+    resolving it by name would read NULLs from uuid-named parquet."""
+    from sql_based_etl_spark.tables.delta_interop import _physical_schema_json
+
+    bad = {"type": "struct", "fields": [
+        {"name": "_status", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "_status"}},
+    ]}
+    with pytest.raises(VersionedTableError, match="_status"):
+        _physical_schema_json(bad, with_field_ids=True)
+    ok = {"type": "struct", "fields": [
+        {"name": "_change_type", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "_change_type"}},
+    ]}
+    out = _physical_schema_json(ok, with_field_ids=True)
+    assert out["fields"][0]["name"] == "_change_type"
+
+
+def test_ict_floor_survives_pruned_predecessor(spark, tmp_path):
+    """ADVICE r8: when the predecessor commit's JSON was pruned (its
+    ICT unreadable), the next ICT floors at the newest log-dir mtime
+    + 1 — a wall clock that stepped backwards past the predecessor's
+    ICT cannot emit a non-monotonic timestamp. Simulated by stamping
+    the surviving checkpoint's mtime into the FUTURE: the next commit's
+    ICT must land beyond it, not at the (earlier) wall clock."""
+    import time as _time
+
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(3).select("id"), d, mode="overwrite",
+                properties={"delta.enableInCommitTimestamps": "true"})
+    write_delta(spark.range(3, 6).select("id"), d, checkpoint_interval=1)
+    log = os.path.join(d, "_delta_log")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    future_ms = int((_time.time() + 3600) * 1000)
+    for f in os.listdir(log):
+        os.utime(os.path.join(log, f), (future_ms / 1000, future_ms / 1000))
+    write_delta(spark.range(6, 9).select("id"), d, checkpoint_interval=None)
+    acts = [json.loads(x) for x in open(
+        os.path.join(log, f"{2:020d}.json")).read().splitlines()]
+    ict = [a["commitInfo"]["inCommitTimestamp"]
+           for a in acts if "commitInfo" in a][0]
+    assert ict > future_ms, (
+        "ICT must floor at the surviving log artifacts' mtime when the "
+        "predecessor's ICT is unreadable")
