@@ -3978,3 +3978,35 @@ def test_ict_floor_survives_pruned_predecessor(spark, tmp_path):
     assert ict > future_ms, (
         "ICT must floor at the surviving log artifacts' mtime when the "
         "predecessor's ICT is unreadable")
+
+
+def test_vacuum_after_dv_deletes(spark, tmp_path):
+    """VACUUM interplay with DV deletes: a fully-dead file (its delete
+    removed the add entirely) is reclaimable after retention; a
+    partially-DV'd file is still LIVE and must never be vacuumed; the
+    DV sidecar itself is deliberately never reclaimed."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(0, 1_000).select(
+        "id", (F.col("id") < 500).cast("int").alias("half"))
+    write_delta(df.filter("half = 1").coalesce(1), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    write_delta(df.filter("half = 0").coalesce(1), d)
+    delete_delta(spark, d, "half = 1")        # kills the half=1 file(s)
+    delete_delta(spark, d, "id % 10 = 0")     # DVs the survivor file(s)
+
+    gone = vacuum_delta(spark, d, retention_hours=0.0,
+                        enforce_retention_check=False)
+    assert gone, "the fully-dead file must be reclaimable"
+    got = read_delta(spark, d)
+    assert got.count() == 450                 # 500 survivors - 50 DV'd
+    assert got.filter("half = 1").count() == 0
+    bins = [f for f in os.listdir(d) if f.startswith("deletion_vector_")]
+    assert bins, "DV sidecars are never vacuumed (documented)"
+    # the partially-DV'd live file survived the vacuum
+    assert got.filter("id % 10 <> 0").count() == 450
