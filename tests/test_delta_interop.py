@@ -3967,9 +3967,12 @@ def test_ict_floor_survives_pruned_predecessor(spark, tmp_path):
     log = os.path.join(d, "_delta_log")
     os.remove(os.path.join(log, f"{0:020d}.json"))
     os.remove(os.path.join(log, f"{1:020d}.json"))
-    future_ms = int((_time.time() + 3600) * 1000)
+    # integer seconds: a fractional float stamp can store a mtime 1ms
+    # below the intended value and flake the strict > below
+    future_s = int(_time.time()) + 3600
+    future_ms = future_s * 1000
     for f in os.listdir(log):
-        os.utime(os.path.join(log, f), (future_ms / 1000, future_ms / 1000))
+        os.utime(os.path.join(log, f), (future_s, future_s))
     write_delta(spark.range(6, 9).select("id"), d, checkpoint_interval=None)
     acts = [json.loads(x) for x in open(
         os.path.join(log, f"{2:020d}.json")).read().splitlines()]
