@@ -52,13 +52,43 @@ _RATES = {3: (44100, 48000, 32000),    # MPEG-1
 def _id3v2_size(data: bytes) -> int:
     """Bytes to skip for a leading ID3v2 tag (0 when absent): header is
     'ID3' + version(2) + flags(1) + 4-byte SYNCSAFE length (7 bits per
-    byte) not counting the 10-byte header itself."""
+    byte) not counting the 10-byte header — nor the 10-byte FOOTER an
+    ID3v2.4 tag carries when flag 0x10 is set (the spec's rule)."""
     if data[:3] != b"ID3" or len(data) < 10:
         return 0
     if any(b & 0x80 for b in data[6:10]):
         raise AudioDecodeError("ID3v2 length bytes must be syncsafe")
     n = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
-    return 10 + n
+    return 10 + n + (10 if data[5] & 0x10 else 0)
+
+
+def _mp3_trailer_size(data: bytes, pos: int) -> int | None:
+    """Recognize the standard metadata TRAILERS real-world MP3s carry
+    after the last audio frame — one bad file must not abort a corpus
+    job. Returns the trailer length when ``data[pos:]`` is exactly a
+    known trailer (ID3v1 'TAG' 128 bytes, an APE tag whose 32-byte
+    'APETAGEX' header/footer declares its size, or a trailing ID3v2
+    tag — some taggers append one), None when it is not."""
+    rest = len(data) - pos
+    if data[pos:pos + 3] == b"TAG" and rest == 128:
+        return 128
+    if data[pos:pos + 8] == b"APETAGEX" and rest >= 32:
+        # header at the front of the tag: size field (LE, bytes 12-16)
+        # counts the tag body + footer, not this header
+        size = int.from_bytes(data[pos + 12:pos + 16], "little")
+        flags = int.from_bytes(data[pos + 20:pos + 24], "little")
+        total = size + (32 if flags & 0x80000000 else 0)
+        if rest == total or rest == total + 128:  # ID3v1 may follow APE
+            return rest
+        return None
+    if data[pos:pos + 3] == b"ID3":
+        try:
+            n = _id3v2_size(data[pos:])
+        except AudioDecodeError:
+            return None
+        if rest == n or rest == n + 128:
+            return rest
+    return None
 
 
 def parse_mp3_frames(data: bytes) -> dict:
@@ -74,6 +104,8 @@ def parse_mp3_frames(data: bytes) -> dict:
     kbps_sum = 0
     first = None  # (version_bits, rate, channels, samples_per_frame)
     while pos < len(data):
+        if n_frames and _mp3_trailer_size(data, pos) is not None:
+            break  # recognized metadata trailer after the last frame
         if pos + 4 > len(data):
             raise AudioDecodeError(
                 f"mp3: trailing {len(data) - pos} bytes are not a frame")

@@ -2973,15 +2973,18 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         result = _enforce_write_obligations(result, meta)
         if num_partitions:
             result = result.repartition(int(num_partitions))
-        else:
+        elif matched:
             # default the rewrite width to the touched-file count: the
             # full-outer join leaves spark.sql.shuffle.partitions output
             # partitions, so a merge touching 1 of N files would emit
             # shuffle-partition-many small files — file-count bloat that
             # compounds per merge at 100 TB (round-9 audit: 1 removed →
             # 8 added before this). Insert-heavy merges that legitimately
-            # grow the data should pass num_partitions explicitly.
-            result = result.coalesce(max(1, len(matched)))
+            # grow the data should pass num_partitions explicitly; a
+            # NO-MATCH insert-only merge keeps its natural width (a
+            # coalesce(1) there would funnel millions of inserted rows
+            # through one write task).
+            result = result.coalesce(len(matched))
         if mapping_mode != "none":
             # rewritten files (and their partitionValues keys) must
             # carry PHYSICAL names, same as every other file of the
@@ -3247,27 +3250,36 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
         return latest
     tagged = _snapshot_df(spark, path, meta, live,
                           tag_rows=True).alias("target")
-    pairs = tagged.join(source.alias("source"), F.expr(condition), "inner")
-    if validate_unique_match:
-        dup = (pairs.groupBy("__file", "__ridx").count()
-               .filter(F.col("count") > 1).limit(1).count())
-        if dup:
-            raise VersionedTableError(
-                "merge: multiple source rows match a single target row"
-            )
-    hits = (
-        pairs.filter(F.coalesce(F.expr(wmd).cast("boolean"), F.lit(False)))
-        .select("__file", "__ridx",
-                *[F.col(f"target.{c}").alias(c) for c in t_cols])
-        .dropDuplicates(["__file", "__ridx"])
-    )
-    res = _dv_match_payloads(spark, path, live, hits, "merge_delta")
-    if res is None:
-        return latest  # nothing deleted: committing would be pure churn
-    matched, new_payloads, n_del = res
-    new_adds = _dv_new_adds(spark, path, matched, new_payloads)
-    cdc_adds = (_stage_cdc_delete(hits, meta, mapping_mode, part_cols,
-                                  path, t_cols) if cdf else [])
+    # matched pairs only (the inner join bounds it to matches) — up to
+    # three consumers in separate jobs (unique-match count, bitmap
+    # encode, cdc staging); persist so the snapshot×source join runs
+    # once, mirroring the slow path's annotated.persist()
+    pairs = tagged.join(source.alias("source"), F.expr(condition),
+                        "inner").persist()
+    try:
+        if validate_unique_match:
+            dup = (pairs.groupBy("__file", "__ridx").count()
+                   .filter(F.col("count") > 1).limit(1).count())
+            if dup:
+                raise VersionedTableError(
+                    "merge: multiple source rows match a single target row"
+                )
+        hits = (
+            pairs.filter(
+                F.coalesce(F.expr(wmd).cast("boolean"), F.lit(False)))
+            .select("__file", "__ridx",
+                    *[F.col(f"target.{c}").alias(c) for c in t_cols])
+            .dropDuplicates(["__file", "__ridx"])
+        )
+        res = _dv_match_payloads(spark, path, live, hits, "merge_delta")
+        if res is None:
+            return latest  # nothing deleted: commit would be pure churn
+        matched, new_payloads, n_del = res
+        new_adds = _dv_new_adds(spark, path, matched, new_payloads)
+        cdc_adds = (_stage_cdc_delete(hits, meta, mapping_mode, part_cols,
+                                      path, t_cols) if cdf else [])
+    finally:
+        pairs.unpersist()
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
         "commitInfo": {
@@ -3373,8 +3385,10 @@ def delete_delta(spark: SparkSession, path: str,
     ``baseRowId``/``defaultRowCommitVersion`` ride the re-added action
     verbatim and every surviving row keeps its id — no materialization
     needed, enableRowTracking tables take DV deletes as-is. The
-    copy-on-write route on such tables refuses (stable ids would need
-    materialized row-id columns in the rewritten files).
+    copy-on-write route on such tables MATERIALIZES survivors'
+    (row id, commit version) into the config-named physical columns,
+    the same machinery as rowTracking MERGE/OPTIMIZE
+    (:func:`_snapshot_with_row_ids`).
 
     Time travel: older versions replay the pre-delete (path, DV uid)
     actions and see every row. Returns the committed version, or the
@@ -3442,44 +3456,52 @@ def delete_delta(spark: SparkSession, path: str,
     scan_adds = (_prune_adds_by_stats(meta, live, list(triples))
                  if triples else live)
     tagged = _snapshot_df(spark, path, meta, scan_adds, tag_rows=True)
-    hits = tagged.filter(cond)  # TRUE only — NULL survives
-    res = _dv_match_payloads(spark, path, live, hits, "delete_delta")
-    if res is None:
-        return latest  # nothing matched: committing would be pure churn
-    matched, new_payloads, n_del = res
+    # matched rows only (bounded by deleted rows), consumed by TWO
+    # separate jobs — the bitmap-encode collect and the cdc staging —
+    # so the pruned scan + predicate runs once, not per consumer (the
+    # same cross-job recompute the round-9 dedup persist fixed)
+    hits = tagged.filter(cond).persist()  # TRUE only — NULL survives
+    try:
+        res = _dv_match_payloads(spark, path, live, hits, "delete_delta")
+        if res is None:
+            return latest  # nothing matched: commit would be pure churn
+        matched, new_payloads, n_del = res
 
-    cdc_adds: list[dict] = []
-    new_adds: list[dict] = []
-    removes: list[dict] = list(matched.values())
-    now_ms = int(time.time() * 1000)
+        cdc_adds: list[dict] = []
+        new_adds: list[dict] = []
+        removes: list[dict] = list(matched.values())
+        now_ms = int(time.time() * 1000)
 
-    if dv_mode:
-        new_adds = _dv_new_adds(spark, path, matched, new_payloads)
-        if cdf:
-            cdc_adds = _stage_cdc_delete(
-                hits, meta, mapping_mode, part_cols, path, t_cols)
-    else:
-        # copy-on-write: rewrite ONLY the touched files without their
-        # matched rows (NULL predicate keeps the row — SQL semantics);
-        # on rowTracking tables survivors carry materialized ids
-        sub = (_snapshot_with_row_ids(spark, path, meta, matched,
-                                      rt_id, rt_ver)
-               if rt_stable else
-               _snapshot_df(spark, path, meta, matched, tag_rows=False))
-        survivors = sub.filter(
-            ~F.coalesce(cond.cast("boolean"), F.lit(False))
-        ).select(*t_cols, *rt_pass)
-        if mapping_mode != "none":
-            stage_df, stage_parts = _project_to_physical(
-                survivors, meta, mapping_mode, passthrough=tuple(rt_pass))
+        if dv_mode:
+            new_adds = _dv_new_adds(spark, path, matched, new_payloads)
+            if cdf:
+                cdc_adds = _stage_cdc_delete(
+                    hits, meta, mapping_mode, part_cols, path, t_cols)
         else:
-            stage_df, stage_parts = survivors, part_cols
-        new_adds = _stage_data_files(stage_df, path, stage_parts)
-        _footer_stats_json(spark, path, new_adds)
-        new_adds = _drop_empty_adds(new_adds)
-        if cdf:
-            cdc_adds = _stage_cdc_delete(
-                hits, meta, mapping_mode, part_cols, path, t_cols)
+            # copy-on-write: rewrite ONLY the touched files without
+            # their matched rows (NULL predicate keeps the row — SQL
+            # semantics); rowTracking survivors carry materialized ids
+            sub = (_snapshot_with_row_ids(spark, path, meta, matched,
+                                          rt_id, rt_ver)
+                   if rt_stable else
+                   _snapshot_df(spark, path, meta, matched, tag_rows=False))
+            survivors = sub.filter(
+                ~F.coalesce(cond.cast("boolean"), F.lit(False))
+            ).select(*t_cols, *rt_pass)
+            if mapping_mode != "none":
+                stage_df, stage_parts = _project_to_physical(
+                    survivors, meta, mapping_mode,
+                    passthrough=tuple(rt_pass))
+            else:
+                stage_df, stage_parts = survivors, part_cols
+            new_adds = _stage_data_files(stage_df, path, stage_parts)
+            _footer_stats_json(spark, path, new_adds)
+            new_adds = _drop_empty_adds(new_adds)
+            if cdf:
+                cdc_adds = _stage_cdc_delete(
+                    hits, meta, mapping_mode, part_cols, path, t_cols)
+    finally:
+        hits.unpersist()
 
     actions: list[dict] = [{
         "commitInfo": {

@@ -505,3 +505,37 @@ def test_ogg_page_walk_round_trip_and_crc():
                                  page_payload_len=lambda p: 700)
     r2 = parse_ogg_vorbis(big)
     assert r2["payload_bytes"] == 700 and r2["n_pages"] == 2
+
+
+def test_mp3_real_world_trailers_tolerated():
+    """Corpus MP3s routinely end with metadata trailers — ID3v1 ('TAG',
+    128 bytes), APE tags, trailing ID3v2, and ID3v2.4 footers on the
+    leading tag. None may abort the frame walk; junk that is NOT a
+    recognized trailer still fails loudly."""
+    import pytest
+
+    from sql_based_etl_spark.operators.audiocodecs import AudioDecodeError
+    from sql_based_etl_spark.operators.audiocontainers import (
+        parse_mp3_frames,
+        synth_mp3_bytes,
+    )
+
+    good = synth_mp3_bytes(3, 3, 5, 0, False)
+    id3v1 = b"TAG" + bytes(125)
+    assert parse_mp3_frames(good + id3v1)["n_frames"] == 3
+    # APE tag: 32-byte header, size covers body+footer (here 0+32)
+    ape = (b"APETAGEX" + (2000).to_bytes(4, "little")
+           + (32).to_bytes(4, "little") + (0).to_bytes(4, "little")
+           + (0x80000000).to_bytes(4, "little") + bytes(8) + bytes(32))
+    assert parse_mp3_frames(good + ape)["n_frames"] == 3
+    assert parse_mp3_frames(good + ape + id3v1)["n_frames"] == 3
+    # trailing ID3v2 (some taggers append instead of prepending)
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+    assert parse_mp3_frames(good + id3v2)["n_frames"] == 3
+    # leading ID3v2.4 WITH the footer flag: size excludes the footer
+    lead = (b"ID3\x04\x00\x10" + bytes([0, 0, 0, 8]) + bytes(8)
+            + b"3DI\x04\x00\x10" + bytes([0, 0, 0, 8]))
+    assert parse_mp3_frames(lead + good)["n_frames"] == 3
+    # unrecognized junk still fails loudly
+    with pytest.raises(AudioDecodeError):
+        parse_mp3_frames(good + b"\x00garbage-that-is-not-a-tag")

@@ -3455,9 +3455,13 @@ def test_delete_delta_dv_cdf_and_mapped_table(spark, tmp_path):
 
 
 def test_delete_delta_gates(spark, tmp_path):
-    """appendOnly refuses; rowTracking-without-DVs refuses (cow would
-    break stable ids) but rowTracking+DVs works with baseRowId carried
-    verbatim; a no-match delete commits nothing."""
+    """appendOnly refuses; a no-match delete commits nothing; and a DV
+    delete on a rowTracking table keeps every surviving row's id —
+    the re-added action carries the ORIGINAL baseRowId /
+    defaultRowCommitVersion verbatim (no fresh assignment), so ids
+    stay stable without materialization. (The cow route on rowTracking
+    tables materializes instead — covered by
+    test_row_tracking_compact_and_cow_delete_keep_ids.)"""
     from sql_based_etl_spark.tables.delta_interop import (
         _replay_state,
         delete_delta,
@@ -3475,6 +3479,23 @@ def test_delete_delta_gates(spark, tmp_path):
                 properties={"delta.enableDeletionVectors": "true"})
     v = delete_delta(spark, d, "id = -1")
     assert v == 0  # no-op: nothing matched, nothing committed
+
+    # rowTracking + DVs: baseRowId carried verbatim through the delete
+    rt = str(tmp_path / "rt")
+    write_delta(spark.range(200).select("id"), rt, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true",
+                            "delta.enableRowTracking": "true"})
+    _, live0, _, _, _, _ = _replay_state(spark, rt)
+    ids0 = {a["path"]: (a["baseRowId"], a["defaultRowCommitVersion"])
+            for a in live0.values()}
+    delete_delta(spark, rt, "id % 4 = 1")
+    _, live1, _, _, _, _ = _replay_state(spark, rt)
+    for a in live1.values():
+        assert (a["baseRowId"], a["defaultRowCommitVersion"]) == \
+            ids0[a["path"]], "DV delete reassigned row-tracking identity"
+        assert a.get("deletionVector")
+    before = _stable_ids(spark, rt)  # resolves via the rt machinery
+    assert set(r for r in before) == {i for i in range(200) if i % 4 != 1}
 
 
 # --- rowTracking rewrites (materialized row ids) --------------------------
