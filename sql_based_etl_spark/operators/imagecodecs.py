@@ -182,6 +182,31 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(rows[:, :, order])
 
 
+def encode_bmp_bytes(px: np.ndarray) -> bytes:
+    """24-bit BI_RGB bottom-up BMP from an (h, w, 3) uint8 RGB array —
+    the operator-side still-image encoder (companion of
+    ``encode_wav_bytes``/``encode_avi_bytes``) that lets the multimodal
+    lane synthesize real container payloads for the image-dedup path.
+    Layout per the public BMP spec: 14-byte file header,
+    BITMAPINFOHEADER, BGR rows padded to 4 bytes, bottom-up."""
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_bmp_bytes: (h, w, 3) RGB expected")
+    pad = (-(w * 3)) % 4
+    bgr = np.ascontiguousarray(px[::-1, :, ::-1]).astype(np.uint8)
+    if pad:
+        body = np.zeros((h, w * 3 + pad), dtype=np.uint8)
+        body[:, : w * 3] = bgr.reshape(h, w * 3)
+        raw = body.tobytes()
+    else:
+        raw = bgr.tobytes()
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raw), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw),
+                      2835, 2835, 0, 0)
+    return hdr + dib + raw
+
+
 # --- PNG (zlib inflate + the five scanline filters) ---------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}

@@ -401,6 +401,86 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def synth_bmp(df: DataFrame, id_col: str = "doc_id",
+              n_seeds: int = 53) -> DataFrame:
+    """Deterministic 17×16 RGB BMP synthesis whose content depends on
+    ``doc_id % n_seeds`` — documents sharing a seed are EXACT duplicate
+    images, which is what the perceptual-hash dedup query groups. Law:
+    pixel[y, x, c] = (seed*31 + y*7 + x*13 + c*5) % 256."""
+    from sql_based_etl_spark.operators.imagecodecs import encode_bmp_bytes
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                seed = d % n_seeds
+                y = np.arange(16, dtype=np.int64)[:, None, None]
+                x = np.arange(17, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = (seed * 31 + y * 7 + x * 13 + c * 5) % 256
+                ids.append(d)
+                blobs.append(encode_bmp_bytes(px.astype(np.uint8)))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "payload": blobs,
+            })
+
+    return df.select(id_col).mapInPandas(_synth, "doc_id bigint, payload binary")
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference-hash over REAL decoded images — the image
+    leg of the dedup family (text: MinHash/SimHash, embeddings:
+    LSH/SemDeDup; this covers exact/near-duplicate IMAGES at corpus
+    scale). Per payload: container decode (BMP/PNG/GIF/JPEG via the
+    stdlib codecs) → integer grayscale ``(299R + 587G + 114B) // 1000``
+    → a 9×8 nearest-neighbor sample grid (``gx = k*w//9``,
+    ``gy = y*h//8``) → 64 horizontal-gradient bits emitted as a 64-char
+    '0'/'1' string (a string survives any engine's integer width —
+    bit 63 would overflow a signed BIGINT). All integer arithmetic, so
+    an analytic oracle can replay it from a synthesis law.
+
+    Scale shape: one Arrow ``mapInPandas`` pass, 64 bytes out per
+    image; exact-dup groups are a hash ``groupBy`` (shuffle carries
+    hashes, never pixels); NEAR-dup pairs compose with the SimHash
+    hamming machinery (operators/dedup.py:simhash_pairs' band split)
+    over the same 64 bits."""
+    from sql_based_etl_spark.operators.imagecodecs import decode_image_bytes
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, px = decode_image_bytes(bytes(payload))
+                if px.shape[2] == 1:
+                    gray = px[:, :, 0].astype(np.int64)
+                else:
+                    rgb = px[:, :, :3].astype(np.int64)
+                    gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                            + 114 * rgb[:, :, 2]) // 1000
+                h, w = gray.shape
+                gy = (np.arange(8) * h) // 8
+                gx = (np.arange(9) * w) // 9
+                grid = gray[np.ix_(gy, gx)]
+                bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint8)
+                ids.append(int(doc_id))
+                hashes.append("".join(
+                    "1" if b else "0" for b in bits.reshape(-1)))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "dhash": hashes,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, "doc_id bigint, dhash string")
+
+
 AUDIO_CONTAINER_SCHEMA = (
     "doc_id bigint, container string, channels int, sample_rate int, "
     "n_units int, payload_units bigint, duration_micros bigint, "

@@ -108,6 +108,7 @@ APPENDIX = [
     "mm_decode_video",  # AVI round trip (synth → RIFF tree walk → per-frame integer pixel stats) — mapInPandas path graded via mm_decode_geometry; container parse exactness oracle-checked here (full registry pytest) + codec edge cases pytest-pinned
     "mm_audio_mp3",  # MP3 frame walk (headers/ID3/frame-length law → duration/bitrate facts) — mapInPandas path graded via mm_decode_geometry; framing exactness oracle-checked here (full registry pytest) + fail-loud edges pytest-pinned
     "mm_audio_ogg",  # OGG/Vorbis page walk (spec CRC-32 per page, granule-derived duration) — mapInPandas path graded via mm_decode_geometry; page framing oracle-checked here (full registry pytest) + fail-loud edges pytest-pinned
+    "mm_image_dhash",  # image exact-dup via perceptual dhash over real decoded BMPs — mapInPandas path graded via mm_decode_geometry, groupBy-dedup via dedup_exact; decode+hash exactness oracle-checked here (full registry pytest)
 ]
 
 

@@ -386,3 +386,73 @@ ORACLES["mm_audio_ogg"] = """
            CAST(64000 + 1000 * (doc_id % 8) AS BIGINT) AS bitrate_nominal
     FROM par
 """
+
+
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE exact-duplicate detection via perceptual difference-hash,
+    exactly oracle-checked: deterministic BMP synthesis keyed on
+    ``doc_id % 53`` (operators/multimodal.py:synth_bmp — real container
+    bytes through the real BMP encoder) → container decode → integer
+    grayscale → 9×8 nearest-neighbor grid → 64 gradient bits
+    (operators/multimodal.py:image_dhash) → hash groups with survivor
+    selection. DuckDB replays the ENTIRE chain analytically from the
+    pixel law — a decoder that flips BGR/RGB, mis-pads BMP rows, or a
+    hash that samples the wrong grid produces different hash strings
+    and mismatches. Near-dup pairs compose with the SimHash hamming
+    band machinery over the same 64 bits (documented in the operator);
+    the graded claim here is the exact-group core."""
+    from sql_based_etl_spark.operators.multimodal import (
+        image_dhash,
+        synth_bmp,
+    )
+
+    bmp = synth_bmp(load(spark, sf_dir, "documents"))
+    return (
+        image_dhash(bmp)
+        .groupBy("dhash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.min("doc_id").cast("bigint").alias("survivor"))
+        .orderBy("dhash")
+    )
+
+
+QUERIES["mm_image_dhash"] = mm_image_dhash
+
+# the synthesis law replayed analytically: seed = doc_id % 53, 17x16
+# image, pixel[y,x,c] = (seed*31 + y*7 + x*13 + c*5) % 256, grayscale
+# (299R + 587G + 114B) // 1000, grid gy = 2y / gx = k*17//9, bit =
+# gray(left) > gray(right), 64-char '0'/'1' string
+ORACLES["mm_image_dhash"] = """
+    WITH g AS (
+        SELECT doc_id, doc_id % 53 AS seed FROM documents
+    ),
+    cells AS (
+        SELECT g.doc_id, yy.y, kk.k,
+               (seed * 31 + (2 * yy.y) * 7 + ((kk.k * 17) // 9) * 13)
+                   AS b1,
+               (seed * 31 + (2 * yy.y) * 7 + (((kk.k + 1) * 17) // 9) * 13)
+                   AS b2
+        FROM g
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) yy
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) kk
+    ),
+    bits AS (
+        SELECT doc_id, y, k,
+               CASE WHEN
+                   (299 * (b1 % 256) + 587 * ((b1 + 5) % 256)
+                    + 114 * ((b1 + 10) % 256)) // 1000
+                   >
+                   (299 * (b2 % 256) + 587 * ((b2 + 5) % 256)
+                    + 114 * ((b2 + 10) % 256)) // 1000
+               THEN '1' ELSE '0' END AS b
+        FROM cells
+    ),
+    hashes AS (
+        SELECT doc_id, string_agg(b, '' ORDER BY y, k) AS dhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT dhash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS survivor
+    FROM hashes GROUP BY dhash ORDER BY dhash
+"""

@@ -1124,3 +1124,15 @@ def test_jpeg_12bit_color_sequential():
     assert out.shape == (16, 16, 3)
     assert np.max(np.abs(out.astype(np.int64) - px.astype(np.int64))) <= 8
     assert int(out.max()) > 255             # extended range exercised
+
+
+def test_bmp_encoder_round_trip_and_padding():
+    """The operator-side BMP encoder: odd widths exercise the 4-byte
+    row padding; decode must return the exact RGB pixels (a BGR swap
+    or pad miscount corrupts every row)."""
+    for w, h in ((17, 16), (3, 2), (4, 5), (1, 1)):
+        px = _rng_pixels(h, w, 3, seed=w * 100 + h)
+        from sql_based_etl_spark.operators.imagecodecs import encode_bmp_bytes
+        fmt, out = decode_image_bytes(encode_bmp_bytes(px))
+        assert fmt == "bmp"
+        assert np.array_equal(out, px), (w, h)
