@@ -81,3 +81,40 @@ def coerce_condition_for_types(cond: str, dtypes_by_alias: dict[str, dict[str, s
         return m.group(0)
 
     return _sub_outside_quotes(cond, lambda seg: _QUALIFIED.sub(repl, seg))
+
+
+_BARE_RHS = re.compile(
+    r"(?<![.\w])(\w+)\s*(=|<>|!=)\s*(true|false)\b", re.IGNORECASE
+)
+_BARE_LHS = re.compile(
+    r"\b(true|false)\s*(=|<>|!=)\s*(\w+)(?![.\w(])", re.IGNORECASE
+)
+
+
+def coerce_predicate_for_types(pred: str, dtypes: dict[str, str]) -> str:
+    """Dtype-aware rewrite for single-table predicates (DELETE WHERE):
+    an UNQUALIFIED comparison ``col = true|false`` (either side) whose
+    column is known NON-boolean gets its literal rewritten to 1/0 —
+    the same BooleanEquality rule :func:`coerce_condition_for_types`
+    applies to alias-qualified merge conditions, so ``iscurrent = true``
+    behaves identically between MERGE delete clauses and DELETE.
+    Boolean columns and unknown names keep their literal."""
+    low = {k.lower(): v for k, v in dtypes.items()}
+
+    def repl_rhs(m: re.Match) -> str:
+        col, op, word = m.group(1), m.group(2), m.group(3)
+        dt = low.get(col.lower())
+        if dt is not None and dt != "boolean":
+            return f"{col} {op} {_lit(word)}"
+        return m.group(0)
+
+    def repl_lhs(m: re.Match) -> str:
+        word, op, col = m.group(1), m.group(2), m.group(3)
+        dt = low.get(col.lower())
+        if dt is not None and dt != "boolean":
+            return f"{_lit(word)} {op} {col}"
+        return m.group(0)
+
+    return _sub_outside_quotes(
+        pred, lambda seg: _BARE_LHS.sub(repl_lhs, _BARE_RHS.sub(repl_rhs, seg))
+    )

@@ -456,3 +456,98 @@ ORACLES["mm_image_dhash"] = """
            CAST(min(doc_id) AS BIGINT) AS survivor
     FROM hashes GROUP BY dhash ORDER BY dhash
 """
+
+
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate pairs END-TO-END — the composition the
+    round-9 verdict asked for: deterministic near-dup BMP synthesis
+    (operators/multimodal.py:synth_bmp_variants — same-seed documents
+    differ only in a 2×2 corner, moving ≤ 2 dhash bits) → real
+    container decode + perceptual difference-hash
+    (operators/multimodal.py:image_dhash, one Arrow pass) →
+    hamming-band candidate pairs + exact ``bit_count(xor)`` verify
+    (operators/multimodal.py:image_dhash_pairs — the SimHash band
+    machinery over the hash's 4×16-bit blocks, pigeonhole-complete for
+    hamming ≤ 3, all JVM-side). DuckDB replays the ENTIRE chain
+    analytically from the pixel law: synthesis → grayscale → grid →
+    bits → block ints → brute-force pair hamming (sound at sf0.01; the
+    Spark side stays banded, which pigeonhole proves equivalent at the
+    ≤3 threshold)."""
+    from sql_based_etl_spark.operators.multimodal import (
+        image_dhash,
+        image_dhash_pairs,
+        synth_bmp_variants,
+    )
+
+    bmp = synth_bmp_variants(load(spark, sf_dir, "documents"))
+    return (
+        image_dhash_pairs(image_dhash(bmp), max_hamming=3)
+        .select(F.col("doc_a").cast("bigint"),
+                F.col("doc_b").cast("bigint"),
+                F.col("hamming").cast("int"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["mm_image_neardup"] = mm_image_neardup
+
+# the synthesis law replayed analytically: seed = doc_id % 53,
+# v = doc_id % 2, 17x16 image, pixel[y,x,c] = (seed*31 + y*7 + x*13 +
+# c*5 + ((seed*seed)%251)*(y+1) + (v*97 if y<2 and x<2 else 0)) % 256;
+# grayscale (299R+587G+114B)//1000; grid gy = 2y, gx = k*17//9; bit =
+# gray(left) > gray(right); 4x16-bit block ints; exact pair hamming.
+# The perturbation reaches only gx in {0,1}, i.e. y=0 bits k in {0,1}.
+ORACLES["mm_image_neardup"] = """
+    WITH g AS (
+        SELECT doc_id, doc_id % 53 AS seed, doc_id % 2 AS v
+        FROM documents
+    ),
+    cells AS (
+        SELECT g.doc_id, yy.y, kk.k,
+               (seed * 31 + (2 * yy.y) * 7 + ((kk.k * 17) // 9) * 13
+                + ((seed * seed) % 251) * (2 * yy.y + 1)
+                + CASE WHEN yy.y = 0 AND (kk.k * 17) // 9 < 2
+                       THEN v * 97 ELSE 0 END) AS p1,
+               (seed * 31 + (2 * yy.y) * 7 + (((kk.k + 1) * 17) // 9) * 13
+                + ((seed * seed) % 251) * (2 * yy.y + 1)
+                + CASE WHEN yy.y = 0 AND ((kk.k + 1) * 17) // 9 < 2
+                       THEN v * 97 ELSE 0 END) AS p2
+        FROM g
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) yy
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) kk
+    ),
+    bits AS (
+        SELECT doc_id, y * 8 + k AS i,
+               CASE WHEN
+                   (299 * (p1 % 256) + 587 * ((p1 + 5) % 256)
+                    + 114 * ((p1 + 10) % 256)) // 1000
+                   >
+                   (299 * (p2 % 256) + 587 * ((p2 + 5) % 256)
+                    + 114 * ((p2 + 10) % 256)) // 1000
+               THEN 1 ELSE 0 END AS bit
+        FROM cells
+    ),
+    blks AS (
+        SELECT doc_id, i // 16 AS blk,
+               CAST(sum(bit * (1 << (15 - (i % 16)))) AS BIGINT) AS val
+        FROM bits GROUP BY doc_id, i // 16
+    ),
+    hv AS (
+        SELECT doc_id,
+               max(CASE WHEN blk = 0 THEN val END) AS b0,
+               max(CASE WHEN blk = 1 THEN val END) AS b1,
+               max(CASE WHEN blk = 2 THEN val END) AS b2,
+               max(CASE WHEN blk = 3 THEN val END) AS b3
+        FROM blks GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                  AS INTEGER) AS hamming
+        FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming
+    FROM pairs WHERE hamming <= 3
+    ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,358 @@
+"""Structured-Streaming SOURCE over bridge Delta tables — the missing
+half of streaming Delta interop (the sink half is
+``streaming/events.py:stream_append_to_delta``): the library's
+``spark.readStream.format("delta")``, re-expressed as a PySpark 4
+Python DataSource (``pyspark.sql.datasource.DataSourceStreamReader``).
+
+Why a real data source and not a driver loop: Spark owns the offset
+log (``checkpointLocation``), so restart/replay semantics come from
+the engine itself — a killed query resumes at the first uncommitted
+offset with NO custom checkpoint code, exactly like the library
+source; and file reads run in EXECUTOR Python workers (pyarrow), so
+the driver plans versions and never touches row data.
+
+Offset contract (mirrors ``tables/delta_interop.py:read_delta_appends``,
+which is also the library streaming source's): an offset is the log
+version processed THROUGH; each micro-batch is the commits
+``(start, end]``. ``dataChange: false`` commits (OPTIMIZE/REORG) are
+invisible; a data-changing remove raises — unless
+``ignoreDeletes=true``, which skips PURE-delete commits (DV deletes,
+full-file removes) while overwrites stay fatal (their rewritten files
+may carry new rows — that needs CDF semantics, not an append reader).
+Schema changes and deletion-vector adds refuse loudly.
+
+The planner runs in an isolated Python process WITHOUT a JVM gateway,
+so all log access here is plain-IO (``os``/``pyarrow.fs`` — the same
+executor-safe lane as the DV kernels): JSON commits are listed and
+parsed directly, and a checkpoint-pruned head falls back to the
+``_last_checkpoint`` parquet (classic or v2 manifest) for table
+metadata via pyarrow.
+
+Column-mapped tables stream through the physical→logical rename;
+hive-partitioned tables get their partition values injected from the
+add action (typed from the schema). Reader-side unsupported shapes
+(live DVs on new adds) fail loudly at plan time, never silently drop
+rows.
+
+Usage::
+
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source)
+    register_delta_bridge_source(spark)
+    stream = (spark.readStream.format("delta_bridge")
+              .option("path", table_path)
+              .option("ignoreDeletes", "true")
+              .load())
+    # feed the existing exactly-once sink:
+    stream.writeStream.foreachBatch(
+        lambda df, bid: append_stream_batch(df, bid, sink_path)
+    ).option("checkpointLocation", ckpt).start()
+
+Delta-parity reference: delta-spark's ``DeltaSource`` (the
+``readStream.format("delta")`` path the reference ecosystem runs —
+scd2-job.ipynb:153's tables are Delta).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_LOG_RE = re.compile(r"^(\d{20})\.json$")
+
+
+def _plain_ls(dir_path: str) -> list[str]:
+    """List a directory's entry names with plain IO (no JVM)."""
+    if "://" in dir_path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(dir_path)
+        try:
+            infos = fs.get_file_info(
+                pafs.FileSelector(rel, allow_not_found=True))
+        except FileNotFoundError:
+            return []
+        return [i.base_name for i in infos]
+    try:
+        return os.listdir(dir_path)
+    except FileNotFoundError:
+        return []
+
+
+def _plain_read(path: str) -> bytes:
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        with fs.open_input_stream(rel) as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _plain_list_log(log_dir: str) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for name in _plain_ls(log_dir):
+        m = _LOG_RE.match(name)
+        if m:
+            out[int(m.group(1))] = f"{log_dir}/{name}"
+    return out
+
+
+def _plain_log_actions(path: str) -> list[dict]:
+    acts = []
+    for line in _plain_read(path).decode("utf-8").splitlines():
+        if line.strip():
+            acts.append(json.loads(line))
+    return acts
+
+
+def _plain_table_meta(table_path: str, logs: dict[int, str]) -> dict:
+    """The table's newest ``metaData`` action, from the surviving JSON
+    commits — falling back to the ``_last_checkpoint`` parquet (classic
+    single-file or v2 manifest; pyarrow read) when the log head was
+    pruned below a checkpoint."""
+    meta: dict | None = None
+    for v in sorted(logs):
+        for a in _plain_log_actions(logs[v]):
+            if "metaData" in a:
+                meta = a["metaData"]
+    if meta is not None:
+        return meta
+    log_dir = f"{table_path}/_delta_log"
+    try:
+        lc = json.loads(_plain_read(f"{log_dir}/_last_checkpoint"))
+    except FileNotFoundError:
+        raise ValueError(
+            f"delta_bridge source: no metaData action in the surviving "
+            f"log and no _last_checkpoint at {log_dir}"
+        ) from None
+    cv = int(lc["version"])
+    import pyarrow.parquet as pq
+
+    candidates = [n for n in _plain_ls(log_dir)
+                  if n.startswith(f"{cv:020d}.checkpoint")
+                  and n.endswith(".parquet")]
+    for name in sorted(candidates):
+        tbl = pq.read_table(f"{log_dir}/{name}")
+        if "metaData" not in tbl.column_names:
+            continue
+        for row in tbl.column("metaData").to_pylist():
+            if row and row.get("id"):
+                meta = {k: v for k, v in row.items() if v is not None}
+    if meta is None:
+        raise ValueError(
+            f"delta_bridge source: checkpoint {cv} at {log_dir} carries "
+            "no metaData action"
+        )
+    return meta
+
+
+def _phys_to_logical(meta: dict) -> dict[str, str]:
+    """physical name → logical name for column-mapped tables (empty
+    when the table is unmapped)."""
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") == "none":
+        return {}
+    out = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        out[md.get("delta.columnMapping.physicalName", f["name"])] = f["name"]
+    return out
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One new data file of one micro-batch: everything the executor
+    read needs, shipped by value (paths, renames, typed partition
+    values) — no driver callbacks."""
+
+    file_path: str = ""
+    schema_json: str = ""
+    rename: dict = field(default_factory=dict)
+    partition_values: dict = field(default_factory=dict)
+
+
+class DeltaBridgeStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "delta_bridge source: option 'path' is required")
+        self._path = path.rstrip("/")
+        self._log_dir = f"{self._path}/_delta_log"
+        self._ignore_deletes = str(
+            options.get("ignoredeletes", options.get("ignoreDeletes",
+                                                     "false"))
+        ).lower() == "true"
+        sv = options.get("startingversion", options.get("startingVersion"))
+        # -1 = from the beginning: version 0's CREATE adds are the
+        # initial snapshot, streamed as the first micro-batch (the
+        # library's startingVersion=0 behavior)
+        self._start = int(sv) if sv is not None else -1
+        self._meta_cache: dict | None = None
+
+    # -- planning (driver-side isolated Python worker, plain IO) ------
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        logs = _plain_list_log(self._log_dir)
+        if not logs:
+            raise ValueError(
+                f"delta_bridge source: no Delta log at {self._log_dir}")
+        return {"version": max(logs)}
+
+    def _meta(self, logs: dict[int, str]) -> dict:
+        if self._meta_cache is None:
+            self._meta_cache = _plain_table_meta(self._path, logs)
+        return self._meta_cache
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = int(start["version"]), int(end["version"])
+        logs = _plain_list_log(self._log_dir)
+        meta = self._meta(logs)
+        rename = _phys_to_logical(meta)
+        schema_json = meta["schemaString"]
+        parts: list[_FilePartition] = []
+        for v in range(sv + 1, ev + 1):
+            if v not in logs:
+                raise ValueError(
+                    f"delta_bridge source: commit {v} missing at "
+                    f"{self._log_dir} (pruned below a checkpoint?) — "
+                    "cannot reconstruct the append stream; restart the "
+                    "query from a full snapshot"
+                )
+            v_adds: list[dict] = []
+            v_removed: set[str] = set()
+            for a in _plain_log_actions(logs[v]):
+                if "metaData" in a and (
+                    a["metaData"].get("schemaString")
+                    != meta["schemaString"]
+                ):
+                    raise ValueError(
+                        f"delta_bridge source: commit {v} changes the "
+                        "table schema — restart the query to pick it up"
+                    )
+                if "add" in a and a["add"].get("dataChange", True):
+                    v_adds.append(a["add"])
+                elif ("remove" in a
+                      and a["remove"].get("dataChange", True)):
+                    v_removed.add(a["remove"]["path"])
+            if v_removed:
+                pure_delete = all(a["path"] in v_removed for a in v_adds)
+                if self._ignore_deletes and pure_delete:
+                    continue
+                raise ValueError(
+                    f"delta_bridge source: commit {v} removes data — "
+                    "the table is not append-only past the stream's "
+                    "start; "
+                    + ("its rewritten files may carry NEW rows, so "
+                       "ignoreDeletes cannot skip it safely"
+                       if self._ignore_deletes else
+                       "set ignoreDeletes=true to skip pure-delete "
+                       "commits")
+                )
+            for a in v_adds:
+                if a.get("deletionVector"):
+                    raise ValueError(
+                        f"delta_bridge source: commit {v} attaches a "
+                        "deletion vector — row-level deletes are not "
+                        "append-only"
+                    )
+                import urllib.parse as _up
+
+                rel = _up.unquote(a["path"])
+                absolute = (rel if "://" in rel or rel.startswith("/")
+                            else f"{self._path}/{rel}")
+                parts.append(_FilePartition(
+                    file_path=absolute,
+                    schema_json=schema_json,
+                    rename=dict(rename),
+                    partition_values=dict(a.get("partitionValues") or {}),
+                ))
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log is the durable record
+
+    # -- execution (executor Python workers, pyarrow) -----------------
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _ST
+        from pyspark.sql.types import _parse_datatype_json_string
+
+        spark_schema = _parse_datatype_json_string(partition.schema_json)
+        assert isinstance(spark_schema, _ST)
+        target = to_arrow_schema(spark_schema)
+        tbl = pq.read_table(partition.file_path)
+        if partition.rename:
+            tbl = tbl.rename_columns([
+                partition.rename.get(c, c) for c in tbl.column_names
+            ])
+        logical_pv = {
+            partition.rename.get(k, k): v
+            for k, v in partition.partition_values.items()
+        }
+        n = tbl.num_rows
+        cols = []
+        for f in target:
+            if f.name in tbl.column_names:
+                cols.append(tbl.column(f.name).cast(f.type))
+            elif f.name in logical_pv:
+                raw = logical_pv[f.name]
+                if raw is None:
+                    cols.append(pa.nulls(n, type=f.type))
+                else:
+                    cols.append(pa.array([raw] * n).cast(f.type))
+            else:
+                raise ValueError(
+                    f"delta_bridge source: column {f.name!r} is neither "
+                    f"in {partition.file_path} nor a partition value"
+                )
+        out = pa.table(dict(zip([f.name for f in target], cols)))
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class DeltaBridgeStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_bridge")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_bridge"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "delta_bridge source: option 'path' is required")
+        path = path.rstrip("/")
+        logs = _plain_list_log(f"{path}/_delta_log")
+        if not logs:
+            raise ValueError(
+                f"delta_bridge source: no Delta log at {path}/_delta_log")
+        meta = _plain_table_meta(path, logs)
+        return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def streamReader(self, schema: StructType):
+        return DeltaBridgeStreamReader(schema, self.options)
+
+
+def register_delta_bridge_source(spark) -> None:
+    """Register the ``delta_bridge`` streaming format on a session."""
+    spark.dataSource.register(DeltaBridgeStreamDataSource)

@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_based_etl_spark.tables.versioned import (
+    CommitRaceLostError,
     VersionedTable,
     VersionedTableError,
     publish_text_exclusive,
@@ -519,6 +520,22 @@ def _dv_uid(dv: dict | None) -> str:
     if dv.get("offset") is not None:
         uid += f"@{dv['offset']}"
     return uid
+
+
+def _dv_file_rel(dv: dict | None) -> str | None:
+    """Table-relative sidecar file of a ``storageType='u'`` deletion
+    vector descriptor (``deletion_vector_<uuid>.bin``, optionally under
+    a random prefix) — None for inline (``i``) descriptors, which have
+    no file, and absolute-path (``p``) ones, which the bridge's layout
+    does not own and vacuum must never reclaim."""
+    if not dv or dv.get("storageType") != "u":
+        return None
+    import uuid as uuid_mod
+
+    enc = dv["pathOrInlineDv"]
+    prefix, tail = enc[:-20], enc[-20:]
+    u = uuid_mod.UUID(bytes=_z85_decode(tail))
+    return f"{prefix + '/' if prefix else ''}deletion_vector_{u}.bin"
 
 
 def _fkey(file_action: dict) -> str:
@@ -1453,6 +1470,196 @@ def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
     a committed entry, nor a crash leave a truncated entry behind."""
     publish_text_exclusive(spark, log_dir, f"{version:020d}.json", data,
                            what="Delta log entry")
+
+
+# --- optimistic concurrency (Delta's commit-retry contract) -------------
+#
+# Delta's actual multi-writer contract is NOT "loser raises": the loser
+# of the put-if-absent race re-reads the winner's commit(s), classifies
+# them against its own operation, and RETRIES at the next version when
+# the two provably commute — only true conflicts raise, with a named
+# exception telling the caller which rule fired. The reference's own
+# production shape runs concurrent scheduled Spark jobs against the lake
+# (scd2-job-scheduler.yaml:15-48), and hourly-append + nightly-OPTIMIZE
+# is the normal case at 100 TB. Conflict matrix implemented (the
+# delta-spark ConflictChecker rules, conservatively):
+#
+#   winner commit carries          loser op                  outcome
+#   ---------------------------------------------------------------------
+#   protocol action                any                       ProtocolChanged
+#   metaData action                any                       MetadataChanged
+#   txn with the loser's appId     idempotent writer         ConcurrentTransaction
+#   remove of a file loser REMOVES any                       ConcurrentDeleteDelete
+#   remove of a file loser READ    merge/delete/compact      ConcurrentDeleteRead
+#   dataChange add                 op that read table data   ConcurrentAppend
+#   dataChange add                 blind append / compact    commute → retry
+#   dataChange=false add (compact) disjoint-file op          commute → retry
+#   commitInfo only (vacuum)       any                       commute → retry
+#
+# Retry re-stamps the version-dependent pieces of the prepared actions:
+# inCommitTimestamp is recomputed against the ACTUAL predecessor (ICT
+# monotonicity), and rowTracking baseRowId ranges are re-assigned from
+# the winner-advanced rowIdHighWaterMark (a stale range would alias two
+# rows' ids forever). Checkpoints are skipped after a retried commit —
+# the caller's reconciled state predates the winners.
+
+
+class DeltaConcurrentModificationError(VersionedTableError):
+    """A bridge commit raced a winner whose changes cannot be proven
+    disjoint from this operation (delta-spark's
+    ConcurrentModificationException family)."""
+
+
+class ProtocolChangedError(DeltaConcurrentModificationError):
+    pass
+
+
+class MetadataChangedError(DeltaConcurrentModificationError):
+    pass
+
+
+class ConcurrentAppendError(DeltaConcurrentModificationError):
+    pass
+
+
+class ConcurrentDeleteReadError(DeltaConcurrentModificationError):
+    pass
+
+
+class ConcurrentDeleteDeleteError(DeltaConcurrentModificationError):
+    pass
+
+
+class ConcurrentTransactionError(DeltaConcurrentModificationError):
+    pass
+
+
+def _check_commit_conflict(winner: list[dict], version: int, operation: str,
+                           read_paths, removed_paths, reads_table_data: bool,
+                           txn_app_id: str | None, log_dir: str) -> None:
+    """Classify ONE winner commit against the loser's declared
+    footprint; raise the named conflict or return (commute)."""
+    win_op = ""
+    for a in winner:
+        ci = a.get("commitInfo")
+        if ci:
+            win_op = ci.get("operation", "")
+    ctx = (f"{operation} at {log_dir} lost the commit race for version "
+           f"{version} to a concurrent {win_op or 'commit'}")
+    for a in winner:
+        if "protocol" in a:
+            raise ProtocolChangedError(
+                f"{ctx} that upgraded the table protocol — re-read the "
+                "table and re-run the operation")
+        if "metaData" in a:
+            raise MetadataChangedError(
+                f"{ctx} that changed table metadata (schema / properties "
+                "/ identity or column-mapping watermarks) — re-read the "
+                "table and re-run the operation")
+        txn = a.get("txn")
+        if txn and txn_app_id is not None and txn.get("appId") == txn_app_id:
+            raise ConcurrentTransactionError(
+                f"{ctx} carrying the same txn appId {txn_app_id!r} — two "
+                "instances of one idempotent writer raced; the winner's "
+                "version watermark supersedes this attempt")
+    win_removed = {a["remove"]["path"] for a in winner if "remove" in a}
+    win_added_dc = {a["add"]["path"] for a in winner
+                    if "add" in a and a["add"].get("dataChange", True)}
+    hit = win_removed & set(removed_paths)
+    if hit:
+        raise ConcurrentDeleteDeleteError(
+            f"{ctx} that already removed file(s) this operation also "
+            f"removes (e.g. {sorted(hit)[0]!r})")
+    hit = win_removed & set(read_paths)
+    if hit:
+        raise ConcurrentDeleteReadError(
+            f"{ctx} that removed file(s) this operation read "
+            f"(e.g. {sorted(hit)[0]!r})")
+    if reads_table_data and win_added_dc:
+        raise ConcurrentAppendError(
+            f"{ctx} that added data file(s) this operation's predicate "
+            "may depend on — re-read the table and re-run the operation")
+
+
+def _occ_commit(spark: SparkSession, log_dir: str, read_version: int | None,
+                actions: list[dict], *, operation: str,
+                meta: dict | None = None, proto: dict | None = None,
+                domains: dict[str, str] | None = None,
+                new_adds: list[dict] | None = None,
+                read_paths=frozenset(), removed_paths=frozenset(),
+                reads_table_data: bool = False,
+                txn_app_id: str | None = None,
+                ignore_conflicts: bool = False,
+                max_retries: int = 20) -> int:
+    """Commit ``actions`` with Delta's optimistic-concurrency retry.
+
+    ``read_version`` is the snapshot version the actions were derived
+    from (None/-1 for table creation); the first attempt lands at
+    ``read_version + 1``. On a lost race the winner's commit is read
+    back and classified (:func:`_check_commit_conflict`); commuting
+    winners advance the attempt version after re-stamping ICT and
+    rowTracking row-id ranges. Returns the committed version — callers
+    must skip checkpoint writes when it differs from their expected
+    version (their reconciled state predates the winners)."""
+    import time as _t
+
+    attempt = (read_version if read_version is not None else -1) + 1
+    first = attempt
+    domains = dict(domains or {})
+    while True:
+        try:
+            _commit_delta_log(spark, log_dir, attempt,
+                              "\n".join(json.dumps(a) for a in actions))
+            if attempt != first:
+                _log.info("%s at %s: committed at version %d after "
+                          "winning a retry past %d concurrent commit(s)",
+                          operation, log_dir, attempt, attempt - first)
+            return attempt
+        except CommitRaceLostError:
+            pass
+        if attempt == 0:
+            # version 0 carries protocol+metaData: a raced CREATE is
+            # always a real conflict (the winner defined the table)
+            raise DeltaConcurrentModificationError(
+                f"{operation} at {log_dir}: a concurrent writer created "
+                "the table first (version 0 already exists)")
+        winner = list(_log_actions(spark, f"{log_dir}/{attempt:020d}.json"))
+        if not ignore_conflicts:
+            _check_commit_conflict(winner, attempt, operation, read_paths,
+                                   removed_paths, reads_table_data,
+                                   txn_app_id, log_dir)
+        if attempt - first + 1 > max_retries:
+            raise DeltaConcurrentModificationError(
+                f"{operation} at {log_dir}: exhausted {max_retries} "
+                "commit retries against concurrent writers")
+        # fold the winner's domain watermarks (rowTracking hwm) so the
+        # re-stamp below allocates past them, then advance
+        for a in winner:
+            dm = a.get("domainMetadata")
+            if dm and not dm.get("removed"):
+                domains[dm["domain"]] = dm.get("configuration")
+        attempt += 1
+        now_ms = int(_t.time() * 1000)
+        ci = actions[0].get("commitInfo") if actions else None
+        if ci is not None and meta is not None:
+            ict = _next_ict(spark, log_dir, meta, attempt - 1, now_ms)
+            if ict is not None:
+                ci["inCommitTimestamp"] = ict
+        if new_adds and proto is not None:
+            rt = _assign_row_ids(proto, domains, new_adds, attempt)
+            if rt is not None:
+                # the add dicts are shared with `actions`, so the fresh
+                # baseRowId/defaultRowCommitVersion propagate; swap (or
+                # append) the domainMetadata hwm action
+                for i, a in enumerate(actions):
+                    dm = a.get("domainMetadata")
+                    if dm and dm.get("domain") == _ROW_TRACKING_DOMAIN:
+                        actions[i] = rt
+                        break
+                else:
+                    actions.append(rt)
+                domains[_ROW_TRACKING_DOMAIN] = (
+                    rt["domainMetadata"]["configuration"])
 
 
 def _log_actions(spark: SparkSession, path: str):
@@ -2716,10 +2923,22 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             for a in sorted(live.values(), key=lambda a: a["path"])
         )
     actions.extend({"add": a} for a in new_adds)
-    _commit_delta_log(spark, log_dir, next_v, "\n".join(json.dumps(a) for a in actions))
+    # blind append commutes with concurrent data commits; overwrite
+    # read the snapshot it replaces, so any concurrent data change is a
+    # real conflict (its removes/result were computed from stale state)
+    ow_paths = (frozenset(a["path"] for a in live.values())
+                if mode == "overwrite" else frozenset())
+    committed_v = _occ_commit(
+        spark, log_dir, next_v - 1, actions, operation="WRITE",
+        meta=meta, proto=proto, domains=domains, new_adds=new_adds,
+        read_paths=ow_paths, removed_paths=ow_paths,
+        reads_table_data=(mode == "overwrite"),
+        txn_app_id=txn_app_id)
+    retried = committed_v != next_v
+    next_v = committed_v
     if txn_app_id is not None:
         txns = {**txns, txn_app_id: int(txn_version)}
-    if (checkpoint_interval and next_v > 0
+    if (checkpoint_interval and next_v > 0 and not retried
             and next_v % checkpoint_interval == 0):
         # live deletion vectors ride the checkpoint's
         # add.deletionVector struct (the spec's descriptor shape), so
@@ -2945,7 +3164,6 @@ def merge_delta(source: DataFrame, path: str, condition: str,
             # for every downstream (and force fabricated CDF) — no-op
             return latest
 
-        keep = annotated.filter(~F.col("__deleted"))
         ident_by = {i["name"]: i for i in idents}
         sel = []
         for c in t_cols:
@@ -2965,7 +3183,22 @@ def merge_delta(source: DataFrame, path: str, condition: str,
             sel.append(
                 F.when(F.col("__updated"), F.lit(None).cast("long"))
                 .otherwise(F.col(rt_ver)).alias(rt_ver))
-        result = keep.select(*sel)
+        # Identity allocation happens HERE, before the rewrite and the
+        # change feed split: CDF 'insert' rows must carry the SAME
+        # allocated values the data files do (staging them from the
+        # pre-allocation `annotated` fed NULL identities to downstream
+        # CDC consumers). `resolved` keeps the merge markers and
+        # preimages so both consumers read one relation; it is persisted
+        # when both exist because monotonically_increasing_id is only
+        # consistent across the two staging jobs once materialized.
+        carry = [F.col(c) for c in ("__updated", "__inserted", "__deleted")]
+        if cdf:
+            carry.extend(F.col(f"__pre_{c}") for c in t_cols)
+        resolved = annotated.select(*sel, *carry)
+        if idents and cdf:
+            resolved = resolved.persist()
+        out_cols = list(t_cols) + ([rt_id, rt_ver] if rt_stable else [])
+        result = resolved.filter(~F.col("__deleted")).select(*out_cols)
         # merge keeps every table column, so obligations VALIDATE here
         # (a merge that would leave a generated column inconsistent with
         # its expression refuses, naming the column — include it in the
@@ -3013,14 +3246,16 @@ def merge_delta(source: DataFrame, path: str, condition: str,
                     rows, _ = _project_to_physical(rows, meta, mapping_mode)
                 return rows.withColumn("_change_type", F.lit(ctype))
 
-            pre = _cdc(annotated.filter("__updated").select(*[
+            pre = _cdc(resolved.filter("__updated").select(*[
                 F.col(f"__pre_{c}").alias(c) for c in t_cols
             ]), "update_preimage")
-            post = _cdc(annotated.filter("__updated").select(*t_cols),
+            post = _cdc(resolved.filter("__updated").select(*t_cols),
                         "update_postimage")
-            ins = _cdc(annotated.filter("__inserted").select(*t_cols),
+            # inserts come from the post-allocation relation so the
+            # change feed shows allocated identity values, not NULLs
+            ins = _cdc(resolved.filter("__inserted").select(*t_cols),
                        "insert")
-            dels = _cdc(annotated.filter("__deleted").select(*[
+            dels = _cdc(resolved.filter("__deleted").select(*[
                 F.col(f"__pre_{c}").alias(c) for c in t_cols
             ]), "delete")
             cdc_adds = _stage_data_files(
@@ -3028,6 +3263,10 @@ def merge_delta(source: DataFrame, path: str, condition: str,
                 path, stage_parts, subdir="_change_data")
     finally:
         annotated.unpersist()
+        try:
+            resolved.unpersist()
+        except NameError:
+            pass
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
@@ -3069,10 +3308,19 @@ def merge_delta(source: DataFrame, path: str, condition: str,
                  "size": a.get("size"), "dataChange": False}}
         for a in cdc_adds
     )
-    next_v = latest + 1
-    _commit_delta_log(spark, log_dir, next_v,
-                      "\n".join(json.dumps(a) for a in actions))
-    if checkpoint_interval and next_v % checkpoint_interval == 0:
+    # MERGE read the whole live snapshot (source matching scanned it),
+    # so concurrent data changes conflict; commitInfo-only and
+    # disjoint dataChange=false winners (vacuum, compact of files the
+    # merge did not touch... which cannot exist since merge reads all
+    # live files) commute
+    next_v = _occ_commit(
+        spark, log_dir, latest, actions, operation="MERGE",
+        meta=meta, proto=proto, domains=domains, new_adds=new_adds,
+        read_paths=frozenset(a["path"] for a in live.values()),
+        removed_paths=frozenset(a["path"] for a in matched.values()),
+        reads_table_data=True)
+    if (checkpoint_interval and next_v == latest + 1
+            and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}
         state.update({_fkey(a): a for a in new_adds})
         _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
@@ -3080,124 +3328,281 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     return next_v
 
 
-def _dv_encode_group(pdf):
-    """Grouped-map kernel for :func:`delete_delta`: one parquet file's
-    matched row indexes → one serialized RoaringBitmapArray. Runs
-    executor-side (Arrow lane), so the driver only ever receives the
-    COMPRESSED bitmaps — ≤2 bytes per deleted row (array containers)
-    and capped at 8 KiB per 64 Ki-row chunk (bitmap containers), never
-    the raw int64 index stream."""
-    import numpy as np
-    import pandas as pd
+def _read_bytes_plain(path: str) -> bytes:
+    """Executor-safe byte read (no JVM gateway): plain ``open`` for
+    schemeless local paths, ``pyarrow.fs`` for URI schemes (local /
+    hdfs / s3 per pyarrow's bindings) — the Arrow lane's file access,
+    used by the DV kernels that run inside Python workers."""
+    if "://" in path:
+        import pyarrow.fs as pafs
 
-    idx = np.unique(pdf["__ridx"].to_numpy(dtype=np.int64))
-    return pd.DataFrame({
-        "file": [pdf["__file"].iloc[0]],
-        "dv": [_roaring_array_serialize(idx)],
-        "card": [len(idx)],
-    })
+        fs, rel = pafs.FileSystem.from_uri(path)
+        with fs.open_input_stream(rel) as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _write_bytes_plain(path: str, data: bytes) -> None:
+    """Executor-safe byte write, mirror of :func:`_read_bytes_plain`.
+    Used for per-partition DV sidecars — written whole before the log
+    commit references them, so a task retry's duplicate is an orphan
+    under a different uuid, never a torn referenced file."""
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        with fs.open_output_stream(rel) as f:
+            f.write(data)
+        return
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _dv_payload_plain(table_path: str, dv: dict) -> bytes:
+    """Resolve a ``deletionVector`` descriptor to its raw roaring
+    payload bytes WITHOUT the JVM gateway (executor-safe twin of the
+    extraction inside :func:`_dv_row_indexes`, same framing/CRC/pad
+    checks)."""
+    import uuid as uuid_mod
+    import zlib
+
+    st = dv.get("storageType")
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        payload = _z85_decode(dv["pathOrInlineDv"])
+        if len(payload) < size:
+            raise VersionedTableError(
+                f"deletion vector: inline payload is {len(payload)} bytes, "
+                f"descriptor says {size}"
+            )
+        if any(payload[size:]):
+            raise VersionedTableError(
+                "deletion vector: non-zero Z85 pad bytes past sizeInBytes"
+            )
+        return payload[:size]
+    if st in ("u", "p"):
+        if st == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, tail = enc[:-20], enc[-20:]
+            u = uuid_mod.UUID(bytes=_z85_decode(tail))
+            fpath = (f"{table_path}/{prefix + '/' if prefix else ''}"
+                     f"deletion_vector_{u}.bin")
+        else:
+            fpath = dv["pathOrInlineDv"]
+        raw = _read_bytes_plain(fpath)
+        off = int(dv["offset"])
+        data_size = int.from_bytes(raw[off:off + 4], "big")
+        if data_size != size:
+            raise VersionedTableError(
+                f"deletion vector: framed dataSize {data_size} != "
+                f"descriptor sizeInBytes {size} at {fpath}"
+            )
+        payload = raw[off + 4:off + 4 + size]
+        crc = int.from_bytes(raw[off + 4 + size:off + 8 + size], "big")
+        if (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+            raise VersionedTableError(
+                f"deletion vector: CRC-32 mismatch at {fpath} offset {off}"
+            )
+        return payload
+    raise VersionedTableError(
+        f"deletion vector: unrecognized storageType {st!r}"
+    )
+
+
+def _norm_file_uri(p: str) -> str:
+    """Normalize a file URI for matching scan-reported paths
+    (``_metadata.file_path``) back to live add actions — shared by the
+    driver's key map and the executor kernel's old-DV lookup."""
+    u = urllib.parse.urlparse(p)
+    return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
+
+
+def _dv_partition_kernel(table_path: str, file_info: dict,
+                         encode: bool = True):
+    """``mapInPandas`` kernel factory for the distributed DV writer:
+    input rows are hash-partitioned by ``__file`` and sorted by
+    (``__file``, ``__ridx``) within each partition, so every file's
+    matched row indexes arrive contiguously. Per FILE: bitmap-encode
+    the new indexes, union with the file's existing DV payload (read
+    executor-side via :func:`_dv_payload_plain` — the old DV's raw
+    indexes NEVER visit the driver), fail loudly on overlap (the
+    snapshot read filters dead rows, so an overlap is an invariant
+    breach), and detect fully-dead files (union cardinality reaches
+    physical ``numRecords`` → remove-only, no payload written). Per
+    PARTITION: all surviving payloads pack into ONE
+    ``deletion_vector_<uuid>.bin`` (the library writer's per-task
+    sidecar shape; 1-byte version, per DV 4-byte BE size + payload +
+    4-byte BE CRC-32), written whole BEFORE any descriptor row leaves
+    the kernel. The driver receives ONLY descriptor rows — uuid,
+    offset, size, cardinalities — never payload bytes.
+
+    ``file_info``: normalized file URI → ``{"dv": old descriptor or
+    None, "rows": physical numRecords or None}`` (metadata-scale,
+    bounded by candidate files)."""
+
+    def kernel(batches):
+        import uuid as uuid_mod
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        u = uuid_mod.uuid4()
+        buf = bytearray(b"\x01")
+        rows_out: list[tuple] = []
+        cur: str | None = None
+        chunks: list = []
+
+        def flush():
+            nonlocal cur, chunks
+            if cur is None:
+                return
+            idx = np.unique(np.concatenate(chunks).astype(np.int64))
+            new_card = len(idx)
+            if not encode:
+                # matched-file detection + counts only (the cow route
+                # rewrites survivors — no bitmaps, no sidecars)
+                rows_out.append((cur, new_card, new_card, "", -1, -1))
+                cur, chunks = None, []
+                return
+            info = file_info.get(_norm_file_uri(cur)) or {}
+            old_dv = info.get("dv")
+            if old_dv:
+                old_idx = _roaring_array_indexes(
+                    _dv_payload_plain(table_path, old_dv))
+                union = np.union1d(old_idx, idx)
+                if len(union) != len(old_idx) + len(idx):
+                    raise VersionedTableError(
+                        f"new deletion indexes overlap the live DV of "
+                        f"{cur!r} — the snapshot read failed to filter "
+                        "dead rows"
+                    )
+                idx = union
+            card = len(idx)
+            phys = info.get("rows")
+            if phys is not None and card >= int(phys):
+                # fully dead: remove-only, no payload persisted
+                rows_out.append((cur, new_card, card, "", -1, -1))
+            else:
+                payload = _roaring_array_serialize(idx)
+                off = len(buf)
+                buf.extend(len(payload).to_bytes(4, "big"))
+                buf.extend(payload)
+                buf.extend((zlib.crc32(payload) & 0xFFFFFFFF)
+                           .to_bytes(4, "big"))
+                rows_out.append((cur, new_card, card, u.hex, off,
+                                 len(payload)))
+            cur, chunks = None, []
+
+        for pdf in batches:
+            files = pdf["__file"].to_numpy()
+            ridx = pdf["__ridx"].to_numpy()
+            i = 0
+            n = len(files)
+            while i < n:
+                j = i
+                while j < n and files[j] == files[i]:
+                    j += 1
+                if cur is not None and files[i] != cur:
+                    flush()
+                cur = files[i]
+                chunks.append(ridx[i:j])
+                i = j
+        flush()
+        if any(r[4] >= 0 for r in rows_out):
+            _write_bytes_plain(
+                f"{table_path}/deletion_vector_{u}.bin", bytes(buf))
+        if rows_out:
+            yield pd.DataFrame(
+                rows_out,
+                columns=["file", "new_card", "card", "uid", "offset",
+                         "size"])
+
+    return kernel
 
 
 def _dv_match_payloads(spark: SparkSession, path: str,
                        live: dict[str, dict], hits: DataFrame,
-                       op: str):
-    """The shared row-level-DML core: a tagged ``hits`` frame
-    (``__file``/``__ridx`` + table columns) → per-file deletion
-    payloads. Encodes bitmaps executor-side (:func:`_dv_encode_group`),
-    maps each file back to its live add, and UNIONS with any existing
-    DV (overlap with live-DV indexes is a fail-loud invariant breach —
-    the snapshot read filters dead rows before consumers see them).
-    Returns ``(matched adds by key, [(key, payload, cardinality)],
-    n_deleted)`` or None when nothing matched."""
-    import numpy as np
-
-    def _norm_uri(p: str) -> str:
-        u = urllib.parse.urlparse(p)
-        return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
-
+                       op: str, encode: bool = True):
+    """The shared row-level-DML core, DISTRIBUTED: a tagged ``hits``
+    frame (``__file``/``__ridx`` + table columns) → committed
+    per-partition DV sidecars + descriptors. One exchange hash-
+    partitions the matched rows by file; each non-empty partition's
+    kernel (:func:`_dv_partition_kernel`) encodes bitmaps, unions with
+    existing DVs (old payloads read executor-side — raw indexes never
+    visit the driver), and writes ONE ``.bin`` per partition. The
+    driver collects DESCRIPTOR rows only (uuid/offset/size/cardinality
+    — O(files), not O(deleted rows)), maps them back to live adds, and
+    returns ``(matched adds by key, [(key, descriptor-or-None)],
+    n_deleted)`` or None when nothing matched; a None descriptor means
+    the file is fully dead (remove-only)."""
     abs2key: dict[str, str] = {}
+    file_info: dict[str, dict] = {}
     for k, a in live.items():
         rel = urllib.parse.unquote(a["path"])
         absolute = (rel if "://" in rel or rel.startswith("/")
                     else posixpath.join(path, rel))
-        abs2key[_norm_uri(absolute)] = k
+        norm = _norm_file_uri(absolute)
+        abs2key[norm] = k
+        try:
+            phys = (json.loads(a["stats"])["numRecords"]
+                    if a.get("stats") else None)
+        except (KeyError, TypeError, ValueError):
+            phys = None
+        file_info[norm] = {"dv": a.get("deletionVector"), "rows": phys}
 
-    per_file = (
+    desc_rows = (
         hits.select("__file", "__ridx")
-        .groupBy("__file")
-        .applyInPandas(_dv_encode_group, "file string, dv binary, card long")
+        .repartition("__file")
+        .sortWithinPartitions("__file", "__ridx")
+        .mapInPandas(
+            _dv_partition_kernel(path, file_info, encode),
+            "file string, new_card long, card long, uid string, "
+            "offset long, size long")
         .collect()
     )
-    if not per_file:
+    if not desc_rows:
         return None
-    n_del = sum(int(r["card"]) for r in per_file)
+    import uuid as uuid_mod
+
+    n_del = sum(int(r["new_card"]) for r in desc_rows)
     matched: dict[str, dict] = {}
-    new_payloads: list[tuple[str, bytes, int]] = []
-    for r in per_file:
-        key = abs2key.get(_norm_uri(r["file"]))
+    descs: list[tuple[str, dict | None]] = []
+    for r in desc_rows:
+        key = abs2key.get(_norm_file_uri(r["file"]))
         if key is None:
             raise VersionedTableError(
                 f"{op}: matched file {r['file']!r} does not map back to "
                 f"a live add action at {path}"
             )
         matched[key] = live[key]
-        payload, card = bytes(r["dv"]), int(r["card"])
-        old_dv = live[key].get("deletionVector")
-        if old_dv:
-            old_idx = _dv_row_indexes(spark, path, old_dv)
-            new_idx = _roaring_array_indexes(payload)
-            union = np.union1d(old_idx, new_idx)
-            if len(union) != len(old_idx) + len(new_idx):
-                raise VersionedTableError(
-                    f"{op}: new deletion indexes overlap the file's "
-                    f"live DV at {live[key]['path']!r} — the snapshot "
-                    "read failed to filter dead rows"
-                )
-            payload, card = _roaring_array_serialize(union), len(union)
-        new_payloads.append((key, payload, card))
-    return matched, new_payloads, n_del
+        if not r["uid"]:
+            descs.append((key, None))  # fully dead: remove only
+            continue
+        descs.append((key, {
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(uuid_mod.UUID(hex=r["uid"]).bytes),
+            "offset": int(r["offset"]),
+            "sizeInBytes": int(r["size"]),
+            "cardinality": int(r["card"]),
+        }))
+    return matched, descs, n_del
 
 
 def _dv_new_adds(spark: SparkSession, path: str, matched: dict[str, dict],
-                 new_payloads: list[tuple[str, bytes, int]]) -> list[dict]:
-    """Pack every DV payload into ONE ``deletion_vector_<uuid>.bin``
-    (1-byte format version; per DV 4-byte BE size + payload + 4-byte BE
-    CRC-32), published BEFORE the log commit that references it, and
-    return the re-``add`` actions carrying the descriptors. A file
-    whose cardinality reaches its physical ``numRecords`` is fully dead
-    and gets NO add (its remove stands alone). Stats keep the physical
+                 descs: list[tuple[str, dict | None]]) -> list[dict]:
+    """Re-``add`` actions carrying the kernel-written DV descriptors
+    (:func:`_dv_match_payloads` — sidecars are already on disk,
+    published before the log commit that references them; this is pure
+    driver-side action assembly). A None descriptor is a fully-dead
+    file: NO add, its remove stands alone. Stats keep the physical
     ``numRecords`` with ``tightBounds: false`` — bounds are now a
     superset of live rows, which every stats consumer here treats
     conservatively."""
-    import uuid as uuid_mod
-    import zlib
-
-    buf = bytearray(b"\x01")
-    descs: list[tuple[str, dict | None]] = []
-    u = uuid_mod.uuid4()
-    for key, payload, card in new_payloads:
-        a = matched[key]
-        try:
-            phys_rows = (json.loads(a["stats"])["numRecords"]
-                         if a.get("stats") else None)
-        except (KeyError, TypeError, ValueError):
-            phys_rows = None
-        if phys_rows is not None and card >= int(phys_rows):
-            descs.append((key, None))  # fully dead: remove only
-            continue
-        off = len(buf)
-        buf += len(payload).to_bytes(4, "big")
-        buf += payload
-        buf += (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
-        descs.append((key, {
-            "storageType": "u",
-            "pathOrInlineDv": _z85_encode(u.bytes),
-            "offset": off,
-            "sizeInBytes": len(payload),
-            "cardinality": card,
-        }))
-    if any(d for _, d in descs):
-        _write_bytes(spark, f"{path}/deletion_vector_{u}.bin", bytes(buf))
     new_adds: list[dict] = []
     for key, desc in descs:
         if desc is None:
@@ -3274,8 +3679,8 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
         res = _dv_match_payloads(spark, path, live, hits, "merge_delta")
         if res is None:
             return latest  # nothing deleted: commit would be pure churn
-        matched, new_payloads, n_del = res
-        new_adds = _dv_new_adds(spark, path, matched, new_payloads)
+        matched, dv_descs, n_del = res
+        new_adds = _dv_new_adds(spark, path, matched, dv_descs)
         cdc_adds = (_stage_cdc_delete(hits, meta, mapping_mode, part_cols,
                                       path, t_cols) if cdf else [])
     finally:
@@ -3313,10 +3718,14 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
                  "size": a.get("size"), "dataChange": False}}
         for a in cdc_adds
     )
-    next_v = latest + 1
-    _commit_delta_log(spark, log_dir, next_v,
-                      "\n".join(json.dumps(a) for a in actions))
-    if checkpoint_interval and next_v % checkpoint_interval == 0:
+    next_v = _occ_commit(
+        spark, log_dir, latest, actions, operation="MERGE",
+        meta=meta,
+        read_paths=frozenset(a["path"] for a in live.values()),
+        removed_paths=frozenset(a["path"] for a in matched.values()),
+        reads_table_data=True)
+    if (checkpoint_interval and next_v == latest + 1
+            and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}
         state.update({_fkey(a): a for a in new_adds})
         _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
@@ -3357,15 +3766,19 @@ def delete_delta(spark: SparkSession, path: str,
        ``row_index`` captured at the scan; the predicate is pushed
        into it) finds matched rows; rows already dead under a live DV
        are filtered out first, so re-deleting is impossible;
-    2. per-file row-index sets are serialized to roaring bitmaps
-       EXECUTOR-side (:func:`_dv_encode_group` — the driver collects
-       compressed bitmaps, never raw indexes), then unioned
-       driver-side with any existing DV of the same file;
-    3. all descriptors pack into ONE ``deletion_vector_<uuid>.bin``
-       (1-byte format version, then per DV: 4-byte BE size + payload +
-       4-byte BE CRC-32 — the framing :func:`_dv_row_indexes` already
-       validates), written BEFORE the log commit (an orphan sidecar
-       from a crashed commit is harmless);
+    2. matched rows hash-partition by file; each partition's kernel
+       (:func:`_dv_partition_kernel`) serializes roaring bitmaps,
+       unions with any existing DV of the same file EXECUTOR-side
+       (old payloads read in the Python worker — raw indexes never
+       visit the driver), and writes ONE ``deletion_vector_<uuid>.bin``
+       per partition (1-byte format version, then per DV: 4-byte BE
+       size + payload + 4-byte BE CRC-32 — the framing
+       :func:`_dv_row_indexes` already validates), published BEFORE
+       the log commit (an orphan sidecar from a crashed commit or
+       task retry is harmless);
+    3. the driver collects DESCRIPTOR rows only — uuid/offset/size/
+       cardinality, O(touched files), never payload bytes, so a
+       mega-delete's driver cost is flat in deleted rows;
     4. the commit is ``remove``(path, old DV uid) + ``add``(same path,
        new DV descriptor, ``tightBounds: false`` stats) per touched
        file — a file whose union cardinality reaches its physical
@@ -3404,7 +3817,7 @@ def delete_delta(spark: SparkSession, path: str,
     log_dir = f"{path}/_delta_log"
     if isinstance(predicate, str):
         triples = None
-        cond = F.expr(predicate)
+        cond = None  # built after the schema is known (dtype coercion)
         pred_str = predicate
     else:
         triples = _normalize_where(predicate)
@@ -3449,6 +3862,20 @@ def delete_delta(spark: SparkSession, path: str,
     t_cols = [f.name for f in schema.fields]
     part_cols = list(meta.get("partitionColumns") or [])
 
+    if cond is None:
+        # string predicates get the same BooleanEquality coercion as
+        # merge conditions (coerce_condition_for_types) — `iscurrent =
+        # true` against an int column must behave identically between
+        # MERGE delete clauses and DELETE
+        from sql_based_etl_spark.engine.sql_compat import (
+            coerce_predicate_for_types,
+        )
+
+        pred_str = coerce_predicate_for_types(
+            pred_str,
+            {f.name: f.dataType.simpleString() for f in schema.fields})
+        cond = F.expr(pred_str)
+
     # triples form: files provably excluded by stats/partition values
     # never open — the candidate scan is proportional to matching
     # files, not table size (the same _prune_adds_by_stats machinery
@@ -3462,10 +3889,11 @@ def delete_delta(spark: SparkSession, path: str,
     # same cross-job recompute the round-9 dedup persist fixed)
     hits = tagged.filter(cond).persist()  # TRUE only — NULL survives
     try:
-        res = _dv_match_payloads(spark, path, live, hits, "delete_delta")
+        res = _dv_match_payloads(spark, path, live, hits, "delete_delta",
+                                 encode=dv_mode)
         if res is None:
             return latest  # nothing matched: commit would be pure churn
-        matched, new_payloads, n_del = res
+        matched, dv_descs, n_del = res
 
         cdc_adds: list[dict] = []
         new_adds: list[dict] = []
@@ -3473,7 +3901,7 @@ def delete_delta(spark: SparkSession, path: str,
         now_ms = int(time.time() * 1000)
 
         if dv_mode:
-            new_adds = _dv_new_adds(spark, path, matched, new_payloads)
+            new_adds = _dv_new_adds(spark, path, matched, dv_descs)
             if cdf:
                 cdc_adds = _stage_cdc_delete(
                     hits, meta, mapping_mode, part_cols, path, t_cols)
@@ -3544,10 +3972,19 @@ def delete_delta(spark: SparkSession, path: str,
                  "size": a.get("size"), "dataChange": False}}
         for a in cdc_adds
     )
-    next_v = latest + 1
-    _commit_delta_log(spark, log_dir, next_v,
-                      "\n".join(json.dumps(a) for a in actions))
-    if checkpoint_interval and next_v % checkpoint_interval == 0:
+    # DELETE read the candidate files its predicate could touch (the
+    # pruned set — files provably excluded contain no matching rows,
+    # so a winner touching only those commutes) and depends on the
+    # predicate matching NO rows in concurrent appends
+    next_v = _occ_commit(
+        spark, log_dir, latest, actions, operation="DELETE",
+        meta=meta, proto=proto, domains=domains,
+        new_adds=(None if dv_mode else new_adds),
+        read_paths=frozenset(a["path"] for a in scan_adds.values()),
+        removed_paths=frozenset(a["path"] for a in matched.values()),
+        reads_table_data=True)
+    if (checkpoint_interval and next_v == latest + 1
+            and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}
         state.update({_fkey(a): a for a in new_adds})
         _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
@@ -3574,7 +4011,9 @@ def _stage_cdc_delete(hits: DataFrame, meta: dict, mapping_mode: str,
 def compact_delta(spark: SparkSession, path: str,
                   target_files: int = 1,
                   cluster_by: list[str] | None = None,
-                  cluster_method: str = "zorder") -> int:
+                  cluster_method: str = "zorder",
+                  purge: bool = False,
+                  purge_dead_fraction: float = 0.0) -> int:
     """OPTIMIZE-style rewrite of a bridge Delta table — bin-packing
     compaction, and with ``cluster_by`` the OPTIMIZE ZORDER analogue.
     Bin-packing is the maintenance op the streaming sink NEEDS: one
@@ -3608,6 +4047,20 @@ def compact_delta(spark: SparkSession, path: str,
     descriptor, the library OPTIMIZE's behavior — which stays
     ``dataChange: false`` because the logical row set is unchanged.
 
+    ``purge=True`` is the REORG TABLE … APPLY (PURGE) analogue: instead
+    of rewriting the whole live set, ONLY files whose deletion-vector
+    dead fraction (DV cardinality / physical numRecords) is ≥
+    ``purge_dead_fraction`` are rewritten without their dead rows,
+    dropping their DVs; clean files (and files below the threshold) are
+    BYTE-UNTOUCHED — not even re-added. This is how a long-lived
+    DV-table converges back to clean files: every read of a live DV
+    pays the bitmap anti-join forever otherwise, and
+    :func:`vacuum_delta` can only reclaim a ``.bin`` sidecar once no
+    live add references it. A purge with no qualifying file is a
+    NO-OP (returns the current version, no commit churn). Files whose
+    stats are unreadable purge conservatively (treated as fully dead —
+    rewriting a clean file is correct, just wasted work).
+
     Schema, metaData and txn watermarks are untouched; the commit races
     through the same conditional-create protocol as any other. Returns
     the committed version."""
@@ -3621,6 +4074,25 @@ def compact_delta(spark: SparkSession, path: str,
     _check_writer_allowed(proto, meta, "compact")
     conf = meta.get("configuration") or {}
     mapping_mode = conf.get("delta.columnMapping.mode", "none")
+    if purge:
+        dirty: dict[str, dict] = {}
+        for k, a in live.items():
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            try:
+                n = int(json.loads(a["stats"])["numRecords"])
+                frac = int(dv.get("cardinality") or 0) / max(n, 1)
+            except (KeyError, TypeError, ValueError):
+                frac = 1.0
+            if frac >= purge_dead_fraction:
+                dirty[k] = a
+        if not dirty:
+            _log.info("compact_delta: purge at %s is a no-op — no live "
+                      "file carries a DV at dead fraction >= %s",
+                      path, purge_dead_fraction)
+            return latest
+        live = dirty
     if not live:
         raise VersionedTableError(f"compact_delta: nothing to compact at {path}")
     # enableRowTracking: OPTIMIZE moves bytes but not rows — every row
@@ -3710,9 +4182,10 @@ def compact_delta(spark: SparkSession, path: str,
     actions: list[dict] = [{
         "commitInfo": {
             "timestamp": now_ms,
-            "operation": "OPTIMIZE",
+            "operation": "REORG" if purge else "OPTIMIZE",
             "operationParameters": {
                 "targetFiles": str(target_files),
+                **({"applyPurge": "true"} if purge else {}),
                 **({"zOrderBy": json.dumps(list(cluster_by))}
                    if cluster_by else {}),
             },
@@ -3733,11 +4206,18 @@ def compact_delta(spark: SparkSession, path: str,
         {"remove": _remove_action(a, now_ms, False)}
         for a in sorted(live.values(), key=lambda a: a["path"])
     )
-    for a in new_adds:
-        actions.append({"add": {**a, "dataChange": False}})
-    _commit_delta_log(spark, log_dir, latest + 1,
-                      "\n".join(json.dumps(a) for a in actions))
-    return latest + 1
+    commit_adds = [{**a, "dataChange": False} for a in new_adds]
+    actions.extend({"add": ca} for ca in commit_adds)
+    # OPTIMIZE reorganizes exactly the files it read — a concurrent
+    # blind append commutes (its files are untouched and stay live); a
+    # winner that removed one of the inputs is a real conflict
+    cpaths = frozenset(a["path"] for a in live.values())
+    return _occ_commit(
+        spark, log_dir, latest, actions,
+        operation="REORG" if purge else "OPTIMIZE",
+        meta=meta, proto=proto, domains=domains, new_adds=commit_adds,
+        read_paths=cpaths, removed_paths=cpaths,
+        reads_table_data=False)
 
 
 def vacuum_delta(spark: SparkSession, path: str,
@@ -3763,6 +4243,16 @@ def vacuum_delta(spark: SparkSession, path: str,
     vacuum candidates, but the bridge deliberately deletes only what
     it can prove was tombstoned (never "anything unreferenced", which
     would race in-flight writers' staged files).
+
+    Deletion-vector ``.bin`` sidecars are reclaimed by the same proof:
+    a sidecar is deleted iff NO live add's descriptor points into it
+    and the newest tombstone carrying a descriptor into it is past
+    retention (one ``.bin`` holds many files' bitmaps — one young or
+    live reference keeps the whole sidecar). Orphan sidecars from
+    crashed commits are never touched (no tombstone proves them dead);
+    pair :func:`compact_delta(purge=True) <compact_delta>` with vacuum
+    so long-lived DV tables converge back to clean files AND reclaim
+    their bitmap storage.
 
     ``retention_hours < 168`` raises unless
     ``enforce_retention_check=False`` (Delta's own guard: a reader or
@@ -3790,6 +4280,7 @@ def vacuum_delta(spark: SparkSession, path: str,
     cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
 
     tombstones: dict[str, int] = {}
+    dv_tomb: dict[str, int] = {}
     for v in sorted(logs):
         for action in _log_actions(spark, logs[v]):
             if "remove" in action:
@@ -3798,16 +4289,28 @@ def vacuum_delta(spark: SparkSession, path: str,
                 # file: whether the path is still live under a newer DV
                 # is exactly what the live_paths check below decides
                 # (actions reconcile by (path, DV uid), but a path has
-                # at most one live action at a time). The DV .bin files
-                # themselves are never reclaimed by the bridge —
-                # deliberately conservative: a leaked KB-scale bitmap
-                # beats reference-counting it wrongly.
+                # at most one live action at a time). The DV .bin
+                # sidecar the descriptor points into becomes a vacuum
+                # candidate by the SAME rule: reclaimable once no live
+                # add references it and its newest referencing tombstone
+                # is past retention (one .bin holds many files' bitmaps
+                # — dv_tomb keeps the max, so one young reference
+                # blocks the whole sidecar).
                 tombstones[r["path"]] = int(r.get("deletionTimestamp") or 0)
+                dv_rel = _dv_file_rel(r.get("deletionVector"))
+                if dv_rel:
+                    ts = int(r.get("deletionTimestamp") or 0)
+                    dv_tomb[dv_rel] = max(dv_tomb.get(dv_rel, 0), ts)
             elif "add" in action:
                 # re-added later ⇒ the old tombstone no longer governs
                 tombstones.pop(action["add"]["path"], None)
 
     live_paths = {a["path"] for a in live.values()}
+    live_dvs = {_dv_file_rel(a.get("deletionVector"))
+                for a in live.values()} - {None}
+    dv_candidates = {rel: ts for rel, ts in dv_tomb.items()
+                     if rel not in live_dvs}
+    tombstones.update(dv_candidates)
     fs, _, _ = _fs_and_path(spark, path)
     deleted: list[str] = []
     for rel in sorted(tombstones):
@@ -3835,8 +4338,11 @@ def vacuum_delta(spark: SparkSession, path: str,
         ict = _next_ict(spark, log_dir, meta, latest, now_ms)
         if ict is not None:
             ci["inCommitTimestamp"] = ict
-        _commit_delta_log(spark, log_dir, latest + 1,
-                          json.dumps({"commitInfo": ci}))
+        # the audit commit is commitInfo-only: it changes no state, so
+        # it commutes with every concurrent writer — retry past all
+        _occ_commit(spark, log_dir, latest, [{"commitInfo": ci}],
+                    operation="VACUUM END", meta=meta,
+                    ignore_conflicts=True)
     return deleted
 
 

@@ -64,6 +64,15 @@ class VersionedTableError(RuntimeError):
     pass
 
 
+class CommitRaceLostError(VersionedTableError):
+    """Raised by :func:`publish_text_exclusive` when another writer
+    published the same entry first. Distinct from the base class so an
+    optimistic-concurrency layer (the Delta bridge's commit retry) can
+    catch exactly the lost race — never an IO failure or a protocol
+    violation — and re-attempt at the next version after conflict
+    analysis."""
+
+
 # Object stores where rename is a non-atomic copy+delete but a created
 # object is invisible until close (one atomic PUT) — there the
 # conditional create of the final object is both the arbiter and the
@@ -146,7 +155,7 @@ def publish_text_exclusive(spark: SparkSession, dir_path: str, name: str,
             out = fs.create(final, False)  # put-if-absent: loser raises
         except Exception as e:  # Py4J-wrapped java.io exceptions
             if _is_already_exists(e):
-                raise VersionedTableError(
+                raise CommitRaceLostError(
                     f"concurrent commit detected for {what} {name} at "
                     f"{dir_path}: the entry already exists"
                 ) from None
@@ -195,7 +204,7 @@ def publish_text_exclusive(spark: SparkSession, dir_path: str, name: str,
         except Exception:
             pass
         if _is_already_exists(e):
-            raise VersionedTableError(
+            raise CommitRaceLostError(
                 f"concurrent commit detected for {what} {name} at "
                 f"{dir_path}: the entry already exists"
             ) from None

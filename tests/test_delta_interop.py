@@ -3661,6 +3661,84 @@ def test_identity_merge_allocates_inserts(spark, tmp_path):
             d, "target.v = source.v", when_matched_update={"v": "source.v"})
 
 
+def test_identity_merge_cdf_inserts_carry_allocated_values(spark, tmp_path):
+    """MERGE inserts on an identity + CDF table: the change feed's
+    'insert' rows must show the SAME allocated identity values as the
+    table snapshot — staging cdc from the pre-allocation relation fed
+    NULL identities to downstream CDC consumers (round-10 ADVICE,
+    delta_interop.py merge_delta)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "ident", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 100,
+            "delta.identity.step": 10,
+            "delta.identity.allowExplicitInsert": False}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    _log(d, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+         {"metaData": {
+             "id": "idm-cdf",
+             "format": {"provider": "parquet", "options": {}},
+             "schemaString": schema_string, "partitionColumns": [],
+             "configuration": {"delta.enableChangeDataFeed": "true"}}})
+    write_delta(spark.createDataFrame([("a",), ("b",)], "v string"),
+                d, mode="append")
+
+    src = spark.createDataFrame(
+        [("a",), ("x",), ("y",)], "v string")
+    merge_delta(src, d, "target.v = source.v",
+                when_matched_update={"v": "source.v"})
+
+    snap = {r.v: r.ident for r in read_delta(spark, d).collect()}
+    ch = read_delta_changes(spark, d, 2, 2)
+    ins = {r.v: r.ident for r in ch.filter("_change_type = 'insert'")
+           .collect()}
+    assert set(ins) == {"x", "y"}
+    for v, ident in ins.items():
+        assert ident is not None, (
+            f"CDF insert row {v!r} carries NULL identity")
+        assert ident == snap[v], (
+            f"CDF insert identity {ident} != snapshot {snap[v]} for {v!r}")
+    # update rows unaffected: postimage keeps the original identity
+    upd = {r.v: r.ident for r in
+           ch.filter("_change_type = 'update_postimage'").collect()}
+    assert upd == {"a": snap["a"]}
+
+
+def test_delete_predicate_boolean_coercion_matches_merge(spark, tmp_path):
+    """DELETE with a string predicate comparing an int column to a
+    boolean literal (`iscurrent = true`) gets the same BooleanEquality
+    coercion as MERGE conditions — Spark 4 removed the implicit rule,
+    so without coercion the same predicate text errors in DELETE but
+    works in MERGE delete clauses (round-10 ADVICE)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 1), (2, 0), (3, 1)], "id long, iscurrent int"),
+        d, mode="overwrite")
+    delete_delta(spark, d, "iscurrent = true")
+    left = sorted(r.id for r in read_delta(spark, d).collect())
+    assert left == [2]
+    # literal-first form too
+    write_delta(
+        spark.createDataFrame([(4, 1)], "id long, iscurrent int"),
+        d, mode="append")
+    delete_delta(spark, d, "true = iscurrent")
+    assert sorted(r.id for r in read_delta(spark, d).collect()) == [2]
+
+
 def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     """delta.checkpointPolicy=v2: the bridge WRITES the v2 layout —
     file actions in a _sidecars parquet, uuid-named manifest with the
@@ -4007,8 +4085,10 @@ def test_ict_floor_survives_pruned_predecessor(spark, tmp_path):
 def test_vacuum_after_dv_deletes(spark, tmp_path):
     """VACUUM interplay with DV deletes: a fully-dead file (its delete
     removed the add entirely) is reclaimable after retention; a
-    partially-DV'd file is still LIVE and must never be vacuumed; the
-    DV sidecar itself is deliberately never reclaimed."""
+    partially-DV'd file is still LIVE and must never be vacuumed; a DV
+    sidecar referenced by a LIVE add must survive the vacuum (sidecars
+    are only reclaimed once tombstone-proven dead — see
+    test_reorg_purge_then_vacuum_reclaims_dv_sidecars)."""
     from sql_based_etl_spark.tables.delta_interop import (
         delete_delta,
         vacuum_delta,
@@ -4031,6 +4111,585 @@ def test_vacuum_after_dv_deletes(spark, tmp_path):
     assert got.count() == 450                 # 500 survivors - 50 DV'd
     assert got.filter("half = 1").count() == 0
     bins = [f for f in os.listdir(d) if f.startswith("deletion_vector_")]
-    assert bins, "DV sidecars are never vacuumed (documented)"
+    assert bins, "a live add still references its sidecar — must survive"
     # the partially-DV'd live file survived the vacuum
     assert got.filter("id % 10 <> 0").count() == 450
+
+
+# --- optimistic concurrency (round-10: commit retry + conflict matrix) --
+
+
+def _inject_winner(monkeypatch, fire):
+    """Arrange for `fire(version)` to run just before the NEXT bridge
+    commit's claim — deterministically simulating a writer that won the
+    race between the loser's snapshot read and its commit."""
+    import sql_based_etl_spark.tables.delta_interop as di
+
+    orig = di._commit_delta_log
+    state = {"fired": False}
+
+    def racing(spark, log_dir, version, data):
+        if not state["fired"]:
+            state["fired"] = True
+            fire(version)
+        return orig(spark, log_dir, version, data)
+
+    monkeypatch.setattr(di, "_commit_delta_log", racing)
+
+
+def test_occ_append_racing_append_both_commit(spark, tmp_path, monkeypatch):
+    """Two concurrent blind appends: the loser classifies the winner's
+    commit (data adds only — commutes), retries, and lands at the next
+    version with BOTH datasets intact (Delta's optimistic concurrency;
+    scd2-job-scheduler.yaml:15-48 runs concurrent scheduled jobs)."""
+    from sql_based_etl_spark.tables.delta_interop import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "base")], "id long, v string"),
+                t, mode="overwrite")
+
+    def winner(version):
+        write_delta(
+            spark.createDataFrame([(2, "winner")], "id long, v string"),
+            t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    v = write_delta(
+        spark.createDataFrame([(3, "loser")], "id long, v string"),
+        t, mode="append")
+    assert v == 2, "loser must land at v+2, after the winner"
+    got = sorted((r.id, r.v) for r in read_delta(spark, t).collect())
+    assert got == [(1, "base"), (2, "winner"), (3, "loser")]
+
+
+def test_occ_compact_racing_append_commits(spark, tmp_path, monkeypatch):
+    """OPTIMIZE racing a blind append: disjoint files — the compaction
+    retries and commits; the winner's appended rows stay live alongside
+    the compacted rewrite."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, "old")], "id long, v string"),
+            t, mode="overwrite" if i == 0 else "append")
+
+    def winner(version):
+        write_delta(
+            spark.createDataFrame([(99, "new")], "id long, v string"),
+            t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    v = compact_delta(spark, t, target_files=1)
+    assert v == 4  # winner took 3
+    got = sorted((r.id, r.v) for r in read_delta(spark, t).collect())
+    assert got == [(0, "old"), (1, "old"), (2, "old"), (99, "new")]
+
+
+def test_occ_delete_racing_overwrite_raises_named_conflict(
+        spark, tmp_path, monkeypatch):
+    """DELETE racing an overwrite: a REAL conflict raised with a named
+    exception class (the bridge's overwrite may change the schema, so
+    it carries a metaData action → MetadataChangedError; an overwrite
+    stripped to pure data actions would surface as
+    ConcurrentDeleteReadError via the remove-overlap rule), and the
+    winner's table state is untouched by the loser."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        DeltaConcurrentModificationError,
+        MetadataChangedError,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), t, mode="overwrite")
+
+    def winner(version):
+        write_delta(
+            spark.createDataFrame([(7, "ow")], "id long, v string"),
+            t, mode="overwrite")
+
+    _inject_winner(monkeypatch, winner)
+    with pytest.raises(DeltaConcurrentModificationError) as ei:
+        delete_delta(spark, t, "id = 1")
+    assert isinstance(ei.value, MetadataChangedError)
+    assert "DELETE" in str(ei.value) and "WRITE" in str(ei.value)
+    got = [(r.id, r.v) for r in read_delta(spark, t).collect()]
+    assert got == [(7, "ow")], "winner's overwrite must stand"
+
+
+def test_occ_merge_racing_append_raises_concurrent_append(
+        spark, tmp_path, monkeypatch):
+    """MERGE racing a blind append: the merge's source matching read
+    the whole snapshot, so new data files are a real conflict
+    (ConcurrentAppendException in delta-spark terms)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        ConcurrentAppendError,
+        merge_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), t, mode="overwrite")
+
+    def winner(version):
+        write_delta(
+            spark.createDataFrame([(2, "w")], "id long, v string"),
+            t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    src = spark.createDataFrame([(1, "upd")], "id long, v string")
+    with pytest.raises(ConcurrentAppendError):
+        merge_delta(src, t, "target.id = source.id",
+                    when_matched_update={"v": "source.v"})
+
+
+def test_occ_rowtracking_append_retry_reassigns_row_ids(
+        spark, tmp_path, monkeypatch):
+    """Blind append on a rowTracking table racing another: the loser's
+    retry must re-assign baseRowId ranges past the winner's advanced
+    rowIdHighWaterMark — a stale range would alias two rows' ids."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t,
+                mode="overwrite",
+                properties={"delta.enableRowTracking": "true"})
+
+    def winner(version):
+        write_delta(spark.createDataFrame([(2,), (3,)], "id long"),
+                    t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    v = write_delta(spark.createDataFrame([(4,), (5,)], "id long"),
+                    t, mode="append")
+    assert v == 2
+    # every committed add carries a disjoint baseRowId range, and the
+    # final hwm covers all 5 rows
+    import glob as _glob
+    ranges = []
+    hwm = None
+    for f in sorted(_glob.glob(os.path.join(t, "_delta_log", "*.json"))):
+        for line in open(f):
+            a = json.loads(line)
+            if "add" in a and a["add"].get("baseRowId") is not None:
+                st = json.loads(a["add"]["stats"])
+                ranges.append((a["add"]["baseRowId"],
+                               a["add"]["baseRowId"] + st["numRecords"] - 1))
+            dm = a.get("domainMetadata")
+            if dm and dm["domain"] == "delta.rowTracking":
+                hwm = json.loads(dm["configuration"])["rowIdHighWaterMark"]
+    ranges.sort()
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 < s2, f"overlapping baseRowId ranges {ranges}"
+    assert hwm == max(e for _, e in ranges)
+
+
+def test_occ_identity_append_racing_raises_metadata_changed(
+        spark, tmp_path, monkeypatch):
+    """Concurrent identity-allocating appends: the winner re-records
+    the identity high watermark in a metaData action, which the loser
+    must treat as a metadata conflict (the library's behavior — blind
+    retry would hand out duplicate identity values)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        MetadataChangedError,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "ident", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 1,
+            "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": False}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    _log(d, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+         {"metaData": {
+             "id": "idocc", "format": {"provider": "parquet", "options": {}},
+             "schemaString": schema_string, "partitionColumns": [],
+             "configuration": {}}})
+
+    def winner(version):
+        write_delta(spark.createDataFrame([("w",)], "v string"),
+                    d, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    with pytest.raises(MetadataChangedError):
+        write_delta(spark.createDataFrame([("l",)], "v string"),
+                    d, mode="append")
+
+
+def test_occ_retried_commit_skips_checkpoint(spark, tmp_path, monkeypatch):
+    """A retried commit's caller holds pre-winner reconciled state, so
+    writing a checkpoint from it would drop the winner's files — the
+    checkpoint is skipped and the NEXT unraced commit checkpoints."""
+    from sql_based_etl_spark.tables.delta_interop import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(0,)], "id long"), t,
+                mode="overwrite", checkpoint_interval=2)
+
+    def winner(version):
+        write_delta(spark.createDataFrame([(1,)], "id long"), t,
+                    mode="append", checkpoint_interval=2)
+
+    _inject_winner(monkeypatch, winner)
+    # loser wanted v1 (no checkpoint due), retries to v2 (checkpoint
+    # due by interval, but state is stale) — must NOT checkpoint
+    assert write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                       mode="append", checkpoint_interval=2) == 2
+    cps = glob.glob(os.path.join(t, "_delta_log", "*.checkpoint.parquet"))
+    assert cps == [], "retried commit must not write a stale checkpoint"
+    # an unraced follow-up checkpoints normally and the table replays
+    write_delta(spark.createDataFrame([(3,)], "id long"), t,
+                mode="append", checkpoint_interval=4)
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == [0, 1, 2, 3]
+
+
+def test_occ_delete_racing_delete_same_file_named_conflict(
+        spark, tmp_path, monkeypatch):
+    """Two DELETEs whose matched rows live in the same file: the loser
+    raises ConcurrentDeleteDeleteError (remove∩remove), not a silent
+    lost-update."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        ConcurrentDeleteDeleteError,
+        delete_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string").coalesce(1),
+        t, mode="overwrite")
+
+    def winner(version):
+        delete_delta(spark, t, "id = 2")
+
+    _inject_winner(monkeypatch, winner)
+    with pytest.raises(ConcurrentDeleteDeleteError):
+        delete_delta(spark, t, "id = 1")
+
+
+def test_occ_compact_racing_delete_named_conflict(
+        spark, tmp_path, monkeypatch):
+    """OPTIMIZE racing a DELETE that removed one of its input files: a
+    named conflict — the compaction would resurrect the deleted rows if
+    allowed to commit its stale rewrite. OPTIMIZE also *removes* every
+    input it rewrites, so the remove∩remove rule fires
+    (ConcurrentDeleteDeleteError)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        ConcurrentDeleteDeleteError,
+        compact_delta,
+        delete_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), t, mode="overwrite")
+    write_delta(spark.createDataFrame(
+        [(2, "b")], "id long, v string"), t, mode="append")
+
+    def winner(version):
+        delete_delta(spark, t, "id = 1")
+
+    _inject_winner(monkeypatch, winner)
+    with pytest.raises(ConcurrentDeleteDeleteError):
+        compact_delta(spark, t, target_files=1)
+
+
+def test_reorg_purge_rewrites_only_dirty_files(spark, tmp_path):
+    """compact_delta(purge=True) — the REORG APPLY (PURGE) analogue:
+    only files whose DV dead-fraction crosses the threshold are
+    rewritten (without their dead rows, DV dropped); clean files stay
+    BYTE-untouched and are not even re-added; a purge with nothing
+    dirty is a version-preserving no-op."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    # two files: ids 0-99 (will be 10% DV'd) and 100-199 (clean)
+    write_delta(spark.range(0, 100).select("id").coalesce(1), d,
+                mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    write_delta(spark.range(100, 200).select("id").coalesce(1), d)
+    delete_delta(spark, d, "id < 10")  # DVs file 1 at 10% dead
+
+    clean_path = None
+    acts1 = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    clean_path = [a["add"]["path"] for a in acts1 if "add" in a][0]
+    clean_bytes = open(os.path.join(d, clean_path), "rb").read()
+    clean_mtime = os.path.getmtime(os.path.join(d, clean_path))
+
+    # threshold above the dead fraction: no-op, no commit
+    assert compact_delta(spark, d, purge=True,
+                         purge_dead_fraction=0.5) == 2
+    assert not os.path.exists(
+        os.path.join(d, "_delta_log", f"{3:020d}.json"))
+
+    # threshold below: the dirty file is rewritten, clean one untouched
+    v = compact_delta(spark, d, purge=True, purge_dead_fraction=0.05)
+    assert v == 3
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{3:020d}.json")).read().splitlines()]
+    ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
+    assert ci["operation"] == "REORG"
+    assert ci["operationParameters"]["applyPurge"] == "true"
+    removes = [a["remove"] for a in acts if "remove" in a]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert len(removes) == 1 and removes[0]["deletionVector"], (
+        "only the DV'd file is removed, descriptor riding the tombstone")
+    assert removes[0]["path"] != clean_path
+    assert all(not a.get("deletionVector") for a in adds)
+    assert all(a["dataChange"] is False for a in adds)
+    assert json.loads(adds[0]["stats"])["numRecords"] == 90
+    # clean file byte-untouched
+    assert open(os.path.join(d, clean_path), "rb").read() == clean_bytes
+    assert os.path.getmtime(os.path.join(d, clean_path)) == clean_mtime
+    assert sorted(r.id for r in read_delta(spark, d).collect()) == (
+        list(range(10, 200)))
+    # time travel to the pre-purge version still applies the DV
+    assert read_delta(spark, d, version=2).count() == 190
+
+
+def test_reorg_purge_then_vacuum_reclaims_dv_sidecars(spark, tmp_path):
+    """The verdict's REORG 'done' bar: purge rewrites the heavily-
+    deleted file, then vacuum reclaims BOTH the dead parquet and the
+    now-unreferenced DV .bin sidecar — the post-vacuum directory holds
+    no orphaned .bin; a sidecar still referenced by a live add
+    survives."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        delete_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(0, 100).select("id").coalesce(1), d,
+                mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    write_delta(spark.range(100, 200).select("id").coalesce(1), d)
+    delete_delta(spark, d, "id < 50")            # sidecar A on file 1
+    delete_delta(spark, d, "id >= 190")          # sidecar B on file 2
+    bins_before = {f for f in os.listdir(d)
+                   if f.startswith("deletion_vector_")}
+    assert len(bins_before) == 2
+
+    # purge only the heavily-dead file (50% > threshold > 10%)
+    assert compact_delta(spark, d, purge=True,
+                         purge_dead_fraction=0.25) == 4
+    gone = vacuum_delta(spark, d, retention_hours=0.0,
+                        enforce_retention_check=False)
+    bins_after = {f for f in os.listdir(d)
+                  if f.startswith("deletion_vector_")}
+    assert len(bins_after) == 1, (
+        "purged file's sidecar must be reclaimed, live file's kept")
+    assert any(g.startswith("deletion_vector_") for g in gone)
+    assert any(not g.startswith("deletion_vector_") for g in gone), (
+        "the purged file's old parquet must also be reclaimed")
+    got = read_delta(spark, d)
+    assert got.count() == 140                    # 200 - 50 - 10
+    assert got.filter("id < 50").count() == 0
+    assert got.filter("id >= 190").count() == 0
+    # dry_run lists without deleting
+    assert vacuum_delta(spark, d, retention_hours=0.0,
+                        enforce_retention_check=False, dry_run=True) == []
+
+
+def test_dv_sidecars_written_per_partition_driver_gets_descriptors(
+        spark, tmp_path):
+    """Round-10 distributed DV writer: matched rows hash-partition by
+    file and each partition's kernel writes its OWN sidecar — the
+    descriptors in the commit point into (possibly several) .bin files
+    with valid framing, the driver never assembles payloads, and a
+    re-delete unions with the existing DV executor-side (old raw
+    indexes never visit the driver)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _dv_row_indexes,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(0, 10_000).selectExpr("id", "id % 10 as k")
+                .repartition(6), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    v = delete_delta(spark, d, "k = 3")
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{v:020d}.json")) if x.strip()]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert len(adds) == 6
+    # every descriptor resolves through the public framing (offset/
+    # size/CRC/cardinality all validated by _dv_row_indexes)
+    per_file = {}
+    for a in adds:
+        idx = _dv_row_indexes(spark, d, a["deletionVector"])
+        assert len(idx) == a["deletionVector"]["cardinality"]
+        per_file[a["path"]] = set(int(i) for i in idx)
+    assert sum(len(s) for s in per_file.values()) == 1_000
+    bins = {f for f in os.listdir(d) if f.startswith("deletion_vector_")}
+    assert bins, "sidecars must exist"
+    # re-delete: executor-side union with the live DV
+    v2 = delete_delta(spark, d, "k = 4")
+    acts2 = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{v2:020d}.json")) if x.strip()]
+    adds2 = [a["add"] for a in acts2 if "add" in a]
+    for a in adds2:
+        idx = _dv_row_indexes(spark, d, a["deletionVector"])
+        assert a["deletionVector"]["cardinality"] == len(idx)
+        # union: the new DV covers BOTH deletes' rows for its file
+        old = per_file[a["path"]]
+        assert old < set(int(i) for i in idx)
+    got = read_delta(spark, d)
+    assert got.count() == 8_000
+    assert got.filter("k in (3, 4)").count() == 0
+
+
+# --- streaming source over bridge tables (round-10 verdict ask #5) ------
+
+
+def test_delta_bridge_stream_source_exactly_once_restart(spark, tmp_path):
+    """spark.readStream.format('delta_bridge'): appends to a bridge
+    table flow through a RESTARTABLE stream into the engine's
+    exactly-once sink — the offset log (Spark's own checkpointLocation)
+    resumes at the first uncommitted version, a no-new-data restart
+    emits nothing, pure-delete commits are skipped under
+    ignoreDeletes, and the sink's batch-id dedup absorbs replays."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.streaming.events import append_stream_batch
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        write_delta,
+    )
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, v string"),
+                src, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    write_delta(spark.createDataFrame([(3, "c")], "id long, v string"), src)
+
+    register_delta_bridge_source(spark)
+
+    def run():
+        stream = (spark.readStream.format("delta_bridge")
+                  .option("path", src)
+                  .option("ignoreDeletes", "true").load())
+        q = (stream.writeStream
+             .foreachBatch(lambda df, bid: append_stream_batch(df, bid, sink))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+
+    run()
+    t = VersionedTable(spark, sink)
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+    # new appends + a pure-delete commit while the stream is DOWN
+    write_delta(spark.createDataFrame([(4, "d")], "id long, v string"), src)
+    delete_delta(spark, src, "id = 1")  # DV pure delete: skipped
+    write_delta(spark.createDataFrame([(5, "e")], "id long, v string"), src)
+
+    run()  # restart from the same checkpoint
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")], (
+        "each appended row exactly once; the delete commit skipped")
+
+    run()  # idle restart: no new offsets, no duplicates
+    assert sorted((r.id, r.v) for r in t.read().collect()) == got
+
+
+def test_delta_bridge_stream_source_rejects_overwrite(spark, tmp_path):
+    """An overwrite commit (removes + NEW files) is fatal to the append
+    stream even under ignoreDeletes — its rewritten files may carry new
+    rows (the library raises there too; that shape needs CDF)."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"),
+                src, mode="overwrite")
+    write_delta(spark.createDataFrame([(9, "z")], "id long, v string"),
+                src, mode="overwrite")
+
+    register_delta_bridge_source(spark)
+    stream = (spark.readStream.format("delta_bridge")
+              .option("path", src).option("ignoreDeletes", "true").load())
+    q = (stream.writeStream.format("memory").queryName("dbso")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        pass
+    exc = q.exception()
+    assert exc is not None and "removes data" in str(exc)
+
+
+def test_delta_bridge_stream_source_mapped_partitioned(spark, tmp_path):
+    """The source streams column-mapped tables under LOGICAL names and
+    injects typed partition values from the add actions."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    # column-mapped (name mode) table written by the bridge itself
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                                      "id long, v string, n long"),
+                src, mode="overwrite",
+                properties={"delta.columnMapping.mode": "name"})
+    # partitioned table
+    psrc = str(tmp_path / "psrc")
+    write_delta(spark.createDataFrame(
+        [(1, "x", "2024-01-01"), (2, "y", "2024-01-02")],
+        "id long, v string, day string"),
+        psrc, mode="overwrite", partition_by=["day"])
+
+    register_delta_bridge_source(spark)
+    for path, expect in (
+        (src, [(1, "a"), (2, "b")]),
+        (psrc, None),
+    ):
+        name = f"dbsm_{os.path.basename(path)}"
+        stream = (spark.readStream.format("delta_bridge")
+                  .option("path", path).load())
+        q = (stream.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation",
+                     str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+    got = spark.sql("select id, v from dbsm_src order by id").collect()
+    assert [(r.id, r.v) for r in got] == [(1, "a"), (2, "b")]
+    gp = spark.sql(
+        "select id, v, day from dbsm_psrc order by id").collect()
+    assert [(r.id, r.v, r.day) for r in gp] == [
+        (1, "x", "2024-01-01"), (2, "y", "2024-01-02")]
