@@ -1961,8 +1961,12 @@ def _project_to_physical(df: DataFrame, meta: dict,
 
     schema_json = json.loads(meta["schemaString"])
     logical = StructType.fromJson(schema_json)
+    # id mode's contract is field-id resolution; icebergCompatV2 /
+    # UniForm additionally demand field ids in NAME-mode files (the
+    # Iceberg side reads by id) — stamp them whenever either asks
     phys = StructType.fromJson(_physical_schema_json(
-        schema_json, with_field_ids=mapping_mode == "id"))
+        schema_json,
+        with_field_ids=(mapping_mode == "id" or _iceberg_compat_on(meta))))
     cols = []
     for lf, pf in zip(logical.fields, phys.fields):
         c = F.col(lf.name).cast(pf.dataType)
@@ -2462,7 +2466,27 @@ _BRIDGE_WRITER_FEATURES = {
                          # file actions + uuid-named manifest with
                          # checkpointMetadata); the reader replays all
                          # three public layouts since round 6
+    "icebergCompatV2",   # UniForm-compatible writes: column mapping
+                         # required, parquet field ids stamped into
+                         # EVERY staged data file (both mapping modes —
+                         # _project_to_physical), deletion vectors
+                         # refused, array/map schemas refused (their
+                         # nested element field ids are an obligation
+                         # Spark's writer conf cannot stamp) — all
+                         # gated in _check_writer_allowed
 }
+
+
+def _iceberg_compat_on(meta: dict) -> bool:
+    """True when the table demands Iceberg-compatible data files:
+    ``delta.enableIcebergCompatV2=true``, or UniForm's
+    ``delta.universalFormat.enabledFormats`` includes ``iceberg``."""
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.enableIcebergCompatV2",
+                    "false")).lower() == "true":
+        return True
+    return "iceberg" in str(conf.get(
+        "delta.universalFormat.enabledFormats", "")).lower()
 
 
 def _walk_schema_fields(node):
@@ -2500,6 +2524,34 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
             "write: delta.appendOnly=true forbids removing data; only "
             "appends (and dataChange:false compaction) are allowed"
         )
+    if _iceberg_compat_on(meta):
+        # icebergCompatV2 / UniForm obligations the bridge CAN uphold
+        # are enforced here; the two it cannot are refused by name.
+        if conf.get("delta.columnMapping.mode", "none") not in ("name",
+                                                                "id"):
+            raise VersionedTableError(
+                "write: icebergCompatV2/UniForm requires column mapping "
+                "(delta.columnMapping.mode=name|id) — this table has "
+                "none, so its field-id contract cannot hold"
+            )
+        if str(conf.get("delta.enableDeletionVectors",
+                        "false")).lower() == "true":
+            raise VersionedTableError(
+                "write: icebergCompatV2 forbids deletion vectors "
+                "(Iceberg readers of the UniForm metadata cannot apply "
+                "them) — delta.enableDeletionVectors must be false"
+            )
+        for f in _walk_schema_fields(json.loads(meta["schemaString"])):
+            t = f.get("type")
+            kind = t.get("type") if isinstance(t, dict) else None
+            if kind in ("array", "map"):
+                raise VersionedTableError(
+                    "write: icebergCompatV2 requires parquet field ids "
+                    "on NESTED list/map element types, which this "
+                    "bridge cannot stamp (Spark's field-id writer "
+                    f"covers named fields only) — column {f['name']!r} "
+                    "blocks; install delta-spark to write this table"
+                )
     # delta.enableRowTracking=true rewrites (merge/compact/cow-delete)
     # MATERIALIZE every surviving row's id + commit version into the
     # config-named physical columns (_rt_materialized_cols /
@@ -2835,7 +2887,29 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         # incomplete file list
         v2cp_on = str((properties or {}).get(
             "delta.checkpointPolicy", "classic")).lower() == "v2"
-        if ict_on or dv_on or rt_on or v2cp_on:
+        # icebergCompatV2/UniForm require column mapping, and a
+        # delta.columnMapping.mode property at CREATE means the table's
+        # files must store PHYSICAL names — allocate ids + physical
+        # names now (the library's CREATE does the same; UniForm CREATE
+        # auto-enables name mode when none was requested)
+        props = dict(properties or {})
+        ic_on = (str(props.get("delta.enableIcebergCompatV2",
+                               "false")).lower() == "true"
+                 or "iceberg" in str(props.get(
+                     "delta.universalFormat.enabledFormats", "")).lower())
+        cm_mode = str(props.get("delta.columnMapping.mode",
+                                "none")).lower()
+        if ic_on and cm_mode == "none":
+            cm_mode = "name"
+            props["delta.columnMapping.mode"] = "name"
+        schema_string = df.schema.json()
+        if cm_mode in ("name", "id"):
+            alloc = {"max": 0}
+            schema_string = json.dumps(_with_column_mapping(
+                json.loads(schema_string), alloc))
+            props["delta.columnMapping.maxColumnId"] = str(alloc["max"])
+            mapping_mode = cm_mode
+        if ict_on or dv_on or rt_on or v2cp_on or cm_mode != "none":
             wf = {"appendOnly", "invariants"}
             rf: set[str] = set()
             if cdf_on:
@@ -2850,6 +2924,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             if v2cp_on:
                 wf.add("v2Checkpoint")
                 rf.add("v2Checkpoint")
+            if cm_mode != "none":
+                wf.add("columnMapping")
+                rf.add("columnMapping")
+            if ic_on:
+                wf.add("icebergCompatV2")
             proto = {
                 "minReaderVersion": 3 if rf else 1,
                 "minWriterVersion": 7,
@@ -2864,7 +2943,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         meta = {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": schema_string,
             "partitionColumns": part_cols,
             # table properties land in metaData.configuration — e.g.
             # delta.enableChangeDataFeed=true turns on CDF derivation
@@ -2872,9 +2951,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             # delta-spark's table_changes alike). Settable at CREATE
             # only: changing properties later is an ALTER the bridge
             # deliberately does not model.
-            "configuration": dict(properties or {}),
+            "configuration": props,
             "createdTime": int(time.time() * 1000),
         }
+        # the same obligations gate CREATE: an icebergCompatV2 table
+        # with DVs enabled or an un-stampable array/map schema must
+        # refuse at version 0, not at the first later write
+        _check_writer_allowed(proto, meta, mode)
 
     df = _enforce_write_obligations(df, meta)
     if mapping_mode != "none":

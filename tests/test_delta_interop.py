@@ -4693,3 +4693,134 @@ def test_delta_bridge_stream_source_mapped_partitioned(spark, tmp_path):
         "select id, v, day from dbsm_psrc order by id").collect()
     assert [(r.id, r.v, r.day) for r in gp] == [
         (1, "x", "2024-01-01"), (2, "y", "2024-01-02")]
+
+
+# --- icebergCompatV2 / UniForm writes (round-10 verdict ask #6) ----------
+
+
+def test_iceberg_compat_v2_create_and_append(spark, tmp_path):
+    """CREATE with delta.enableIcebergCompatV2=true: column mapping is
+    auto-enabled (name mode, the UniForm CREATE behavior), the protocol
+    claims icebergCompatV2 + columnMapping, and EVERY staged data file
+    carries parquet field ids matching the schema's columnMapping ids —
+    the Iceberg-side read-by-id contract. Appends keep the obligation;
+    reads stay logical-named."""
+    import pyarrow.parquet as pq
+
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, v string"),
+                d, mode="overwrite",
+                properties={"delta.enableIcebergCompatV2": "true"})
+    write_delta(spark.createDataFrame([(3, "c")], "id long, v string"), d)
+
+    acts = [json.loads(x) for x in open(
+        os.path.join(d, "_delta_log", f"{0:020d}.json")) if x.strip()]
+    proto = [a["protocol"] for a in acts if "protocol" in a][0]
+    assert "icebergCompatV2" in proto["writerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    assert "columnMapping" in proto.get("readerFeatures", [])
+    meta = [a["metaData"] for a in acts if "metaData" in a][0]
+    conf = meta["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    assert int(conf["delta.columnMapping.maxColumnId"]) == 2
+    by_name = {f["name"]: f["metadata"] for f in
+               json.loads(meta["schemaString"])["fields"]}
+    ids = {n: md["delta.columnMapping.id"] for n, md in by_name.items()}
+    assert ids == {"id": 1, "v": 2}
+
+    # every data file (v0 AND the append) carries parquet field ids
+    adds = []
+    for v in (0, 1):
+        for a in [json.loads(x) for x in open(
+                os.path.join(d, "_delta_log", f"{v:020d}.json"))
+                if x.strip()]:
+            if "add" in a:
+                adds.append(a["add"])
+    assert len(adds) >= 2
+    for a in adds:
+        sch = pq.read_schema(os.path.join(d, a["path"]))
+        got_ids = {}
+        for i in range(len(sch.names)):
+            f = sch.field(i)
+            md = f.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            assert fid is not None, (
+                f"{a['path']}: field {f.name!r} lacks a parquet field id")
+            got_ids[f.name] = int(fid)
+        phys_ids = {
+            by_name[n]["delta.columnMapping.physicalName"]:
+                by_name[n]["delta.columnMapping.id"]
+            for n in by_name}
+        assert got_ids == phys_ids
+    back = read_delta(spark, d)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+
+def test_iceberg_compat_v2_refusals(spark, tmp_path):
+    """icebergCompatV2 obligations the bridge cannot uphold refuse BY
+    NAME at CREATE: deletion vectors (forbidden by the compat spec) and
+    array/map schemas (their nested element field ids are not
+    stampable); an existing compat table without column mapping also
+    refuses."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(VersionedTableError, match="deletion vectors"):
+        write_delta(df, str(tmp_path / "dv"), mode="overwrite",
+                    properties={"delta.enableIcebergCompatV2": "true",
+                                "delta.enableDeletionVectors": "true"})
+    arr = spark.createDataFrame([(1, ["x"])], "id long, tags array<string>")
+    with pytest.raises(VersionedTableError, match="NESTED list/map"):
+        write_delta(arr, str(tmp_path / "arr"), mode="overwrite",
+                    properties={"delta.enableIcebergCompatV2": "true"})
+    # hand-built compat table WITHOUT column mapping: named refusal
+    d = str(tmp_path / "nomap")
+    os.makedirs(d)
+    _log(d, 0,
+         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": ["icebergCompatV2"]}},
+         {"metaData": {
+             "id": "icb", "format": {"provider": "parquet", "options": {}},
+             "schemaString": SCHEMA_STRING, "partitionColumns": [],
+             "configuration": {"delta.enableIcebergCompatV2": "true"}}})
+    with pytest.raises(VersionedTableError, match="column mapping"):
+        write_delta(df, d, mode="append")
+
+
+def test_iceberg_compat_v2_dml_keeps_field_ids(spark, tmp_path):
+    """MERGE and copy-on-write DELETE on an icebergCompatV2 table keep
+    the field-id obligation in rewritten files (the projection stamps
+    ids in name mode when compat is on)."""
+    import pyarrow.parquet as pq
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string").coalesce(1),
+        d, mode="overwrite",
+        properties={"delta.enableIcebergCompatV2": "true"})
+    merge_delta(spark.createDataFrame([(2, "B"), (4, "d")],
+                                      "id long, v string"),
+                d, "target.id = source.id",
+                when_matched_update={"v": "source.v"})
+    delete_delta(spark, d, "id = 1")
+    got = {r.id: r.v for r in read_delta(spark, d).collect()}
+    assert got == {2: "B", 3: "c", 4: "d"}
+    # every LIVE file still carries field ids
+    from sql_based_etl_spark.tables.delta_interop import _replay_state
+    _, live, _, _, _, _ = _replay_state(spark, d)
+    for a in live.values():
+        sch = pq.read_schema(os.path.join(d, a["path"]))
+        for i in range(len(sch.names)):
+            md = sch.field(i).metadata or {}
+            assert b"PARQUET:field_id" in md, (
+                f"{a['path']}: {sch.field(i).name!r} lost its field id")
