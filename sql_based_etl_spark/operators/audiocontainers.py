@@ -19,7 +19,10 @@ Both parsers are written from the public specifications only:
   0x04c11db7, unreflected, zero init/xor — NOT zlib's) verified per
   page, plus the Vorbis I identification header (packet type 1 +
   "vorbis", channels, sample rate, bitrate triple) from the first
-  packet. Duration comes from the final page's granule position — the
+  packet, and the Vorbis COMMENT header (packet type 3: vendor string
+  + length-prefixed KEY=value user comments + framing bit; keys
+  case-insensitive per the spec) when the stream carries one.
+  Duration comes from the final page's granule position — the
   spec's rule (granule = absolute sample count for Vorbis).
 
 Independent encoder/decoder pairs (``synth_*`` build payloads the
@@ -236,12 +239,67 @@ def _build_ogg_page(header_type: int, granule: int, serial: int,
     return bytes(page)
 
 
+def _page_packets(data: bytes, pos: int, lace_end: int) -> tuple[list[bytes], bool]:
+    """Split one page's body into PACKETS via its lacing values (a
+    packet ends on a lace < 255). Returns (complete packets, True when
+    the last packet continues onto the next page)."""
+    laces = data[pos + 27:lace_end]
+    packets: list[bytes] = []
+    cur = bytearray()
+    off = lace_end
+    for lace in laces:
+        cur += data[off:off + lace]
+        off += lace
+        if lace < 255:
+            packets.append(bytes(cur))
+            cur = bytearray()
+    return packets, bool(cur)
+
+
+def _parse_vorbis_comments(pkt: bytes) -> tuple[str, dict[str, list[str]]]:
+    """Decode a Vorbis comment header packet (type 3): vendor string,
+    then length-prefixed ``KEY=value`` comments, then the mandatory
+    framing bit. Keys are case-insensitive per the spec — returned
+    upper-cased, values grouped in order (a key may legally repeat)."""
+
+    def take(off: int, n: int, what: str) -> tuple[bytes, int]:
+        if off + n > len(pkt):
+            raise AudioDecodeError(f"ogg: truncated vorbis comment {what}")
+        return pkt[off:off + n], off + n
+
+    raw, off = take(7, 4, "vendor length")
+    vlen = int.from_bytes(raw, "little")
+    raw, off = take(off, vlen, "vendor string")
+    vendor = raw.decode("utf-8")
+    raw, off = take(off, 4, "comment count")
+    n = int.from_bytes(raw, "little")
+    comments: dict[str, list[str]] = {}
+    for _ in range(n):
+        raw, off = take(off, 4, "comment length")
+        clen = int.from_bytes(raw, "little")
+        raw, off = take(off, clen, "comment string")
+        text = raw.decode("utf-8")
+        key, sep, val = text.partition("=")
+        if not sep or not key:
+            raise AudioDecodeError(
+                f"ogg: vorbis comment without KEY=value shape: {text!r}")
+        comments.setdefault(key.upper(), []).append(val)
+    raw, off = take(off, 1, "framing bit")
+    if not raw[0] & 1:
+        raise AudioDecodeError("ogg: vorbis comment framing bit unset")
+    return vendor, comments
+
+
 def parse_ogg_vorbis(data: bytes) -> dict:
     """Walk every OGG page (magic, version 0, CRC verified against the
     spec polynomial, sequence numbers monotone), read the Vorbis I
-    identification header from the first packet, and return integer
-    container facts: ``{channels, sample_rate, bitrate_nominal,
-    n_pages, last_granule, duration_micros, payload_bytes}``.
+    identification header from the first packet, and return container
+    facts: ``{channels, sample_rate, bitrate_nominal, n_pages,
+    last_granule, duration_micros, payload_bytes, vendor, comments}``
+    — ``vendor``/``comments`` from the Vorbis comment header when the
+    stream carries one (type-3 packet on the first post-identification
+    page; header pages never count into ``payload_bytes``), else
+    ``None``/``{}``.
     ``duration_micros`` derives from the FINAL page's granule position
     (absolute sample count — the Vorbis granule rule)."""
     pos = 0
@@ -249,6 +307,9 @@ def parse_ogg_vorbis(data: bytes) -> dict:
     payload_bytes = 0
     last_granule = 0
     ident: dict | None = None
+    vendor: str | None = None
+    comments: dict[str, list[str]] = {}
+    comment_pending = False
     expect_seq: int | None = None
     serial0: int | None = None
     while pos < len(data):
@@ -298,6 +359,19 @@ def parse_ogg_vorbis(data: bytes) -> dict:
                 raise AudioDecodeError("ogg: zero channels/sample rate")
             ident = {"channels": ch, "sample_rate": rate,
                      "bitrate_nominal": br_nom}
+            comment_pending = True
+        elif comment_pending:
+            comment_pending = False
+            packets, continued = _page_packets(data, pos, lace_end)
+            if packets and packets[0][:7] == b"\x03vorbis":
+                vendor, comments = _parse_vorbis_comments(packets[0])
+                # remaining packets on a header page are the setup
+                # header (type 5) — headers never count as payload
+            elif not packets and continued:
+                raise AudioDecodeError(
+                    "ogg: header packet spans pages — unsupported")
+            else:
+                payload_bytes += body_len
         else:
             payload_bytes += body_len
         if granule >= 0:
@@ -312,13 +386,17 @@ def parse_ogg_vorbis(data: bytes) -> dict:
         "last_granule": last_granule,
         "duration_micros": last_granule * 1_000_000 // ident["sample_rate"],
         "payload_bytes": payload_bytes,
+        "vendor": vendor,
+        "comments": comments,
     }
 
 
 def synth_ogg_vorbis_bytes(channels: int, sample_rate: int,
                            bitrate_nominal: int, page_granules: list[int],
                            byte_law=lambda p, j: (p * 13 + j * 5) % 256,
-                           page_payload_len=lambda p: 64 + 16 * p) -> bytes:
+                           page_payload_len=lambda p: 64 + 16 * p,
+                           comments: list[tuple[str, str]] | None = None,
+                           vendor: str = "sql-etl-bridge") -> bytes:
     """Deterministic single-stream OGG: an identification-header page
     (header_type 2 = beginning-of-stream, granule 0) followed by one
     audio page per ``page_granules`` entry (last page flagged 4 =
@@ -329,8 +407,20 @@ def synth_ogg_vorbis_bytes(channels: int, sample_rate: int,
     ident += bytes([1 << 6, 1])  # blocksizes + framing bit
     serial = 0x5E55_1D00 | (channels & 0xFF)
     pages = [_build_ogg_page(2, 0, serial, 0, [bytes(ident)])]
+    if comments is not None:
+        pkt = bytearray([3]) + b"vorbis"
+        vb = vendor.encode("utf-8")
+        pkt += len(vb).to_bytes(4, "little") + vb
+        pkt += len(comments).to_bytes(4, "little")
+        for k, v in comments:
+            cb = f"{k}={v}".encode("utf-8")
+            pkt += len(cb).to_bytes(4, "little") + cb
+        pkt += b"\x01"  # framing bit
+        pages.append(_build_ogg_page(0, 0, serial, 1, [bytes(pkt)]))
+    base = len(pages) - 1
     for p, granule in enumerate(page_granules):
         htype = 4 if p == len(page_granules) - 1 else 0
         payload = bytes(byte_law(p, j) for j in range(page_payload_len(p)))
-        pages.append(_build_ogg_page(htype, granule, serial, p + 1, [payload]))
+        pages.append(_build_ogg_page(htype, granule, serial, base + p + 1,
+                                     [payload]))
     return b"".join(pages)

@@ -539,3 +539,56 @@ def test_mp3_real_world_trailers_tolerated():
     # unrecognized junk still fails loudly
     with pytest.raises(AudioDecodeError):
         parse_mp3_frames(good + b"\x00garbage-that-is-not-a-tag")
+
+
+def test_ogg_vorbis_comment_header_round_trip():
+    """Vorbis comment header (round-10 codec tail): vendor string +
+    KEY=value comments round-trip through the page walker — keys
+    upper-cased (spec case-insensitivity), repeats preserved in order,
+    header pages never counted as payload, comment-less streams
+    unchanged (vendor None / comments {}), and a corrupt framing bit or
+    truncated vendor fails loudly."""
+    import struct
+
+    from sql_based_etl_spark.operators.audiocontainers import (
+        _build_ogg_page,
+        parse_ogg_vorbis,
+        synth_ogg_vorbis_bytes,
+    )
+
+    plain = synth_ogg_vorbis_bytes(2, 44100, 128000, [1000, 2500])
+    r = parse_ogg_vorbis(plain)
+    assert r["vendor"] is None and r["comments"] == {}
+
+    tagged = synth_ogg_vorbis_bytes(
+        1, 22050, 64000, [500, 900],
+        comments=[("TITLE", "Song A"), ("artist", "X"), ("ARTIST", "Y"),
+                  ("date", "2024-01-02")],
+        vendor="testvendor")
+    r2 = parse_ogg_vorbis(tagged)
+    assert r2["vendor"] == "testvendor"
+    assert r2["comments"] == {
+        "TITLE": ["Song A"], "ARTIST": ["X", "Y"], "DATE": ["2024-01-02"]}
+    # header pages excluded from payload accounting
+    assert r2["payload_bytes"] == (64 + 16 * 0) + (64 + 16 * 1)
+    assert r2["duration_micros"] == 900 * 1_000_000 // 22050
+
+    # corrupt framing bit: rebuild the comment page with trailing \x00
+    ident = bytearray([1]) + b"vorbis" + struct.pack(
+        "<IBIiii", 0, 1, 22050, 0, 64000, 0) + bytes([1 << 6, 1])
+    bad_pkt = bytearray([3]) + b"vorbis"
+    bad_pkt += (2).to_bytes(4, "little") + b"vv"
+    bad_pkt += (0).to_bytes(4, "little")
+    bad_pkt += b"\x00"  # framing bit UNSET
+    serial = 0x5E551D01
+    bad = (_build_ogg_page(2, 0, serial, 0, [bytes(ident)])
+           + _build_ogg_page(4, 100, serial, 1, [bytes(bad_pkt)]))
+    with pytest.raises(AudioDecodeError, match="framing bit"):
+        parse_ogg_vorbis(bad)
+
+    # truncated comment payload fails loudly, naming the piece
+    trunc_pkt = bytearray([3]) + b"vorbis" + (99).to_bytes(4, "little")
+    trunc = (_build_ogg_page(2, 0, serial, 0, [bytes(ident)])
+             + _build_ogg_page(4, 100, serial, 1, [bytes(trunc_pkt)]))
+    with pytest.raises(AudioDecodeError, match="vendor string"):
+        parse_ogg_vorbis(trunc)
