@@ -1084,20 +1084,49 @@ def _snapshot_df(
         """Read a list of add actions: one multi-file scan for files
         without a deletion vector, plus — per DV'd file — a scan whose
         rows are filtered by an anti-join of ``_metadata.row_index``
-        against the decoded deleted-index set (the filter itself runs
-        distributed; only the bitmap — sizeInBytes-bounded, it rides
-        the descriptor — is decoded driver-side)."""
+        against the deleted-index relation.
+
+        Scale shape (round-10 fix): the driver ships ONLY the
+        descriptor JSON (O(100) bytes); an Arrow kernel reads the
+        sidecar and expands the roaring bitmap to row indexes
+        EXECUTOR-side (:func:`_dv_payload_plain` — the old
+        driver-side decode + ``createDataFrame`` pickled every deleted
+        index through the driver: measured 9.9s of a 10.1s read at
+        618k deleted rows). The expanded relation is broadcast when
+        the descriptor's cardinality bounds it small (≤4M rows ≈
+        32 MB); a heavier DV falls back to a shuffle join — and is
+        REORG-purge material anyway (compact_delta purge=True)."""
         plain = [_abs(a["path"]) for a in alist if not a.get("deletionVector")]
         parts = [_read(plain)] if plain else []
         for a in alist:
             dv = a.get("deletionVector")
             if not dv:
                 continue
-            import pandas as pd
+            desc_df = spark.createDataFrame(
+                [(json.dumps(dv),)], "__dv_desc string")
 
-            idx = _dv_row_indexes(spark, path, dv)
-            deleted = spark.createDataFrame(
-                pd.DataFrame({"__dv_row_index": idx.astype("int64")}))
+            def _expand(batches, _tp=path):
+                import pandas as pd
+
+                for pdf in batches:
+                    for desc in pdf["__dv_desc"]:
+                        d = json.loads(desc)
+                        idx = _roaring_array_indexes(
+                            _dv_payload_plain(_tp, d))
+                        card = d.get("cardinality")
+                        if card is not None and int(card) != len(idx):
+                            raise VersionedTableError(
+                                f"deletion vector: decoded {len(idx)} "
+                                "deleted rows, descriptor cardinality "
+                                f"says {card}")
+                        yield pd.DataFrame(
+                            {"__dv_row_index": idx.astype("int64")})
+
+            deleted = desc_df.mapInPandas(
+                _expand, "__dv_row_index long")
+            card = int(dv.get("cardinality") or 0)
+            if 0 < card <= 4_000_000:
+                deleted = F.broadcast(deleted)
             parts.append(
                 _read([_abs(a["path"])])
                 .withColumn(
@@ -2956,8 +2985,10 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         }
         # the same obligations gate CREATE: an icebergCompatV2 table
         # with DVs enabled or an un-stampable array/map schema must
-        # refuse at version 0, not at the first later write
-        _check_writer_allowed(proto, meta, mode)
+        # refuse at version 0, not at the first later write. Mode
+        # "create": version 0 removes nothing, so appendOnly's
+        # no-removal rule does not apply to the creating overwrite.
+        _check_writer_allowed(proto, meta, "create")
 
     df = _enforce_write_obligations(df, meta)
     if mapping_mode != "none":
