@@ -351,10 +351,11 @@ def _unfilter_scan(line: np.ndarray, prev: np.ndarray, bpp: int,
 # Decodes what the overwhelming majority of real-world .jpg files are:
 # SOF0 (and SOF1 extended-sequential with 8-bit samples) Huffman scans,
 # any sampling factors (4:4:4, 4:2:2, 4:2:0, ...), 8- and 16-bit quant
-# tables, restart markers. Progressive (SOF2), arithmetic coding, and
-# 12-bit precision stay honest NotImplementedError — the spec supports
-# them, but they are a different scan architecture, and the honest
-# boundary beats a wrong answer. Entropy decoding is per-bit Python
+# tables, restart markers, progressive (SOF2) at 8 AND 12 bits, and
+# 12-bit sequential. Arithmetic coding and hierarchical mode stay an
+# honest NotImplementedError — the spec supports them, but they are a
+# different entropy/scan architecture, and the honest boundary beats a
+# wrong answer. Entropy decoding is per-bit Python
 # (correctness-grade; bounded by coefficient count), everything after
 # it — dequantization, the 2-D IDCT over all blocks at once, chroma
 # upsampling, YCbCr→RGB — is vectorized numpy.
@@ -527,9 +528,6 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"jpeg: {prec}-bit sample precision needs an external "
                     "codec (DCT modes decode at 8 and 12 bits)")
-            if marker == 0xC2 and prec != 8:
-                raise NotImplementedError(
-                    "jpeg: 12-bit progressive needs an external codec")
             if lossless and not 2 <= prec <= 16:
                 raise ImageDecodeError(f"jpeg: lossless precision {prec}")
             comps = []
@@ -539,7 +537,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             frame = (h, w, comps)
             progressive = marker == 0xC2
             if progressive:
-                prog = _ProgressiveState(frame)
+                prog = _ProgressiveState(frame, prec)
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -593,9 +591,10 @@ class _ProgressiveState:
     correction bit). Restart markers reset DC predictors and the
     EOB run."""
 
-    def __init__(self, frame):
+    def __init__(self, frame, prec: int = 8):
         h, w, comps = frame
         self.h, self.w, self.comps = h, w, comps
+        self.prec = prec
         self.hmax = max(hs for _, hs, _, _ in comps)
         self.vmax = max(vs for _, _, vs, _ in comps)
         self.mcux = -(-w // (8 * self.hmax))
@@ -785,7 +784,7 @@ class _ProgressiveState:
             samp[cid] = (hs, vs)
             q_by[cid] = qt[tq]
         return _jpeg_finalize(order, self.coefs, q_by, bw, bh, samp,
-                              self.hmax, self.vmax, h, w)
+                              self.hmax, self.vmax, h, w, self.prec)
 
 
 def _decode_jpeg_scan(data: bytes, pos: int, frame, scan, qt, huff,

@@ -368,16 +368,17 @@ def _np_argsort_identity():
 # progressive decoder implements.
 
 
-def _jpeg_quantized_blocks(px, subsample, quant):
+def _jpeg_quantized_blocks(px, subsample, quant, prec: int = 8):
     """Quantized zigzag coefficient grids per component, FULL MCU-padded
     geometry (bhf x bwf blocks) plus the real block counts."""
     h, w, c = px.shape
+    center = float(1 << (prec - 1))
     if c == 3:
         r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + center,
+            0.5 * r - 0.418688 * g - 0.081312 * b + center,
         ]
     else:
         planes = [px[:, :, 0].astype(np.float64)]
@@ -397,7 +398,7 @@ def _jpeg_quantized_blocks(px, subsample, quant):
     q = np.full(64, quant, dtype=np.int64)
     out = []
     for p, (hs, vs) in zip(planes, samp):
-        plane = _jpeg_pad(np.clip(np.round(p), 0, 255),
+        plane = _jpeg_pad(np.clip(np.round(p), 0, (1 << prec) - 1),
                           8 * mcuy * vs, 8 * mcux * hs)
         bhf, bwf = mcuy * vs, mcux * hs
         bwr = -(-(-(-w * hs // hmax)) // 8)
@@ -406,7 +407,8 @@ def _jpeg_quantized_blocks(px, subsample, quant):
         for by in range(bhf):
             for bx in range(bwf):
                 f = _jpeg_fdct_block(plane[by * 8:by * 8 + 8,
-                                           bx * 8:bx * 8 + 8])
+                                           bx * 8:bx * 8 + 8],
+                                     level=center)
                 coefs[by * bwf + bx] = np.round(
                     f.reshape(-1)[_JPEG_ZZ] / q)
         out.append((coefs, hs, vs, bwf, bhf, bwr, bhr))
@@ -426,10 +428,10 @@ def _emit_eobrun(bw, ac_codes, eobrun, bits):
 
 
 def encode_jpeg_progressive(px: np.ndarray, subsample: bool = False,
-                            quant: int = 1) -> bytes:
+                            quant: int = 1, prec: int = 8) -> bytes:
     h, w, c = px.shape
     comps, samp, hmax, vmax, mcux, mcuy, q = _jpeg_quantized_blocks(
-        px, subsample, quant)
+        px, subsample, quant, prec)
     dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
@@ -444,7 +446,7 @@ def encode_jpeg_progressive(px: np.ndarray, subsample: bool = False,
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", prec, h, w, len(comps))
     for i, (hs, vs) in enumerate(samp):
         sof += bytes([i + 1, (hs << 4) | vs, 0])
     out += seg(0xC2, sof)  # SOF2: progressive
@@ -1136,3 +1138,34 @@ def test_bmp_encoder_round_trip_and_padding():
         fmt, out = decode_image_bytes(encode_bmp_bytes(px))
         assert fmt == "bmp"
         assert np.array_equal(out, px), (w, h)
+
+
+def test_jpeg_progressive_12bit_gray_and_color():
+    """12-bit PROGRESSIVE JPEG (round-10 codec tail): the spectral-
+    selection + successive-approximation scan walk is precision-
+    agnostic; the finalize tail levels/clamps at 2^prec. A smooth
+    12-bit source must decode bit-identically to the SAME coefficients'
+    sequential encoding, and the dtype widens to uint16."""
+    y, x = np.mgrid[0:24, 0:17]
+    gray = ((y * 97 + x * 53) % 4096).astype(np.int64)[:, :, None]
+    # smooth gradient keeps AC categories inside the standard tables
+    smooth = (y * 64 + x * 32)[:, :, None].astype(np.int64)
+
+    seq = decode_image_bytes(encode_jpeg(smooth, prec=12))[1]
+    prog = decode_image_bytes(
+        encode_jpeg_progressive(smooth, prec=12))[1]
+    assert prog.dtype == np.uint16
+    assert np.array_equal(prog, seq)
+
+    color = np.stack([
+        np.clip(y * 64 + x * 16, 0, 4095),
+        np.clip(3000 - y * 32, 0, 4095),
+        np.clip(x * 48 + 500, 0, 4095),
+    ], axis=-1).astype(np.int64)
+    seq_c = decode_image_bytes(encode_jpeg(color, prec=12))[1]
+    prog_c = decode_image_bytes(
+        encode_jpeg_progressive(color, prec=12))[1]
+    assert prog_c.dtype == np.uint16
+    assert np.array_equal(prog_c, seq_c)
+    # and the decode is actually at 12-bit scale, not clamped to 255
+    assert int(prog_c.max()) > 255
