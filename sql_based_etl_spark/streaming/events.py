@@ -198,6 +198,10 @@ def append_stream_batch(batch_df: DataFrame, batch_id: int, table_path: str,
     for an empty or already-committed (replayed) batch."""
     from sql_based_etl_spark.tables.versioned import VersionedTable
 
+    from sql_based_etl_spark.tables.versioned import (
+        ConcurrentStreamBatchError,
+    )
+
     if batch_df.isEmpty():
         return False
     t = VersionedTable(batch_df.sparkSession, table_path)
@@ -206,9 +210,14 @@ def append_stream_batch(batch_df: DataFrame, batch_id: int, table_path: str,
         m.get("stream_batch_id") == batch_id for m in t.history()
     ):
         return False  # replayed batch — already committed
-    t.write(batch_df, mode=mode, num_partitions=num_partitions,
-            operation=f"STREAM_BATCH_{batch_id}",
-            extra={"stream_batch_id": batch_id})
+    try:
+        t.write(batch_df, mode=mode, num_partitions=num_partitions,
+                operation=f"STREAM_BATCH_{batch_id}",
+                extra={"stream_batch_id": batch_id})
+    except ConcurrentStreamBatchError:
+        # two instances of this sink raced the SAME micro-batch and the
+        # other one won — the rows are in the table exactly once
+        return False
     return True
 
 

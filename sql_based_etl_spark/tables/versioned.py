@@ -20,9 +20,15 @@ highest N; a reader never sees a half-written version because the
 manifest is published atomically (full temp write + no-overwrite
 rename on rename-capable stores; one conditional PUT on object stores,
 where the object materializes whole at close) and only after the data
-files are fully written. Single-writer semantics (matching the
+files are fully written. Snapshot-replacing commits (overwrite, merge,
+compact, restore) keep single-winner semantics (matching the
 reference's Argo DAG, scd2-job-scheduler.yaml:47-48: merges are
-serialized behind their dependencies).
+serialized behind their dependencies); blind APPENDS get optimistic
+concurrency (round 10) — the claim loser re-bases on the winner's
+snapshot and retries at the next version, staging into per-writer
+unique data dirs so racers never collide before the manifest claim,
+and the exactly-once stream sink detects a racing duplicate of the
+SAME micro-batch by its recorded stream_batch_id.
 
 All metadata I/O goes through the Hadoop FileSystem API (via the JVM
 gateway), so a table can live on any Hadoop-supported filesystem —
@@ -67,10 +73,18 @@ class VersionedTableError(RuntimeError):
 class CommitRaceLostError(VersionedTableError):
     """Raised by :func:`publish_text_exclusive` when another writer
     published the same entry first. Distinct from the base class so an
-    optimistic-concurrency layer (the Delta bridge's commit retry) can
-    catch exactly the lost race — never an IO failure or a protocol
-    violation — and re-attempt at the next version after conflict
-    analysis."""
+    optimistic-concurrency layer (the Delta bridge's commit retry, and
+    VersionedTable's own append retry) can catch exactly the lost race
+    — never an IO failure or a protocol violation — and re-attempt at
+    the next version after conflict analysis."""
+
+
+class ConcurrentStreamBatchError(VersionedTableError):
+    """An append retry found the SAME ``stream_batch_id`` already
+    committed by a racing writer: two instances of one exactly-once
+    sink raced the same micro-batch. The payload is in the table once;
+    the caller (``append_stream_batch``) treats this as
+    already-committed rather than double-appending."""
 
 
 # Object stores where rename is a non-atomic copy+delete but a created
@@ -720,8 +734,13 @@ class VersionedTable:
                           num_partitions: int | None,
                           cluster_by: list[str] | None = None,
                           cluster_method: str = "range",
-                          bloom_filter_columns: list[str] | None = None) -> list[str]:
-        """Write ``df`` under ``data/v{version}/`` and return the
+                          bloom_filter_columns: list[str] | None = None,
+                          unique_dir: bool = False) -> list[str]:
+        """Write ``df`` under ``data/v{version}/`` (appends:
+        ``data/v{version}-{uuid8}/`` — a unique staging dir per writer,
+        so concurrent appends that both picked the same next version
+        never collide at the data write; the manifest's explicit file
+        list makes the dir name irrelevant to readers) and return the
         table-relative paths of the files written.
 
         ``cluster_by`` with ``cluster_method='range'`` range-partitions
@@ -749,6 +768,10 @@ class VersionedTable:
         elif num_partitions:
             df = df.repartition(int(num_partitions))
         rel_dir = f"data/v{version:08d}"
+        if unique_dir:
+            import uuid as _uuid
+
+            rel_dir += f"-{_uuid.uuid4().hex[:8]}"
         writer = df.write.mode("errorifexists")
         for c in bloom_filter_columns or []:
             # parquet-level bloom filters: the reader skips whole row
@@ -947,14 +970,72 @@ class VersionedTable:
 
         new_v = (vs[-1] + 1) if vs else 0
         new_files = self._write_data_files(df, new_v, num_partitions, cluster_by,
-                                           cluster_method, bloom_filter_columns)
+                                           cluster_method, bloom_filter_columns,
+                                           unique_dir=(mode == "append"))
         carried = self.files(vs[-1]) if (mode == "append" and vs) else []
-        stats = self._collect_stats(new_files, df.schema, stats_columns)
+        new_stats = self._collect_stats(new_files, df.schema, stats_columns)
+        stats = dict(new_stats)
         if carried:
             stats.update(self._carried_stats(vs[-1], carried))
-        return self._commit(new_v, operation if mode != "append" else "APPEND",
-                            carried + new_files, schema.jsonValue(), stats=stats,
-                            extra=extra)
+        op = operation if mode != "append" else "APPEND"
+        if mode != "append":
+            # snapshot-replacing commits keep single-winner semantics:
+            # the loser's result was computed from a stale snapshot
+            return self._commit(new_v, op, carried + new_files,
+                                schema.jsonValue(), stats=stats, extra=extra)
+        # APPEND is blind: on a lost race, re-base on the winner's
+        # snapshot (its file list + stats), re-validate the schema
+        # against the winner's, and retry at the next version — the
+        # same optimistic-concurrency contract as the Delta bridge's
+        # blind appends. A manifest may reference files written under
+        # any earlier version's data dir, so the staged files commit
+        # verbatim at the higher version.
+        attempt_v, attempt_schema = new_v, schema
+        for _ in range(20):
+            try:
+                return self._commit(attempt_v, op, carried + new_files,
+                                    attempt_schema.jsonValue(), stats=stats,
+                                    extra=extra)
+            except CommitRaceLostError:
+                pass
+            latest = self.versions()[-1]
+            bid = (extra or {}).get("stream_batch_id")
+            if bid is not None:
+                for wv in range(attempt_v, latest + 1):
+                    if self.manifest(wv).get("stream_batch_id") == bid:
+                        raise ConcurrentStreamBatchError(
+                            f"append at {self.path}: a racing writer "
+                            f"already committed stream_batch_id {bid} "
+                            f"at version {wv} — the batch is in the "
+                            "table exactly once"
+                        )
+            wm = self.manifest(latest)
+            win = StructType.fromJson(wm["schema"])
+            win_types = {f.name: f.dataType for f in win.fields}
+            fresh = [f for f in df.schema.fields if f.name not in win_types]
+            for f in df.schema.fields:
+                if f.name in win_types and f.dataType != win_types[f.name]:
+                    raise VersionedTableError(
+                        f"append lost a commit race to a writer that "
+                        f"changed column {f.name!r} to "
+                        f"{win_types[f.name].simpleString()} — re-read "
+                        "the table and re-run"
+                    )
+            if fresh and not merge_schema:
+                raise VersionedTableError(
+                    f"append lost a commit race to a writer whose schema "
+                    f"lacks {[f.name for f in fresh]}; pass "
+                    "merge_schema=True to evolve, or re-run"
+                )
+            attempt_schema = StructType(list(win.fields) + fresh)
+            carried = list(wm["files"])
+            stats = dict(new_stats)
+            stats.update(self._carried_stats(latest, carried))
+            attempt_v = latest + 1
+        raise VersionedTableError(
+            f"append at {self.path}: exhausted 20 commit retries against "
+            "concurrent writers"
+        )
 
     def compact(
         self,
@@ -1102,7 +1183,7 @@ class VersionedTable:
 
     # --- merge (the SCD2 workhorse) ----------------------------------------
 
-    _FILE_RE = r"(data/v\d{8}/[^/]+)$"
+    _FILE_RE = r"(data/v\d{8}(?:-[0-9a-f]{8})?/[^/]+)$"
 
     def _matched_files(self, source: DataFrame, condition: str) -> list[str]:
         """Data files containing at least one row matching the merge

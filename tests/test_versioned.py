@@ -333,7 +333,8 @@ def test_data_skipping_carries_stats_and_stays_conservative(spark, table):
     table.write(nulls, mode="append", num_partitions=1)
     new_file = [
         f for f in table.files()
-        if f.startswith(f"data/v{table.latest_version():08d}/")
+        # appends stage under data/v{N}-{uuid8}/ since round 10
+        if f.startswith(f"data/v{table.latest_version():08d}")
     ]
     assert new_file and new_file[0] not in table.prune_files([("score", ">=", 5.0)])
 
@@ -802,3 +803,89 @@ def test_bloom_filter_columns_written_to_parquet(spark, tmp_path):
     # reads are unaffected
     t = VersionedTable(spark, uri)
     assert t.read().filter("k = 500").count() == 1
+
+
+def test_append_commit_race_retries_and_both_land(spark, table, monkeypatch):
+    """VersionedTable blind appends get the same optimistic-concurrency
+    retry as the Delta bridge (round 10): the claim loser re-bases on
+    the winner's snapshot (file list + stats) and commits at the next
+    version — both appends' rows land, stats stay complete, and
+    snapshot-replacing modes keep single-winner semantics."""
+    import sql_based_etl_spark.tables.versioned as vmod
+
+    table.write(spark.createDataFrame([(1,)], "id long"))
+    winner_tbl = VersionedTable(spark, table.path)
+
+    orig = vmod.publish_text_exclusive
+    state = {"fired": False}
+
+    def racing(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(spark.createDataFrame([(2,)], "id long"),
+                             mode="append")
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing)
+    v = table.write(spark.createDataFrame([(3,)], "id long"), mode="append")
+    assert v == 2, "loser must land past the winner (base=0, winner=1)"
+    got = sorted(r.id for r in table.read().collect())
+    assert got == [1, 2, 3]
+    # stats cover every live file (pruning still works post-retry)
+    m = table.manifest(2)
+    assert set(m["stats"]) == set(m["files"])
+
+    # a racing writer that changed a column's TYPE is a real conflict
+    state["fired"] = False
+
+    def racing_overwrite(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(
+                spark.createDataFrame([("s",)], "id string"),
+                mode="overwrite")
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing_overwrite)
+    with pytest.raises(VersionedTableError, match="changed column"):
+        table.write(spark.createDataFrame([(4,)], "id long"), mode="append")
+
+
+def test_stream_sink_race_same_batch_commits_once(spark, tmp_path,
+                                                  monkeypatch):
+    """Two instances of the exactly-once sink racing the SAME
+    micro-batch id: the loser's retry detects the winner's
+    stream_batch_id and reports already-committed — rows land once."""
+    import sql_based_etl_spark.tables.versioned as vmod
+    from sql_based_etl_spark.streaming.events import append_stream_batch
+
+    path = str(tmp_path / "sink")
+    assert append_stream_batch(spark.range(5).select("id"), 0, path)
+
+    orig = vmod.publish_text_exclusive
+    state = {"fired": False}
+
+    def racing(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            append_stream_batch(spark.range(5, 10).select("id"), 1, path)
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing)
+    assert append_stream_batch(
+        spark.range(5, 10).select("id"), 1, path) is False
+    t = VersionedTable(spark, path)
+    assert t.read().count() == 10, "batch 1 exactly once"
+    # and DIFFERENT batch ids racing both commit
+    state["fired"] = False
+
+    def racing2(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            append_stream_batch(spark.range(10, 12).select("id"), 2, path)
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing2)
+    assert append_stream_batch(
+        spark.range(12, 15).select("id"), 3, path) is True
+    assert t.read().count() == 15
