@@ -341,7 +341,9 @@ def versioned_table_maintenance(ctx: PipelineContext, conf: dict) -> DataFrame |
         )
     v = conf.get("vacuum")
     if v is not None:
-        t.vacuum(retain_versions=int(v.get("retainVersions", 1)))
+        t.vacuum(retain_versions=int(v.get("retainVersions", 1)),
+                 staging_grace_hours=float(
+                     v.get("stagingGraceHours", 24.0)))
     return None
 
 

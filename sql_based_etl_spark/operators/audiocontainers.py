@@ -310,6 +310,7 @@ def parse_ogg_vorbis(data: bytes) -> dict:
     vendor: str | None = None
     comments: dict[str, list[str]] = {}
     comment_pending = False
+    header_cont = False
     expect_seq: int | None = None
     serial0: int | None = None
     while pos < len(data):
@@ -361,17 +362,51 @@ def parse_ogg_vorbis(data: bytes) -> dict:
                      "bitrate_nominal": br_nom}
             comment_pending = True
         elif comment_pending:
-            comment_pending = False
+            # header phase: the comment (type 3) and setup (type 5)
+            # headers — real encoders lace both onto one page, with the
+            # setup header often CONTINUING onto further pages
+            # (continuation pages set htype bit 0). Header bytes never
+            # count as payload. Vorbis I requires the first AUDIO
+            # packet to begin on a fresh page, so the phase ends at the
+            # first page whose first fresh packet is not a header.
             packets, continued = _page_packets(data, pos, lace_end)
-            if packets and packets[0][:7] == b"\x03vorbis":
-                vendor, comments = _parse_vorbis_comments(packets[0])
-                # remaining packets on a header page are the setup
-                # header (type 5) — headers never count as payload
-            elif not packets and continued:
-                raise AudioDecodeError(
-                    "ogg: header packet spans pages — unsupported")
-            else:
+            work = list(packets)
+            if header_cont:
+                if not htype & 0x01:
+                    raise AudioDecodeError(
+                        "ogg: header packet left unfinished — the next "
+                        "page is not flagged as a continuation")
+                if work:
+                    work = work[1:]        # completes the spanning header
+                    header_cont = False
+                else:
+                    header_cont = continued
+            def _is_hdr(b: bytes) -> bool:
+                return b[:1] in (b"\x03", b"\x05") and b[1:7] == b"vorbis"
+
+            if work and not _is_hdr(work[0]):
+                # fresh non-header packet leads the page: audio begins
+                comment_pending = False
                 payload_bytes += body_len
+            elif not work and not header_cont and not htype & 0x01:
+                # one unfinished packet spans the whole page: classify
+                # by its leading bytes
+                if _is_hdr(data[lace_end:lace_end + 7]):
+                    header_cont = True
+                else:
+                    comment_pending = False
+                    payload_bytes += body_len
+            else:
+                for pkt in work:
+                    if not _is_hdr(pkt):
+                        raise AudioDecodeError(
+                            "ogg: audio packet shares a page with "
+                            "vorbis headers — the first audio packet "
+                            "must begin on a fresh page (Vorbis I)")
+                    if pkt[:1] == b"\x03":
+                        vendor, comments = _parse_vorbis_comments(pkt)
+                if continued and work:
+                    header_cont = True
         else:
             payload_bytes += body_len
         if granule >= 0:

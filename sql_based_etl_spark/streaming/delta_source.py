@@ -89,14 +89,9 @@ def _plain_ls(dir_path: str) -> list[str]:
 
 
 def _plain_read(path: str) -> bytes:
-    if "://" in path:
-        import pyarrow.fs as pafs
+    from sql_based_etl_spark.tables.delta_interop import _read_bytes_plain
 
-        fs, rel = pafs.FileSystem.from_uri(path)
-        with fs.open_input_stream(rel) as f:
-            return f.read()
-    with open(path, "rb") as f:
-        return f.read()
+    return _read_bytes_plain(path)
 
 
 def _plain_list_log(log_dir: str) -> dict[int, str]:
@@ -170,6 +165,45 @@ def _phys_to_logical(meta: dict) -> dict[str, str]:
     return out
 
 
+def _type_shape(node):
+    """Structural type identity, ignoring field metadata (identity high
+    watermarks, column-mapping ids legitimately churn per commit)."""
+    if isinstance(node, dict) and node.get("type") == "struct":
+        return ("struct", tuple(
+            (f["name"], _type_shape(f["type"]))
+            for f in node.get("fields", [])))
+    if isinstance(node, dict) and node.get("type") == "array":
+        return ("array", _type_shape(node["elementType"]))
+    if isinstance(node, dict) and node.get("type") == "map":
+        return ("map", _type_shape(node["keyType"]),
+                _type_shape(node["valueType"]))
+    return node
+
+
+def _schema_readable_under(old_string: str | None,
+                           new_string: str) -> bool:
+    """True when files written under ``old_string`` can be served under
+    ``new_string``: every old column exists in the new schema with an
+    IDENTICAL type shape, and every new-only column is nullable (the
+    executor read null-fills it) — mergeSchema's additive evolution.
+    Anything else (drop, rename, retype, non-nullable add) is a real
+    schema change the stream must refuse."""
+    if old_string is None:
+        return True
+    old = {f["name"]: _type_shape(f["type"])
+           for f in json.loads(old_string).get("fields", [])}
+    newf = json.loads(new_string).get("fields", [])
+    new = {f["name"]: _type_shape(f["type"]) for f in newf}
+    nullable = {f["name"]: bool(f.get("nullable", True)) for f in newf}
+    for name, shape in old.items():
+        if new.get(name) != shape:
+            return False
+    for name in new:
+        if name not in old and not nullable[name]:
+            return False
+    return True
+
+
 @dataclass
 class _FilePartition(InputPartition):
     """One new data file of one micro-batch: everything the executor
@@ -196,10 +230,11 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                                                      "false"))
         ).lower() == "true"
         sv = options.get("startingversion", options.get("startingVersion"))
-        # -1 = from the beginning: version 0's CREATE adds are the
-        # initial snapshot, streamed as the first micro-batch (the
-        # library's startingVersion=0 behavior)
-        self._start = int(sv) if sv is not None else -1
+        # library semantics: startingVersion=N streams commit N
+        # INCLUSIVE; offsets record the version processed THROUGH, so
+        # the initial offset is N-1. Default: from the beginning
+        # (version 0's CREATE adds are the initial snapshot).
+        self._start = int(sv) - 1 if sv is not None else -1
         self._meta_cache: dict | None = None
 
     # -- planning (driver-side isolated Python worker, plain IO) ------
@@ -237,13 +272,21 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             v_adds: list[dict] = []
             v_removed: set[str] = set()
             for a in _plain_log_actions(logs[v]):
-                if "metaData" in a and (
-                    a["metaData"].get("schemaString")
-                    != meta["schemaString"]
+                if "metaData" in a and not _schema_readable_under(
+                    a["metaData"].get("schemaString"),
+                    meta["schemaString"],
                 ):
+                    # structural comparison, not byte equality:
+                    # identity tables re-emit metaData per append (the
+                    # highWaterMark lives in field metadata), and
+                    # mergeSchema's additive column adds are servable
+                    # under the newest schema (old files null-fill) —
+                    # only drops/renames/retypes/non-nullable adds
+                    # refuse
                     raise ValueError(
                         f"delta_bridge source: commit {v} changes the "
-                        "table schema — restart the query to pick it up"
+                        "table schema incompatibly — restart the query "
+                        "from a full snapshot"
                     )
                 if "add" in a and a["add"].get("dataChange", True):
                     v_adds.append(a["add"])
@@ -320,10 +363,16 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                     cols.append(pa.nulls(n, type=f.type))
                 else:
                     cols.append(pa.array([raw] * n).cast(f.type))
+            elif f.nullable:
+                # a file written before a mergeSchema column add lacks
+                # the column; readers fill NULL (the bridge's batch
+                # reader and the library do the same)
+                cols.append(pa.nulls(n, type=f.type))
             else:
                 raise ValueError(
-                    f"delta_bridge source: column {f.name!r} is neither "
-                    f"in {partition.file_path} nor a partition value"
+                    f"delta_bridge source: non-nullable column "
+                    f"{f.name!r} is neither in {partition.file_path} "
+                    "nor a partition value"
                 )
         out = pa.table(dict(zip([f.name for f in target], cols)))
         yield from out.to_batches(max_chunksize=1 << 16)

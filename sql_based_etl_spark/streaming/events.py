@@ -196,10 +196,10 @@ def append_stream_batch(batch_df: DataFrame, batch_id: int, table_path: str,
     :func:`stream_append_to_table`, module-level so the replay contract
     is directly testable). Returns True if a commit happened, False
     for an empty or already-committed (replayed) batch."""
-    from sql_based_etl_spark.tables.versioned import VersionedTable
 
     from sql_based_etl_spark.tables.versioned import (
         ConcurrentStreamBatchError,
+        VersionedTable,
     )
 
     if batch_df.isEmpty():

@@ -1098,14 +1098,24 @@ class VersionedTable:
         return self._commit(new_v, f"RESTORE_v{src_v}", m["files"],
                             m["schema"], stats=m.get("stats", {}))
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(self, retain_versions: int = 1,
+               staging_grace_hours: float = 24.0) -> list[str]:
         """Delete data files referenced only by versions older than the
         newest ``retain_versions``, and drop those versions' manifests
         (they could no longer be read). Returns the deleted data-file
         paths. The physical-delete pass of the copy-on-write design —
         run after compaction, outside any time-travel retention window.
         Metadata-sized work only: the file lists live in manifests, so
-        no data is scanned."""
+        no data is scanned.
+
+        ``staging_grace_hours``: unreferenced files YOUNGER than this
+        are kept — a concurrent appender stages its data files BEFORE
+        the manifest claim (and may be mid-retry under the round-10
+        append OCC), so "unreferenced" is not "dead" for recent files;
+        Delta's VACUUM applies the same mtime grace to untracked files.
+        Pass 0 only when no writer can be live (tests/maintenance)."""
+        import time as _time
+
         if retain_versions < 1:
             raise VersionedTableError("retain_versions must be >= 1")
         vs = self.versions()
@@ -1117,11 +1127,12 @@ class VersionedTable:
         # FileNotFound instead of a clean resolve error)
         for v in drop_vs:
             fs.delete(self._jpath("_meta", f"v{v:08d}.json"), False)
-        # then GC by physical listing — every data file not referenced
-        # by a surviving manifest goes, which also reclaims files
-        # orphaned by an earlier crash (manifests deleted, files not).
-        # Safe under the table's single-writer contract; a concurrent
-        # writer's uncommitted files would need Delta-style retention.
+        # then GC by physical listing — every unreferenced data file
+        # PAST THE STAGING GRACE goes, which also reclaims files
+        # orphaned by an earlier crash (manifests deleted, files not)
+        # without ever racing a live appender's staged-but-uncommitted
+        # files.
+        cutoff_ms = (_time.time() - staging_grace_hours * 3600.0) * 1000.0
         live = {f for v in keep_vs for f in self.files(v)}
         dead = []
         data_root = self._jpath("data")
@@ -1131,7 +1142,8 @@ class VersionedTable:
                 for st in fs.listStatus(vdir.getPath()):
                     fn = st.getPath().getName()
                     rel = f"data/{vname}/{fn}"
-                    if rel not in live:
+                    if (rel not in live
+                            and st.getModificationTime() < cutoff_ms):
                         dead.append(rel)
         for f in sorted(dead):
             fs.delete(self._jpath(f), False)

@@ -592,3 +592,67 @@ def test_ogg_vorbis_comment_header_round_trip():
              + _build_ogg_page(4, 100, serial, 1, [bytes(trunc_pkt)]))
     with pytest.raises(AudioDecodeError, match="vendor string"):
         parse_ogg_vorbis(trunc)
+
+
+def test_ogg_setup_header_spanning_pages_not_counted_as_payload():
+    """libvorbis-style framing (round-10 self-review fix): comment +
+    setup headers share page 1, the setup header CONTINUES onto page 2
+    (lacing ends at 255, next page flags continuation) — header bytes
+    never count into payload_bytes, the comment still parses, and the
+    first audio page starts the payload accounting."""
+    import struct
+
+    from sql_based_etl_spark.operators.audiocontainers import (
+        _ogg_crc,
+        parse_ogg_vorbis,
+    )
+
+    def page(htype, granule, serial, seq, laces, body):
+        pg = bytearray(b"OggS") + struct.pack(
+            "<BBqIII", 0, htype, granule, serial, seq, 0)
+        pg.append(len(laces))
+        pg += bytes(laces)
+        pg += body
+        pg[22:26] = struct.pack("<I", _ogg_crc(bytes(pg)))
+        return bytes(pg)
+
+    serial = 0x0BAD_F00D
+    ident = (bytearray([1]) + b"vorbis"
+             + struct.pack("<IBIiii", 0, 2, 44100, 0, 128000, 0)
+             + bytes([1 << 6, 1]))
+    comment = bytearray([3]) + b"vorbis"
+    vb = b"libvorbis-ish"
+    comment += len(vb).to_bytes(4, "little") + vb
+    comment += (1).to_bytes(4, "little")
+    c = b"TITLE=Spanning"
+    comment += len(c).to_bytes(4, "little") + c + b"\x01"
+    setup = bytes([5]) + b"vorbis" + bytes(603)   # 610 bytes total
+    part1, part2 = setup[:510], setup[510:]
+
+    audio = bytes((i * 7) % 256 for i in range(64))
+    stream = (
+        page(2, 0, serial, 0, [len(ident)], bytes(ident))
+        # page 1: complete comment + first 510 bytes of setup
+        # (laces: comment, then 255,255 — ends AT 255: continued)
+        + page(0, 0, serial, 1, [len(comment), 255, 255],
+               bytes(comment) + part1)
+        # page 2: continuation flag, setup remainder
+        + page(1, 0, serial, 2, [len(part2)], part2)
+        # page 3: first audio page (fresh packet), eos
+        + page(4, 4096, serial, 3, [len(audio)], audio)
+    )
+    r = parse_ogg_vorbis(stream)
+    assert r["comments"] == {"TITLE": ["Spanning"]}
+    assert r["vendor"] == "libvorbis-ish"
+    assert r["payload_bytes"] == 64, r["payload_bytes"]
+    assert r["n_pages"] == 4
+    assert r["duration_micros"] == 4096 * 1_000_000 // 44100
+
+    # an audio packet laced onto a header page is spec-illegal framing
+    bad = (
+        page(2, 0, serial, 0, [len(ident)], bytes(ident))
+        + page(0, 0, serial, 1, [len(comment), len(audio)],
+               bytes(comment) + audio)
+    )
+    with pytest.raises(AudioDecodeError, match="fresh page"):
+        parse_ogg_vorbis(bad)

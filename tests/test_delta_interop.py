@@ -4833,3 +4833,85 @@ def test_iceberg_compat_v2_dml_keeps_field_ids(spark, tmp_path):
             md = sch.field(i).metadata or {}
             assert b"PARQUET:field_id" in md, (
                 f"{a['path']}: {sch.field(i).name!r} lost its field id")
+
+
+def test_delta_bridge_stream_source_fixes(spark, tmp_path):
+    """Round-10 self-review fixes on the streaming source:
+    startingVersion is INCLUSIVE (library semantics); identity tables
+    stream despite per-append metaData re-emission (high-watermark
+    churn in field metadata is not a schema change); files written
+    before a mergeSchema column add stream with the missing nullable
+    column null-filled."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    register_delta_bridge_source(spark)
+
+    # --- startingVersion inclusive ---
+    s1 = str(tmp_path / "s1")
+    write_delta(spark.createDataFrame([(0,)], "id long"), s1,
+                mode="overwrite")
+    write_delta(spark.createDataFrame([(1,)], "id long"), s1)
+    write_delta(spark.createDataFrame([(2,)], "id long"), s1)
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", s1).option("startingVersion", "1").load()
+         .writeStream.format("memory").queryName("dbsv")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    got = sorted(r.id for r in spark.sql("select id from dbsv").collect())
+    assert got == [1, 2], "startingVersion=1 must include commit 1"
+
+    # --- identity table: metaData hwm churn is not a schema change ---
+    s2 = str(tmp_path / "s2")
+    os.makedirs(s2)
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "ident", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 1, "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": False}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    _log(s2, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+         {"metaData": {
+             "id": "idstream",
+             "format": {"provider": "parquet", "options": {}},
+             "schemaString": schema_string, "partitionColumns": [],
+             "configuration": {}}})
+    write_delta(spark.createDataFrame([("a",)], "v string"), s2)
+    write_delta(spark.createDataFrame([("b",)], "v string"), s2)
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", s2).load()
+         .writeStream.format("memory").queryName("dbsi")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    rows = spark.sql("select ident, v from dbsi order by ident").collect()
+    assert [r.v for r in rows] == ["a", "b"]
+    assert all(r.ident is not None for r in rows)
+
+    # --- mergeSchema: pre-evolution files null-fill the new column ---
+    s3 = str(tmp_path / "s3")
+    write_delta(spark.createDataFrame([(1, "x")], "id long, v string"),
+                s3, mode="overwrite")
+    write_delta(spark.createDataFrame([(2, "y", 5.0)],
+                                      "id long, v string, score double"),
+                s3, mode="append", merge_schema=True)
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", s3).load()
+         .writeStream.format("memory").queryName("dbsm2")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # the schema-change refusal only fires for commits INSIDE a batch
+    # whose shape differs from the newest; commit 1's metaData IS the
+    # newest shape, so the full-history batch streams with commit 0's
+    # file null-filled
+    assert q.exception() is None, q.exception()
+    got = {r.id: (r.v, r.score)
+           for r in spark.sql("select * from dbsm2").collect()}
+    assert got == {1: ("x", None), 2: ("y", 5.0)}
+

@@ -155,7 +155,7 @@ def test_vacuum_drops_dead_files_and_old_versions(spark, table):
     )
     table.write(extra, mode="append", num_partitions=1)
     table.compact(num_partitions=1)
-    deleted = table.vacuum(retain_versions=1)
+    deleted = table.vacuum(retain_versions=1, staging_grace_hours=0)
     assert deleted, "compacted-away small files should be deleted"
     assert table.versions() == [table.latest_version()]
     assert table.read().count() == 150
@@ -258,7 +258,7 @@ def test_vacuum_reclaims_crash_orphans(spark, table):
     out.write(bytearray(b"junk"))
     out.close()
     table.write(_clustered_df(spark, n=50, parts=1), num_partitions=None)
-    deleted = table.vacuum(retain_versions=1)
+    deleted = table.vacuum(retain_versions=1, staging_grace_hours=0)
     assert "data/v00000099/orphan.parquet" in deleted
     assert not fs.exists(orphan)
     assert table.read().count() == 50
@@ -515,7 +515,7 @@ def test_restore_is_metadata_only_and_vacuum_safe(spark, table):
     assert v2 == 2
     assert table.files(2) == v0_files  # shared, not copied
     assert sorted(r.id for r in table.read().collect()) == list(range(10))
-    table.vacuum(retain_versions=1)  # drops v0/v1 manifests
+    table.vacuum(retain_versions=1, staging_grace_hours=0)  # drops v0/v1 manifests
     assert table.versions() == [2]
     assert sorted(r.id for r in table.read().collect()) == list(range(10))
 
@@ -889,3 +889,24 @@ def test_stream_sink_race_same_batch_commits_once(spark, tmp_path,
     assert append_stream_batch(
         spark.range(12, 15).select("id"), 3, path) is True
     assert t.read().count() == 15
+
+
+def test_vacuum_staging_grace_protects_fresh_unreferenced_files(
+        spark, table):
+    """VersionedTable.vacuum keeps unreferenced files younger than the
+    staging grace — a concurrent appender stages data BEFORE its
+    manifest claim, so 'unreferenced' is not 'dead' for fresh files
+    (round-10 self-review fix); grace 0 reclaims them."""
+    import os as _os
+
+    table.write(spark.range(3).toDF("id"))
+    table.write(spark.range(3, 6).toDF("id"), mode="overwrite")
+    staged = _os.path.join(table.path, "data", "v00000099")
+    _os.makedirs(staged)
+    with open(_os.path.join(staged, "inflight.parquet"), "wb") as f:
+        f.write(b"not-yet-committed")
+    gone = table.vacuum(retain_versions=1)  # default 24h grace
+    assert "data/v00000099/inflight.parquet" not in gone
+    assert _os.path.exists(_os.path.join(staged, "inflight.parquet"))
+    gone = table.vacuum(retain_versions=1, staging_grace_hours=0)
+    assert "data/v00000099/inflight.parquet" in gone
