@@ -1082,48 +1082,90 @@ def _snapshot_df(
 
     def _read_adds(alist: list[dict]) -> DataFrame:
         """Read a list of add actions: one multi-file scan for files
-        without a deletion vector, plus — per DV'd file — a scan whose
-        rows are filtered by an anti-join of ``_metadata.row_index``
-        against the deleted-index relation.
+        without a deletion vector, plus the DV'd files filtered by an
+        anti-join of ``_metadata.row_index`` against the deleted-index
+        relation.
 
-        Scale shape (round-10 fix): the driver ships ONLY the
-        descriptor JSON (O(100) bytes); an Arrow kernel reads the
-        sidecar and expands the roaring bitmap to row indexes
-        EXECUTOR-side (:func:`_dv_payload_plain` — the old
-        driver-side decode + ``createDataFrame`` pickled every deleted
-        index through the driver: measured 9.9s of a 10.1s read at
-        618k deleted rows). The expanded relation is broadcast when
-        the descriptor's cardinality bounds it small (≤4M rows ≈
-        32 MB); a heavier DV falls back to a shuffle join — and is
-        REORG-purge material anyway (compact_delta purge=True)."""
+        Scale shape (round-10): the driver ships ONLY descriptor JSON
+        (O(100) bytes per file); Arrow kernels read the sidecars and
+        expand the roaring bitmaps to row indexes EXECUTOR-side
+        (:func:`_dv_payload_plain` — the old driver-side decode +
+        ``createDataFrame`` pickled every deleted index through the
+        driver: measured 9.9s of a 10.1s read at 618k deleted rows).
+        When every DV'd file's basename is unique and literal (no
+        percent-encoding — true of every Delta writer's
+        ``part-…-<uuid>…`` names), ALL DV'd files read as ONE scan
+        anti-joined once on (basename, row_index), so the plan stays
+        O(1) in DV'd-file count; otherwise each file gets its own
+        branch (path-exact, shape-safe fallback). The expanded
+        relation broadcasts while total cardinality stays ≤4M rows
+        (≈32 MB); heavier deletes shuffle-join — and are REORG-purge
+        material anyway (compact_delta purge=True)."""
         plain = [_abs(a["path"]) for a in alist if not a.get("deletionVector")]
         parts = [_read(plain)] if plain else []
-        for a in alist:
-            dv = a.get("deletionVector")
-            if not dv:
-                continue
-            desc_df = spark.createDataFrame(
-                [(json.dumps(dv),)], "__dv_desc string")
+        dv_adds = [a for a in alist if a.get("deletionVector")]
 
-            def _expand(batches, _tp=path):
-                import pandas as pd
+        def _expand_kernel(batches, _tp=path):
+            import pandas as pd
 
-                for pdf in batches:
-                    for desc in pdf["__dv_desc"]:
-                        d = json.loads(desc)
-                        idx = _roaring_array_indexes(
-                            _dv_payload_plain(_tp, d))
-                        card = d.get("cardinality")
-                        if card is not None and int(card) != len(idx):
-                            raise VersionedTableError(
-                                f"deletion vector: decoded {len(idx)} "
-                                "deleted rows, descriptor cardinality "
-                                f"says {card}")
-                        yield pd.DataFrame(
-                            {"__dv_row_index": idx.astype("int64")})
+            for pdf in batches:
+                for bn, desc in zip(pdf["__dv_file"], pdf["__dv_desc"]):
+                    d = json.loads(desc)
+                    idx = _roaring_array_indexes(_dv_payload_plain(_tp, d))
+                    card = d.get("cardinality")
+                    if card is not None and int(card) != len(idx):
+                        raise VersionedTableError(
+                            f"deletion vector: decoded {len(idx)} "
+                            "deleted rows, descriptor cardinality "
+                            f"says {card}")
+                    out = pd.DataFrame(
+                        {"__dv_row_index": idx.astype("int64")})
+                    out.insert(0, "__dv_file", bn)
+                    yield out
 
-            deleted = desc_df.mapInPandas(
-                _expand, "__dv_row_index long")
+        basenames = [posixpath.basename(urllib.parse.unquote(a["path"]))
+                     for a in dv_adds]
+        collapsible = (len(dv_adds) > 1
+                       and len(set(basenames)) == len(basenames)
+                       and all("%" not in b for b in basenames))
+        if collapsible:
+            descs = [(bn, json.dumps(a["deletionVector"]))
+                     for bn, a in zip(basenames, dv_adds)]
+            deleted = (
+                spark.createDataFrame(descs, "__dv_file string, "
+                                             "__dv_desc string")
+                .repartition(min(len(descs), 64))
+                .mapInPandas(_expand_kernel,
+                             "__dv_file string, __dv_row_index long")
+            )
+            total = sum(int(a["deletionVector"].get("cardinality") or 0)
+                        for a in dv_adds)
+            if 0 < total <= 4_000_000:
+                deleted = F.broadcast(deleted)
+            file_col = (F.col("__file") if tag_rows
+                        else F.col("_metadata.file_path"))
+            parts.append(
+                _read([_abs(a["path"]) for a in dv_adds])
+                .withColumn("__dv_file",
+                            F.element_at(F.split(file_col, "/"), -1))
+                .withColumn("__dv_row_index",
+                            F.col("__ridx") if tag_rows
+                            else F.col("_metadata.row_index"))
+                .join(deleted, ["__dv_file", "__dv_row_index"],
+                      "left_anti")
+                .drop("__dv_file", "__dv_row_index")
+            )
+            dv_adds = []
+        for a in dv_adds:
+            dv = a["deletionVector"]
+            bn = posixpath.basename(urllib.parse.unquote(a["path"]))
+            deleted = (
+                spark.createDataFrame([(bn, json.dumps(dv))],
+                                      "__dv_file string, __dv_desc string")
+                .mapInPandas(_expand_kernel,
+                             "__dv_file string, __dv_row_index long")
+                .drop("__dv_file")
+            )
             card = int(dv.get("cardinality") or 0)
             if 0 < card <= 4_000_000:
                 deleted = F.broadcast(deleted)

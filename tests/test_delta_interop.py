@@ -4915,3 +4915,38 @@ def test_delta_bridge_stream_source_fixes(spark, tmp_path):
            for r in spark.sql("select * from dbsm2").collect()}
     assert got == {1: ("x", None), 2: ("y", 5.0)}
 
+
+
+def test_dv_read_collapses_files_into_one_scan(spark, tmp_path):
+    """A snapshot with MANY DV'd files reads as ONE scan + ONE
+    anti-join on (basename, row_index) — the plan stays O(1) in DV'd
+    file count instead of a branch per file (round-10; 100 TB tables
+    accumulate thousands of DV'd files between REORG purges). Unique
+    literal basenames gate the collapse; every Delta writer's
+    part-<uuid> names qualify."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(0, 40_000).selectExpr("id", "id % 10 as k")
+                .repartition(16), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    delete_delta(spark, d, "k = 3")
+    df = read_delta(spark, d)
+    assert df.count() == 36_000
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    # every DV'd file must flow through a single scan node (plus at
+    # most the descriptor-relation side), never one branch per file
+    scans = len(_re.findall(r"Scan parquet|FileScan", plan))
+    assert scans <= 3, f"plan fans out per DV'd file ({scans} scans)"
+    assert plan.count("LeftAnti") <= 2
+    # and a second delete still unions with the live DVs correctly
+    delete_delta(spark, d, "id < 100")
+    got = read_delta(spark, d)
+    assert got.count() == 36_000 - 90  # 100 minus the 10 already dead
+    assert got.filter("k = 3 or id < 100").count() == 0
