@@ -235,11 +235,31 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         # the initial offset is N-1. Default: from the beginning
         # (version 0's CREATE adds are the initial snapshot).
         self._start = int(sv) - 1 if sv is not None else -1
+        mct = options.get("maxcommitspertrigger",
+                          options.get("maxCommitsPerTrigger"))
+        # rate limiting (the library's maxFilesPerTrigger analogue, at
+        # commit granularity): a backlog catch-up processes at most N
+        # commits per micro-batch instead of one giant batch. Best
+        # effort across restarts: the cap engages once a planned range
+        # has been observed (the first post-restart batch is unbounded
+        # — the planner cannot know Spark's committed offset before
+        # partitions() reveals it, and a capped offset BELOW the
+        # committed one would regress the stream).
+        self._max_commits = int(mct) if mct is not None else None
+        if self._max_commits is not None and self._max_commits < 1:
+            raise ValueError(
+                "delta_bridge source: maxCommitsPerTrigger must be >= 1")
+        self._seen: int | None = None
         self._meta_cache: dict | None = None
 
     # -- planning (driver-side isolated Python worker, plain IO) ------
 
     def initialOffset(self) -> dict:
+        # only called on a FRESH start (no offset log) — which means
+        # the committed base IS the starting version, so the rate cap
+        # can engage from the very first batch; on restart this never
+        # runs and the first batch stays uncapped (see __init__)
+        self._seen = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -247,7 +267,22 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         if not logs:
             raise ValueError(
                 f"delta_bridge source: no Delta log at {self._log_dir}")
-        return {"version": max(logs)}
+        latest = max(logs)
+        if self._max_commits is not None:
+            if self._seen is None:
+                # first observation in this worker: Spark may call
+                # latestOffset before initialOffset, and on restart the
+                # committed offset is unknowable here — capping below
+                # it would REGRESS the stream (replay = duplicates), so
+                # the first batch is unbounded and the cap engages from
+                # the next trigger (the library's admission control has
+                # the same first-batch caveat)
+                self._seen = latest
+            else:
+                latest = max(min(latest, self._seen + self._max_commits),
+                             self._seen)
+                self._seen = latest
+        return {"version": latest}
 
     def _meta(self, logs: dict[int, str]) -> dict:
         if self._meta_cache is None:
@@ -256,6 +291,7 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
+        self._seen = ev if self._seen is None else max(self._seen, ev)
         logs = _plain_list_log(self._log_dir)
         meta = self._meta(logs)
         rename = _phys_to_logical(meta)

@@ -4950,3 +4950,65 @@ def test_dv_read_collapses_files_into_one_scan(spark, tmp_path):
     got = read_delta(spark, d)
     assert got.count() == 36_000 - 90  # 100 minus the 10 already dead
     assert got.filter("k = 3 or id < 100").count() == 0
+
+
+def test_delta_bridge_stream_source_max_commits_per_trigger(
+        spark, tmp_path):
+    """maxCommitsPerTrigger (the library's rate-limit analogue):
+    commits arriving while the stream runs drain in bounded
+    micro-batches of ≤2 commits each instead of one giant batch, every
+    row lands exactly once. The FIRST batch is unbounded by design —
+    Spark may ask for the latest offset before the initial one, and on
+    restart the committed offset is unknowable in the planner, so a
+    cap below it would regress the stream (documented caveat, shared
+    with the library's admission control)."""
+    import time as _time
+
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.streaming.events import append_stream_batch
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(0,)], "id long"), src,
+                mode="overwrite")
+
+    register_delta_bridge_source(spark)
+    sink = str(tmp_path / "sink")
+    seen: list[tuple[int, int]] = []
+
+    def batcher(df, bid):
+        n = df.count()
+        if n:
+            seen.append((bid, n))
+        append_stream_batch(df, bid, sink)
+
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", src)
+         .option("maxCommitsPerTrigger", "2").load()
+         .writeStream.foreachBatch(batcher)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="50 milliseconds").start())
+    t = VersionedTable(spark, sink)
+    deadline = _time.time() + 120
+    while _time.time() < deadline:           # first (unbounded) batch
+        if t.exists() and t.read().count() == 1:
+            break
+        _time.sleep(0.5)
+    # a 6-commit backlog lands while the stream runs
+    for i in range(1, 7):
+        write_delta(spark.createDataFrame([(i,)], "id long"), src)
+    while _time.time() < deadline:
+        if t.read().count() == 7:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    got = sorted(r.id for r in t.read().collect())
+    assert got == list(range(7)), got
+    # the backlog drained across MULTIPLE bounded batches (1 row per
+    # commit here): after the first batch, every batch carries ≤ 2
+    backlog = [n for _, n in seen[1:]]
+    assert len(backlog) >= 3, seen
+    assert all(n <= 2 for n in backlog), seen
