@@ -84,35 +84,44 @@ def coerce_condition_for_types(cond: str, dtypes_by_alias: dict[str, dict[str, s
 
 
 _BARE_RHS = re.compile(
-    r"(?<![.\w])(\w+)\s*(=|<>|!=)\s*(true|false)\b", re.IGNORECASE
+    r"(?<![.\w])(?:(\w+)\s*\.\s*)?(\w+)\s*(=|<>|!=|<=|>=)\s*(true|false)\b",
+    re.IGNORECASE,
 )
 _BARE_LHS = re.compile(
-    r"\b(true|false)\s*(=|<>|!=)\s*(\w+)(?![.\w(])", re.IGNORECASE
+    r"\b(true|false)\s*(=|<>|!=|<=|>=)\s*(?:(\w+)\s*\.\s*)?(\w+)(?![.\w(])",
+    re.IGNORECASE,
 )
 
 
 def coerce_predicate_for_types(pred: str, dtypes: dict[str, str]) -> str:
     """Dtype-aware rewrite for single-table predicates (DELETE WHERE):
-    an UNQUALIFIED comparison ``col = true|false`` (either side) whose
+    a comparison ``col = true|false`` (either side, ``=``/``<>``/``!=``
+    and the ordered ``<=``/``>=`` BooleanEquality also coerced) whose
     column is known NON-boolean gets its literal rewritten to 1/0 —
-    the same BooleanEquality rule :func:`coerce_condition_for_types`
-    applies to alias-qualified merge conditions, so ``iscurrent = true``
-    behaves identically between MERGE delete clauses and DELETE.
-    Boolean columns and unknown names keep their literal."""
+    the same rule :func:`coerce_condition_for_types` applies to
+    alias-qualified merge conditions, so ``iscurrent = true`` behaves
+    identically between MERGE delete clauses and DELETE. The predicate
+    is single-table, so an alias qualifier (``t.iscurrent = true``) is
+    resolved by the COLUMN name alone — any qualifier names the one
+    table. Boolean columns and unknown names keep their literal."""
     low = {k.lower(): v for k, v in dtypes.items()}
 
     def repl_rhs(m: re.Match) -> str:
-        col, op, word = m.group(1), m.group(2), m.group(3)
+        qual, col, op, word = (m.group(1), m.group(2), m.group(3),
+                               m.group(4))
         dt = low.get(col.lower())
         if dt is not None and dt != "boolean":
-            return f"{col} {op} {_lit(word)}"
+            name = f"{qual}.{col}" if qual else col
+            return f"{name} {op} {_lit(word)}"
         return m.group(0)
 
     def repl_lhs(m: re.Match) -> str:
-        word, op, col = m.group(1), m.group(2), m.group(3)
+        word, op, qual, col = (m.group(1), m.group(2), m.group(3),
+                               m.group(4))
         dt = low.get(col.lower())
         if dt is not None and dt != "boolean":
-            return f"{_lit(word)} {op} {col}"
+            name = f"{qual}.{col}" if qual else col
+            return f"{_lit(word)} {op} {name}"
         return m.group(0)
 
     return _sub_outside_quotes(

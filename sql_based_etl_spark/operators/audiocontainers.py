@@ -239,10 +239,12 @@ def _build_ogg_page(header_type: int, granule: int, serial: int,
     return bytes(page)
 
 
-def _page_packets(data: bytes, pos: int, lace_end: int) -> tuple[list[bytes], bool]:
+def _page_packets(data: bytes, pos: int,
+                  lace_end: int) -> tuple[list[bytes], bytes]:
     """Split one page's body into PACKETS via its lacing values (a
-    packet ends on a lace < 255). Returns (complete packets, True when
-    the last packet continues onto the next page)."""
+    packet ends on a lace < 255). Returns (complete packets, tail):
+    ``tail`` is the trailing fragment of a packet that continues onto
+    the next page (empty when the page ends on a packet boundary)."""
     laces = data[pos + 27:lace_end]
     packets: list[bytes] = []
     cur = bytearray()
@@ -253,7 +255,7 @@ def _page_packets(data: bytes, pos: int, lace_end: int) -> tuple[list[bytes], bo
         if lace < 255:
             packets.append(bytes(cur))
             cur = bytearray()
-    return packets, bool(cur)
+    return packets, bytes(cur)
 
 
 def _parse_vorbis_comments(pkt: bytes) -> tuple[str, dict[str, list[str]]]:
@@ -311,6 +313,7 @@ def parse_ogg_vorbis(data: bytes) -> dict:
     comments: dict[str, list[str]] = {}
     comment_pending = False
     header_cont = False
+    span_frag = bytearray()  # accumulated fragments of a spanning header
     expect_seq: int | None = None
     serial0: int | None = None
     while pos < len(data):
@@ -369,7 +372,8 @@ def parse_ogg_vorbis(data: bytes) -> dict:
             # count as payload. Vorbis I requires the first AUDIO
             # packet to begin on a fresh page, so the phase ends at the
             # first page whose first fresh packet is not a header.
-            packets, continued = _page_packets(data, pos, lace_end)
+            packets, tail = _page_packets(data, pos, lace_end)
+            continued = bool(tail)
             work = list(packets)
             if header_cont:
                 if not htype & 0x01:
@@ -377,9 +381,18 @@ def parse_ogg_vorbis(data: bytes) -> dict:
                         "ogg: header packet left unfinished — the next "
                         "page is not flagged as a continuation")
                 if work:
-                    work = work[1:]        # completes the spanning header
+                    # first completed packet finishes the spanning
+                    # header — REASSEMBLE it: a comment header just over
+                    # one page would otherwise silently lose its
+                    # vendor/comments (the fragments are the data)
+                    whole = bytes(span_frag) + work[0]
+                    if whole[:1] == b"\x03" and whole[1:7] == b"vorbis":
+                        vendor, comments = _parse_vorbis_comments(whole)
+                    span_frag = bytearray()
+                    work = work[1:]
                     header_cont = False
                 else:
+                    span_frag += tail
                     header_cont = continued
             def _is_hdr(b: bytes) -> bool:
                 return b[:1] in (b"\x03", b"\x05") and b[1:7] == b"vorbis"
@@ -393,6 +406,7 @@ def parse_ogg_vorbis(data: bytes) -> dict:
                 # by its leading bytes
                 if _is_hdr(data[lace_end:lace_end + 7]):
                     header_cont = True
+                    span_frag = bytearray(tail)
                 else:
                     comment_pending = False
                     payload_bytes += body_len
@@ -407,6 +421,7 @@ def parse_ogg_vorbis(data: bytes) -> dict:
                         vendor, comments = _parse_vorbis_comments(pkt)
                 if continued and work:
                     header_cont = True
+                    span_frag = bytearray(tail)
         else:
             payload_bytes += body_len
         if granule >= 0:

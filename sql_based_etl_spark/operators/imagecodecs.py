@@ -14,9 +14,10 @@ transparency; first frame of animations — frame EXTRACTION stays a
 ``sample_frames`` concern). JPEG also covers LOSSLESS (SOF3, all seven
 predictors, 2-16 bit) and 12-bit sequential in BOTH grayscale and
 color (the JFIF YCbCr transform generalized to the 2^prec chroma
-center). Arithmetic and hierarchical JPEG, 12-bit progressive, and
-non-AVI video stay honest ``NotImplementedError`` integration points —
-their codecs are genuinely external.
+center), plus 12-bit PROGRESSIVE (SOF2 at prec 12). Arithmetic and
+hierarchical JPEG and non-AVI video stay honest
+``NotImplementedError`` integration points — their codecs are
+genuinely external.
 
 These functions run INSIDE the Arrow ``mapInPandas`` batch path
 (multimodal.decode_image): bytes in, (geometry, channel means, pixel

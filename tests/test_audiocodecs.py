@@ -656,3 +656,83 @@ def test_ogg_setup_header_spanning_pages_not_counted_as_payload():
     )
     with pytest.raises(AudioDecodeError, match="fresh page"):
         parse_ogg_vorbis(bad)
+
+
+def test_ogg_comment_header_spanning_pages_reassembled():
+    """A COMMENT header that spans pages (comments just over one page —
+    real libvorbis output for art-heavy tags) must be REASSEMBLED from
+    its fragments and parsed, not silently dropped (the pre-round-11
+    walker returned vendor=None/comments={} for exactly this shape).
+    Covers a 2-page span and a 3-page span (a whole middle page of
+    fragment), plus an unfinished header followed by a non-continuation
+    page still failing loudly."""
+    import struct
+
+    from sql_based_etl_spark.operators.audiocontainers import (
+        _ogg_crc,
+        parse_ogg_vorbis,
+    )
+
+    def page(htype, granule, serial, seq, laces, body):
+        pg = bytearray(b"OggS") + struct.pack(
+            "<BBqIII", 0, htype, granule, serial, seq, 0)
+        pg.append(len(laces))
+        pg += bytes(laces)
+        pg += body
+        pg[22:26] = struct.pack("<I", _ogg_crc(bytes(pg)))
+        return bytes(pg)
+
+    def comment_pkt(value: str) -> bytes:
+        pkt = bytearray([3]) + b"vorbis"
+        vb = b"vend"
+        pkt += len(vb).to_bytes(4, "little") + vb
+        pkt += (1).to_bytes(4, "little")
+        c = f"TITLE={value}".encode()
+        pkt += len(c).to_bytes(4, "little") + c + b"\x01"
+        return bytes(pkt)
+
+    serial = 0x51A2_B3C4
+    ident = (bytearray([1]) + b"vorbis"
+             + struct.pack("<IBIiii", 0, 2, 44100, 0, 128000, 0)
+             + bytes([1 << 6, 1]))
+    setup = bytes([5]) + b"vorbis" + bytes(40)
+    audio = bytes((i * 3) % 256 for i in range(64))
+
+    # -- 2-page span: fragment (510 B, laces end at 255) + remainder --
+    pkt = comment_pkt("A" * 560)
+    f1, f2 = pkt[:510], pkt[510:]
+    stream = (
+        page(2, 0, serial, 0, [len(ident)], bytes(ident))
+        + page(0, 0, serial, 1, [255, 255], f1)
+        + page(1, 0, serial, 2, [len(f2), len(setup)], f2 + setup)
+        + page(4, 2048, serial, 3, [len(audio)], audio)
+    )
+    r = parse_ogg_vorbis(stream)
+    assert r["vendor"] == "vend"
+    assert r["comments"] == {"TITLE": ["A" * 560]}
+    assert r["payload_bytes"] == 64
+    assert r["n_pages"] == 4
+
+    # -- 3-page span: a whole middle page is fragment ------------------
+    pkt = comment_pkt("B" * 1100)
+    f1, f2, f3 = pkt[:510], pkt[510:1020], pkt[1020:]
+    stream3 = (
+        page(2, 0, serial, 0, [len(ident)], bytes(ident))
+        + page(0, 0, serial, 1, [255, 255], f1)
+        + page(1, 0, serial, 2, [255, 255], f2)
+        + page(1, 0, serial, 3, [len(f3), len(setup)], f3 + setup)
+        + page(4, 4096, serial, 4, [len(audio)], audio)
+    )
+    r3 = parse_ogg_vorbis(stream3)
+    assert r3["comments"] == {"TITLE": ["B" * 1100]}
+    assert r3["payload_bytes"] == 64
+    assert r3["n_pages"] == 5
+
+    # -- unfinished header + non-continuation page: loud failure -------
+    bad = (
+        page(2, 0, serial, 0, [len(ident)], bytes(ident))
+        + page(0, 0, serial, 1, [255, 255], f1)
+        + page(4, 2048, serial, 2, [len(audio)], audio)  # no cont flag
+    )
+    with pytest.raises(AudioDecodeError, match="continuation"):
+        parse_ogg_vorbis(bad)

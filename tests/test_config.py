@@ -298,3 +298,29 @@ if _HAVE_HYPOTHESIS:
         cfg = ('{ "type": "X", "uri": "' + prefix + '"${V}"' + suffix + '" }')
         out = parse_stage_config(cfg, {"V": "mid"})
         assert out["uri"] == f"{prefix}mid{suffix}"
+
+
+def test_predicate_coercion_qualified_and_ordered_ops():
+    """coerce_predicate_for_types (DELETE WHERE surface) matches the
+    merge-condition coercion for ALIAS-QUALIFIED refs ('t.iscurrent =
+    true' in a single-table predicate names the one table) and for the
+    ordered comparisons <= / >= — the round-10 ADVICE inconsistency.
+    Boolean columns, unknown names, multi-dotted refs, and literals
+    inside strings stay untouched."""
+    from sql_based_etl_spark.engine.sql_compat import (
+        coerce_predicate_for_types,
+    )
+
+    dt = {"iscurrent": "int", "flag": "boolean", "n": "bigint"}
+    assert coerce_predicate_for_types(
+        "t.iscurrent = true", dt) == "t.iscurrent = 1"
+    assert coerce_predicate_for_types(
+        "iscurrent <= TRUE AND false >= n", dt) == "iscurrent <= 1 AND 0 >= n"
+    assert coerce_predicate_for_types(
+        "t.flag = true", dt) == "t.flag = true"          # boolean keeps
+    assert coerce_predicate_for_types(
+        "unknown = true", dt) == "unknown = true"        # unknown keeps
+    assert coerce_predicate_for_types(
+        "a.b.iscurrent = true", dt) == "a.b.iscurrent = true"  # 2-dot
+    assert coerce_predicate_for_types(
+        "note = 'iscurrent = true'", dt) == "note = 'iscurrent = true'"
