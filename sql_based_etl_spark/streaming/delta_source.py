@@ -21,12 +21,21 @@ full-file removes) while overwrites stay fatal (their rewritten files
 may carry new rows — that needs CDF semantics, not an append reader).
 Schema changes and deletion-vector adds refuse loudly.
 
+``readChangeFeed=true`` (round-11) switches to the CDF stream the
+library exposes under the same option: each commit's CHANGE ROWS flow
+instead — ``_change_type`` / ``_commit_version`` /
+``_commit_timestamp_ms`` appended to the table schema, cdc actions
+read verbatim when the commit wrote them (merge updates, DV deletes),
+adds/removes derived as insert/delete rows otherwise (batch semantics
+lifted from ``read_delta_changes``). Non-append commits are DATA here,
+not errors; the table must have ``delta.enableChangeDataFeed=true``.
+
 The planner runs in an isolated Python process WITHOUT a JVM gateway,
 so all log access here is plain-IO (``os``/``pyarrow.fs`` — the same
 executor-safe lane as the DV kernels): JSON commits are listed and
 parsed directly, and a checkpoint-pruned head falls back to the
-``_last_checkpoint`` parquet (classic or v2 manifest) for table
-metadata via pyarrow.
+``_last_checkpoint`` checkpoint (classic parquet, or a v2 manifest in
+either parquet or JSON layout) for table metadata via pyarrow.
 
 Column-mapped tables stream through the physical→logical rename;
 hive-partitioned tables get their partition values injected from the
@@ -136,8 +145,19 @@ def _plain_table_meta(table_path: str, logs: dict[int, str]) -> dict:
 
     candidates = [n for n in _plain_ls(log_dir)
                   if n.startswith(f"{cv:020d}.checkpoint")
-                  and n.endswith(".parquet")]
+                  and n.endswith((".parquet", ".json"))]
     for name in sorted(candidates):
+        if name.endswith(".json"):
+            # v2 checkpoint with a JSON manifest
+            # ('<v>.checkpoint.<uuid>.json' — valid per the protocol,
+            # produced by some writers): newline-delimited actions,
+            # metaData carried in the manifest itself (file actions
+            # live in sidecars the metadata probe never needs)
+            for a in _plain_log_actions(f"{log_dir}/{name}"):
+                md = a.get("metaData")
+                if md and md.get("id"):
+                    meta = md
+            continue
         tbl = pq.read_table(f"{log_dir}/{name}")
         if "metaData" not in tbl.column_names:
             continue
@@ -204,16 +224,39 @@ def _schema_readable_under(old_string: str | None,
     return True
 
 
+def _plain_mtime_ms(path: str) -> int:
+    """Modification time in epoch ms with plain IO (no JVM) — the
+    CDF ``_commit_timestamp_ms`` fallback when a commit carries no
+    ``inCommitTimestamp`` (same rule as batch CDF / timestamp travel)."""
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        info = fs.get_file_info([rel])[0]
+        return int(info.mtime.timestamp() * 1000)
+    return int(os.stat(path).st_mtime * 1000)
+
+
+_CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp_ms")
+
+
 @dataclass
 class _FilePartition(InputPartition):
     """One new data file of one micro-batch: everything the executor
     read needs, shipped by value (paths, renames, typed partition
-    values) — no driver callbacks."""
+    values; CDF mode adds the change-row stamps) — no driver
+    callbacks."""
 
     file_path: str = ""
     schema_json: str = ""
     rename: dict = field(default_factory=dict)
     partition_values: dict = field(default_factory=dict)
+    # CDF mode: None → the file is a cdc file carrying _change_type
+    # physically; "insert"/"delete" → whole-file derivation stamp
+    change_type: str | None = None
+    commit_version: int = -1
+    commit_ts_ms: int = -1
+    cdf: bool = False
 
 
 class DeltaBridgeStreamReader(DataSourceStreamReader):
@@ -228,6 +271,16 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         self._ignore_deletes = str(
             options.get("ignoredeletes", options.get("ignoreDeletes",
                                                      "false"))
+        ).lower() == "true"
+        # readChangeFeed=true streams CHANGE ROWS (_change_type /
+        # _commit_version / _commit_timestamp_ms) instead of refusing
+        # non-append commits: merge updates, DV deletes and overwrites
+        # all flow as CDF rows — the library's
+        # readStream.option("readChangeFeed", true), batch semantics
+        # lifted from tables/delta_interop.py:read_delta_changes
+        self._cdf = str(
+            options.get("readchangefeed", options.get("readChangeFeed",
+                                                      "false"))
         ).lower() == "true"
         sv = options.get("startingversion", options.get("startingVersion"))
         # library semantics: startingVersion=N streams commit N
@@ -289,6 +342,77 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             self._meta_cache = _plain_table_meta(self._path, logs)
         return self._meta_cache
 
+    def _cdf_commit_partitions(self, v: int, logs: dict[int, str],
+                               meta: dict, rename: dict,
+                               schema_json: str) -> list["_FilePartition"]:
+        """CDF partitions for ONE commit — batch
+        ``read_delta_changes``' derivation, per micro-batch: cdc
+        actions when present (the only faithful record of a rewrite),
+        else adds → insert rows / removes → delete rows; DV-carrying
+        adds without cdc refuse (whole-file derivation would fabricate
+        churn). ``_commit_timestamp_ms``: inCommitTimestamp else the
+        commit file's mtime."""
+        cdcs: list[dict] = []
+        adds: list[dict] = []
+        removes: list[dict] = []
+        ts_ms: int | None = None
+        for a in _plain_log_actions(logs[v]):
+            if "metaData" in a and not _schema_readable_under(
+                a["metaData"].get("schemaString"), meta["schemaString"]):
+                raise ValueError(
+                    f"delta_bridge source: commit {v} changes the table "
+                    "schema incompatibly — restart the CDF stream past "
+                    "the schema change"
+                )
+            if "cdc" in a:
+                cdcs.append(a["cdc"])
+            elif "add" in a and a["add"].get("dataChange", True):
+                adds.append(a["add"])
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                removes.append(a["remove"])
+            elif "commitInfo" in a:
+                ict = a["commitInfo"].get("inCommitTimestamp")
+                ts_ms = int(ict) if ict is not None else None
+        if ts_ms is None:
+            ts_ms = _plain_mtime_ms(logs[v])
+
+        def _part(action: dict, ctype: str | None) -> _FilePartition:
+            import urllib.parse as _up
+
+            rel = _up.unquote(action["path"])
+            absolute = (rel if "://" in rel or rel.startswith("/")
+                        else f"{self._path}/{rel}")
+            return _FilePartition(
+                file_path=absolute, schema_json=schema_json,
+                rename=dict(rename),
+                partition_values=dict(action.get("partitionValues") or {}),
+                change_type=ctype, commit_version=v, commit_ts_ms=ts_ms,
+                cdf=True)
+
+        if cdcs:
+            return [_part(c, None) for c in cdcs]
+        out: list[_FilePartition] = []
+        if any(a.get("deletionVector") for a in adds):
+            raise ValueError(
+                f"delta_bridge source: commit {v} attaches a deletion "
+                "vector without cdc actions — whole-file derivation "
+                "would fabricate row churn; enable "
+                "delta.enableChangeDataFeed on the writer"
+            )
+        out.extend(_part(a, "insert") for a in adds)
+        part_cols = meta.get("partitionColumns") or []
+        for r in removes:
+            pv = r.get("partitionValues")
+            if part_cols and (pv is None
+                              or any(c not in pv for c in part_cols)):
+                raise ValueError(
+                    f"delta_bridge source: commit {v} removes "
+                    f"{r.get('path')!r} without partitionValues — "
+                    "delete rows cannot be reconstructed"
+                )
+            out.append(_part(r, "delete"))
+        return out
+
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
         self._seen = ev if self._seen is None else max(self._seen, ev)
@@ -296,15 +420,27 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         meta = self._meta(logs)
         rename = _phys_to_logical(meta)
         schema_json = meta["schemaString"]
+        if self._cdf and str((meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", "false")).lower() != "true":
+            raise ValueError(
+                "delta_bridge source: readChangeFeed=true but "
+                "delta.enableChangeDataFeed is not set on the table — "
+                "the log records no change data"
+            )
         parts: list[_FilePartition] = []
         for v in range(sv + 1, ev + 1):
             if v not in logs:
                 raise ValueError(
                     f"delta_bridge source: commit {v} missing at "
                     f"{self._log_dir} (pruned below a checkpoint?) — "
-                    "cannot reconstruct the append stream; restart the "
-                    "query from a full snapshot"
+                    "cannot reconstruct the "
+                    + ("change" if self._cdf else "append")
+                    + " stream; restart the query from a full snapshot"
                 )
+            if self._cdf:
+                parts.extend(self._cdf_commit_partitions(
+                    v, logs, meta, rename, schema_json))
+                continue
             v_adds: list[dict] = []
             v_removed: set[str] = set()
             for a in _plain_log_actions(logs[v]):
@@ -410,7 +546,27 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                     f"{f.name!r} is neither in {partition.file_path} "
                     "nor a partition value"
                 )
-        out = pa.table(dict(zip([f.name for f in target], cols)))
+        names = [f.name for f in target]
+        if partition.cdf:
+            if partition.change_type is None:
+                # cdc file: _change_type is stored verbatim
+                if "_change_type" not in tbl.column_names:
+                    raise ValueError(
+                        f"delta_bridge source: cdc file "
+                        f"{partition.file_path} carries no _change_type "
+                        "column"
+                    )
+                ct = tbl.column("_change_type").cast(pa.string())
+            else:
+                ct = pa.array([partition.change_type] * n,
+                              type=pa.string())
+            cols.extend([
+                ct,
+                pa.array([partition.commit_version] * n, type=pa.int64()),
+                pa.array([partition.commit_ts_ms] * n, type=pa.int64()),
+            ])
+            names.extend(_CDF_COLS)
+        out = pa.table(dict(zip(names, cols)))
         yield from out.to_batches(max_chunksize=1 << 16)
 
 
@@ -432,7 +588,25 @@ class DeltaBridgeStreamDataSource(DataSource):
             raise ValueError(
                 f"delta_bridge source: no Delta log at {path}/_delta_log")
         meta = _plain_table_meta(path, logs)
-        return StructType.fromJson(json.loads(meta["schemaString"]))
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+        if str(self.options.get(
+                "readchangefeed",
+                self.options.get("readChangeFeed", "false"))
+               ).lower() == "true":
+            if str((meta.get("configuration") or {}).get(
+                    "delta.enableChangeDataFeed",
+                    "false")).lower() != "true":
+                raise ValueError(
+                    "delta_bridge source: readChangeFeed=true but "
+                    "delta.enableChangeDataFeed is not set on the table "
+                    "— the log records no change data"
+                )
+            from pyspark.sql.types import LongType, StringType
+
+            st = (st.add("_change_type", StringType())
+                    .add("_commit_version", LongType())
+                    .add("_commit_timestamp_ms", LongType()))
+        return st
 
     def streamReader(self, schema: StructType):
         return DeltaBridgeStreamReader(schema, self.options)

@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import logging
 import posixpath
+import re
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1125,9 +1126,18 @@ def _snapshot_df(
 
         basenames = [posixpath.basename(urllib.parse.unquote(a["path"]))
                      for a in dv_adds]
+        # literal-name gate checks the RAW (pre-unquote) basename: the
+        # scan-side join key comes from _metadata.file_path, which Spark
+        # reports URL-ENCODED, while `basenames` above is unquoted — a
+        # log path stored percent-encoded (e.g. a space as %20) would
+        # make the two keys disagree and the anti-join silently re-show
+        # DV-deleted rows. No '%' in the raw name ⇒ encoded == unquoted
+        # ⇒ the keys agree; anything else takes the path-exact per-file
+        # fallback below (sound for any name).
         collapsible = (len(dv_adds) > 1
                        and len(set(basenames)) == len(basenames)
-                       and all("%" not in b for b in basenames))
+                       and all("%" not in posixpath.basename(a["path"])
+                               for a in dv_adds))
         if collapsible:
             descs = [(bn, json.dumps(a["deletionVector"]))
                      for bn, a in zip(basenames, dv_adds)]
@@ -1563,6 +1573,8 @@ def _commit_delta_log(spark: SparkSession, log_dir: str, version: int,
 #   remove of a file loser REMOVES any                       ConcurrentDeleteDelete
 #   remove of a file loser READ    merge/delete/compact      ConcurrentDeleteRead
 #   dataChange add                 op that read table data   ConcurrentAppend
+#     …scoped by the loser's read predicate when one was extractable
+#     (partition/stats-disjoint adds commute → retry; round-11)
 #   dataChange add                 blind append / compact    commute → retry
 #   dataChange=false add (compact) disjoint-file op          commute → retry
 #   commitInfo only (vacuum)       any                       commute → retry
@@ -1607,9 +1619,24 @@ class ConcurrentTransactionError(DeltaConcurrentModificationError):
 
 def _check_commit_conflict(winner: list[dict], version: int, operation: str,
                            read_paths, removed_paths, reads_table_data: bool,
-                           txn_app_id: str | None, log_dir: str) -> None:
+                           txn_app_id: str | None, log_dir: str,
+                           read_meta: dict | None = None,
+                           read_triples: list | None = None) -> None:
     """Classify ONE winner commit against the loser's declared
-    footprint; raise the named conflict or return (commute)."""
+    footprint; raise the named conflict or return (commute).
+
+    ``read_triples`` (with ``read_meta``) scopes the append-conflict
+    rule to the loser's READ PREDICATE, Delta's own refinement: a
+    winner's added data file whose partition values / stats PROVE no
+    row can satisfy the predicate (:func:`_prune_adds_by_stats` — the
+    same skipping the pruned read trusts) cannot change what the loser
+    read, so it commutes. Without triples (no pruning happened, or the
+    predicate had no extractable conjuncts) ANY concurrent data add
+    conflicts — the conservative rule. This is what lets the
+    reference's concurrent per-partition pipelines
+    (scd2-job-scheduler.yaml:15-48) merge partition A while an hourly
+    append lands in partition B, instead of serializing every merge
+    behind every append at 100 TB."""
     win_op = ""
     for a in winner:
         ci = a.get("commitInfo")
@@ -1647,6 +1674,17 @@ def _check_commit_conflict(winner: list[dict], version: int, operation: str,
             f"{ctx} that removed file(s) this operation read "
             f"(e.g. {sorted(hit)[0]!r})")
     if reads_table_data and win_added_dc:
+        if read_meta is not None and read_triples:
+            win_adds = {a["add"]["path"]: a["add"] for a in winner
+                        if "add" in a and a["add"].get("dataChange", True)}
+            overlap = _prune_adds_by_stats(read_meta, win_adds,
+                                           list(read_triples))
+            if not overlap:
+                return  # every added file provably outside the read
+            raise ConcurrentAppendError(
+                f"{ctx} that added data file(s) inside this operation's "
+                f"read predicate (e.g. {sorted(overlap)[0]!r}) — re-read "
+                "the table and re-run the operation")
         raise ConcurrentAppendError(
             f"{ctx} that added data file(s) this operation's predicate "
             "may depend on — re-read the table and re-run the operation")
@@ -1659,6 +1697,7 @@ def _occ_commit(spark: SparkSession, log_dir: str, read_version: int | None,
                 new_adds: list[dict] | None = None,
                 read_paths=frozenset(), removed_paths=frozenset(),
                 reads_table_data: bool = False,
+                read_triples: list | None = None,
                 txn_app_id: str | None = None,
                 ignore_conflicts: bool = False,
                 max_retries: int = 20) -> int:
@@ -1698,7 +1737,8 @@ def _occ_commit(spark: SparkSession, log_dir: str, read_version: int | None,
         if not ignore_conflicts:
             _check_commit_conflict(winner, attempt, operation, read_paths,
                                    removed_paths, reads_table_data,
-                                   txn_app_id, log_dir)
+                                   txn_app_id, log_dir,
+                                   read_meta=meta, read_triples=read_triples)
         if attempt - first + 1 > max_retries:
             raise DeltaConcurrentModificationError(
                 f"{operation} at {log_dir}: exhausted {max_retries} "
@@ -2335,6 +2375,152 @@ def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
         return True
 
     return {p: a for p, a in adds.items() if _may_match(a)}
+
+
+def _split_top_and(cond: str) -> list[str] | None:
+    """Split a SQL boolean expression into its TOP-LEVEL ``AND``
+    conjuncts (string literals and parenthesized groups opaque).
+    Returns None when a top-level ``OR`` exists — the expression is
+    then a disjunction and no conjunct is individually implied."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(cond)
+    up = cond.upper()
+
+    def _bound(j: int, ln: int) -> bool:
+        before = cond[j - 1] if j > 0 else " "
+        after = cond[j + ln] if j + ln < n else " "
+        return (not (before.isalnum() or before in "_.")
+                and not (after.isalnum() or after in "_."))
+
+    while i < n:
+        c = cond[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if cond[j] == "'":
+                    if j + 1 < n and cond[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return None  # malformed — refuse to extract anything
+        elif depth == 0 and up.startswith("AND", i) and _bound(i, 3):
+            parts.append(cond[start:i])
+            start = i + 3
+            i += 3
+            continue
+        elif depth == 0 and up.startswith("OR", i) and _bound(i, 2):
+            return None
+        i += 1
+    parts.append(cond[start:])
+    return parts
+
+
+_TRIPLE_LIT = (r"(?:DATE\s*)?'(?:[^']|'')*'"
+               r"|-?\d+(?:\.\d+)?"
+               r"|true|false")
+_TRIPLE_CMP = re.compile(
+    rf"^(?:(\w+)\s*\.\s*)?(\w+)\s*(=|<=|>=|<|>)\s*({_TRIPLE_LIT})$",
+    re.IGNORECASE | re.DOTALL)
+_TRIPLE_CMP_REV = re.compile(
+    rf"^({_TRIPLE_LIT})\s*(=|<=|>=|<|>)\s*(?:(\w+)\s*\.\s*)?(\w+)$",
+    re.IGNORECASE | re.DOTALL)
+_TRIPLE_NULL = re.compile(
+    r"^(?:(\w+)\s*\.\s*)?(\w+)\s+IS\s+(NOT\s+)?NULL$", re.IGNORECASE)
+_TRIPLE_IN = re.compile(
+    rf"^(?:(\w+)\s*\.\s*)?(\w+)\s+IN\s*\(\s*({_TRIPLE_LIT})"
+    rf"(?:\s*,\s*(?:{_TRIPLE_LIT}))*\s*\)$",
+    re.IGNORECASE | re.DOTALL)
+_TRIPLE_IN_LITS = re.compile(_TRIPLE_LIT, re.IGNORECASE)
+_FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+
+
+def _triple_lit_value(tok: str):
+    t = tok.strip()
+    low = t.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    if t[:1] == "'" or low.startswith("date"):
+        body = t[t.index("'") + 1:-1]
+        return body.replace("''", "'")
+    return float(t) if "." in t else int(t)
+
+
+def _condition_target_triples(cond: str, t_cols: list[str],
+                              alias: str | None) -> list[tuple]:
+    """Extract the single-table ``(column, op, literal)`` conjuncts a
+    SQL condition PROVABLY implies — the loser's read footprint for
+    predicate-scoped optimistic concurrency (and for driver-side file
+    pruning). Conservative by construction: only TOP-LEVEL ``AND``
+    conjuncts of the shape ``[alias.]col op literal`` / ``IS [NOT]
+    NULL`` / ``IN (literals)`` are taken; anything else (ORs,
+    functions, column-to-column comparisons, sub-selects) is skipped —
+    skipping only WIDENS the declared footprint, never narrows it.
+
+    ``alias``: required qualifier for merge ON conditions (the target
+    relation's alias — an unqualified or source-qualified ref is
+    skipped); None for single-table predicates, where any single
+    qualifier resolves to the one table and multi-dotted refs are
+    skipped. Column names resolve case-insensitively to the LOGICAL
+    schema names (what :func:`_prune_adds_by_stats` expects)."""
+    conjuncts = _split_top_and(cond)
+    if conjuncts is None:
+        return []
+    low2col = {c.lower(): c for c in t_cols}
+
+    def _col(qual: str | None, name: str) -> str | None:
+        if alias is not None and (qual or "").lower() != alias.lower():
+            return None  # must name the target relation explicitly
+        return low2col.get(name.lower())
+
+    out: list[tuple] = []
+    for raw in conjuncts:
+        s = raw.strip()
+        while (s.startswith("(") and s.endswith(")")
+               and _split_top_and(s[1:-1]) is not None):
+            s = s[1:-1].strip()  # shed redundant wrapping parens
+        m = _TRIPLE_CMP.match(s)
+        if m:
+            c = _col(m.group(1), m.group(2))
+            if c is not None:
+                out.append((c, m.group(3), _triple_lit_value(m.group(4))))
+            continue
+        m = _TRIPLE_CMP_REV.match(s)
+        if m:
+            c = _col(m.group(3), m.group(4))
+            if c is not None:
+                out.append((c, _FLIP_OP[m.group(2)],
+                            _triple_lit_value(m.group(1))))
+            continue
+        m = _TRIPLE_NULL.match(s)
+        if m:
+            c = _col(m.group(1), m.group(2))
+            if c is not None:
+                out.append((c, "is not null" if m.group(3) else "is null",
+                            None))
+            continue
+        m = _TRIPLE_IN.match(s)
+        if m:
+            c = _col(m.group(1), m.group(2))
+            if c is not None:
+                body = s[s.index("(", m.end(2)):]
+                lits = [_triple_lit_value(x.group(0))
+                        for x in _TRIPLE_IN_LITS.finditer(body)]
+                out.append((c, "in", lits))
+            continue
+    return out
 
 
 def _drop_empty_adds(adds: list[dict]) -> list[dict]:
@@ -3255,6 +3441,25 @@ def merge_delta(source: DataFrame, path: str, condition: str,
              "source": dict(source.dtypes)}
     condition = coerce_condition_for_types(condition, dtmap)
 
+    # Predicate-scoped read footprint (round-11): the ON condition's
+    # target-only conjuncts (`target.p = 'A' AND ...` →
+    # :func:`_condition_target_triples`) bound what this merge READ.
+    # They prune the matched-file scan driver-side (files provably
+    # outside the predicate are never opened — the partition-scoped
+    # merge of a 100 TB table scans one partition, not the table) and
+    # they scope OCC: a concurrent append to a DIFFERENT partition
+    # commutes instead of raising ConcurrentAppendError
+    # (delta-spark's own refinement; the reference's concurrent
+    # scheduled jobs, scd2-job-scheduler.yaml:15-48). A
+    # not-matched-by-source clause inspects EVERY target row — rows in
+    # pruned files would be silently kept alive — so it disables both.
+    read_triples: list[tuple] = []
+    if not when_not_matched_by_source_delete:
+        read_triples = _condition_target_triples(condition, t_cols,
+                                                 "target")
+    scan_live = (_prune_adds_by_stats(meta, live, list(read_triples))
+                 if read_triples else live)
+
     def _norm_uri(p: str) -> str:
         u = urllib.parse.urlparse(p)
         return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
@@ -3262,14 +3467,14 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     matched_keys: list[str] = []
     if live and when_not_matched_by_source_delete:
         matched_keys = sorted(live)  # clause touches every target row
-    elif live:
+    elif scan_live:
         abs2key = {}
-        for k, a in live.items():
+        for k, a in scan_live.items():
             rel = urllib.parse.unquote(a["path"])
             absolute = rel if "://" in rel or rel.startswith("/") else posixpath.join(path, rel)
             abs2key[_norm_uri(absolute)] = k
         tagged = (
-            _snapshot_df(spark, path, meta, live)
+            _snapshot_df(spark, path, meta, scan_live)
             .withColumn("__file", F.input_file_name())
             .alias("target")
         )
@@ -3464,17 +3669,19 @@ def merge_delta(source: DataFrame, path: str, condition: str,
                  "size": a.get("size"), "dataChange": False}}
         for a in cdc_adds
     )
-    # MERGE read the whole live snapshot (source matching scanned it),
-    # so concurrent data changes conflict; commitInfo-only and
-    # disjoint dataChange=false winners (vacuum, compact of files the
-    # merge did not touch... which cannot exist since merge reads all
-    # live files) commute
+    # MERGE read the candidate files its ON-condition target conjuncts
+    # could touch (scan_live — all live files when no conjunct was
+    # extractable), so a concurrent data add conflicts only when it
+    # may intersect that read predicate; commitInfo-only and disjoint
+    # dataChange=false winners (vacuum, compact of untouched files)
+    # commute
     next_v = _occ_commit(
         spark, log_dir, latest, actions, operation="MERGE",
         meta=meta, proto=proto, domains=domains, new_adds=new_adds,
-        read_paths=frozenset(a["path"] for a in live.values()),
+        read_paths=frozenset(a["path"] for a in scan_live.values()),
         removed_paths=frozenset(a["path"] for a in matched.values()),
-        reads_table_data=True)
+        reads_table_data=True,
+        read_triples=(read_triples or None))
     if (checkpoint_interval and next_v == latest + 1
             and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}
@@ -3809,7 +4016,15 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
     wmd = coerce_condition_for_types(when_matched_delete, dtmap)
     if not live:
         return latest
-    tagged = _snapshot_df(spark, path, meta, live,
+    # same predicate-scoped footprint as the slow path: the ON
+    # condition's target conjuncts prune the scan and scope OCC (a
+    # pure-delete merge has no by-source clause by definition)
+    read_triples = _condition_target_triples(condition, t_cols, "target")
+    scan_live = (_prune_adds_by_stats(meta, live, list(read_triples))
+                 if read_triples else live)
+    if not scan_live:
+        return latest  # predicate provably matches no live file
+    tagged = _snapshot_df(spark, path, meta, scan_live,
                           tag_rows=True).alias("target")
     # matched pairs only (the inner join bounds it to matches) — up to
     # three consumers in separate jobs (unique-match count, bitmap
@@ -3877,9 +4092,10 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
     next_v = _occ_commit(
         spark, log_dir, latest, actions, operation="MERGE",
         meta=meta,
-        read_paths=frozenset(a["path"] for a in live.values()),
+        read_paths=frozenset(a["path"] for a in scan_live.values()),
         removed_paths=frozenset(a["path"] for a in matched.values()),
-        reads_table_data=True)
+        reads_table_data=True,
+        read_triples=(read_triples or None))
     if (checkpoint_interval and next_v == latest + 1
             and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}
@@ -4031,8 +4247,14 @@ def delete_delta(spark: SparkSession, path: str,
             pred_str,
             {f.name: f.dataType.simpleString() for f in schema.fields})
         cond = F.expr(pred_str)
+        # string predicates get the same driver-side file pruning and
+        # OCC predicate scoping as the triples form: the top-level AND
+        # conjuncts that fit the (col, op, literal) grammar are each
+        # implied by the predicate, so pruning on them is sound and the
+        # full predicate still gates every row (round-11)
+        triples = _condition_target_triples(pred_str, t_cols, None) or None
 
-    # triples form: files provably excluded by stats/partition values
+    # triples: files provably excluded by stats/partition values
     # never open — the candidate scan is proportional to matching
     # files, not table size (the same _prune_adds_by_stats machinery
     # the pruned read pins with an IO test)
@@ -4130,15 +4352,17 @@ def delete_delta(spark: SparkSession, path: str,
     )
     # DELETE read the candidate files its predicate could touch (the
     # pruned set — files provably excluded contain no matching rows,
-    # so a winner touching only those commutes) and depends on the
-    # predicate matching NO rows in concurrent appends
+    # so a winner touching only those commutes); concurrent appends
+    # conflict only when the added files may fall INSIDE the predicate
+    # (read_triples — an append to a different partition commutes)
     next_v = _occ_commit(
         spark, log_dir, latest, actions, operation="DELETE",
         meta=meta, proto=proto, domains=domains,
         new_adds=(None if dv_mode else new_adds),
         read_paths=frozenset(a["path"] for a in scan_adds.values()),
         removed_paths=frozenset(a["path"] for a in matched.values()),
-        reads_table_data=True)
+        reads_table_data=True,
+        read_triples=(list(triples) if triples else None))
     if (checkpoint_interval and next_v == latest + 1
             and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}

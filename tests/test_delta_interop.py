@@ -5012,3 +5012,371 @@ def test_delta_bridge_stream_source_max_commits_per_trigger(
     backlog = [n for _, n in seen[1:]]
     assert len(backlog) >= 3, seen
     assert all(n <= 2 for n in backlog), seen
+
+
+def test_dv_read_percent_encoded_filename_stays_correct(spark, tmp_path):
+    """ADVICE r10 (medium): the one-scan DV collapse keys its anti-join
+    on the basename Spark reports via _metadata.file_path, which is
+    URL-ENCODED — so a log path stored percent-encoded (a space as %20)
+    must NOT take the collapsed branch (the guard checks the RAW
+    basename), or its DV-deleted rows silently reappear. Standard Delta
+    writers never emit such names; foreign logs can."""
+    import urllib.parse
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.range(0, 2000).selectExpr("id", "id % 4 as k")
+                .repartition(3), d, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    delete_delta(spark, d, "k = 1")  # attaches a DV to every file
+
+    # rewrite ONE data file's name to carry a space, stored
+    # percent-encoded in the log (the add.path contract)
+    log = os.path.join(d, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    dv_rel = next(a["add"]["path"] for a in acts
+                  if "add" in a and a["add"].get("deletionVector"))
+    new_disk = dv_rel.replace(".parquet", " enc.parquet")
+    new_log = urllib.parse.quote(new_disk)
+    assert "%20" in new_log
+    os.rename(os.path.join(d, dv_rel), os.path.join(d, new_disk))
+    for j in glob.glob(os.path.join(log, "*.json")):
+        with open(j) as fh:
+            txt = fh.read()
+        with open(j, "w") as fh:
+            fh.write(txt.replace(f'"{dv_rel}"', f'"{new_log}"'))
+    for crc in glob.glob(os.path.join(log, ".*.crc")) + glob.glob(
+            os.path.join(d, ".*.crc")):
+        os.remove(crc)  # hadoop local-FS checksums of the edited files
+
+    got = read_delta(spark, d)
+    assert got.count() == 1500          # the 500 k=1 rows stay deleted
+    assert got.filter("k = 1").count() == 0
+    # a fresh delete over the renamed layout still composes correctly
+    delete_delta(spark, d, "id < 40")
+    got2 = read_delta(spark, d)
+    assert got2.count() == 1500 - 30    # 40 minus the 10 already dead
+    assert got2.filter("k = 1 or id < 40").count() == 0
+
+
+def test_delta_bridge_stream_source_v2_json_checkpoint_meta(
+        spark, tmp_path):
+    """ADVICE r10 (low): a log-pruned table whose checkpoint is a v2
+    JSON manifest ('<v>.checkpoint.<uuid>.json' — valid per the
+    protocol) must still serve schema()/partitions(): the metadata
+    fallback reads the JSON manifest, not only parquet layouts."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        _plain_list_log,
+        _plain_table_meta,
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), d,
+                mode="overwrite")
+    write_delta(spark.createDataFrame([(2, "b")], "id long, v string"), d)
+    log = os.path.join(d, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    proto = next(a for a in acts if "protocol" in a)
+    meta = next(a for a in acts if "metaData" in a)
+    # v2 checkpoint, JSON manifest layout: newline-delimited actions
+    with open(os.path.join(
+            log, f"{0:020d}.checkpoint.0aa0-demo.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in (
+            {"checkpointMetadata": {"version": 0}}, proto, meta)))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 0, "size": 3}, fh)
+    os.remove(os.path.join(log, f"{0:020d}.json"))  # prune below ckpt
+
+    got = _plain_table_meta(d, _plain_list_log(log))
+    assert got["schemaString"] == meta["metaData"]["schemaString"]
+
+    # end-to-end: schema() resolves through the JSON manifest and the
+    # stream serves the surviving commit
+    register_delta_bridge_source(spark)
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", d).option("startingVersion", "1").load()
+         .writeStream.format("memory").queryName("dbsj")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    assert [(r.id, r.v) for r in spark.sql(
+        "select * from dbsj").collect()] == [(2, "b")]
+
+
+def test_occ_merge_partition_scoped_commutes_with_disjoint_append(
+        spark, tmp_path, monkeypatch):
+    """Round-11 (verdict #1): predicate-scoped OCC. A MERGE whose ON
+    condition pins the target partition (`target.p = 'A'`) races a
+    blind append to partition B: the winner's added file is provably
+    outside the merge's read predicate, so BOTH commit — the
+    reference's concurrent per-partition pipelines
+    (scd2-job-scheduler.yaml) stop serializing behind each other. The
+    same race into partition A stays a named ConcurrentAppendError."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        ConcurrentAppendError,
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a", "A"), (2, "b", "B")],
+                              "id long, v string, p string"),
+        t, mode="overwrite", partition_by=["p"])
+
+    def winner(version):
+        write_delta(
+            spark.createDataFrame([(9, "w", "B")],
+                                  "id long, v string, p string"),
+            t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    src = spark.createDataFrame([(1, "upd", "A")],
+                                "id long, v string, p string")
+    v = merge_delta(src, t, "target.p = 'A' AND target.id = source.id",
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+    assert v == 2, "loser must retry past the disjoint winner and land"
+    got = sorted((r.id, r.v, r.p) for r in read_delta(spark, t).collect())
+    assert got == [(1, "upd", "A"), (2, "b", "B"), (9, "w", "B")]
+
+    # -- same partition: still a real, named conflict ------------------
+    t2 = str(tmp_path / "t2")
+    write_delta(
+        spark.createDataFrame([(1, "a", "A")],
+                              "id long, v string, p string"),
+        t2, mode="overwrite", partition_by=["p"])
+
+    def winner_same(version):
+        write_delta(
+            spark.createDataFrame([(8, "w", "A")],
+                                  "id long, v string, p string"),
+            t2, mode="append")
+
+    _inject_winner(monkeypatch, winner_same)
+    with pytest.raises(ConcurrentAppendError, match="read predicate"):
+        merge_delta(src, t2, "target.p = 'A' AND target.id = source.id",
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+
+
+def test_occ_merge_stats_scoped_commutes_on_unpartitioned(
+        spark, tmp_path, monkeypatch):
+    """Predicate scoping also works from per-file STATS on an
+    unpartitioned table: a winner whose added file's min/max on the
+    predicate column provably miss the merge's ON conjunct commutes;
+    an ON with NO extractable target conjunct keeps the conservative
+    any-add-conflicts rule (pinned by the existing
+    test_occ_merge_racing_append_raises_concurrent_append)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a", "grpA")], "id long, v string, g string"), t,
+        mode="overwrite")
+
+    def winner(version):
+        write_delta(
+            spark.createDataFrame([(9, "w", "grpB")],
+                                  "id long, v string, g string"),
+            t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    src = spark.createDataFrame([(1, "upd", "grpA")],
+                                "id long, v string, g string")
+    v = merge_delta(src, t, "target.g = 'grpA' AND target.id = source.id",
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+    assert v == 2
+    got = sorted((r.id, r.v) for r in read_delta(spark, t).collect())
+    assert got == [(1, "upd"), (9, "w")]
+
+
+def test_occ_delete_predicate_scoped_commutes_with_disjoint_append(
+        spark, tmp_path, monkeypatch):
+    """DELETE (string predicate) racing appends: an append to a
+    partition OUTSIDE the predicate commutes; inside conflicts. Also
+    pins that string predicates now prune the candidate scan like the
+    triples form (numRemovedFiles stays at the matched partition)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        ConcurrentAppendError,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "A"), (2, "B")], "id long, p string"),
+        t, mode="overwrite", partition_by=["p"])
+
+    def winner(version):
+        write_delta(spark.createDataFrame([(9, "B")], "id long, p string"),
+                    t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    v = delete_delta(spark, t, "p = 'A'")
+    assert v == 2, "append to partition B commutes with DELETE over A"
+    got = sorted((r.id, r.p) for r in read_delta(spark, t).collect())
+    assert got == [(2, "B"), (9, "B")]
+
+    def winner_b(version):
+        write_delta(spark.createDataFrame([(8, "B")], "id long, p string"),
+                    t, mode="append")
+
+    _inject_winner(monkeypatch, winner_b)
+    with pytest.raises(ConcurrentAppendError, match="read predicate"):
+        delete_delta(spark, t, "p = 'B'")
+
+
+def test_merge_on_condition_prunes_target_scan(spark, tmp_path):
+    """The ON condition's target conjuncts prune the matched-file scan
+    DRIVER-side: merging into one partition of a multi-partition table
+    removes/rewrites files of that partition only, and the commit's
+    metrics prove the bounded footprint (at 100 TB: a partition-scoped
+    merge scans one partition, never the table)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"v{i}", "A" if i % 2 else "B") for i in range(10)],
+            "id long, v string, p string"),
+        t, mode="overwrite", partition_by=["p"])
+    src = spark.createDataFrame([(1, "upd", "A"), (21, "new", "A")],
+                                "id long, v string, p string")
+    merge_delta(src, t, "target.p = 'A' AND target.id = source.id",
+                when_matched_update={"v": "source.v"})
+    with open(os.path.join(
+            t, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    metrics = next(a for a in acts if "commitInfo" in a)[
+        "commitInfo"]["operationMetrics"]
+    assert metrics["numTargetFilesRemoved"] == "1", metrics
+    removed = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert all("p=A" in r for r in removed), removed
+    got = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert got[1] == "upd" and got[21] == "new" and got[2] == "v2"
+    assert len(got) == 11
+
+    # merge into a partition with NO live files: pure insert, no scan
+    src2 = spark.createDataFrame([(31, "c", "C")],
+                                 "id long, v string, p string")
+    merge_delta(src2, t, "target.p = 'C' AND target.id = source.id",
+                when_matched_update={"v": "source.v"})
+    got2 = read_delta(spark, t)
+    assert got2.count() == 12
+    assert got2.filter("p = 'C'").count() == 1
+
+
+def test_delta_bridge_stream_source_cdf_exactly_once(spark, tmp_path):
+    """Round-11 (verdict #2): readChangeFeed=true on the delta_bridge
+    source streams CHANGE ROWS — append inserts, MERGE
+    update_preimage/postimage, DV-delete rows — exactly once across a
+    kill/restart, and the accumulated stream matches batch CDF
+    (read_delta_changes) row for row including the stamps
+    (inCommitTimestamps pins _commit_timestamp_ms deterministic)."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.streaming.events import append_stream_batch
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, v string"),
+                src, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true",
+                            "delta.enableDeletionVectors": "true",
+                            "delta.enableInCommitTimestamps": "true"})
+
+    register_delta_bridge_source(spark)
+
+    def run():
+        stream = (spark.readStream.format("delta_bridge")
+                  .option("path", src)
+                  .option("readChangeFeed", "true").load())
+        q = (stream.writeStream
+             .foreachBatch(lambda df, bid: append_stream_batch(df, bid,
+                                                               sink))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+
+    run()  # batch 1: the CREATE's insert rows
+    t = VersionedTable(spark, sink)
+    got0 = sorted((r.id, r.v, r._change_type, r._commit_version)
+                  for r in t.read().collect())
+    assert got0 == [(1, "a", "insert", 0), (2, "b", "insert", 0)]
+
+    # while the stream is DOWN: append + merge-update + DV delete
+    write_delta(spark.createDataFrame([(3, "c")], "id long, v string"),
+                src)
+    merge_delta(spark.createDataFrame([(1, "a2")], "id long, v string"),
+                src, "target.id = source.id",
+                when_matched_update={"v": "source.v"},
+                insert_not_matched=False)
+    delete_delta(spark, src, "id = 2")
+
+    run()  # restart: v1..v3 change rows, exactly once
+    rows = {(r.id, r.v, r._change_type, r._commit_version,
+             r._commit_timestamp_ms) for r in t.read().collect()}
+    batch = {(r.id, r.v, r._change_type, r._commit_version,
+              r._commit_timestamp_ms)
+             for r in read_delta_changes(spark, src, 0).collect()}
+    assert rows == batch, (rows - batch, batch - rows)
+    assert {(r[0], r[2], r[3]) for r in rows} == {
+        (1, "insert", 0), (2, "insert", 0),
+        (3, "insert", 1),
+        (1, "update_preimage", 2), (1, "update_postimage", 2),
+        (2, "delete", 3)}
+
+    run()  # idle restart: nothing new, no duplicates
+    assert len(t.read().collect()) == len(rows)
+
+
+def test_delta_bridge_stream_source_cdf_requires_table_flag(
+        spark, tmp_path):
+    """readChangeFeed on a table WITHOUT delta.enableChangeDataFeed
+    refuses loudly at query definition — the log records no change
+    data to stream."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"),
+                src, mode="overwrite")
+    register_delta_bridge_source(spark)
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        (spark.readStream.format("delta_bridge")
+         .option("path", src).option("readChangeFeed", "true").load())
