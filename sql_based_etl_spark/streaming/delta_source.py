@@ -292,12 +292,20 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                           options.get("maxCommitsPerTrigger"))
         # rate limiting (the library's maxFilesPerTrigger analogue, at
         # commit granularity): a backlog catch-up processes at most N
-        # commits per micro-batch instead of one giant batch. Best
-        # effort across restarts: the cap engages once a planned range
-        # has been observed (the first post-restart batch is unbounded
-        # — the planner cannot know Spark's committed offset before
-        # partitions() reveals it, and a capped offset BELOW the
-        # committed one would regress the stream).
+        # commits per micro-batch instead of one giant batch — the
+        # FIRST batch included (round-11). The base is always knowable
+        # by the first latestOffset call: on every RESTART shape Spark
+        # replays partitions(committed_start, committed_end) from its
+        # offset log BEFORE asking for a latest offset (probed on
+        # processingTime, availableNow, and crash-recovery WAL replay —
+        # PLANS.md round-11), which seeds _seen with the committed
+        # version; reaching latestOffset with _seen still None
+        # therefore means a genuine COLD start, whose base is the
+        # configured startingVersion. Documented caveat: an
+        # availableNow run plans ONE batch to the offset this reports,
+        # so a capped cold start drains maxCommitsPerTrigger commits
+        # per run (re-run to continue; omit the cap to drain fully in
+        # one availableNow run).
         self._max_commits = int(mct) if mct is not None else None
         if self._max_commits is not None and self._max_commits < 1:
             raise ValueError(
@@ -308,11 +316,13 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
     # -- planning (driver-side isolated Python worker, plain IO) ------
 
     def initialOffset(self) -> dict:
-        # only called on a FRESH start (no offset log) — which means
-        # the committed base IS the starting version, so the rate cap
-        # can engage from the very first batch; on restart this never
-        # runs and the first batch stays uncapped (see __init__)
-        self._seen = self._start
+        # called on a FRESH start, and ALSO during restart recovery to
+        # reconstruct batch 0's start — never LOWER the watermark the
+        # partitions() replay already established (a momentary
+        # rollback there could let a later latestOffset cap below the
+        # committed version)
+        if self._seen is None:
+            self._seen = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -323,18 +333,14 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         latest = max(logs)
         if self._max_commits is not None:
             if self._seen is None:
-                # first observation in this worker: Spark may call
-                # latestOffset before initialOffset, and on restart the
-                # committed offset is unknowable here — capping below
-                # it would REGRESS the stream (replay = duplicates), so
-                # the first batch is unbounded and the cap engages from
-                # the next trigger (the library's admission control has
-                # the same first-batch caveat)
-                self._seen = latest
-            else:
-                latest = max(min(latest, self._seen + self._max_commits),
-                             self._seen)
-                self._seen = latest
+                # genuinely cold start (every restart shape seeds _seen
+                # via the partitions() replay before this call — see
+                # __init__): the base is the configured start, so the
+                # cap bounds the FIRST batch too
+                self._seen = self._start
+            latest = max(min(latest, self._seen + self._max_commits),
+                         self._seen)
+            self._seen = latest
         return {"version": latest}
 
     def _meta(self, logs: dict[int, str]) -> dict:

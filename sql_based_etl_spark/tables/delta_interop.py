@@ -112,6 +112,35 @@ def _list_log(spark: SparkSession, log_dir: str) -> dict[int, str]:
     return out
 
 
+# reader features the bridge serves correctly (see _check_protocol);
+# refusals for known-but-unsupported features are NAMED so the error
+# says what blocks, not just "unknown feature"
+_BRIDGE_READER_FEATURES = {
+    "columnMapping",      # both modes (_check_metadata)
+    "deletionVectors",    # public roaring decode + row_index anti-join
+    "v2Checkpoint",       # all three public checkpoint layouts
+    "timestampNtz",       # type-level: schemaString timestamp_ntz maps
+                          # to Spark's TIMESTAMP_NTZ; parquet
+                          # isAdjustedToUTC=false reads natively
+    "typeWidening",       # files written under a NARROWER type read
+                          # under the widened schema — Spark's parquet
+                          # reader upcasts (int→long, int/float→double,
+                          # int→decimal) when handed the wide schema,
+                          # which _snapshot_df always does; stats
+                          # pruning coerces through the same wide type
+    "typeWidening-preview",
+}
+_NAMED_READER_REFUSALS = {
+    "variantType": (
+        "variant columns (variantType): the bridge does not implement "
+        "the variant binary encoding or shredded-layout reads"),
+    "variantType-preview": (
+        "variant columns (variantType-preview): the bridge does not "
+        "implement the variant binary encoding or shredded-layout "
+        "reads"),
+}
+
+
 def _check_protocol(action: dict) -> None:
     p = action["protocol"]
     reader_v = p.get("minReaderVersion", 1)
@@ -119,13 +148,17 @@ def _check_protocol(action: dict) -> None:
     # reader v2's only data-interpretation change is column mapping,
     # which the bridge honors in BOTH modes (_check_metadata); v3
     # tables are readable iff every listed reader feature is one the
-    # bridge implements — column mapping, deletion vectors (decoded
-    # from the public roaring format, applied as a row_index
-    # anti-join), and v2 checkpoints. Anything else stays fail-loud.
-    if reader_v > 3 or (
-        reader_v == 3
-        and features - {"columnMapping", "deletionVectors", "v2Checkpoint"}
-    ):
+    # bridge implements (_BRIDGE_READER_FEATURES). Known-unsupported
+    # features refuse BY NAME; anything else stays generically
+    # fail-loud.
+    unsupported = features - _BRIDGE_READER_FEATURES
+    for f in sorted(unsupported):
+        if f in _NAMED_READER_REFUSALS:
+            raise VersionedTableError(
+                f"read: {_NAMED_READER_REFUSALS[f]}; install delta-spark "
+                "to read this table"
+            )
+    if reader_v > 3 or (reader_v == 3 and unsupported):
         raise VersionedTableError(
             "Delta reader features beyond what the no-jar bridge "
             f"implements (got {p}); install delta-spark to read this "
@@ -134,7 +167,34 @@ def _check_protocol(action: dict) -> None:
         )
 
 
+def _schema_contains_type(node, names: set[str]) -> bool:
+    """True when any (nested) type in a schemaString JSON node is one
+    of ``names`` (e.g. {"variant"}, {"timestamp_ntz"})."""
+    if isinstance(node, dict):
+        t = node.get("type")
+        if t == "struct":
+            return any(_schema_contains_type(f.get("type"), names)
+                       for f in node.get("fields", []))
+        if t == "array":
+            return _schema_contains_type(node.get("elementType"), names)
+        if t == "map":
+            return (_schema_contains_type(node.get("keyType"), names)
+                    or _schema_contains_type(node.get("valueType"), names))
+        return t in names
+    return node in names
+
+
 def _check_metadata(meta: dict) -> None:
+    # schema-level gate, independent of protocol claims (a foreign log
+    # may carry the type without listing the feature): variant columns
+    # refuse BY NAME — serving their binary/shredded encoding as opaque
+    # bytes would be a silent wrong answer
+    if _schema_contains_type(json.loads(meta["schemaString"]), {"variant"}):
+        raise VersionedTableError(
+            "read: this table has a variant column — the bridge does "
+            "not implement the variant binary encoding or "
+            "shredded-layout reads; install delta-spark"
+        )
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
     if mode not in ("none", "name", "id"):
         # both mapping modes are readable from public metadata alone:
@@ -2723,6 +2783,14 @@ _BRIDGE_WRITER_FEATURES = {
                          # file actions + uuid-named manifest with
                          # checkpointMetadata); the reader replays all
                          # three public layouts since round 6
+    "typeWidening",      # a widened table's CURRENT schema is its
+                         # widest: every bridge write stages files in
+                         # that schema (always readable under it), and
+                         # the bridge never retypes columns (mergeSchema
+                         # evolution is additive-only), so the
+                         # delta.typeWidening.typeChanges bookkeeping —
+                         # the ALTER-side obligation — never falls on it
+    "typeWidening-preview",
     "icebergCompatV2",   # UniForm-compatible writes: column mapping
                          # required, parquet field ids stamped into
                          # EVERY staged data file (both mapping modes —
@@ -2731,6 +2799,27 @@ _BRIDGE_WRITER_FEATURES = {
                          # nested element field ids are an obligation
                          # Spark's writer conf cannot stamp) — all
                          # gated in _check_writer_allowed
+}
+
+
+# known-but-unsupported writer features refuse BY NAME (the error says
+# what blocks, not just "unknown feature") — the icebergCompatV2
+# treatment, round-11
+_NAMED_WRITER_REFUSALS = {
+    "variantType": (
+        "variant columns (variantType): the bridge does not implement "
+        "the variant binary encoding"),
+    "variantType-preview": (
+        "variant columns (variantType-preview): the bridge does not "
+        "implement the variant binary encoding"),
+    "collations": (
+        "collated string columns (collations): the bridge's stats, "
+        "constraint evaluation and file pruning compare binary — "
+        "collation-aware ordering is an obligation it cannot uphold"),
+    "collations-preview": (
+        "collated string columns (collations-preview): the bridge's "
+        "stats, constraint evaluation and file pruning compare binary "
+        "— collation-aware ordering is an obligation it cannot uphold"),
 }
 
 
@@ -2768,11 +2857,22 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
     wv = int(p.get("minWriterVersion", 2))
     feats = set(p.get("writerFeatures") or [])
     unknown = feats - _BRIDGE_WRITER_FEATURES
+    for f in sorted(unknown & _NAMED_WRITER_REFUSALS.keys()):
+        raise VersionedTableError(
+            f"write: {_NAMED_WRITER_REFUSALS[f]}; install delta-spark "
+            "to write this table"
+        )
     if (wv == 7 and unknown) or wv > 7:
         raise VersionedTableError(
             "write: table requires writer features the bridge cannot "
             f"honor ({sorted(unknown) if unknown else f'minWriterVersion {wv}'}); "
             "install delta-spark to write this table"
+        )
+    if _schema_contains_type(json.loads(meta["schemaString"]), {"variant"}):
+        raise VersionedTableError(
+            "write: this table has a variant column — the bridge does "
+            "not implement the variant binary encoding; install "
+            "delta-spark to write this table"
         )
     conf = meta.get("configuration") or {}
     if (str(conf.get("delta.appendOnly", "false")).lower() == "true"
@@ -3166,7 +3266,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 json.loads(schema_string), alloc))
             props["delta.columnMapping.maxColumnId"] = str(alloc["max"])
             mapping_mode = cm_mode
-        if ict_on or dv_on or rt_on or v2cp_on or cm_mode != "none":
+        # timestamp_ntz columns are a reader+writer FEATURE pair
+        # (reader v3 + writer v7): a reader unaware of the type would
+        # misinterpret parquet isAdjustedToUTC=false values as
+        # session-TZ instants, so the claim is mandatory at CREATE
+        ntz_on = _schema_contains_type(json.loads(schema_string),
+                                       {"timestamp_ntz"})
+        if (ict_on or dv_on or rt_on or v2cp_on or ntz_on
+                or cm_mode != "none"):
             wf = {"appendOnly", "invariants"}
             rf: set[str] = set()
             if cdf_on:
@@ -3184,6 +3291,9 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             if cm_mode != "none":
                 wf.add("columnMapping")
                 rf.add("columnMapping")
+            if ntz_on:
+                wf.add("timestampNtz")
+                rf.add("timestampNtz")
             if ic_on:
                 wf.add("icebergCompatV2")
             proto = {

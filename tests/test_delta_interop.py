@@ -4957,11 +4957,10 @@ def test_delta_bridge_stream_source_max_commits_per_trigger(
     """maxCommitsPerTrigger (the library's rate-limit analogue):
     commits arriving while the stream runs drain in bounded
     micro-batches of ≤2 commits each instead of one giant batch, every
-    row lands exactly once. The FIRST batch is unbounded by design —
-    Spark may ask for the latest offset before the initial one, and on
-    restart the committed offset is unknowable in the planner, so a
-    cap below it would regress the stream (documented caveat, shared
-    with the library's admission control)."""
+    row lands exactly once. (Since round-11 the cap bounds the FIRST
+    batch too — cold starts cap from startingVersion, restarts from
+    the committed version the partitions() replay reveals; see
+    test_delta_bridge_stream_cold_start_backlog_bounded.)"""
     import time as _time
 
     from sql_based_etl_spark.streaming.delta_source import (
@@ -5380,3 +5379,184 @@ def test_delta_bridge_stream_source_cdf_requires_table_flag(
     with pytest.raises(Exception, match="enableChangeDataFeed"):
         (spark.readStream.format("delta_bridge")
          .option("path", src).option("readChangeFeed", "true").load())
+
+
+def test_timestamp_ntz_round_trip_claims_feature(spark, tmp_path):
+    """Round-11 (verdict #3): timestamp_ntz columns work end-to-end —
+    CREATE claims the reader+writer timestampNtz feature pair (a
+    reader unaware of the type would misread isAdjustedToUTC=false
+    values as instants), values round-trip, and appends to the claimed
+    table are accepted."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.sql(
+        "select 1 as id, timestamp_ntz'2024-01-02 03:04:05' as ts")
+    write_delta(df, d, mode="overwrite")
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "timestampNtz" in proto.get("readerFeatures", [])
+    assert "timestampNtz" in proto.get("writerFeatures", [])
+
+    write_delta(spark.sql(
+        "select 2 as id, timestamp_ntz'2025-06-07 08:09:10' as ts"), d)
+    got = read_delta(spark, d)
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    assert sorted(str(r.ts) for r in got.collect()) == [
+        "2024-01-02 03:04:05", "2025-06-07 08:09:10"]
+
+
+def test_type_widening_table_reads_and_appends(spark, tmp_path):
+    """A foreign typeWidening table (files written under NARROWER
+    physical types than the current schema) reads correctly — Spark's
+    parquet reader upcasts int→long / float→double under the wide
+    schema _snapshot_df hands it — and bridge appends are accepted
+    (they stage files in the current, widest schema; the bridge never
+    retypes columns, so the typeChanges bookkeeping never falls on
+    it)."""
+    from pyspark.sql.types import (
+        FloatType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    narrow = StructType([StructField("id", IntegerType()),
+                         StructField("x", FloatType())])
+    (spark.createDataFrame([(1, 1.5), (2, 2.5)], narrow)
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(tmp_path / "stage")))
+    import glob as _g
+    src = _g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    shutil.copy(src, os.path.join(d, "f0.parquet"))
+    wide = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "x", "type": "double", "nullable": True, "metadata": {}},
+    ]})
+    _log(d, 0,
+         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["typeWidening"],
+                       "writerFeatures": ["typeWidening", "appendOnly",
+                                          "invariants"]}},
+         _meta(wide),
+         _add("f0.parquet"))
+    got = read_delta(spark, d)
+    assert dict(got.dtypes) == {"id": "bigint", "x": "double"}
+    assert sorted((r.id, r.x) for r in got.collect()) == [
+        (1, 1.5), (2, 2.5)]
+    # bridge append in the current (wide) schema
+    write_delta(spark.createDataFrame([(9, 9.5)], "id long, x double"), d)
+    assert sorted((r.id, r.x) for r in read_delta(spark, d).collect()) == [
+        (1, 1.5), (2, 2.5), (9, 9.5)]
+
+
+def test_variant_and_collations_refuse_by_name(spark, tmp_path):
+    """Known-but-unsupported modern features refuse BY NAME (the
+    icebergCompatV2 treatment): variantType on read and write, a
+    variant-typed schema even without the feature claim, and
+    collations on write."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        VersionedTableError,
+        read_delta,
+        write_delta,
+    )
+
+    # variant via the reader-feature claim
+    d1 = str(tmp_path / "v1")
+    os.makedirs(d1)
+    _log(d1, 0,
+         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["variantType"],
+                       "writerFeatures": ["variantType"]}},
+         _meta())
+    with pytest.raises(VersionedTableError, match="variant"):
+        read_delta(spark, d1)
+
+    # variant via the schema type, feature unclaimed (foreign log)
+    d2 = str(tmp_path / "v2")
+    os.makedirs(d2)
+    vschema = json.dumps({"type": "struct", "fields": [
+        {"name": "payload", "type": "variant", "nullable": True,
+         "metadata": {}}]})
+    _log(d2, 0, {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}}, _meta(vschema))
+    with pytest.raises(VersionedTableError, match="variant column"):
+        read_delta(spark, d2)
+
+    # collations: write-side named refusal (reads are unaffected — the
+    # feature is writer-scoped)
+    d3 = str(tmp_path / "c1")
+    os.makedirs(d3)
+    _write_datafile(spark, d3, "f0.parquet", [1])
+    _log(d3, 0,
+         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": ["collations-preview",
+                                          "appendOnly", "invariants"]}},
+         _meta(),
+         _add("f0.parquet"))
+    assert _ids(read_delta(spark, d3)) == [1]
+    with pytest.raises(VersionedTableError, match="collation"):
+        write_delta(spark.createDataFrame([(5, "x")],
+                                          "id long, v string"), d3)
+
+
+def test_delta_bridge_stream_cold_start_backlog_bounded(spark, tmp_path):
+    """Round-11 (verdict #4): on a COLD start under a running trigger
+    Spark calls initialOffset before the first latestOffset, so the
+    committed base IS knowable and maxCommitsPerTrigger bounds the
+    FIRST batch too — a pre-existing 6-commit backlog drains in ≥3
+    micro-batches of ≤2 commits, every row exactly once. The unbounded
+    first batch remains ONLY where the base is genuinely unknowable to
+    the isolated planner: restarts, and availableNow runs (Spark fixes
+    the end offset once BEFORE initialOffset there — capping it would
+    strand the rest of the backlog past the query\'s termination)."""
+    import time as _time
+
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    src = str(tmp_path / "src")
+    for i in range(6):
+        write_delta(spark.createDataFrame([(i,)], "id long"), src,
+                    mode="overwrite" if i == 0 else "append")
+
+    register_delta_bridge_source(spark)
+    batches: list[list[int]] = []
+
+    def sink(df, bid):
+        ids = sorted(r.id for r in df.collect())
+        if ids:
+            batches.append(ids)
+
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", src)
+         .option("maxCommitsPerTrigger", "2").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="50 milliseconds").start())
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if sum(len(b) for b in batches) >= 6:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    rows = sorted(i for ids in batches for i in ids)
+    assert rows == [0, 1, 2, 3, 4, 5], "exactly once, whole backlog"
+    assert len(batches) >= 3, (
+        f"6-commit cold-start backlog must drain in bounded batches, "
+        f"got {batches}")
+    assert all(len(ids) <= 2 for ids in batches), batches
