@@ -20,15 +20,21 @@ highest N; a reader never sees a half-written version because the
 manifest is published atomically (full temp write + no-overwrite
 rename on rename-capable stores; one conditional PUT on object stores,
 where the object materializes whole at close) and only after the data
-files are fully written. Snapshot-replacing commits (overwrite, merge,
-compact, restore) keep single-winner semantics (matching the
-reference's Argo DAG, scd2-job-scheduler.yaml:47-48: merges are
-serialized behind their dependencies); blind APPENDS get optimistic
-concurrency (round 10) — the claim loser re-bases on the winner's
-snapshot and retries at the next version, staging into per-writer
-unique data dirs so racers never collide before the manifest claim,
-and the exactly-once stream sink detects a racing duplicate of the
-SAME micro-batch by its recorded stream_batch_id.
+files are fully written. Blind APPENDS get optimistic concurrency
+(round 10) — the claim loser re-bases on the winner's snapshot and
+retries at the next version, staging into per-writer unique data dirs
+so racers never collide before the manifest claim, and the
+exactly-once stream sink detects a racing duplicate of the SAME
+micro-batch by its recorded stream_batch_id. MERGE and COMPACT races
+are CLASSIFIED like the Delta bridge's (round 11,
+:meth:`VersionedTable._classify_winner`): a COMPACT racing a blind
+append rebases and retries (the hourly-append + nightly-OPTIMIZE
+shape), while winners that evolved the schema or touched the loser's
+read/removed files raise the named VersionedConcurrent*Error instead
+of a raw lost-race error. OVERWRITE and RESTORE remain single-winner
+(they replace the snapshot wholesale — matching the reference's Argo
+DAG, scd2-job-scheduler.yaml:47-48, which serializes them behind
+their dependencies).
 
 All metadata I/O goes through the Hadoop FileSystem API (via the JVM
 gateway), so a table can live on any Hadoop-supported filesystem —
@@ -85,6 +91,34 @@ class ConcurrentStreamBatchError(VersionedTableError):
     sink raced the same micro-batch. The payload is in the table once;
     the caller (``append_stream_batch``) treats this as
     already-committed rather than double-appending."""
+
+
+# Round-11: the native format's named conflict family — the manifest
+# analogue of the Delta bridge's DeltaConcurrentModificationError
+# classification (delta_interop.py:_check_commit_conflict). A winner's
+# footprint is its manifest diff against its predecessor (added =
+# win - prev, removed = prev - win); the loser declares what it read
+# and removed, and commuting winners are retried past instead of
+# raising a raw CommitRaceLostError.
+class VersionedConcurrentModificationError(VersionedTableError):
+    """A native-format commit raced a winner whose changes cannot be
+    proven disjoint from this operation."""
+
+
+class VersionedSchemaChangedError(VersionedConcurrentModificationError):
+    pass
+
+
+class VersionedConcurrentAppendError(VersionedConcurrentModificationError):
+    pass
+
+
+class VersionedConcurrentDeleteReadError(VersionedConcurrentModificationError):
+    pass
+
+
+class VersionedConcurrentDeleteDeleteError(VersionedConcurrentModificationError):
+    pass
 
 
 # Object stores where rename is a non-atomic copy+delete but a created
@@ -925,6 +959,91 @@ class VersionedTable:
         self._write_text_atomic(f"v{version:08d}.json", json.dumps(manifest))
         return version
 
+    def _classify_winner(self, wv: int, operation: str,
+                         read_files: set, removed_files: set,
+                         reads_table_data: bool) -> None:
+        """Classify ONE winner manifest against the loser's declared
+        footprint — raise the named conflict or return (commute). The
+        winner's changes are its manifest diff against its predecessor
+        (manifests are contiguous inside a race window: every version
+        is predecessor+1 and the loser holds the base)."""
+        wm = self.manifest(wv)
+        pm = self.manifest(wv - 1)
+        win_op = wm.get("operation", "commit")
+        ctx = (f"{operation} at {self.path} lost the commit race for "
+               f"version {wv} to a concurrent {win_op}")
+        if wm.get("schema") != pm.get("schema"):
+            # the winner EVOLVED the schema; the loser's rewritten
+            # files (and the schema it would re-commit) were derived
+            # under the old one — rebasing would silently downgrade
+            # the winner's evolution
+            raise VersionedSchemaChangedError(
+                f"{ctx} that changed the table schema — re-read the "
+                "table and re-run the operation")
+        win_files = set(wm.get("files") or [])
+        prev_files = set(pm.get("files") or [])
+        win_removed = prev_files - win_files
+        win_added = win_files - prev_files
+        hit = win_removed & removed_files
+        if hit:
+            raise VersionedConcurrentDeleteDeleteError(
+                f"{ctx} that already removed file(s) this operation "
+                f"also removes (e.g. {sorted(hit)[0]!r})")
+        hit = win_removed & read_files
+        if hit:
+            raise VersionedConcurrentDeleteReadError(
+                f"{ctx} that removed file(s) this operation read "
+                f"(e.g. {sorted(hit)[0]!r})")
+        if reads_table_data and win_added and win_op != "COMPACT":
+            # COMPACT's adds are row-preserving rewrites of files it
+            # removed (caught above when they overlap the loser's
+            # footprint); any other data-adding winner may change what
+            # a table-reading op's predicate matched
+            raise VersionedConcurrentAppendError(
+                f"{ctx} that added data file(s) this operation's "
+                "predicate may depend on — re-read the table and "
+                "re-run the operation")
+
+    def _commit_classified(self, read_v: int, operation: str,
+                           removed_files: list[str], new_files: list[str],
+                           schema, new_stats: dict,
+                           reads_table_data: bool, read_files: set,
+                           extra: dict | None = None,
+                           max_retries: int = 20) -> int:
+        """Commit a snapshot-rewriting operation (MERGE / COMPACT) with
+        the bridge's optimistic-concurrency contract on manifests: on a
+        lost race every winner is classified
+        (:meth:`_classify_winner`); commuting winners (a blind append
+        racing a COMPACT — the hourly-append + nightly-OPTIMIZE shape)
+        REBASE the loser onto the winner's snapshot (carried files and
+        stats recomputed; the staged data files commit verbatim at the
+        higher version — manifests may reference any earlier version's
+        data dir) and retry. Conflicting winners raise the named error
+        instead of a raw CommitRaceLostError."""
+        removed = set(removed_files)
+        schema_json = schema.jsonValue()
+        base_v, attempt = read_v, read_v + 1
+        for _ in range(max_retries):
+            carried = [f for f in self.files(base_v) if f not in removed]
+            stats = dict(new_stats)
+            stats.update(self._carried_stats(base_v, carried))
+            if extra is not None and "files_carried" in extra:
+                extra = {**extra, "files_carried": len(carried)}
+            try:
+                return self._commit(attempt, operation,
+                                    carried + new_files, schema_json,
+                                    extra=extra, stats=stats)
+            except CommitRaceLostError:
+                pass
+            latest = self.versions()[-1]
+            for wv in range(attempt, latest + 1):
+                self._classify_winner(wv, operation, read_files, removed,
+                                      reads_table_data)
+            base_v, attempt = latest, latest + 1
+        raise VersionedConcurrentModificationError(
+            f"{operation} at {self.path}: exhausted {max_retries} commit "
+            "retries against concurrent writers")
+
     def write(self, df: DataFrame, mode: str = "overwrite", num_partitions: int | None = None,
               operation: str = "WRITE", merge_schema: bool = False,
               cluster_by: list[str] | None = None,
@@ -1074,14 +1193,19 @@ class VersionedTable:
             *[f"{self.path}/{f}" for f in small]
         )
         cur_v = self.latest_version()
-        new_v = cur_v + 1
-        new_files = self._write_data_files(df, new_v, num_partitions)
+        new_files = self._write_data_files(df, cur_v + 1, num_partitions,
+                                           unique_dir=True)
         stats = self._collect_stats(new_files, schema)
-        stats.update(self._carried_stats(cur_v, carried))
-        return self._commit(
-            new_v, "COMPACT", carried + new_files, schema.jsonValue(),
+        # COMPACT reads (and removes) exactly its small inputs and
+        # preserves rows, so a racing blind APPEND commutes: the loser
+        # REBASES onto the winner's snapshot and retries (the
+        # hourly-append + nightly-OPTIMIZE shape, the same commute the
+        # bridge's OPTIMIZE has) — while a winner that removed or
+        # rewrote any input raises the named conflict
+        return self._commit_classified(
+            cur_v, "COMPACT", small, new_files, schema, stats,
+            reads_table_data=False, read_files=set(small),
             extra={"files_compacted": len(small), "files_carried": len(carried)},
-            stats=stats,
         )
 
     def restore(self, version: int | None = None,
@@ -1301,15 +1425,25 @@ class VersionedTable:
             when_not_matched_by_source_delete=when_not_matched_by_source_delete,
         ).filter(~F.col("__deleted")).select(*t_cols)
 
-        new_v = cur_v + 1
-        new_files = self._write_data_files(result, new_v, num_partitions)
-        stats = self._collect_stats(new_files, target_full.schema)
-        stats.update(self._carried_stats(cur_v, carried))
-        return self._commit(
-            new_v, "MERGE", carried + new_files, target_full.schema.jsonValue(),
+        # unique staging dir: racing writers that both picked the same
+        # next version never collide at the data write (the round-10
+        # append rule, extended to rewrites with round-11's classified
+        # OCC); the manifest's explicit file list makes the dir name
+        # irrelevant to readers, and vacuum's staging grace covers a
+        # loser's orphaned files
+        new_files = self._write_data_files(result, cur_v + 1,
+                                           num_partitions, unique_dir=True)
+        new_stats = self._collect_stats(new_files, target_full.schema)
+        # MERGE read the whole snapshot (matched-file discovery + the
+        # optional by-source clause scan it), so any concurrent data
+        # change conflicts BY NAME; the retry loop exists for the
+        # degenerate commuting winners (e.g. a metadata-only restore of
+        # the identical snapshot) and to surface the named error
+        return self._commit_classified(
+            cur_v, "MERGE", matched_files, new_files, target_full.schema,
+            new_stats, reads_table_data=True, read_files=set(all_files),
             extra={
                 "files_rewritten": len(matched_files),
                 "files_carried": len(carried),
             },
-            stats=stats,
         )

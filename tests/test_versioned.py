@@ -910,3 +910,127 @@ def test_vacuum_staging_grace_protects_fresh_unreferenced_files(
     assert _os.path.exists(_os.path.join(staged, "inflight.parquet"))
     gone = table.vacuum(retain_versions=1, staging_grace_hours=0)
     assert "data/v00000099/inflight.parquet" in gone
+
+
+def test_native_compact_racing_append_rebases_and_commits(
+        spark, table, monkeypatch):
+    """Round-11 (verdict stretch): native-format COMPACT racing a blind
+    APPEND classifies the winner (data-adding, none of the compact's
+    inputs touched) as COMMUTING, rebases onto the winner's snapshot
+    and retries — the hourly-append + nightly-OPTIMIZE shape stops
+    being a raw lost-race error. All rows land; the final manifest
+    carries the compacted outputs AND the winner's file."""
+    import sql_based_etl_spark.tables.versioned as vmod
+
+    for i in range(3):
+        table.write(spark.createDataFrame([(i,)], "id long"),
+                    mode="append" if i else "overwrite")
+    winner_tbl = VersionedTable(spark, table.path)
+
+    orig = vmod.publish_text_exclusive
+    state = {"fired": False}
+
+    def racing(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(spark.createDataFrame([(99,)], "id long"),
+                             mode="append")
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing)
+    v = table.compact(num_partitions=1)
+    assert v == 4, "winner took 3; the compact rebased to 4"
+    got = sorted(r.id for r in table.read().collect())
+    assert got == [0, 1, 2, 99]
+    m = table.manifest(v)
+    assert m["operation"] == "COMPACT"
+    # stats cover every live file post-rebase (pruning still works)
+    assert set(m["stats"]) == set(m["files"])
+
+
+def test_native_merge_racing_append_named_conflict(
+        spark, table, monkeypatch):
+    """Native MERGE reads the whole snapshot, so a racing data-adding
+    writer raises the NAMED VersionedConcurrentAppendError (not a raw
+    CommitRaceLostError), and the winner's state stands."""
+    import sql_based_etl_spark.tables.versioned as vmod
+    from sql_based_etl_spark.tables.versioned import (
+        VersionedConcurrentAppendError,
+    )
+
+    table.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    winner_tbl = VersionedTable(spark, table.path)
+
+    orig = vmod.publish_text_exclusive
+    state = {"fired": False}
+
+    def racing(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(
+                spark.createDataFrame([(2, "w")], "id long, v string"),
+                mode="append")
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing)
+    src = spark.createDataFrame([(1, "upd")], "id long, v string")
+    with pytest.raises(VersionedConcurrentAppendError, match="MERGE"):
+        table.merge(src, "target.id = source.id",
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+    got = sorted((r.id, r.v) for r in table.read().collect())
+    assert got == [(1, "a"), (2, "w")], "winner's append must stand"
+
+
+def test_native_compact_racing_rewrite_named_conflicts(
+        spark, table, monkeypatch):
+    """COMPACT racing a winner that REWROTE one of its input files
+    (a merge) raises the named delete-family conflict; and a winner
+    that evolved the schema raises VersionedSchemaChangedError —
+    a rebase would downgrade the evolution."""
+    import sql_based_etl_spark.tables.versioned as vmod
+    from sql_based_etl_spark.tables.versioned import (
+        VersionedConcurrentModificationError,
+        VersionedSchemaChangedError,
+    )
+
+    for i in range(3):
+        table.write(spark.createDataFrame([(i, "x")], "id long, v string"),
+                    mode="append" if i else "overwrite")
+    winner_tbl = VersionedTable(spark, table.path)
+
+    orig = vmod.publish_text_exclusive
+    state = {"fired": False}
+
+    def racing_merge(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.merge(
+                spark.createDataFrame([(1, "upd")], "id long, v string"),
+                "target.id = source.id",
+                when_matched_update={"v": "source.v"},
+                insert_not_matched=False)
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing_merge)
+    with pytest.raises(VersionedConcurrentModificationError,
+                       match="removed file"):
+        table.compact(num_partitions=1)
+    assert sorted(r.v for r in table.read().collect()) == [
+        "upd", "x", "x"], "winner's merge must stand"
+
+    # schema-evolving winner: named schema conflict
+    state["fired"] = False
+
+    def racing_evolve(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(
+                spark.createDataFrame([(9, "y", 5.0)],
+                                      "id long, v string, score double"),
+                mode="append", merge_schema=True)
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing_evolve)
+    with pytest.raises(VersionedSchemaChangedError):
+        table.compact(num_partitions=1)
