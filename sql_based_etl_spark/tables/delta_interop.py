@@ -2437,150 +2437,14 @@ def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
     return {p: a for p, a in adds.items() if _may_match(a)}
 
 
-def _split_top_and(cond: str) -> list[str] | None:
-    """Split a SQL boolean expression into its TOP-LEVEL ``AND``
-    conjuncts (string literals and parenthesized groups opaque).
-    Returns None when a top-level ``OR`` exists — the expression is
-    then a disjunction and no conjunct is individually implied."""
-    parts: list[str] = []
-    depth = 0
-    start = 0
-    i = 0
-    n = len(cond)
-    up = cond.upper()
-
-    def _bound(j: int, ln: int) -> bool:
-        before = cond[j - 1] if j > 0 else " "
-        after = cond[j + ln] if j + ln < n else " "
-        return (not (before.isalnum() or before in "_.")
-                and not (after.isalnum() or after in "_."))
-
-    while i < n:
-        c = cond[i]
-        if c == "'":
-            j = i + 1
-            while j < n:
-                if cond[j] == "'":
-                    if j + 1 < n and cond[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            i = j + 1
-            continue
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth < 0:
-                return None  # malformed — refuse to extract anything
-        elif depth == 0 and up.startswith("AND", i) and _bound(i, 3):
-            parts.append(cond[start:i])
-            start = i + 3
-            i += 3
-            continue
-        elif depth == 0 and up.startswith("OR", i) and _bound(i, 2):
-            return None
-        i += 1
-    parts.append(cond[start:])
-    return parts
-
-
-_TRIPLE_LIT = (r"(?:DATE\s*)?'(?:[^']|'')*'"
-               r"|-?\d+(?:\.\d+)?"
-               r"|true|false")
-_TRIPLE_CMP = re.compile(
-    rf"^(?:(\w+)\s*\.\s*)?(\w+)\s*(=|<=|>=|<|>)\s*({_TRIPLE_LIT})$",
-    re.IGNORECASE | re.DOTALL)
-_TRIPLE_CMP_REV = re.compile(
-    rf"^({_TRIPLE_LIT})\s*(=|<=|>=|<|>)\s*(?:(\w+)\s*\.\s*)?(\w+)$",
-    re.IGNORECASE | re.DOTALL)
-_TRIPLE_NULL = re.compile(
-    r"^(?:(\w+)\s*\.\s*)?(\w+)\s+IS\s+(NOT\s+)?NULL$", re.IGNORECASE)
-_TRIPLE_IN = re.compile(
-    rf"^(?:(\w+)\s*\.\s*)?(\w+)\s+IN\s*\(\s*({_TRIPLE_LIT})"
-    rf"(?:\s*,\s*(?:{_TRIPLE_LIT}))*\s*\)$",
-    re.IGNORECASE | re.DOTALL)
-_TRIPLE_IN_LITS = re.compile(_TRIPLE_LIT, re.IGNORECASE)
-_FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
-
-
-def _triple_lit_value(tok: str):
-    t = tok.strip()
-    low = t.lower()
-    if low == "true":
-        return True
-    if low == "false":
-        return False
-    if t[:1] == "'" or low.startswith("date"):
-        body = t[t.index("'") + 1:-1]
-        return body.replace("''", "'")
-    return float(t) if "." in t else int(t)
-
-
-def _condition_target_triples(cond: str, t_cols: list[str],
-                              alias: str | None) -> list[tuple]:
-    """Extract the single-table ``(column, op, literal)`` conjuncts a
-    SQL condition PROVABLY implies — the loser's read footprint for
-    predicate-scoped optimistic concurrency (and for driver-side file
-    pruning). Conservative by construction: only TOP-LEVEL ``AND``
-    conjuncts of the shape ``[alias.]col op literal`` / ``IS [NOT]
-    NULL`` / ``IN (literals)`` are taken; anything else (ORs,
-    functions, column-to-column comparisons, sub-selects) is skipped —
-    skipping only WIDENS the declared footprint, never narrows it.
-
-    ``alias``: required qualifier for merge ON conditions (the target
-    relation's alias — an unqualified or source-qualified ref is
-    skipped); None for single-table predicates, where any single
-    qualifier resolves to the one table and multi-dotted refs are
-    skipped. Column names resolve case-insensitively to the LOGICAL
-    schema names (what :func:`_prune_adds_by_stats` expects)."""
-    conjuncts = _split_top_and(cond)
-    if conjuncts is None:
-        return []
-    low2col = {c.lower(): c for c in t_cols}
-
-    def _col(qual: str | None, name: str) -> str | None:
-        if alias is not None and (qual or "").lower() != alias.lower():
-            return None  # must name the target relation explicitly
-        return low2col.get(name.lower())
-
-    out: list[tuple] = []
-    for raw in conjuncts:
-        s = raw.strip()
-        while (s.startswith("(") and s.endswith(")")
-               and _split_top_and(s[1:-1]) is not None):
-            s = s[1:-1].strip()  # shed redundant wrapping parens
-        m = _TRIPLE_CMP.match(s)
-        if m:
-            c = _col(m.group(1), m.group(2))
-            if c is not None:
-                out.append((c, m.group(3), _triple_lit_value(m.group(4))))
-            continue
-        m = _TRIPLE_CMP_REV.match(s)
-        if m:
-            c = _col(m.group(3), m.group(4))
-            if c is not None:
-                out.append((c, _FLIP_OP[m.group(2)],
-                            _triple_lit_value(m.group(1))))
-            continue
-        m = _TRIPLE_NULL.match(s)
-        if m:
-            c = _col(m.group(1), m.group(2))
-            if c is not None:
-                out.append((c, "is not null" if m.group(3) else "is null",
-                            None))
-            continue
-        m = _TRIPLE_IN.match(s)
-        if m:
-            c = _col(m.group(1), m.group(2))
-            if c is not None:
-                body = s[s.index("(", m.end(2)):]
-                lits = [_triple_lit_value(x.group(0))
-                        for x in _TRIPLE_IN_LITS.finditer(body)]
-                out.append((c, "in", lits))
-            continue
-    return out
+# _split_top_and / _condition_target_triples moved to
+# engine/sql_compat.py (round-11) so the native VersionedTable can use
+# the same read-footprint extraction without an import cycle; the
+# bridge keeps its internal names.
+from sql_based_etl_spark.engine.sql_compat import (  # noqa: E402
+    condition_implied_triples as _condition_target_triples,
+    split_top_and as _split_top_and,
+)
 
 
 def _drop_empty_adds(adds: list[dict]) -> list[dict]:

@@ -711,6 +711,8 @@ class VersionedTable:
         kept = []
         for f in m["files"]:
             fstats = stats.get(f)
+            if fstats and fstats.get("rows") == 0:
+                continue  # a zero-row file matches nothing
             cols = fstats.get("columns", {}) if fstats else {}
             if all(
                 _file_may_match(cols.get(c) if fstats else None, op, val)
@@ -961,7 +963,8 @@ class VersionedTable:
 
     def _classify_winner(self, wv: int, operation: str,
                          read_files: set, removed_files: set,
-                         reads_table_data: bool) -> None:
+                         reads_table_data: bool,
+                         read_triples: list | None = None) -> None:
         """Classify ONE winner manifest against the loser's declared
         footprint — raise the named conflict or return (commute). The
         winner's changes are its manifest diff against its predecessor
@@ -998,7 +1001,34 @@ class VersionedTable:
             # COMPACT's adds are row-preserving rewrites of files it
             # removed (caught above when they overlap the loser's
             # footprint); any other data-adding winner may change what
-            # a table-reading op's predicate matched
+            # a table-reading op's predicate matched — UNLESS the
+            # loser's read predicate (its ON-condition target
+            # conjuncts) provably excludes every added file by the
+            # winner's own manifest stats (the bridge's
+            # predicate-scoped rule, on manifests): a merge over
+            # k='A' commutes with an append whose files hold only
+            # k='B'. Missing stats keep the file → conflict.
+            if read_triples:
+                wstats = wm.get("stats", {})
+
+                def _may(f: str) -> bool:
+                    fs = wstats.get(f)
+                    if fs and fs.get("rows") == 0:
+                        return False  # a zero-row file matches nothing
+                    cols = fs.get("columns", {}) if fs else {}
+                    return all(
+                        _file_may_match(cols.get(c) if fs else None,
+                                        op, val)
+                        for c, op, val in read_triples)
+
+                overlap = [f for f in win_added if _may(f)]
+                if not overlap:
+                    return
+                raise VersionedConcurrentAppendError(
+                    f"{ctx} that added data file(s) inside this "
+                    f"operation's read predicate (e.g. "
+                    f"{sorted(overlap)[0]!r}) — re-read the table and "
+                    "re-run the operation")
             raise VersionedConcurrentAppendError(
                 f"{ctx} that added data file(s) this operation's "
                 "predicate may depend on — re-read the table and "
@@ -1008,6 +1038,7 @@ class VersionedTable:
                            removed_files: list[str], new_files: list[str],
                            schema, new_stats: dict,
                            reads_table_data: bool, read_files: set,
+                           read_triples: list | None = None,
                            extra: dict | None = None,
                            max_retries: int = 20) -> int:
         """Commit a snapshot-rewriting operation (MERGE / COMPACT) with
@@ -1038,7 +1069,7 @@ class VersionedTable:
             latest = self.versions()[-1]
             for wv in range(attempt, latest + 1):
                 self._classify_winner(wv, operation, read_files, removed,
-                                      reads_table_data)
+                                      reads_table_data, read_triples)
             base_v, attempt = latest, latest + 1
         raise VersionedConcurrentModificationError(
             f"{operation} at {self.path}: exhausted {max_retries} commit "
@@ -1321,13 +1352,26 @@ class VersionedTable:
 
     _FILE_RE = r"(data/v\d{8}(?:-[0-9a-f]{8})?/[^/]+)$"
 
-    def _matched_files(self, source: DataFrame, condition: str) -> list[str]:
+    def _matched_files(self, source: DataFrame, condition: str,
+                       files: list[str] | None = None) -> list[str]:
         """Data files containing at least one row matching the merge
         condition — one semi-join job whose output is a (tiny) file
         list. This is the copy-on-write pruning step: everything else
-        is carried forward untouched."""
+        is carried forward untouched. ``files`` limits the scan to a
+        stats-pruned candidate subset (None = the whole snapshot)."""
+        from pyspark.sql.types import StructType
+
+        if files is None:
+            target = self.read()
+        else:
+            if not files:
+                return []
+            schema = StructType.fromJson(
+                self.manifest(self.latest_version())["schema"])
+            target = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in files])
         tagged = (
-            self.read()
+            target
             .withColumn("__file", F.regexp_extract(F.input_file_name(), self._FILE_RE, 1))
             .alias("target")
         )
@@ -1395,10 +1439,34 @@ class VersionedTable:
         if matched_condition:
             matched_condition = coerce_condition_for_types(matched_condition, dtmap)
         all_files = self.files(cur_v)
+        # Predicate-scoped read footprint (round-11, the Delta bridge's
+        # rule on manifests): the ON condition's target-only conjuncts
+        # prune the matched-file scan via manifest stats (a merge whose
+        # ON pins a clustered key range opens only that range's files)
+        # and scope OCC — a racing append whose new files provably
+        # miss the predicate commutes. A by-source clause inspects
+        # every target row and disables both.
+        from sql_based_etl_spark.engine.sql_compat import (
+            condition_implied_triples,
+        )
+
+        read_triples: list[tuple] = []
+        if not when_not_matched_by_source_delete:
+            t_cols_all = [f["name"] for f in
+                          self.manifest(cur_v)["schema"]["fields"]]
+            read_triples = [
+                t for t in condition_implied_triples(condition, t_cols_all,
+                                                     "target")
+                if t[1] in _FILTER_OPS  # manifest stats: no null tests
+            ]
+        scan_files = (self.prune_files(read_triples, version=cur_v)
+                      if read_triples else all_files)
         if when_not_matched_by_source_delete:
             matched_files = list(all_files)  # clause touches every row
         else:
-            matched_files = self._matched_files(source, condition) if all_files else []
+            matched_files = (self._matched_files(source, condition,
+                                                 files=scan_files)
+                             if scan_files else [])
         carried = [f for f in all_files if f not in set(matched_files)]
 
         target_full = self.read()
@@ -1434,14 +1502,14 @@ class VersionedTable:
         new_files = self._write_data_files(result, cur_v + 1,
                                            num_partitions, unique_dir=True)
         new_stats = self._collect_stats(new_files, target_full.schema)
-        # MERGE read the whole snapshot (matched-file discovery + the
-        # optional by-source clause scan it), so any concurrent data
-        # change conflicts BY NAME; the retry loop exists for the
-        # degenerate commuting winners (e.g. a metadata-only restore of
-        # the identical snapshot) and to surface the named error
+        # MERGE read the stats-pruned candidate set (the whole snapshot
+        # when no target conjunct was extractable); winners adding
+        # files provably OUTSIDE the read predicate commute (rebase +
+        # retry), anything else raises the named conflict
         return self._commit_classified(
             cur_v, "MERGE", matched_files, new_files, target_full.schema,
-            new_stats, reads_table_data=True, read_files=set(all_files),
+            new_stats, reads_table_data=True, read_files=set(scan_files),
+            read_triples=(read_triples or None),
             extra={
                 "files_rewritten": len(matched_files),
                 "files_carried": len(carried),

@@ -1034,3 +1034,66 @@ def test_native_compact_racing_rewrite_named_conflicts(
     monkeypatch.setattr(vmod, "publish_text_exclusive", racing_evolve)
     with pytest.raises(VersionedSchemaChangedError):
         table.compact(num_partitions=1)
+
+
+def test_native_merge_predicate_scoped_commutes(spark, table, monkeypatch):
+    """Native MERGE with target conjuncts in the ON condition: the
+    conjuncts prune the matched-file scan via manifest stats (only the
+    k='A' file is rewritten) and scope OCC — a racing append whose new
+    file's stats provably miss the predicate COMMUTES (rebase+retry),
+    while an append inside it raises the named error."""
+    import sql_based_etl_spark.tables.versioned as vmod
+    from sql_based_etl_spark.tables.versioned import (
+        VersionedConcurrentAppendError,
+    )
+
+    table.write(spark.createDataFrame([(1, "a", "A")],
+                                      "id long, v string, k string"))
+    table.write(spark.createDataFrame([(2, "b", "B")],
+                                      "id long, v string, k string"),
+                mode="append")
+    winner_tbl = VersionedTable(spark, table.path)
+
+    orig = vmod.publish_text_exclusive
+    state = {"fired": False}
+
+    def racing(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(
+                spark.createDataFrame([(9, "w", "B")],
+                                      "id long, v string, k string"),
+                mode="append")
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing)
+    src = spark.createDataFrame([(1, "upd", "A")],
+                                "id long, v string, k string")
+    v = table.merge(src, "target.k = 'A' AND target.id = source.id",
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+    assert v == 3, "winner took 2; the scoped merge rebased to 3"
+    got = sorted((r.id, r.v, r.k) for r in table.read().collect())
+    assert got == [(1, "upd", "A"), (2, "b", "B"), (9, "w", "B")]
+    m = table.manifest(v)
+    assert m["files_rewritten"] == 1, "stats pruning: only the A file"
+    assert set(m["stats"]) == set(m["files"])
+
+    # an append INSIDE the predicate is a real, named conflict
+    state["fired"] = False
+
+    def racing_inside(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(
+                spark.createDataFrame([(8, "x", "A")],
+                                      "id long, v string, k string"),
+                mode="append")
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing_inside)
+    with pytest.raises(VersionedConcurrentAppendError,
+                       match="read predicate"):
+        table.merge(src, "target.k = 'A' AND target.id = source.id",
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
