@@ -2862,11 +2862,23 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 txn_app_id: str | None = None,
                 txn_version: int | None = None,
                 properties: dict[str, str] | None = None,
-                merge_schema: bool = False) -> int:
+                merge_schema: bool = False,
+                cluster_by: list[str] | None = None,
+                cluster_method: str = "zorder") -> int:
     """Write a commit to a Delta-protocol table WITHOUT delta-spark jars
     — the write half of the interop bridge (read half:
     :func:`read_delta`), so engine output is consumable by any Delta
     deployment (scd2-job.ipynb:153's production format).
+
+    ``cluster_by`` (round-11) is CREATE ... CLUSTER BY + clustered
+    writes: the batch is laid out on the clustering key (zorder by
+    default — per-file min/max narrow on every clustered column — or
+    'range' for leading-column locality incl. string keys), and table
+    CREATION records the columns in the ``delta.clustering`` domain
+    (physical names on mapped tables) claiming the
+    clustering+domainMetadata features, so ``compact_delta`` OPTIMIZE
+    auto-clusters by them and external engines see a liquid-clustered
+    table.
 
     Emits the public transaction-log actions: ``protocol``
     (minReader 1 / minWriter 2 — no writer features the bridge cannot
@@ -2930,6 +2942,17 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         raise VersionedTableError(
             "write_delta: txn_app_id and txn_version come together"
         )
+    if cluster_by:
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise VersionedTableError(
+                f"write_delta: cluster_by columns {missing} not in the "
+                "batch")
+        if partition_by and set(cluster_by) & set(partition_by):
+            raise VersionedTableError(
+                "write_delta: cluster_by and partition_by must be "
+                "disjoint (liquid clustering replaces hive "
+                "partitioning on those columns)")
     fs, jlog, _ = _fs_and_path(spark, log_dir)
 
     live: dict[str, dict] = {}
@@ -3136,7 +3159,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         # session-TZ instants, so the claim is mandatory at CREATE
         ntz_on = _schema_contains_type(json.loads(schema_string),
                                        {"timestamp_ntz"})
-        if (ict_on or dv_on or rt_on or v2cp_on or ntz_on
+        if (ict_on or dv_on or rt_on or v2cp_on or ntz_on or cluster_by
                 or cm_mode != "none"):
             wf = {"appendOnly", "invariants"}
             rf: set[str] = set()
@@ -3158,6 +3181,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             if ntz_on:
                 wf.add("timestampNtz")
                 rf.add("timestampNtz")
+            if cluster_by:
+                # liquid clustering: the clustering columns live in the
+                # delta.clustering domain (emitted below), so both the
+                # clustering feature AND domainMetadata are claimed —
+                # external writers must preserve the domain, and the
+                # bridge's own OPTIMIZE auto-picks the columns up
+                wf |= {"clustering", "domainMetadata"}
             if ic_on:
                 wf.add("icebergCompatV2")
             proto = {
@@ -3191,8 +3221,41 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         # "create": version 0 removes nothing, so appendOnly's
         # no-removal rule does not apply to the creating overwrite.
         _check_writer_allowed(proto, meta, "create")
+        if cluster_by:
+            # CREATE ... CLUSTER BY: the delta.clustering domain records
+            # PHYSICAL column names (delta-spark's shape; the round-8
+            # mapped-table fix reads them back through phys→logical);
+            # compact_delta then auto-clusters OPTIMIZE by them
+            phys_by_logical = {
+                f_["name"]: (f_.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", f_["name"])
+                for f_ in json.loads(meta["schemaString"])["fields"]
+            }
+            domains["delta.clustering"] = json.dumps(
+                {"clusteringColumns": [[phys_by_logical[c]]
+                                       for c in cluster_by]})
 
     df = _enforce_write_obligations(df, meta)
+    if cluster_by:
+        # clustered layout for THIS batch (logical names, before the
+        # physical projection): zorder interleaves bits so per-file
+        # min/max narrow on EVERY clustered column; 'range' gives
+        # leading-column locality and also takes string keys
+        n_out = max(1, df.rdd.getNumPartitions())
+        out_cols = list(df.columns)
+        if cluster_method == "zorder":
+            from sql_based_etl_spark.tables.versioned import zorder_key
+
+            df, zkey = zorder_key(df, cluster_by)
+            df = (df.repartitionByRange(n_out, zkey)
+                  .sortWithinPartitions(zkey).select(*out_cols))
+        elif cluster_method == "range":
+            df = (df.repartitionByRange(n_out, *cluster_by)
+                  .sortWithinPartitions(*cluster_by))
+        else:
+            raise VersionedTableError(
+                f"write_delta: unknown cluster_method {cluster_method!r}"
+                " (zorder | range)")
     if mapping_mode != "none":
         # mapped tables store data (and partitionValues keys) under
         # PHYSICAL names — the reader's projection run in reverse
@@ -3225,6 +3288,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         actions.append({"protocol": proto})
     if emit_meta:
         actions.append({"metaData": meta})
+    if next_v == 0 and cluster_by:
+        actions.append({"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": domains["delta.clustering"],
+            "removed": False}})
     if txn_app_id is not None:
         actions.append({"txn": {"appId": txn_app_id,
                                 "version": int(txn_version),

@@ -5560,3 +5560,70 @@ def test_delta_bridge_stream_cold_start_backlog_bounded(spark, tmp_path):
         f"6-commit cold-start backlog must drain in bounded batches, "
         f"got {batches}")
     assert all(len(ids) <= 2 for ids in batches), batches
+
+
+def test_write_delta_cluster_by_creates_liquid_table(spark, tmp_path):
+    """CREATE ... CLUSTER BY on the bridge (round-11): cluster_by at
+    CREATE records the delta.clustering domain (PHYSICAL names on
+    mapped tables), claims clustering+domainMetadata, lays the batch
+    out so per-file id ranges are disjoint (data skipping bites), and
+    OPTIMIZE auto-picks the recorded columns up — the library's
+    liquid-clustering lifecycle end to end."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(4000).selectExpr("id", "id % 7 as k").repartition(4)
+    write_delta(df, d, mode="overwrite", cluster_by=["id"])
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert {"clustering", "domainMetadata"} <= set(proto["writerFeatures"])
+    dm = next(a["domainMetadata"] for a in acts if "domainMetadata" in a)
+    assert dm["domain"] == "delta.clustering"
+    assert json.loads(dm["configuration"])["clusteringColumns"] == [["id"]]
+    # clustered layout: per-file id ranges are disjoint
+    adds = [a["add"] for a in acts if "add" in a]
+    assert len(adds) >= 2
+    spans = sorted((json.loads(a["stats"])["minValues"]["id"],
+                    json.loads(a["stats"])["maxValues"]["id"])
+                   for a in adds)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+    # appends to the clustered table are accepted; domain survives
+    write_delta(spark.range(4000, 4100).selectExpr("id", "id % 7 as k"),
+                d)
+    assert read_delta(spark, d).count() == 4100
+    assert "delta.clustering" in _replay_state(spark, d)[5]
+    # OPTIMIZE auto-picks the recorded clustering columns
+    v = compact_delta(spark, d, target_files=2)
+    with open(os.path.join(d, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert json.loads(ci["operationParameters"]["zOrderBy"]) == ["id"]
+
+    # mapped table: the domain records the PHYSICAL name
+    d2 = str(tmp_path / "t2")
+    write_delta(df, d2, mode="overwrite", cluster_by=["id"],
+                properties={"delta.columnMapping.mode": "name"})
+    with open(os.path.join(d2, "_delta_log", f"{0:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    phys = {f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in json.loads(meta["schemaString"])["fields"]}
+    dm = next(a["domainMetadata"] for a in acts if "domainMetadata" in a)
+    assert json.loads(dm["configuration"])["clusteringColumns"] == [
+        [phys["id"]]]
+    assert phys["id"] != "id"  # name mode allocates col-<uuid> names
+
+    # bad inputs refuse loudly
+    with pytest.raises(VersionedTableError, match="cluster_by"):
+        write_delta(df, str(tmp_path / "t3"), mode="overwrite",
+                    cluster_by=["nope"])
+    with pytest.raises(VersionedTableError, match="disjoint"):
+        write_delta(df, str(tmp_path / "t4"), mode="overwrite",
+                    cluster_by=["k"], partition_by=["k"])
