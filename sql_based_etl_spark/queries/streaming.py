@@ -332,3 +332,119 @@ ORACLES["stream_materialized_agg"] = """
            count(*) AS n
     FROM events GROUP BY event_type
 """
+
+
+def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Change-Data-Feed over a bridge Delta table (round-11
+    ``readChangeFeed=true`` on the ``delta_bridge`` source,
+    streaming/delta_source.py): create a CDF+DV-enabled table from an
+    ``orders`` sample (v0 = even-hundred keys), append the rest (v1),
+    MERGE-update the even-custkey matched rows (v2, real cdc
+    update_preimage/postimage), then DV-DELETE ``custkey % 10 = 3``
+    (v3, cdc delete rows; the data files stay byte-untouched) — and
+    consume the WHOLE change stream through Spark's streaming engine.
+    Aggregated per change type (plus the number of distinct commits
+    each type appeared in, so per-commit multiplicity is still
+    checked without depending on absolute version numbers), it must
+    equal DuckDB replaying the commit algebra from ``orders``."""
+    import tempfile as _tf
+
+    from sql_based_etl_spark.queries._util import load
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    work = _tf.mkdtemp(prefix="stream_delta_cdf_")
+    _WORK_DIRS.append(work)
+    d = os.path.join(work, "t")
+    write_delta(base.filter(F.col("o_orderkey") % 100 == 0), d,
+                mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true",
+                            "delta.enableDeletionVectors": "true"})
+    write_delta(base.filter(F.col("o_orderkey") % 100 != 0), d)
+    merge_delta(
+        base.filter(F.col("o_orderkey") % 100 == 0), d,
+        condition="target.o_orderkey = source.o_orderkey",
+        when_matched_update={"o_custkey": "source.o_custkey + 1000000"},
+        matched_condition="source.o_custkey % 2 = 0",
+        insert_not_matched=False,
+    )
+    delete_delta(spark, d, "o_custkey % 10 = 3")
+
+    register_delta_bridge_source(spark)
+    changes = (spark.readStream.format("delta_bridge")
+               .option("path", d)
+               .option("readChangeFeed", "true").load())
+    # streaming aggregations forbid distinct counts — the stream keeps
+    # (change type, commit version) granularity; the materialized
+    # bounded result is then folded batch-side
+    out, _name = run_bounded(
+        changes.groupBy("_change_type", "_commit_version").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("s"),
+        ),
+        mode="complete",
+    )
+    return (
+        out.groupBy("_change_type").agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("s").cast("bigint").alias("sum_custkey"),
+            F.countDistinct("_commit_version").cast("bigint")
+            .alias("n_commits"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+QUERIES["stream_delta_cdf"] = stream_delta_cdf
+
+# the commit algebra replayed from `orders`: v0 inserts the
+# even-hundred keys, v1 the rest of the %50 sample; the merge updates
+# even-custkey matched rows (+1e6 — custkey%10 is preserved); the DV
+# delete removes custkey%10=3 from the CURRENT table. HAVING guards
+# keep empty change types absent on both sides at tiny scales.
+ORACLES["stream_delta_cdf"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    ev  AS (SELECT * FROM base WHERE o_orderkey % 100 = 0),
+    od  AS (SELECT * FROM base WHERE o_orderkey % 100 <> 0),
+    upd AS (SELECT * FROM ev WHERE o_custkey % 2 = 0),
+    cur AS (
+        SELECT o_orderkey,
+               o_custkey + CASE WHEN o_custkey % 2 = 0
+                                THEN 1000000 ELSE 0 END AS o_custkey
+        FROM ev
+        UNION ALL SELECT o_orderkey, o_custkey FROM od
+    ),
+    del AS (SELECT * FROM cur WHERE o_custkey % 10 = 3)
+    SELECT 'delete' AS _change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+           CAST(1 AS BIGINT) AS n_commits
+    FROM del HAVING count(*) > 0
+    UNION ALL
+    SELECT 'insert', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT),
+           CAST((SELECT count(*) > 0 FROM ev) AS BIGINT)
+           + CAST((SELECT count(*) > 0 FROM od) AS BIGINT)
+    FROM base HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT), CAST(1 AS BIGINT)
+    FROM upd HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey + 1000000) AS BIGINT), CAST(1 AS BIGINT)
+    FROM upd HAVING count(*) > 0
+    ORDER BY _change_type
+"""
