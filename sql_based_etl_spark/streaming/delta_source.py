@@ -283,11 +283,23 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                                                       "false"))
         ).lower() == "true"
         sv = options.get("startingversion", options.get("startingVersion"))
+        st = options.get("startingtimestamp",
+                         options.get("startingTimestamp"))
+        if sv is not None and st is not None:
+            raise ValueError(
+                "delta_bridge source: pass at most one of "
+                "startingVersion / startingTimestamp")
         # library semantics: startingVersion=N streams commit N
         # INCLUSIVE; offsets record the version processed THROUGH, so
-        # the initial offset is N-1. Default: from the beginning
+        # the initial offset is N-1. startingTimestamp streams every
+        # commit at-or-after the timestamp (ICT when the commit carries
+        # one, else log-file mtime — the same rule as timestamp time
+        # travel), resolved lazily on the COLD start that uses it
+        # (restarts resume from Spark's offset log, both ignored — the
+        # library behaves the same). Default: from the beginning
         # (version 0's CREATE adds are the initial snapshot).
         self._start = int(sv) - 1 if sv is not None else -1
+        self._start_ts = st
         mct = options.get("maxcommitspertrigger",
                           options.get("maxCommitsPerTrigger"))
         # rate limiting (the library's maxFilesPerTrigger analogue, at
@@ -315,15 +327,48 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
 
     # -- planning (driver-side isolated Python worker, plain IO) ------
 
+    def _resolve_start(self) -> int:
+        """Resolve startingTimestamp → the version BEFORE the first
+        commit at-or-after the cutoff (offsets record processed-
+        THROUGH); no such commit → the current latest (only future
+        commits stream). Cached; plain IO."""
+        if self._start_ts is not None:
+            from sql_based_etl_spark.tables.versioned import (
+                parse_timestamp_cutoff,
+            )
+
+            cutoff_ms = parse_timestamp_cutoff(self._start_ts) * 1000.0
+            logs = _plain_list_log(self._log_dir)
+            if not logs:
+                raise ValueError(
+                    f"delta_bridge source: no Delta log at "
+                    f"{self._log_dir}")
+            start = max(logs)
+            for v in sorted(logs):
+                ts = None
+                for a in _plain_log_actions(logs[v]):
+                    ci = a.get("commitInfo")
+                    if ci and ci.get("inCommitTimestamp") is not None:
+                        ts = int(ci["inCommitTimestamp"])
+                if ts is None:
+                    ts = _plain_mtime_ms(logs[v])
+                if ts >= cutoff_ms:
+                    start = v - 1
+                    break
+            self._start = start
+            self._start_ts = None
+        return self._start
+
     def initialOffset(self) -> dict:
         # called on a FRESH start, and ALSO during restart recovery to
         # reconstruct batch 0's start — never LOWER the watermark the
         # partitions() replay already established (a momentary
         # rollback there could let a later latestOffset cap below the
         # committed version)
+        start = self._resolve_start()
         if self._seen is None:
-            self._seen = self._start
-        return {"version": self._start}
+            self._seen = start
+        return {"version": start}
 
     def latestOffset(self) -> dict:
         logs = _plain_list_log(self._log_dir)
@@ -337,7 +382,7 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
                 # via the partitions() replay before this call — see
                 # __init__): the base is the configured start, so the
                 # cap bounds the FIRST batch too
-                self._seen = self._start
+                self._seen = self._resolve_start()
             latest = max(min(latest, self._seen + self._max_commits),
                          self._seen)
             self._seen = latest

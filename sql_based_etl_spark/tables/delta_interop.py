@@ -4642,6 +4642,106 @@ def compact_delta(spark: SparkSession, path: str,
         reads_table_data=False)
 
 
+def restore_delta(spark: SparkSession, path: str,
+                  version: int | None = None,
+                  timestamp: float | str | None = None,
+                  checkpoint_interval: int | None = 10) -> int:
+    """``RESTORE TABLE … TO VERSION/TIMESTAMP AS OF`` on a bridge Delta
+    table — re-commit an earlier snapshot's live file set (and its
+    metaData, when it differs: RESTORE rolls back schema/configuration
+    changes too, delta-spark's behavior) as the NEW latest version.
+
+    Metadata-only at any scale: no data is copied — files are
+    immutable and shared across versions, so the commit is ``add``
+    (target-live files not live now, carried VERBATIM — stats,
+    partitionValues, deletion-vector descriptors and rowTracking
+    baseRowIds all preserved, so DV reads and stable row ids keep
+    working on the restored snapshot) + ``remove`` (currently-live
+    files not in the target), both ``dataChange: true`` so readers and
+    CDF derivation see rows come back / go away. A file whose live DV
+    changed since the target restores by (path, DV uid)
+    reconciliation: the old descriptor rides the re-add, the newer one
+    the remove.
+
+    Files the restore would resurrect must still EXIST — a vacuum past
+    the target makes it unrestorable, and this fails loudly naming the
+    first missing file instead of committing an unreadable snapshot
+    (delta-spark refuses the same way without ignoreMissingFiles).
+    History is preserved: the pre-restore versions still time-travel.
+
+    Concurrency: a restore replaces the snapshot it read, so any
+    concurrent data change is a real conflict (named by the OCC
+    classification); commitInfo-only winners commute.
+
+    Delta-parity reference: delta-spark's RestoreTableCommand."""
+    import time
+
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    if (version is None) == (timestamp is None):
+        raise VersionedTableError(
+            "restore_delta: pass exactly one of version / timestamp")
+    if timestamp is not None:
+        version = _resolve_log_version(spark, path, timestamp, None)
+    meta_t, live_t, _, _, _, _ = _replay_state(spark, path, version)
+    meta_c, live_c, latest, txns, proto, domains = _replay_state(spark, path)
+    # restoring REMOVES data the later versions added — appendOnly
+    # tables forbid that, same gate as overwrite
+    _check_writer_allowed(proto, meta_c, "overwrite")
+    if version == latest:
+        return latest
+    to_add = [live_t[k] for k in sorted(set(live_t) - set(live_c))]
+    to_remove = [live_c[k] for k in sorted(set(live_c) - set(live_t))]
+    restore_meta = meta_t != meta_c
+    if not to_add and not to_remove and not restore_meta:
+        return latest  # identical snapshot: a commit would be churn
+    fs, _, _ = _fs_and_path(spark, log_dir)
+    for a in to_add:
+        rel = urllib.parse.unquote(a["path"])
+        absolute = (rel if "://" in rel or rel.startswith("/")
+                    else f"{path}/{rel}")
+        if not fs.exists(_fs_and_path(spark, absolute)[1]):
+            raise VersionedTableError(
+                f"restore_delta: data file {a['path']!r} of version "
+                f"{version} no longer exists (vacuumed?) — the snapshot "
+                "cannot be restored")
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "RESTORE",
+            "operationParameters": {"version": str(version)},
+            "operationMetrics": {
+                "numRestoredFiles": str(len(to_add)),
+                "numRemovedFiles": str(len(to_remove)),
+            },
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+    }]
+    ict = _next_ict(spark, log_dir, meta_c, latest, now_ms)
+    if ict is not None:
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    if restore_meta:
+        actions.append({"metaData": meta_t})
+    actions.extend(
+        {"remove": _remove_action(a, now_ms, True)}
+        for a in sorted(to_remove, key=lambda a: a["path"])
+    )
+    actions.extend({"add": a} for a in to_add)
+    next_v = _occ_commit(
+        spark, log_dir, latest, actions, operation="RESTORE",
+        meta=meta_c, proto=proto, domains=domains,
+        read_paths=frozenset(a["path"] for a in live_c.values()),
+        removed_paths=frozenset(a["path"] for a in to_remove),
+        reads_table_data=True)
+    if (checkpoint_interval and next_v == latest + 1
+            and next_v % checkpoint_interval == 0):
+        _write_checkpoint(spark, log_dir, next_v,
+                          meta_t if restore_meta else meta_c, live_t,
+                          txns, proto, domains)
+    return next_v
+
+
 def vacuum_delta(spark: SparkSession, path: str,
                  retention_hours: float = 168.0,
                  enforce_retention_check: bool = True,

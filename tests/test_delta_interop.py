@@ -5627,3 +5627,106 @@ def test_write_delta_cluster_by_creates_liquid_table(spark, tmp_path):
     with pytest.raises(VersionedTableError, match="disjoint"):
         write_delta(df, str(tmp_path / "t4"), mode="overwrite",
                     cluster_by=["k"], partition_by=["k"])
+
+
+def test_restore_delta_round_trip(spark, tmp_path):
+    """RESTORE TABLE … TO VERSION AS OF (round-11): metadata-only
+    rollback — DV'd snapshots restore by (path, DV uid) reconciliation,
+    pre-restore history still time-travels, an identical-snapshot
+    restore is a no-op, schema changes roll back with the data, and a
+    restore whose files were vacuumed refuses naming the file."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta,
+        restore_delta,
+        vacuum_delta,
+        delete_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), d,
+                mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    write_delta(spark.createDataFrame([(2, "b")], "id long, v string"), d)
+    delete_delta(spark, d, "id = 1")  # v2: DV on v0's file
+
+    v = restore_delta(spark, d, version=1)
+    assert v == 3
+    assert sorted(r.id for r in read_delta(spark, d).collect()) == [1, 2]
+    # pre-restore history still time-travels
+    assert sorted(r.id for r in
+                  read_delta(spark, d, version=2).collect()) == [2]
+    v = restore_delta(spark, d, version=0)
+    assert v == 4
+    assert sorted(r.id for r in read_delta(spark, d).collect()) == [1]
+    # restoring to the identical snapshot is a no-op
+    assert restore_delta(spark, d, version=4) == 4
+
+    # schema rolls back with the data
+    write_delta(spark.createDataFrame([(3, "c", 5.0)],
+                                      "id long, v string, score double"),
+                d, merge_schema=True)  # v5 widens
+    assert "score" in read_delta(spark, d).columns
+    v = restore_delta(spark, d, version=4)
+    assert v == 6
+    got = read_delta(spark, d)
+    assert got.columns == ["id", "v"]
+    assert sorted(r.id for r in got.collect()) == [1]
+
+    # vacuumed target refuses by file name
+    d2 = str(tmp_path / "t2")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"),
+                d2, mode="overwrite")
+    write_delta(spark.createDataFrame([(9, "z")], "id long, v string"),
+                d2, mode="overwrite")
+    gone = vacuum_delta(spark, d2, retention_hours=0.0,
+                        enforce_retention_check=False)
+    assert gone
+    with pytest.raises(VersionedTableError, match="no longer exists"):
+        restore_delta(spark, d2, version=0)
+
+
+def test_delta_bridge_stream_source_starting_timestamp(spark, tmp_path):
+    """startingTimestamp (round-11): the stream begins at the first
+    commit at-or-after the cutoff — ICT-aware (the table writes
+    inCommitTimestamps, so the per-commit timestamps are exact), and a
+    future cutoff streams only commits made after the start. Passing
+    both selectors refuses."""
+    import time as _time
+
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(0,)], "id long"), src,
+                mode="overwrite",
+                properties={"delta.enableInCommitTimestamps": "true"})
+    write_delta(spark.createDataFrame([(1,)], "id long"), src)
+    _time.sleep(0.05)
+    cutoff = _time.time()  # epoch seconds between commit 1 and 2
+    _time.sleep(0.05)
+    write_delta(spark.createDataFrame([(2,)], "id long"), src)
+    write_delta(spark.createDataFrame([(3,)], "id long"), src)
+
+    register_delta_bridge_source(spark)
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", src)
+         .option("startingTimestamp", str(cutoff)).load()
+         .writeStream.format("memory").queryName("dbst")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    got = sorted(r.id for r in spark.sql("select id from dbst").collect())
+    assert got == [2, 3], "only commits at-or-after the cutoff stream"
+
+    with pytest.raises(Exception, match="at most one"):
+        (spark.readStream.format("delta_bridge")
+         .option("path", src)
+         .option("startingVersion", "1")
+         .option("startingTimestamp", str(cutoff)).load()
+         .writeStream.format("memory").queryName("dbst2")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start().awaitTermination(300))
