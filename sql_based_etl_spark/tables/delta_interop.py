@@ -4742,6 +4742,110 @@ def restore_delta(spark: SparkSession, path: str,
     return next_v
 
 
+def clone_delta(spark: SparkSession, source_path: str, dest_path: str,
+                version: int | None = None,
+                timestamp: float | str | None = None) -> int:
+    """``CREATE TABLE … SHALLOW CLONE`` — a new, independently-writable
+    Delta table whose version 0 references the SOURCE snapshot's data
+    files by ABSOLUTE path (no data copied; metadata-only at any
+    scale). ``version`` / ``timestamp`` clone a time-traveled snapshot.
+
+    What carries over: the source's protocol (the clone's files need
+    every feature claim the source's do), schemaString / partition
+    columns / configuration (fresh table id + createdTime), per-file
+    stats, partitionValues, rowTracking baseRowIds AND the rowTracking
+    high-watermark domain (fresh appends to the clone must not alias
+    cloned row ids), and deletion vectors — ``u``-storage descriptors
+    are rewritten to absolute ``p`` storage so the clone's readers
+    find the source's sidecars. ``txn`` watermarks do NOT carry (the
+    clone is a new idempotence domain).
+
+    Independence contract: writes to the clone (appends, DML,
+    OPTIMIZE) land under the CLONE's directory and never touch the
+    source; the clone's VACUUM never reclaims outside its own root
+    (``vacuum_delta``'s own-root rule), so tombstoned source
+    references are simply dropped from the clone's metadata. The
+    library's shallow-clone caveat applies equally: VACUUMING THE
+    SOURCE can reclaim files the clone still references — the clone is
+    a cheap fork, not a backup.
+
+    Delta-parity reference: delta-spark's CloneTableCommand (shallow)."""
+    import time
+    import uuid
+
+    source_path = source_path.rstrip("/")
+    dest_path = dest_path.rstrip("/")
+    if len([s for s in (version, timestamp) if s is not None]) > 1:
+        raise VersionedTableError(
+            "clone_delta: pass at most one of version / timestamp")
+    if timestamp is not None:
+        version = _resolve_log_version(spark, source_path, timestamp, None)
+    meta_s, live_s, src_v, _, proto_s, domains_s = _replay_state(
+        spark, source_path, version)
+    dest_log = f"{dest_path}/_delta_log"
+    fs, jlog, _ = _fs_and_path(spark, dest_log)
+    if fs.exists(jlog) and (
+        _list_log(spark, dest_log)
+        or _last_checkpoint(spark, dest_log) is not None
+    ):
+        raise VersionedTableError(
+            f"clone_delta: destination {dest_path} is already a Delta "
+            "table — SHALLOW CLONE creates a NEW table")
+
+    adds: list[dict] = []
+    for a in live_s.values():
+        a = dict(a)
+        rel = urllib.parse.unquote(a["path"])
+        absolute = (rel if "://" in rel or rel.startswith("/")
+                    else f"{source_path}/{rel}")
+        a["path"] = urllib.parse.quote(absolute, safe="/:")
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            # relative-uuid sidecars resolve against the TABLE root —
+            # the clone's root has no sidecars, so pin the absolute
+            # source path ('p' storage, spec-equivalent)
+            enc = dv["pathOrInlineDv"]
+            prefix, tail = enc[:-20], enc[-20:]
+            u = uuid.UUID(bytes=_z85_decode(tail))
+            a["deletionVector"] = {
+                **dv, "storageType": "p",
+                "pathOrInlineDv": (
+                    f"{source_path}/{prefix + '/' if prefix else ''}"
+                    f"deletion_vector_{u}.bin"),
+            }
+        a["dataChange"] = True
+        adds.append(a)
+
+    now_ms = int(time.time() * 1000)
+    meta_d = {**meta_s, "id": str(uuid.uuid4()), "createdTime": now_ms}
+    proto_d = proto_s or {"minReaderVersion": 1, "minWriterVersion": 2}
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "CLONE",
+            "operationParameters": {
+                "sourceTable": source_path,
+                "sourceVersion": str(src_v),
+            },
+            "operationMetrics": {"numClonedFiles": str(len(adds))},
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+    }, {"protocol": proto_d}, {"metaData": meta_d}]
+    ict = _next_ict(spark, dest_log, meta_d, None, now_ms)
+    if ict is not None:
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    actions.extend(
+        {"domainMetadata": {"domain": dom, "configuration": cfg,
+                            "removed": False}}
+        for dom, cfg in sorted((domains_s or {}).items())
+    )
+    actions.extend({"add": a} for a in sorted(adds,
+                                              key=lambda a: a["path"]))
+    _commit_delta_log(spark, dest_log, 0,
+                      "\n".join(json.dumps(a) for a in actions))
+    return 0
+
+
 def vacuum_delta(spark: SparkSession, path: str,
                  retention_hours: float = 168.0,
                  enforce_retention_check: bool = True,
@@ -4840,6 +4944,14 @@ def vacuum_delta(spark: SparkSession, path: str,
             continue
         target = urllib.parse.unquote(rel)
         if "://" in target or target.startswith("/"):
+            # absolute path: VACUUM only ever reclaims files under ITS
+            # OWN table root (the library's rule) — an absolute
+            # tombstone pointing elsewhere is a shallow clone's
+            # reference into its SOURCE table, and deleting it would
+            # destroy the source's data
+            if not _norm_file_uri(target).startswith(
+                    _norm_file_uri(path) + "/"):
+                continue
             jfile = _fs_and_path(spark, target)[1]
         else:
             jfile = _fs_and_path(spark, f"{path}/{target}")[1]

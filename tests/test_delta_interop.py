@@ -5730,3 +5730,65 @@ def test_delta_bridge_stream_source_starting_timestamp(spark, tmp_path):
          .writeStream.format("memory").queryName("dbst2")
          .option("checkpointLocation", str(tmp_path / "ck2"))
          .trigger(availableNow=True).start().awaitTermination(300))
+
+
+def test_clone_delta_shallow(spark, tmp_path):
+    """SHALLOW CLONE (round-11): the clone reads the source snapshot
+    through absolute-path file references (zero data copied), DV'd
+    sources clone with descriptors rewritten to absolute 'p' storage,
+    writes to the clone never touch the source (incl. DV deletes on
+    cloned files), time-traveled clones work, a clone's VACUUM never
+    reclaims the source's files, and cloning onto an existing table
+    refuses."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        clone_delta,
+        delete_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, v string"), src,
+                mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    write_delta(spark.createDataFrame([(3, "c")], "id long, v string"),
+                src)
+    delete_delta(spark, src, "id = 2")  # live DV on the source
+
+    c1 = str(tmp_path / "c1")
+    assert clone_delta(spark, src, c1) == 0
+    assert sorted(r.id for r in read_delta(spark, c1).collect()) == [1, 3]
+    # time-traveled clone (pre-delete snapshot)
+    c0 = str(tmp_path / "c0")
+    clone_delta(spark, src, c0, version=1)
+    assert sorted(r.id for r in read_delta(spark, c0).collect()) == [
+        1, 2, 3]
+
+    # independent writes: append + DV delete on the CLONE only
+    inv_before = sorted(
+        (f, os.path.getsize(os.path.join(src, f)))
+        for f in os.listdir(src) if f.endswith(".parquet"))
+    write_delta(spark.createDataFrame([(9, "z")], "id long, v string"),
+                c1)
+    delete_delta(spark, c1, "id = 1")  # DV on a CLONED (source) file
+    assert sorted(r.id for r in read_delta(spark, c1).collect()) == [3, 9]
+    assert sorted(r.id for r in read_delta(spark, src).collect()) == [
+        1, 3], "the source must be untouched by clone writes"
+    inv_after = sorted(
+        (f, os.path.getsize(os.path.join(src, f)))
+        for f in os.listdir(src) if f.endswith(".parquet"))
+    assert inv_before == inv_after, "source data files byte-untouched"
+
+    # a clone's vacuum never deletes outside its own root
+    write_delta(spark.createDataFrame([(7, "q")], "id long, v string"),
+                c1, mode="overwrite")   # tombstones every cloned file
+    gone = vacuum_delta(spark, c1, retention_hours=0.0,
+                        enforce_retention_check=False)
+    assert all(not g.startswith("/") or c1 in g for g in gone), gone
+    assert sorted(r.id for r in read_delta(spark, src).collect()) == [
+        1, 3], "source intact after the clone's vacuum"
+
+    with pytest.raises(VersionedTableError, match="already a Delta"):
+        clone_delta(spark, src, c1)
