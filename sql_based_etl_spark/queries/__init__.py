@@ -110,6 +110,8 @@ APPENDIX = [
     "mm_audio_ogg",  # OGG/Vorbis page walk (spec CRC-32 per page, granule-derived duration) — mapInPandas path graded via mm_decode_geometry; page framing oracle-checked here (full registry pytest) + fail-loud edges pytest-pinned
     "mm_image_dhash",  # image exact-dup via perceptual dhash over real decoded BMPs — mapInPandas path graded via mm_decode_geometry, groupBy-dedup via dedup_exact; decode+hash exactness oracle-checked here (full registry pytest)
     "q_json_extract",  # scalar JSON extraction (get_json_object/from_json) — the scalar-function surface stays oracle-checked here (full registry pytest); displaced so mm_image_neardup (the image near-dup END-TO-END composition: synth → decode → dhash → hamming-band pairs) gets a driver-graded row (round-10 verdict ask #4)
+    "q_delta_restore",  # bridge RESTORE round trip — snapshot/time-travel machinery graded via q_delta_cdf/q_delta_prune; rollback semantics stay full-registry oracle-checked here + pytest-pinned (test_restore_delta_round_trip)
+    "q_delta_clone",  # bridge SHALLOW CLONE round trip — absolute-path reads + DV machinery graded via q_delta_delete/q_delta_prune; clone independence stays full-registry oracle-checked here + pytest-pinned (test_clone_delta_shallow)
     "stream_near_dedup",  # streaming near-dup vs a stored index — BOTH halves stay graded elsewhere (minhash-LSH machinery via dedup_minhash_lsh, stateful streaming via stream_window_counts/stream_dedup/stream_sessionize) and the row stays full-registry oracle-checked; displaced so stream_delta_cdf (the round-11 readChangeFeed STREAMING source end-to-end: create → append → merge-update → DV-delete, change rows through Spark's streaming engine) gets a driver-graded row
 ]
 

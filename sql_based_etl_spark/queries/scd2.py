@@ -587,3 +587,108 @@ ORACLES["q_delta_delete"] = """
     FROM base
     ORDER BY part
 """
+
+
+def q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge RESTORE round trip, oracle-checked: create a table from
+    an ``orders`` sample, overwrite it with a disjoint slice, RESTORE
+    to version 0 — the snapshot must equal the original sample exactly
+    (metadata-only rollback; tables/delta_interop.py:restore_delta),
+    while the overwritten slice stays time-travelable."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q_delta_restore_")
+    _TEMP_TABLE_DIRS.append(root)
+    d = f"{root}/t"
+    write_delta(base.filter(F.col("o_orderkey") % 100 == 0), d,
+                mode="overwrite")
+    write_delta(base.filter(F.col("o_orderkey") % 100 != 0), d,
+                mode="overwrite")
+    restore_delta(spark, d, version=0)
+    restored = read_delta(spark, d).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+    ).select(F.lit("restored").alias("part"), "n_rows", "sum_custkey")
+    historic = read_delta(spark, d, version=1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+    ).select(F.lit("pre_restore").alias("part"), "n_rows", "sum_custkey")
+    return restored.unionByName(historic).orderBy("part")
+
+
+QUERIES["q_delta_restore"] = q_delta_restore
+
+ORACLES["q_delta_restore"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    ev AS (SELECT * FROM base WHERE o_orderkey % 100 = 0),
+    od AS (SELECT * FROM base WHERE o_orderkey % 100 <> 0)
+    SELECT 'pre_restore' AS part, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey FROM od
+    UNION ALL
+    SELECT 'restored', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM ev
+    ORDER BY part
+"""
+
+
+def q_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge SHALLOW CLONE round trip, oracle-checked: clone an
+    ``orders``-sample table, DV-DELETE a slice on the CLONE only, and
+    read both — the clone shows the post-delete rows, the source must
+    be unaffected (tables/delta_interop.py:clone_delta)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        clone_delta,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    root = tempfile.mkdtemp(prefix="q_delta_clone_")
+    _TEMP_TABLE_DIRS.append(root)
+    src, dst = f"{root}/src", f"{root}/clone"
+    write_delta(base, src, mode="overwrite",
+                properties={"delta.enableDeletionVectors": "true"})
+    clone_delta(spark, src, dst)
+    delete_delta(spark, dst, "o_custkey % 10 = 3")
+
+    def _agg(df: DataFrame, part: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        ).select(F.lit(part).alias("part"), "n_rows", "sum_custkey")
+
+    return (_agg(read_delta(spark, dst), "clone")
+            .unionByName(_agg(read_delta(spark, src), "source"))
+            .orderBy("part"))
+
+
+QUERIES["q_delta_clone"] = q_delta_clone
+
+ORACLES["q_delta_clone"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT 'clone' AS part, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM base WHERE o_custkey % 10 <> 3
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM base
+    ORDER BY part
+"""
