@@ -102,15 +102,22 @@ def coerce_predicate_for_types(pred: str, dtypes: dict[str, str]) -> str:
     alias-qualified merge conditions, so ``iscurrent = true`` behaves
     identically between MERGE delete clauses and DELETE. The predicate
     is single-table, so an alias qualifier (``t.iscurrent = true``) is
-    resolved by the COLUMN name alone — any qualifier names the one
-    table. Boolean columns and unknown names keep their literal."""
+    resolved by the COLUMN name alone — UNLESS the qualifier itself
+    names a known column, in which case ``a.b`` is STRUCT-FIELD access
+    (rewriting it by the dtype of an unrelated top-level ``b`` would
+    corrupt a valid boolean comparison) and the literal stays. Boolean
+    columns and unknown names keep their literal."""
     low = {k.lower(): v for k, v in dtypes.items()}
+
+    def _qualifies(qual: str | None) -> bool:
+        # None = bare ref; a qualifier that IS a column is struct access
+        return qual is None or qual.lower() not in low
 
     def repl_rhs(m: re.Match) -> str:
         qual, col, op, word = (m.group(1), m.group(2), m.group(3),
                                m.group(4))
         dt = low.get(col.lower())
-        if dt is not None and dt != "boolean":
+        if _qualifies(qual) and dt is not None and dt != "boolean":
             name = f"{qual}.{col}" if qual else col
             return f"{name} {op} {_lit(word)}"
         return m.group(0)
@@ -119,7 +126,7 @@ def coerce_predicate_for_types(pred: str, dtypes: dict[str, str]) -> str:
         word, op, qual, col = (m.group(1), m.group(2), m.group(3),
                                m.group(4))
         dt = low.get(col.lower())
-        if dt is not None and dt != "boolean":
+        if _qualifies(qual) and dt is not None and dt != "boolean":
             name = f"{qual}.{col}" if qual else col
             return f"{_lit(word)} {op} {name}"
         return m.group(0)
@@ -223,10 +230,12 @@ def condition_implied_triples(cond: str, t_cols: list[str],
 
     ``alias``: required qualifier for merge ON conditions (the target
     relation's alias — an unqualified or source-qualified ref is
-    skipped); None for single-table predicates, where any single
-    qualifier resolves to the one table and multi-dotted refs are
-    skipped. Column names resolve case-insensitively to the LOGICAL
-    schema names (what the stats pruners expect)."""
+    skipped); None for single-table predicates, where only BARE column
+    refs are taken — a qualified ref there is either struct-field
+    access (``s.flag``, which must never be attributed to a top-level
+    ``flag``) or an unresolvable table alias, and both are skipped.
+    Column names resolve case-insensitively to the LOGICAL schema
+    names (what the stats pruners expect)."""
     conjuncts = split_top_and(cond)
     if conjuncts is None:
         return []
@@ -235,6 +244,13 @@ def condition_implied_triples(cond: str, t_cols: list[str],
     def _col(qual: str | None, name: str) -> str | None:
         if alias is not None and (qual or "").lower() != alias.lower():
             return None  # must name the target relation explicitly
+        if alias is None and qual is not None:
+            # single-table predicates: a qualified ref is either
+            # STRUCT-FIELD access (`s.flag` — attributing it to an
+            # unrelated top-level `flag` would prune files that DO
+            # contain matching rows: silently wrong DELETEs) or a
+            # table alias that cannot resolve anyway — skip both
+            return None
         return low2col.get(name.lower())
 
     out: list[tuple] = []

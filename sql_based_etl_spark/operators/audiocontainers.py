@@ -375,6 +375,7 @@ def parse_ogg_vorbis(data: bytes) -> dict:
             packets, tail = _page_packets(data, pos, lace_end)
             continued = bool(tail)
             work = list(packets)
+            tail_absorbed = False  # tail already folded into span_frag
             if header_cont:
                 if not htype & 0x01:
                     raise AudioDecodeError(
@@ -392,8 +393,10 @@ def parse_ogg_vorbis(data: bytes) -> dict:
                     work = work[1:]
                     header_cont = False
                 else:
+                    # a whole middle page of the same spanning packet
                     span_frag += tail
                     header_cont = continued
+                    tail_absorbed = True
             def _is_hdr(b: bytes) -> bool:
                 return b[:1] in (b"\x03", b"\x05") and b[1:7] == b"vorbis"
 
@@ -419,7 +422,15 @@ def parse_ogg_vorbis(data: bytes) -> dict:
                             "must begin on a fresh page (Vorbis I)")
                     if pkt[:1] == b"\x03":
                         vendor, comments = _parse_vorbis_comments(pkt)
-                if continued and work:
+                if continued and not tail_absorbed:
+                    # the page's trailing fragment starts ANOTHER
+                    # spanning packet — including the case where this
+                    # page only COMPLETED a previous span (work is
+                    # empty then, but the tail still must carry over:
+                    # dropping it would end the header phase mid-setup
+                    # and count header bytes as payload). A tail the
+                    # continuation branch already absorbed (a whole
+                    # middle page of one span) must NOT be re-seeded.
                     header_cont = True
                     span_frag = bytearray(tail)
         else:

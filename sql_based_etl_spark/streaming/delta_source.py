@@ -257,6 +257,12 @@ class _FilePartition(InputPartition):
     commit_version: int = -1
     commit_ts_ms: int = -1
     cdf: bool = False
+    # delete derivation of a DV-carrying remove: rows the DV already
+    # deleted were NOT live at removal and must not fabricate delete
+    # rows — the executor masks them by row position (JSON descriptor +
+    # the table root the 'u' storage resolves against)
+    dv_desc: str | None = None
+    table_path: str = ""
 
 
 class DeltaBridgeStreamReader(DataSourceStreamReader):
@@ -433,12 +439,15 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
             rel = _up.unquote(action["path"])
             absolute = (rel if "://" in rel or rel.startswith("/")
                         else f"{self._path}/{rel}")
+            dv = action.get("deletionVector") if ctype == "delete" else None
             return _FilePartition(
                 file_path=absolute, schema_json=schema_json,
                 rename=dict(rename),
                 partition_values=dict(action.get("partitionValues") or {}),
                 change_type=ctype, commit_version=v, commit_ts_ms=ts_ms,
-                cdf=True)
+                cdf=True,
+                dv_desc=json.dumps(dv) if dv else None,
+                table_path=self._path)
 
         if cdcs:
             return [_part(c, None) for c in cdcs]
@@ -567,6 +576,25 @@ class DeltaBridgeStreamReader(DataSourceStreamReader):
         assert isinstance(spark_schema, _ST)
         target = to_arrow_schema(spark_schema)
         tbl = pq.read_table(partition.file_path)
+        if partition.dv_desc:
+            # delete derivation of a DV-carrying remove: rows the DV
+            # already marked dead were deleted in an EARLIER commit
+            # (their cdc delete rows were emitted then) — emitting them
+            # again would double-delete downstream; mask by position,
+            # matching batch read_delta_changes (which routes removes
+            # through the DV-applying snapshot reader)
+            import numpy as np
+
+            from sql_based_etl_spark.tables.delta_interop import (
+                _dv_payload_plain,
+                _roaring_array_indexes,
+            )
+
+            dead = _roaring_array_indexes(_dv_payload_plain(
+                partition.table_path, json.loads(partition.dv_desc)))
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[dead[dead < tbl.num_rows]] = False
+            tbl = tbl.filter(pa.array(mask))
         if partition.rename:
             tbl = tbl.rename_columns([
                 partition.rename.get(c, c) for c in tbl.column_names

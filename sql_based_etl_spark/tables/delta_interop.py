@@ -184,6 +184,42 @@ def _schema_contains_type(node, names: set[str]) -> bool:
     return node in names
 
 
+def _check_evolved_schema_claims(schema_string: str,
+                                 proto: dict | None, what: str) -> None:
+    """Gate a NEW schemaString about to be committed to an EXISTING
+    table (mergeSchema widening / overwrite schema change): types that
+    require a protocol feature pair must not land on a table whose
+    protocol does not claim it — the emitted log would violate the
+    spec and downstream engines keying on protocol features would
+    misread or refuse the table. CREATE claims timestampNtz itself;
+    evolution on an unclaiming table refuses BY NAME (upgrading a live
+    protocol is an ALTER the bridge deliberately does not model)."""
+    node = json.loads(schema_string)
+    if _schema_contains_type(node, {"variant"}):
+        raise VersionedTableError(
+            f"write: {what} introduces a variant column — the bridge "
+            "does not implement the variant binary encoding; install "
+            "delta-spark"
+        )
+    if _schema_contains_type(node, {"timestamp_ntz"}):
+        p = proto or {}
+        wf = set(p.get("writerFeatures") or [])
+        rf = set(p.get("readerFeatures") or [])
+        claimed = "timestampNtz" in wf and (
+            int(p.get("minReaderVersion", 1)) < 3
+            or "timestampNtz" in rf)
+        if not claimed:
+            raise VersionedTableError(
+                f"write: {what} introduces a timestamp_ntz column, but "
+                "the table's protocol does not claim the timestampNtz "
+                "feature pair (mandatory per the spec — readers unaware "
+                "of the type would misread isAdjustedToUTC=false values "
+                "as instants). Recreate the table with the column "
+                "(CREATE claims the pair) or upgrade the protocol with "
+                "delta-spark"
+            )
+
+
 def _check_metadata(meta: dict) -> None:
     # schema-level gate, independent of protocol claims (a foreign log
     # may carry the type without listing the feature): variant columns
@@ -3055,6 +3091,8 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                         "type": "struct",
                         "fields": old_json["fields"] + new_jsons,
                     })
+                    _check_evolved_schema_claims(
+                        meta["schemaString"], proto, "mergeSchema")
                     emit_meta = True
                 # a batch missing table columns is also legal under
                 # mergeSchema: pad with typed nulls so the staged files
@@ -3077,6 +3115,8 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
                 meta = _evolve_mapped_meta(meta, json.loads(df.schema.json()))
             else:
                 meta["schemaString"] = df.schema.json()
+            _check_evolved_schema_claims(
+                meta["schemaString"], proto, "the overwrite's schema")
             if idents:
                 # a data overwrite must not silently strip a surviving
                 # column's identity definition (the batch's StructType
@@ -4690,21 +4730,37 @@ def restore_delta(spark: SparkSession, path: str,
     _check_writer_allowed(proto, meta_c, "overwrite")
     if version == latest:
         return latest
-    to_add = [live_t[k] for k in sorted(set(live_t) - set(live_c))]
+    # dataChange is FORCED true on the re-adds: a target file originally
+    # added by OPTIMIZE carries dataChange:false verbatim, but restoring
+    # it IS a data change (CDF derivation and streaming readers filter
+    # on it — a false re-add would make the resurrection invisible)
+    to_add = [{**live_t[k], "dataChange": True}
+              for k in sorted(set(live_t) - set(live_c))]
     to_remove = [live_c[k] for k in sorted(set(live_c) - set(live_t))]
     restore_meta = meta_t != meta_c
     if not to_add and not to_remove and not restore_meta:
         return latest  # identical snapshot: a commit would be churn
-    fs, _, _ = _fs_and_path(spark, log_dir)
+    # existence check batched per DIRECTORY (one listStatus each, not
+    # one exists() RPC per file — a 50k-file restore would otherwise
+    # serialize 50k driver→store round trips)
+    by_dir: dict[str, list[tuple[str, str]]] = {}
     for a in to_add:
         rel = urllib.parse.unquote(a["path"])
         absolute = (rel if "://" in rel or rel.startswith("/")
                     else f"{path}/{rel}")
-        if not fs.exists(_fs_and_path(spark, absolute)[1]):
-            raise VersionedTableError(
-                f"restore_delta: data file {a['path']!r} of version "
-                f"{version} no longer exists (vacuumed?) — the snapshot "
-                "cannot be restored")
+        by_dir.setdefault(posixpath.dirname(absolute), []).append(
+            (posixpath.basename(absolute), a["path"]))
+    fs, _, _ = _fs_and_path(spark, log_dir)
+    for d, wanted in by_dir.items():
+        jdir = _fs_and_path(spark, d)[1]
+        present = ({st.getPath().getName() for st in fs.listStatus(jdir)}
+                   if fs.exists(jdir) else set())
+        for base, orig in wanted:
+            if base not in present:
+                raise VersionedTableError(
+                    f"restore_delta: data file {orig!r} of version "
+                    f"{version} no longer exists (vacuumed?) — the "
+                    "snapshot cannot be restored")
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [{
         "commitInfo": {

@@ -736,3 +736,59 @@ def test_ogg_comment_header_spanning_pages_reassembled():
     )
     with pytest.raises(AudioDecodeError, match="continuation"):
         parse_ogg_vorbis(bad)
+
+
+def test_ogg_back_to_back_spanning_headers():
+    """A page that COMPLETES one spanning header and immediately starts
+    another spanning packet (comment span ends on page 2, setup span
+    begins on the same page — the common album-art layout): the second
+    span's fragments must carry over too, the comment still parses,
+    and header bytes never leak into payload accounting."""
+    import struct
+
+    from sql_based_etl_spark.operators.audiocontainers import (
+        _ogg_crc,
+        parse_ogg_vorbis,
+    )
+
+    def page(htype, granule, serial, seq, laces, body):
+        pg = bytearray(b"OggS") + struct.pack(
+            "<BBqIII", 0, htype, granule, serial, seq, 0)
+        pg.append(len(laces))
+        pg += bytes(laces)
+        pg += body
+        pg[22:26] = struct.pack("<I", _ogg_crc(bytes(pg)))
+        return bytes(pg)
+
+    serial = 0x0B2B_0B2B
+    ident = (bytearray([1]) + b"vorbis"
+             + struct.pack("<IBIiii", 0, 2, 44100, 0, 128000, 0)
+             + bytes([1 << 6, 1]))
+    comment = bytearray([3]) + b"vorbis"
+    vb = b"v2"
+    comment += len(vb).to_bytes(4, "little") + vb
+    comment += (1).to_bytes(4, "little")
+    c = b"TITLE=" + b"Z" * 560
+    comment += len(c).to_bytes(4, "little") + c + b"\x01"
+    comment = bytes(comment)
+    cf1, cf2 = comment[:510], comment[510:]
+    setup = bytes([5]) + b"vorbis" + bytes(700)
+    sf1, sf2 = setup[:255], setup[255:]
+    audio = bytes((i * 11) % 256 for i in range(48))
+
+    stream = (
+        page(2, 0, serial, 0, [len(ident)], bytes(ident))
+        # page 1: comment fragment only (laces end AT 255 → continued)
+        + page(0, 0, serial, 1, [255, 255], cf1)
+        # page 2: completes the comment AND starts the setup span
+        + page(1, 0, serial, 2, [len(cf2), 255], cf2 + sf1)
+        # page 3: completes the setup
+        + page(1, 0, serial, 3, [255, len(sf2) - 255], sf2)
+        # page 4: first audio page, eos
+        + page(4, 4096, serial, 4, [len(audio)], audio)
+    )
+    r = parse_ogg_vorbis(stream)
+    assert r["vendor"] == "v2"
+    assert r["comments"] == {"TITLE": ["Z" * 560]}
+    assert r["payload_bytes"] == 48, r["payload_bytes"]
+    assert r["n_pages"] == 5

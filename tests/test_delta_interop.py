@@ -5792,3 +5792,153 @@ def test_clone_delta_shallow(spark, tmp_path):
 
     with pytest.raises(VersionedTableError, match="already a Delta"):
         clone_delta(spark, src, c1)
+
+
+def test_delta_bridge_stream_capped_restart_exactly_once(
+        spark, tmp_path):
+    """maxCommitsPerTrigger across a CLEAN-STOP restart: the recovery
+    replay (partitions over the committed range) seeds the planner's
+    watermark BEFORE the first latestOffset — probed for every restart
+    shape in PLANS.md round-11 — so the cap resumes from the COMMITTED
+    version, never below it: no offset rollback, no replay, every row
+    exactly once, post-restart batches bounded."""
+    import time as _time
+
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.streaming.events import append_stream_batch
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+    from sql_based_etl_spark.tables.versioned import VersionedTable
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(4):
+        write_delta(spark.createDataFrame([(i,)], "id long"), src,
+                    mode="overwrite" if i == 0 else "append")
+
+    register_delta_bridge_source(spark)
+    batch_rows: list[int] = []
+
+    def run():
+        def batcher(df, bid):
+            n = df.count()
+            if n:
+                batch_rows.append(n)
+            append_stream_batch(df, bid, sink)
+
+        q = (spark.readStream.format("delta_bridge")
+             .option("path", src)
+             .option("maxCommitsPerTrigger", "2").load()
+             .writeStream.foreachBatch(batcher)
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="50 milliseconds").start())
+        t = VersionedTable(spark, sink)
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if t.exists() and t.read().count() == len(
+                    set(range(_n_expected[0]))):
+                break
+            _time.sleep(0.5)
+        q.stop()
+
+    _n_expected = [4]
+    run()  # drains commits 0..3 capped, stops cleanly
+    t = VersionedTable(spark, sink)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
+
+    # a backlog lands while the stream is DOWN
+    for i in range(4, 10):
+        write_delta(spark.createDataFrame([(i,)], "id long"), src)
+    _n_expected = [10]
+    run()  # restart: must resume at the committed version
+    got = sorted(r.id for r in t.read().collect())
+    assert got == list(range(10)), (
+        f"rows must land exactly once across the capped restart: {got}")
+    # every batch stayed within the cap (1 row per commit here)
+    assert all(n <= 2 for n in batch_rows), batch_rows
+    assert len(batch_rows) >= 5, batch_rows
+
+
+def test_delta_bridge_stream_cdf_dv_remove_matches_batch(
+        spark, tmp_path):
+    """CDF derivation of a DV-CARRYING remove (an overwrite of a file
+    that already had rows DV-deleted, no cdc actions): the stream must
+    NOT fabricate delete rows for the already-dead rows — the executor
+    masks them by the remove's descriptor, matching batch
+    read_delta_changes (which routes removes through the DV-applying
+    snapshot reader)."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(i, f"v{i}") for i in range(6)],
+                                      "id long, v string"),
+                src, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true",
+                            "delta.enableDeletionVectors": "true",
+                            "delta.enableInCommitTimestamps": "true"})
+    delete_delta(spark, src, "id < 2")        # v1: DV + cdc deletes
+    write_delta(spark.createDataFrame([(9, "z")], "id long, v string"),
+                src, mode="overwrite")        # v2: removes DV'd file,
+    #                                           no cdc → derivation
+    register_delta_bridge_source(spark)
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", src).option("readChangeFeed", "true").load()
+         .writeStream.format("memory").queryName("dbcdv")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    stream = {(r.id, r._change_type, r._commit_version)
+              for r in spark.sql("select * from dbcdv").collect()}
+    batch = {(r.id, r._change_type, r._commit_version)
+             for r in read_delta_changes(spark, src, 0).collect()}
+    assert stream == batch, (stream - batch, batch - stream)
+    # v2's derived deletes cover ONLY the rows live at removal
+    v2_dels = sorted(i for i, ct, cv in stream
+                     if cv == 2 and ct == "delete")
+    assert v2_dels == [2, 3, 4, 5], v2_dels
+
+
+def test_restore_delta_readds_compacted_files_as_data_change(
+        spark, tmp_path):
+    """A restore that resurrects a file originally added by OPTIMIZE
+    (dataChange:false verbatim) must force dataChange:true on the
+    re-add — CDF derivation and streaming readers filter on it, and a
+    false re-add would make the resurrection invisible."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        delete_delta,
+        read_delta,
+        read_delta_changes,
+        restore_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,), (2,)], "id long"), d,
+                mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    write_delta(spark.createDataFrame([(3,)], "id long"), d)
+    compact_delta(spark, d, target_files=1)   # v2: dataChange:false add
+    delete_delta(spark, d, "id >= 1")         # v3: table emptied
+    v = restore_delta(spark, d, version=2)
+    assert v == 4
+    assert sorted(r.id for r in read_delta(spark, d).collect()) == [
+        1, 2, 3]
+    with open(os.path.join(d, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    readds = [a["add"] for a in acts if "add" in a]
+    assert readds and all(a.get("dataChange") is True for a in readds)
+    # CDF sees the resurrection as inserts
+    cdf = read_delta_changes(spark, d, starting_version=v)
+    assert sorted(r.id for r in cdf.filter(
+        "_change_type = 'insert'").collect()) == [1, 2, 3]
