@@ -45,7 +45,10 @@ def test_graded_window_composition():
         "stream_window_counts", "stream_dedup", "stream_sessionize",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf_trained",
-        "sim_cosine_dup_lsh", "stream_near_dedup",
+        # stream_near_dedup displaced to the appendix in round 11 (both
+        # machinery halves graded elsewhere) so the readChangeFeed
+        # streaming source's end-to-end row grades instead
+        "sim_cosine_dup_lsh", "stream_delta_cdf",
         "q_scd2_merge", "q_scd2_changes", "q_delta_merge", "q_intersect_except",
         "q_delta_delete", "q_delta_prune", "q_delta_cdf",
         "dedup_clusters", "text_decontaminate",
