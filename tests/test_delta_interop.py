@@ -5942,3 +5942,47 @@ def test_restore_delta_readds_compacted_files_as_data_change(
     cdf = read_delta_changes(spark, d, starting_version=v)
     assert sorted(r.id for r in cdf.filter(
         "_change_type = 'insert'").collect()) == [1, 2, 3]
+
+
+def test_delta_bridge_stream_cdf_column_mapped(spark, tmp_path):
+    """Streaming CDF over a COLUMN-MAPPED table: cdc files store
+    physical (col-<uuid>) data columns with _change_type verbatim —
+    the stream must serve LOGICAL names, matching batch
+    read_delta_changes row for row."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    src = str(tmp_path / "src")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, v string"),
+                src, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true",
+                            "delta.columnMapping.mode": "name",
+                            "delta.enableInCommitTimestamps": "true"})
+    merge_delta(spark.createDataFrame([(1, "a2")], "id long, v string"),
+                src, "target.id = source.id",
+                when_matched_update={"v": "source.v"},
+                insert_not_matched=False)
+
+    register_delta_bridge_source(spark)
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", src).option("readChangeFeed", "true").load()
+         .writeStream.format("memory").queryName("dbcm")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    out = spark.sql("select * from dbcm")
+    assert out.columns[:2] == ["id", "v"], out.columns
+    stream = {(r.id, r.v, r._change_type, r._commit_version)
+              for r in out.collect()}
+    batch = {(r.id, r.v, r._change_type, r._commit_version)
+             for r in read_delta_changes(spark, src, 0).collect()}
+    assert stream == batch, (stream - batch, batch - stream)
+    assert (1, "a2", "update_postimage", 1) in stream
