@@ -5986,3 +5986,54 @@ def test_delta_bridge_stream_cdf_column_mapped(spark, tmp_path):
              for r in read_delta_changes(spark, src, 0).collect()}
     assert stream == batch, (stream - batch, batch - stream)
     assert (1, "a2", "update_postimage", 1) in stream
+
+
+def test_clone_carries_clustering_domain_and_restore_keeps_row_ids(
+        spark, tmp_path):
+    """Two carried-state invariants: (1) SHALLOW CLONE copies the
+    delta.clustering domain, so OPTIMIZE on the clone auto-clusters by
+    the source's recorded columns; (2) RESTORE on a rowTracking table
+    re-adds files with their baseRowIds verbatim — stable row ids
+    survive the rollback."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        clone_delta,
+        compact_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    # (1) clustered source → clone → auto-clustered OPTIMIZE
+    src = str(tmp_path / "src")
+    write_delta(spark.range(2000).selectExpr("id", "id % 5 as k")
+                .repartition(4), src, mode="overwrite",
+                cluster_by=["id"])
+    c = str(tmp_path / "c")
+    clone_delta(spark, src, c)
+    domains = _replay_state(spark, c)[5]
+    assert "delta.clustering" in domains
+    v = compact_delta(spark, c, target_files=2)
+    with open(os.path.join(c, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert json.loads(ci["operationParameters"]["zOrderBy"]) == ["id"]
+    assert read_delta(spark, c).count() == 2000
+
+    # (2) rowTracking table: restore re-adds carry baseRowId verbatim
+    d = str(tmp_path / "rt")
+    write_delta(spark.createDataFrame([(1,), (2,)], "id long"), d,
+                mode="overwrite",
+                properties={"delta.enableRowTracking": "true"})
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json")) as fh:
+        acts0 = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    base_ids = sorted(a["add"]["baseRowId"] for a in acts0 if "add" in a)
+    write_delta(spark.createDataFrame([(9,)], "id long")
+                .repartition(1), d, mode="overwrite")
+    v = restore_delta(spark, d, version=0)
+    with open(os.path.join(d, "_delta_log", f"{v:020d}.json")) as fh:
+        acts_r = [json.loads(ln) for ln in fh.read().splitlines() if ln]
+    readd_ids = sorted(a["add"]["baseRowId"] for a in acts_r
+                       if "add" in a)
+    assert readd_ids == base_ids, "restored rows must keep their ids"
+    assert sorted(r.id for r in read_delta(spark, d).collect()) == [1, 2]
