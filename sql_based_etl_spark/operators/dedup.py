@@ -347,12 +347,20 @@ def _verify_jaccard(cand: DataFrame, hashed: DataFrame, threshold: float) -> Dat
     sh_b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    # persist BARRIER between scoring and thresholding: a bare
+    # filter(jaccard >= t) is pushed into the verify join's CONDITION,
+    # so the set intersection over the shingle arrays runs TWICE per
+    # candidate pair (condition + projection) — and a join condition
+    # that heavy also degrades the stage out of whole-stage codegen.
+    # The cached relation is (doc_a, doc_b, jaccard) — candidate pairs
+    # only, far smaller than the shingle sets it was computed from.
+    scored = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .persist()
     )
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def minhash_bands_from_hashes(hashed: DataFrame) -> DataFrame:

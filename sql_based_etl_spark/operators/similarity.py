@@ -281,12 +281,16 @@ def cosine_dup_pairs_lsh(
     a = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = _dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
-    return (
+    # persist barrier: keeps the 64-term cosine out of the re-rank
+    # join's condition (double evaluation + codegen blowout — see
+    # semantic_dedup_pairs); the cache is candidate pairs only
+    scored = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .persist()
     )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 IVF_CELLS = 16   # coarse-quantizer cells (pivot vectors)
@@ -364,8 +368,11 @@ def ivf_topk_self(
     )
     cos = _dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
     wtop = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    # probes (queries × nprobe rows) is the tiny side by construction;
+    # declare the broadcast instead of trusting size estimates — a
+    # mis-estimate here builds a corpus-sized hashed relation
     return (
-        probes.join(asg, "pid")
+        F.broadcast(probes).join(asg, "pid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("score"))
         .withColumn("rank", F.row_number().over(wtop))
@@ -440,19 +447,22 @@ def kmeans_lloyd(
     sides.
 
     Returns ``(pid, pv)`` centroid rows; ``pid`` is the seeding
-    vector's id. The tiny collect_list/transform lambda reassembling
-    each centroid array runs on k×dim rows — never the corpus — so the
-    CodegenFallback it carries is irrelevant.
+    vector's id.
     """
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     )
+    # centroids carry their norm: computed once per centroid here
+    # instead of once per (vector × centroid) joined row inside the
+    # assignment cosine — same _norm_expr fold, bit-identical value
     cents = base.orderBy("id").limit(k).select(
-        F.col("id").alias("pid"), F.col("v").alias("pv")
+        F.col("id").alias("pid"),
+        F.col("v").alias("pv"),
+        _norm_expr("v", dim).alias("pnrm"),
     )
     for _ in range(iters):
-        cos = _dot_expr("v", "pv", dim) / (_norm_expr("v", dim) * _norm_expr("pv", dim))
+        cos = _dot_expr("v", "pv", dim) / (_norm_expr("v", dim) * F.col("pnrm"))
         # argmax cell via max_by over (sim, -pid): same result as a
         # row_number window (desc sim, asc pid tie-break) but map-side
         # combinable — the shuffle carries one combined row per vector
@@ -484,15 +494,21 @@ def kmeans_lloyd(
                 ).alias("m")
             )
         )
+        # the tiny collect_list/transform lambda reassembling each
+        # centroid array runs on k×dim rows — never the corpus — so
+        # the CodegenFallback it carries is irrelevant. (A 64-column
+        # mean aggregate that skips the explode was A/B-measured
+        # SLOWER at bench SF: the 64-expression aggregate stage
+        # compiles in seconds and buys nothing on the combine.)
         cents = means.groupBy("pid").agg(
             F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias("pv")
-        )
+        ).select("pid", "pv", _norm_expr("pv", dim).alias("pnrm"))
         # truncate the per-iteration lineage: iteration i+1 (and every
         # downstream consumer — IVF probes broadcast the pivots in two
         # branches) would otherwise re-analyze/re-run the whole
         # training DAG; the checkpointed relation is k×dim doubles
         cents = cents.localCheckpoint(eager=True)
-    return cents
+    return cents.select("pid", "pv")
 
 
 def hard_negative_topk(
@@ -624,6 +640,13 @@ def semantic_dedup_pairs(
             F.first("v").alias("v"),
             F.first("nrm").alias("nrm"),
         )
+        # consumed TWICE (both sides of the within-cell pair join) in
+        # separate subtrees — without a persist the whole assignment
+        # DAG (pivot join + argmax shuffle) runs once per side
+        # (measured ~1s at bench SF; ReuseExchange is plan-shape-
+        # dependent, the minhash_lsh_pairs lesson). The cache is the
+        # assigned corpus — the SemDeDup working set itself.
+        .persist()
     )
     a = asg.select(
         "cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -632,12 +655,20 @@ def semantic_dedup_pairs(
         "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     cos = _dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
-    return (
+    # persist BARRIER between scoring and thresholding: a bare
+    # filter(cosine >= t) is pushed into the pair join's condition,
+    # which (a) evaluates the 64-term cosine TWICE per candidate pair
+    # (condition + projection) and (b) bloats the join stage past the
+    # 64 KB codegen method limit, degrading it to interpreted row
+    # evaluation — measured 2.9s vs 1.0s at bench SF. The cached
+    # relation stores cosine as a column, so the threshold reads data.
+    scored = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("cell", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .persist()
     )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def quantize_int8(
