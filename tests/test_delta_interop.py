@@ -6037,3 +6037,407 @@ def test_clone_carries_clustering_domain_and_restore_keeps_row_ids(
                        if "add" in a)
     assert readd_ids == base_ids, "restored rows must keep their ids"
     assert sorted(r.id for r in read_delta(spark, d).collect()) == [1, 2]
+
+
+# --- transaction-log retention cleanup (Delta's metadata-cleanup) --------
+
+
+def _pa_commit(table_dir: str, version: int, ids: list[int]) -> None:
+    """Hand-built commit (pyarrow datafile + JSON log entry) — bulk
+    history for the retention tests without paying a full bridge write
+    per version. Version 0 carries protocol+metaData like any real
+    table; write_delta interleaves cleanly on top of these."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = f"h{version:05d}.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64()),
+                  "v": pa.array([f"r{i}" for i in ids], pa.string())}),
+        os.path.join(table_dir, name))
+    add = _add(name)
+    if version == 0:
+        meta = _meta()
+        # CDF on, so the retention tests can assert change reads across
+        # the cleanup horizon
+        meta["metaData"]["configuration"] = {
+            "delta.enableChangeDataFeed": "true"}
+        _log(table_dir, 0, _PROTOCOL, meta, add)
+    else:
+        _log(table_dir, version, add)
+
+
+def _append_rows(spark, path, ids, **kw):
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    return write_delta(
+        spark.createDataFrame([(i, f"r{i}") for i in ids], "id long, v string")
+        .coalesce(1),
+        path, mode="append", **kw)
+
+
+def test_parse_interval_hours():
+    from sql_based_etl_spark.tables.delta_interop import _parse_interval_hours
+
+    assert _parse_interval_hours("interval 30 days") == 720.0
+    assert _parse_interval_hours("interval 1 week") == 168.0
+    assert _parse_interval_hours("INTERVAL 12 HOURS") == 12.0
+    assert _parse_interval_hours("interval 1 second") == pytest.approx(1 / 3600)
+    assert _parse_interval_hours(None) is None
+    with pytest.raises(VersionedTableError, match="cannot parse"):
+        _parse_interval_hours("30d")
+    with pytest.raises(VersionedTableError, match="cannot parse"):
+        _parse_interval_hours("interval 3 fortnights")
+
+
+def test_log_cleanup_floor_and_young_commits(spark, tmp_path):
+    from sql_based_etl_spark.tables.delta_interop import (
+        _list_log,
+        cleanup_log_metadata,
+    )
+
+    d = str(tmp_path / "young")
+    os.makedirs(d)
+    for i in range(9):
+        _pa_commit(d, i, [i])
+    _append_rows(spark, d, [9])  # v9: real commit, no checkpoint yet
+    _append_rows(spark, d, [10])  # v10: checkpoint + pointer
+    with pytest.raises(VersionedTableError, match="168h safety floor"):
+        cleanup_log_metadata(spark, d, retention_hours=1.0)
+    # default retention (30 days): everything is young — nothing deleted
+    assert cleanup_log_metadata(spark, d) == []
+    assert sorted(_list_log(spark, f"{d}/_delta_log")) == list(range(11))
+
+
+def test_log_cleanup_hundred_commit_table(spark, tmp_path):
+    """The production shape: a recurring job (scd2-job-scheduler.yaml's
+    cadence) or streaming sink commits forever; cleanup collapses the
+    log to the checkpoint horizon and every surviving version still
+    reads — pruned ones refuse loudly."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _list_log,
+        cleanup_log_metadata,
+        read_delta_changes,
+    )
+
+    d = str(tmp_path / "hundred")
+    os.makedirs(d)
+    for i in range(100):
+        if i > 0 and i % 10 == 0:
+            _append_rows(spark, d, [i])  # real commit -> checkpoint at i
+        else:
+            _pa_commit(d, i, [i])
+    log_dir = f"{d}/_delta_log"
+    assert len(_list_log(spark, log_dir)) == 100
+    before_latest = _ids(read_delta(spark, d))
+    before_v95 = _ids(read_delta(spark, d, version=95))
+    before_v90 = _ids(read_delta(spark, d, version=90))
+    before_cdf = read_delta_changes(spark, d, 92, 99).count()
+
+    deleted = cleanup_log_metadata(
+        spark, d, retention_hours=0.0, enforce_retention_check=False)
+    # horizon = newest checkpoint ≤ the _last_checkpoint pointer (90):
+    # commits 0..89 and checkpoints 10..80 expire; 90.. survive
+    assert f"{0:020d}.json" in deleted
+    assert f"{89:020d}.json" in deleted
+    assert f"{10:020d}.checkpoint.parquet" in deleted
+    assert f"{80:020d}.checkpoint.parquet" in deleted
+    assert sorted(_list_log(spark, log_dir)) == list(range(90, 100))
+    assert os.path.exists(
+        os.path.join(log_dir, f"{90:020d}.checkpoint.parquet"))
+
+    # snapshot + surviving time travel + CDF inside the window unchanged
+    assert _ids(read_delta(spark, d)) == before_latest
+    assert _ids(read_delta(spark, d, version=95)) == before_v95
+    assert _ids(read_delta(spark, d, version=90)) == before_v90
+    assert read_delta_changes(spark, d, 92, 99).count() == before_cdf
+
+    # pruned reads refuse loudly, naming the gap
+    with pytest.raises(VersionedTableError):
+        read_delta(spark, d, version=50)
+    with pytest.raises(VersionedTableError, match="pruned below a checkpoint"):
+        read_delta(spark, d, timestamp="1999-01-01T00:00:00")
+    with pytest.raises(VersionedTableError):
+        read_delta_changes(spark, d, 50, 60)
+
+    # idempotent: a second pass finds nothing below the horizon
+    assert cleanup_log_metadata(
+        spark, d, retention_hours=0.0, enforce_retention_check=False) == []
+
+
+def test_log_cleanup_mid_log_horizon_keeps_young_time_travel(spark, tmp_path):
+    """Retention bites mid-log: only commits older than retention go,
+    and versions between the horizon checkpoint and the (newer)
+    _last_checkpoint pointer stay readable via the reader's
+    checkpoint-scan fallback."""
+    import time
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        _list_log,
+        cleanup_log_metadata,
+    )
+
+    d = str(tmp_path / "midlog")
+    os.makedirs(d)
+    for i in range(25):
+        if i in (10, 20):
+            _append_rows(spark, d, [i])  # real commits -> checkpoints
+        else:
+            _pa_commit(d, i, [i])
+    log_dir = f"{d}/_delta_log"
+    before_v12 = _ids(read_delta(spark, d, version=12))
+    # age commits 0..14 (but nothing younger) past a 30-day retention;
+    # the horizon checkpoint's own age must not matter — age it too
+    old = time.time() - 40 * 24 * 3600
+    for v in range(15):
+        os.utime(os.path.join(log_dir, f"{v:020d}.json"), (old, old))
+    os.utime(os.path.join(log_dir, f"{10:020d}.checkpoint.parquet"),
+             (old, old))
+
+    deleted = cleanup_log_metadata(spark, d)  # default: 30 days
+    # horizon = checkpoint 10 (newest checkpoint ≤ first young commit
+    # 15): commits 0..9 expire; checkpoint 10 is the horizon and stays
+    assert deleted == [f"{v:020d}.json" for v in range(10)]
+    assert sorted(_list_log(spark, log_dir)) == list(range(10, 25))
+    assert os.path.exists(
+        os.path.join(log_dir, f"{10:020d}.checkpoint.parquet"))
+
+    # v12 < pointer(20): replays from the horizon checkpoint + JSONs
+    assert _ids(read_delta(spark, d, version=12)) == before_v12
+    with pytest.raises(VersionedTableError):
+        read_delta(spark, d, version=5)
+
+
+def test_log_cleanup_auto_after_checkpoint(spark, tmp_path):
+    """delta.logRetentionDuration is honored by the checkpoint-time
+    auto-cleanup (delta.enableExpiredLogCleanup defaults on), the
+    recurring-pipeline shape where nobody calls maintenance by hand."""
+    import time
+
+    from sql_based_etl_spark.tables.delta_interop import _list_log
+
+    d = str(tmp_path / "auto")
+    os.makedirs(d)
+    meta = _meta()
+    meta["metaData"]["configuration"] = {
+        "delta.logRetentionDuration": "interval 1 second"}
+    _pa_commit(d, 0, [0])
+    _log(d, 0, _PROTOCOL, meta, _add("h00000.parquet"))  # re-stamp with config
+    for i in range(1, 19):
+        _pa_commit(d, i, [i])
+    _append_rows(spark, d, [19])  # v19: real commit, no checkpoint
+    time.sleep(1.2)  # age everything so far past the 1s retention
+    _append_rows(spark, d, [20])  # v20: checkpoint + auto cleanup
+    log_dir = f"{d}/_delta_log"
+    assert min(_list_log(spark, log_dir)) == 20
+    assert _ids(read_delta(spark, d)) == sorted(range(21))
+
+
+# --- partition-level OCC fallback for non-conjunct predicates -------------
+
+
+def test_condition_partition_tree_shapes():
+    """The reducer extracts partition information from shapes the
+    conjunct extractor cannot take, and stays conservative (widening
+    toward no-information) everywhere else."""
+    from sql_based_etl_spark.engine.sql_compat import (
+        condition_implied_triples,
+        condition_partition_tree,
+    )
+
+    cols = ["p", "id"]
+    # top-level OR: triples give nothing, the tree keeps the shared
+    # partition pin
+    cond = ("(target.p = 'A' AND target.x = source.x) "
+            "OR (target.p = 'A' AND target.y = source.y)")
+    assert condition_implied_triples(cond, cols, "target") == []
+    tree = condition_partition_tree(cond, ["p"], "target")
+    assert tree == ("atom", ("p", "=", "A"))
+    # OR across different partitions reduces to the disjunction
+    tree = condition_partition_tree(
+        "target.p = 'A' OR target.p = 'B'", ["p"], "target")
+    assert tree == ("or", [("atom", ("p", "=", "A")),
+                           ("atom", ("p", "=", "B"))])
+    # NOT flips polarity: the inner non-partition atom must reduce to
+    # FALSE so the NOT widens to TRUE (no information), never narrows
+    assert condition_partition_tree(
+        "NOT (target.x = source.x)", ["p"], "target") is None
+    # NOT over a partition atom is kept
+    tree = condition_partition_tree("NOT target.p = 'A'", ["p"], "target")
+    assert tree == ("not", ("atom", ("p", "=", "A")))
+    # no partition columns -> no tree (conservative rule stays)
+    assert condition_partition_tree("target.p = 'A'", [], "target") is None
+    # vacuous: nothing about partitions
+    assert condition_partition_tree(
+        "target.id = source.id", ["p"], "target") is None
+
+
+def test_part_tree_may_match_kleene():
+    from sql_based_etl_spark.engine.sql_compat import (
+        condition_partition_tree,
+    )
+    from sql_based_etl_spark.tables.delta_interop import (
+        _part_tree_may_match,
+    )
+
+    meta = _meta(json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+        ]}), ["p"])["metaData"]
+
+    def add(pv):
+        return {"path": "f", "partitionValues": pv}
+
+    tree = condition_partition_tree(
+        "(target.p = 'A' AND target.x = source.x) OR "
+        "(target.p = 'A' AND target.y = source.y)", ["p"], "target")
+    assert _part_tree_may_match(meta, add({"p": "A"}), tree) is True
+    assert _part_tree_may_match(meta, add({"p": "B"}), tree) is False
+    # NULL partition value: comparison is UNKNOWN -> may match
+    assert _part_tree_may_match(
+        meta, add({"p": "__HIVE_DEFAULT_PARTITION__"}), tree) is True
+    # NOT over the pin: p='A' file is excluded, p='B' may match
+    tree = condition_partition_tree("NOT target.p = 'A'", ["p"], "target")
+    assert _part_tree_may_match(meta, add({"p": "A"}), tree) is False
+    assert _part_tree_may_match(meta, add({"p": "B"}), tree) is True
+
+
+def test_occ_merge_or_condition_partition_scoped_commutes(
+        spark, tmp_path, monkeypatch):
+    """Round-12 (verdict #3): a MERGE whose ON condition is a top-level
+    OR — no extractable conjunct triples — inside partition A still
+    commutes with a concurrent append to partition B, via the
+    partition-level reduction of the whole predicate. The same OR
+    predicate on an UNPARTITIONED table keeps the conservative
+    any-add-conflicts rule."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        ConcurrentAppendError,
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    on = ("(target.p = 'A' AND target.id = source.id) "
+          "OR (target.p = 'A' AND target.v = source.v)")
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a", "A"), (2, "b", "B")],
+                              "id long, v string, p string"),
+        t, mode="overwrite", partition_by=["p"])
+
+    def winner(version):
+        write_delta(
+            spark.createDataFrame([(9, "w", "B")],
+                                  "id long, v string, p string"),
+            t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    src = spark.createDataFrame([(1, "zzz", "A")],
+                                "id long, v string, p string")
+    v = merge_delta(src, t, on,
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+    assert v == 2, "loser must retry past the disjoint winner and land"
+    got = sorted((r.id, r.v, r.p) for r in read_delta(spark, t).collect())
+    assert got == [(1, "zzz", "A"), (2, "b", "B"), (9, "w", "B")]
+
+    # same partition: still a real, named conflict
+    t2 = str(tmp_path / "t2")
+    write_delta(
+        spark.createDataFrame([(1, "a", "A")],
+                              "id long, v string, p string"),
+        t2, mode="overwrite", partition_by=["p"])
+
+    def winner_same(version):
+        write_delta(
+            spark.createDataFrame([(8, "w", "A")],
+                                  "id long, v string, p string"),
+            t2, mode="append")
+
+    _inject_winner(monkeypatch, winner_same)
+    with pytest.raises(ConcurrentAppendError, match="read predicate"):
+        merge_delta(src, t2, on,
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+
+    # unpartitioned: the OR extracts nothing -> conservative rule
+    t3 = str(tmp_path / "t3")
+    write_delta(
+        spark.createDataFrame([(1, "a", "A")],
+                              "id long, v string, p string"),
+        t3, mode="overwrite")
+
+    def winner_unpart(version):
+        write_delta(
+            spark.createDataFrame([(9, "w", "B")],
+                                  "id long, v string, p string"),
+            t3, mode="append")
+
+    _inject_winner(monkeypatch, winner_unpart)
+    with pytest.raises(ConcurrentAppendError):
+        merge_delta(src, t3, on,
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+
+
+def test_delete_or_predicate_partition_scoped_scan_and_occ(
+        spark, tmp_path, monkeypatch):
+    """String-predicate DELETE with a top-level OR: the partition
+    reduction prunes the candidate scan (files outside never open) and
+    scopes OCC the same way."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", "A"), (2, "b", "A"), (3, "c", "B")],
+            "id long, v string, p string"),
+        t, mode="overwrite", partition_by=["p"])
+
+    def winner(version):
+        write_delta(
+            spark.createDataFrame([(9, "w", "B")],
+                                  "id long, v string, p string"),
+            t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    v = delete_delta(spark, t, "(p = 'A' AND id = 1) OR (p = 'A' AND id = 2)")
+    assert v == 2, "delete must commute with the disjoint-partition append"
+    got = sorted((r.id, r.p) for r in read_delta(spark, t).collect())
+    assert got == [(3, "B"), (9, "B")]
+
+
+def test_available_now_contract_has_no_admission_control():
+    """Round-12 (verdict #4): the PySpark Python streaming DataSource
+    contract exposes only an argless ``latestOffset()`` — no ReadLimit
+    variant, no ``prepareForTriggerAvailableNow`` — so a rate-limited
+    MULTI-batch drain under Trigger.AvailableNow is not expressible
+    from a Python source: the engine captures one end offset and plans
+    one batch to it. That makes the documented caveat (a capped cold
+    start drains maxCommitsPerTrigger commits per availableNow run;
+    re-run to continue, or omit the cap) the CORRECT behavior, pinned
+    behaviorally by test_stream_delta_source_capped_cold_start. This
+    test pins the API contract itself: if a future PySpark adds an
+    admission-control hook, it fails and the cap should be upgraded to
+    a true multi-batch availableNow drain."""
+    import inspect
+
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    sig = inspect.signature(DataSourceStreamReader.latestOffset)
+    assert list(sig.parameters) == ["self"], (
+        f"latestOffset now takes {list(sig.parameters)} — PySpark grew "
+        "an admission-control/ReadLimit contract; implement multi-batch "
+        "availableNow draining in streaming/delta_source.py")
+    grown = [n for n in dir(DataSourceStreamReader)
+             if "availablenow" in n.lower() or "readlimit" in n.lower()
+             or "admission" in n.lower()]
+    assert not grown, (
+        f"DataSourceStreamReader grew {grown} — revisit the "
+        "availableNow caveat in streaming/delta_source.py")
