@@ -164,6 +164,16 @@ def _plain_table_meta(table_path: str, logs: dict[int, str]) -> dict:
         for row in tbl.column("metaData").to_pylist():
             if row and row.get("id"):
                 meta = {k: v for k, v in row.items() if v is not None}
+                # pyarrow materializes parquet MAP columns as
+                # [(key, value), ...] pair lists — every consumer of
+                # metaData expects the JSON-action dict shape
+                for mk in ("configuration",):
+                    if isinstance(meta.get(mk), list):
+                        meta[mk] = dict(meta[mk])
+                fmt = meta.get("format")
+                if isinstance(fmt, dict) and isinstance(
+                        fmt.get("options"), list):
+                    fmt["options"] = dict(fmt["options"])
     if meta is None:
         raise ValueError(
             f"delta_bridge source: checkpoint {cv} at {log_dir} carries "

@@ -6441,3 +6441,47 @@ def test_available_now_contract_has_no_admission_control():
     assert not grown, (
         f"DataSourceStreamReader grew {grown} — revisit the "
         "availableNow caveat in streaming/delta_source.py")
+
+
+def test_log_cleanup_streaming_source_interaction(spark, tmp_path):
+    """After metadata cleanup, the streaming source still serves
+    everything at or above the horizon (table metaData comes from the
+    checkpoint fallback when the CREATE commit is pruned) and refuses
+    a start below the horizon BY NAME, never a silent gap."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ file)
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import cleanup_log_metadata
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    for i in range(15):
+        if i in (10,):
+            _append_rows(spark, d, [i])  # real commit -> checkpoint 10
+        else:
+            _pa_commit(d, i, [i])
+    cleanup_log_metadata(spark, d, retention_hours=0.0,
+                         enforce_retention_check=False)
+
+    register_delta_bridge_source(spark)
+    # startingVersion at the horizon: commits 10..14 stream fine even
+    # though the CREATE commit (and its metaData) is pruned
+    q = (spark.readStream.format("delta_bridge")
+         .option("path", d).option("startingVersion", "10").load()
+         .writeStream.format("memory").queryName("pruned_ok")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.sql(
+        "select id from pruned_ok").collect())
+    assert got == list(range(10, 15))
+
+    # startingVersion below the horizon: loud, named refusal
+    q2 = (spark.readStream.format("delta_bridge")
+          .option("path", d).option("startingVersion", "3").load()
+          .writeStream.format("memory").queryName("pruned_bad")
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="pruned below a checkpoint"):
+        q2.awaitTermination(120)
