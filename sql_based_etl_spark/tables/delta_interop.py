@@ -5294,10 +5294,9 @@ def _cleanup_expired_logs(spark: SparkSession, log_dir: str,
     if not jsons:
         return []
     cutoff_ms = (_time.time() - retention_hours * 3600.0) * 1000.0
-    # first commit that must survive on age alone; everything deleted
-    # is a contiguous prefix below it (holes would be harmless — reads
-    # below the horizon fail loudly either way — but contiguity keeps
-    # the surviving log self-describing)
+    # first commit that must survive on age alone: the horizon never
+    # exceeds it, so in the normal monotonic-mtime case the deletion is
+    # a contiguous prefix; each file is additionally age-gated below
     unexpired = [v for v in jsons if mtimes[jsons[v]] >= cutoff_ms]
     first_young = min(unexpired) if unexpired else max(jsons) + 1
 
@@ -5319,8 +5318,22 @@ def _cleanup_expired_logs(spark: SparkSession, log_dir: str,
     v2_deleted: list[str] = []
     v2_kept: list[str] = []
     for v, n in jsons.items():
-        if v < horizon:
+        # each file is age-gated individually: mtimes are usually
+        # monotonic in version, but nothing guarantees it (clock skew,
+        # copied tables) and the contract is that a commit younger
+        # than retention is NEVER deleted — even below the horizon
+        # (holes below the horizon are harmless: reads there refuse
+        # loudly either way)
+        if v < horizon and mtimes[n] < cutoff_ms:
             deletable.append(n)
+    # foreign writers' per-commit checksum files (%020d.crc) expire
+    # with their commit — the bridge writes none, but leaking them
+    # forever on a converted table defeats the cleanup
+    for n in names:
+        if n.endswith(".crc") and n[:-4].isdigit():
+            v = int(n[:-4])
+            if v < horizon and mtimes[n] < cutoff_ms:
+                deletable.append(n)
     for n in names:
         m = (_CKPT_CLASSIC_RE.match(n) or _CKPT_MULTIPART_RE.match(n))
         is_v2 = False

@@ -6485,3 +6485,53 @@ def test_log_cleanup_streaming_source_interaction(spark, tmp_path):
           .trigger(availableNow=True).start())
     with pytest.raises(Exception, match="pruned below a checkpoint"):
         q2.awaitTermination(120)
+
+
+def test_log_cleanup_never_deletes_young_commits_nonmonotonic(
+        spark, tmp_path):
+    """The retention promise holds even when mtimes are NOT monotonic
+    in version (clock skew, copied tables): a young commit below the
+    only checkpoint caps the horizon beneath itself, so cleanup
+    deletes NOTHING — the young commit stays not just present but
+    READABLE (deleting the commits under it would orphan it). Foreign
+    %020d.crc checksum files expire with their commit when deletion
+    does happen."""
+    import time
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        _list_log,
+        cleanup_log_metadata,
+    )
+
+    d = str(tmp_path / "nm")
+    os.makedirs(d)
+    for i in range(15):
+        if i == 10:
+            _append_rows(spark, d, [i])  # checkpoint at 10
+        else:
+            _pa_commit(d, i, [i])
+    log_dir = f"{d}/_delta_log"
+    with open(os.path.join(log_dir, f"{3:020d}.crc"), "w") as fh:
+        fh.write("{}")
+    old = time.time() - 40 * 24 * 3600
+    # age everything EXCEPT commit 7 (non-monotonic young)
+    for v in range(15):
+        if v != 7:
+            os.utime(os.path.join(log_dir, f"{v:020d}.json"), (old, old))
+    os.utime(os.path.join(log_dir, f"{3:020d}.crc"), (old, old))
+    os.utime(os.path.join(log_dir, f"{10:020d}.checkpoint.parquet"),
+             (old, old))
+
+    # the young commit 7 caps the horizon below the only checkpoint
+    # (10): nothing qualifies, the whole log survives and v7 reads
+    assert cleanup_log_metadata(spark, d) == []
+    assert sorted(_list_log(spark, log_dir)) == list(range(15))
+    assert _ids(read_delta(spark, d, version=7)) == sorted(range(8))
+
+    # age commit 7 too: now the horizon is 10 and the expired crc
+    # goes with its commit
+    os.utime(os.path.join(log_dir, f"{7:020d}.json"), (old, old))
+    deleted = cleanup_log_metadata(spark, d)
+    assert f"{3:020d}.crc" in deleted
+    assert f"{9:020d}.json" in deleted
+    assert sorted(_list_log(spark, log_dir)) == list(range(10, 15))
