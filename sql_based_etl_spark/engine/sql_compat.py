@@ -337,31 +337,131 @@ def _split_top_or(cond: str) -> list[str] | None:
     return parts
 
 
-def condition_partition_tree(cond: str, part_cols: list[str],
-                             alias: str | None):
-    """Reduce a SQL condition to the boolean expression it implies over
-    the PARTITION columns alone — the fallback read footprint for
-    predicate shapes :func:`condition_implied_triples` cannot take
-    (top-level ORs, NOTs over conjuncts), so a MERGE whose ON is
-    ``(t.p = 'A' AND …) OR (t.p = 'A' AND …)`` still commutes with a
-    concurrent append to partition B.
+# --- scope-tree evaluation (shared by the Delta bridge and the native
+# VersionedTable): per-row predicate values live in Kleene's {T, U, F};
+# a FILE is summarized by the SET of values its rows can take, so the
+# cross-product combination of child sets is a sound overapproximation
+# of pairing each row's own values, and "no row can be T" — the only
+# conclusion the OCC/pruning consumers draw — is exactly `"T" not in
+# set`. --------------------------------------------------------------
 
-    Soundness: every atom that is not a partition-column comparison of
-    a triple shape is replaced by TRUE at positive polarity and FALSE
+KLEENE_ANY = frozenset("TUF")
+_KLEENE_NOT = {"T": "F", "F": "T", "U": "U"}
+
+
+def _kleene_and(a: str, b: str) -> str:
+    if a == "F" or b == "F":
+        return "F"
+    return "U" if "U" in (a, b) else "T"
+
+
+def _kleene_or(a: str, b: str) -> str:
+    if a == "T" or b == "T":
+        return "T"
+    return "U" if "U" in (a, b) else "F"
+
+
+def stats_value_set(op: str, lit, lo, hi, nulls, num) -> frozenset:
+    """Possible per-row Kleene values of ``col op lit`` over a file
+    whose column envelope is [lo, hi] with ``nulls`` null rows out of
+    ``num`` (any of them None = unknown). Bounds contract: ``lo`` is a
+    LOWER bound on the file's true min and ``hi`` an UPPER bound on
+    its true max (valid under stats truncation), so all-satisfy /
+    none-satisfy proofs only ever fire when genuinely implied."""
+    if op in ("is null", "is not null"):
+        t_when_null = op == "is null"
+        if nulls is None or num is None:
+            return frozenset("TF")
+        if nulls == num:
+            return frozenset("T" if t_when_null else "F")
+        if nulls == 0:
+            return frozenset("F" if t_when_null else "T")
+        return frozenset("TF")
+    no_nonnull = nulls is not None and num is not None and nulls == num
+    if no_nonnull:
+        nonnull: frozenset = frozenset()
+    elif lo is None or hi is None:
+        nonnull = frozenset("TF")
+    else:
+        try:
+            if op == "in":
+                all_sat = lo == hi and any(lo == x for x in lit)
+                none_sat = all(x < lo or x > hi for x in lit)
+            elif op == "=":
+                all_sat = lo == hi == lit
+                none_sat = lit < lo or lit > hi
+            elif op == "<":
+                all_sat, none_sat = hi < lit, lo >= lit
+            elif op == "<=":
+                all_sat, none_sat = hi <= lit, lo > lit
+            elif op == ">":
+                all_sat, none_sat = lo > lit, hi <= lit
+            elif op == ">=":
+                all_sat, none_sat = lo >= lit, hi < lit
+            else:
+                return KLEENE_ANY
+            nonnull = (frozenset("T") if all_sat
+                       else frozenset("F") if none_sat
+                       else frozenset("TF"))
+        except TypeError:
+            nonnull = frozenset("TF")
+    out = set(nonnull)
+    if nulls is None or (isinstance(nulls, int) and nulls > 0):
+        out.add("U")  # null rows (possibly) exist → comparisons UNKNOWN
+    return frozenset(out) or frozenset("U")
+
+
+def eval_scope_tree(tree, atom_fn) -> bool:
+    """True unless the tree PROVES no row of the file can satisfy the
+    predicate. ``atom_fn(col, op, lit) -> frozenset`` supplies each
+    atom's possible per-row value set (partition lane, stats lane —
+    the caller's business)."""
+    def _ev(node) -> frozenset:
+        kind = node[0]
+        if kind == "const":
+            return frozenset("T") if node[1] else frozenset("F")
+        if kind == "atom":
+            return atom_fn(*node[1])
+        if kind == "not":
+            return frozenset(_KLEENE_NOT[a] for a in _ev(node[1]))
+        parts = [_ev(ch) for ch in node[1]]
+        comb = _kleene_and if kind == "and" else _kleene_or
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = frozenset(comb(a, b) for a in acc for b in p)
+        return acc
+
+    return "T" in _ev(tree)
+
+
+def condition_scope_tree(cond: str, scope_cols: list[str],
+                         alias: str | None):
+    """Reduce a SQL condition to the boolean expression it implies over
+    the SCOPABLE columns (those a file-level evaluator can decide from
+    partition values or min/max/null stats) — the fallback read
+    footprint for predicate shapes :func:`condition_implied_triples`
+    cannot take (top-level ORs, NOTs over conjuncts), so a MERGE whose
+    ON is ``(t.p = 'A' AND …) OR (t.p = 'A' AND …)`` still commutes
+    with a concurrent append to partition B — and, via the stats lane
+    of the evaluators, an unpartitioned ``(t.k < 5 AND …) OR (t.k < 9
+    AND …)`` commutes with an append whose files hold only k ≥ 9.
+
+    Soundness: every atom that is not a scope-column comparison of a
+    triple shape is replaced by TRUE at positive polarity and FALSE
     under an odd number of NOTs. AND/OR/NOT are monotone in Kleene's
     truth order under that substitution, so the reduced predicate P' is
-    row-wise ≥ the original P — P' evaluating FALSE on a file's
-    partition assignment proves NO row of the file can satisfy P.
-    Widening only: an unparseable shape reduces toward TRUE (no
-    information), never toward FALSE.
+    row-wise ≥ the original P — P' evaluating FALSE over a file's
+    partition assignment / stats envelope proves NO row of the file
+    can satisfy P. Widening only: an unparseable shape reduces toward
+    TRUE (no information), never toward FALSE.
 
     Returns a tree of ``("const", bool)`` / ``("atom", (col, op, lit))``
     / ``("and"|"or", [children])`` / ``("not", child)`` nodes, or None
-    when the reduction is vacuous (no partition-column information).
+    when the reduction is vacuous (no scope-column information).
     """
-    if not part_cols:
+    if not scope_cols:
         return None
-    _col = _make_col_resolver(part_cols, alias)
+    _col = _make_col_resolver(scope_cols, alias)
 
     def _dedup(flat):
         seen: set[str] = set()

@@ -1843,13 +1843,13 @@ def _check_commit_conflict(winner: list[dict], version: int, operation: str,
                 overlap = _prune_adds_by_stats(read_meta, overlap,
                                                list(read_triples))
             if read_part_tree is not None:
-                # partition-level fallback/refinement: files whose
-                # partition values make the reduced predicate provably
-                # FALSE commute even when the predicate had no
+                # scope-tree fallback/refinement: files whose partition
+                # values OR stats envelope make the reduced predicate
+                # provably FALSE commute even when the predicate had no
                 # extractable conjuncts (OR/NOT shapes)
                 overlap = {p: a for p, a in overlap.items()
-                           if _part_tree_may_match(read_meta, a,
-                                                   read_part_tree)}
+                           if _tree_may_match(read_meta, a,
+                                              read_part_tree)}
             if not overlap:
                 return  # every added file provably outside the read
             raise ConcurrentAppendError(
@@ -2574,20 +2574,34 @@ def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
 # the same read-footprint extraction without an import cycle; the
 # bridge keeps its internal names.
 from sql_based_etl_spark.engine.sql_compat import (  # noqa: E402
+    KLEENE_ANY as _ANY,
     condition_implied_triples as _condition_target_triples,
-    condition_partition_tree as _condition_partition_tree,
+    condition_scope_tree as _condition_scope_tree,
+    eval_scope_tree as _eval_scope_tree,
     split_top_and as _split_top_and,
+    stats_value_set as _stats_value_set,
 )
 
 
-def _part_tree_may_match(meta: dict, add: dict, tree) -> bool:
-    """Kleene-evaluate a :func:`condition_partition_tree` reduction
-    against one add's partition values. False ONLY when the reduced
-    predicate provably excludes every row of the file (atom semantics
-    match SQL: a NULL partition value makes comparisons UNKNOWN, and
-    UNKNOWN stays conservative — the file may match). This is the
-    partition-level OCC fallback for predicate shapes the conjunct
-    extractor can't take (ORs, NOTs over conjuncts)."""
+def _tree_may_match(meta: dict, add: dict, tree) -> bool:
+    """Kleene-set-evaluate a :func:`condition_scope_tree` reduction
+    against one add action. False ONLY when the reduced predicate
+    provably excludes every row of the file:
+
+    - PARTITION columns evaluate exactly (one value per file; a NULL
+      partition value makes comparisons UNKNOWN — conservative);
+    - other columns evaluate from the add's ``stats`` envelope: the
+      non-null rows' possible truth values come from the min/max
+      bounds (``minValues`` is a lower bound on the true min,
+      ``maxValues`` an upper bound on the true max — the same contract
+      :func:`_prune_adds_by_stats` documents, valid under the
+      library's string truncation), and null rows contribute UNKNOWN
+      unless ``nullCount`` proves there are none. Missing stats / an
+      un-coercible type widen to no-information.
+
+    This is the OCC fallback (and scan pruner) for predicate shapes
+    the conjunct extractor can't take — ORs, NOTs over conjuncts —
+    on partitioned AND unpartitioned tables."""
     schema = json.loads(meta["schemaString"])
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
@@ -2598,58 +2612,63 @@ def _part_tree_may_match(meta: dict, add: dict, tree) -> bool:
                 if mode != "none" else f["name"])
         typ = f["type"] if isinstance(f["type"], str) else None
         info[f["name"]] = (phys, typ)
+    part_cols = set(meta.get("partitionColumns") or [])
     pv = add.get("partitionValues") or {}
-
-    def _atom(c: str, op: str, lit):
-        phys, typ = info.get(c, (c, None))
-        raw = pv.get(phys)
-        isnull = raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
-        if op == "is null":
-            return isnull
-        if op == "is not null":
-            return not isnull
-        if isnull:
-            return None  # SQL: NULL cmp anything → UNKNOWN
-        v = _prune_coerce(typ, raw)
-        if v is None:
-            return None  # un-comparable — no proof either way
+    st = None
+    if add.get("stats"):
         try:
-            if op == "in":
-                return any(v == x for x in lit)
-            if op == "=":
-                return v == lit
-            if op == "<":
-                return v < lit
-            if op == "<=":
-                return v <= lit
-            if op == ">":
-                return v > lit
-            if op == ">=":
-                return v >= lit
-        except TypeError:
-            return None
-        return None
+            st = json.loads(add["stats"])
+        except (TypeError, ValueError):
+            st = None
+    num = st.get("numRecords") if st else None
+    if num == 0:
+        return False  # a zero-row file matches nothing
 
-    def _ev(node):
-        kind = node[0]
-        if kind == "const":
-            return node[1]
-        if kind == "atom":
-            return _atom(*node[1])
-        if kind == "not":
-            r = _ev(node[1])
-            return None if r is None else (not r)
-        vals = [_ev(ch) for ch in node[1]]
-        if kind == "and":
-            if any(v is False for v in vals):
-                return False
-            return None if any(v is None for v in vals) else True
-        # or
-        if any(v is True for v in vals):
-            return True
-        return None if any(v is None for v in vals) else False
+    def _cmp(op: str, v, lit) -> bool:
+        if op == "in":
+            return any(v == x for x in lit)
+        if op == "=":
+            return v == lit
+        if op == "<":
+            return v < lit
+        if op == "<=":
+            return v <= lit
+        if op == ">":
+            return v > lit
+        return v >= lit  # ">="
 
-    return _ev(tree) is not False
+    def _atom(c: str, op: str, lit) -> frozenset:
+        phys, typ = info.get(c, (c, None))
+        if c in part_cols:
+            raw = pv.get(phys)
+            isnull = raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
+            if op == "is null":
+                return frozenset("T") if isnull else frozenset("F")
+            if op == "is not null":
+                return frozenset("F") if isnull else frozenset("T")
+            if isnull:
+                return frozenset("U")  # SQL: NULL cmp anything → UNKNOWN
+            v = _prune_coerce(typ, raw)
+            if v is None:
+                return _ANY
+            try:
+                return frozenset("T") if _cmp(op, v, lit) else frozenset("F")
+            except TypeError:
+                return _ANY
+        # stats lane (shared subset-lattice analysis; bounds coerced
+        # through the column's logical type like _prune_adds_by_stats)
+        if st is None:
+            return _ANY
+        nulls = (st.get("nullCount") or {}).get(phys)
+        lo = (st.get("minValues") or {}).get(phys)
+        hi = (st.get("maxValues") or {}).get(phys)
+        lov = _prune_coerce(typ, lo) if lo is not None else None
+        hiv = _prune_coerce(typ, hi) if hi is not None else None
+        if (lo is None) != (lov is None) or (hi is None) != (hiv is None):
+            lov = hiv = None  # un-coercible bounds — no envelope proof
+        return _stats_value_set(op, lit, lov, hiv, nulls, num)
+
+    return _eval_scope_tree(tree, _atom)
 
 
 def _drop_empty_adds(adds: list[dict]) -> list[dict]:
@@ -3709,17 +3728,17 @@ def merge_delta(source: DataFrame, path: str, condition: str,
     if not when_not_matched_by_source_delete:
         read_triples = _condition_target_triples(condition, t_cols,
                                                  "target")
-        # partition-level fallback for shapes the conjunct extractor
-        # can't take (ORs, NOTs): the ON condition reduced to what it
-        # implies over the partition columns alone — scopes BOTH the
-        # candidate scan and the append-conflict rule below
-        part_tree = _condition_partition_tree(
-            condition, list(meta.get("partitionColumns") or []), "target")
+        # scope-tree fallback for shapes the conjunct extractor can't
+        # take (ORs, NOTs): the ON condition reduced to what it implies
+        # over the file-decidable columns (partition values + stats
+        # envelopes) — scopes BOTH the candidate scan and the
+        # append-conflict rule below
+        part_tree = _condition_scope_tree(condition, t_cols, "target")
     scan_live = (_prune_adds_by_stats(meta, live, list(read_triples))
                  if read_triples else live)
     if part_tree is not None:
         scan_live = {k: a for k, a in scan_live.items()
-                     if _part_tree_may_match(meta, a, part_tree)}
+                     if _tree_may_match(meta, a, part_tree)}
 
     def _norm_uri(p: str) -> str:
         u = urllib.parse.urlparse(p)
@@ -4282,13 +4301,12 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
     # condition's target conjuncts prune the scan and scope OCC (a
     # pure-delete merge has no by-source clause by definition)
     read_triples = _condition_target_triples(condition, t_cols, "target")
-    part_tree = _condition_partition_tree(
-        condition, list(meta.get("partitionColumns") or []), "target")
+    part_tree = _condition_scope_tree(condition, t_cols, "target")
     scan_live = (_prune_adds_by_stats(meta, live, list(read_triples))
                  if read_triples else live)
     if part_tree is not None:
         scan_live = {k: a for k, a in scan_live.items()
-                     if _part_tree_may_match(meta, a, part_tree)}
+                     if _tree_may_match(meta, a, part_tree)}
     if not scan_live:
         return latest  # predicate provably matches no live file
     tagged = _snapshot_df(spark, path, meta, scan_live,
@@ -4522,9 +4540,8 @@ def delete_delta(spark: SparkSession, path: str,
         # implied by the predicate, so pruning on them is sound and the
         # full predicate still gates every row (round-11)
         triples = _condition_target_triples(pred_str, t_cols, None) or None
-        # partition-level fallback for OR/NOT shapes (see merge_delta)
-        part_tree = _condition_partition_tree(
-            pred_str, list(meta.get("partitionColumns") or []), None)
+        # scope-tree fallback for OR/NOT shapes (see merge_delta)
+        part_tree = _condition_scope_tree(pred_str, t_cols, None)
 
     # triples: files provably excluded by stats/partition values
     # never open — the candidate scan is proportional to matching
@@ -4534,7 +4551,7 @@ def delete_delta(spark: SparkSession, path: str,
                  if triples else live)
     if part_tree is not None:
         scan_adds = {k: a for k, a in scan_adds.items()
-                     if _part_tree_may_match(meta, a, part_tree)}
+                     if _tree_may_match(meta, a, part_tree)}
         if not scan_adds:
             return latest  # predicate provably matches no live file
     tagged = _snapshot_df(spark, path, meta, scan_adds, tag_rows=True)

@@ -347,6 +347,37 @@ def _stat_encode(v: object) -> object:
 _FILTER_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
+def _manifest_tree_may_match(fstats: dict | None, tree) -> bool:
+    """Scope-tree evaluation over one file's manifest stats
+    (``{rows, columns: {col: {min, max, nulls}}}``) — the native
+    table's lane of the shared subset-lattice analysis (see
+    engine/sql_compat.py:eval_scope_tree): False only when the
+    reduced predicate provably excludes every row of the file.
+    Missing stats / columns keep the file."""
+    from sql_based_etl_spark.engine.sql_compat import (
+        KLEENE_ANY,
+        eval_scope_tree,
+        stats_value_set,
+    )
+
+    if fstats is not None and fstats.get("rows") == 0:
+        return False  # a zero-row file matches nothing
+    cols = (fstats or {}).get("columns") or {}
+    num = (fstats or {}).get("rows")
+
+    def _atom(c: str, op: str, lit) -> frozenset:
+        cs = cols.get(c)
+        if cs is None:
+            return KLEENE_ANY
+        if op not in ("is null", "is not null"):
+            lit = ([_stat_encode(x) for x in lit] if op == "in"
+                   else _stat_encode(lit))
+        return stats_value_set(op, lit, cs.get("min"), cs.get("max"),
+                               cs.get("nulls"), num)
+
+    return eval_scope_tree(tree, _atom)
+
+
 def _file_may_match(col_stats: dict | None, op: str, val: object) -> bool:
     """Conservative driver-side prune test for one conjunct against one
     file's stats. True = the file might contain matching rows (keep);
@@ -964,7 +995,8 @@ class VersionedTable:
     def _classify_winner(self, wv: int, operation: str,
                          read_files: set, removed_files: set,
                          reads_table_data: bool,
-                         read_triples: list | None = None) -> None:
+                         read_triples: list | None = None,
+                         read_tree=None) -> None:
         """Classify ONE winner manifest against the loser's declared
         footprint — raise the named conflict or return (commute). The
         winner's changes are its manifest diff against its predecessor
@@ -1008,7 +1040,7 @@ class VersionedTable:
             # predicate-scoped rule, on manifests): a merge over
             # k='A' commutes with an append whose files hold only
             # k='B'. Missing stats keep the file → conflict.
-            if read_triples:
+            if read_triples or read_tree is not None:
                 wstats = wm.get("stats", {})
 
                 def _may(f: str) -> bool:
@@ -1019,9 +1051,17 @@ class VersionedTable:
                     return all(
                         _file_may_match(cols.get(c) if fs else None,
                                         op, val)
-                        for c, op, val in read_triples)
+                        for c, op, val in (read_triples or []))
 
                 overlap = [f for f in win_added if _may(f)]
+                if read_tree is not None:
+                    # scope-tree fallback/refinement (OR/NOT shapes the
+                    # conjunct extractor can't take): files whose stats
+                    # envelope provably falsifies the whole reduced
+                    # predicate commute
+                    overlap = [f for f in overlap
+                               if _manifest_tree_may_match(
+                                   wstats.get(f), read_tree)]
                 if not overlap:
                     return
                 raise VersionedConcurrentAppendError(
@@ -1039,6 +1079,7 @@ class VersionedTable:
                            schema, new_stats: dict,
                            reads_table_data: bool, read_files: set,
                            read_triples: list | None = None,
+                           read_tree=None,
                            extra: dict | None = None,
                            max_retries: int = 20) -> int:
         """Commit a snapshot-rewriting operation (MERGE / COMPACT) with
@@ -1069,7 +1110,8 @@ class VersionedTable:
             latest = self.versions()[-1]
             for wv in range(attempt, latest + 1):
                 self._classify_winner(wv, operation, read_files, removed,
-                                      reads_table_data, read_triples)
+                                      reads_table_data, read_triples,
+                                      read_tree=read_tree)
             base_v, attempt = latest, latest + 1
         raise VersionedConcurrentModificationError(
             f"{operation} at {self.path}: exhausted {max_retries} commit "
@@ -1450,7 +1492,12 @@ class VersionedTable:
             condition_implied_triples,
         )
 
+        from sql_based_etl_spark.engine.sql_compat import (
+            condition_scope_tree,
+        )
+
         read_triples: list[tuple] = []
+        read_tree = None
         if not when_not_matched_by_source_delete:
             t_cols_all = [f["name"] for f in
                           self.manifest(cur_v)["schema"]["fields"]]
@@ -1459,8 +1506,18 @@ class VersionedTable:
                                                      "target")
                 if t[1] in _FILTER_OPS  # manifest stats: no null tests
             ]
+            # scope-tree fallback for OR/NOT shapes (the bridge's
+            # round-12 rule on manifests): the whole ON condition
+            # reduced to its stats-decidable implication
+            read_tree = condition_scope_tree(condition, t_cols_all,
+                                             "target")
         scan_files = (self.prune_files(read_triples, version=cur_v)
                       if read_triples else all_files)
+        if read_tree is not None and scan_files:
+            mstats = self.manifest(cur_v).get("stats", {})
+            scan_files = [f for f in scan_files
+                          if _manifest_tree_may_match(mstats.get(f),
+                                                      read_tree)]
         if when_not_matched_by_source_delete:
             matched_files = list(all_files)  # clause touches every row
         else:
@@ -1510,6 +1567,7 @@ class VersionedTable:
             cur_v, "MERGE", matched_files, new_files, target_full.schema,
             new_stats, reads_table_data=True, read_files=set(scan_files),
             read_triples=(read_triples or None),
+            read_tree=read_tree,
             extra={
                 "files_rewritten": len(matched_files),
                 "files_carried": len(carried),

@@ -6236,13 +6236,13 @@ def test_log_cleanup_auto_after_checkpoint(spark, tmp_path):
 # --- partition-level OCC fallback for non-conjunct predicates -------------
 
 
-def test_condition_partition_tree_shapes():
-    """The reducer extracts partition information from shapes the
+def test_condition_scope_tree_shapes():
+    """The reducer extracts scope information from shapes the
     conjunct extractor cannot take, and stays conservative (widening
     toward no-information) everywhere else."""
     from sql_based_etl_spark.engine.sql_compat import (
         condition_implied_triples,
-        condition_partition_tree,
+        condition_scope_tree as condition_partition_tree,
     )
 
     cols = ["p", "id"]
@@ -6272,12 +6272,12 @@ def test_condition_partition_tree_shapes():
         "target.id = source.id", ["p"], "target") is None
 
 
-def test_part_tree_may_match_kleene():
+def test_tree_may_match_kleene():
     from sql_based_etl_spark.engine.sql_compat import (
-        condition_partition_tree,
+        condition_scope_tree as condition_partition_tree,
     )
     from sql_based_etl_spark.tables.delta_interop import (
-        _part_tree_may_match,
+        _tree_may_match as _part_tree_may_match,
     )
 
     meta = _meta(json.dumps({
@@ -6295,13 +6295,18 @@ def test_part_tree_may_match_kleene():
         "(target.p = 'A' AND target.y = source.y)", ["p"], "target")
     assert _part_tree_may_match(meta, add({"p": "A"}), tree) is True
     assert _part_tree_may_match(meta, add({"p": "B"}), tree) is False
-    # NULL partition value: comparison is UNKNOWN -> may match
+    # NULL partition value: p = 'A' is UNKNOWN on every row, and
+    # UNKNOWN rows never satisfy a filter — provably no match (sound
+    # AND sharp; the fuzz property pins soundness)
     assert _part_tree_may_match(
-        meta, add({"p": "__HIVE_DEFAULT_PARTITION__"}), tree) is True
-    # NOT over the pin: p='A' file is excluded, p='B' may match
+        meta, add({"p": "__HIVE_DEFAULT_PARTITION__"}), tree) is False
+    # NOT over the pin: p='A' file is excluded, p='B' may match,
+    # NULL stays excluded (NOT UNKNOWN = UNKNOWN)
     tree = condition_partition_tree("NOT target.p = 'A'", ["p"], "target")
     assert _part_tree_may_match(meta, add({"p": "A"}), tree) is False
     assert _part_tree_may_match(meta, add({"p": "B"}), tree) is True
+    assert _part_tree_may_match(
+        meta, add({"p": "__HIVE_DEFAULT_PARTITION__"}), tree) is False
 
 
 def test_occ_merge_or_condition_partition_scoped_commutes(
@@ -6362,7 +6367,9 @@ def test_occ_merge_or_condition_partition_scoped_commutes(
                     when_matched_update={"v": "source.v"},
                     insert_not_matched=False)
 
-    # unpartitioned: the OR extracts nothing -> conservative rule
+    # unpartitioned: the scope tree evaluates against the winner's
+    # file STATS — p holds only 'B' in the added file, provably outside
+    # the OR's shared p='A' pin, so the merge still commutes
     t3 = str(tmp_path / "t3")
     write_delta(
         spark.createDataFrame([(1, "a", "A")],
@@ -6376,8 +6383,29 @@ def test_occ_merge_or_condition_partition_scoped_commutes(
             t3, mode="append")
 
     _inject_winner(monkeypatch, winner_unpart)
+    v3 = merge_delta(src, t3, on,
+                     when_matched_update={"v": "source.v"},
+                     insert_not_matched=False)
+    assert v3 == 2, "stats-disjoint unpartitioned append must commute"
+    got3 = sorted((r.id, r.v) for r in read_delta(spark, t3).collect())
+    assert got3 == [(1, "zzz"), (9, "w")]
+
+    # unpartitioned with OVERLAPPING stats: conservative, named conflict
+    t4 = str(tmp_path / "t4")
+    write_delta(
+        spark.createDataFrame([(1, "a", "A")],
+                              "id long, v string, p string"),
+        t4, mode="overwrite")
+
+    def winner_overlap(version):
+        write_delta(
+            spark.createDataFrame([(8, "w", "A")],
+                                  "id long, v string, p string"),
+            t4, mode="append")
+
+    _inject_winner(monkeypatch, winner_overlap)
     with pytest.raises(ConcurrentAppendError):
-        merge_delta(src, t3, on,
+        merge_delta(src, t4, on,
                     when_matched_update={"v": "source.v"},
                     insert_not_matched=False)
 

@@ -9,10 +9,12 @@ The contract under test, for BOTH extractors:
   triple strictly TRUE. A violation means the file pruner could drop a
   file containing matching rows (silently wrong DELETEs) or OCC could
   commute a conflicting append.
-- ``condition_partition_tree(cond, part_cols, alias)``: a row on which
+- ``condition_scope_tree(cond, scope_cols, alias)``: a row on which
   ``cond`` is TRUE must Kleene-evaluate the reduced tree to
-  not-False on that row's partition assignment — else a concurrent
-  append into a partition the predicate can reach would commute.
+  not-False against a file containing that row — evaluated over BOTH
+  lanes at once (partition values for p/q, a single-row min/max/null
+  stats envelope for every other column), else a concurrent append
+  into a file the predicate can reach would commute.
 
 Conditions are GENERATED (seeded, ≥100 Spark-valid shapes per mode)
 over the hazard inventory: nested structs, quoted identifiers
@@ -32,11 +34,14 @@ from pyspark.sql import functions as F
 
 from sql_based_etl_spark.engine.sql_compat import (
     condition_implied_triples,
-    condition_partition_tree,
+    condition_scope_tree,
 )
-from sql_based_etl_spark.tables.delta_interop import _part_tree_may_match
+from sql_based_etl_spark.tables.delta_interop import _tree_may_match
 
 PART_COLS = ["p", "q"]
+SCOPE_COLS = ["p", "q", "v", "id", "x", "flag"]
+_STAT_TYPES = {"v": "string", "id": "long", "x": "double",
+               "flag": "boolean"}
 
 
 def _lit_sql(v) -> str:
@@ -140,16 +145,38 @@ def _property_df(spark, rid_offset: int = 0):
 def _meta_for_tree() -> dict:
     import json
 
+    fields = [{"name": c, "type": "string", "nullable": True,
+               "metadata": {}} for c in PART_COLS]
+    fields += [{"name": c, "type": t, "nullable": True, "metadata": {}}
+               for c, t in _STAT_TYPES.items()]
     return {
-        "schemaString": json.dumps({
-            "type": "struct",
-            "fields": [
-                {"name": c, "type": "string", "nullable": True,
-                 "metadata": {}} for c in PART_COLS
-            ]}),
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": fields}),
         "partitionColumns": PART_COLS,
         "configuration": {},
     }
+
+
+def _row_add(row) -> dict:
+    """A one-row file containing exactly this row: partition values
+    for p/q, an exact single-row stats envelope for the rest — the
+    sharpest file a sound evaluator must still keep."""
+    import json
+
+    pv = {c: (row[c] if row[c] is not None
+              else "__HIVE_DEFAULT_PARTITION__") for c in PART_COLS}
+    mins, maxs, nulls = {}, {}, {}
+    for c in _STAT_TYPES:
+        val = row[c]
+        if val is None:
+            nulls[c] = 1
+        else:
+            nulls[c] = 0
+            mins[c] = val
+            maxs[c] = val
+    return {"path": "f", "partitionValues": pv,
+            "stats": json.dumps({"numRecords": 1, "minValues": mins,
+                                 "maxValues": maxs, "nullCount": nulls})}
 
 
 def _batch_eval(df, exprs: dict[str, str]):
@@ -212,10 +239,10 @@ def test_triples_and_tree_implied_single_table(spark):
         facts[f"c{i}"] = triples
         for j, t in enumerate(triples):
             exprs[f"c{i}_t{j}"] = _triple_sql(t)
-        trees[f"c{i}"] = condition_partition_tree(cond, PART_COLS, None)
+        trees[f"c{i}"] = condition_scope_tree(cond, SCOPE_COLS, None)
 
     vals = _batch_eval(df, exprs)
-    rows = df.select("rid", "p", "q").orderBy("rid").collect()
+    rows = df.select("rid", *SCOPE_COLS).orderBy("rid").collect()
     meta = _meta_for_tree()
 
     valid = 0
@@ -239,14 +266,10 @@ def test_triples_and_tree_implied_single_table(spark):
             continue
         for k, cv in enumerate(cvals):
             if cv is True:
-                pv = {c: (rows[k][c] if rows[k][c] is not None
-                          else "__HIVE_DEFAULT_PARTITION__")
-                      for c in PART_COLS}
-                add = {"path": "f", "partitionValues": pv}
-                assert _part_tree_may_match(meta, add, tree), (
-                    f"UNSOUND partition tree for {cond!r}: row {rows[k]} "
+                assert _tree_may_match(meta, _row_add(rows[k]), tree), (
+                    f"UNSOUND scope tree for {cond!r}: row {rows[k]} "
                     f"satisfies the predicate but the reduction excludes "
-                    f"its partition")
+                    f"a file holding exactly that row")
     assert valid >= 100, f"only {valid} Spark-valid shapes exercised"
 
 
@@ -286,11 +309,12 @@ def test_triples_and_tree_implied_merge_alias(spark):
             exprs[f"c{i}_t{j}"] = _triple_sql((f"target.{c}"
                                                if False else c, op, lit)) \
                 .replace(f"`{c}`", f"target.`{c}`")
-        trees[f"c{i}"] = condition_partition_tree(cond, PART_COLS, "target")
+        trees[f"c{i}"] = condition_scope_tree(cond, SCOPE_COLS, "target")
 
     vals = _batch_eval(pairs, exprs)
-    rows = pairs.select("rid", F.col("target.p").alias("p"),
-                        F.col("target.q").alias("q")).orderBy("rid").collect()
+    rows = pairs.select(
+        "rid", *[F.col(f"target.{c}").alias(c) for c in SCOPE_COLS]
+    ).orderBy("rid").collect()
     meta = _meta_for_tree()
 
     valid = 0
@@ -314,14 +338,10 @@ def test_triples_and_tree_implied_merge_alias(spark):
             continue
         for k, cv in enumerate(cvals):
             if cv is True:
-                pv = {c: (rows[k][c] if rows[k][c] is not None
-                          else "__HIVE_DEFAULT_PARTITION__")
-                      for c in PART_COLS}
-                add = {"path": "f", "partitionValues": pv}
-                assert _part_tree_may_match(meta, add, tree), (
-                    f"UNSOUND partition tree for ON {cond!r}: pair "
+                assert _tree_may_match(meta, _row_add(rows[k]), tree), (
+                    f"UNSOUND scope tree for ON {cond!r}: pair "
                     f"{rows[k].rid} satisfies it but the reduction "
-                    f"excludes its target partition")
+                    f"excludes a target file holding exactly that row")
     assert valid >= 100, f"only {valid} Spark-valid shapes exercised"
 
 

@@ -1097,3 +1097,63 @@ def test_native_merge_predicate_scoped_commutes(spark, table, monkeypatch):
         table.merge(src, "target.k = 'A' AND target.id = source.id",
                     when_matched_update={"v": "source.v"},
                     insert_not_matched=False)
+
+
+def test_merge_or_condition_stats_scoped_commutes(spark, table, monkeypatch):
+    """Round-12: a native MERGE whose ON condition is a top-level OR —
+    no extractable conjunct triples — still commutes with a racing
+    append whose new file's stats provably miss the predicate, via the
+    scope-tree reduction on manifest stats; an overlapping append stays
+    a named conflict."""
+    import sql_based_etl_spark.tables.versioned as vmod
+    from sql_based_etl_spark.tables.versioned import (
+        VersionedConcurrentAppendError,
+        VersionedTable,
+    )
+
+    on = ("(target.k = 'A' AND target.id = source.id) "
+          "OR (target.k = 'A' AND target.v = source.v)")
+    table.write(spark.createDataFrame([(1, "a", "A"), (2, "b", "B")],
+                                      "id long, v string, k string"))
+    winner_tbl = VersionedTable(spark, table.path)
+
+    orig = vmod.publish_text_exclusive
+    state = {"fired": False}
+
+    def racing(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(
+                spark.createDataFrame([(9, "w", "B")],
+                                      "id long, v string, k string"),
+                mode="append")
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing)
+    src = spark.createDataFrame([(1, "zzz", "A")],
+                                "id long, v string, k string")
+    v = table.merge(src, on,
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+    assert v == 2, "winner took 1; the OR-scoped merge rebased to 2"
+    got = sorted((r.id, r.v, r.k) for r in table.read().collect())
+    assert got == [(1, "zzz", "A"), (2, "b", "B"), (9, "w", "B")]
+
+    # an append whose stats OVERLAP the OR's k='A' pin: named conflict
+    state["fired"] = False
+
+    def racing_inside(spark_, dir_path, name, data, **kw):
+        if not state["fired"] and name.startswith("v"):
+            state["fired"] = True
+            winner_tbl.write(
+                spark.createDataFrame([(8, "x", "A")],
+                                      "id long, v string, k string"),
+                mode="append")
+        return orig(spark_, dir_path, name, data, **kw)
+
+    monkeypatch.setattr(vmod, "publish_text_exclusive", racing_inside)
+    with pytest.raises(VersionedConcurrentAppendError,
+                       match="read predicate"):
+        table.merge(src, on,
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
