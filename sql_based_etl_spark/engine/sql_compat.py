@@ -215,6 +215,10 @@ _TRIPLE_IN = re.compile(
     rf"(?:\s*,\s*(?:{_TRIPLE_LIT}))*\s*\)$",
     re.IGNORECASE | re.DOTALL)
 _TRIPLE_IN_LITS = re.compile(_TRIPLE_LIT, re.IGNORECASE)
+_TRIPLE_BETWEEN = re.compile(
+    rf"^(?:(\w+)\s*\.\s*)?(\w+)\s+BETWEEN\s+({_TRIPLE_LIT})"
+    rf"\s+AND\s+({_TRIPLE_LIT})$",
+    re.IGNORECASE | re.DOTALL)
 _FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
 
 
@@ -279,6 +283,20 @@ def _extract_triple(s: str, _col) -> tuple | None:
     return None
 
 
+def _extract_between(s: str, _col) -> list[tuple] | None:
+    """``[alias.]col BETWEEN lo AND hi`` as its two implied triples
+    ``[(col, ">=", lo), (col, "<=", hi)]``, or None. Positive BETWEEN
+    only — ``NOT BETWEEN`` stays widened by the callers."""
+    m = _TRIPLE_BETWEEN.match(s)
+    if not m:
+        return None
+    c = _col(m.group(1), m.group(2))
+    if c is None:
+        return None
+    return [(c, ">=", _triple_lit_value(m.group(3))),
+            (c, "<=", _triple_lit_value(m.group(4)))]
+
+
 def _shed_parens(s: str) -> str:
     s = s.strip()
     while s.startswith("(") and s.endswith(")"):
@@ -292,13 +310,19 @@ def _shed_parens(s: str) -> str:
 def _split_top_or(cond: str) -> list[str] | None:
     """Top-level ``OR`` operands (string literals and parens opaque);
     None when malformed or when a top-level AND makes the expression a
-    conjunction instead."""
+    conjunction instead.
+
+    BETWEEN-aware like :func:`split_top_and`: the ``AND`` that closes
+    a same-depth ``BETWEEN`` is part of that predicate — it must
+    neither abort the OR split nor end an operand, so
+    ``p = 'A' OR x BETWEEN 1 AND 2`` splits into its two operands."""
     parts: list[str] = []
     depth = 0
     start = 0
     i = 0
     n = len(cond)
     up = cond.upper()
+    pending_between = 0  # BETWEENs at depth 0 awaiting their AND
 
     def _bound(j: int, ln: int) -> bool:
         before = cond[j - 1] if j > 0 else " "
@@ -325,7 +349,15 @@ def _split_top_or(cond: str) -> list[str] | None:
             depth -= 1
             if depth < 0:
                 return None
+        elif depth == 0 and up.startswith("BETWEEN", i) and _bound(i, 7):
+            pending_between += 1
+            i += 7
+            continue
         elif depth == 0 and up.startswith("AND", i) and _bound(i, 3):
+            if pending_between:
+                pending_between -= 1
+                i += 3
+                continue
             return None
         elif depth == 0 and up.startswith("OR", i) and _bound(i, 2):
             parts.append(cond[start:i])
@@ -519,6 +551,11 @@ def condition_scope_tree(cond: str, scope_cols: list[str],
         t = _extract_triple(s, _col)
         if t is not None:
             return ("atom", t)
+        bt = _extract_between(s, _col)
+        if bt is not None:
+            # exact expansion (NULL-identical to SQL BETWEEN), so it
+            # is polarity-safe: NOT over the AND stays exact Kleene
+            return _and([("atom", a) for a in bt])
         return ("const", polarity)
 
     tree = _reduce(cond, True)
@@ -561,4 +598,8 @@ def condition_implied_triples(cond: str, t_cols: list[str],
         t = _extract_triple(s, _col)
         if t is not None:
             out.append(t)
+            continue
+        bt = _extract_between(s, _col)
+        if bt is not None:
+            out.extend(bt)
     return out

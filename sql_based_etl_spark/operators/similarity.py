@@ -307,6 +307,7 @@ def ivf_topk_self(
     n_cells: int = IVF_CELLS,
     nprobe: int = IVF_NPROBE,
     pivots: DataFrame | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into cells
     around deterministic pivot vectors (the ``n_cells`` lowest-id
@@ -327,7 +328,15 @@ def ivf_topk_self(
     rows, not an argmax. The candidate join shuffles on the cell id,
     so cell count is the parallelism/recall knob (raise cells with
     corpus size to keep cell cardinality ~constant, raise nprobe to
-    claw recall back)."""
+    claw recall back).
+
+    ``broadcast_probes`` (default True) declares the probes side —
+    queries × nprobe rows, each carrying a dim-length vector — as a
+    broadcast hash relation. That is the right plan under this
+    operator's contract (queries ≪ corpus); a caller whose
+    ``query_pred`` selects a LARGE fraction of the corpus must pass
+    False, or the broadcast materializes a corpus-scale hashed
+    relation on the driver and every executor."""
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -370,9 +379,11 @@ def ivf_topk_self(
     wtop = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     # probes (queries × nprobe rows) is the tiny side by construction;
     # declare the broadcast instead of trusting size estimates — a
-    # mis-estimate here builds a corpus-sized hashed relation
+    # mis-estimate here builds a corpus-sized hashed relation. The
+    # caller opts out (broadcast_probes=False) when query_pred is wide.
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
     return (
-        F.broadcast(probes).join(asg, "pid")
+        probe_side.join(asg, "pid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("score"))
         .withColumn("rank", F.row_number().over(wtop))

@@ -52,6 +52,7 @@ collected.
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import logging
 import posixpath
@@ -2583,6 +2584,25 @@ from sql_based_etl_spark.engine.sql_compat import (  # noqa: E402
 )
 
 
+@_functools.lru_cache(maxsize=64)
+def _tree_column_info(schema_string: str,
+                      mapping_mode: str) -> dict[str, tuple[str, str | None]]:
+    """name → (physicalName, logical type) map for scope-tree atom
+    evaluation, memoized on the schema JSON itself — `_tree_may_match`
+    runs once per live file in merge/delete pruning and once per
+    winner add in OCC checks, and re-parsing `schemaString` per add is
+    O(files) redundant JSON work on large tables."""
+    schema = json.loads(schema_string)
+    info: dict[str, tuple[str, str | None]] = {}
+    for f in schema["fields"]:
+        md = f.get("metadata") or {}
+        phys = (md.get("delta.columnMapping.physicalName", f["name"])
+                if mapping_mode != "none" else f["name"])
+        typ = f["type"] if isinstance(f["type"], str) else None
+        info[f["name"]] = (phys, typ)
+    return info
+
+
 def _tree_may_match(meta: dict, add: dict, tree) -> bool:
     """Kleene-set-evaluate a :func:`condition_scope_tree` reduction
     against one add action. False ONLY when the reduced predicate
@@ -2602,16 +2622,9 @@ def _tree_may_match(meta: dict, add: dict, tree) -> bool:
     This is the OCC fallback (and scan pruner) for predicate shapes
     the conjunct extractor can't take — ORs, NOTs over conjuncts —
     on partitioned AND unpartitioned tables."""
-    schema = json.loads(meta["schemaString"])
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
-    info: dict[str, tuple[str, str | None]] = {}
-    for f in schema["fields"]:
-        md = f.get("metadata") or {}
-        phys = (md.get("delta.columnMapping.physicalName", f["name"])
-                if mode != "none" else f["name"])
-        typ = f["type"] if isinstance(f["type"], str) else None
-        info[f["name"]] = (phys, typ)
+    info = _tree_column_info(meta["schemaString"], mode)
     part_cols = set(meta.get("partitionColumns") or [])
     pv = add.get("partitionValues") or {}
     st = None
@@ -5454,11 +5467,15 @@ def cleanup_log_metadata(spark: SparkSession, path: str,
     log_dir = f"{path}/_delta_log"
     if retention_hours is None:
         meta, *_ = _replay_state(spark, path)
-        retention_hours = (
-            _parse_interval_hours(
-                (meta.get("configuration") or {}).get(
-                    "delta.logRetentionDuration"))
-            or DEFAULT_LOG_RETENTION_HOURS)
+        # mirror the automatic post-checkpoint path exactly: a parsed
+        # 0.0 ('interval 0 hours') is a real retention, not a fallback
+        # to the default — `or` would make dry_run preview different
+        # deletions than the auto cleanup performs
+        hours = _parse_interval_hours(
+            (meta.get("configuration") or {}).get(
+                "delta.logRetentionDuration"))
+        retention_hours = (DEFAULT_LOG_RETENTION_HOURS
+                           if hours is None else hours)
     if retention_hours < 168.0 and enforce_retention_check:
         raise VersionedTableError(
             f"cleanup_log_metadata: retention {retention_hours}h is below "

@@ -6233,6 +6233,44 @@ def test_log_cleanup_auto_after_checkpoint(spark, tmp_path):
     assert _ids(read_delta(spark, d)) == sorted(range(21))
 
 
+def test_log_cleanup_zero_interval_property_not_defaulted(spark, tmp_path):
+    """Round-13 ADVICE: a table property of 'interval 0 hours' parses
+    to 0.0, which is falsy — `or DEFAULT` silently turned it into 720h
+    on the explicit/dry_run path while the auto post-checkpoint path
+    honored the 0.0, so a dry_run previewed different deletions than
+    the automatic cleanup performs. The explicit path must honor 0."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _list_log,
+        cleanup_log_metadata,
+    )
+
+    d = str(tmp_path / "zeroiv")
+    os.makedirs(d)
+    meta = _meta()
+    # auto cleanup off so the 0h-retention files survive for the
+    # explicit call to preview (the auto path honoring 0h is covered
+    # by test_log_cleanup_auto_after_checkpoint's 1s variant)
+    meta["metaData"]["configuration"] = {
+        "delta.logRetentionDuration": "interval 0 hours",
+        "delta.enableExpiredLogCleanup": "false"}
+    _pa_commit(d, 0, [0])
+    _log(d, 0, _PROTOCOL, meta, _add("h00000.parquet"))  # re-stamp config
+    for i in range(1, 10):
+        _pa_commit(d, i, [i])
+    _append_rows(spark, d, [10])  # v10: real commit -> checkpoint
+    log_dir = f"{d}/_delta_log"
+    # zero retention would fail the 168h ad-hoc floor — proves the
+    # property value actually reached the check instead of 720h
+    with pytest.raises(VersionedTableError, match="168h safety floor"):
+        cleanup_log_metadata(spark, d, dry_run=True)
+    # with the floor waived, dry_run previews EXACTLY what the auto
+    # path deletes under 0h retention: everything below the horizon
+    preview = cleanup_log_metadata(spark, d, dry_run=True,
+                                   enforce_retention_check=False)
+    assert f"{0:020d}.json" in preview and f"{9:020d}.json" in preview
+    assert sorted(_list_log(spark, log_dir)) == list(range(11))  # intact
+
+
 # --- partition-level OCC fallback for non-conjunct predicates -------------
 
 

@@ -104,13 +104,21 @@ def _gen_atom(rng: random.Random, quals: list[str]) -> str:
 
 def _gen_cond(rng: random.Random, quals: list[str], depth: int = 0) -> str:
     r = rng.random()
-    if depth >= 3 or r < 0.35:
+    if depth >= 3 or r < 0.3:
         return _gen_atom(rng, quals)
-    if r < 0.55:
+    if r < 0.45:  # UNPARENTHESIZED atom chain — BETWEEN's AND next to
+        # real AND/OR boundaries, precedence left to the splitters
+        n = rng.randrange(2, 4)
+        glue = [rng.choice([" AND ", " OR "]) for _ in range(n - 1)]
+        out = _gen_atom(rng, quals)
+        for g in glue:
+            out += g + _gen_atom(rng, quals)
+        return out
+    if r < 0.6:
         n = rng.randrange(2, 4)
         return " AND ".join(
             f"({_gen_cond(rng, quals, depth + 1)})" for _ in range(n))
-    if r < 0.8:
+    if r < 0.82:
         n = rng.randrange(2, 4)
         return " OR ".join(
             f"({_gen_cond(rng, quals, depth + 1)})" for _ in range(n))
@@ -359,3 +367,40 @@ def test_between_and_never_splits():
     triples = condition_implied_triples(
         "id BETWEEN 1 AND 5 AND p = 'A'", ["id", "x", "p"], None)
     assert ("p", "=", "A") in triples
+
+
+def test_between_is_a_first_class_conjunct():
+    """Positive BETWEEN now contributes its two implied bounds as
+    triples — the scan pruner / OCC footprint gets both ends."""
+    triples = condition_implied_triples(
+        "id BETWEEN 1 AND 5 AND p = 'A'", ["id", "x", "p"], None)
+    assert ("id", ">=", 1) in triples and ("id", "<=", 5) in triples
+    # alias-qualified merge shape
+    triples = condition_implied_triples(
+        "t.id BETWEEN 2 AND 7", ["id"], "t")
+    assert triples == [("id", ">=", 2), ("id", "<=", 7)]
+    # NOT BETWEEN stays widened (never a false implied bound)
+    assert condition_implied_triples(
+        "id NOT BETWEEN 1 AND 5", ["id"], None) == []
+
+
+def test_or_split_is_between_aware():
+    """Round-13 ADVICE: the AND closing a BETWEEN must neither abort
+    the OR split nor end an operand — `p = 'A' OR x BETWEEN 1 AND 2`
+    keeps its OR-shape scope information instead of collapsing to
+    no-info."""
+    from sql_based_etl_spark.engine.sql_compat import _split_top_or
+
+    parts = _split_top_or("p = 'A' OR x BETWEEN 1 AND 2")
+    assert parts is not None and [s.strip() for s in parts] == [
+        "p = 'A'", "x BETWEEN 1 AND 2"]
+    # a REAL top-level AND still makes it a conjunction, not an OR
+    assert _split_top_or("p = 'A' AND x BETWEEN 1 AND 2") is None
+    # and the scope tree now carries both operands' atoms
+    tree = condition_scope_tree(
+        "p = 'A' OR x BETWEEN 1 AND 2", ["p", "x"], None)
+    assert tree is not None and tree[0] == "or"
+    ops = {repr(ch) for ch in tree[1]}
+    assert repr(("atom", ("p", "=", "A"))) in ops
+    assert repr(("and", [("atom", ("x", ">=", 1)),
+                         ("atom", ("x", "<=", 2))])) in ops
