@@ -36,7 +36,12 @@ class PipelineContext:
         self.variables: dict[str, str] = dict(variables or {})
         self.views: dict[str, DataFrame] = {}
         self.num_rows_preview = 0  # %conf numRows; 0 = no preview echo
-        self._persisted: list[DataFrame] = []
+        from sql_based_etl_spark.caching import CacheScope
+
+        # one owner for everything this run caches: Arc `persist: true`
+        # views AND operator-level pin() barriers created by stage
+        # bodies (stages execute under this scope — see _execute_stage)
+        self.cache_scope = CacheScope()
         self.observations: dict[str, Any] = {}
 
     def observed_metrics(self, wait_secs: float = 2.0) -> dict[str, dict[str, Any]]:
@@ -86,16 +91,15 @@ class PipelineContext:
         :meth:`close` can release it — a long-lived session running
         many pipelines (the scheduler pattern) must not accumulate
         MEMORY_AND_DISK blocks forever."""
-        self._persisted.append(df)
-        return df
+        return self.cache_scope.add(df)
 
     def close(self) -> None:
-        """Release every view this run persisted. Idempotent. Call when
-        the run's outputs are no longer needed; :func:`run_notebook`
-        and the DAG runner leave views live for the caller, so the
-        caller owns the close."""
-        while self._persisted:
-            self._persisted.pop().unpersist()
+        """Release everything this run persisted — Arc ``persist:
+        true`` views and operator pin() barriers alike. Idempotent.
+        Call when the run's outputs are no longer needed;
+        :func:`run_notebook` and the DAG runner leave views live for
+        the caller, so the caller owns the close."""
+        self.cache_scope.release()
 
     def register_view(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
@@ -139,7 +143,14 @@ class Pipeline:
         name = stage.get("name", stype)
         self.ctx.spark.sparkContext.setJobDescription(f"{stype}: {name}")
         log.info("run stage %s: %s (%s)", i, name, stype)
-        df = fn(self.ctx, stage)
+        from sql_based_etl_spark.caching import use_scope
+
+        # stage bodies run under the context's cache scope so any
+        # operator-level pin() barrier they create is released by
+        # ctx.close() — including from run_dag's worker threads, where
+        # the context variable would not otherwise propagate
+        with use_scope(self.ctx.cache_scope):
+            df = fn(self.ctx, stage)
         out = stage.get("outputView")
         if out and df is not None:
             # Arc logs per-stage record counts; the Spark-native way

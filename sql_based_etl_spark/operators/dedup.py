@@ -19,21 +19,26 @@ the DuckDB oracles reproduce results bit-for-bit. At 100 TB:
   collapse into mega-buckets otherwise);
 - the verify join shuffles pairs once on doc_id.
 
-Cache lifecycle: the pair operators ``persist()`` small intermediate
+Cache lifecycle: the pair operators persist small intermediate
 relations (hashed shingles, postings, candidate pairs) that feed
-multiple consumers INSIDE one returned plan. The caches are
-intentionally not unpersisted here — the returned DataFrame is lazy
-and unpersisting before the caller materializes it would defeat the
-reuse. A long-lived session invoking these repeatedly should call
-``spark.catalog.clearCache()`` between batches (bench.py does), or
-rely on LRU eviction; nothing here pins executor memory beyond
-MEMORY_AND_DISK defaults.
+multiple consumers INSIDE one returned plan — via
+:func:`sql_based_etl_spark.caching.pin`, which registers each barrier
+with the caller's active ``cache_scope()`` (or the engine
+PipelineContext's scope) so it is unpersisted when the owner closes,
+AFTER the caller's action. The operators never unpersist themselves:
+the returned DataFrame is lazy and unpersisting before the caller
+materializes it would defeat the reuse. Without a scope, barriers are
+caller-owned process-lifetime caches (``spark.catalog.clearCache()``
+between batches, as bench.py does, or LRU eviction); nothing here pins
+executor memory beyond MEMORY_AND_DISK defaults.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from sql_based_etl_spark.caching import pin
 
 P = 2_147_483_647  # 2^31 - 1 (Mersenne prime) — keeps a*h + b inside int64
 
@@ -282,7 +287,7 @@ def minhash_lsh_pairs(
     # shingle *strings* instead measured 2.5× slower than recomputing
     # them; ints are cheap to hold and cheap to shuffle). min() and
     # collect_set are duplicate-insensitive, so no distinct shuffle.
-    hashed = hashed_shingle_rows(df, id_col, text_col, n).persist()
+    hashed = hashed_shingle_rows(df, id_col, text_col, n).transform(pin)
     sigs = minhash_signatures_from_hashes(hashed)
 
     # band keys as explicit column expressions + stack(): everything
@@ -312,7 +317,7 @@ def minhash_lsh_pairs(
         # two consumers (the candidate-id broadcast for the verify
         # semi-join, and the final pair join) — persist the tiny pair
         # list so the bucket expansion runs once
-        .persist()
+        .transform(pin)
     )
 
     return _verify_jaccard(cand, hashed, threshold)
@@ -341,7 +346,7 @@ def _verify_jaccard(cand: DataFrame, hashed: DataFrame, threshold: float) -> Dat
         # — which is plan-shape-dependent and was measured as a bimodal
         # 6.7s/9.6s swing on the incremental path. Candidate shingle
         # sets only (candidates ≪ corpus), so the cache is small.
-        .persist()
+        .transform(pin)
     )
     sh_a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -358,7 +363,7 @@ def _verify_jaccard(cand: DataFrame, hashed: DataFrame, threshold: float) -> Dat
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
-        .persist()
+        .transform(pin)
     )
     return scored.filter(F.col("jaccard") >= threshold)
 
@@ -416,7 +421,7 @@ def minhash_lsh_pairs_incremental(
         # callers that already hold the batch's hashed relation (the
         # streaming wrapper persists it to append to the stored index
         # afterwards) pass it in instead of paying the shingle pass twice
-        new_hashed = hashed_shingle_rows(new_docs, id_col, text_col, n).persist()
+        new_hashed = hashed_shingle_rows(new_docs, id_col, text_col, n).transform(pin)
     new_bands = minhash_bands_from_hashes(new_hashed)
     if old_bands is None:
         old_bands = minhash_bands_from_hashes(old_hashed)
@@ -425,7 +430,7 @@ def minhash_lsh_pairs_incremental(
     # hot-bucket skew guard over the buckets the new batch actually
     # probes (semi-join first — counting every historical bucket would
     # scan state the batch never touches)
-    probed = new_bands.select("band", "key").distinct().persist()
+    probed = new_bands.select("band", "key").distinct().transform(pin)
     # consumed TWICE (the hot-bucket count broadcast, then the candidate
     # join's build side) in SEPARATE jobs — broadcast exchanges each run
     # their own job, so ReuseExchange cannot dedupe the two scans and
@@ -438,7 +443,7 @@ def minhash_lsh_pairs_incremental(
     # consumer always reads it instead of re-banding the index.
     probed_all = all_bands.join(
         F.broadcast(probed), ["band", "key"], "leftsemi"
-    ).persist()
+    ).transform(pin)
     hot = (
         probed_all.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -459,7 +464,7 @@ def minhash_lsh_pairs_incremental(
             F.greatest("new_id", "other_id").alias("doc_b"),
         )
         .distinct()
-        .persist()
+        .transform(pin)
     )
     return _verify_jaccard(cand, old_hashed.unionByName(new_hashed), threshold)
 
@@ -509,7 +514,7 @@ def simhash_pairs(
     corpus (minhash/ngram); the self-join wins when the expansion
     itself is the bulk of the work."""
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
-    docs = simhash_signatures(df, id_col, text_col).persist()
+    docs = simhash_signatures(df, id_col, text_col).transform(pin)
     mask = (1 << block_bits) - 1
     block_cols = [
         F.expr(f"shiftright(sig, {b * block_bits}) & {mask}").alias(f"blk{b}")
@@ -580,7 +585,7 @@ def ngram_jaccard_pairs(
     post = inv.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_df is not None:
         post = post.filter(F.size("ids") <= max_df)
-    post = post.persist()
+    post = post.transform(pin)
     sizes = (
         post.select(F.explode("ids").alias("id"))
         .groupBy("id")
@@ -705,7 +710,7 @@ def duplicated_substring_spans(
     spans. Spans from a short doc (< n words, whole-text gram) are
     capped at the doc's last word.
     """
-    sh = positioned_hashed_shingles(df, id_col, text_col, n).persist()
+    sh = positioned_hashed_shingles(df, id_col, text_col, n).transform(pin)
     dup_keys = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))

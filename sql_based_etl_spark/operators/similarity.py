@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sql_based_etl_spark.caching import pin
+
 ANN_BITS = 4    # bits per hash table (2^bits buckets per table)
 ANN_TABLES = 4  # hash tables; candidates = union of same-bucket sets
 # Recall/selectivity: P(same bucket in one table) = (1 - θ/π)^bits for
@@ -208,7 +210,7 @@ def ann_topk_self(
         _norm_expr(vec_col, dim).alias("nrm"),
         query_pred.alias("is_q"),
         *[ann_signature(vec_col, t, dim, bits).alias(f"s{t}") for t in range(tables)],
-    ).persist()
+    ).transform(pin)
 
     stack_args = ", ".join(f"{t}, s{t}" for t in range(tables))
     buckets = sigs.select(
@@ -266,7 +268,7 @@ def cosine_dup_pairs_lsh(
         F.col(vec_col).alias("v"),
         _norm_expr(vec_col, dim).alias("nrm"),
         *[ann_signature(vec_col, t, dim, bits).alias(f"s{t}") for t in range(tables)],
-    ).persist()
+    ).transform(pin)
     stack_args = ", ".join(f"{t}, s{t}" for t in range(tables))
     buckets = sigs.select(
         "id", F.expr(f"stack({tables}, {stack_args}) as (tbl, bucket)")
@@ -288,7 +290,7 @@ def cosine_dup_pairs_lsh(
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .persist()
+        .transform(pin)
     )
     return scored.filter(F.col("cosine") >= threshold)
 
@@ -555,7 +557,7 @@ def hard_negative_topk(
         _norm_expr(vec_col, dim).alias("nrm"),
         query_pred.alias("is_q"),
         *[ann_signature(vec_col, t, dim, bits).alias(f"s{t}") for t in range(tables)],
-    ).persist()
+    ).transform(pin)
 
     stack_args = ", ".join(f"{t}, s{t}" for t in range(tables))
     buckets = sigs.select(
@@ -657,7 +659,7 @@ def semantic_dedup_pairs(
         # (measured ~1s at bench SF; ReuseExchange is plan-shape-
         # dependent, the minhash_lsh_pairs lesson). The cache is the
         # assigned corpus — the SemDeDup working set itself.
-        .persist()
+        .transform(pin)
     )
     a = asg.select(
         "cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -677,7 +679,7 @@ def semantic_dedup_pairs(
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("cell", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .persist()
+        .transform(pin)
     )
     return scored.filter(F.col("cosine") >= threshold)
 

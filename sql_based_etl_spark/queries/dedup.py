@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql_based_etl_spark.caching import pin
+
 from sql_based_etl_spark.operators.dedup import (
     BANDS,
     MINHASH_A,
@@ -301,7 +303,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would each re-pay the old corpus's shingle+md5 pass — persist
     # models the one materialization the stored relation actually has
     # (measured 6.5s → 4.4s at sf0.1)
-    old_hashed = hashed_shingle_rows(docs.filter(F.col("doc_id") % 2 == 0)).persist()
+    old_hashed = hashed_shingle_rows(docs.filter(F.col("doc_id") % 2 == 0)).transform(pin)
     old_bands = minhash_bands_from_hashes(old_hashed)
     return minhash_lsh_pairs_incremental(
         docs.filter(F.col("doc_id") % 2 == 1), old_hashed, old_bands, threshold=0.5
