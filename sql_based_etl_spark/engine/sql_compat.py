@@ -380,6 +380,34 @@ def _split_top_or(cond: str) -> list[str] | None:
 KLEENE_ANY = frozenset("TUF")
 _KLEENE_NOT = {"T": "F", "F": "T", "U": "U"}
 
+# Delta's default string-stats prefix length. A conforming writer
+# truncates a long max value to this many chars AND increments the
+# last char (making it a strict upper bound); a sloppy writer that
+# truncates WITHOUT the increment stores a raw prefix — protocol-
+# violating, but the plausible failure mode. Defense-in-depth: any
+# string `hi` of at least this length is treated as a possible raw
+# prefix, so the sound premise weakens from "true max <= hi" to
+# "true max < prefix_successor(hi)". Shorter strings cannot be
+# 32-char truncation outputs and stay exact; a writer truncating at
+# some OTHER length remains out of contract (undetectable).
+STRING_STATS_PREFIX_LEN = 32
+
+
+def string_upper_bound(hi):
+    """``(bound, inclusive)`` for a stats ``maxValues`` entry under the
+    defense-in-depth contract above. Non-strings and short strings are
+    exact: ``(hi, True)``. A possibly-truncated string returns its
+    prefix-successor as an EXCLUSIVE bound — every string with that
+    prefix is < the successor. All-U+10FFFF prefixes have no successor:
+    ``(None, False)`` = no provable upper bound."""
+    if not isinstance(hi, str) or len(hi) < STRING_STATS_PREFIX_LEN:
+        return hi, True
+    for i in range(len(hi) - 1, -1, -1):
+        cp = ord(hi[i])
+        if cp < 0x10FFFF:
+            return hi[:i] + chr(cp + 1), False
+    return None, False
+
 
 def _kleene_and(a: str, b: str) -> str:
     if a == "F" or b == "F":
@@ -397,9 +425,12 @@ def stats_value_set(op: str, lit, lo, hi, nulls, num) -> frozenset:
     """Possible per-row Kleene values of ``col op lit`` over a file
     whose column envelope is [lo, hi] with ``nulls`` null rows out of
     ``num`` (any of them None = unknown). Bounds contract: ``lo`` is a
-    LOWER bound on the file's true min and ``hi`` an UPPER bound on
-    its true max (valid under stats truncation), so all-satisfy /
-    none-satisfy proofs only ever fire when genuinely implied."""
+    LOWER bound on the file's true min (a truncated min is a prefix,
+    and a prefix is always <= the value — safe even from a sloppy
+    writer) and ``hi`` an UPPER bound on its true max, HEDGED for
+    strings via :func:`string_upper_bound` so a raw-prefix
+    ``maxValues`` from a protocol-violating writer still cannot make
+    an all-satisfy / none-satisfy proof misfire."""
     if op in ("is null", "is not null"):
         t_when_null = op == "is null"
         if nulls is None or num is None:
@@ -410,26 +441,32 @@ def stats_value_set(op: str, lit, lo, hi, nulls, num) -> frozenset:
             return frozenset("F" if t_when_null else "T")
         return frozenset("TF")
     no_nonnull = nulls is not None and num is not None and nulls == num
+    hi, hi_inc = string_upper_bound(hi)
     if no_nonnull:
         nonnull: frozenset = frozenset()
     elif lo is None or hi is None:
         nonnull = frozenset("TF")
     else:
+        # with hi_inc False the envelope is [lo, hi): x <= hi proofs
+        # become x < hi, and equality-pin proofs (lo == hi) are gone
         try:
             if op == "in":
-                all_sat = lo == hi and any(lo == x for x in lit)
-                none_sat = all(x < lo or x > hi for x in lit)
+                all_sat = hi_inc and lo == hi and any(lo == x for x in lit)
+                none_sat = all(
+                    x < lo or (x > hi if hi_inc else x >= hi) for x in lit)
             elif op == "=":
-                all_sat = lo == hi == lit
-                none_sat = lit < lo or lit > hi
+                all_sat = hi_inc and lo == hi == lit
+                none_sat = lit < lo or (lit > hi if hi_inc else lit >= hi)
             elif op == "<":
-                all_sat, none_sat = hi < lit, lo >= lit
+                all_sat = hi < lit if hi_inc else hi <= lit
+                none_sat = lo >= lit
             elif op == "<=":
                 all_sat, none_sat = hi <= lit, lo > lit
             elif op == ">":
                 all_sat, none_sat = lo > lit, hi <= lit
             elif op == ">=":
-                all_sat, none_sat = lo >= lit, hi < lit
+                all_sat = lo >= lit
+                none_sat = hi < lit if hi_inc else hi <= lit
             else:
                 return KLEENE_ANY
             nonnull = (frozenset("T") if all_sat

@@ -519,6 +519,79 @@ ORACLES["q_delta_prune"] = """
 """
 
 
+def q_delta_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-retention cleanup end-to-end, exactly oracle-checked (round
+    13 verdict #5): 12 bridge commits append disjoint ``orders`` slices
+    (checkpoints at v5/v10 via ``checkpoint_interval=5``), then
+    ``cleanup_log_metadata`` under 0h retention (maintenance override)
+    expires every commit JSON and checkpoint below the v10 horizon —
+    after which BOTH the latest snapshot (checkpoint + JSON tail) and a
+    time travel to the horizon version must still read exactly. DuckDB
+    replays the slice algebra directly from ``orders``
+    (tables/delta_interop.py:cleanup_log_metadata / _replay_state's
+    checkpoint-first read path over a pruned log)."""
+    import time
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        cleanup_log_metadata,
+        read_delta,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select("o_orderkey", "o_custkey",
+                F.expr("(o_orderkey div 25) % 12").alias("slice"))
+    )
+    root = tempfile.mkdtemp(prefix="q_delta_log_cleanup_")
+    _TEMP_TABLE_DIRS.append(root)
+    d = f"{root}/t"
+    for i in range(12):
+        write_delta(base.filter(F.col("slice") == i).drop("slice"), d,
+                    mode="append" if i else "overwrite",
+                    checkpoint_interval=5)
+    # the cleanup age gate compares file mtimes against now-0h: give
+    # the last JSON a strictly-older mtime than the cutoff
+    time.sleep(0.05)
+    cleanup_log_metadata(spark, d, retention_hours=0.0,
+                         enforce_retention_check=False)
+
+    def _agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        ).select(F.lit(label).alias("snap"), "n_rows", "sum_custkey")
+
+    return (
+        _agg(read_delta(spark, d), "latest")
+        .unionAll(_agg(read_delta(spark, d, version=10), "v10"))
+        .orderBy("snap")
+    )
+
+
+QUERIES["q_delta_log_cleanup"] = q_delta_log_cleanup
+
+# the slice algebra replayed over `orders` directly: latest = all 12
+# slices, the v10 horizon snapshot = slices 0..10
+ORACLES["q_delta_log_cleanup"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, (o_orderkey // 25) % 12 AS slice
+        FROM orders WHERE o_orderkey % 25 = 0
+    )
+    SELECT CAST('latest' AS VARCHAR) AS snap,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM base
+    UNION ALL
+    SELECT CAST('v10' AS VARCHAR),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM base WHERE slice <= 10
+    ORDER BY snap
+"""
+
+
 def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector DELETE round trip, exactly oracle-checked: write
     an ``orders`` sample to a DV-enabled bridge Delta table (CDF on),

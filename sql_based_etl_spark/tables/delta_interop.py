@@ -128,6 +128,13 @@ def _list_log_entries(spark: SparkSession, log_dir: str) -> list[tuple[str, int]
     ]
 
 
+# V2 checkpoints: target file actions per content-addressed sidecar
+# group (the unit of incremental-checkpoint reuse). Sized so one group
+# is a comfortable single parquet write, and a 100k-file table splits
+# into ~32 groups — a micro-batch append rewrites one group, not the
+# whole live set.
+_SIDECAR_GROUP_SIZE = 4096
+
 _CKPT_CLASSIC_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CKPT_MULTIPART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 _CKPT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([^.]+)\.(?:parquet|json)$")
@@ -2199,19 +2206,56 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
                            if k in mf_none and v is not None}}
             for r in rows if not any(r.get(k) for k in file_fields)
         ]
-        sc_name = f"{_uuid.uuid4()}.parquet"
-        _publish_parquet(file_rows, sidecar_schema, f"_sidecars/{sc_name}")
+        # INCREMENTAL sidecars (round 13): file actions are hash-
+        # partitioned by path into content-addressed groups, and a
+        # group whose content is unchanged since an earlier checkpoint
+        # is REUSED by pointer instead of rewritten — the spec allows
+        # manifests to share sidecars, and log cleanup already reclaims
+        # only exclusively-referenced ones. On the per-micro-batch
+        # streaming-sink shape this bounds checkpoint write cost at
+        # O(changed groups × group size) + manifest, instead of
+        # O(live files): an append touches only the group(s) its new
+        # paths hash into. Group count grows in powers of two (a
+        # doubling re-keys every group — one full rewrite per doubling,
+        # amortized O(1) per file). The sidecar name IS the md5 of the
+        # group's canonical JSON, formatted uuid-shaped: same content →
+        # same name → the exists-check skips the write entirely.
+        import hashlib as _hashlib
+
+        n_actions = len(file_rows)
+        k = 1
+        while k * _SIDECAR_GROUP_SIZE < n_actions:
+            k *= 2
+
+        def _fr_path(r: dict) -> str:
+            return (r.get("add") or r.get("remove"))["path"]
+
+        groups: list[list[dict]] = [[] for _ in range(k)]
+        for r in file_rows:
+            gi = int(_hashlib.md5(
+                _fr_path(r).encode()).hexdigest()[:8], 16) % k
+            groups[gi].append(r)
         fs0, _, _ = _fs_and_path(spark, log_dir)
-        sc_st = fs0.getFileStatus(
-            _fs_and_path(spark, f"{log_dir}/_sidecars/{sc_name}")[1])
         other_rows.append({**mf_none, "checkpointMetadata": {
             "version": version, "tags": None}})
-        other_rows.append({**mf_none, "sidecarFile": {
-            "path": sc_name,
-            "sizeInBytes": int(sc_st.getLen()),
-            "modificationTime": int(sc_st.getModificationTime()),
-            "tags": None,
-        }})
+        for g in groups:
+            if not g:
+                continue
+            g.sort(key=_fr_path)
+            digest = _hashlib.md5(json.dumps(
+                g, sort_keys=True, default=str).encode()).hexdigest()
+            sc_name = (f"{digest[:8]}-{digest[8:12]}-{digest[12:16]}-"
+                       f"{digest[16:20]}-{digest[20:32]}.parquet")
+            jsc = _fs_and_path(spark, f"{log_dir}/_sidecars/{sc_name}")[1]
+            if not fs0.exists(jsc):
+                _publish_parquet(g, sidecar_schema, f"_sidecars/{sc_name}")
+            sc_st = fs0.getFileStatus(jsc)
+            other_rows.append({**mf_none, "sidecarFile": {
+                "path": sc_name,
+                "sizeInBytes": int(sc_st.getLen()),
+                "modificationTime": int(sc_st.getModificationTime()),
+                "tags": None,
+            }})
         _publish_parquet(
             other_rows, manifest_schema,
             f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet")
@@ -2538,13 +2582,19 @@ def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
                 continue  # ordering on booleans: not worth proving
             mn = _prune_coerce(typ, (st.get("minValues") or {}).get(phys))
             mx = _prune_coerce(typ, (st.get("maxValues") or {}).get(phys))
+            # string maxValues hedge (same contract as stats_value_set):
+            # a >=32-char string may be a raw truncated prefix from a
+            # protocol-violating writer — weaken to the exclusive
+            # prefix-successor bound so pruning can never misfire
+            mx, mx_inc = _string_upper_bound(mx)
             if op == "in":
                 lits = [_prune_coerce(typ, x) for x in lit]
                 if None in lits:
                     continue
                 try:
                     if mn is not None and mx is not None and \
-                            all(x < mn or x > mx for x in lits):
+                            all(x < mn or (x > mx if mx_inc else x >= mx)
+                                for x in lits):
                         return False
                 except TypeError:
                     pass
@@ -2554,13 +2604,17 @@ def _prune_adds_by_stats(meta: dict, adds: dict[str, dict],
                 continue
             try:
                 if op in (">", ">=") and mx is not None:
-                    if mx < li or (op == ">" and mx == li):
+                    # exclusive bound: x < mx, so both > and >= prune
+                    # when mx <= lit
+                    if (mx < li or (op == ">" and mx == li)) if mx_inc \
+                            else mx <= li:
                         return False
                 elif op in ("<", "<=") and mn is not None:
                     if mn > li or (op == "<" and mn == li):
                         return False
                 elif op == "=":
-                    if (mx is not None and mx < li) or \
+                    if (mx is not None and
+                            (mx < li if mx_inc else mx <= li)) or \
                        (mn is not None and mn > li):
                         return False
             except TypeError:
@@ -2581,6 +2635,7 @@ from sql_based_etl_spark.engine.sql_compat import (  # noqa: E402
     eval_scope_tree as _eval_scope_tree,
     split_top_and as _split_top_and,
     stats_value_set as _stats_value_set,
+    string_upper_bound as _string_upper_bound,
 )
 
 

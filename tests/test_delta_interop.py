@@ -3807,6 +3807,78 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     assert "v2Checkpoint" in (proto.get("writerFeatures") or [])
 
 
+def test_v2_incremental_sidecars_reuse_and_reclaim(spark, tmp_path, monkeypatch):
+    """Round-13 (verdict #3): V2 checkpoints are INCREMENTAL — file
+    actions are hash-partitioned into content-addressed sidecar groups
+    and a checkpoint REUSES the groups an earlier checkpoint already
+    wrote (same content -> same name -> no write), so checkpoint cost
+    on the streaming-sink shape is O(changed groups), not O(live
+    files). End-to-end: reuse across two checkpoints, read via pointer
+    AND via the checkpoint-scan fallback, cleanup reclaims ONLY the
+    superseded sidecar while shared ones survive."""
+    import sql_based_etl_spark.tables.delta_interop as di
+    from sql_based_etl_spark.tables.delta_interop import (
+        _manifest_sidecar_refs,
+        cleanup_log_metadata,
+        write_delta,
+    )
+
+    monkeypatch.setattr(di, "_SIDECAR_GROUP_SIZE", 2)
+    d = str(tmp_path / "t")
+    log = os.path.join(d, "_delta_log")
+    # v0: 6 data files, no checkpoint yet (interval fires from v1)
+    write_delta(spark.range(0, 600).repartition(6), d, mode="overwrite",
+                properties={"delta.checkpointPolicy": "v2"},
+                checkpoint_interval=1)
+    # v1: +1 file -> checkpoint #1 over 7 actions (k=4 groups)
+    write_delta(spark.range(600, 700).coalesce(1), d, mode="append",
+                checkpoint_interval=1)
+    # v2: +1 file -> checkpoint #2 over 8 actions (k still 4 — no
+    # doubling, so unchanged groups must be reused by pointer)
+    write_delta(spark.range(700, 800).coalesce(1), d, mode="append",
+                checkpoint_interval=1)
+
+    mans = sorted(f for f in os.listdir(log)
+                  if ".checkpoint." in f and f.endswith(".parquet"))
+    assert len(mans) == 2 and mans[0].startswith(f"{1:020d}.")
+    refs1 = _manifest_sidecar_refs(spark, log, mans[0])
+    refs2 = _manifest_sidecar_refs(spark, log, mans[1])
+    shared = refs1 & refs2
+    assert shared, "no sidecar group was reused across checkpoints"
+    assert refs2 - refs1, "the appended file's group must differ"
+    on_disk = {f for f in os.listdir(os.path.join(log, "_sidecars"))
+               if not f.startswith(".")}
+    assert on_disk == refs1 | refs2, (
+        "content addressing must write each distinct group exactly once")
+
+    # reads: pointer path, time travel, and the checkpoint-scan
+    # fallback (pointer missing, commit 0 pruned)
+    assert read_delta(spark, d).count() == 800
+    assert read_delta(spark, d, version=0).count() == 600
+    ptr = os.path.join(log, "_last_checkpoint")
+    ptr_bak = ptr + ".bak"
+    os.rename(ptr, ptr_bak)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    assert read_delta(spark, d).count() == 800, (
+        "checkpoint-scan fallback must replay the v2 manifest")
+    os.rename(ptr_bak, ptr)
+
+    # cleanup: checkpoint #1 is below the horizon (checkpoint #2) —
+    # its manifest and its EXCLUSIVE sidecar go; shared ones survive
+    import time as _t
+    _t.sleep(0.05)
+    deleted = cleanup_log_metadata(spark, d, retention_hours=0.0,
+                                   enforce_retention_check=False)
+    assert mans[0] in deleted
+    assert {f"_sidecars/{s}" for s in refs1 - refs2} <= set(deleted)
+    assert not any(f"_sidecars/{s}" in deleted for s in shared), (
+        "a sidecar still referenced by the live checkpoint was reclaimed")
+    left = {f for f in os.listdir(os.path.join(log, "_sidecars"))
+            if not f.startswith(".")}
+    assert left == refs2
+    assert read_delta(spark, d).count() == 800
+
+
 def test_delete_delta_triples_prune_candidate_files(spark, tmp_path):
     """The triples predicate form prunes candidate files BEFORE any
     data file opens: after z-ordering (per-file stats), a range delete

@@ -404,3 +404,109 @@ def test_or_split_is_between_aware():
     assert repr(("atom", ("p", "=", "A"))) in ops
     assert repr(("and", [("atom", ("x", ">=", 1)),
                          ("atom", ("x", "<=", 2))])) in ops
+
+
+def test_violating_string_maxvalues_cannot_misfire():
+    """Round-13 defense-in-depth (verdict watch item): a writer that
+    stores a RAW truncated prefix as ``maxValues`` — protocol-violating
+    (the spec requires incrementing the last char) but the plausible
+    sloppy-writer failure — must not let any none-satisfy / all-satisfy
+    proof misfire at Delta's 32-char truncation length. Exhaustive over
+    ops × adversarial literals × true row values sharing the prefix."""
+    from sql_based_etl_spark.engine.sql_compat import (
+        stats_value_set,
+        string_upper_bound,
+    )
+
+    prefix = "x" * 31 + "m"          # the raw 32-char truncated prefix
+    succ, inc = string_upper_bound(prefix)
+    assert (succ, inc) == ("x" * 31 + "n", False)
+    lo = "a"
+    # true row values a violating writer could be hiding: everything
+    # with the stored prefix, plus values inside the honest envelope
+    rows = [prefix, prefix + "a", prefix + "zzz", prefix + chr(0x10FFFF),
+            "a", "b" * 40, "x" * 31]
+    lits = [prefix, prefix + "a", prefix + "zzz", succ, lo, "z",
+            "x" * 31, "x" * 31 + "n"]
+
+    def truth(v, op, lit):
+        if op == "in":
+            return any(v == x for x in lit)
+        return {"=": v == lit, "<": v < lit, "<=": v <= lit,
+                ">": v > lit, ">=": v >= lit}[op]
+
+    checked = 0
+    for op in ("=", "<", "<=", ">", ">=", "in"):
+        for lit in lits:
+            arg = [lit, "q"] if op == "in" else lit
+            vs = stats_value_set(op, arg, lo, prefix, 0, len(rows))
+            for v in rows:
+                t = truth(v, op, arg)
+                # soundness: a possible row outcome must be in the set
+                if t:
+                    assert "T" in vs, (
+                        f"MISFIRE: {v!r} {op} {arg!r} is TRUE but the "
+                        f"envelope [lo={lo!r}, hi=raw prefix {prefix!r}] "
+                        f"proved none-satisfy")
+                else:
+                    assert "F" in vs, (
+                        f"MISFIRE: {v!r} {op} {arg!r} is FALSE but the "
+                        f"envelope proved all-satisfy")
+                checked += 1
+    assert checked > 200
+
+
+def test_short_string_stats_stay_exact():
+    """Strings shorter than the 32-char truncation length cannot be
+    truncation outputs — the hedge must NOT weaken their proofs."""
+    from sql_based_etl_spark.engine.sql_compat import (
+        stats_value_set,
+        string_upper_bound,
+    )
+
+    assert string_upper_bound("apple") == ("apple", True)
+    assert string_upper_bound(None) == (None, True)
+    assert string_upper_bound(42) == (42, True)
+    # none-satisfy via the inclusive hi still fires
+    assert stats_value_set(">", "b", "aa", "ab", 0, 5) == frozenset("F")
+    # equality pin on lo == hi still proves all-satisfy
+    assert stats_value_set("=", "aa", "aa", "aa", 0, 5) == frozenset("T")
+    # and the no-successor pathological prefix yields no upper proof
+    top = chr(0x10FFFF) * 32
+    assert string_upper_bound(top) == (None, False)
+    assert stats_value_set(">", "zzz", "a", top, 0, 5) == frozenset("TF")
+
+
+def test_violating_string_max_keeps_file_in_prune_and_occ(spark):
+    """End-to-end: a bridge file whose stats carry a raw-prefix
+    maxValues must survive driver-side read pruning for a predicate
+    its hidden rows satisfy (and the scope-tree OCC lane agrees)."""
+    from sql_based_etl_spark.engine.sql_compat import condition_scope_tree
+    from sql_based_etl_spark.tables.delta_interop import (
+        _prune_adds_by_stats,
+        _tree_may_match,
+    )
+
+    prefix = "x" * 32
+    meta = {"schemaString": __import__("json").dumps({
+        "type": "struct",
+        "fields": [{"name": "v", "type": "string", "nullable": True,
+                    "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {}}
+    add = {"path": "f1.parquet", "partitionValues": {},
+           "stats": __import__("json").dumps({
+               "numRecords": 3, "minValues": {"v": "a"},
+               "maxValues": {"v": prefix},   # raw prefix, no increment
+               "nullCount": {"v": 0}})}
+    # rows like prefix+"zzz" satisfy v > prefix: the file must survive
+    kept = _prune_adds_by_stats(meta, {"f1.parquet": add},
+                                [("v", ">", prefix)])
+    assert "f1.parquet" in kept
+    tree = condition_scope_tree(f"v > '{prefix}'", ["v"], None)
+    assert _tree_may_match(meta, add, tree)
+    # but a literal at/above the prefix-successor still prunes —
+    # the hedge keeps real skipping power
+    beyond = "x" * 31 + "y"
+    kept = _prune_adds_by_stats(meta, {"f1.parquet": add},
+                                [("v", ">=", beyond)])
+    assert kept == {}
