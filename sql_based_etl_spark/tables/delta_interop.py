@@ -2161,9 +2161,30 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
 
     v2 = str((meta.get("configuration") or {}).get(
         "delta.checkpointPolicy", "classic")).lower() == "v2"
+    nparts: int | None = None
     if not v2:
-        _publish_parquet(rows, schema,
-                         f"{version:020d}.checkpoint.parquet")
+        # classic layout honors delta.checkpoint.partSize (the real
+        # Delta property: max actions per checkpoint file) by writing
+        # the MULTIPART layout `<v>.checkpoint.<i>.<n>.parquet` — on a
+        # 100k-file table a single coalesce(1) parquet write is a
+        # one-task bottleneck, and multipart also lets readers
+        # parallelize the checkpoint scan (`read.parquet(*parts)`).
+        # The pointer carries `parts` as the spec requires.
+        try:
+            part_size = int((meta.get("configuration") or {}).get(
+                "delta.checkpoint.partSize", ""))
+        except (TypeError, ValueError):
+            part_size = 0
+        if part_size > 0 and len(rows) > part_size:
+            nparts = -(-len(rows) // part_size)
+            for i in range(nparts):
+                _publish_parquet(
+                    rows[i * part_size:(i + 1) * part_size], schema,
+                    f"{version:020d}.checkpoint."
+                    f"{i + 1:010d}.{nparts:010d}.parquet")
+        else:
+            _publish_parquet(rows, schema,
+                             f"{version:020d}.checkpoint.parquet")
     else:
         # V2 layout (the spec's v2Checkpoint feature, which the reader
         # side has replayed since round 6): file actions live in a
@@ -2263,9 +2284,10 @@ def _write_checkpoint(spark: SparkSession, log_dir: str, version: int,
     fs, _, _ = _fs_and_path(spark, log_dir)
     out = fs.create(_fs_and_path(spark, f"{log_dir}/_last_checkpoint")[1], True)
     try:
-        out.write(bytearray(json.dumps(
-            {"version": version, "size": len(rows)}
-        ).encode("utf-8")))
+        pointer = {"version": version, "size": len(rows)}
+        if nparts is not None:
+            pointer["parts"] = nparts
+        out.write(bytearray(json.dumps(pointer).encode("utf-8")))
     finally:
         out.close()
 

@@ -3807,6 +3807,69 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     assert "v2Checkpoint" in (proto.get("writerFeatures") or [])
 
 
+def test_multipart_classic_checkpoint_write_roundtrip(spark, tmp_path):
+    """Round-13: classic checkpoints honor delta.checkpoint.partSize
+    (the real Delta property) by writing the MULTIPART layout — on a
+    100k-file table the single coalesce(1) checkpoint parquet is a
+    one-task bottleneck, and parts also parallelize the reader's scan.
+    End-to-end: part naming + pointer `parts`, pointer read, the
+    checkpoint-scan fallback (which must require the COMPLETE part
+    group), and cleanup expiring a superseded group."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        cleanup_log_metadata,
+        write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    log = os.path.join(d, "_delta_log")
+    write_delta(spark.range(0, 600).repartition(6), d, mode="overwrite",
+                properties={"delta.checkpoint.partSize": "3"},
+                checkpoint_interval=1)
+    # v1 append -> checkpoint over 9 actions (protocol + metaData +
+    # 7 adds) at partSize 3 -> 3 parts
+    write_delta(spark.range(600, 700).coalesce(1), d, mode="append",
+                checkpoint_interval=1)
+    names = os.listdir(log)
+    assert f"{1:020d}.checkpoint.parquet" not in names
+    parts1 = sorted(n for n in names
+                    if n.startswith(f"{1:020d}.checkpoint."))
+    assert parts1 == [
+        f"{1:020d}.checkpoint.{i + 1:010d}.{3:010d}.parquet"
+        for i in range(3)]
+    ptr = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert ptr["version"] == 1 and ptr["parts"] == 3
+
+    assert read_delta(spark, d).count() == 700
+    assert read_delta(spark, d, version=0).count() == 600
+
+    # checkpoint-scan fallback must reassemble the COMPLETE group
+    ptr_path = os.path.join(log, "_last_checkpoint")
+    os.rename(ptr_path, ptr_path + ".bak")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    assert read_delta(spark, d).count() == 700
+    # an INCOMPLETE group (one part hidden) must not replay as state:
+    hide = os.path.join(log, parts1[0])
+    os.rename(hide, hide + ".hidden")
+    with pytest.raises(VersionedTableError):
+        read_delta(spark, d)
+    os.rename(hide + ".hidden", hide)
+    os.rename(ptr_path + ".bak", ptr_path)
+
+    # v2 append -> checkpoint over 10 actions -> 4 parts; cleanup
+    # expires the superseded v1 group wholesale
+    write_delta(spark.range(700, 800).coalesce(1), d, mode="append",
+                checkpoint_interval=1)
+    import time as _t
+    _t.sleep(0.05)
+    deleted = cleanup_log_metadata(spark, d, retention_hours=0.0,
+                                   enforce_retention_check=False)
+    assert set(parts1) <= set(deleted)
+    assert read_delta(spark, d).count() == 800
+    parts2 = sorted(n for n in os.listdir(log)
+                    if n.startswith(f"{2:020d}.checkpoint."))
+    assert len(parts2) == 4
+
+
 def test_v2_incremental_sidecars_reuse_and_reclaim(spark, tmp_path, monkeypatch):
     """Round-13 (verdict #3): V2 checkpoints are INCREMENTAL — file
     actions are hash-partitioned into content-addressed sidecar groups
