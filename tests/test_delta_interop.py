@@ -5247,6 +5247,75 @@ def test_delta_bridge_stream_source_v2_json_checkpoint_meta(
         "select * from dbsj").collect()] == [(2, "b")]
 
 
+def test_threaded_multiwriter_stress_commutes_and_converges(spark, tmp_path):
+    """Round-13: REAL concurrency over the OCC machinery (the commute
+    tests inject winners deterministically; this one races actual
+    threads). Four writer threads append 5 commits each into their own
+    partition while a fifth runs 5 partition-scoped MERGEs into 'M' —
+    every append is partition-disjoint from the merge's read predicate,
+    so every commit must land (retries allowed, conflicts not), the
+    final state must be exact, and the interval checkpoints the racing
+    threads write along the way must leave a readable log."""
+    import threading
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    seed = [(1, "seed", "M")] + [(100 + w, "w", f"W{w}") for w in range(4)]
+    write_delta(
+        spark.createDataFrame(seed, "id long, v string, p string"),
+        t, mode="overwrite", partition_by=["p"], checkpoint_interval=5)
+
+    errors: list[BaseException] = []
+
+    def appender(w: int) -> None:
+        try:
+            for i in range(5):
+                write_delta(
+                    spark.createDataFrame(
+                        [(1000 + w * 10 + i, f"a{w}{i}", f"W{w}")],
+                        "id long, v string, p string"),
+                    t, mode="append", checkpoint_interval=5)
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    def merger() -> None:
+        try:
+            for i in range(5):
+                src = spark.createDataFrame([(1, f"m{i}", "M")],
+                                            "id long, v string, p string")
+                merge_delta(
+                    src, t, "target.p = 'M' AND target.id = source.id",
+                    when_matched_update={"v": "source.v"},
+                    insert_not_matched=False)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(w,))
+               for w in range(4)] + [threading.Thread(target=merger)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, f"a commuting commit failed: {errors[:3]}"
+
+    got = read_delta(spark, t)
+    assert got.count() == 5 + 20
+    m = {r.id: r.v for r in got.filter("p = 'M'").collect()}
+    assert m == {1: "m4"}, "merges are ordered within their thread"
+    for w in range(4):
+        ids = sorted(r.id for r in got.filter(f"p = 'W{w}'").collect())
+        assert ids == [100 + w] + [1000 + w * 10 + i for i in range(5)], (
+            f"partition W{w} lost an append under the race")
+    # the racing interval checkpoints left a usable pointer: replay
+    # from it alone by pruning nothing and re-reading latest
+    assert read_delta(spark, t).count() == 25
+
+
 def test_occ_merge_partition_scoped_commutes_with_disjoint_append(
         spark, tmp_path, monkeypatch):
     """Round-11 (verdict #1): predicate-scoped OCC. A MERGE whose ON
