@@ -184,15 +184,23 @@ _BRIDGE_READER_FEATURES = {
                           # which _snapshot_df always does; stats
                           # pruning coerces through the same wide type
     "typeWidening-preview",
+    "variantType",        # type-level: Spark 4's native VariantType —
+                          # schemaString "variant" parses through
+                          # StructType.fromJson and the UNSHREDDED
+                          # parquet encoding (metadata/value binary
+                          # group, the delta-spark default) reads
+                          # natively under the declared schema.
+                          # Shredded layouts are a SEPARATE feature
+                          # (variantShredding) and refuse by name.
+    "variantType-preview",
 }
 _NAMED_READER_REFUSALS = {
-    "variantType": (
-        "variant columns (variantType): the bridge does not implement "
-        "the variant binary encoding or shredded-layout reads"),
-    "variantType-preview": (
-        "variant columns (variantType-preview): the bridge does not "
-        "implement the variant binary encoding or shredded-layout "
-        "reads"),
+    "variantShredding": (
+        "shredded variant layouts (variantShredding): the bridge reads "
+        "only the unshredded variant encoding"),
+    "variantShredding-preview": (
+        "shredded variant layouts (variantShredding-preview): the "
+        "bridge reads only the unshredded variant encoding"),
 }
 
 
@@ -251,11 +259,21 @@ def _check_evolved_schema_claims(schema_string: str,
     protocol is an ALTER the bridge deliberately does not model)."""
     node = json.loads(schema_string)
     if _schema_contains_type(node, {"variant"}):
-        raise VersionedTableError(
-            f"write: {what} introduces a variant column — the bridge "
-            "does not implement the variant binary encoding; install "
-            "delta-spark"
-        )
+        p = proto or {}
+        wf = set(p.get("writerFeatures") or [])
+        rf = set(p.get("readerFeatures") or [])
+        claimed = bool({"variantType", "variantType-preview"} & wf
+                       and {"variantType", "variantType-preview"} & rf)
+        if not claimed:
+            raise VersionedTableError(
+                f"write: {what} introduces a variant column, but the "
+                "table's protocol does not claim the variantType "
+                "feature pair (mandatory per the spec — readers "
+                "unaware of the type would serve its binary encoding "
+                "as opaque bytes). Recreate the table with the column "
+                "(CREATE claims the pair) or upgrade the protocol "
+                "with delta-spark"
+            )
     if _schema_contains_type(node, {"timestamp_ntz"}):
         p = proto or {}
         wf = set(p.get("writerFeatures") or [])
@@ -276,16 +294,11 @@ def _check_evolved_schema_claims(schema_string: str,
 
 
 def _check_metadata(meta: dict) -> None:
-    # schema-level gate, independent of protocol claims (a foreign log
-    # may carry the type without listing the feature): variant columns
-    # refuse BY NAME — serving their binary/shredded encoding as opaque
-    # bytes would be a silent wrong answer
-    if _schema_contains_type(json.loads(meta["schemaString"]), {"variant"}):
-        raise VersionedTableError(
-            "read: this table has a variant column — the bridge does "
-            "not implement the variant binary encoding or "
-            "shredded-layout reads; install delta-spark"
-        )
+    # variant columns need no schema-level gate: Spark's parquet reader
+    # serves the unshredded encoding natively under the declared schema
+    # (shredded layouts ride a separate feature, variantShredding,
+    # refused by name in _check_protocol), so even a foreign log that
+    # carries the type without listing the feature reads correctly
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
     if mode not in ("none", "name", "id"):
         # both mapping modes are readable from public metadata alone:
@@ -2811,6 +2824,7 @@ def _footer_stats_json(spark: SparkSession, path: str,
             return None
         return v
 
+    footer_unreadable: list[dict] = []
     for a in adds:
         try:
             md = pq.read_metadata(
@@ -2852,7 +2866,104 @@ def _footer_stats_json(spark: SparkSession, path: str,
                 "maxValues": maxs, "nullCount": nulls,
             })
         except Exception:
-            continue  # stats are optional; the add stands without them
+            # footer unreadable (e.g. pyarrow predates the VARIANT
+            # logical type) — try the one-job Spark fallback below;
+            # stats stay optional either way
+            footer_unreadable.append(a)
+            continue
+    if footer_unreadable:
+        _spark_stats_fallback(spark, root, footer_unreadable)
+
+
+def _spark_stats_fallback(spark: SparkSession, root: str,
+                          adds: list[dict]) -> None:
+    """ONE Spark aggregation synthesizing per-file ``stats`` for adds
+    whose parquet footers pyarrow cannot parse — today that is files
+    carrying Spark's VARIANT logical type, which the sandbox pyarrow
+    predates. Groups by ``_metadata.file_path`` so the whole batch
+    costs a single job over just-written (page-cache-warm) files, and
+    emits the same JSON shape the footer path does: ``numRecords``
+    always (identity + rowTracking allocation depend on it);
+    min/max for top-level numeric / boolean / date columns; nullCount
+    for every atomic non-variant column. Deliberate skips, each
+    soundness-driven: STRING min/max (Spark orders by UTF-16 code
+    units, the stats contract by UTF-8 bytes — the orders diverge on
+    supplementary characters and an unsound bound must never reach the
+    pruning/OCC lattice), TIMESTAMP min/max (parity with the footer
+    path's INT96 skip; absent stats just keep files conservatively),
+    DECIMAL (json float round-trip could widen or narrow the bound),
+    and non-finite floats. Best-effort like the footer path: any
+    failure leaves the adds without stats, never fails the commit."""
+    import datetime
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        rel_by_path = {
+            os.path.join(root, urllib.parse.unquote(a["path"])): a
+            for a in adds}
+        df = spark.read.parquet(*rel_by_path)
+        minmax_cols: list[str] = []
+        null_cols: list[str] = []
+        for f in df.schema.fields:
+            t = f.dataType
+            if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType, T.FloatType, T.DoubleType,
+                              T.BooleanType, T.DateType)):
+                minmax_cols.append(f.name)
+                null_cols.append(f.name)
+            elif isinstance(t, (T.StringType, T.TimestampType,
+                                T.DecimalType)):
+                null_cols.append(f.name)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in minmax_cols:
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+        for c in null_cols:
+            aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                        .alias(f"__nulls__{c}"))
+        rows = (df.groupBy(F.col("_metadata.file_path").alias("__fp"))
+                .agg(*aggs).collect())
+        # a file with no group row contributed ZERO rows to the scan —
+        # stamp it so _drop_empty_adds (and identity / rowTracking
+        # accounting) see an explicit empty, not missing stats
+        for a in adds:
+            a.setdefault("stats", json.dumps({
+                "numRecords": 0, "minValues": {}, "maxValues": {},
+                "nullCount": {}}))
+
+        def _enc(v):
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()
+            if isinstance(v, float) and not math.isfinite(v):
+                return None
+            return v
+
+        for r in rows:
+            d = r.asDict()
+            fp = urllib.parse.unquote(
+                d["__fp"].removeprefix("file://").removeprefix("file:"))
+            a = rel_by_path.get(fp)
+            if a is None:
+                continue
+            mins: dict = {}
+            maxs: dict = {}
+            for c in minmax_cols:
+                lo, hi = _enc(d[f"__min__{c}"]), _enc(d[f"__max__{c}"])
+                if lo is not None and hi is not None:
+                    mins[c] = lo
+                    maxs[c] = hi
+            nulls = {c: int(d[f"__nulls__{c}"]) for c in null_cols
+                     if d[f"__nulls__{c}"] is not None}
+            a["stats"] = json.dumps({
+                "numRecords": int(d["__n"]), "minValues": mins,
+                "maxValues": maxs, "nullCount": nulls,
+            })
+    except Exception:
+        return  # stats are optional; the adds stand without them
 
 
 def _stage_data_files(df: DataFrame, path: str,
@@ -2969,6 +3080,18 @@ _BRIDGE_WRITER_FEATURES = {
                          # delta.typeWidening.typeChanges bookkeeping —
                          # the ALTER-side obligation — never falls on it
     "typeWidening-preview",
+    "variantType",       # type-level: staged files carry Spark's
+                         # native UNSHREDDED variant parquet encoding —
+                         # the same bytes delta-spark's writer emits;
+                         # stats for variant-bearing files fall back to
+                         # a one-job Spark aggregation when pyarrow
+                         # cannot parse the footer's VARIANT logical
+                         # type (_footer_stats_json), so identity /
+                         # rowTracking / stats-scoped OCC keep working.
+                         # icebergCompatV2 tables refuse variant by
+                         # name (Iceberg's field-id contract has no
+                         # mapping for the variant group's subfields).
+    "variantType-preview",
     "icebergCompatV2",   # UniForm-compatible writes: column mapping
                          # required, parquet field ids stamped into
                          # EVERY staged data file (both mapping modes —
@@ -2984,12 +3107,14 @@ _BRIDGE_WRITER_FEATURES = {
 # what blocks, not just "unknown feature") — the icebergCompatV2
 # treatment, round-11
 _NAMED_WRITER_REFUSALS = {
-    "variantType": (
-        "variant columns (variantType): the bridge does not implement "
-        "the variant binary encoding"),
-    "variantType-preview": (
-        "variant columns (variantType-preview): the bridge does not "
-        "implement the variant binary encoding"),
+    "variantShredding": (
+        "shredded variant layouts (variantShredding): the bridge "
+        "writes only the unshredded variant encoding and cannot "
+        "uphold a shredding schema's obligations"),
+    "variantShredding-preview": (
+        "shredded variant layouts (variantShredding-preview): the "
+        "bridge writes only the unshredded variant encoding and "
+        "cannot uphold a shredding schema's obligations"),
     "collations": (
         "collated string columns (collations): the bridge's stats, "
         "constraint evaluation and file pruning compare binary — "
@@ -3046,12 +3171,6 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
             f"honor ({sorted(unknown) if unknown else f'minWriterVersion {wv}'}); "
             "install delta-spark to write this table"
         )
-    if _schema_contains_type(json.loads(meta["schemaString"]), {"variant"}):
-        raise VersionedTableError(
-            "write: this table has a variant column — the bridge does "
-            "not implement the variant binary encoding; install "
-            "delta-spark to write this table"
-        )
     conf = meta.get("configuration") or {}
     if (str(conf.get("delta.appendOnly", "false")).lower() == "true"
             and mode in ("overwrite", "merge", "delete")):
@@ -3075,6 +3194,15 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
                 "write: icebergCompatV2 forbids deletion vectors "
                 "(Iceberg readers of the UniForm metadata cannot apply "
                 "them) — delta.enableDeletionVectors must be false"
+            )
+        if _schema_contains_type(json.loads(meta["schemaString"]),
+                                 {"variant"}):
+            raise VersionedTableError(
+                "write: icebergCompatV2/UniForm has no field-id "
+                "mapping for variant columns (the variant group's "
+                "metadata/value subfields carry no ids Iceberg "
+                "readers could resolve) — drop the variant column or "
+                "disable Iceberg compatibility"
             )
         for f in _walk_schema_fields(json.loads(meta["schemaString"])):
             t = f.get("type")
@@ -3477,8 +3605,13 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
         # session-TZ instants, so the claim is mandatory at CREATE
         ntz_on = _schema_contains_type(json.loads(schema_string),
                                        {"timestamp_ntz"})
-        if (ict_on or dv_on or rt_on or v2cp_on or ntz_on or cluster_by
-                or cm_mode != "none"):
+        # variant columns are likewise a mandatory reader+writer
+        # feature pair (reader v3 + writer v7): a reader unaware of
+        # the type would serve the binary encoding as opaque bytes
+        var_on = _schema_contains_type(json.loads(schema_string),
+                                       {"variant"})
+        if (ict_on or dv_on or rt_on or v2cp_on or ntz_on or var_on
+                or cluster_by or cm_mode != "none"):
             wf = {"appendOnly", "invariants"}
             rf: set[str] = set()
             if cdf_on:
@@ -3499,6 +3632,9 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             if ntz_on:
                 wf.add("timestampNtz")
                 rf.add("timestampNtz")
+            if var_on:
+                wf.add("variantType")
+                rf.add("variantType")
             if cluster_by:
                 # liquid clustering: the clustering columns live in the
                 # delta.clustering domain (emitted below), so both the

@@ -482,10 +482,19 @@ def build_merge_annotated(
         # Delta always errors when one target row matches several source
         # rows (the update would be ambiguous) — fail-loud by default to
         # match that; opt out only when the extra job is provably wasted.
-        key = [F.col(f"target.{c}") for c in t_cols]
+        # The match count is keyed on a surrogate per-row id, not the
+        # row's columns: a single long shuffles instead of the whole
+        # row, unorderable column types (variant) stay mergeable, and
+        # two IDENTICAL target rows each matching one source row no
+        # longer collapse into a false ambiguity. The id only needs to
+        # be stable within this one counting action, which
+        # monotonically_increasing_id is.
+        tt = (subset.withColumn("__merge_rid",
+                                F.monotonically_increasing_id())
+              .alias("target"))
         dup = (
-            joined.filter(F.col("__t").isNotNull() & F.col("__s").isNotNull())
-            .groupBy(*key)
+            tt.join(source.alias("source"), F.expr(condition), "inner")
+            .groupBy("__merge_rid")
             .count()
             .filter(F.col("count") > 1)
             .limit(1)

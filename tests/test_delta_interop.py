@@ -5666,38 +5666,30 @@ def test_type_widening_table_reads_and_appends(spark, tmp_path):
         (1, 1.5), (2, 2.5), (9, 9.5)]
 
 
-def test_variant_and_collations_refuse_by_name(spark, tmp_path):
+def test_variant_shredding_and_collations_refuse_by_name(spark, tmp_path):
     """Known-but-unsupported modern features refuse BY NAME (the
-    icebergCompatV2 treatment): variantType on read and write, a
-    variant-typed schema even without the feature claim, and
-    collations on write."""
+    icebergCompatV2 treatment): SHREDDED variant layouts on read (the
+    unshredded variantType feature itself is served natively — see
+    test_variant_round_trip_claims_feature) and collations on write."""
     from sql_based_etl_spark.tables.delta_interop import (
         VersionedTableError,
         read_delta,
         write_delta,
     )
 
-    # variant via the reader-feature claim
+    # shredded variant via the reader-feature claim: refuses by name
+    # (the bridge reads only the unshredded encoding)
     d1 = str(tmp_path / "v1")
     os.makedirs(d1)
     _log(d1, 0,
          {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["variantType"],
-                       "writerFeatures": ["variantType"]}},
+                       "readerFeatures": ["variantType",
+                                          "variantShredding-preview"],
+                       "writerFeatures": ["variantType",
+                                          "variantShredding-preview"]}},
          _meta())
-    with pytest.raises(VersionedTableError, match="variant"):
+    with pytest.raises(VersionedTableError, match="shredded"):
         read_delta(spark, d1)
-
-    # variant via the schema type, feature unclaimed (foreign log)
-    d2 = str(tmp_path / "v2")
-    os.makedirs(d2)
-    vschema = json.dumps({"type": "struct", "fields": [
-        {"name": "payload", "type": "variant", "nullable": True,
-         "metadata": {}}]})
-    _log(d2, 0, {"protocol": {"minReaderVersion": 1,
-                              "minWriterVersion": 2}}, _meta(vschema))
-    with pytest.raises(VersionedTableError, match="variant column"):
-        read_delta(spark, d2)
 
     # collations: write-side named refusal (reads are unaffected — the
     # feature is writer-scoped)
@@ -6805,3 +6797,305 @@ def test_log_cleanup_never_deletes_young_commits_nonmonotonic(
     assert f"{3:020d}.crc" in deleted
     assert f"{9:020d}.json" in deleted
     assert sorted(_list_log(spark, log_dir)) == list(range(10, 15))
+
+
+# ---------------------------------------------------------------------------
+# variant columns (variantType) — served natively via Spark 4's VariantType
+# ---------------------------------------------------------------------------
+
+
+def _variant_df(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 2).alias("k"),
+        F.parse_json(F.concat(
+            F.lit('{"a": '), F.col("id").cast("string"),
+            F.lit(', "tag": "x"}'))).alias("payload"))
+
+
+def _payloads(df):
+    return sorted((r.id, r.j) for r in df.select(
+        "id", F.to_json("payload").alias("j")).collect())
+
+
+def test_variant_round_trip_claims_feature(spark, tmp_path):
+    """CREATE with a variant column claims the mandatory variantType
+    reader+writer feature pair (reader v3 / writer v7 — a reader
+    unaware of the type would serve its binary encoding as opaque
+    bytes), values round-trip byte-exact through write / append /
+    time travel / checkpoint replay, and per-file stats survive via
+    the one-job Spark fallback (pyarrow cannot parse the VARIANT
+    parquet logical type): numRecords + sibling-column min/max are
+    present, while the variant column itself and STRING min/max are
+    deliberately absent (UTF-16 vs UTF-8 ordering soundness)."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "vt")
+    df = _variant_df(spark, 0, 6).withColumn(
+        "s", F.concat(F.lit("name-"), F.col("id").cast("string")))
+    assert write_delta(df, d, mode="overwrite",
+                       checkpoint_interval=2) == 0
+
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{0:020d}.json")).read().splitlines()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds, "CREATE must stage data files"
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert st["numRecords"] >= 1
+        assert "id" in st["minValues"] and "k" in st["maxValues"]
+        assert "payload" not in st["minValues"]
+        assert "payload" not in st["nullCount"]
+        # string columns: nullCount yes, min/max deliberately skipped
+        assert "s" not in st["minValues"]
+        assert st["nullCount"]["s"] == 0
+
+    assert _payloads(read_delta(spark, d)) == [
+        (i, '{"a":%d,"tag":"x"}' % i) for i in range(6)]
+
+    # two appends (interval 2 → checkpoint at v2), then a fresh read
+    # replays THROUGH the checkpoint parquet whose metaData carries
+    # the variant schemaString
+    write_delta(_variant_df(spark, 6, 8).withColumn(
+        "s", F.lit("zz")), d, checkpoint_interval=2)
+    write_delta(_variant_df(spark, 8, 9).withColumn(
+        "s", F.lit("zz")), d, checkpoint_interval=2)
+    assert glob.glob(os.path.join(d, "_delta_log", "*.checkpoint.parquet"))
+    assert read_delta(spark, d).count() == 9
+    assert read_delta(spark, d, version=0).count() == 6
+
+    # stats-based sibling-column pruning still works on a variant
+    # table (fallback stats feed the same lattice)
+    pruned = read_delta(spark, d, where=[("id", ">=", 6)])
+    assert sorted(r.id for r in pruned.collect()) == [6, 7, 8]
+
+
+def test_variant_merge_delete_cdf(spark, tmp_path):
+    """MERGE updates a variant payload (the multi-match validator keys
+    on a surrogate row id, so unorderable variant columns never reach
+    a groupBy), DV DELETE leaves surviving variant rows byte-exact,
+    and CDF derivation serves variant change rows."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "vm")
+    # one file for the whole batch: a partial delete must attach a DV
+    # (per-row files would make every delete a full-file remove)
+    write_delta(_variant_df(spark, 0, 6).coalesce(1), d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true",
+                            "delta.enableDeletionVectors": "true"})
+    src = spark.range(2).select(
+        F.col("id"), F.parse_json(F.lit('{"a": -1}')).alias("np"))
+    merge_delta(src, d, "target.id = source.id",
+                when_matched_update={"payload": "source.np"})
+    got = _payloads(read_delta(spark, d))
+    assert got[:2] == [(0, '{"a":-1}'), (1, '{"a":-1}')]
+    assert got[2:] == [(i, '{"a":%d,"tag":"x"}' % i) for i in range(2, 6)]
+
+    # DV delete (enableDeletionVectors): physical numRecords comes
+    # from the Spark-fallback stats, survivors stay exact
+    delete_delta(spark, d, "id >= 4")
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{2:020d}.json")).read().splitlines()]
+    assert any(a.get("add", {}).get("deletionVector") for a in acts), \
+        "a DV-enabled pure delete must attach deletion vectors"
+    assert _payloads(read_delta(spark, d)) == [
+        (0, '{"a":-1}'), (1, '{"a":-1}'),
+        (2, '{"a":2,"tag":"x"}'), (3, '{"a":3,"tag":"x"}')]
+
+    # CDF: the delete's change rows carry the variant payload
+    ch = read_delta_changes(spark, d, starting_version=2)
+    dels = sorted((r.id, r.j) for r in ch.filter(
+        F.col("_change_type") == "delete").select(
+        "id", F.to_json("payload").alias("j")).collect())
+    assert dels == [(4, '{"a":4,"tag":"x"}'), (5, '{"a":5,"tag":"x"}')]
+
+
+def test_variant_column_mapped_and_compacted(spark, tmp_path):
+    """Variant columns compose with column mapping (physical names on
+    disk, logical on read) and with OPTIMIZE compaction (the rewrite
+    reads through the logical projection and re-stages the variant
+    bytes)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        compact_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "vcm")
+    write_delta(_variant_df(spark, 0, 4), d, mode="overwrite",
+                properties={"delta.columnMapping.mode": "name"})
+    write_delta(_variant_df(spark, 4, 6), d)
+    meta = json.loads([json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{0:020d}.json")).read().splitlines()
+        if "metaData" in json.loads(x)][0]["metaData"]["schemaString"])
+    phys = {f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in meta["fields"]}
+    assert phys["payload"].startswith("col-")
+    assert read_delta(spark, d).columns == ["id", "k", "payload"]
+    assert _payloads(read_delta(spark, d)) == [
+        (i, '{"a":%d,"tag":"x"}' % i) for i in range(6)]
+
+    compact_delta(spark, d, target_files=1)
+    assert _payloads(read_delta(spark, d)) == [
+        (i, '{"a":%d,"tag":"x"}' % i) for i in range(6)]
+
+
+def test_variant_identity_and_row_tracking_compose(spark, tmp_path):
+    """Identity allocation and rowTracking baseRowId ranges both need
+    per-file row counts — which variant-bearing files only have via
+    the Spark stats fallback. Pin that the composition WORKS (before
+    the fallback these combinations failed loudly on unreadable
+    footers)."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "vid")
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "ident", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 100,
+            "delta.identity.step": 10,
+            "delta.identity.allowExplicitInsert": False}},
+        {"name": "payload", "type": "variant", "nullable": True,
+         "metadata": {}},
+    ]})
+    os.makedirs(d)
+    _log(d, 0, {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType"],
+            "writerFeatures": ["appendOnly", "invariants",
+                               "identityColumns", "variantType"]}},
+         {"metaData": {
+             "id": "vid", "format": {"provider": "parquet", "options": {}},
+             "schemaString": schema_string, "partitionColumns": [],
+             "configuration": {}}})
+    batch = spark.range(3).select(
+        F.parse_json(F.concat(F.lit('{"n": '), F.col("id").cast("string"),
+                              F.lit("}"))).alias("payload"))
+    write_delta(batch, d, mode="append")
+    rows = read_delta(spark, d).select(
+        "ident", F.to_json("payload").alias("j")).collect()
+    idents = sorted(r.ident for r in rows)
+    assert len(set(idents)) == 3
+    assert all(v >= 100 and (v - 100) % 10 == 0 for v in idents)
+
+    d2 = str(tmp_path / "vrt")
+    write_delta(_variant_df(spark, 0, 5), d2, mode="overwrite",
+                properties={"delta.enableRowTracking": "true"})
+    acts = [json.loads(x) for x in open(os.path.join(
+        d2, "_delta_log", f"{0:020d}.json")).read().splitlines()]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert all("baseRowId" in a for a in adds)
+    spans = sorted((a["baseRowId"],
+                    json.loads(a["stats"])["numRecords"]) for a in adds)
+    nxt = 0
+    for base, n in spans:
+        assert base == nxt
+        nxt += n
+    assert nxt == 5
+
+
+def test_variant_evolution_and_iceberg_gates(spark, tmp_path):
+    """mergeSchema may add a variant column ONLY to a table whose
+    protocol claims the variantType pair (the spec's mandatory-claim
+    rule — same treatment as timestamp_ntz), and icebergCompatV2
+    refuses variant by name (no field-id mapping for the variant
+    group's subfields)."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "ve")
+    write_delta(spark.range(3).select("id"), d, mode="overwrite")
+    with pytest.raises(VersionedTableError, match="variantType"):
+        write_delta(spark.range(3).select(
+            "id", F.parse_json(F.lit('{"z":1}')).alias("v2")),
+            d, merge_schema=True)
+
+    # a claiming table accepts the same evolution
+    d2 = str(tmp_path / "ve2")
+    write_delta(_variant_df(spark, 0, 3), d2, mode="overwrite")
+    write_delta(_variant_df(spark, 3, 4).withColumn(
+        "extra", F.parse_json(F.lit('{"w": true}'))), d2,
+        merge_schema=True)
+    out = read_delta(spark, d2)
+    assert set(out.columns) == {"id", "k", "payload", "extra"}
+    assert out.filter(F.col("extra").isNotNull()).count() == 1
+
+    d3 = str(tmp_path / "vi")
+    with pytest.raises(VersionedTableError, match="icebergCompat"):
+        write_delta(_variant_df(spark, 0, 2), d3, mode="overwrite",
+                    properties={"delta.enableIcebergCompatV2": "true"})
+
+
+def test_variant_foreign_log_reads(spark, tmp_path):
+    """A FOREIGN log claiming variantType over Spark-written variant
+    parquet reads natively — including when the schema carries the
+    type WITHOUT the feature claim (sloppy writer): the unshredded
+    encoding is self-describing, so no schema-level gate remains."""
+    vschema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "payload", "type": "variant", "nullable": True,
+         "metadata": {}}]})
+
+    def mk(name, protocol):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        tmp = os.path.join(d, "__tmp_write")
+        spark.range(3).select(
+            F.col("id"),
+            F.parse_json(F.concat(F.lit('{"q": '),
+                                  F.col("id").cast("string"),
+                                  F.lit("}"))).alias("payload")) \
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(d, "f0.parquet"))
+        shutil.rmtree(tmp)
+        _log(d, 0, protocol, _meta(vschema), _add("f0.parquet"))
+        return d
+
+    claimed = mk("claimed", {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["variantType"],
+        "writerFeatures": ["variantType"]}})
+    sloppy = mk("sloppy", {"protocol": {"minReaderVersion": 1,
+                                        "minWriterVersion": 2}})
+    for d in (claimed, sloppy):
+        got = sorted((r.id, r.j) for r in read_delta(spark, d).select(
+            "id", F.to_json("payload").alias("j")).collect())
+        assert got == [(0, '{"q":0}'), (1, '{"q":1}'), (2, '{"q":2}')]
+
+
+def test_merge_duplicate_identical_target_rows_not_false_ambiguity(
+        spark, tmp_path):
+    """The multi-match validator keys on a surrogate row id: two
+    IDENTICAL target rows each matching one source row are two
+    distinct single-matches (previously a groupBy over all columns
+    collapsed them into a false ambiguity error), while one target row
+    genuinely matching two source rows still fails loudly."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "dupes")
+    dup = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")],
+                                "id long, v string")
+    write_delta(dup, d, mode="overwrite")
+    src = spark.createDataFrame([(1, "A")], "id long, nv string")
+    merge_delta(src, d, "target.id = source.id",
+                when_matched_update={"v": "source.nv"})
+    assert sorted((r.id, r.v) for r in read_delta(spark, d).collect()) \
+        == [(1, "A"), (1, "A"), (2, "b")]
+
+    multi_src = spark.createDataFrame([(2, "X"), (2, "Y")],
+                                      "id long, nv string")
+    with pytest.raises(VersionedTableError, match="multiple source rows"):
+        merge_delta(multi_src, d, "target.id = source.id",
+                    when_matched_update={"v": "source.nv"})
