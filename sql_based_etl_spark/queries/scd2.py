@@ -592,6 +592,81 @@ ORACLES["q_delta_log_cleanup"] = """
 """
 
 
+def q_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant columns end-to-end through the bridge, exactly
+    oracle-checked (round 13): an ``orders`` sample is packed into a
+    VARIANT payload (``parse_json`` over ``to_json(struct(...))``),
+    written to a bridge table whose CREATE claims the mandatory
+    variantType reader+writer feature pair, MERGE replaces a subset's
+    payloads (exercising the surrogate-row-id multi-match validator —
+    variant is unorderable — and the Spark stats fallback for
+    variant-bearing parquet footers), and the final state is read
+    back with ``variant_get`` typed extraction and aggregated. DuckDB
+    replays the same CDC algebra directly from ``orders``
+    (tables/delta_interop.py: variantType claims in write_delta,
+    _spark_stats_fallback; tables/versioned.py:build_merge_annotated).
+    """
+    from sql_based_etl_spark.tables.delta_interop import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+    packed = base.select(
+        "o_orderkey",
+        F.parse_json(F.to_json(F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("prio")))).alias("payload"))
+    root = tempfile.mkdtemp(prefix="q_delta_variant_")
+    _TEMP_TABLE_DIRS.append(root)
+    d = f"{root}/t"
+    write_delta(packed, d, mode="overwrite")
+    src = (base.filter(F.col("o_orderkey") % 60 == 0)
+           .select("o_orderkey",
+                   F.parse_json(F.to_json(F.struct(
+                       (F.col("o_custkey") + 1000000).alias("custkey"),
+                       F.lit("MERGED").alias("prio")))).alias("np")))
+    merge_delta(src, d, "target.o_orderkey = source.o_orderkey",
+                when_matched_update={"payload": "source.np"})
+    t = read_delta(spark, d)
+    return (
+        t.select(
+            F.variant_get("payload", "$.prio", "string").alias("prio"),
+            F.variant_get("payload", "$.custkey", "bigint").alias("ck"))
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum("ck").cast("bigint").alias("sum_ck"))
+        .orderBy("prio")
+    )
+
+
+QUERIES["q_delta_variant"] = q_delta_variant
+
+# the merge algebra replayed over `orders` directly: keys % 60 get a
+# replaced payload (custkey + 1e6, prio 'MERGED'), the rest keep theirs
+ORACLES["q_delta_variant"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority
+        FROM orders WHERE o_orderkey % 20 = 0
+    ), merged AS (
+        SELECT CASE WHEN o_orderkey % 60 = 0
+                    THEN o_custkey + 1000000 ELSE o_custkey END AS ck,
+               CASE WHEN o_orderkey % 60 = 0
+                    THEN 'MERGED' ELSE o_orderpriority END AS prio
+        FROM base
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(ck) AS BIGINT) AS sum_ck
+    FROM merged GROUP BY prio ORDER BY prio
+"""
+
+
 def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector DELETE round trip, exactly oracle-checked: write
     an ``orders`` sample to a DV-enabled bridge Delta table (CDF on),
