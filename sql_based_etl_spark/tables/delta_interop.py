@@ -3787,7 +3787,66 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
             state = {**live, **state}
         _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
                           domains)
+    if _auto_compact_enabled(meta.get("configuration") or {}):
+        _maybe_auto_compact(spark, path, new_adds)
     return next_v
+
+
+def _auto_compact_enabled(conf: dict) -> bool:
+    return str(conf.get("delta.autoOptimize.autoCompact",
+                        "false")).lower() in ("true", "auto")
+
+
+def _maybe_auto_compact(spark: SparkSession, path: str,
+                        new_adds: list[dict]) -> None:
+    """Post-commit auto-compaction — the data-file twin of the
+    post-checkpoint log cleanup: a ``delta.autoOptimize.autoCompact``
+    table written one micro-batch at a time grows one small file per
+    commit, and scan cost follows FILE COUNT, not bytes. After a
+    write lands, the partitions it touched are checked for small-file
+    buildup and bin-packed in a ``dataChange: false`` OPTIMIZE commit
+    (streaming readers skip it; ``operationParameters.auto=true`` is
+    delta-spark's marker for these commits).
+
+    Thresholds follow delta-spark's session confs when set —
+    ``spark.databricks.delta.autoCompact.minNumFiles`` (default 50
+    qualifying files before a rewrite triggers, so steady-state write
+    amplification is bounded: each row is rewritten ~1/minNumFiles
+    times per cycle) and ``…autoCompact.maxFileSize`` (default 128
+    MiB: both the small-file cutoff and the rewrite's byte-sized
+    output target). Scope is the TOUCHED partitions only — on a
+    100k-partition table the maintenance read is still proportional
+    to this commit, not the table.
+
+    Best-effort BY DESIGN: the data commit has already landed, so a
+    maintenance failure (e.g. a racing writer producing a genuine OCC
+    conflict) logs and returns — delta-spark's auto compaction
+    likewise never fails the triggering write. The rewrite itself
+    never recurses (compact_delta does not auto-compact)."""
+    try:
+        def _conf_int(key: str, default: int) -> int:
+            try:
+                v = spark.conf.get(key, None)
+                return int(v) if v is not None else default
+            except Exception:
+                return default
+
+        min_files = _conf_int(
+            "spark.databricks.delta.autoCompact.minNumFiles", 50)
+        max_size = _conf_int(
+            "spark.databricks.delta.autoCompact.maxFileSize", 128 << 20)
+        touched = {tuple(sorted((a.get("partitionValues") or {}).items()))
+                   for a in new_adds}
+
+        def _candidate(a: dict) -> bool:
+            pv = tuple(sorted((a.get("partitionValues") or {}).items()))
+            return pv in touched and int(a.get("size") or 0) < max_size
+
+        compact_delta(spark, path, only=_candidate,
+                      min_input_files=min_files,
+                      target_size=max_size, auto=True)
+    except Exception as e:
+        _log.warning("auto-compact at %s skipped: %s", path, e)
 
 
 def merge_delta(source: DataFrame, path: str, condition: str,
@@ -4914,7 +4973,11 @@ def compact_delta(spark: SparkSession, path: str,
                   cluster_by: list[str] | None = None,
                   cluster_method: str = "zorder",
                   purge: bool = False,
-                  purge_dead_fraction: float = 0.0) -> int:
+                  purge_dead_fraction: float = 0.0,
+                  only=None,
+                  min_input_files: int = 0,
+                  target_size: int | None = None,
+                  auto: bool = False) -> int:
     """OPTIMIZE-style rewrite of a bridge Delta table — bin-packing
     compaction, and with ``cluster_by`` the OPTIMIZE ZORDER analogue.
     Bin-packing is the maintenance op the streaming sink NEEDS: one
@@ -4962,6 +5025,20 @@ def compact_delta(spark: SparkSession, path: str,
     stats are unreadable purge conservatively (treated as fully dead —
     rewriting a clean file is correct, just wasted work).
 
+    Subset lanes (the auto-compaction machinery, all composable):
+    ``only`` is a predicate over live ``add`` actions restricting the
+    rewrite to the files it accepts (everything else is BYTE-UNTOUCHED,
+    like purge's clean files); ``min_input_files`` makes the call a
+    NO-OP (current version, no commit churn) unless at least that many
+    files qualify — the trigger gate that keeps a maintenance loop
+    from churning one-file rewrites; ``target_size`` sizes the output
+    by BYTES instead of a fixed count (``target_files`` becomes
+    ceil(candidate bytes / target_size) — OPTIMIZE's real contract is
+    "files of ~N bytes", and a fixed count is wrong on both ends of a
+    growing table). ``auto=True`` stamps
+    ``operationParameters.auto=true`` (delta-spark's marker for
+    auto-compaction commits).
+
     Schema, metaData and txn watermarks are untouched; the commit races
     through the same conditional-create protocol as any other. Returns
     the committed version."""
@@ -4994,6 +5071,16 @@ def compact_delta(spark: SparkSession, path: str,
                       path, purge_dead_fraction)
             return latest
         live = dirty
+    if only is not None:
+        live = {k: a for k, a in live.items() if only(a)}
+        if len(live) < max(min_input_files, 1):
+            _log.info("compact_delta: subset at %s below min_input_files "
+                      "(%d < %d) — no-op", path, len(live),
+                      max(min_input_files, 1))
+            return latest
+    if target_size:
+        total = sum(int(a.get("size") or 0) for a in live.values())
+        target_files = max(1, -(-total // int(target_size)))
     if not live:
         raise VersionedTableError(f"compact_delta: nothing to compact at {path}")
     # enableRowTracking: OPTIMIZE moves bytes but not rows — every row
@@ -5087,6 +5174,7 @@ def compact_delta(spark: SparkSession, path: str,
             "operationParameters": {
                 "targetFiles": str(target_files),
                 **({"applyPurge": "true"} if purge else {}),
+                **({"auto": "true"} if auto else {}),
                 **({"zOrderBy": json.dumps(list(cluster_by))}
                    if cluster_by else {}),
             },

@@ -7099,3 +7099,150 @@ def test_merge_duplicate_identical_target_rows_not_false_ambiguity(
     with pytest.raises(VersionedTableError, match="multiple source rows"):
         merge_delta(multi_src, d, "target.id = source.id",
                     when_matched_update={"v": "source.nv"})
+
+
+# ---------------------------------------------------------------------------
+# auto-compaction (delta.autoOptimize.autoCompact)
+# ---------------------------------------------------------------------------
+
+
+def _set_ac_confs(spark, min_files: int, max_size: int):
+    spark.conf.set("spark.databricks.delta.autoCompact.minNumFiles",
+                   str(min_files))
+    spark.conf.set("spark.databricks.delta.autoCompact.maxFileSize",
+                   str(max_size))
+
+
+def _unset_ac_confs(spark):
+    spark.conf.unset("spark.databricks.delta.autoCompact.minNumFiles")
+    spark.conf.unset("spark.databricks.delta.autoCompact.maxFileSize")
+
+
+def test_auto_compact_bounds_small_files(spark, tmp_path):
+    """A delta.autoOptimize.autoCompact table written one micro-batch
+    at a time does NOT grow one live file per commit: once the touched
+    partition accumulates minNumFiles small files, the write triggers
+    a dataChange:false OPTIMIZE commit (operationParameters.auto=true)
+    that bin-packs them — streaming readers skip it, data stays exact,
+    and a below-threshold table is never churned."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta_appends,
+        write_delta,
+    )
+
+    d = str(tmp_path / "ac")
+    _set_ac_confs(spark, min_files=4, max_size=1 << 20)
+    try:
+        props = {"delta.autoOptimize.autoCompact": "true"}
+        for i in range(4):
+            write_delta(
+                spark.range(i * 10, (i + 1) * 10).coalesce(1),
+                d, mode="append" if i else "overwrite",
+                properties=props if i == 0 else None)
+
+        log_dir = os.path.join(d, "_delta_log")
+        commits = []
+        for f in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
+            acts = [json.loads(x) for x in open(f).read().splitlines()]
+            commits.append(acts)
+        # v0..v3 are the writes; v4 is the auto OPTIMIZE
+        assert len(commits) == 5
+        opt = commits[4]
+        ci = next(a["commitInfo"] for a in opt if "commitInfo" in a)
+        assert ci["operation"] == "OPTIMIZE"
+        assert ci["operationParameters"]["auto"] == "true"
+        adds = [a["add"] for a in opt if "add" in a]
+        removes = [a["remove"] for a in opt if "remove" in a]
+        assert adds and all(a["dataChange"] is False for a in adds)
+        assert len(removes) == 4
+        assert len(adds) == 1  # four small files bin-packed into one
+
+        # data exact, and the appends reader skips the auto commit
+        assert sorted(r.id for r in read_delta(spark, d).collect()) \
+            == list(range(40))
+        inc = read_delta_appends(spark, d, since_version=0)
+        assert sorted(r.id for r in inc.collect()) == list(range(10, 40))
+
+        # three MORE writes: 3 fresh small files + 1 compacted = below
+        # the 4-qualifying-file gate only until the count refills —
+        # the next trigger compacts again, so live file count is
+        # bounded, not monotonically growing
+        for i in range(4, 7):
+            write_delta(spark.range(i * 10, (i + 1) * 10).coalesce(1), d)
+        from sql_based_etl_spark.tables.delta_interop import _replay_state
+        _, live, latest, _, _, _ = _replay_state(spark, d)
+        assert len(live) <= 4
+        assert sorted(r.id for r in read_delta(spark, d).collect()) \
+            == list(range(70))
+    finally:
+        _unset_ac_confs(spark)
+
+
+def test_auto_compact_scoped_to_touched_partitions(spark, tmp_path):
+    """Auto-compaction reads work proportional to THIS commit: only
+    the touched partition's small files rewrite; the other partition's
+    files are byte-untouched (same add actions, never removed)."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        write_delta,
+    )
+
+    d = str(tmp_path / "acp")
+    _set_ac_confs(spark, min_files=3, max_size=1 << 20)
+    try:
+        props = {"delta.autoOptimize.autoCompact": "true"}
+        write_delta(
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, p string")
+            .repartition(1), d, mode="overwrite", partition_by=["p"],
+            properties=props)
+        _, live0, _, _, _, _ = _replay_state(spark, d)
+        b_files0 = {k for k, a in live0.items()
+                    if a["partitionValues"].get("p") == "b"}
+        # two more appends into partition a only → a has 3 small files
+        for i in range(3, 5):
+            write_delta(spark.createDataFrame([(i, "a")],
+                                              "id long, p string"), d)
+        _, live, latest, _, _, _ = _replay_state(spark, d)
+        a_files = [a for a in live.values()
+                   if a["partitionValues"].get("p") == "a"]
+        b_files = {k for k, a in live.items()
+                   if a["partitionValues"].get("p") == "b"}
+        assert len(a_files) == 1, "partition a must be bin-packed"
+        assert b_files == b_files0, "partition b must be byte-untouched"
+        got = sorted((r.id, r.p) for r in read_delta(spark, d).collect())
+        assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "a")]
+    finally:
+        _unset_ac_confs(spark)
+
+
+def test_compact_delta_target_size_and_subset_gate(spark, tmp_path):
+    """compact_delta's subset lanes stand alone: ``only`` restricts
+    the rewrite, ``min_input_files`` makes an under-threshold call a
+    committed-nothing no-op, and ``target_size`` sizes output by
+    bytes."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        compact_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "ts")
+    for i in range(3):
+        write_delta(spark.range(i * 100, (i + 1) * 100).coalesce(1), d,
+                    mode="append" if i else "overwrite")
+    _, live, latest, _, _, _ = _replay_state(spark, d)
+    assert len(live) == 3
+
+    # min_input_files above the candidate count: no-op, same version
+    v = compact_delta(spark, d, only=lambda a: True, min_input_files=5)
+    assert v == latest
+
+    # subset rewrite: only files under 1 MiB (all of them) —
+    # target_size far above total bytes → exactly one output file
+    v2 = compact_delta(spark, d, only=lambda a: int(a["size"]) < (1 << 20),
+                       min_input_files=2, target_size=1 << 30)
+    assert v2 == latest + 1
+    _, live2, _, _, _, _ = _replay_state(spark, d)
+    assert len(live2) == 1
+    assert sorted(r.id for r in read_delta(spark, d).collect()) \
+        == list(range(300))
