@@ -3173,7 +3173,7 @@ def _check_writer_allowed(proto: dict | None, meta: dict, mode: str) -> None:
         )
     conf = meta.get("configuration") or {}
     if (str(conf.get("delta.appendOnly", "false")).lower() == "true"
-            and mode in ("overwrite", "merge", "delete")):
+            and mode in ("overwrite", "merge", "delete", "update")):
         raise VersionedTableError(
             "write: delta.appendOnly=true forbids removing data; only "
             "appends (and dataChange:false compaction) are allowed"
@@ -4966,6 +4966,263 @@ def _stage_cdc_delete(hits: DataFrame, meta: dict, mapping_mode: str,
     return _stage_data_files(
         rows.withColumn("_change_type", F.lit("delete")),
         path, stage_parts, subdir="_change_data")
+
+
+def update_delta(spark: SparkSession, path: str,
+                 predicate, set: dict[str, object],
+                 num_partitions: int | None = None,
+                 checkpoint_interval: int | None = 10) -> int:
+    """``UPDATE <table> SET ... WHERE ...`` on a bridge Delta table —
+    the standalone row-update surface (delta-spark's
+    ``DeltaTable.update`` / UpdateCommand), file-granular
+    copy-on-write like MERGE's matched path but with no source
+    relation: SET expressions evaluate against each row's own
+    PRE-update values.
+
+    Scale shape, same as DELETE's cow route: the predicate's implied
+    conjuncts (or the OR/NOT scope-tree fallback) prune the candidate
+    scan driver-side from per-file stats/partition values, a tagged
+    scan of the CANDIDATES finds the files actually holding matched
+    rows, and only those files rewrite — work is proportional to
+    touched files, never table size. ``predicate`` is a SQL string
+    (BooleanEquality-coerced like MERGE/DELETE conditions) or the
+    ``read_delta``-style triples list; ``set`` maps column name → SQL
+    expression string (or Python literal). Rows where the predicate is
+    NULL keep their values (SQL semantics); a no-match update commits
+    NOTHING (current version returned — a byte-identical rewrite would
+    be churn and force fabricated CDF).
+
+    Obligations all compose: SET values cast to the target column
+    type (Delta's coercion); CHECK constraints / invariants /
+    generated-column consistency re-validated on the rewritten rows
+    (updating a generated column's input without the column refuses,
+    naming it — include it in ``set``, the library recomputes it the
+    same way); identity columns may never be SET (delta-spark's rule);
+    ``delta.appendOnly`` refuses; CDF tables stage
+    ``update_preimage``/``update_postimage`` cdc rows; rewritten files
+    on ``enableRowTracking`` tables MATERIALIZE every surviving row's
+    id — updated rows keep their id and move to the NEW commit version
+    (NULL materialized version resolves to the add's
+    defaultRowCommitVersion, so an OCC retry re-stamps correctly),
+    carried rows keep both; column-mapped tables stage physical names;
+    rows dead under a live deletion vector are not matchable and the
+    rewrite materializes the DV (descriptor rides the tombstone).
+
+    Concurrency: the read footprint is the pruned candidate set plus
+    the predicate's conjuncts/scope tree, so concurrent appends whose
+    files provably fall OUTSIDE the predicate commute (the same
+    partition/stats-scoped OCC as MERGE and DELETE).
+
+    Delta-parity reference: delta-spark's UpdateCommand."""
+    import time
+
+    from sql_based_etl_spark.tables.versioned import _sql_literal
+
+    path = path.rstrip("/")
+    log_dir = f"{path}/_delta_log"
+    part_tree = None
+    if isinstance(predicate, str):
+        triples = None
+        cond = None
+        pred_str = predicate
+    else:
+        triples = _normalize_where(predicate)
+        cond = _where_condition(triples)
+        pred_str = _where_sql(triples)
+    meta, live, latest, txns, proto, domains = _replay_state(spark, path)
+    _check_writer_allowed(proto, meta, "update")
+    conf = meta.get("configuration") or {}
+    mapping_mode = conf.get("delta.columnMapping.mode", "none")
+    cdf = str(conf.get("delta.enableChangeDataFeed",
+                       "false")).lower() == "true"
+    rt_stable = str(conf.get("delta.enableRowTracking",
+                             "false")).lower() == "true"
+    rt_pass: list[str] = []
+    emit_meta = False
+    rt_id = rt_ver = None
+    if rt_stable:
+        meta, rt_id, rt_ver, rt_changed = _rt_materialized_cols(meta)
+        emit_meta = rt_changed
+        rt_pass = [rt_id, rt_ver]
+    if not live:
+        return latest
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    t_cols = [f.name for f in schema.fields]
+    t_dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    part_cols = list(meta.get("partitionColumns") or [])
+
+    unknown = [c for c in set if c not in t_dtypes]
+    if unknown:
+        raise VersionedTableError(
+            f"update_delta: SET references unknown column(s) "
+            f"{sorted(unknown)} (table columns: {t_cols})")
+    ident_names = {i["name"] for i in _identity_columns(meta)}
+    bad_ident = sorted(ident_names & set.keys())
+    if bad_ident:
+        raise VersionedTableError(
+            f"update_delta: identity column(s) {bad_ident} can never be "
+            "SET (their values are engine-allocated; delta-spark "
+            "refuses the same)")
+
+    if cond is None:
+        from sql_based_etl_spark.engine.sql_compat import (
+            coerce_predicate_for_types,
+        )
+
+        pred_str = coerce_predicate_for_types(pred_str, t_dtypes)
+        cond = F.expr(pred_str)
+        triples = _condition_target_triples(pred_str, t_cols, None) or None
+        part_tree = _condition_scope_tree(pred_str, t_cols, None)
+
+    scan_adds = (_prune_adds_by_stats(meta, live, list(triples))
+                 if triples else live)
+    if part_tree is not None:
+        scan_adds = {k: a for k, a in scan_adds.items()
+                     if _tree_may_match(meta, a, part_tree)}
+    if not scan_adds:
+        return latest  # predicate provably matches no live file
+
+    # candidate scan → files actually holding matched rows (bounded by
+    # the pruned set; the rewrite below re-reads only those files)
+    abs2key: dict[str, str] = {}
+    for k, a in scan_adds.items():
+        rel = urllib.parse.unquote(a["path"])
+        absolute = (rel if "://" in rel or rel.startswith("/")
+                    else posixpath.join(path, rel))
+        abs2key[_norm_file_uri(absolute)] = k
+    tagged = _snapshot_df(spark, path, meta, scan_adds, tag_rows=True)
+    hit = tagged.filter(cond).select("__file").distinct().collect()
+    matched_keys = []
+    for r in hit:
+        key = abs2key.get(_norm_file_uri(r["__file"]))
+        if key is None:
+            raise VersionedTableError(
+                f"update_delta: matched file {r['__file']!r} does not "
+                f"map back to a live add action at {path}")
+        matched_keys.append(key)
+    if not matched_keys:
+        return latest  # no row matched: nothing to commit
+    matched = {k: live[k] for k in sorted(matched_keys)}
+
+    sub = (_snapshot_with_row_ids(spark, path, meta, matched, rt_id, rt_ver)
+           if rt_stable else _snapshot_df(spark, path, meta, matched))
+    gate = F.coalesce(cond.cast("boolean"), F.lit(False))
+    upd = {c: _sql_literal(v) for c, v in set.items()}
+    post_cols = []
+    for c in t_cols:
+        if c in upd:
+            post_cols.append(
+                F.when(gate, F.expr(upd[c]).cast(t_dtypes[c]))
+                .otherwise(F.col(c)).alias(c))
+        else:
+            post_cols.append(F.col(c))
+    sel = list(post_cols)
+    if rt_stable:
+        sel.append(F.col(rt_id))
+        # updated rows move to the NEW commit version: NULL materialized
+        # version resolves to the rewritten add's
+        # defaultRowCommitVersion (correct across OCC retries)
+        sel.append(F.when(gate, F.lit(None).cast("long"))
+                   .otherwise(F.col(rt_ver)).alias(rt_ver))
+    carry = [gate.alias("__hit")]
+    if cdf:
+        carry.extend(F.col(c).alias(f"__pre_{c}") for c in t_cols)
+    ann = sub.select(*sel, *carry).persist()
+    try:
+        n_upd = int(ann.agg(F.sum(F.col("__hit").cast("long")))
+                    .collect()[0][0] or 0)
+        if n_upd == 0:
+            return latest
+        out_cols = list(t_cols) + rt_pass
+        result = ann.select(*out_cols)
+        result = _enforce_write_obligations(result, meta)
+        if num_partitions:
+            result = result.repartition(int(num_partitions))
+        else:
+            # rewrite width defaults to the touched-file count (the
+            # merge treatment — an update touching 1 of N files must
+            # not fan out to shuffle-partition-many small files)
+            result = result.coalesce(len(matched))
+        if mapping_mode != "none":
+            stage_df, stage_parts = _project_to_physical(
+                result, meta, mapping_mode, passthrough=tuple(rt_pass))
+        else:
+            stage_df, stage_parts = result, part_cols
+        new_adds = _stage_data_files(stage_df, path, stage_parts)
+        _footer_stats_json(spark, path, new_adds)
+        new_adds = _drop_empty_adds(new_adds)
+
+        cdc_adds: list[dict] = []
+        if cdf:
+            def _cdc(rows: DataFrame, ctype: str) -> DataFrame:
+                if mapping_mode != "none":
+                    rows, _ = _project_to_physical(rows, meta, mapping_mode)
+                return rows.withColumn("_change_type", F.lit(ctype))
+
+            pre = _cdc(ann.filter("__hit").select(*[
+                F.col(f"__pre_{c}").alias(c) for c in t_cols
+            ]), "update_preimage")
+            post = _cdc(ann.filter("__hit").select(*t_cols),
+                        "update_postimage")
+            cdc_adds = _stage_data_files(
+                pre.unionByName(post), path,
+                stage_parts if mapping_mode != "none" else part_cols,
+                subdir="_change_data")
+    finally:
+        ann.unpersist()
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "UPDATE",
+            "operationParameters": {"predicate": pred_str},
+            "operationMetrics": {
+                "numUpdatedRows": str(n_upd),
+                "numRemovedFiles": str(len(matched)),
+                "numAddedFiles": str(len(new_adds)),
+            },
+            "engineInfo": "sql-based-etl-spark delta bridge",
+        }
+    }]
+    ict = _next_ict(spark, log_dir, meta, latest, now_ms)
+    if ict is not None:
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    if emit_meta:
+        actions.append({"metaData": meta})
+    rt = _assign_row_ids(proto, domains, new_adds, latest + 1)
+    if rt is not None:
+        actions.append(rt)
+        domains[_ROW_TRACKING_DOMAIN] = rt["domainMetadata"]["configuration"]
+    actions.extend(
+        {"remove": _remove_action(a, now_ms, True)}
+        for a in sorted(matched.values(), key=lambda a: a["path"])
+    )
+    actions.extend({"add": a} for a in new_adds)
+    actions.extend(
+        {"cdc": {"path": a["path"],
+                 "partitionValues": dict(a.get("partitionValues") or {}),
+                 "size": a.get("size"), "dataChange": False}}
+        for a in cdc_adds
+    )
+    next_v = _occ_commit(
+        spark, log_dir, latest, actions, operation="UPDATE",
+        meta=meta, proto=proto, domains=domains, new_adds=new_adds,
+        read_paths=frozenset(a["path"] for a in scan_adds.values()),
+        removed_paths=frozenset(a["path"] for a in matched.values()),
+        reads_table_data=True,
+        read_triples=(list(triples) if triples else None),
+        read_part_tree=part_tree)
+    if (checkpoint_interval and next_v == latest + 1
+            and next_v % checkpoint_interval == 0):
+        state = {k: a for k, a in live.items() if k not in matched}
+        state.update({_fkey(a): a for a in new_adds})
+        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
+                          domains)
+    return next_v
 
 
 def compact_delta(spark: SparkSession, path: str,

@@ -7246,3 +7246,177 @@ def test_compact_delta_target_size_and_subset_gate(spark, tmp_path):
     assert len(live2) == 1
     assert sorted(r.id for r in read_delta(spark, d).collect()) \
         == list(range(300))
+
+
+# ---------------------------------------------------------------------------
+# UPDATE command (update_delta)
+# ---------------------------------------------------------------------------
+
+
+def test_update_delta_cow_cdf_and_noop(spark, tmp_path):
+    """UPDATE SET ... WHERE ...: matched rows get the SET expressions
+    (evaluated against PRE-update values, cast to the column type),
+    unmatched and NULL-predicate rows survive untouched, CDF stages
+    update_preimage/update_postimage pairs, and a no-match update
+    commits nothing."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        read_delta_changes,
+        update_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "u1")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(12)] + [(99, None, "vn")],
+        "id long, k long, v string")
+    write_delta(df.coalesce(2), d, mode="overwrite",
+                properties={"delta.enableChangeDataFeed": "true"})
+    v = update_delta(spark, d, "k = 1",
+                     {"v": "concat('U-', v)", "k": "k + 100"})
+    assert v == 1
+    got = {r.id: (r.k, r.v) for r in read_delta(spark, d).collect()}
+    for i in range(12):
+        if i % 3 == 1:
+            assert got[i] == (101, f"U-v{i}")
+        else:
+            assert got[i] == (i % 3, f"v{i}")
+    assert got[99] == (None, "vn")  # NULL predicate keeps the row
+
+    ch = read_delta_changes(spark, d, starting_version=1)
+    pre = sorted(r.id for r in ch.filter(
+        F.col("_change_type") == "update_preimage").collect())
+    post = {r.id: r.v for r in ch.filter(
+        F.col("_change_type") == "update_postimage").collect()}
+    assert pre == [1, 4, 7, 10]
+    assert post == {i: f"U-v{i}" for i in (1, 4, 7, 10)}
+
+    assert update_delta(spark, d, "k = 999", {"v": "'x'"}) == v
+    assert update_delta(spark, d, "id = 1 AND k <> k", {"v": "'x'"}) == v
+
+
+def test_update_delta_prunes_and_scopes_occ(spark, tmp_path):
+    """The predicate's conjuncts prune the candidate scan AND scope
+    the OCC read footprint: an update to partition a leaves partition
+    b's files byte-untouched (never removed), and commutes with a
+    concurrent append to partition b."""
+    import threading
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        update_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "u2")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(8)],
+        "id long, p string")
+    write_delta(df, d, mode="overwrite", partition_by=["p"])
+    _, live0, _, _, _, _ = _replay_state(spark, d)
+    b0 = {k for k, a in live0.items()
+          if a["partitionValues"].get("p") == "b"}
+
+    update_delta(spark, d, "p = 'a' AND id < 100", {"id": "id + 1000"})
+    _, live1, _, _, _, _ = _replay_state(spark, d)
+    assert {k for k, a in live1.items()
+            if a["partitionValues"].get("p") == "b"} == b0
+    got = sorted(r.id for r in read_delta(spark, d).collect())
+    assert got == [0, 2, 4, 6, 1001, 1003, 1005, 1007]
+
+    # concurrent append to the OTHER partition lands between replay
+    # and commit → the update's retry must commute, not conflict
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert ci["operation"] == "UPDATE"
+
+
+def test_update_delta_row_tracking_and_mapped(spark, tmp_path):
+    """Updated rows keep their stable row id and move to the NEW
+    commit version; carried rows keep id AND version. Column-mapped
+    tables update through the logical projection."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        update_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "u3")
+    write_delta(
+        spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")],
+                              "id long, v string").coalesce(1),
+        d, mode="overwrite",
+        properties={"delta.enableRowTracking": "true",
+                    "delta.columnMapping.mode": "name"})
+    update_delta(spark, d, "id = 2", {"v": "'Y2'"})
+    got = {r.id: r.v for r in read_delta(spark, d).collect()}
+    assert got == {1: "x", 2: "Y2", 3: "z"}
+    # the rewritten file materializes ids: every add of v1 carries
+    # baseRowId, and the materialized columns live in the data file
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{1:020d}.json")).read().splitlines()]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all("baseRowId" in a for a in adds)
+
+
+def test_update_delta_refusals(spark, tmp_path):
+    """Identity columns can never be SET; delta.appendOnly refuses
+    UPDATE; unknown SET columns refuse naming them."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        update_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "u4")
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "ident", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 1,
+            "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": True}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    os.makedirs(d)
+    _log(d, 0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+         {"metaData": {
+             "id": "u4", "format": {"provider": "parquet", "options": {}},
+             "schemaString": schema_string, "partitionColumns": [],
+             "configuration": {}}})
+    write_delta(spark.createDataFrame([(1, "a")], "ident long, v string"),
+                d, mode="append")
+    with pytest.raises(VersionedTableError, match="identity"):
+        update_delta(spark, d, "v = 'a'", {"ident": "5"})
+
+    d2 = str(tmp_path / "u5")
+    write_delta(spark.range(3).select("id"), d2, mode="overwrite",
+                properties={"delta.appendOnly": "true"})
+    with pytest.raises(VersionedTableError, match="appendOnly"):
+        update_delta(spark, d2, "id = 1", {"id": "10"})
+
+
+def test_update_delta_through_deletion_vectors(spark, tmp_path):
+    """Rows dead under a live DV are not matchable; the update's
+    rewrite materializes the DV (tombstone carries the descriptor) so
+    the updated file comes out clean."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "u6")
+    write_delta(spark.createDataFrame(
+        [(i, "x") for i in range(6)], "id long, v string").coalesce(1),
+        d, mode="overwrite",
+        properties={"delta.enableDeletionVectors": "true"})
+    delete_delta(spark, d, "id = 2")  # DV delete
+    # the dead row must not resurrect via an update matching it
+    update_delta(spark, d, "id >= 2", {"v": "'U'"})
+    got = sorted((r.id, r.v) for r in read_delta(spark, d).collect())
+    assert got == [(0, "x"), (1, "x"), (3, "U"), (4, "U"), (5, "U")]
+    acts = [json.loads(x) for x in open(os.path.join(
+        d, "_delta_log", f"{2:020d}.json")).read().splitlines()]
+    removes = [a["remove"] for a in acts if "remove" in a]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert any(r.get("deletionVector") for r in removes), \
+        "tombstone must carry the DV descriptor for reconciliation"
+    assert all(not a.get("deletionVector") for a in adds), \
+        "the rewrite materializes the DV — new files are clean"
