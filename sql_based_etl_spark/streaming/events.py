@@ -223,7 +223,9 @@ def append_stream_batch(batch_df: DataFrame, batch_id: int, table_path: str,
 
 def append_stream_batch_delta(batch_df: DataFrame, batch_id: int,
                               table_path: str, app_id: str,
-                              num_partitions: int | None = None) -> bool:
+                              num_partitions: int | None = None,
+                              properties: dict[str, str] | None = None,
+                              ) -> bool:
     """Delta-bridge twin of :func:`append_stream_batch`: one idempotent
     micro-batch APPEND to a real ``_delta_log`` table, exactly-once via
     the Delta protocol's OWN mechanism — a ``txn {appId, version}``
@@ -232,8 +234,14 @@ def append_stream_batch_delta(batch_df: DataFrame, batch_id: int,
     write_delta` itself. This is the streaming sink pattern for output
     that external Delta tooling tails directly: every micro-batch is
     one protocol commit, and the bridge's periodic parquet checkpoints
-    keep long-table read cost bounded. Returns True if a commit
-    happened, False for an empty or replayed batch."""
+    keep long-table read cost bounded. ``properties`` apply at
+    first-batch CREATE only (table properties are CREATE-time in the
+    bridge) — e.g. ``delta.autoOptimize.autoCompact`` keeps the live
+    FILE count bounded too (one small file per micro-batch otherwise),
+    the data-file twin of the checkpoint/log-cleanup story, and
+    exactly-once replay skipping composes with the auto OPTIMIZE
+    commits (txn watermarks survive compaction untouched). Returns
+    True if a commit happened, False for an empty or replayed batch."""
     from sql_based_etl_spark.tables.delta_interop import write_delta
 
     if batch_df.isEmpty():
@@ -251,16 +259,21 @@ def append_stream_batch_delta(batch_df: DataFrame, batch_id: int,
     if exists:
         before = max(_list_log(spark, fs_path))
     v = write_delta(batch_df, path, mode="append" if exists else "overwrite",
-                    txn_app_id=app_id, txn_version=batch_id)
+                    txn_app_id=app_id, txn_version=batch_id,
+                    properties=(None if exists else properties))
     return before is None or v > before
 
 
 def stream_append_to_delta(stream: DataFrame, table_path: str, app_id: str,
-                           checkpoint: str | None = None):
+                           checkpoint: str | None = None,
+                           properties: dict[str, str] | None = None):
     """Start an exactly-once streaming append into a Delta-protocol
-    table via the write bridge; returns the started StreamingQuery."""
+    table via the write bridge; returns the started StreamingQuery.
+    ``properties`` apply at first-batch CREATE (see
+    :func:`append_stream_batch_delta`)."""
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: append_stream_batch_delta(df, bid, table_path, app_id)
+        lambda df, bid: append_stream_batch_delta(
+            df, bid, table_path, app_id, properties=properties)
     ).outputMode("append")
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)

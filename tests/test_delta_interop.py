@@ -7420,3 +7420,38 @@ def test_update_delta_through_deletion_vectors(spark, tmp_path):
         "tombstone must carry the DV descriptor for reconciliation"
     assert all(not a.get("deletionVector") for a in adds), \
         "the rewrite materializes the DV — new files are clean"
+
+
+def test_streaming_sink_auto_compact_bounds_live_files(spark, tmp_path):
+    """The exactly-once streaming sink composes with auto-compaction:
+    a delta.autoOptimize.autoCompact table fed one micro-batch at a
+    time keeps its LIVE file count bounded (each trigger past
+    minNumFiles bin-packs the backlog), txn watermarks survive the
+    auto OPTIMIZE commits (a replayed batch id is still skipped — no
+    duplicate rows), and the data stays exact."""
+    from sql_based_etl_spark.streaming.events import (
+        append_stream_batch_delta,
+    )
+    from sql_based_etl_spark.tables.delta_interop import _replay_state
+
+    d = str(tmp_path / "sac")
+    _set_ac_confs(spark, min_files=4, max_size=1 << 20)
+    try:
+        for bid in range(8):
+            committed = append_stream_batch_delta(
+                spark.range(bid * 5, (bid + 1) * 5).coalesce(1),
+                bid, d, app_id="sink-ac",
+                properties={"delta.autoOptimize.autoCompact": "true"})
+            assert committed
+        _, live, latest, txns, _, _ = _replay_state(spark, d)
+        assert len(live) <= 4, \
+            f"live file count must stay bounded, got {len(live)}"
+        assert txns.get("sink-ac") == 7
+        # exactly-once across the auto commits: replaying an old batch
+        # id is skipped (the txn watermark survived the OPTIMIZEs)
+        assert append_stream_batch_delta(
+            spark.range(0, 5).coalesce(1), 3, d, app_id="sink-ac") is False
+        assert sorted(r.id for r in read_delta(spark, d).collect()) \
+            == list(range(40))
+    finally:
+        _unset_ac_confs(spark)
