@@ -114,6 +114,7 @@ APPENDIX = [
     "q_delta_clone",  # bridge SHALLOW CLONE round trip — absolute-path reads + DV machinery graded via q_delta_delete/q_delta_prune; clone independence stays full-registry oracle-checked here + pytest-pinned (test_clone_delta_shallow)
     "stream_near_dedup",  # streaming near-dup vs a stored index — BOTH halves stay graded elsewhere (minhash-LSH machinery via dedup_minhash_lsh, stateful streaming via stream_window_counts/stream_dedup/stream_sessionize) and the row stays full-registry oracle-checked; displaced so stream_delta_cdf (the round-11 readChangeFeed STREAMING source end-to-end: create → append → merge-update → DV-delete, change rows through Spark's streaming engine) gets a driver-graded row
     "q_union_distinct",  # UNION distinct — the distinct-shuffle set-op machinery is graded via q_intersect_except (INTERSECT/EXCEPT share the shape, MUST_GRADE) and the row stays full-registry oracle-checked; displaced so q_delta_log_cleanup (round-13: log-retention cleanup → checkpoint-replay reads end-to-end) gets a driver-graded row
+    "q_funnel",  # sequential-funnel windows — the conditional-window machinery is graded via q_sessionize (stateful gaps-and-islands) + q_running_total (ordered frames); the row stays full-registry oracle-checked; displaced so q_delta_update (round-13: the standalone UPDATE command end-to-end with CDF postimages) gets a driver-graded row
     "q_distinct_agg",  # count(DISTINCT) aggregate — the distinct-shuffle machinery is graded via q_intersect_except (MUST_GRADE) and the aggregate shape via q01; the row stays full-registry oracle-checked; displaced so q_delta_variant (round-13: variant columns through CREATE-claim → MERGE → variant_get extraction end-to-end) gets a driver-graded row
 ]
 
@@ -139,7 +140,7 @@ MUST_GRADE = [
     "sim_cosine_dup_lsh", "stream_delta_cdf",
     "q_scd2_merge", "q_scd2_changes", "q_delta_merge", "q_intersect_except",
     "q_delta_delete", "q_delta_prune", "q_delta_cdf", "q_delta_log_cleanup",
-    "q_delta_variant",
+    "q_delta_variant", "q_delta_update",
     "dedup_clusters", "text_decontaminate",
     "text_repetition_stats", "split_hash_assign",
 ]
