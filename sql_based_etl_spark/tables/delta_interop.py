@@ -1147,7 +1147,73 @@ def _replay_state(
     if meta is None:
         raise VersionedTableError(f"Delta log at {log_dir} has no metaData action")
     _check_metadata(meta)
+    _validate_version_crc(spark, log_dir, version, adds)
     return meta, adds, version, txns, proto, domains
+
+
+def _validate_version_crc(spark: SparkSession, log_dir: str,
+                          version: int, adds: dict[str, dict]) -> None:
+    """Cross-check replayed state against the version-checksum sidecar
+    (``<v>.crc``, delta-spark's VersionChecksum) when one exists for
+    the replayed version: ``numFiles`` and ``tableSizeBytes`` must
+    match the live set. A mismatch is LOGGED, not raised — it means
+    either log corruption (a replay bug, a mangled commit) or a
+    foreign writer whose accounting differs, and a reader that bricks
+    the table on an advisory sidecar punishes the wrong party; the
+    warning names both totals so an operator can diff. Absent crc
+    files are always legal (the sidecar is optional per delta-spark's
+    own reader)."""
+    try:
+        fs, p, _ = _fs_and_path(spark, f"{log_dir}/{version:020d}.crc")
+        if not fs.exists(p):
+            return
+        crc = json.loads(_read_text(spark, f"{log_dir}/{version:020d}.crc"))
+        n, size = len(adds), sum(int(a.get("size") or 0)
+                                 for a in adds.values())
+        cn, csize = crc.get("numFiles"), crc.get("tableSizeBytes")
+        if (cn is not None and int(cn) != n) or (
+                csize is not None and int(csize) != size):
+            _log.warning(
+                "version checksum mismatch at %s v%d: crc says "
+                "numFiles=%s tableSizeBytes=%s, replay computed %d/%d "
+                "— possible log corruption or a foreign writer with "
+                "different accounting", log_dir, version, cn, csize,
+                n, size)
+    except Exception:
+        return  # advisory sidecar: never fail a read over it
+
+
+def _write_version_crc(spark: SparkSession, log_dir: str, version: int,
+                       meta: dict, state: dict[str, dict],
+                       proto: dict | None) -> None:
+    """Emit the ``<v>.crc`` version-checksum sidecar after a commit —
+    delta-spark writes one per commit (its VersionChecksum) and uses
+    it to validate snapshot state; emitting it makes bridge tables
+    first-class to such readers AND gives the bridge's own replay a
+    per-commit integrity anchor (see :func:`_validate_version_crc`).
+    Required fields only (``tableSizeBytes``/``numFiles``/
+    ``numMetadata``/``numProtocol``/``metadata``/``protocol``) — the
+    rest are Options in the public schema and omitted. Best-effort:
+    the sidecar is advisory, so a failed write never fails the commit.
+    Callers skip it after a RETRIED commit (reconciled state is stale,
+    the checkpoint treatment)."""
+    try:
+        body = {
+            "tableSizeBytes": sum(int(a.get("size") or 0)
+                                  for a in state.values()),
+            "numFiles": len(state),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "metadata": meta,
+            "protocol": proto if proto is not None else
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+        }
+        _write_bytes(spark, f"{log_dir}/{version:020d}.crc",
+                     json.dumps(body).encode())
+    except Exception:
+        _log.warning("version checksum write at %s v%d failed "
+                     "(commit stands — the sidecar is advisory)",
+                     log_dir, version)
 
 
 def _snapshot_df(
@@ -3776,17 +3842,20 @@ def write_delta(df: DataFrame, path: str, mode: str = "append",
     next_v = committed_v
     if txn_app_id is not None:
         txns = {**txns, txn_app_id: int(txn_version)}
-    if (checkpoint_interval and next_v > 0 and not retried
-            and next_v % checkpoint_interval == 0):
-        # live deletion vectors ride the checkpoint's
-        # add.deletionVector struct (the spec's descriptor shape), so
-        # DV-table appends checkpoint like any other write — a
-        # descriptor-dropping checkpoint would resurrect deleted rows
+    if not retried:
         state = {_fkey(a): a for a in new_adds}
         if mode == "append":
             state = {**live, **state}
-        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
-                          domains)
+        _write_version_crc(spark, log_dir, next_v, meta, state, proto)
+        if (checkpoint_interval and next_v > 0
+                and next_v % checkpoint_interval == 0):
+            # live deletion vectors ride the checkpoint's
+            # add.deletionVector struct (the spec's descriptor shape),
+            # so DV-table appends checkpoint like any other write — a
+            # descriptor-dropping checkpoint would resurrect deleted
+            # rows
+            _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
+                              proto, domains)
     if _auto_compact_enabled(meta.get("configuration") or {}):
         _maybe_auto_compact(spark, path, new_adds)
     return next_v
@@ -4248,12 +4317,13 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         reads_table_data=True,
         read_triples=(read_triples or None),
         read_part_tree=part_tree)
-    if (checkpoint_interval and next_v == latest + 1
-            and next_v % checkpoint_interval == 0):
+    if next_v == latest + 1:
         state = {k: a for k, a in live.items() if k not in matched}
         state.update({_fkey(a): a for a in new_adds})
-        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
-                          domains)
+        _write_version_crc(spark, log_dir, next_v, meta, state, proto)
+        if checkpoint_interval and next_v % checkpoint_interval == 0:
+            _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
+                              proto, domains)
     return next_v
 
 
@@ -4667,12 +4737,13 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
         reads_table_data=True,
         read_triples=(read_triples or None),
         read_part_tree=part_tree)
-    if (checkpoint_interval and next_v == latest + 1
-            and next_v % checkpoint_interval == 0):
+    if next_v == latest + 1:
         state = {k: a for k, a in live.items() if k not in matched}
         state.update({_fkey(a): a for a in new_adds})
-        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
-                          domains)
+        _write_version_crc(spark, log_dir, next_v, meta, state, proto)
+        if checkpoint_interval and next_v % checkpoint_interval == 0:
+            _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
+                              proto, domains)
     return next_v
 
 
@@ -4943,12 +5014,13 @@ def delete_delta(spark: SparkSession, path: str,
         reads_table_data=True,
         read_triples=(list(triples) if triples else None),
         read_part_tree=part_tree)
-    if (checkpoint_interval and next_v == latest + 1
-            and next_v % checkpoint_interval == 0):
+    if next_v == latest + 1:
         state = {k: a for k, a in live.items() if k not in matched}
         state.update({_fkey(a): a for a in new_adds})
-        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
-                          domains)
+        _write_version_crc(spark, log_dir, next_v, meta, state, proto)
+        if checkpoint_interval and next_v % checkpoint_interval == 0:
+            _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
+                              proto, domains)
     return next_v
 
 
@@ -5216,12 +5288,13 @@ def update_delta(spark: SparkSession, path: str,
         reads_table_data=True,
         read_triples=(list(triples) if triples else None),
         read_part_tree=part_tree)
-    if (checkpoint_interval and next_v == latest + 1
-            and next_v % checkpoint_interval == 0):
+    if next_v == latest + 1:
         state = {k: a for k, a in live.items() if k not in matched}
         state.update({_fkey(a): a for a in new_adds})
-        _write_checkpoint(spark, log_dir, next_v, meta, state, txns, proto,
-                          domains)
+        _write_version_crc(spark, log_dir, next_v, meta, state, proto)
+        if checkpoint_interval and next_v % checkpoint_interval == 0:
+            _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
+                              proto, domains)
     return next_v
 
 
@@ -5306,6 +5379,7 @@ def compact_delta(spark: SparkSession, path: str,
     path = path.rstrip("/")
     log_dir = f"{path}/_delta_log"
     meta, live, latest, _, proto, domains = _replay_state(spark, path)
+    full_live = dict(live)  # pre-subset copy for the version checksum
     _check_writer_allowed(proto, meta, "compact")
     conf = meta.get("configuration") or {}
     mapping_mode = conf.get("delta.columnMapping.mode", "none")
@@ -5458,12 +5532,18 @@ def compact_delta(spark: SparkSession, path: str,
     # blind append commutes (its files are untouched and stay live); a
     # winner that removed one of the inputs is a real conflict
     cpaths = frozenset(a["path"] for a in live.values())
-    return _occ_commit(
+    next_v = _occ_commit(
         spark, log_dir, latest, actions,
         operation="REORG" if purge else "OPTIMIZE",
         meta=meta, proto=proto, domains=domains, new_adds=commit_adds,
         read_paths=cpaths, removed_paths=cpaths,
         reads_table_data=False)
+    if next_v == latest + 1:
+        rewritten = set(live)
+        state = {k: a for k, a in full_live.items() if k not in rewritten}
+        state.update({_fkey(a): a for a in commit_adds})
+        _write_version_crc(spark, log_dir, next_v, meta, state, proto)
+    return next_v
 
 
 def restore_delta(spark: SparkSession, path: str,
@@ -5574,11 +5654,14 @@ def restore_delta(spark: SparkSession, path: str,
         read_paths=frozenset(a["path"] for a in live_c.values()),
         removed_paths=frozenset(a["path"] for a in to_remove),
         reads_table_data=True)
-    if (checkpoint_interval and next_v == latest + 1
-            and next_v % checkpoint_interval == 0):
-        _write_checkpoint(spark, log_dir, next_v,
-                          meta_t if restore_meta else meta_c, live_t,
-                          txns, proto, domains)
+    if next_v == latest + 1:
+        _write_version_crc(spark, log_dir, next_v,
+                           meta_t if restore_meta else meta_c, live_t,
+                           proto)
+        if checkpoint_interval and next_v % checkpoint_interval == 0:
+            _write_checkpoint(spark, log_dir, next_v,
+                              meta_t if restore_meta else meta_c, live_t,
+                              txns, proto, domains)
     return next_v
 
 

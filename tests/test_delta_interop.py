@@ -7455,3 +7455,57 @@ def test_streaming_sink_auto_compact_bounds_live_files(spark, tmp_path):
             == list(range(40))
     finally:
         _unset_ac_confs(spark)
+
+
+def test_version_checksum_written_and_validated(spark, tmp_path, caplog):
+    """Every non-retried commit emits the <v>.crc version checksum
+    (delta-spark's VersionChecksum: numFiles / tableSizeBytes /
+    metadata / protocol), each one matches a replay at that version,
+    and a mismatching sidecar is surfaced as a WARNING on read —
+    never an error (the sidecar is advisory; bricking a readable
+    table over it would punish the wrong party)."""
+    import logging
+
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        compact_delta,
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "crc")
+    write_delta(spark.range(10).coalesce(2), d, mode="overwrite")
+    write_delta(spark.range(10, 15).coalesce(1), d)
+    update_delta(spark, d, "id = 3", {"id": "300"})
+    delete_delta(spark, d, "id = 4")
+    compact_delta(spark, d, target_files=1)
+
+    log_dir = os.path.join(d, "_delta_log")
+    crcs = sorted(glob.glob(os.path.join(log_dir, "*.crc")))
+    assert [os.path.basename(c) for c in crcs] == [
+        f"{v:020d}.crc" for v in range(5)]
+    for c in crcs:
+        v = int(os.path.basename(c).split(".")[0])
+        body = json.loads(open(c).read())
+        _, adds, _, _, _, _ = _replay_state(spark, d, version=v)
+        assert body["numFiles"] == len(adds)
+        assert body["tableSizeBytes"] == sum(
+            int(a["size"]) for a in adds.values())
+        assert body["numMetadata"] == 1 and body["numProtocol"] == 1
+        assert "schemaString" in body["metadata"]
+        assert "minWriterVersion" in body["protocol"]
+
+    # corrupt the head crc → read still serves, with a warning
+    head = crcs[-1]
+    body = json.loads(open(head).read())
+    body["numFiles"] = 999
+    open(head, "w").write(json.dumps(body))
+    hidden = os.path.join(log_dir, "." + os.path.basename(head) + ".crc")
+    if os.path.exists(hidden):
+        os.remove(hidden)  # hadoop local-FS checksum of the edited file
+    with caplog.at_level(logging.WARNING,
+                         logger="sql_based_etl_spark.tables.delta_interop"):
+        got = sorted(r.id for r in read_delta(spark, d).collect())
+    assert got == [0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 300]
+    assert any("checksum mismatch" in r.message for r in caplog.records)
