@@ -193,6 +193,13 @@ _BRIDGE_READER_FEATURES = {
                           # Shredded layouts are a SEPARATE feature
                           # (variantShredding) and refuse by name.
     "variantType-preview",
+    "vacuumProtocolCheck",  # the feature's whole requirement is that
+                            # VACUUM perform a full protocol check
+                            # instead of a hardcoded version gate —
+                            # vacuum_delta replays the log
+                            # (_replay_state → _check_protocol), so
+                            # the obligation holds by construction;
+                            # plain reads are unaffected by design
 }
 _NAMED_READER_REFUSALS = {
     "variantShredding": (
@@ -3158,6 +3165,12 @@ _BRIDGE_WRITER_FEATURES = {
                          # name (Iceberg's field-id contract has no
                          # mapping for the variant group's subfields).
     "variantType-preview",
+    "vacuumProtocolCheck",  # VACUUM must protocol-check the table
+                            # instead of gating on a hardcoded
+                            # version — vacuum_delta replays the log
+                            # first (_replay_state → _check_protocol),
+                            # so the obligation holds by construction;
+                            # non-vacuum writes are unaffected
     "icebergCompatV2",   # UniForm-compatible writes: column mapping
                          # required, parquet field ids stamped into
                          # EVERY staged data file (both mapping modes —

@@ -7509,3 +7509,31 @@ def test_version_checksum_written_and_validated(spark, tmp_path, caplog):
         got = sorted(r.id for r in read_delta(spark, d).collect())
     assert got == [0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 300]
     assert any("checksum mismatch" in r.message for r in caplog.records)
+
+
+def test_vacuum_protocol_check_feature_supported(spark, tmp_path):
+    """A foreign table claiming vacuumProtocolCheck (reader+writer
+    pair) reads, writes, and vacuums through the bridge: the feature's
+    only obligation is that VACUUM protocol-check the table instead of
+    gating on a hardcoded version, which the bridge's replay-first
+    vacuum does by construction."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        vacuum_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "vpc")
+    os.makedirs(d)
+    _write_datafile(spark, d, "f0.parquet", [1, 2])
+    _log(d, 0,
+         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["vacuumProtocolCheck"],
+                       "writerFeatures": ["appendOnly", "invariants",
+                                          "vacuumProtocolCheck"]}},
+         _meta(), _add("f0.parquet"))
+    assert _ids(read_delta(spark, d)) == [1, 2]
+    write_delta(spark.createDataFrame([(3, "c")], "id long, v string"), d)
+    assert _ids(read_delta(spark, d)) == [1, 2, 3]
+    vacuum_delta(spark, d, retention_hours=0.0,
+                 enforce_retention_check=False)
+    assert _ids(read_delta(spark, d)) == [1, 2, 3]
