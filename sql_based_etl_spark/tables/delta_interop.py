@@ -1966,7 +1966,7 @@ def _occ_commit(spark: SparkSession, log_dir: str, read_version: int | None,
                 read_part_tree=None,
                 txn_app_id: str | None = None,
                 ignore_conflicts: bool = False,
-                max_retries: int = 20) -> int:
+                max_retries: int = 200) -> int:
     """Commit ``actions`` with Delta's optimistic-concurrency retry.
 
     ``read_version`` is the snapshot version the actions were derived
@@ -1976,7 +1976,18 @@ def _occ_commit(spark: SparkSession, log_dir: str, read_version: int | None,
     winners advance the attempt version after re-stamping ICT and
     rowTracking row-id ranges. Returns the committed version — callers
     must skip checkpoint writes when it differs from their expected
-    version (their reconciled state predates the winners)."""
+    version (their reconciled state predates the winners).
+
+    ``max_retries`` is a LIVELOCK BACKSTOP, not a fairness bound:
+    every lost race means another writer's commit LANDED (the claimed
+    version exists), so system-wide progress is guaranteed by
+    construction and each retry costs only a winner-commit read + a
+    conditional create — no rewrite recompute. A busy table can
+    legitimately hand one writer dozens of consecutive losses (N
+    concurrent writers ⇒ up to N−1 losses even with perfect fairness),
+    which is why the default is generous; repeated losses back off
+    with growing jitter to break thundering-herd scheduling."""
+    import random as _rnd
     import time as _t
 
     attempt = (read_version if read_version is not None else -1) + 1
@@ -2016,6 +2027,14 @@ def _occ_commit(spark: SparkSession, log_dir: str, read_version: int | None,
             dm = a.get("domainMetadata")
             if dm and not dm.get("removed"):
                 domains[dm["domain"]] = dm.get("configuration")
+        lost = attempt - first + 1
+        if lost > 4:
+            # repeated consecutive losses: thundering-herd scheduling,
+            # not bad luck — jittered exponential backoff (capped at
+            # 100 ms) lets slower writers through without meaningfully
+            # delaying the common 1-2-loss case (which never sleeps)
+            _t.sleep(min(0.1, 0.005 * (2 ** min(lost - 5, 4)))
+                     * (0.5 + _rnd.random()))
         attempt += 1
         now_ms = int(_t.time() * 1000)
         ci = actions[0].get("commitInfo") if actions else None

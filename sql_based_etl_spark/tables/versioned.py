@@ -1090,7 +1090,7 @@ class VersionedTable:
                            read_triples: list | None = None,
                            read_tree=None,
                            extra: dict | None = None,
-                           max_retries: int = 20) -> int:
+                           max_retries: int = 200) -> int:
         """Commit a snapshot-rewriting operation (MERGE / COMPACT) with
         the bridge's optimistic-concurrency contract on manifests: on a
         lost race every winner is classified
@@ -1104,7 +1104,17 @@ class VersionedTable:
         removed = set(removed_files)
         schema_json = schema.jsonValue()
         base_v, attempt = read_v, read_v + 1
-        for _ in range(max_retries):
+        # max_retries is a LIVELOCK BACKSTOP, not a fairness bound:
+        # every lost race means another writer's commit landed, so
+        # system progress is guaranteed; N concurrent writers can hand
+        # one of them up to N-1 legitimate losses. Repeated losses
+        # back off with growing jitter (the bridge treatment).
+        for lost in range(max_retries):
+            if lost > 4:
+                import random as _rnd
+                import time as _t
+                _t.sleep(min(0.1, 0.005 * (2 ** min(lost - 5, 4)))
+                         * (0.5 + _rnd.random()))
             carried = [f for f in self.files(base_v) if f not in removed]
             stats = dict(new_stats)
             stats.update(self._carried_stats(base_v, carried))
@@ -1192,7 +1202,12 @@ class VersionedTable:
         # any earlier version's data dir, so the staged files commit
         # verbatim at the higher version.
         attempt_v, attempt_schema = new_v, schema
-        for _ in range(20):
+        for lost in range(200):
+            if lost > 4:  # jittered backoff past repeated losses
+                import random as _rnd
+                import time as _t
+                _t.sleep(min(0.1, 0.005 * (2 ** min(lost - 5, 4)))
+                         * (0.5 + _rnd.random()))
             try:
                 return self._commit(attempt_v, op, carried + new_files,
                                     attempt_schema.jsonValue(), stats=stats,
@@ -1234,7 +1249,7 @@ class VersionedTable:
             stats.update(self._carried_stats(latest, carried))
             attempt_v = latest + 1
         raise VersionedTableError(
-            f"append at {self.path}: exhausted 20 commit retries against "
+            f"append at {self.path}: exhausted 200 commit retries against "
             "concurrent writers"
         )
 

@@ -5251,9 +5251,10 @@ def test_threaded_multiwriter_stress_commutes_and_converges(spark, tmp_path):
     """Round-13: REAL concurrency over the OCC machinery (the commute
     tests inject winners deterministically; this one races actual
     threads). Four writer threads append 5 commits each into their own
-    partition while a fifth runs 5 partition-scoped MERGEs into 'M' —
-    every append is partition-disjoint from the merge's read predicate,
-    so every commit must land (retries allowed, conflicts not), the
+    partition while a fifth runs 5 partition-scoped MERGEs into 'M'
+    and a sixth runs 5 partition-scoped UPDATEs into 'U' — every
+    append is partition-disjoint from both DML read predicates, so
+    every commit must land (retries allowed, conflicts not), the
     final state must be exact, and the interval checkpoints the racing
     threads write along the way must leave a readable log."""
     import threading
@@ -5261,11 +5262,13 @@ def test_threaded_multiwriter_stress_commutes_and_converges(spark, tmp_path):
     from sql_based_etl_spark.tables.delta_interop import (
         merge_delta,
         read_delta,
+        update_delta,
         write_delta,
     )
 
     t = str(tmp_path / "t")
-    seed = [(1, "seed", "M")] + [(100 + w, "w", f"W{w}") for w in range(4)]
+    seed = ([(1, "seed", "M"), (2, "seed", "U")]
+            + [(100 + w, "w", f"W{w}") for w in range(4)])
     write_delta(
         spark.createDataFrame(seed, "id long, v string, p string"),
         t, mode="overwrite", partition_by=["p"], checkpoint_interval=5)
@@ -5295,8 +5298,17 @@ def test_threaded_multiwriter_stress_commutes_and_converges(spark, tmp_path):
         except BaseException as e:  # noqa: BLE001
             errors.append(e)
 
+    def updater() -> None:
+        try:
+            for i in range(5):
+                update_delta(spark, t,
+                             "p = 'U' AND id = 2", {"v": f"'u{i}'"})
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
     threads = [threading.Thread(target=appender, args=(w,))
-               for w in range(4)] + [threading.Thread(target=merger)]
+               for w in range(4)] + [threading.Thread(target=merger),
+                                     threading.Thread(target=updater)]
     for th in threads:
         th.start()
     for th in threads:
@@ -5304,16 +5316,18 @@ def test_threaded_multiwriter_stress_commutes_and_converges(spark, tmp_path):
     assert not errors, f"a commuting commit failed: {errors[:3]}"
 
     got = read_delta(spark, t)
-    assert got.count() == 5 + 20
+    assert got.count() == 6 + 20
     m = {r.id: r.v for r in got.filter("p = 'M'").collect()}
     assert m == {1: "m4"}, "merges are ordered within their thread"
+    u = {r.id: r.v for r in got.filter("p = 'U'").collect()}
+    assert u == {2: "u4"}, "updates are ordered within their thread"
     for w in range(4):
         ids = sorted(r.id for r in got.filter(f"p = 'W{w}'").collect())
         assert ids == [100 + w] + [1000 + w * 10 + i for i in range(5)], (
             f"partition W{w} lost an append under the race")
     # the racing interval checkpoints left a usable pointer: replay
     # from it alone by pruning nothing and re-reading latest
-    assert read_delta(spark, t).count() == 25
+    assert read_delta(spark, t).count() == 26
 
 
 def test_occ_merge_partition_scoped_commutes_with_disjoint_append(
