@@ -677,6 +677,24 @@ class DeltaBridgeStreamDataSource(DataSource):
             raise ValueError(
                 f"delta_bridge source: no Delta log at {path}/_delta_log")
         meta = _plain_table_meta(path, logs)
+        from sql_based_etl_spark.tables.delta_interop import (
+            _schema_contains_type,
+        )
+
+        if _schema_contains_type(json.loads(meta["schemaString"]),
+                                 {"variant"}):
+            # batch reads serve variant natively (Spark's JVM parquet
+            # reader), but this source's executor lane reads files via
+            # pyarrow, which predates the VARIANT parquet logical type
+            # and cannot even open those footers — refuse AT STREAM
+            # DEFINITION with the workaround named, never mid-batch
+            raise ValueError(
+                "delta_bridge source: this table has a variant column, "
+                "and the source's executor read lane (pyarrow) cannot "
+                "parse the VARIANT parquet logical type — read the "
+                "table in batch (read_delta serves variant natively), "
+                "or stream a non-variant projection table"
+            )
         st = StructType.fromJson(json.loads(meta["schemaString"]))
         if str(self.options.get(
                 "readchangefeed",

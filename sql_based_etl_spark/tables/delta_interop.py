@@ -4356,6 +4356,12 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         if checkpoint_interval and next_v % checkpoint_interval == 0:
             _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
                               proto, domains)
+    if _auto_compact_enabled(meta.get("configuration") or {}):
+        # delta-spark runs auto compaction after DML commits too — a
+        # row-level op rewrites small slices of its touched partitions
+        # and the backlog those partitions accumulated still needs
+        # bin-packing (best-effort, never fails the landed commit)
+        _maybe_auto_compact(spark, path, new_adds)
     return next_v
 
 
@@ -4776,6 +4782,12 @@ def _merge_delete_dv(source: DataFrame, path: str, log_dir: str,
         if checkpoint_interval and next_v % checkpoint_interval == 0:
             _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
                               proto, domains)
+    if _auto_compact_enabled(meta.get("configuration") or {}):
+        # delta-spark runs auto compaction after DML commits too — a
+        # row-level op rewrites small slices of its touched partitions
+        # and the backlog those partitions accumulated still needs
+        # bin-packing (best-effort, never fails the landed commit)
+        _maybe_auto_compact(spark, path, new_adds)
     return next_v
 
 
@@ -5053,6 +5065,12 @@ def delete_delta(spark: SparkSession, path: str,
         if checkpoint_interval and next_v % checkpoint_interval == 0:
             _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
                               proto, domains)
+    if _auto_compact_enabled(meta.get("configuration") or {}):
+        # delta-spark runs auto compaction after DML commits too — a
+        # row-level op rewrites small slices of its touched partitions
+        # and the backlog those partitions accumulated still needs
+        # bin-packing (best-effort, never fails the landed commit)
+        _maybe_auto_compact(spark, path, new_adds)
     return next_v
 
 
@@ -5327,6 +5345,12 @@ def update_delta(spark: SparkSession, path: str,
         if checkpoint_interval and next_v % checkpoint_interval == 0:
             _write_checkpoint(spark, log_dir, next_v, meta, state, txns,
                               proto, domains)
+    if _auto_compact_enabled(meta.get("configuration") or {}):
+        # delta-spark runs auto compaction after DML commits too — a
+        # row-level op rewrites small slices of its touched partitions
+        # and the backlog those partitions accumulated still needs
+        # bin-packing (best-effort, never fails the landed commit)
+        _maybe_auto_compact(spark, path, new_adds)
     return next_v
 
 

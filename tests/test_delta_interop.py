@@ -7551,3 +7551,67 @@ def test_vacuum_protocol_check_feature_supported(spark, tmp_path):
     vacuum_delta(spark, d, retention_hours=0.0,
                  enforce_retention_check=False)
     assert _ids(read_delta(spark, d)) == [1, 2, 3]
+
+
+def test_auto_compact_after_dml_commits(spark, tmp_path):
+    """delta-spark runs auto compaction after DML too: a MERGE into an
+    autoCompact table whose touched partition has accumulated small
+    files is followed by the auto OPTIMIZE commit, and the data stays
+    exact."""
+    from sql_based_etl_spark.tables.delta_interop import (
+        _replay_state,
+        merge_delta,
+        write_delta,
+    )
+
+    d = str(tmp_path / "acd")
+    # backlog builds under a HIGH gate (no trigger on the appends)...
+    _set_ac_confs(spark, min_files=10, max_size=1 << 20)
+    try:
+        for i in range(4):
+            write_delta(
+                spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+                d, mode="append" if i else "overwrite",
+                properties=({"delta.autoOptimize.autoCompact": "true"}
+                            if i == 0 else None))
+        _, live0, _, _, _, _ = _replay_state(spark, d)
+        assert len(live0) == 4
+        # ...then the MERGE commits under the lower gate and trips it
+        _set_ac_confs(spark, min_files=4, max_size=1 << 20)
+        src = spark.createDataFrame([(0, "U"), (9, "new")],
+                                    "id long, nv string")
+        merge_delta(src.withColumnRenamed("nv", "v"), d,
+                    "target.id = source.id",
+                    when_matched_update={"v": "source.v"})
+        log_dir = os.path.join(d, "_delta_log")
+        last = max(int(os.path.basename(f).split(".")[0]) for f in
+                   glob.glob(os.path.join(log_dir, "*.json")))
+        acts = [json.loads(x) for x in open(os.path.join(
+            log_dir, f"{last:020d}.json")).read().splitlines()]
+        ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+        assert ci["operation"] == "OPTIMIZE"
+        assert ci["operationParameters"]["auto"] == "true"
+        _, live, _, _, _, _ = _replay_state(spark, d)
+        assert len(live) == 1
+        assert sorted((r.id, r.v) for r in read_delta(spark, d).collect()) \
+            == [(0, "U"), (1, "v1"), (2, "v2"), (3, "v3"), (9, "new")]
+    finally:
+        _unset_ac_confs(spark)
+
+
+def test_variant_streaming_source_refuses_by_name(spark, tmp_path):
+    """The delta_bridge STREAMING source refuses variant tables at
+    stream definition, naming the pyarrow limitation and the batch
+    workaround (batch reads serve variant natively; the source's
+    executor lane cannot)."""
+    from sql_based_etl_spark.streaming.delta_source import (
+        register_delta_bridge_source,
+    )
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "vs")
+    write_delta(_variant_df(spark, 0, 3), d, mode="overwrite")
+    register_delta_bridge_source(spark)
+    with pytest.raises(Exception, match="variant"):
+        (spark.readStream.format("delta_bridge")
+         .option("path", d).load())
