@@ -7615,3 +7615,25 @@ def test_variant_streaming_source_refuses_by_name(spark, tmp_path):
     with pytest.raises(Exception, match="variant"):
         (spark.readStream.format("delta_bridge")
          .option("path", d).load())
+
+
+def test_variant_check_constraint_composes(spark, tmp_path):
+    """CHECK constraints over variant_get compose with the variant
+    write path out of the box: the obligations aggregate evaluates the
+    extraction JVM-side, a conforming batch commits, and a violating
+    payload refuses naming the constraint."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    d = str(tmp_path / "vcons")
+    df = spark.range(3).select(
+        "id", F.parse_json(F.concat(F.lit('{"a":'),
+                                    F.col("id").cast("string"),
+                                    F.lit("}"))).alias("v"))
+    write_delta(df, d, mode="overwrite", properties={
+        "delta.constraints.apos":
+            "variant_get(v, '$.a', 'bigint') >= 0"})
+    assert read_delta(spark, d).count() == 3
+    bad = spark.range(1).select(
+        "id", F.parse_json(F.lit('{"a": -5}')).alias("v"))
+    with pytest.raises(VersionedTableError, match="apos"):
+        write_delta(bad, d)
