@@ -7637,3 +7637,33 @@ def test_variant_check_constraint_composes(spark, tmp_path):
         "id", F.parse_json(F.lit('{"a": -5}')).alias("v"))
     with pytest.raises(VersionedTableError, match="apos"):
         write_delta(bad, d)
+
+
+def test_version_crc_skipped_after_retried_commit(spark, tmp_path,
+                                                  monkeypatch):
+    """A commit that lands after an OCC retry must NOT emit a version
+    checksum: the writer's reconciled state predates the winner's
+    commit (the same reason retried commits skip checkpoints), and a
+    crc computed from it would mis-describe the table. The winner's
+    own version keeps ITS crc; the retried version has none — absent
+    sidecars are always legal."""
+    from sql_based_etl_spark.tables.delta_interop import write_delta
+
+    t = str(tmp_path / "crcrace")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"),
+                t, mode="overwrite")
+
+    def winner(version):
+        write_delta(spark.createDataFrame([(2, "w")], "id long, v string"),
+                    t, mode="append")
+
+    _inject_winner(monkeypatch, winner)
+    v = write_delta(spark.createDataFrame([(3, "l")], "id long, v string"),
+                    t, mode="append")
+    assert v == 2, "loser must retry past the winner and land at v2"
+    log_dir = os.path.join(t, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, f"{0:020d}.crc"))
+    assert os.path.exists(os.path.join(log_dir, f"{1:020d}.crc"))
+    assert not os.path.exists(os.path.join(log_dir, f"{2:020d}.crc")), \
+        "retried commit must not emit a crc from stale reconciled state"
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == [1, 2, 3]
