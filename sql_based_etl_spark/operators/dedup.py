@@ -510,8 +510,24 @@ def simhash_signatures(
     → one bit-packing projection."""
     # 12 hex chars = exactly SIMHASH_BITS (48); distinct tokens via the
     # codegen-friendly exploded form
-    ex = shingle_rows(df, id_col, text_col, n=1, distinct=True).select(
-        "id", portable_hash(F.col("s"), hex_chars=12).alias("h")
+    # Explicit hash(id) repartition between the distinct and the md5 +
+    # vote projection (r13, guide §2.5): the distinct's exchange is
+    # ~1 MB of (id, token) rows, so AQE's byte-based coalescing folds
+    # it to ONE partition — and the md5 polynomial + 48 bit votes per
+    # token (the query's dominant compute, measured 1.1s serial at
+    # sf0.1) then run on one core. Shuffle BYTES are the wrong cost
+    # proxy for this stage; a user-specified keyed repartition is not
+    # coalesced by AQE, spreads the token hashing over the cluster,
+    # and the groupBy("id") below reuses the hash(id) partitioning —
+    # no additional exchange. N = defaultParallelism (cluster-derived,
+    # not a local constant); at real scale the distinct output exceeds
+    # the advisory size anyway and the repartition is a cheap no-op
+    # reshuffle of already-wide data.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        shingle_rows(df, id_col, text_col, n=1, distinct=True)
+        .repartition(n_parts, "id")
+        .select("id", portable_hash(F.col("s"), hex_chars=12).alias("h"))
     )
     votes = [
         F.expr(
@@ -616,6 +632,14 @@ def ngram_jaccard_pairs(
     post = inv.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_df is not None:
         post = post.filter(F.size("ids") <= max_df)
+    # NOT widened before the pin (r13 REJECTED experiment): spreading
+    # the pinned postings to defaultParallelism partitions parallelizes
+    # the i<j pair expansion (1.24s → 0.68s stage wall) but makes BOTH
+    # sizes-aggregate consumers ~8× more expensive (0.1s → 0.8-0.9s
+    # stage wall each — per-task columnar-cache decode overhead
+    # multiplies with the partition count) — a net loss measured in the
+    # r13 profiles. The multi-consumer pinned caches in this family
+    # prefer few partitions.
     post = post.transform(pin)
     sizes = (
         post.select(F.explode("ids").alias("id"))

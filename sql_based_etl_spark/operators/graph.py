@@ -63,18 +63,24 @@ def connected_components(
     """
     # checkpoint the raw edge list BEFORE symmetrizing: the union below
     # consumes it twice, and without truncation the (expensive) pair-
-    # generation pipeline upstream runs once per consumer
+    # generation pipeline upstream runs once per consumer. sym and the
+    # initial labels stay LAZY (r13): each eager localCheckpoint is a
+    # full driver-synchronized job, and recomputing a distinct over the
+    # (checkpointed, tiny — candidates ≪ corpus) edge base inside the
+    # round jobs that consume it costs one small in-job shuffle instead
+    # of a standalone job — 3 pre-loop jobs → 1. Determinism is
+    # unaffected: both are set-valued over the checkpointed base.
     base = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=True)
-    sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = base.union(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
 
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):

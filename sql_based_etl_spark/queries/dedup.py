@@ -309,11 +309,22 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # means two consumers (the bands probe and the Jaccard verify)
     # would each re-pay the old corpus's shingle+md5 pass — persist
     # models the one materialization the stored relation actually has
-    # (measured 6.5s → 4.4s at sf0.1)
-    old_hashed = hashed_shingle_rows(docs.filter(F.col("doc_id") % 2 == 0)).transform(pin)
+    # (measured 6.5s → 4.4s at sf0.1).
+    # ONE shingle pass (r13): old and new split a single corpus here,
+    # so one shared hashed relation + parity filters replaces two
+    # separate scan+shingle+pin materializations — the same relations,
+    # one scan and one cache-build job instead of two (in production
+    # the two sides are genuinely different tables and the operator's
+    # old_hashed/new_hashed params keep that shape).
+    all_hashed = hashed_shingle_rows(docs).transform(pin)
+    old_hashed = all_hashed.filter(F.col("id") % 2 == 0)
     old_bands = minhash_bands_from_hashes(old_hashed)
     return minhash_lsh_pairs_incremental(
-        docs.filter(F.col("doc_id") % 2 == 1), old_hashed, old_bands, threshold=0.5
+        docs.filter(F.col("doc_id") % 2 == 1),
+        old_hashed,
+        old_bands,
+        threshold=0.5,
+        new_hashed=all_hashed.filter(F.col("id") % 2 == 1),
     )
 
 

@@ -51,7 +51,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # wide=True: the pivot-assignment argmax evaluates 16 64-term dot
+    # products per vector in the scan stage (guide §2.5; r13 A/B)
+    emb = load(spark, sf_dir, "embeddings", wide=True)
     return ivf_topk_self(emb, F.col("vec_id") % 50 == 0, k=5, dim=DIM)
 
 
@@ -343,7 +345,9 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe + re-rank reproduce bit-for-bit in DuckDB)."""
     from sql_based_etl_spark.operators.similarity import kmeans_lloyd
 
-    emb = load(spark, sf_dir, "embeddings")
+    # wide=True: two Lloyd assignment passes + the IVF argmax are all
+    # scan-stage 64-dim dot-product compute (guide §2.5; r13 A/B)
+    emb = load(spark, sf_dir, "embeddings", wide=True)
     piv = kmeans_lloyd(emb, k=IVF_CELLS, iters=2)
     return ivf_topk_self(
         emb, F.col("vec_id") % 50 == 0, k=5, dim=DIM, pivots=piv
@@ -363,7 +367,9 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup_pairs,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    # wide=True: Lloyd + cell assignment are scan-stage dot products
+    # (guide §2.5; r13 A/B)
+    emb = load(spark, sf_dir, "embeddings", wide=True)
     piv = kmeans_lloyd(emb, k=IVF_CELLS, iters=2)
     return semantic_dedup_pairs(
         emb, threshold=SEMANTIC_DUP_THRESHOLD, dim=DIM, pivots=piv

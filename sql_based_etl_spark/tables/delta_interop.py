@@ -4131,6 +4131,7 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         return urllib.parse.unquote(f"{u.netloc}{u.path}" if u.scheme else p)
 
     matched_keys: list[str] = []
+    validated_in_scan = False
     if live and when_not_matched_by_source_delete:
         matched_keys = sorted(live)  # clause touches every target row
     elif scan_live:
@@ -4139,20 +4140,39 @@ def merge_delta(source: DataFrame, path: str, condition: str,
             rel = urllib.parse.unquote(a["path"])
             absolute = rel if "://" in rel or rel.startswith("/") else posixpath.join(path, rel)
             abs2key[_norm_uri(absolute)] = k
+        # fused pass (r13): matched files AND the unique-match
+        # validation count in ONE inner-join job — the separate shapes
+        # paid the target⋈source join twice (semi-join here, inner
+        # join + groupBy inside build_merge_annotated), a full extra
+        # join pass per MERGE at scale. The surrogate id only needs
+        # stability within this single action; count/first are
+        # map-side combinable and the final single-row aggregate
+        # collects just the distinct file list.
         tagged = (
             _snapshot_df(spark, path, meta, scan_live)
             .withColumn("__file", F.input_file_name())
+            .withColumn("__merge_rid", F.monotonically_increasing_id())
             .alias("target")
         )
-        hit = (
-            tagged.join(source.alias("source"), F.expr(condition), "left_semi")
-            .select("__file").distinct().collect()
+        per_rid = (
+            tagged.join(source.alias("source"), F.expr(condition), "inner")
+            .groupBy("__merge_rid")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.first("__file").alias("__file"))
         )
-        for r in hit:
-            key = abs2key.get(_norm_uri(r["__file"]))
+        agg = per_rid.agg(
+            F.collect_set("__file").alias("fs"), F.max("__n").alias("mx")
+        ).collect()[0]
+        if validate_unique_match and int(agg["mx"] or 0) > 1:
+            raise VersionedTableError(
+                "merge: multiple source rows match a single target row"
+            )
+        validated_in_scan = True
+        for fname in agg["fs"] or []:
+            key = abs2key.get(_norm_uri(fname))
             if key is None:
                 raise VersionedTableError(
-                    f"merge_delta: matched file {r['__file']!r} does not "
+                    f"merge_delta: matched file {fname!r} does not "
                     f"map back to a live add action at {path}"
                 )
             matched_keys.append(key)
@@ -4167,7 +4187,10 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         when_matched_update=when_matched_update,
         matched_condition=matched_condition,
         insert_not_matched=insert_not_matched,
-        validate_unique_match=validate_unique_match,
+        # already validated by the fused matched-file pass (one join
+        # job instead of two) except on the by-source path
+        validate_unique_match=(validate_unique_match
+                               and not validated_in_scan),
         when_matched_delete=when_matched_delete,
         when_not_matched_by_source_delete=when_not_matched_by_source_delete,
     )

@@ -27,6 +27,27 @@ def _n_persisted(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
 
 
+def _settle_persisted(spark) -> int:
+    """Persistent-RDD count after draining async cleanup: earlier
+    tests' out-of-scope localCheckpoint RDDs are reclaimed by the
+    ContextCleaner on GC at arbitrary moments, which races any
+    baseline comparison of the global count (observed as base
+    captured high, then dropping mid-test)."""
+    import gc
+    import time
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    prev = -1
+    for _ in range(40):
+        cur = _n_persisted(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+        time.sleep(0.05)
+    return prev
+
+
 def _docs(spark):
     rows = [(i, f"the quick brown fox jumps over dog number {i % 3}")
             for i in range(30)]
@@ -40,7 +61,7 @@ def test_cache_scope_releases_operator_barriers(spark):
     from sql_based_etl_spark.operators.dedup import minhash_lsh_pairs
 
     spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _settle_persisted(spark)
     with cache_scope() as scope:
         pairs = minhash_lsh_pairs(_docs(spark), threshold=0.1)
         n = pairs.count()  # materialize INSIDE the scope
@@ -52,7 +73,7 @@ def test_cache_scope_releases_operator_barriers(spark):
 
 def test_cache_scope_nested_inner_owns_its_pins(spark):
     spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _settle_persisted(spark)
     df = _docs(spark)
     with cache_scope() as outer:
         pin(df.select("doc_id")).count()
@@ -68,7 +89,7 @@ def test_cache_scope_nested_inner_owns_its_pins(spark):
 def test_pin_without_scope_is_caller_owned(spark):
     """No active scope: pin() == bare persist(), process-lifetime."""
     spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _settle_persisted(spark)
     assert active_scope() is None
     df = pin(_docs(spark))
     try:
@@ -93,7 +114,7 @@ def test_pipeline_close_releases_stage_operator_pins(spark):
         return out
 
     spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _settle_persisted(spark)
     STAGE_TYPES["_TestDedupStage"] = dedup_stage
     try:
         pipe = Pipeline(spark)
@@ -125,7 +146,7 @@ def test_dag_worker_threads_join_pipeline_scope(spark):
         return df
 
     spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _settle_persisted(spark)
     STAGE_TYPES["_TestPinStage"] = pin_stage
     try:
         pipe = Pipeline(spark)
