@@ -519,7 +519,13 @@ def kmeans_lloyd(
         # truncate the per-iteration lineage: iteration i+1 (and every
         # downstream consumer — IVF probes broadcast the pivots in two
         # branches) would otherwise re-analyze/re-run the whole
-        # training DAG; the checkpointed relation is k×dim doubles
+        # training DAG; the checkpointed relation is k×dim doubles.
+        # (r13 REJECTED: a collect + createDataFrame local-relation
+        # handoff — same truncation, no checkpoint RDD — measured
+        # SLOWER in both interleaved A/B pairs: ivf_trained 4.2-4.7 →
+        # 4.7-6.7s, semantic_dedup 3.4-3.8 → 4.7-5.1s. The local
+        # relation re-ships rows into every consuming broadcast build,
+        # where the checkpointed RDD serves cached blocks.)
         cents = cents.localCheckpoint(eager=True)
     return cents.select("pid", "pv")
 

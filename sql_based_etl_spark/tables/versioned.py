@@ -911,6 +911,13 @@ class VersionedTable:
             # space only on the named columns.
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer.parquet(f"{self.path}/{rel_dir}")
+        local = self._local_root()
+        if local is not None:  # see _local_root — read-side fast path
+            return sorted(
+                f"{rel_dir}/{fn}"
+                for fn in os.listdir(os.path.join(local, rel_dir))
+                if not fn.startswith("_") and not fn.startswith(".")
+            )
         fs = self._fs()
         out = []
         for st in fs.listStatus(self._jpath(rel_dir)):
