@@ -4146,29 +4146,43 @@ def merge_delta(source: DataFrame, path: str, condition: str,
         # join + groupBy inside build_merge_annotated), a full extra
         # join pass per MERGE at scale. The surrogate id only needs
         # stability within this single action; count/first are
-        # map-side combinable and the final single-row aggregate
-        # collects just the distinct file list.
-        tagged = (
+        # map-side combinable, and the file list comes back one ROW
+        # PER DISTINCT FILE (grouped max — never a single-row
+        # collect_set funneling ~10⁶ file names through one reduce
+        # task's row; r13 verdict #3). With validation opted out the
+        # cheaper left-semi prune short-circuits per target row
+        # instead of shuffling k joined rows per target row for a
+        # count nobody checks.
+        base = (
             _snapshot_df(spark, path, meta, scan_live)
             .withColumn("__file", F.input_file_name())
-            .withColumn("__merge_rid", F.monotonically_increasing_id())
-            .alias("target")
         )
-        per_rid = (
-            tagged.join(source.alias("source"), F.expr(condition), "inner")
-            .groupBy("__merge_rid")
-            .agg(F.count(F.lit(1)).alias("__n"),
-                 F.first("__file").alias("__file"))
-        )
-        agg = per_rid.agg(
-            F.collect_set("__file").alias("fs"), F.max("__n").alias("mx")
-        ).collect()[0]
-        if validate_unique_match and int(agg["mx"] or 0) > 1:
-            raise VersionedTableError(
-                "merge: multiple source rows match a single target row"
+        if validate_unique_match:
+            tagged = base.withColumn(
+                "__merge_rid", F.monotonically_increasing_id()
+            ).alias("target")
+            per_rid = (
+                tagged.join(source.alias("source"), F.expr(condition), "inner")
+                .groupBy("__merge_rid")
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.first("__file").alias("__file"))
             )
-        validated_in_scan = True
-        for fname in agg["fs"] or []:
+            rows = per_rid.groupBy("__file").agg(
+                F.max("__n").alias("mx")).collect()
+            if max((int(r["mx"]) for r in rows), default=0) > 1:
+                raise VersionedTableError(
+                    "merge: multiple source rows match a single target row"
+                )
+            validated_in_scan = True
+            matched_names = [r["__file"] for r in rows]
+        else:
+            matched_names = [
+                r["__file"]
+                for r in base.alias("target")
+                .join(source.alias("source"), F.expr(condition), "left_semi")
+                .select("__file").distinct().collect()
+            ]
+        for fname in matched_names:
             key = abs2key.get(_norm_uri(fname))
             if key is None:
                 raise VersionedTableError(

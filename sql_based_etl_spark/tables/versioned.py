@@ -643,10 +643,16 @@ class VersionedTable:
         publish protocol lives there)."""
         p = self.path
         if p.startswith("file:"):
-            local = p[5:]
-            while local.startswith("//"):
-                local = local[1:]
-            return local or "/"
+            from urllib.parse import urlparse
+
+            u = urlparse(p)
+            # a non-empty authority (file://host/…) names a REMOTE
+            # host: stripping it would silently read the wrong local
+            # path (versions() returning [] for an existing table) —
+            # keep the Hadoop path for anything but the local host
+            if u.netloc not in ("", "localhost"):
+                return None
+            return u.path or "/"
         head = p.split("/", 1)[0]
         if "://" in p or ":" in head:
             return None  # non-file scheme
@@ -992,13 +998,10 @@ class VersionedTable:
 
     def _local_dir(self) -> str | None:
         """The table's plain filesystem directory, or None when it
-        lives on a non-local URI (s3a://…, hdfs://…)."""
-        from urllib.parse import urlparse
-
-        p = urlparse(self.path)
-        if p.scheme in ("", "file"):
-            return p.path or self.path
-        return None
+        lives on a non-local URI (s3a://…, hdfs://…, file://host/…).
+        Same resolution as :meth:`_local_root` (netloc-aware, bare
+        paths local only under a ``file:`` defaultFS)."""
+        return self._local_root()
 
     def _collect_stats_footers(self, rel_files: list[str],
                                eligible: list[str]) -> dict:
@@ -1522,8 +1525,15 @@ class VersionedTable:
         at 100 TB and ~0.5s of job latency per merge at bench SF. The
         per-row surrogate id only needs stability within this one
         action, which monotonically_increasing_id is; ``__n`` and
-        ``first(__file)`` are map-side combinable, and the final
-        single-row aggregate collects only the distinct file list."""
+        ``first(__file)`` are map-side combinable.
+
+        The file list comes back as one ROW PER DISTINCT FILE via a
+        second grouped aggregate (``groupBy(__file).max(__n)``), never
+        as a single-row ``collect_set``: a 100 TB merge matching ~10⁶
+        files would otherwise funnel an ~O(100 MB) array through ONE
+        reduce task's row (r13 verdict #3). The collect's driver-side
+        cardinality equals the matched-file count — exactly what the
+        old separate semi-join pass collected."""
         from pyspark.sql.types import StructType
 
         if not files:
@@ -1543,10 +1553,9 @@ class VersionedTable:
             .groupBy("__merge_rid")
             .agg(F.count(F.lit(1)).alias("__n"), F.first("__file").alias("__file"))
         )
-        row = per_rid.agg(
-            F.collect_set("__file").alias("fs"), F.max("__n").alias("mx")
-        ).collect()[0]
-        return sorted(row["fs"] or []), int(row["mx"] or 0)
+        rows = per_rid.groupBy("__file").agg(F.max("__n").alias("mx")).collect()
+        return (sorted(r["__file"] for r in rows),
+                max((int(r["mx"]) for r in rows), default=0))
 
     def merge(
         self,
@@ -1644,16 +1653,23 @@ class VersionedTable:
         validated_in_scan = False
         if when_not_matched_by_source_delete:
             matched_files = list(all_files)  # clause touches every row
-        else:
+        elif validate_unique_match:
             # fused pass: matched files + the unique-match validation
             # count in ONE join job (see _matched_files_and_max_match)
             matched_files, max_match = self._matched_files_and_max_match(
                 source, condition, scan_files)
-            if validate_unique_match and max_match > 1:
+            if max_match > 1:
                 raise VersionedTableError(
                     "merge: multiple source rows match a single target row"
                 )
             validated_in_scan = True
+        else:
+            # validation opted out: the left-semi prune short-circuits
+            # per target row, instead of shuffling every joined row
+            # through the fused count aggregate for a count nobody
+            # checks (a high-fanout condition makes that k× the rows)
+            matched_files = self._matched_files(source, condition,
+                                                scan_files)
         carried = [f for f in all_files if f not in set(matched_files)]
 
         target_full = self.read()
