@@ -95,6 +95,53 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # the broadcast build is pure overhead.
 _WIDEN_MIN_BYTES = 256 * 1024
 
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3,
+    "t": 1024**4, "tb": 1024**4,
+    "p": 1024**5, "pb": 1024**5,
+}
+
+
+def _parse_byte_conf(raw: object, default: int) -> int:
+    """Spark size confs accept unit suffixes ('128MB', '134217728b');
+    a bare ``int()`` raises on those and silently pinned the widen
+    threshold to the default (r14 advice). Mirrors JavaUtils
+    byteStringAsBytes for the suffixes Spark documents."""
+    import re
+
+    try:
+        m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(raw))
+        return int(m.group(1)) * _BYTE_SUFFIX[m.group(2).lower()]
+    except (AttributeError, KeyError, TypeError, ValueError):
+        return default
+
+
+def _file_size(spark: SparkSession, uri: str) -> int | None:
+    """Size in bytes of one scan input file, on ANY filesystem: local
+    paths via ``os.stat``; other schemes through the session's Hadoop
+    FileSystem (the r13 gate used ``os.path.getsize`` only, so on an
+    object store it silently never widened — exactly where one huge
+    unsplittable file needs it). None when the size can't be read
+    (caller treats the scan as not widenable)."""
+    from urllib.parse import urlparse
+
+    u = urlparse(uri)
+    if u.scheme in ("", "file"):
+        try:
+            return os.path.getsize(u.path or uri)
+        except OSError:
+            return None
+    try:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        jp = jvm.org.apache.hadoop.fs.Path(uri)
+        return int(jp.getFileSystem(conf).getFileStatus(jp).getLen())
+    except Exception:
+        return None
+
 
 def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Spread an under-split scan across the session's cores (guide
@@ -131,17 +178,26 @@ def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """
     if os.environ.get("SQL_ETL_SCAN_WIDEN", "1") == "0":
         return df
+    cores = spark.sparkContext.defaultParallelism
+    # expected split count from the scan relation's OWN file index
+    # (df.inputFiles — any filesystem), not os.stat of a local path:
+    # ≥cores files already feed every core with zero size lookups
     try:
-        size = os.path.getsize(path)
-    except OSError:
+        files = list(df.inputFiles())
+    except Exception:
+        files = [path]
+    if not files or len(files) >= cores:
         return df
+    sizes = [_file_size(spark, f) for f in files]
+    if any(s is None for s in sizes):
+        return df  # unknown size: don't guess an exchange into the plan
+    size = sum(sizes)
     if size < _WIDEN_MIN_BYTES:
         return df
-    try:
-        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    except (TypeError, ValueError):
-        max_split = 128 * 1024 * 1024
-    cores = spark.sparkContext.defaultParallelism
+    max_split = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", None),
+        128 * 1024 * 1024,
+    )
     if size // max_split >= cores:
         return df
     return df.repartition(cores)
