@@ -147,7 +147,16 @@ def col_sql(c: str | Column) -> str:
     pure driver-side chatter that a single ``F.expr`` parse avoids
     (guide §4: the Python boundary is also the *driver's* boundary).
     The parsed tree is expression-identical, so plans and results are
-    unchanged."""
+    unchanged.
+
+    RE-PARSE CONTRACT: the rendered text must round-trip through
+    ``F.expr`` to the same expression — true for the column refs /
+    arithmetic / function calls used at the call sites here and in
+    ``textops._md5_hex_bigint``; a caller introducing exotic literals
+    must verify its rendering. Classic mode only (``Column._jc``):
+    under Spark Connect there is no JVM node to render, so callers
+    must take their Column-built fallback (see
+    :func:`portable_hash`)."""
     if isinstance(c, str):
         return f"`{c}`"
     return c._jc.node().sql()  # noqa: SLF001 — classic-mode Column
@@ -185,8 +194,19 @@ def portable_hash(s: str | Column, hex_chars: int = 15) -> Column:
     Callers pick the narrowest width they need — wide chains bloat the
     generated whole-stage method past the JIT limit. Built as one
     parsed SQL string (:func:`col_sql`): the 8×hex_chars Column calls
-    of the per-term form were ~0.1s of py4j time per call site."""
-    return F.expr(portable_hash_sql(col_sql(s), hex_chars))
+    of the per-term form were ~0.1s of py4j time per call site. Under
+    Spark Connect (no ``Column._jc``) the same tree is built with
+    Column operators instead — slower construction, identical plan."""
+    if isinstance(s, str) or hasattr(s, "_jc"):
+        return F.expr(portable_hash_sql(col_sql(s), hex_chars))
+    m = F.md5(s)
+    out = F.lit(0).cast("bigint")
+    for k in range(hex_chars):
+        digit = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(m, 1 + k, 1)) - 1
+        ).cast("bigint")
+        out = out + digit * F.lit(16 ** (hex_chars - 1 - k)).cast("bigint")
+    return out
 
 
 def hashed_shingle_rows(
@@ -317,11 +337,11 @@ def minhash_lsh_pairs(
     # them; ints are cheap to hold and cheap to shuffle). min() and
     # collect_set are duplicate-insensitive, so no distinct shuffle.
     hashed = hashed_shingle_rows(df, id_col, text_col, n).transform(pin)
-    sigs = minhash_signatures_from_hashes(hashed)
 
     # band keys as explicit column expressions + stack(): everything
-    # stays in whole-stage codegen (no array lambdas)
-    bands = _stacked_bands(sigs)
+    # stays in whole-stage codegen (no array lambdas); signature mins
+    # and band concat fused into ONE aggregate (_banded_keys_from_hashes)
+    bands = _banded_keys_from_hashes(hashed)
     post = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -390,19 +410,31 @@ def _verify_jaccard(cand: DataFrame, hashed: DataFrame, threshold: float) -> Dat
     return scored.filter(F.col("jaccard") >= threshold)
 
 
-def _stacked_bands(sigs: DataFrame) -> DataFrame:
-    """``(id, band, key)`` banded bucket keys from a signature
-    relation — band keys + stack() as parsed SQL (single py4j call per
-    expression, see :func:`col_sql`)."""
+def _banded_keys_from_hashes(hashed: DataFrame) -> DataFrame:
+    """``(id, band, key)`` directly from the hashed ``(id, h)`` shingle
+    relation: the per-band ``concat_ws`` of the K permutation mins is
+    computed INSIDE the signature aggregate's result projection, fusing
+    :func:`minhash_signatures_from_hashes` + :func:`_stacked_bands`
+    into one aggregate + one stack projection (r14: two fewer analyzed
+    DataFrame ops per construction — the residual dedup_minhash_lsh
+    driver cost was ~1k py4j round trips of eager per-op JVM analysis).
+    The band keys are bit-identical (same mins, same concat order);
+    partial/map-side aggregation of the mins is unchanged — only the
+    final-aggregate projection differs."""
     band_keys = [
         "concat_ws(',', "
-        + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ", ".join(
+            f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P})"
+            for j in (b * ROWS_PER_BAND + r for r in range(ROWS_PER_BAND))
+        )
         + f") as bk{b}"
         for b in range(BANDS)
     ]
     stack_args = ", ".join(f"{b}, bk{b}" for b in range(BANDS))
-    return sigs.selectExpr("id", *band_keys).select(
-        "id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)")
+    return (
+        hashed.groupBy("id")
+        .agg(*[F.expr(bk) for bk in band_keys])
+        .select("id", F.expr(f"stack({BANDS}, {stack_args}) as (band, key)"))
     )
 
 
@@ -411,7 +443,7 @@ def minhash_bands_from_hashes(hashed: DataFrame) -> DataFrame:
     relation — the thing an incremental pipeline PERSISTS between daily
     runs (alongside the ``(id, h)`` relation itself) so tomorrow's
     batch probes yesterday's buckets without recomputing the corpus."""
-    return _stacked_bands(minhash_signatures_from_hashes(hashed))
+    return _banded_keys_from_hashes(hashed)
 
 
 def minhash_lsh_pairs_incremental(

@@ -54,7 +54,10 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Return ``(node, component)`` where ``component`` is the minimum
-    node id in the node's connected component.
+    node id in the node's connected component. ``max_iter`` bounds the
+    checkpointed iterations; each runs TWO propagate+jump rounds (so
+    up to ``2*max_iter`` rounds — convergence is O(log diameter)
+    rounds, far inside the bound).
 
     Only nodes that appear in ``edges`` are returned (isolated
     documents are their own trivial cluster; callers left-join if they
@@ -84,50 +87,64 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # propagate: min label over self + neighbors. The self row is
-        # tagged so the SAME map-side-combinable aggregate also carries
-        # the node's previous label through as __prev (min over a
-        # one-element when-set) — this is what lets the convergence
-        # check below ride inside the round's one job instead of
-        # paying its own join + count round-trip.
-        nbr = sym.join(
-            labels.select(F.col("node").alias("b"), "label"), "b"
-        ).select(
-            F.col("a").alias("node"), "label", F.lit(False).alias("__self")
-        )
-        propagated = (
-            labels.withColumn("__self", F.lit(True))
-            .unionByName(nbr)
-            .groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("__self"), F.col("label"))).alias("__prev"),
+        # TWO propagate+jump rounds per eager checkpoint (r14): every
+        # localCheckpoint is a full driver-synchronized job and dedup
+        # graphs converge in ~2 rounds, so fixed per-job overhead
+        # dominated the loop at bench SF — unrolling halves the job
+        # count (measured 2 checkpoint jobs → 1 on the dedup graphs).
+        # The lazy inner round references each propagate aggregate
+        # twice (the pointer-jump self-join), but both sides are the
+        # SAME exchange, which AQE/ReuseExchange materializes once —
+        # plan growth between truncations is bounded at ×4 and round
+        # work is not recomputed. Fixpoint and determinism are
+        # unaffected: an extra pair of rounds past convergence is a
+        # no-op of the (unique) fixpoint.
+        cur = labels
+        for inner in range(2):
+            # propagate: min label over self + neighbors. The self row
+            # is tagged so the SAME map-side-combinable aggregate also
+            # carries the node's previous label through as __prev (min
+            # over a one-element when-set) — this is what lets the
+            # convergence check ride inside the checkpoint job instead
+            # of paying its own join + count round-trip.
+            nbr = sym.join(
+                cur.select(F.col("node").alias("b"), "label"), "b"
+            ).select(
+                F.col("a").alias("node"), "label", F.lit(False).alias("__self")
             )
-        )
-        # pointer jump: label ← label's label (labels are always node
-        # ids, so the inner self-join is total). localCheckpoint (not
-        # persist): the self-join references `propagated` twice, so an
-        # untruncated plan doubles every round. The exact fixpoint test
-        # (type-agnostic — a sum-of-ids check would silently NULL out on
-        # string node ids) is a Dataset.observe metric computed INSIDE
-        # the checkpoint job: zero extra jobs per round.
+            propagated = (
+                cur.select("node", "label").withColumn("__self", F.lit(True))
+                .unionByName(nbr)
+                .groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("__self"), F.col("label"))).alias("__prev"),
+                )
+            )
+            # pointer jump: label ← label's label (labels are always
+            # node ids, so the inner self-join is total).
+            cur = (
+                propagated.join(
+                    propagated.select(
+                        F.col("node").alias("label"), F.col("label").alias("__ll")
+                    ),
+                    "label",
+                )
+                .select("node", F.col("__ll").alias("label"), "__prev")
+            )
+        # localCheckpoint (not persist) truncates the doubled plan; the
+        # exact fixpoint test (type-agnostic — a sum-of-ids check would
+        # silently NULL out on string node ids) is a Dataset.observe
+        # metric computed INSIDE the checkpoint job: zero extra jobs.
+        # __prev here is the label after the FIRST unrolled round, so
+        # changed==0 ⇔ the second round was already at the fixpoint.
         obs = Observation()
-        jumped = (
-            propagated.join(
-                propagated.select(
-                    F.col("node").alias("label"), F.col("label").alias("__ll")
-                ),
-                "label",
-            )
-            .select("node", F.col("__ll").alias("label"), "__prev")
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("__prev")).cast("long")
-                ).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        jumped = cur.observe(
+            obs,
+            F.sum(
+                (F.col("label") != F.col("__prev")).cast("long")
+            ).alias("changed"),
+        ).localCheckpoint(eager=True)
         labels = jumped.drop("__prev")
         # eager checkpoint above already ran the job, so this never blocks
         if not (obs.get["changed"] or 0):

@@ -303,10 +303,20 @@ def _md5_hex_bigint(m: Column, start: int, width: int) -> Column:
     one 128-bit digest, so the expensive md5 runs once per gram
     instead of k times. One parsed SQL string per call (see
     ``dedup.col_sql`` — per-term Column construction was measurable
-    driver-side py4j cost)."""
+    driver-side py4j cost; the ``m`` expressions passed here must obey
+    col_sql's re-parse contract). Under Spark Connect (no
+    ``Column._jc``) the same tree is built with Column operators."""
     from sql_based_etl_spark.operators.dedup import col_sql, md5_hex_bigint_sql
 
-    return F.expr(md5_hex_bigint_sql(col_sql(m), start, width))
+    if hasattr(m, "_jc"):
+        return F.expr(md5_hex_bigint_sql(col_sql(m), start, width))
+    out = F.lit(0).cast("bigint")
+    for k in range(width):
+        digit = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(m, start + k, 1)) - 1
+        ).cast("bigint")
+        out = out + digit * F.lit(16 ** (width - 1 - k)).cast("bigint")
+    return out
 
 
 def _bloom_positions(k_hashes: int, m_bits: int) -> list[Column]:
