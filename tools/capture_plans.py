@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for bench headline queries into
-plans/r13/<query>_<tag>.txt (judge-checkable before/after artifacts).
+plans/<round>/<query>_<tag>.txt (judge-checkable before/after artifacts).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
 """
@@ -17,7 +17,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    outdir = os.path.join(_REPO, "plans", "r13")
+    outdir = os.path.join(_REPO, "plans", os.environ.get("SQL_ETL_PLANS_ROUND", "r14"))
     os.makedirs(outdir, exist_ok=True)
 
     from sql_based_etl_spark.queries import all_queries
