@@ -14,7 +14,14 @@ SF_ORACLE = os.environ.get("SQL_ETL_TEST_SF_DIR", "/root/testdata/sf0.01")
 def spark():
     from sql_based_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="sql_based_etl_tests", shuffle_partitions=8)
+    # local[8], not local[*] (r14): the suite's data is tiny, so 32
+    # task slots only multiply per-stage scheduling overhead and make
+    # every defaultParallelism-derived repartition 4x wider for zero
+    # extra throughput; 8 also matches the driver-contract sweep
+    # session (tools/graded_sweep.py). SQL_ETL_TEST_CORES overrides.
+    cores = os.environ.get("SQL_ETL_TEST_CORES", "8")
+    spark = get_spark(app_name="sql_based_etl_tests",
+                      master=f"local[{cores}]", shuffle_partitions=8)
     yield spark
 
 

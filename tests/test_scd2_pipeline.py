@@ -500,6 +500,19 @@ def test_training_data_prep_notebook(spark, tmp_path):
             "ETL_CONF_OUTPUT_LOC": str(tmp_path),
         },
     )
+    # persist every consulted view before the count cascade (r14): the
+    # views form one deep lazy chain, so counting them shallow-to-deep
+    # otherwise recomputes each upstream segment once PER count —
+    # O(depth²) work that made this the suite's slowest file. Caching
+    # changes nothing about what is asserted; CacheManager substitutes
+    # the cached fragments into every later count's plan.
+    _cached = [
+        "docs_raw", "docs_throttled", "docs_quality", "docs_unique",
+        "docs_canonical", "docs_decontaminated", "docs_prepped",
+        "docs_mixed", "docs_split",
+    ]
+    for _v in _cached:
+        ctx.views[_v] = ctx.views[_v].persist()
     n_raw = ctx.views["docs_raw"].count()
     n_throttled = ctx.views["docs_throttled"].count()
     n_quality = ctx.views["docs_quality"].count()
@@ -535,6 +548,8 @@ def test_training_data_prep_notebook(spark, tmp_path):
     assert {r.split for r in split.select("split").distinct().collect()} <= {
         "train", "val", "test"
     }
+    for _v in _cached:
+        ctx.views[_v].unpersist()
 
 
 def test_embedding_curation_notebook(spark, tmp_path):
@@ -553,6 +568,11 @@ def test_embedding_curation_notebook(spark, tmp_path):
             "ETL_CONF_OUTPUT_LOC": str(tmp_path),
         },
     )
+    # persist consulted views before counting (see
+    # test_training_data_prep_notebook — avoids O(depth²) recompute)
+    _cached = ["embs", "emb_clean", "noisy_labels", "emb_pca", "ann_check"]
+    for _v in _cached:
+        ctx.views[_v] = ctx.views[_v].persist()
     n_raw = ctx.views["embs"].count()
     n_clean = ctx.views["emb_clean"].count()
     n_noisy = ctx.views["noisy_labels"].count()
@@ -563,6 +583,8 @@ def test_embedding_curation_notebook(spark, tmp_path):
     assert ann.groupBy("query_id").count().agg({"count": "max"}).collect()[0][0] <= 3
     t = VersionedTable(spark, str(tmp_path / "clean_embeddings"))
     assert t.read().count() == n_clean
+    for _v in _cached:
+        ctx.views[_v].unpersist()
 
 
 def test_scd2_dag_parallel_execution(spark, fixture_dir, tmp_path):
