@@ -1608,7 +1608,12 @@ class VersionedTable:
         # genuine boolean columns keep their literal).
         from sql_based_etl_spark.engine.sql_compat import coerce_condition_for_types
 
-        dtmap = {"target": dict(self.read().dtypes), "source": dict(source.dtypes)}
+        # one snapshot construction serves the dtype probe here AND the
+        # rewrite below (r14): each read() re-fetches the manifest and
+        # re-analyzes the scan — pure driver latency, ~0.1-0.3s at
+        # bench SF and manifest-sized at a 10⁶-file table
+        target_full = self.read()
+        dtmap = {"target": dict(target_full.dtypes), "source": dict(source.dtypes)}
         condition = coerce_condition_for_types(condition, dtmap)
         if matched_condition:
             matched_condition = coerce_condition_for_types(matched_condition, dtmap)
@@ -1672,7 +1677,6 @@ class VersionedTable:
                                                 scan_files)
         carried = [f for f in all_files if f not in set(matched_files)]
 
-        target_full = self.read()
         t_cols = target_full.columns
         t_dtypes = dict(target_full.dtypes)
         if matched_files:
